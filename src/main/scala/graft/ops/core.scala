@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One operator from SURVEY.md §2, exposed through the driver contract:
+  * a Spark-first implementation plus (when SQL-expressible) an
+  * equivalent DuckDB oracle query over the same parquet tables.
+  *
+  * Parity discipline (see `Parity`): every floating aggregate goes
+  * through exact decimal sums, every engine-dependent integer width is
+  * cast to BIGINT on both sides, every result has a total ORDER BY.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects; read it as raw nanos and truncate to micros —
+    * DuckDB's reader truncates ns→us identically (verified on fixture
+    * event_id 0: …549829 ns → …549 us).
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+
+  /** Register every fixture table as a temp view (for spark.sql paths). */
+  def views(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Cross-engine determinism helpers.
+  *
+  * Double summation is order-dependent and Spark's partial-aggregate
+  * merge order is nondeterministic across runs, so oracle-checked
+  * aggregates of doubles are computed as exact DECIMAL(28,10) sums and
+  * only then cast back to double — bit-identical in Spark and DuckDB
+  * regardless of execution order.
+  */
+object Parity {
+  val Dec: DecimalType = DecimalType(28, 10)
+
+  /** Order-independent exact sum of a double column, as double. */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  /** Order-independent mean (exact sum / count), as double. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** DuckDB-side equivalents. DuckDB's DECIMAL→DOUBLE cast is not
+    * correctly rounded (off by 1 ulp for e.g. 252916181.39); routing
+    * through VARCHAR gives the correctly-rounded parse, matching
+    * Spark's BigDecimal.doubleValue.
+    */
+  def dsumSql(e: String): String =
+    s"CAST(CAST(sum(CAST(($e) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+  def davgSql(e: String): String = s"${dsumSql(e)} / count(*)"
+
+  /** Spark SQL-side equivalents (Spark's decimal→double cast is
+    * correctly rounded; VARCHAR needs a length in Spark SQL).
+    */
+  def dsumSparkSql(e: String): String =
+    s"CAST(sum(CAST(($e) AS DECIMAL(28,10))) AS DOUBLE)"
+  def davgSparkSql(e: String): String = s"${dsumSparkSql(e)} / count(*)"
+}
