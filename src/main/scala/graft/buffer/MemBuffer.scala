@@ -1,0 +1,106 @@
+package graft.buffer
+
+import java.time.{Instant, LocalDate, ZoneOffset}
+import java.time.format.DateTimeFormatter
+import scala.collection.immutable.TreeMap
+import scala.collection.mutable
+
+import graft.core.{TagValue, WriteRequest}
+
+/** Columnar (structure-of-arrays) measurements of one daily partition
+  * (reference lynx.rs:21-26): parallel vectors for timestamps, tag
+  * maps, and values.
+  */
+final class Measurements {
+  val timestamps: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer.empty
+  val metadata: mutable.ArrayBuffer[Map[String, TagValue]] =
+    mutable.ArrayBuffer.empty
+  val values: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
+
+  def append(w: WriteRequest): Unit = {
+    timestamps += w.timestamp
+    metadata += w.metadata
+    values += w.value
+  }
+  def size: Int = timestamps.size
+
+  /** Immutable deep copy for snapshot reads. */
+  def snapshot: MeasurementsView =
+    MeasurementsView(timestamps.toVector, metadata.toVector, values.toVector)
+}
+
+/** Immutable snapshot of one partition. */
+final case class MeasurementsView(
+    timestamps: Vector[Long],
+    metadata: Vector[Map[String, TagValue]],
+    values: Vector[String])
+
+object PartitionKey {
+  private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd")
+
+  /** UTC day key from a microsecond timestamp (reference buffer.rs:11,
+    * 23-27; daily granularity is fixed, README.md:11).
+    */
+  def fromMicros(micros: Long): String = {
+    val instant = Instant.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+    LocalDate.ofInstant(instant, ZoneOffset.UTC).format(fmt)
+  }
+}
+
+/** In-memory buffer: namespace → table → day partition → Measurements
+  * (reference buffer.rs:38-42). A single lock guards the hierarchy,
+  * like the reference's `Arc<Mutex<…>>`; snapshot reads deep-copy
+  * under the lock (reference buffer.rs:110-115) so queries never see
+  * in-flight appends.
+  */
+final class MemBuffer {
+  private val root: mutable.TreeMap[String,
+    mutable.TreeMap[String, mutable.TreeMap[String, Measurements]]] =
+    mutable.TreeMap.empty
+  private val lock = new Object
+
+  def insert(w: WriteRequest): Unit = lock.synchronized {
+    val ns = root.getOrElseUpdate(w.namespace, mutable.TreeMap.empty)
+    val table = ns.getOrElseUpdate(w.measurement, mutable.TreeMap.empty)
+    val part = table.getOrElseUpdate(
+      PartitionKey.fromMicros(w.timestamp), new Measurements)
+    part.append(w)
+  }
+
+  /** Snapshot of all tables of a namespace (None if unknown —
+    * surfaces as HTTP 404, reference lynx.rs:144-148).
+    */
+  def tables(namespace: String)
+      : Option[TreeMap[String, TreeMap[String, MeasurementsView]]] =
+    lock.synchronized {
+      root.get(namespace).map { ns =>
+        TreeMap.from(ns.map { case (t, parts) =>
+          t -> TreeMap.from(parts.map { case (day, m) => day -> m.snapshot })
+        })
+      }
+    }
+
+  /** Drain a table's partitions (used by the parquet tier when sealing
+    * buffered data to columnar storage; not part of the reference,
+    * which never evicts — SURVEY.md §3.3).
+    */
+  def drainTable(namespace: String, table: String)
+      : Option[TreeMap[String, MeasurementsView]] = lock.synchronized {
+    root.get(namespace).flatMap { ns =>
+      ns.remove(table).map { parts =>
+        TreeMap.from(parts.map { case (day, m) => day -> m.snapshot })
+      }
+    }
+  }
+
+  // Introspection (reference buffer.rs:120-144).
+  def partitions(namespace: String, table: String): Int = lock.synchronized {
+    root.get(namespace).flatMap(_.get(table)).map(_.size).getOrElse(0)
+  }
+  def namespaceCount: Int = lock.synchronized(root.size)
+  def tableCount(namespace: String): Int =
+    lock.synchronized(root.get(namespace).map(_.size).getOrElse(0))
+  def containsNamespace(namespace: String): Boolean =
+    lock.synchronized(root.contains(namespace))
+}

@@ -1,0 +1,28 @@
+package graft.core
+
+/** Tag value ADT mirroring the reference's `TagValue::String | Number`
+  * (reference wal.rs:158-162). Numbers are u64 in the reference; we
+  * store the raw 64 bits and render via unsigned formatting so the
+  * query-time stringification (reference lynx.rs:128, Display at
+  * wal.rs:164-171) matches for the full unsigned range.
+  */
+sealed trait TagValue {
+  /** Query-time rendering — both variants surface as strings. */
+  def render: String = this match {
+    case TagString(s) => s
+    case TagNumber(bits) => java.lang.Long.toUnsignedString(bits)
+  }
+}
+final case class TagString(s: String) extends TagValue
+final case class TagNumber(bits: Long) extends TagValue
+
+/** The unit of ingest (reference wal.rs:18-25): one measurement point.
+  * `value` is always a string — numeric analytics CAST in SQL.
+  * `timestamp` is microseconds since epoch (reference buffer.rs:24-25).
+  */
+final case class WriteRequest(
+    namespace: String,
+    measurement: String,
+    value: String,
+    metadata: Map[String, TagValue],
+    timestamp: Long)

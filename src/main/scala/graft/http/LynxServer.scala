@@ -1,0 +1,137 @@
+package graft.http
+
+import java.io.File
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{TagNumber, TagString, TagValue, WriteRequest}
+import graft.engine.{LynxEngine, Sinks}
+
+/** HTTP API (reference main.rs:99-103): POST /api/v1/write,
+  * POST /api/v1/query, GET /health. JSON bodies match the reference's
+  * serde shapes (testdata/write.json, testdata/query.json):
+  * write = {namespace, measurement, value, metadata?, timestamp};
+  * query = {namespace, query, format?: "json"|"table"} (default
+  * table, reference main.rs:80).
+  *
+  * Jackson ships with Spark's classpath; only tree-model parsing is
+  * used (no reflection databind).
+  */
+object Json {
+  private val mapper = new ObjectMapper
+
+  def parseWrite(body: Array[Byte]): WriteRequest = {
+    val n = mapper.readTree(body)
+    require(n.hasNonNull("namespace") && n.hasNonNull("measurement") &&
+      n.hasNonNull("value") && n.hasNonNull("timestamp"),
+      "missing required field")
+    val metadata: Map[String, TagValue] =
+      if (n.hasNonNull("metadata")) {
+        val m = n.get("metadata")
+        val it = m.properties().iterator()
+        val b = Map.newBuilder[String, TagValue]
+        while (it.hasNext) {
+          val e = it.next()
+          val v: TagValue =
+            if (e.getValue.isNumber) TagNumber(e.getValue.bigIntegerValue()
+              .longValue()) // u64 semantics: keep the raw 64 bits
+            else TagString(e.getValue.asText())
+          b += e.getKey -> v
+        }
+        b.result()
+      } else Map.empty
+    WriteRequest(
+      n.get("namespace").asText(),
+      n.get("measurement").asText(),
+      n.get("value").asText(),
+      metadata,
+      n.get("timestamp").asLong())
+  }
+
+  def parseQuery(body: Array[Byte]): (String, String, String) = {
+    val n = mapper.readTree(body)
+    require(n.hasNonNull("namespace") && n.hasNonNull("query"),
+      "missing required field")
+    val fmt = if (n.hasNonNull("format")) n.get("format").asText()
+      else "table"
+    (n.get("namespace").asText(), n.get("query").asText(), fmt)
+  }
+}
+
+final class LynxServer(engine: LynxEngine, host: String, port: Int) {
+  private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+
+  private def respond(ex: HttpExchange, code: Int, body: String = ""): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  server.createContext("/health", (ex: HttpExchange) => respond(ex, 200))
+
+  server.createContext("/api/v1/write", (ex: HttpExchange) => {
+    try {
+      val w = Json.parseWrite(ex.getRequestBody.readAllBytes())
+      engine.write(w)
+      respond(ex, 200)
+    } catch {
+      case e: Exception =>
+        System.err.println(e)
+        respond(ex, 500)
+    }
+  })
+
+  server.createContext("/api/v1/query", (ex: HttpExchange) => {
+    try {
+      val (ns, sql, fmt) = Json.parseQuery(ex.getRequestBody.readAllBytes())
+      engine.query(ns, sql) match {
+        case Some(result) =>
+          respond(ex, 200, fmt match {
+            case "json" => Sinks.toJson(result)
+            case _ => Sinks.toTable(result)
+          })
+        case None => respond(ex, 404)
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(e)
+        respond(ex, 500)
+    }
+  })
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+}
+
+/** Entry point; env config mirrors the reference (main.rs:19-29):
+  * LYNX_HTTP_ADDR (default 127.0.0.1:3000), LYNX_WAL_MAX_SEGMENT_SIZE
+  * (default 50 MiB), plus LYNX_WAL_DIR for the segment directory.
+  */
+object LynxServerMain {
+  def main(args: Array[String]): Unit = {
+    val addr = sys.env.getOrElse("LYNX_HTTP_ADDR", "127.0.0.1:3000")
+    val Array(host, port) = addr.split(":", 2)
+    val maxSeg = sys.env.get("LYNX_WAL_MAX_SEGMENT_SIZE")
+      .map(_.toLong).getOrElse(50L * 1024 * 1024)
+    val walDir = new File(sys.env.getOrElse("LYNX_WAL_DIR", "lynx-wal"))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-lynx")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val engine = new LynxEngine(spark, walDir, maxSeg)
+    val server = new LynxServer(engine, host, port.toInt)
+    server.start()
+    println(s"lynx-graft listening on $host:${server.boundPort}")
+    Thread.currentThread().join()
+  }
+}

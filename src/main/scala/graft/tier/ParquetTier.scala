@@ -1,0 +1,44 @@
+package graft.tier
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Columnar tier for sealed buffer data — the 100 TB path the
+  * reference lacks (it keeps the whole dataset in RAM and the WAL
+  * grows forever; SURVEY.md §3.3, §7.1 step 8).
+  *
+  * Layout: `root/<namespace>/<table>/day=YYYY-MM-DD/part-*.parquet`.
+  * Day directory partitioning restores the partition pruning the
+  * reference's query path throws away (it concatenates every daily
+  * partition before the SQL engine sees a `WHERE timestamp` filter,
+  * reference lynx.rs:86-91): a time-bounded query reads only matching
+  * `day=` directories (Catalyst `PartitionFilters`).
+  *
+  * Schema evolution: tag columns appear over time, so sealed segments
+  * are read with `mergeSchema=true` and the engine NULL-fills via
+  * `unionByName(allowMissingColumns)` — preserving the reference's
+  * widening-schema semantics (lynx.rs:93-116) on columnar storage.
+  */
+final class ParquetTier(root: File) {
+
+  private def tableDir(ns: String, table: String) =
+    new File(new File(root, ns), table)
+
+  def tables(ns: String): Set[String] = {
+    val d = new File(root, ns)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).toSet
+  }
+
+  /** Append one sealed batch (must carry a `day` string column). */
+  def seal(spark: SparkSession, ns: String, table: String,
+      df: DataFrame): Unit =
+    df.write.mode("append").partitionBy("day")
+      .parquet(tableDir(ns, table).getPath)
+
+  def read(spark: SparkSession, ns: String, table: String): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(tableDir(ns, table).getPath)
+      .drop("day") // partition dir column; `timestamp` carries the data
+}

@@ -1,0 +1,179 @@
+package graft.wal
+
+import java.io.{BufferedInputStream, DataInputStream, DataOutputStream,
+  EOFException, File, FileInputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable
+
+import graft.buffer.MemBuffer
+import graft.core.{TagNumber, TagString, TagValue, WriteRequest}
+
+/** Write-ahead log with the reference's binary segment format so the
+  * durability semantics (and files) are equivalent:
+  *
+  *   segment file "{id}.wal" = "LYNX1" header (reference wal.rs:15,
+  *   Segment::new wal.rs:228-239) followed by records; each record is
+  *   big-endian 8-byte length-prefixed namespace/measurement/value,
+  *   an 8-byte tag count, per tag a type byte (0=string, 1=number), a
+  *   length-prefixed key, then a length-prefixed string value or an
+  *   8-byte u64, and finally the 8-byte timestamp (encode
+  *   wal.rs:28-77, decode wal.rs:79-156).
+  *
+  * Flush policy matches the reference: flush per record, no fsync —
+  * process-crash durability, not power-loss (wal.rs:245-250).
+  */
+object WalCodec {
+  val Header: Array[Byte] = "LYNX1".getBytes(UTF_8)
+
+  def encode(w: WriteRequest): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(256)
+    val out = new DataOutputStream(bos)
+    def bytes(s: String): Unit = {
+      val b = s.getBytes(UTF_8)
+      out.writeLong(b.length.toLong)
+      out.write(b)
+    }
+    bytes(w.namespace)
+    bytes(w.measurement)
+    bytes(w.value)
+    out.writeLong(w.metadata.size.toLong)
+    w.metadata.foreach { case (k, v) =>
+      v match {
+        case TagString(s) =>
+          out.writeByte(0)
+          bytes(k)
+          bytes(s)
+        case TagNumber(bits) =>
+          out.writeByte(1)
+          bytes(k)
+          out.writeLong(bits)
+      }
+    }
+    out.writeLong(w.timestamp)
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Decode one record; None on clean EOF at a record boundary
+    * (reference wal.rs:152: EOF on the first length prefix ends the
+    * segment).
+    */
+  def decode(in: DataInputStream): Option[WriteRequest] = {
+    val first = new Array[Byte](8)
+    val n = in.read(first)
+    if (n < 0) return None
+    if (n < 8) throw new EOFException("truncated length prefix")
+    def readLen(l: Long): Int = {
+      require(l >= 0 && l <= Int.MaxValue, s"unreasonable length $l")
+      l.toInt
+    }
+    def str(len: Int): String = {
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      new String(b, UTF_8)
+    }
+    val nsLen = readLen(java.nio.ByteBuffer.wrap(first).getLong)
+    val namespace = str(nsLen)
+    val measurement = str(readLen(in.readLong()))
+    val value = str(readLen(in.readLong()))
+    val tagCount = readLen(in.readLong())
+    val metadata = mutable.LinkedHashMap.empty[String, TagValue]
+    var i = 0
+    while (i < tagCount) {
+      val tpe = in.readByte()
+      val key = str(readLen(in.readLong()))
+      val tag: TagValue = tpe match {
+        case 0 => TagString(str(readLen(in.readLong())))
+        case 1 => TagNumber(in.readLong())
+        case other => throw new IllegalStateException(
+          s"invalid tag value type $other")
+      }
+      metadata.put(key, tag)
+      i += 1
+    }
+    val timestamp = in.readLong()
+    Some(WriteRequest(namespace, measurement, value, metadata.toMap,
+      timestamp))
+  }
+}
+
+/** Active segment: append-only file, flush per write. */
+final class Segment(val id: Long, directory: File) {
+  private val file = new File(directory, s"$id.wal")
+  require(!file.exists(), s"segment $file already exists")
+  private val out = new FileOutputStream(file)
+  out.write(WalCodec.Header)
+  out.flush()
+  private var _size: Long = WalCodec.Header.length.toLong
+
+  def size: Long = _size
+  def write(data: Array[Byte]): Unit = {
+    out.write(data)
+    out.flush()
+    _size += data.length
+  }
+  def close(): Unit = out.close()
+}
+
+/** WAL manager: rotation happens when the active segment exceeds
+  * `maxSegmentSize` — checked BEFORE the write, so a segment may
+  * exceed the max by one record, same as the reference
+  * (wal.rs:196-198, 204-209).
+  */
+final class Wal(directory: File, startSegmentId: Long,
+    maxSegmentSize: Long,
+    val closedSegments: mutable.ArrayBuffer[Long] =
+      mutable.ArrayBuffer.empty) {
+  directory.mkdirs()
+  private var active = new Segment(startSegmentId, directory)
+
+  def activeSegmentId: Long = active.id
+  def activeSegmentSize: Long = active.size
+
+  def write(w: WriteRequest): Unit = synchronized {
+    if (active.size > maxSegmentSize) rotate()
+    active.write(WalCodec.encode(w))
+  }
+
+  private def rotate(): Unit = {
+    active.close()
+    closedSegments += active.id
+    active = new Segment(active.id + 1, directory)
+  }
+
+  def close(): Unit = synchronized(active.close())
+}
+
+object Wal {
+  /** Replay every segment in `directory` into the buffer; returns
+    * (highest segment id, all observed ids) — the caller opens the
+    * next active segment at highest+1 (reference wal.rs:276-296,
+    * lynx.rs:45-53).
+    */
+  def replay(directory: File, buffer: MemBuffer): (Long, Seq[Long]) = {
+    directory.mkdirs()
+    var highest = 0L
+    val observed = mutable.ArrayBuffer.empty[Long]
+    val files = Option(directory.listFiles()).getOrElse(Array.empty)
+    files.filter(_.isFile).sortBy(_.getName).foreach { f =>
+      val id = f.getName.stripSuffix(".wal").toLong
+      observed += id
+      highest = math.max(highest, id)
+      val in = new DataInputStream(
+        new BufferedInputStream(new FileInputStream(f)))
+      try {
+        val header = new Array[Byte](WalCodec.Header.length)
+        in.readFully(header)
+        if (!java.util.Arrays.equals(header, WalCodec.Header))
+          throw new IllegalStateException(
+            s"segment file must contain header (LYNX1): $f")
+        var rec = WalCodec.decode(in)
+        while (rec.isDefined) {
+          buffer.insert(rec.get)
+          rec = WalCodec.decode(in)
+        }
+      } finally in.close()
+    }
+    (highest, observed.toSeq)
+  }
+}

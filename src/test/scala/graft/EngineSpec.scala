@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{TagNumber, TagString, WriteRequest}
+import graft.engine.{LynxEngine, Sinks}
+import graft.tier.ParquetTier
+
+/** End-to-end query tests mirroring the reference's `query_results`
+  * golden-output test (reference lynx.rs:313-387) plus the gatekeeper
+  * suite (lynx.rs:389-401), and the tier/pruning extension.
+  */
+class EngineSpec extends AnyFunSuite {
+
+  private def newEngine(tier: Option[ParquetTier] = None): LynxEngine = {
+    val dir = Files.createTempDirectory("engine-spec").toFile
+    new LynxEngine(SparkFixture.spark, dir, 1024 * 1024, tier)
+  }
+
+  test("golden query result matches the reference (lynx.rs:313-346)") {
+    val e = newEngine()
+    e.write(WriteRequest("events", "clicks", "search_button", Map.empty, 1))
+    val r1 = e.query("events", "SELECT * FROM clicks").get
+    assert(Sinks.toTable(r1) == Seq(
+      "+----------------------------+---------------+",
+      "| timestamp                  | value         |",
+      "+----------------------------+---------------+",
+      "| 1970-01-01T00:00:00.000001 | search_button |",
+      "+----------------------------+---------------+").mkString("\n"))
+
+    // second write visible on re-query (lynx.rs:347-375)
+    e.write(WriteRequest("events", "clicks", "search_button", Map.empty, 100))
+    val r2 = e.query("events", "SELECT * FROM clicks").get
+    assert(Sinks.toTable(r2) == Seq(
+      "+----------------------------+---------------+",
+      "| timestamp                  | value         |",
+      "+----------------------------+---------------+",
+      "| 1970-01-01T00:00:00.000001 | search_button |",
+      "| 1970-01-01T00:00:00.000100 | search_button |",
+      "+----------------------------+---------------+").mkString("\n"))
+  }
+
+  test("unknown namespace or table → None → 404 (lynx.rs:377-387)") {
+    val e = newEngine()
+    assert(e.query("not_exist", "SELECT * FROM not_exist_table").isEmpty)
+    e.write(WriteRequest("events", "clicks", "x", Map.empty, 1))
+    assert(e.query("events", "SELECT * FROM no_such_table").isEmpty)
+  }
+
+  test("tags widen the schema; missing tags are NULL; numbers stringify " +
+    "(lynx.rs:93-134)") {
+    val e = newEngine()
+    e.write(WriteRequest("ns", "cpu", "1",
+      Map("host" -> TagString("h1")), 1))
+    e.write(WriteRequest("ns", "cpu", "2",
+      Map("region" -> TagString("eu"), "n" -> TagNumber(-1L)), 2))
+    val r = e.query("ns",
+      "SELECT value, host, region, n FROM cpu ORDER BY timestamp").get
+    assert(r.schema.fieldNames.toSeq == Seq("value", "host", "region", "n"))
+    val rows = r.rows.map(row => (0 until 4).map(row.get))
+    assert(rows(0) == Seq("1", "h1", null, null))
+    // u64 render of raw bits -1 (reference wal.rs:164-171 Display)
+    assert(rows(1) == Seq("2", null, "eu", "18446744073709551615"))
+  }
+
+  test("numeric analytics via CAST on the string value column") {
+    val e = newEngine()
+    (1 to 10).foreach(i =>
+      e.write(WriteRequest("m", "cpu", i.toString,
+        Map("host" -> TagString(if (i % 2 == 0) "a" else "b")), i.toLong)))
+    val r = e.query("m",
+      """SELECT host, sum(CAST(value AS BIGINT)) AS s FROM cpu
+        |GROUP BY host ORDER BY host""".stripMargin).get
+    assert(r.rows.map(r0 => (r0.getString(0), r0.getLong(1))) ==
+      Seq(("a", 30L), ("b", 25L)))
+  }
+
+  test("multi-table join within one namespace (improvement, SURVEY §3.4)") {
+    val e = newEngine()
+    e.write(WriteRequest("ns", "cpu", "9", Map("host" -> TagString("h1")), 1))
+    e.write(WriteRequest("ns", "meta", "zone-a",
+      Map("host" -> TagString("h1")), 1))
+    val r = e.query("ns",
+      """SELECT c.value AS v, m.value AS zone
+        |FROM cpu c JOIN meta m ON c.host = m.host""".stripMargin).get
+    assert(r.rows.map(r0 => (r0.getString(0), r0.getString(1))) ==
+      Seq(("9", "zone-a")))
+  }
+
+  test("CTEs pass the gatekeeper (improvement over lynx.rs:161-167)") {
+    val e = newEngine()
+    e.write(WriteRequest("ns", "cpu", "5", Map.empty, 1))
+    val r = e.query("ns",
+      "WITH t AS (SELECT CAST(value AS INT) v FROM cpu) SELECT v + 1 AS v2 FROM t")
+    assert(r.get.rows.head.getInt(0) == 6)
+  }
+
+  test("gatekeeper rejects non-SELECT and FROM-less SQL (lynx.rs:389-401)") {
+    val s = SparkFixture.spark
+    assert(LynxEngine.referencedTables(s, "SELECT * FROM foo") == Seq("foo"))
+    assert(LynxEngine.referencedTables(s,
+      "SELECT name, age FROM people") == Seq("people"))
+    intercept[IllegalArgumentException] {
+      LynxEngine.referencedTables(s, "SELECT *")
+    }
+    intercept[IllegalArgumentException] {
+      LynxEngine.referencedTables(s, "INSERT INTO my_table (id) VALUES (1)")
+    }
+    intercept[IllegalArgumentException] {
+      LynxEngine.referencedTables(s, "DROP TABLE foo")
+    }
+  }
+
+  test("WAL replay restores queryability across restarts (wal.rs:465-547)") {
+    val dir = Files.createTempDirectory("engine-replay").toFile
+    val e1 = new LynxEngine(SparkFixture.spark, dir, 256)
+    (0 until 8).foreach(i =>
+      e1.write(WriteRequest("ns", "cpu", i.toString, Map.empty, i.toLong)))
+    e1.wal.close()
+    val e2 = new LynxEngine(SparkFixture.spark, dir, 256)
+    assert(e2.replayedSegments.nonEmpty)
+    val r = e2.query("ns",
+      "SELECT count(*) AS n, sum(CAST(value AS BIGINT)) AS s FROM cpu").get
+    assert(r.rows.head.getLong(0) == 8 && r.rows.head.getLong(1) == 28)
+  }
+
+  test("sealed parquet tier unions with the in-RAM tail") {
+    val tierDir = Files.createTempDirectory("tier-spec").toFile
+    val e = newEngine(Some(new ParquetTier(tierDir)))
+    e.write(WriteRequest("ns", "cpu", "1", Map("host" -> TagString("h1")), 1))
+    e.seal("ns", "cpu")
+    assert(e.buffer.partitions("ns", "cpu") == 0)
+    // tier-only query
+    val r1 = e.query("ns", "SELECT value, host FROM cpu").get
+    assert(r1.rows.map(r0 => (r0.getString(0), r0.getString(1))) ==
+      Seq(("1", "h1")))
+    // new write with a NEW tag key → widened schema over the union
+    e.write(WriteRequest("ns", "cpu", "2",
+      Map("zone" -> TagString("z1")), 86400L * 1000000L))
+    val r2 = e.query("ns",
+      "SELECT value, host, zone FROM cpu ORDER BY timestamp").get
+    val rows = r2.rows.map(r0 => (0 until 3).map(r0.get))
+    assert(rows == Seq(Seq("1", "h1", null), Seq("2", null, "z1")))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.LynxEngine
+import graft.http.LynxServer
+
+/** HTTP API tests against the reference's request shapes
+  * (reference main.rs:99-103, testdata/write.json, testdata/query.json).
+  */
+class HttpSpec extends AnyFunSuite {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def withServer(f: (Int) => Unit): Unit = {
+    val dir = Files.createTempDirectory("http-spec").toFile
+    val engine = new LynxEngine(SparkFixture.spark, dir, 1024 * 1024)
+    val server = new LynxServer(engine, "127.0.0.1", 0)
+    server.start()
+    try f(server.boundPort) finally server.stop()
+  }
+
+  private def post(port: Int, path: String, body: String)
+      : HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("health endpoint returns 200 (main.rs:51-53)") {
+    withServer { port =>
+      val r = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+    }
+  }
+
+  test("write then query round-trips the reference fixtures " +
+    "(testdata/write.json, testdata/query.json)") {
+    withServer { port =>
+      // reference testdata/write.json (numeric tag → stringified at query)
+      val w = post(port, "/api/v1/write",
+        """{"namespace": "my_org", "measurement": "device_failures",
+          |"value": "50",
+          |"metadata": {"region": "eu-west", "tenant_id": 1234},
+          |"timestamp": 1728755631}""".stripMargin)
+      assert(w.statusCode() == 200)
+
+      val q = post(port, "/api/v1/query",
+        """{"namespace": "my_org",
+          |"query": "SELECT value, region, tenant_id FROM device_failures",
+          |"format": "json"}""".stripMargin)
+      assert(q.statusCode() == 200)
+      assert(q.body() ==
+        """[{"value":"50","region":"eu-west","tenant_id":"1234"}]""")
+
+      // default format is the pretty table (main.rs:80)
+      val t = post(port, "/api/v1/query",
+        """{"namespace": "my_org",
+          |"query": "SELECT value FROM device_failures"}""".stripMargin)
+      assert(t.statusCode() == 200)
+      assert(t.body() == Seq(
+        "+-------+",
+        "| value |",
+        "+-------+",
+        "| 50    |",
+        "+-------+").mkString("\n"))
+    }
+  }
+
+  test("unknown namespace → 404; bad SQL → 500 (main.rs:83-87)") {
+    withServer { port =>
+      val r404 = post(port, "/api/v1/query",
+        """{"namespace": "nope", "query": "SELECT * FROM t"}""")
+      assert(r404.statusCode() == 404)
+      post(port, "/api/v1/write",
+        """{"namespace":"ns","measurement":"t","value":"1","timestamp":1}""")
+      val r500 = post(port, "/api/v1/query",
+        """{"namespace": "ns", "query": "INSERT INTO t VALUES (1)"}""")
+      assert(r500.statusCode() == 500)
+      val rMalformed = post(port, "/api/v1/write", """{"namespace": "x"}""")
+      assert(rMalformed.statusCode() == 500)
+    }
+  }
+}

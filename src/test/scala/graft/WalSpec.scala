@@ -1,0 +1,126 @@
+package graft
+
+import java.io.{DataInputStream, File}
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.buffer.MemBuffer
+import graft.core.{TagNumber, TagString, TagValue, WriteRequest}
+import graft.wal.{Wal, WalCodec}
+
+/** Mirrors the reference's WAL tests (reference wal.rs:368-590):
+  * header bytes, size accounting, rotation, codec round-trip
+  * (property-based), replay into the buffer.
+  */
+class WalSpec extends AnyFunSuite {
+
+  private def tempDir(): File =
+    Files.createTempDirectory("wal-spec").toFile
+
+  private val genTag: Gen[TagValue] = Gen.oneOf(
+    Gen.asciiPrintableStr.map(TagString.apply),
+    Gen.long.map(TagNumber.apply))
+
+  private val genWrite: Gen[WriteRequest] = for {
+    ns <- Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    table <- Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    value <- Gen.asciiPrintableStr
+    nTags <- Gen.choose(0, 5)
+    keys <- Gen.listOfN(nTags,
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))
+    vals <- Gen.listOfN(nTags, genTag)
+    ts <- Gen.long
+  } yield WriteRequest(ns, table, value, keys.zip(vals).toMap, ts)
+
+  test("codec round-trip: decode(encode(w)) == w (wal.rs:442-463)") {
+    (1 to 200).foreach { i =>
+      val w = genWrite.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val in = new DataInputStream(
+        new java.io.ByteArrayInputStream(WalCodec.encode(w)))
+      assert(WalCodec.decode(in).contains(w))
+      assert(WalCodec.decode(in).isEmpty) // clean EOF after one record
+    }
+  }
+
+  test("unicode + empty-string fields survive the codec") {
+    val w = WriteRequest("ns", "m", "héllo→世界",
+      Map("κλειδί" -> TagString(""), "n" -> TagNumber(0)), Long.MinValue)
+    val in = new DataInputStream(
+      new java.io.ByteArrayInputStream(WalCodec.encode(w)))
+    assert(WalCodec.decode(in).contains(w))
+  }
+
+  test("new segment writes the LYNX1 header (wal.rs:368-390)") {
+    val dir = tempDir()
+    val wal = new Wal(dir, 0, 1024)
+    wal.close()
+    val bytes = Files.readAllBytes(new File(dir, "0.wal").toPath)
+    assert(bytes.sameElements("LYNX1".getBytes("UTF-8")))
+  }
+
+  test("segment size accounts header + records (wal.rs:392-417)") {
+    val dir = tempDir()
+    val wal = new Wal(dir, 0, 1024 * 1024)
+    assert(wal.activeSegmentSize == 5)
+    val w = WriteRequest("a", "b", "c", Map.empty, 1)
+    wal.write(w)
+    assert(wal.activeSegmentSize == 5 + WalCodec.encode(w).length)
+    wal.close()
+  }
+
+  test("rotation when size exceeds max, checked pre-write (wal.rs:419-440)") {
+    val dir = tempDir()
+    val wal = new Wal(dir, 0, 64) // tiny max
+    val w = WriteRequest("namespace", "measurement", "value", Map.empty, 1)
+    assert(WalCodec.encode(w).length > 32)
+    wal.write(w) // 5 + rec > 64 after this write; rotation on NEXT write
+    assert(wal.activeSegmentId == 0)
+    wal.write(w)
+    assert(wal.activeSegmentId == 1)
+    assert(wal.closedSegments.toSeq == Seq(0L))
+    wal.close()
+  }
+
+  test("replay rebuilds the buffer and returns ids (wal.rs:465-547)") {
+    val dir = tempDir()
+    val wal = new Wal(dir, 0, 128) // forces several rotations
+    val writes = (0 until 10).map(i =>
+      WriteRequest("ns", "t", s"v$i", Map("i" -> TagNumber(i.toLong)),
+        i.toLong))
+    writes.foreach(wal.write)
+    wal.close()
+
+    val buffer = new MemBuffer
+    val (highest, observed) = Wal.replay(dir, buffer)
+    assert(observed.nonEmpty && highest == observed.max)
+    val m = buffer.tables("ns").get("t")("1970-01-01")
+    assert(m.values == writes.map(_.value).toVector)
+    assert(m.timestamps == writes.map(_.timestamp).toVector)
+  }
+
+  test("replay of garbage header fails (wal.rs:339-354)") {
+    val dir = tempDir()
+    Files.write(new File(dir, "7.wal").toPath,
+      "NOTLYNX-garbage".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      Wal.replay(dir, new MemBuffer)
+    }
+    assert(e.getMessage.contains("LYNX1"))
+  }
+
+  test("wal continues at highest+1 after replay (lynx.rs:45-53)") {
+    val dir = tempDir()
+    val wal1 = new Wal(dir, 0, 64)
+    (0 until 5).foreach(i =>
+      wal1.write(WriteRequest("ns", "t", s"v$i", Map.empty, i.toLong)))
+    wal1.close()
+    val buffer = new MemBuffer
+    val (highest, _) = Wal.replay(dir, buffer)
+    val wal2 = new Wal(dir, highest + 1, 64)
+    assert(wal2.activeSegmentId == highest + 1)
+    wal2.close()
+  }
+}
