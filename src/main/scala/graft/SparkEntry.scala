@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{QueryDef, Relational, Tables}
+import graft.ops.{Dedup, Multimodal, QueryDef, Relational, Similarity,
+  Tables, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +15,8 @@ object SparkEntry {
 
   /** All registered operator queries, in registration order. */
   def defs: Seq[QueryDef] =
-    Relational.all
+    Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all ++
+      Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,249 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard (builder brief; the embedding-cosine
+  * near-dup lives in Similarity.scala). Each is built on its scale
+  * path: candidate generation is always a bucket-equi-join (band
+  * value / shingle / signature byte), never an all-pairs cross join,
+  * so the shuffle keys stay bounded at 100 TB.
+  *
+  * Cross-engine determinism: the only hash primitive is the md5 hex
+  * prefix parsed as an integer — `conv(hex,16,10)` in Spark,
+  * `('0x'||hex)::BIGINT` in DuckDB — and all downstream arithmetic is
+  * integer mod 2^31-1, identical in both engines.
+  */
+object Dedup {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  /** Spark: md5-prefix token/shingle hash (32-bit, non-negative). */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** doc_id + distinct word-3-gram shingles, exploded. */
+  private[ops] def shingles(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ", slice(col("toks"), i, lit(3)))))).as("sh"))
+  }
+
+  private[ops] val shinglesSql: String = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+             WHERE len(string_split(text, ' ')) >= 3),
+    shingle AS (SELECT doc_id, unnest(list_distinct(
+        [array_to_string(toks[i:i+2], ' ')
+         for i in generate_series(1, len(toks) - 2)])) AS sh
+      FROM toks)"""
+
+  /** Exact dedup: hash-groupBy on a normalized content signature
+    * (bag-of-words md5). One shuffle on the 128-bit signature —
+    * uniformly distributed, skew-free at any scale.
+    */
+  val qExact = QueryDef(
+    "q_dedup_exact",
+    (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            array_sort(array_distinct(split(lower(col("text")), " ")))))
+            .as("sig"))
+        .groupBy(col("sig"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical"))
+        .orderBy("canonical"),
+    Some("""
+      SELECT sig, count(*) AS n_dups, min(doc_id) AS canonical
+      FROM (SELECT doc_id,
+              md5(array_to_string(list_sort(list_distinct(
+                string_split(lower(text), ' '))), ' ')) AS sig
+            FROM documents)
+      GROUP BY sig ORDER BY canonical"""))
+
+  /** n-gram Jaccard near-dup: docs sharing a shingle are candidates;
+    * Jaccard = |∩| / |∪| over distinct shingle sets, threshold 0.2.
+    * The shingle equi-join IS the candidate pruning — no all-pairs.
+    */
+  val qNgramJaccard = QueryDef(
+    "q_dedup_ngram_jaccard",
+    (s, dir) => {
+      val sh = shingles(s, dir).cache()
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val common = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      common
+        .join(cnt.toDF("doc_a", "na"), "doc_a")
+        .join(cnt.toDF("doc_b", "nb"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("c").cast("double") / (col("na") + col("nb") - col("c")))
+            .as("jacc"))
+        .filter(col("jacc") >= 0.2)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH $shinglesSql,
+      cnt AS (SELECT doc_id, count(*) AS n FROM shingle GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM shingle a JOIN shingle b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+        CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jacc
+      FROM common
+      JOIN cnt na ON na.doc_id = doc_a
+      JOIN cnt nb ON nb.doc_id = doc_b
+      WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.2
+      ORDER BY doc_a, doc_b"""))
+
+  // MinHash: k=16 permutation hashes h_i(x) = ((2i+1)x + 7919i + 13) mod P,
+  // banded 4×4; pairs sharing any band value are candidates, then the
+  // true Jaccard is computed per candidate pair only.
+  private val K = 16
+  private def aCoef(i: Int): Long = 2L * i + 1
+  private def bCoef(i: Int): Long = 7919L * i + 13
+
+  /** MinHash + LSH near-dup. Candidate generation joins on (band,
+    * band-hash) — at 100 TB the shuffle carries 4 rows per doc, and
+    * the quadratic verify work is confined to same-bucket pairs.
+    */
+  val qMinHashLsh = QueryDef(
+    "q_dedup_minhash_lsh",
+    (s, dir) => {
+      val sh = shingles(s, dir)
+        .select(col("doc_id"), col("sh"), h32(col("sh")).as("x"))
+        .cache()
+      val mins = (0 until K).map(i =>
+        min((col("x") * aCoef(i) + bCoef(i)) % P).as(s"m$i"))
+      val mh = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      def bandVal(b: Int): Column =
+        (0 until 4).map(r => col(s"m${b * 4 + r}"))
+          .reduce((acc, m) => (acc % P) * 31 + m) % P
+      val bands = mh.select(col("doc_id"), explode(array((0 until 4).map(
+          b => struct(lit(b).as("b"), bandVal(b).as("v"))): _*)).as("bv"))
+        .select(col("doc_id"), col("bv.b").as("b"), col("bv.v").as("v"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      // verify candidates only: per-doc shingle sets brought to the pair
+      val sets = sh.groupBy(col("doc_id"))
+        .agg(collect_set(col("sh")).as("set"), count(lit(1)).as("n"))
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("set").as("sa"),
+          col("n").as("na")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("set").as("sb"),
+          col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            (col("na") + col("nb") -
+              size(array_intersect(col("sa"), col("sb")))))
+            .as("jacc"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val minsSql = (0 until K).map(i =>
+        s"min((x * ${aCoef(i)} + ${bCoef(i)}) % $P) AS m$i").mkString(", ")
+      def bandSql(b: Int): String = {
+        val folded = (0 until 4).map(r => s"m${b * 4 + r}")
+          .reduce((acc, m) => s"(($acc) % $P) * 31 + $m")
+        s"($folded) % $P"
+      }
+      val bandsSql = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS b, (${bandSql(b)}) AS v FROM mh")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH $shinglesSql,
+      hx AS (SELECT doc_id, sh,
+               CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS x
+             FROM shingle),
+      mh AS (SELECT doc_id, $minsSql FROM hx GROUP BY doc_id),
+      bands AS ($bandsSql),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM bands x JOIN bands y
+                 ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+      cnt AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM hx a JOIN hx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        WHERE EXISTS (SELECT 1 FROM cand
+                      WHERE cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id)
+        GROUP BY 1, 2)
+      SELECT cand.doc_a, cand.doc_b,
+        CAST(coalesce(c, 0) AS DOUBLE) /
+          (na.n + nb.n - coalesce(c, 0)) AS jacc
+      FROM cand
+      LEFT JOIN common ON common.doc_a = cand.doc_a
+                      AND common.doc_b = cand.doc_b
+      JOIN cnt na ON na.doc_id = cand.doc_a
+      JOIN cnt nb ON nb.doc_id = cand.doc_b
+      ORDER BY 1, 2"""
+    })
+
+  /** SimHash near-dup: 32-bit signature from sign-summed token-hash
+    * bits; candidates generated by the 4×8-bit band pigeonhole
+    * (hamming ≤ 3 ⇒ at least one intact byte), verified with
+    * bit_count(xor). The oracle brute-forces all pairs — identical
+    * result because the band guarantee is exhaustive at this radius.
+    */
+  val qSimHash = QueryDef(
+    "q_dedup_simhash",
+    (s, dir) => {
+      val tok = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .select(col("doc_id"), h32(col("t")).as("x"))
+      val bitSums = (0 until 32).map(j =>
+        sum(when(shiftright(col("x"), j).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"s$j"))
+      val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      val sig = sums.select(col("doc_id"),
+        (0 until 32).map(j =>
+          when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+      // 4 bands of 8 bits each → candidate pairs share a byte
+      val banded = sig.select(col("doc_id"), col("sig"), explode(array(
+          (0 until 4).map(b => struct(lit(b).as("b"),
+            shiftright(col("sig"), b * 8).bitwiseAND(255).as("v"))): _*))
+          .as("bv"))
+        .select(col("doc_id"), col("sig"), col("bv.b").as("b"),
+          col("bv.v").as("v"))
+      banded.as("x").join(banded.as("y"),
+          col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long")
+            .as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val sums = (0 until 32).map(j =>
+        s"sum(CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(", ")
+      val pack = (0 until 32).map(j =>
+        s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                   FROM documents),
+      hx AS (SELECT doc_id,
+               CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS x FROM tok),
+      sums AS (SELECT doc_id, $sums FROM hx GROUP BY doc_id),
+      sig AS (SELECT doc_id, CAST($pack AS BIGINT) AS sig FROM sums)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      ORDER BY doc_a, doc_b"""
+    })
+
+  val all: Seq[QueryDef] = Seq(qExact, qNgramJaccard, qMinHashLsh, qSimHash)
+}

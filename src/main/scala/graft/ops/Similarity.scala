@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search + embedding near-dup over `embeddings`
+  * (`Array[Float]`, 64-dim) — brute-force cosine as the correctness
+  * baseline, a random-hyperplane LSH bucketed variant as the scale
+  * path (bucket equi-join instead of all-pairs).
+  *
+  * Cross-engine determinism: dot products are left-to-right folds of
+  * float→double casts (`aggregate` in Spark, `list_reduce` in DuckDB
+  * — both sequential), so cosines are bit-identical. Hyperplanes are
+  * integer-valued from a deterministic formula, exact in both.
+  */
+object Similarity {
+
+  /** Left-fold double dot product of two float-array columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** DuckDB: same fold, same order. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
+         for i in generate_series(1, 64)]), (acc, v) -> acc + v)"""
+  private def cosineSql(a: String, b: String): String =
+    s"""(${dotSql(a, b)} /
+        (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"""
+
+  /** Embedding-cosine near-dup pairs (threshold 0.4). Brute-force
+    * all-pairs as the oracle-checked baseline; the bucketed scale
+    * path is q_ann_lsh below. The smaller side is broadcast so the
+    * pair generation never shuffles the big side.
+    */
+  val qCosinePairs = QueryDef(
+    "q_embed_cosine_pairs",
+    (s, dir) => {
+      val e = Tables.t(s, dir, "embeddings").select("vec_id", "embedding")
+      val a = e.toDF("id_a", "emb_a")
+      val b = e.toDF("id_b", "emb_b")
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          cosine(col("emb_a"), col("emb_b")).as("cos"))
+        .filter(col("cos") > 0.4)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        ${cosineSql("a.embedding", "b.embedding")} AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ${cosineSql("a.embedding", "b.embedding")} > 0.4
+      ORDER BY id_a, id_b"""))
+
+  /** Brute-force cosine top-k (k=5) for a query set (vec_id < 5):
+    * the correctness baseline for ANN. The query side is broadcast;
+    * ranking shuffles only (query, cos) pairs.
+    */
+  val qAnnTopK = QueryDef(
+    "q_ann_topk",
+    (s, dir) => {
+      val e = Tables.t(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 5).toDF("query_id", "q_emb")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("q_emb"), col("embedding")).as("cos"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "vec_id", "cos", "rnk")
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""
+      SELECT query_id, vec_id, cos, rnk FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+          ${cosineSql("q.embedding", "e.embedding")} AS cos,
+          CAST(row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${cosineSql("q.embedding", "e.embedding")} DESC,
+                     e.vec_id) AS BIGINT) AS rnk
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 5)
+      WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
+  // 6-bit random-hyperplane signature; integer hyperplane weights
+  // w[i][j] = ((i*131 + j*31 + 7) % 211) - 105 are exact in both
+  // engines, so bucket ids are bit-identical.
+  private val Bits = 6
+
+  private def bucketCol(emb: Column): Column = {
+    val bits = (0 until Bits).map { i =>
+      val d = aggregate(sequence(lit(0), lit(63)), lit(0.0),
+        (acc, j) => acc + element_at(emb, j + 1).cast("double") *
+          ((lit(i) * 131 + j * 31 + 7) % 211 - 105).cast("double"))
+      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  private def bucketSql(emb: String): String = {
+    (0 until Bits).map { i =>
+      val d = s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        [CAST($emb[j + 1] AS DOUBLE) *
+         CAST((($i * 131 + j * 31 + 7) % 211) - 105 AS DOUBLE)
+         for j in generate_series(0, 63)]), (acc, v) -> acc + v)"""
+      s"(CASE WHEN $d >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** LSH-bucketed ANN — the scale path: signature computation is a
+    * narrow map, candidates come from a bucket equi-join (64 buckets
+    * here; at 100 TB widen Bits so bucket cardinality tracks executor
+    * count), and the exact cosine runs on same-bucket pairs only.
+    * Emits each vector's nearest same-bucket neighbor.
+    */
+  val qAnnLsh = QueryDef(
+    "q_ann_lsh",
+    (s, dir) => {
+      val e = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          bucketCol(col("embedding")).as("bucket"))
+      val a = e.toDF("vec_id", "emb_a", "bucket")
+      val b = e.toDF("nbr_id", "emb_b", "bucket")
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("nbr_id"))
+      a.join(b, Seq("bucket"))
+        .filter(col("vec_id") =!= col("nbr_id"))
+        .select(col("vec_id"), col("bucket"), col("nbr_id"),
+          cosine(col("emb_a"), col("emb_b")).as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select("vec_id", "bucket", "nbr_id", "cos")
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH sig AS (
+        SELECT vec_id, embedding,
+          CAST(${bucketSql("embedding")} AS BIGINT) AS bucket
+        FROM embeddings)
+      SELECT vec_id, bucket, nbr_id, cos FROM (
+        SELECT a.vec_id, a.bucket, b.vec_id AS nbr_id,
+          ${cosineSql("a.embedding", "b.embedding")} AS cos,
+          row_number() OVER (PARTITION BY a.vec_id
+            ORDER BY ${cosineSql("a.embedding", "b.embedding")} DESC,
+                     b.vec_id) AS rnk
+        FROM sig a JOIN sig b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+      WHERE rnk = 1 ORDER BY vec_id"""))
+
+  val all: Seq[QueryDef] = Seq(qCosinePairs, qAnnTopK, qAnnLsh)
+}
