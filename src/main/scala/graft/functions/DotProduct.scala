@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression,
+  Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
+  FloatType}
+
+/** Fused float-vector dot product as a native Catalyst expression with
+  * whole-stage codegen — the hot kernel of the similarity-search and
+  * embedding-dedup operators (SURVEY.md §7.3 anticipated exactly this:
+  * the `aggregate(zip_with(...))` higher-order-function formulation is
+  * interpreted per element and fell ~50× short at bench scale).
+  *
+  * Semantics match the HOF formulation and the DuckDB oracle exactly:
+  * a strict left-to-right fold of `(double) a[i] * (double) b[i]`, so
+  * results are bit-identical across engines.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"graft_dot requires two array<float> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  /** Register graft_dot in the session's function registry
+    * (idempotent per session).
+    */
+  def register(spark: SparkSession): Unit = synchronized {
+    val id = FunctionIdentifier("graft_dot")
+    if (!spark.sessionState.functionRegistry.functionExists(id)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        id,
+        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+        (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)))
+    }
+  }
+
+  /** Fused dot product column; requires register(spark) first. */
+  def dotp(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+}

@@ -4,35 +4,45 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Similarity search + embedding near-dup over `embeddings`
   * (`Array[Float]`, 64-dim) — brute-force cosine as the correctness
   * baseline, a random-hyperplane LSH bucketed variant as the scale
   * path (bucket equi-join instead of all-pairs).
   *
+  * The dot-product kernel is the fused codegen expression
+  * [[graft.functions.DotProduct]] (~50× over the interpreted
+  * higher-order-function formulation at bench scale), and per-vector
+  * norms are computed once, not per pair.
+  *
   * Cross-engine determinism: dot products are left-to-right folds of
-  * float→double casts (`aggregate` in Spark, `list_reduce` in DuckDB
-  * — both sequential), so cosines are bit-identical. Hyperplanes are
-  * integer-valued from a deterministic formula, exact in both.
+  * float→double casts in both engines (a Java loop here, DuckDB
+  * `list_reduce` there — same operation order), so cosines are
+  * bit-identical.
   */
 object Similarity {
 
-  /** Left-fold double dot product of two float-array columns. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Per-vector prep: id, embedding, norm — computed once. */
+  private def vectors(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val d = GraftFunctions.dotp(col("embedding"), col("embedding"))
+    Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), sqrt(d).as("nrm"))
+  }
 
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  private def pairCos(dot: Column, na: Column, nb: Column): Column =
+    dot / (na * nb)
 
   /** DuckDB: same fold, same order. */
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
         [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
          for i in generate_series(1, 64)]), (acc, v) -> acc + v)"""
-  private def cosineSql(a: String, b: String): String =
-    s"""(${dotSql(a, b)} /
-        (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"""
+
+  private val vectorsSql: String = s"""
+    vectors AS (SELECT vec_id, embedding,
+      sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)"""
 
   /** Embedding-cosine near-dup pairs (threshold 0.4). Brute-force
     * all-pairs as the oracle-checked baseline; the bucketed scale
@@ -42,20 +52,22 @@ object Similarity {
   val qCosinePairs = QueryDef(
     "q_embed_cosine_pairs",
     (s, dir) => {
-      val e = Tables.t(s, dir, "embeddings").select("vec_id", "embedding")
-      val a = e.toDF("id_a", "emb_a")
-      val b = e.toDF("id_b", "emb_b")
+      val e = vectors(s, dir)
+      val a = e.toDF("id_a", "emb_a", "nrm_a")
+      val b = e.toDF("id_b", "emb_b", "nrm_b")
       a.join(broadcast(b), col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          cosine(col("emb_a"), col("emb_b")).as("cos"))
+          pairCos(GraftFunctions.dotp(col("emb_a"), col("emb_b")),
+            col("nrm_a"), col("nrm_b")).as("cos"))
         .filter(col("cos") > 0.4)
         .orderBy("id_a", "id_b")
     },
     Some(s"""
+      WITH $vectorsSql
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        ${cosineSql("a.embedding", "b.embedding")} AS cos
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE ${cosineSql("a.embedding", "b.embedding")} > 0.4
+        ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+      FROM vectors a JOIN vectors b ON a.vec_id < b.vec_id
+      WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.4
       ORDER BY id_a, id_b"""))
 
   /** Brute-force cosine top-k (k=5) for a query set (vec_id < 5):
@@ -65,26 +77,29 @@ object Similarity {
   val qAnnTopK = QueryDef(
     "q_ann_topk",
     (s, dir) => {
-      val e = Tables.t(s, dir, "embeddings").select("vec_id", "embedding")
-      val q = e.filter(col("vec_id") < 5).toDF("query_id", "q_emb")
+      val e = vectors(s, dir)
+      val q = e.filter(col("vec_id") < 5).toDF("query_id", "q_emb", "q_nrm")
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("vec_id"))
       e.join(broadcast(q), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
-          cosine(col("q_emb"), col("embedding")).as("cos"))
+          pairCos(GraftFunctions.dotp(col("q_emb"), col("embedding")),
+            col("q_nrm"), col("nrm")).as("cos"))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
         .select("query_id", "vec_id", "cos", "rnk")
         .orderBy("query_id", "rnk")
     },
     Some(s"""
+      WITH $vectorsSql
       SELECT query_id, vec_id, cos, rnk FROM (
         SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-          ${cosineSql("q.embedding", "e.embedding")} AS cos,
+          ${dotSql("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cos,
           CAST(row_number() OVER (PARTITION BY q.vec_id
-            ORDER BY ${cosineSql("q.embedding", "e.embedding")} DESC,
+            ORDER BY ${dotSql("q.embedding", "e.embedding")} /
+                       (q.nrm * e.nrm) DESC,
                      e.vec_id) AS BIGINT) AS rnk
-        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        FROM vectors q JOIN vectors e ON e.vec_id <> q.vec_id
         WHERE q.vec_id < 5)
       WHERE rnk <= 5 ORDER BY query_id, rnk"""))
 
@@ -122,32 +137,35 @@ object Similarity {
   val qAnnLsh = QueryDef(
     "q_ann_lsh",
     (s, dir) => {
-      val e = Tables.t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
+      val e = vectors(s, dir)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
           bucketCol(col("embedding")).as("bucket"))
-      val a = e.toDF("vec_id", "emb_a", "bucket")
-      val b = e.toDF("nbr_id", "emb_b", "bucket")
+      val a = e.toDF("vec_id", "emb_a", "nrm_a", "bucket")
+      val b = e.toDF("nbr_id", "emb_b", "nrm_b", "bucket")
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("nbr_id"))
       a.join(b, Seq("bucket"))
         .filter(col("vec_id") =!= col("nbr_id"))
         .select(col("vec_id"), col("bucket"), col("nbr_id"),
-          cosine(col("emb_a"), col("emb_b")).as("cos"))
+          pairCos(GraftFunctions.dotp(col("emb_a"), col("emb_b")),
+            col("nrm_a"), col("nrm_b")).as("cos"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") === 1)
         .select("vec_id", "bucket", "nbr_id", "cos")
         .orderBy("vec_id")
     },
     Some(s"""
-      WITH sig AS (
-        SELECT vec_id, embedding,
+      WITH $vectorsSql,
+      sig AS (
+        SELECT vec_id, embedding, nrm,
           CAST(${bucketSql("embedding")} AS BIGINT) AS bucket
-        FROM embeddings)
+        FROM vectors)
       SELECT vec_id, bucket, nbr_id, cos FROM (
         SELECT a.vec_id, a.bucket, b.vec_id AS nbr_id,
-          ${cosineSql("a.embedding", "b.embedding")} AS cos,
+          ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos,
           row_number() OVER (PARTITION BY a.vec_id
-            ORDER BY ${cosineSql("a.embedding", "b.embedding")} DESC,
+            ORDER BY ${dotSql("a.embedding", "b.embedding")} /
+                       (a.nrm * b.nrm) DESC,
                      b.vec_id) AS rnk
         FROM sig a JOIN sig b
           ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
