@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery}
+
+/** Structured Streaming write path — the streaming extension of the
+  * reference's synchronous HTTP ingest (reference main.rs:55-66 is
+  * request/response; SURVEY.md §2B marks streaming "absent", §7.1
+  * step 8 plans it as the scale extension).
+  *
+  * Flow: a stream of measurement rows (any streaming source — rate,
+  * Kafka-shaped, MemoryStream in tests) → event-time watermark →
+  * either (a) append to the day-partitioned parquet tier (the same
+  * layout ParquetTier seals, so the batch query path reads streamed
+  * data with partition pruning for free), or (b) windowed/stateful
+  * aggregation.
+  *
+  * Rows use event-time microsecond timestamps like the reference
+  * (buffer.rs:24-25); `eventTime` is the TimestampType projection.
+  */
+object StreamingIngest {
+
+  /** One streamed measurement (the WriteRequest shape, flattened:
+    * dynamic tags ride as a map column).
+    */
+  final case class StreamRow(
+      namespace: String,
+      measurement: String,
+      value: String,
+      tags: Map[String, String],
+      timestampUs: Long)
+
+  /** Event-time projection: micros → TimestampType + day partition. */
+  def withEventTime(rows: DataFrame): DataFrame =
+    rows
+      .withColumn("eventTime", timestamp_micros(col("timestampUs")))
+      .withColumn("day", date_format(col("eventTime"), "yyyy-MM-dd"))
+
+  /** (a) Durable ingest: append the stream to day-partitioned parquet
+    * — streamed data lands in the exact layout the batch engine
+    * reads (`…/day=YYYY-MM-DD/`), so time-bounded queries prune
+    * partitions. Checkpointing gives exactly-once file sink
+    * semantics, replacing the reference's WAL on the stream path.
+    */
+  def toParquetTier(rows: DataFrame, tableDir: String,
+      checkpointDir: String): StreamingQuery =
+    withEventTime(rows).writeStream
+      .format("parquet")
+      .option("path", tableDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("day")
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** (b) Watermarked tumbling-window aggregation: per (namespace,
+    * measurement, window) count + numeric sum. Late rows beyond the
+    * watermark are dropped; state is bounded, so this runs forever at
+    * any scale.
+    */
+  def windowedCounts(rows: DataFrame, watermark: String = "1 minute",
+      window_ : String = "1 minute"): DataFrame =
+    withEventTime(rows)
+      .withWatermark("eventTime", watermark)
+      .groupBy(col("namespace"), col("measurement"),
+        window(col("eventTime"), window_))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("try_cast(value AS double)")).as("sum_value"))
+      .select(col("namespace"), col("measurement"),
+        col("window.start").as("window_start"), col("n"), col("sum_value"))
+
+  /** Per-series running state for (c): monotonic count + last value +
+    * min/max over the series lifetime.
+    */
+  final case class SeriesState(
+      n: Long, lastValue: String, minTs: Long, maxTs: Long)
+  final case class SeriesUpdate(
+      namespace: String, measurement: String,
+      n: Long, lastValue: String, spanUs: Long)
+
+  /** (c) Custom stateful op via mapGroupsWithState: per-series
+    * lifetime stats — the `KeyValueGroupedDataset` path for semantics
+    * windows can't express. State is per (namespace, measurement):
+    * thousands of keys, not rows — bounded at 100 TB.
+    */
+  def seriesStats(rows: Dataset[StreamRow]): Dataset[SeriesUpdate] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(r => (r.namespace, r.measurement))
+      .mapGroupsWithState[SeriesState, SeriesUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case ((ns, m), batch, state: GroupState[SeriesState]) =>
+          val rowsSeq = batch.toSeq
+          val prev = state.getOption.getOrElse(
+            SeriesState(0L, "", Long.MaxValue, Long.MinValue))
+          // deterministic fold: order within a batch by (ts, value)
+          val sorted = rowsSeq.sortBy(r => (r.timestampUs, r.value))
+          val next = sorted.foldLeft(prev) { (st, r) =>
+            SeriesState(st.n + 1, r.value,
+              math.min(st.minTs, r.timestampUs),
+              math.max(st.maxTs, r.timestampUs))
+          }
+          state.update(next)
+          SeriesUpdate(ns, m, next.n, next.lastValue,
+            if (next.n == 0) 0L else next.maxTs - next.minTs)
+      }
+  }
+}
