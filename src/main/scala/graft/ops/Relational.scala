@@ -93,8 +93,10 @@ object Relational {
 
   // ---------------------------------------------------------------- joins
 
-  /** 3-way join + agg + top-k (TPC-H Q3 shape). Dimension sides are
-    * broadcast; fact-side shuffle only on the group key.
+  /** 3-way join + agg + top-k (TPC-H Q3 shape). No explicit broadcast
+    * hints: customer/orders are fact-scale at 100 TB, so the join
+    * strategy is left to AQE — runtime stats pick broadcast at small
+    * SF and shuffle joins at scale, both correct.
     */
   val qJoin3 = QueryDef(
     "q_join3_topk",
@@ -104,8 +106,8 @@ object Relational {
         .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
       val l = T(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
-      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
@@ -125,7 +127,12 @@ object Relational {
       ORDER BY revenue DESC, l_orderkey
       LIMIT 20"""))
 
-  /** 6-way star join, all dimensions broadcast (TPC-H Q5 shape). */
+  /** 6-way star join (TPC-H Q5 shape). Only the bounded-cardinality
+    * dimensions carry broadcast hints (region=5, nation=25 rows at
+    * every SF); supplier/customer/orders grow with the data, so their
+    * join strategy is AQE's call — broadcast at small SF, shuffle at
+    * 100 TB.
+    */
   val qJoin6 = QueryDef(
     "q_join6_star",
     (s, dir) => {
@@ -135,9 +142,9 @@ object Relational {
       val c = T(s, dir, "customer")
       val o = T(s, dir, "orders")
       val l = T(s, dir, "lineitem")
-      l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+      l.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
