@@ -615,6 +615,37 @@ object Relational {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ORDER BY user_id, event_id"""))
 
+  /** RANGE BETWEEN frame (value-based, vs the ROWS frames above):
+    * per-user sum of event values within a trailing 10-minute
+    * event-time window.
+    */
+  val qWindowRangeFrames = QueryDef(
+    "q_window_range_frames",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"))
+        .rangeBetween(-600000000L, Window.currentRow) // 10 min in µs
+      T(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(
+          col("user_id"), col("event_id"),
+          sum(col("value").cast(Dec)).over(w).cast("double")
+            .as("sum_10min"),
+          count(lit(1)).over(w).as("n_10min"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""
+      SELECT user_id, event_id,
+        CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) OVER (
+          PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+          AS VARCHAR) AS DOUBLE) AS sum_10min,
+        count(*) OVER (
+          PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS n_10min
+      FROM events
+      ORDER BY user_id, event_id"""))
+
   // ----------------------------------------------------------- sort/limit
 
   /** Global top-k → Catalyst TakeOrderedAndProject. */
@@ -689,6 +720,54 @@ object Relational {
       SELECT c_custkey AS k FROM customer
       EXCEPT
       SELECT o_custkey AS k FROM orders WHERE o_totalprice > 350000
+      ORDER BY k"""))
+
+  /** UNION with duplicate elimination (vs q_union_all). */
+  val qUnionDedup = QueryDef(
+    "q_union_dedup",
+    (s, dir) => {
+      val o = T(s, dir, "orders")
+      val a = o.filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("k"))
+      val b = o.filter(col("o_orderpriority") === "1-URGENT")
+        .filter(col("o_totalprice") > 350000)
+        .select(col("o_custkey").as("k"))
+      a.union(b).distinct().orderBy("k")
+    },
+    Some("""
+      SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+      UNION
+      SELECT o_custkey AS k FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 350000
+      ORDER BY k"""))
+
+  /** INTERSECT ALL / EXCEPT ALL (multiset semantics). */
+  val qSetOpsAll = QueryDef(
+    "q_setops_all",
+    (s, dir) => {
+      val l = T(s, dir, "lineitem")
+      val a = l.filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("k"))
+      val b = l.filter(col("l_discount") >= 0.08)
+        .select(col("l_orderkey").as("k"))
+      a.intersectAll(b).groupBy(col("k")).agg(count(lit(1)).as("n_inter"))
+        .join(
+          a.exceptAll(b).groupBy(col("k")).agg(count(lit(1)).as("n_exc")),
+          Seq("k"), "full_outer")
+        .orderBy("k")
+    },
+    Some("""
+      WITH a AS (SELECT l_orderkey AS k FROM lineitem
+                 WHERE l_quantity >= 45),
+      b AS (SELECT l_orderkey AS k FROM lineitem WHERE l_discount >= 0.08),
+      ia AS (SELECT k, count(*) AS n_inter
+             FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+             GROUP BY k),
+      ea AS (SELECT k, count(*) AS n_exc
+             FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+             GROUP BY k)
+      SELECT coalesce(ia.k, ea.k) AS k, n_inter, n_exc
+      FROM ia FULL OUTER JOIN ea ON ia.k = ea.k
       ORDER BY k"""))
 
   // ---------------------------------------------------------- subqueries
@@ -1042,8 +1121,9 @@ object Relational {
     qCountDistinct, qHaving, qDistinct, qRollup, qCube, qGroupingSets,
     qMinMax, qStringAgg, qBoolBit, qPercentile, qStatsExact, qStatsBuiltin,
     qWindowRank, qWindowRankKinds, qWindowAnalytic, qWindowFrames,
+    qWindowRangeFrames,
     qTopK, qOffset,
-    qUnionAll, qIntersect, qExcept,
+    qUnionAll, qUnionDedup, qIntersect, qExcept, qSetOpsAll,
     qScalarSubquery, qCorrelated, qInSubquery, qCte,
     qStringFuncs, qRegexHash, qDateFuncs, qDateBin, qMathFuncs,
     qConditional, qJson, qExplode, qArrayFuncs, qSequence, qStruct)
