@@ -50,7 +50,8 @@ final class LynxEngine(
     val spark: SparkSession,
     walDir: File,
     maxSegmentSize: Long = 50L * 1024 * 1024,
-    tier: Option[ParquetTier] = None) {
+    tier: Option[ParquetTier] = None,
+    maxBufferedRows: Int = Int.MaxValue) {
 
   val buffer = new MemBuffer
   private val (replayedHighest, replayedIds) = Wal.replay(walDir, buffer)
@@ -58,10 +59,23 @@ final class LynxEngine(
   def replayedSegments: Seq[Long] = replayedIds
 
   private val writeLock = new Object
+  private val bufferedPerTable =
+    scala.collection.mutable.Map.empty[(String, String), Int]
 
   def write(w: WriteRequest): Unit = writeLock.synchronized {
     wal.write(w) // WAL-first invariant (reference lynx.rs:32-33,64)
     buffer.insert(w)
+    // auto-seal: once a table's RAM tail exceeds the threshold, spill
+    // it to the day-partitioned parquet tier (the 100 TB path; the
+    // reference keeps everything in RAM forever, SURVEY.md §3.3)
+    if (tier.isDefined && maxBufferedRows != Int.MaxValue) {
+      val key = (w.namespace, w.measurement)
+      val n = bufferedPerTable.getOrElse(key, 0) + 1
+      if (n >= maxBufferedRows) {
+        seal(w.namespace, w.measurement)
+        bufferedPerTable.remove(key)
+      } else bufferedPerTable.update(key, n)
+    }
   }
 
   /** Seal a table's buffered partitions to the parquet tier (absent

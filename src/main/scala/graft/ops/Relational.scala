@@ -779,13 +779,13 @@ object Relational {
       Tables.views(s, dir)
       s.sql(s"""
         SELECT o_orderkey, o_totalprice FROM orders
-        WHERE o_totalprice > 2.5 * (SELECT ${davgSparkSql("o_totalprice")}
+        WHERE o_totalprice > 1.8 * (SELECT ${davgSparkSql("o_totalprice")}
                                     FROM orders)
         ORDER BY o_orderkey""")
     },
     Some(s"""
       SELECT o_orderkey, o_totalprice FROM orders
-      WHERE o_totalprice > 2.5 * (SELECT ${davgSql("o_totalprice")}
+      WHERE o_totalprice > 1.8 * (SELECT ${davgSql("o_totalprice")}
                                   FROM orders)
       ORDER BY o_orderkey"""))
 

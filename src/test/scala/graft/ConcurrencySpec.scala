@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{TagString, WriteRequest}
+import graft.engine.LynxEngine
+import graft.tier.ParquetTier
+
+/** Fixes the reference's shared-SessionContext race (SURVEY.md §3.4):
+  * two namespaces own a table with the same name, and concurrent
+  * queries must each see only their own namespace's data (the
+  * reference could serve namespace A's registration to namespace B).
+  * Plus the auto-seal write path.
+  */
+class ConcurrencySpec extends AnyFunSuite {
+
+  test("concurrent same-table-name queries stay namespace-isolated") {
+    val dir = Files.createTempDirectory("conc-spec").toFile
+    val e = new LynxEngine(SparkFixture.spark, dir, 1024 * 1024)
+    (1 to 50).foreach { i =>
+      e.write(WriteRequest("ns_a", "cpu", s"a$i", Map.empty, i.toLong))
+      e.write(WriteRequest("ns_b", "cpu", s"b$i", Map.empty, i.toLong))
+    }
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (1 to 24).map { i =>
+        val ns = if (i % 2 == 0) "ns_a" else "ns_b"
+        val want = if (i % 2 == 0) "a" else "b"
+        Future {
+          val r = e.query(ns,
+            "SELECT value FROM cpu ORDER BY timestamp").get
+          r.rows.forall(_.getString(0).startsWith(want)) && r.rows.size == 50
+        }
+      }
+      val ok = Await.result(Future.sequence(futures), 120.seconds)
+      assert(ok.forall(identity))
+    } finally pool.shutdown()
+  }
+
+  test("auto-seal spills the RAM tail to the tier at the threshold") {
+    val dir = Files.createTempDirectory("autoseal-wal").toFile
+    val tierDir = Files.createTempDirectory("autoseal-tier").toFile
+    val e = new LynxEngine(SparkFixture.spark, dir, 1024 * 1024,
+      Some(new ParquetTier(tierDir)), maxBufferedRows = 10)
+    (1 to 25).foreach(i =>
+      e.write(WriteRequest("ns", "cpu", i.toString,
+        Map("host" -> TagString("h1")), i.toLong)))
+    // 25 writes, seal at 10 → two seals happened, 5 rows in RAM
+    assert(e.buffer.partitions("ns", "cpu") == 1)
+    val r = e.query("ns",
+      "SELECT count(*) AS n, sum(CAST(value AS BIGINT)) AS s FROM cpu").get
+    assert(r.rows.head.getLong(0) == 25)
+    assert(r.rows.head.getLong(1) == 25 * 26 / 2)
+  }
+}
