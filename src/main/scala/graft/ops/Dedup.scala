@@ -23,7 +23,13 @@ object Dedup {
   private def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** doc_id + distinct word-3-gram shingles, exploded. */
+  /** doc_id + distinct word-3-gram shingles, exploded — hashed to
+    * 60-bit md5-prefix integers at the source, so every downstream
+    * join/shuffle moves 8-byte keys instead of ~25-byte strings (and
+    * the minhash permutations reuse the same hash). Both engines hash
+    * identically, so a (cosmically unlikely, ~1e-14/doc) collision
+    * would still produce identical results on both sides.
+    */
   private[ops] def shingles(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     Tables.t(s, dir, "documents")
@@ -31,14 +37,17 @@ object Dedup {
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), size(col("toks")) - 2),
-          i => concat_ws(" ", slice(col("toks"), i, lit(3)))))).as("sh"))
+          i => conv(substring(md5(
+            concat_ws(" ", slice(col("toks"), i, lit(3)))), 1, 15), 16, 10)
+            .cast("long")))).as("sh"))
   }
 
   private[ops] val shinglesSql: String = """
     toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
              WHERE len(string_split(text, ' ')) >= 3),
     shingle AS (SELECT doc_id, unnest(list_distinct(
-        [array_to_string(toks[i:i+2], ' ')
+        [CAST('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 15)
+              AS BIGINT)
          for i in generate_series(1, len(toks) - 2)])) AS sh
       FROM toks)"""
 
@@ -117,8 +126,11 @@ object Dedup {
   val qMinHashLsh = QueryDef(
     "q_dedup_minhash_lsh",
     (s, dir) => {
+      // minhash permutation input: fold the 60-bit shingle hash to 32
+      // bits (uniform md5 bits, so the modulo keeps the distribution)
       val sh = shingles(s, dir)
-        .select(col("doc_id"), col("sh"), h32(col("sh")).as("x"))
+        .select(col("doc_id"), col("sh"),
+          (col("sh") % 4294967296L).as("x"))
         .cache()
       val mins = (0 until K).map(i =>
         min((col("x") * aCoef(i) + bCoef(i)) % P).as(s"m$i"))
@@ -162,9 +174,7 @@ object Dedup {
         .mkString(" UNION ALL ")
       s"""
       WITH $shinglesSql,
-      hx AS (SELECT doc_id, sh,
-               CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS x
-             FROM shingle),
+      hx AS (SELECT doc_id, sh, sh % 4294967296 AS x FROM shingle),
       mh AS (SELECT doc_id, $minsSql FROM hx GROUP BY doc_id),
       bands AS ($bandsSql),
       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
