@@ -22,25 +22,40 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // `spark.read.parquet` lists files and reads footers every call;
+  // cache the resolved DataFrame per (session, dir, table) so the 63
+  // bench/verify queries don't pay that fixed cost 10× each. Plans
+  // are immutable, so sharing is safe.
+  private val dfCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, String), DataFrame]
+  private val viewsDone =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
+
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
     * reader rejects; read it as raw nanos and truncate to micros —
     * DuckDB's reader truncates ns→us identically (verified on fixture
     * event_id 0: …549829 ns → …549 us).
     */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/events.parquet")
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
-    }
-  }
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    dfCache.getOrElseUpdate((spark, dir, name), {
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(s"$dir/events.parquet")
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .select("event_id", "ts", "user_id", "event_type", "value",
+            "props")
+      } else {
+        spark.read.parquet(s"$dir/$name.parquet")
+      }
+    })
 
-  /** Register every fixture table as a temp view (for spark.sql paths). */
+  /** Register every fixture table as a temp view (for spark.sql
+    * paths); once per (session, dir).
+    */
   def views(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    viewsDone.getOrElseUpdate((spark, dir),
+      all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n)))
 }
 
 /** Cross-engine determinism helpers.
