@@ -126,6 +126,36 @@ class EngineSpec extends AnyFunSuite {
     assert(r.rows.head.getLong(0) == 8 && r.rows.head.getLong(1) == 28)
   }
 
+  test("property: random writes round-trip through SQL unchanged") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val e = newEngine()
+    val genW: Gen[WriteRequest] = for {
+      v <- Gen.asciiPrintableStr
+      tag <- Gen.option(Gen.oneOf(
+        graft.core.TagString("x"): graft.core.TagValue,
+        graft.core.TagNumber(-5L): graft.core.TagValue))
+      ts <- Gen.choose(0L, 4102444800000000L) // 1970..2100, micros
+    } yield WriteRequest("prop", "m",
+      v, tag.map(t => Map("t" -> t)).getOrElse(Map.empty), ts)
+    val writes = (1 to 100).map(i =>
+      genW.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    writes.foreach(e.write)
+    val r = e.query("prop",
+      "SELECT timestamp, value, t FROM m ORDER BY timestamp, value").get
+    assert(r.rows.size == 100)
+    val got = r.rows.map(row =>
+      (graft.engine.Sinks.formatCell(row.get(0)), row.getString(1),
+        Option(row.getString(2))))
+    val want = writes.sortBy(w => (w.timestamp, w.value)).map { w =>
+      (graft.engine.Sinks.formatCell(new java.sql.Timestamp(0) {
+        setTime(Math.floorDiv(w.timestamp, 1000L))
+        setNanos((Math.floorMod(w.timestamp, 1000000L) * 1000L).toInt)
+      }), w.value, w.metadata.get("t").map(_.render))
+    }
+    assert(got == want)
+  }
+
   test("sealed parquet tier unions with the in-RAM tail") {
     val tierDir = Files.createTempDirectory("tier-spec").toFile
     val e = newEngine(Some(new ParquetTier(tierDir)))

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regressions: these assert the physical-plan
+  * properties the 100 TB design depends on — filter pushdown and
+  * column pruning at the parquet scan, broadcast joins for bounded
+  * dims, top-k fusion, and whole-stage codegen around the custom
+  * dot-product kernel. If a refactor silently loses one of these, the
+  * suite fails even though results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(SparkFixture.spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("filters and projection reach the parquet scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    // pruned read schema: the 6 needed columns, not all 16
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(read.count(_ == ',') < 7, s"scan reads too many columns: $read")
+  }
+
+  test("bounded dims broadcast; top-k fuses to TakeOrderedAndProject") {
+    val p = plan("q_join6_star")
+    assert(p.contains("BroadcastHashJoin"))
+    val p3 = plan("q_join3_topk")
+    assert(p3.contains("TakeOrderedAndProject"))
+  }
+
+  test("partial aggregation happens map-side (two HashAggregate phases)") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("partial_"))
+  }
+
+  test("graft_dot runs inside whole-stage codegen") {
+    val df = graft.ops.Similarity.qCosinePairs.run(SparkFixture.spark, dir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dotproduct"), "custom kernel missing from plan")
+    // codegen stages render as "*(n)" in the final adaptive plan
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined,
+      "plan lost whole-stage codegen around the kernel")
+  }
+
+  test("dedup candidate generation has no cartesian product") {
+    Seq("q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_ann_lsh")
+      .foreach { n =>
+        val p = plan(n)
+        assert(!p.contains("CartesianProduct"),
+          s"$n must generate candidates via equi-join, not all-pairs")
+      }
+  }
+}

@@ -45,6 +45,23 @@ class WalSpec extends AnyFunSuite {
     }
   }
 
+  test("exact byte layout matches the reference format (wal.rs:28-77)") {
+    // BE u64 length-prefixed ns/measurement/value, tag count, per tag
+    // a type byte (0=string 1=number) + key/value, BE i64 timestamp
+    val w = WriteRequest("ab", "c", "xy",
+      scala.collection.immutable.ListMap("k" -> TagNumber(7L)), 258L)
+    val expect =
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 2) ++ "ab".getBytes ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 1) ++ "c".getBytes ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 2) ++ "xy".getBytes ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 1) ++ // 1 tag
+      Array[Byte](1) ++                        // type byte: number
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 1) ++ "k".getBytes ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 7) ++  // u64 value BE
+      Array[Byte](0, 0, 0, 0, 0, 0, 1, 2)     // ts=258 BE
+    assert(WalCodec.encode(w).sameElements(expect))
+  }
+
   test("unicode + empty-string fields survive the codec") {
     val w = WriteRequest("ns", "m", "héllo→世界",
       Map("κλειδί" -> TagString(""), "n" -> TagNumber(0)), Long.MinValue)
