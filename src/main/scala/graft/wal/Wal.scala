@@ -154,9 +154,14 @@ object Wal {
     directory.mkdirs()
     var highest = 0L
     val observed = mutable.ArrayBuffer.empty[Long]
+    // numeric segment order ("10.wal" after "2.wal") so the buffer
+    // sees writes in commit order across rotations
     val files = Option(directory.listFiles()).getOrElse(Array.empty)
-    files.filter(_.isFile).sortBy(_.getName).foreach { f =>
-      val id = f.getName.stripSuffix(".wal").toLong
+    files.filter(_.isFile)
+      .sortBy(f => f.getName.stripSuffix(".wal").toLongOption
+        .getOrElse(Long.MaxValue))
+      .foreach { f =>
+        val id = f.getName.stripSuffix(".wal").toLong
       observed += id
       highest = math.max(highest, id)
       val in = new DataInputStream(

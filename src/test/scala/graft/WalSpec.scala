@@ -118,6 +118,24 @@ class WalSpec extends AnyFunSuite {
     assert(m.timestamps == writes.map(_.timestamp).toVector)
   }
 
+  test("replay across >10 segments preserves commit order " +
+    "(numeric, not lexicographic, segment order)") {
+    val dir = tempDir()
+    val wal = new Wal(dir, 0, 48) // rotate roughly every write
+    val writes = (0 until 30).map(i =>
+      WriteRequest("ns", "t", s"v$i", Map.empty, 1L))
+    writes.foreach(wal.write)
+    wal.close()
+    val buffer = new MemBuffer
+    val (highest, observed) = Wal.replay(dir, buffer)
+    assert(highest >= 10, "test needs to cross the 10-segment boundary")
+    assert(observed.sorted == observed,
+      "segments must replay in numeric id order")
+    // single partition (same day) → values must be in write order
+    assert(buffer.tables("ns").get("t")("1970-01-01").values ==
+      writes.map(_.value).toVector)
+  }
+
   test("replay of garbage header fails (wal.rs:339-354)") {
     val dir = tempDir()
     Files.write(new File(dir, "7.wal").toPath,
