@@ -37,9 +37,16 @@ object Json {
         while (it.hasNext) {
           val e = it.next()
           val v: TagValue =
-            if (e.getValue.isNumber) TagNumber(e.getValue.bigIntegerValue()
-              .longValue()) // u64 semantics: keep the raw 64 bits
-            else TagString(e.getValue.asText())
+            if (e.getValue.isNumber) {
+              // u64 semantics (reference wal.rs:161): integral,
+              // non-negative, ≤ 2^64-1; keep the raw 64 bits
+              val n = e.getValue
+              require(n.isIntegralNumber, s"tag ${e.getKey}: not a u64")
+              val big = n.bigIntegerValue()
+              require(big.signum() >= 0 && big.bitLength() <= 64,
+                s"tag ${e.getKey}: out of u64 range")
+              TagNumber(big.longValue())
+            } else TagString(e.getValue.asText())
           b += e.getKey -> v
         }
         b.result()
@@ -75,7 +82,8 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
   server.createContext("/health", (ex: HttpExchange) => respond(ex, 200))
 
   server.createContext("/api/v1/write", (ex: HttpExchange) => {
-    try {
+    if (ex.getRequestMethod != "POST") respond(ex, 405)
+    else try {
       val w = Json.parseWrite(ex.getRequestBody.readAllBytes())
       engine.write(w)
       respond(ex, 200)
@@ -87,7 +95,8 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
   })
 
   server.createContext("/api/v1/query", (ex: HttpExchange) => {
-    try {
+    if (ex.getRequestMethod != "POST") respond(ex, 405)
+    else try {
       val (ns, sql, fmt) = Json.parseQuery(ex.getRequestBody.readAllBytes())
       engine.query(ns, sql) match {
         case Some(result) =>

@@ -86,6 +86,21 @@ class HttpSpec extends AnyFunSuite {
       assert(r500.statusCode() == 500)
       val rMalformed = post(port, "/api/v1/write", """{"namespace": "x"}""")
       assert(rMalformed.statusCode() == 500)
+      // non-u64 tag values rejected (reference serde u64 semantics)
+      val rFloatTag = post(port, "/api/v1/write",
+        """{"namespace":"ns","measurement":"t","value":"1",
+          |"metadata":{"x":1.5},"timestamp":1}""".stripMargin)
+      assert(rFloatTag.statusCode() == 500)
+      val rNegTag = post(port, "/api/v1/write",
+        """{"namespace":"ns","measurement":"t","value":"1",
+          |"metadata":{"x":-3},"timestamp":1}""".stripMargin)
+      assert(rNegTag.statusCode() == 500)
+      // non-POST method
+      val rGet = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/api/v1/query")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(rGet.statusCode() == 405)
     }
   }
 }
