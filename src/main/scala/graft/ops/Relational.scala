@@ -278,6 +278,79 @@ object Relational {
       WHERE n_regionkey <> r_regionkey
       ORDER BY n_nationkey, r_name"""))
 
+  /** Disjunction-of-conjunctions join predicate (TPC-H Q19 shape):
+    * the OR branches each carry their own equi-part, so Catalyst can
+    * still extract the common l_partkey = p_partkey equi-join and
+    * push the residual disjunction as a post-join filter.
+    */
+  val qDisjunctJoin = QueryDef(
+    "q_join_disjunct",
+    (s, dir) => {
+      val l = T(s, dir, "lineitem")
+      val p = T(s, dir, "part")
+      val joined = l.join(p, col("l_partkey") === col("p_partkey"))
+      val b1 = col("p_brand") === "Brand#11" &&
+        col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 15)
+      val b2 = col("p_brand") === "Brand#22" &&
+        col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 25)
+      val b3 = col("p_brand") === "Brand#33" &&
+        col("l_quantity") >= 20
+      joined.filter(b1 || b2 || b3)
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n"))
+    },
+    Some(s"""
+      SELECT ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+             count(*) AS n
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#11'
+             AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 15)
+         OR (p_brand = 'Brand#22'
+             AND p_size BETWEEN 10 AND 30
+             AND l_quantity BETWEEN 10 AND 25)
+         OR (p_brand = 'Brand#33' AND l_quantity >= 20)"""))
+
+  /** Substring bucketing + anti-join + scalar subquery (TPC-H Q22
+    * shape): customers with above-average balance and no orders,
+    * grouped by a derived phone prefix.
+    */
+  val qQ22Shape = QueryDef(
+    "q_subquery_q22",
+    (s, dir) => {
+      Tables.views(s, dir)
+      s.sql(s"""
+        SELECT cntrycode, count(*) AS numcust,
+               ${dsumSparkSql("c_acctbal")} AS totacctbal
+        FROM (
+          SELECT substring(c_name, -1, 1) AS cntrycode, c_acctbal
+          FROM customer
+          WHERE substring(c_name, -1, 1) IN ('1','3','5','7','9')
+            AND c_acctbal > (SELECT ${davgSparkSql("c_acctbal")}
+                             FROM customer
+                             WHERE c_acctbal > 0.0)
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey
+                              AND o_totalprice > 300000))
+        GROUP BY cntrycode ORDER BY cntrycode""")
+    },
+    Some(s"""
+      SELECT cntrycode, count(*) AS numcust,
+             ${dsumSql("c_acctbal")} AS totacctbal
+      FROM (
+        SELECT substring(c_name, -1, 1) AS cntrycode, c_acctbal
+        FROM customer
+        WHERE substring(c_name, -1, 1) IN ('1','3','5','7','9')
+          AND c_acctbal > (SELECT ${davgSql("c_acctbal")}
+                           FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 300000))
+      GROUP BY cntrycode ORDER BY cntrycode"""))
+
   // ------------------------------------------------------------ aggregates
 
   /** count(DISTINCT …) — Catalyst expand + two-phase aggregate. */
@@ -1118,6 +1191,7 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
     q1Agg, qFilter, qPredicates,
     qJoin3, qJoin6, qSemi, qAnti, qOuter, qFullOuter, qSelfJoin, qCross,
+    qDisjunctJoin, qQ22Shape,
     qCountDistinct, qHaving, qDistinct, qRollup, qCube, qGroupingSets,
     qMinMax, qStringAgg, qBoolBit, qPercentile, qStatsExact, qStatsBuiltin,
     qWindowRank, qWindowRankKinds, qWindowAnalytic, qWindowFrames,
