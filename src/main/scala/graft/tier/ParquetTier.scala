@@ -41,4 +41,33 @@ final class ParquetTier(root: File) {
     spark.read.option("mergeSchema", "true")
       .parquet(tableDir(ns, table).getPath)
       .drop("day") // partition dir column; `timestamp` carries the data
+
+  /** Compact a table's day partitions: every `seal` appends a new
+    * file per partition, and at 100 TB the small-file count (not
+    * data volume) becomes the scan bottleneck — compaction rewrites
+    * each day to a single file (hash-clustered on `day`, so each
+    * output task owns whole days). Writes to a temp dir first, then
+    * swaps, so a concurrent reader never sees a half-written table.
+    */
+  def compact(spark: SparkSession, ns: String, table: String): Unit = {
+    val dir = tableDir(ns, table)
+    if (dir.isDirectory) {
+      val tmp = new File(dir.getParentFile, dir.getName + ".compacting")
+      spark.read.option("mergeSchema", "true").parquet(dir.getPath)
+        .repartition(org.apache.spark.sql.functions.col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(tmp.getPath)
+      val old = new File(dir.getParentFile, dir.getName + ".old")
+      if (!dir.renameTo(old))
+        throw new IllegalStateException(s"compact: cannot move $dir")
+      if (!tmp.renameTo(dir)) {
+        old.renameTo(dir) // roll back
+        throw new IllegalStateException(s"compact: cannot publish $tmp")
+      }
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(old)
+    }
+  }
 }

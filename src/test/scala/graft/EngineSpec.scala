@@ -126,6 +126,25 @@ class EngineSpec extends AnyFunSuite {
     assert(r.rows.head.getLong(0) == 8 && r.rows.head.getLong(1) == 28)
   }
 
+  test("tier compaction merges seal files and preserves results") {
+    val tierDir = Files.createTempDirectory("compact-tier").toFile
+    val tier = new ParquetTier(tierDir)
+    val e = newEngine(Some(tier))
+    // 5 seals → 5 files in the same day partition
+    (1 to 5).foreach { i =>
+      e.write(WriteRequest("ns", "cpu", i.toString, Map.empty, i.toLong))
+      e.seal("ns", "cpu")
+    }
+    val dayDir = new java.io.File(tierDir, "ns/cpu/day=1970-01-01")
+    def files() = dayDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files() == 5)
+    tier.compact(SparkFixture.spark, "ns", "cpu")
+    assert(files() == 1)
+    val r = e.query("ns",
+      "SELECT sum(CAST(value AS BIGINT)) AS s FROM cpu").get
+    assert(r.rows.head.getLong(0) == 15)
+  }
+
   test("property: random writes round-trip through SQL unchanged") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
