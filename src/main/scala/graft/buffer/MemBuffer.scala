@@ -94,6 +94,17 @@ final class MemBuffer {
     }
   }
 
+  /** Buffered row count per (namespace, table) — used by the engine
+    * to rebuild its auto-seal counters after WAL replay.
+    */
+  def rowCounts: Map[(String, String), Int] = lock.synchronized {
+    root.iterator.flatMap { case (ns, tables) =>
+      tables.iterator.map { case (t, parts) =>
+        (ns, t) -> parts.valuesIterator.map(_.size).sum
+      }
+    }.toMap
+  }
+
   // Introspection (reference buffer.rs:120-144).
   def partitions(namespace: String, table: String): Int = lock.synchronized {
     root.get(namespace).flatMap(_.get(table)).map(_.size).getOrElse(0)

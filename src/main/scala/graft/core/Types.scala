@@ -16,6 +16,21 @@ sealed trait TagValue {
 final case class TagString(s: String) extends TagValue
 final case class TagNumber(bits: Long) extends TagValue
 
+/** Reserved namespace for WAL seal markers: when a table's RAM tail
+  * is sealed to the parquet tier, the engine appends a marker record
+  * (same codec as data records, so the segment format stays
+  * reference-compatible) with this namespace, `measurement` = sealed
+  * table, `value` = sealed namespace. Replay drops buffered rows for
+  * that table up to the marker — they live in the tier now — fixing
+  * restart double-counting. The NUL prefix cannot collide with JSON
+  * ingest (the HTTP layer never produces it).
+  */
+object SealMarker {
+  val Namespace = "\u0000lynx.seal"
+  def apply(namespace: String, table: String): WriteRequest =
+    WriteRequest(Namespace, table, namespace, Map.empty, 0L)
+}
+
 /** The unit of ingest (reference wal.rs:18-25): one measurement point.
   * `value` is always a string — numeric analytics CAST in SQL.
   * `timestamp` is microseconds since epoch (reference buffer.rs:24-25).

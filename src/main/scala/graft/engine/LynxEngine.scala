@@ -59,8 +59,20 @@ final class LynxEngine(
   def replayedSegments: Seq[Long] = replayedIds
 
   private val writeLock = new Object
-  private val bufferedPerTable =
-    scala.collection.mutable.Map.empty[(String, String), Int]
+  // RAM-tail row counts per (namespace, table), seeded from the
+  // replayed buffer so a restarted engine still honors the threshold
+  private val bufferedPerTable = {
+    val m = scala.collection.mutable.Map.empty[(String, String), Int]
+    m ++= buffer.rowCounts
+    m
+  }
+  // replayed tables may already exceed the threshold — seal them now
+  if (tier.isDefined && maxBufferedRows != Int.MaxValue)
+    bufferedPerTable.filter(_._2 >= maxBufferedRows).keys.toSeq
+      .foreach { case (ns, t) =>
+        seal(ns, t)
+        bufferedPerTable.remove((ns, t))
+      }
 
   def write(w: WriteRequest): Unit = writeLock.synchronized {
     wal.write(w) // WAL-first invariant (reference lynx.rs:32-33,64)
@@ -80,27 +92,56 @@ final class LynxEngine(
 
   /** Seal a table's buffered partitions to the parquet tier (absent
     * in the reference, which keeps all data in RAM forever —
-    * SURVEY.md §3.3; this is the 100 TB path).
+    * SURVEY.md §3.3; this is the 100 TB path). Runs under the write
+    * lock — query snapshots also synchronize on it, so a query sees
+    * either the pre-seal RAM tail or the post-seal tier, never the
+    * in-between. A durable seal marker lands in the WAL afterwards so
+    * replay does not re-buffer (and double-count) sealed rows.
     */
   def seal(namespace: String, table: String): Unit =
-    tier.foreach { t =>
-      buffer.drainTable(namespace, table).foreach { parts =>
-        t.seal(spark, namespace, table,
-          LynxEngine.toDataFrame(spark, parts).withColumn(
-            "day", org.apache.spark.sql.functions.date_format(
-              org.apache.spark.sql.functions.col("timestamp"),
-              "yyyy-MM-dd")))
+    writeLock.synchronized {
+      tier.foreach { t =>
+        buffer.drainTable(namespace, table).foreach { parts =>
+          t.seal(spark, namespace, table,
+            LynxEngine.toDataFrame(spark, parts).withColumn(
+              "day", org.apache.spark.sql.functions.date_format(
+                org.apache.spark.sql.functions.col("timestamp"),
+                "yyyy-MM-dd")))
+          wal.write(graft.core.SealMarker(namespace, table))
+        }
       }
+    }
+
+  /** Compact the table's tier files (one file per day) while holding
+    * the write lock, so no concurrent seal can append files that the
+    * rewrite would drop.
+    */
+  def compact(namespace: String, table: String): Unit =
+    writeLock.synchronized {
+      tier.foreach(_.compact(spark, namespace, table))
     }
 
   /** Run `sql` against namespace `namespace`. None = unknown
     * namespace/table → HTTP 404 (reference lynx.rs:144-148).
     */
   def query(namespace: String, sql: String): Option[QueryResult] = {
-    val tables = LynxEngine.referencedTables(spark, sql)
-    val snapshot = buffer.tables(namespace)
-    val tiered = tier.map(_.tables(namespace)).getOrElse(Set.empty)
-    if (snapshot.isEmpty && tiered.isEmpty) return None
+    val plan = LynxEngine.parse(spark, sql)
+    val tables = LynxEngine.referencedTables(plan)
+    // day-partition pruning: for a simple single-table time-range
+    // query, derive the UTC-day bounds from the WHERE clause and read
+    // only matching day= directories of the tier (the pruning the
+    // reference lacks, SURVEY.md §4.1)
+    val dayBounds =
+      if (tables.size == 1) LynxEngine.dayBounds(plan) else None
+    // snapshot + pinned tier file list under the write lock: atomic
+    // vs seal(), so rows are visible exactly once
+    val (snapshot, tieredFiles) = writeLock.synchronized {
+      (buffer.tables(namespace),
+        tier.map(t => t.tables(namespace).map(name =>
+            name -> t.dataFiles(namespace, name)).toMap)
+          .getOrElse(Map.empty[String, Seq[String]]))
+    }
+    if (snapshot.isEmpty && tieredFiles.isEmpty) return None
 
     val session = spark.newSession()
     val inMem = snapshot.getOrElse(
@@ -108,8 +149,9 @@ final class LynxEngine(
     for (t <- tables) {
       val mem: Option[DataFrame] =
         inMem.get(t).map(LynxEngine.toDataFrame(session, _))
-      val sealedDf: Option[DataFrame] = if (tiered.contains(t))
-        tier.map(_.read(session, namespace, t)) else None
+      val sealedDf: Option[DataFrame] =
+        tieredFiles.get(t).filter(_.nonEmpty).flatMap(files =>
+          tier.map(_.readFiles(session, namespace, t, files, dayBounds)))
       val df = (mem, sealedDf) match {
         case (Some(m), Some(sd)) =>
           m.unionByName(sd, allowMissingColumns = true)
@@ -137,22 +179,31 @@ object LynxEngine {
     * first FROM table and rejects CTEs/derived tables; we accept them
     * (documented improvement, SURVEY.md §2B).
     */
-  def referencedTables(spark: SparkSession, sql: String): Seq[String] = {
-    val plan: LogicalPlan =
-      try spark.sessionState.sqlParser.parsePlan(sql)
-      catch {
-        case e: Exception => throw new IllegalArgumentException(
-          s"failed to parse query: ${e.getMessage}")
-      }
-    plan match {
-      case _: InsertIntoStatement =>
-        throw new IllegalArgumentException(
-          "only SELECT queries are supported")
-      case p if p.nodeName.endsWith("Command") =>
-        throw new IllegalArgumentException(
-          "only SELECT queries are supported")
-      case _ =>
+  def parse(spark: SparkSession, sql: String): LogicalPlan =
+    try spark.sessionState.sqlParser.parsePlan(sql)
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"failed to parse query: ${e.getMessage}")
     }
+
+  def referencedTables(spark: SparkSession, sql: String): Seq[String] =
+    referencedTables(parse(spark, sql))
+
+  def referencedTables(plan: LogicalPlan): Seq[String] = {
+    // Reject anything that is not a pure query. The Command trait
+    // covers DDL including CREATE TABLE ... AS SELECT (which contains
+    // an UnresolvedRelation and would slip past a node-name
+    // blacklist); ParsedStatement covers INSERT and other unresolved
+    // DML statements.
+    if (plan.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Command => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.ParsedStatement
+          => true
+        case _: InsertIntoStatement => true
+        case _ => false
+      })
+      throw new IllegalArgumentException(
+        "only SELECT queries are supported")
     // CTE definitions live in UnresolvedWith.cteRelations, which are
     // not `children` — walk them explicitly. CTE aliases themselves
     // are not base tables.
@@ -161,8 +212,14 @@ object LynxEngine {
         case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith => w
       }
       val cteNames = withs.flatMap(_.cteRelations.map(_._1))
-      val nested = withs.flatMap(_.cteRelations.map(_._2))
-        .map(walk)
+      // descend into CTE definitions (not `children`) and into
+      // subquery expressions (IN/EXISTS/scalar subqueries live inside
+      // expressions, invisible to plan.collect)
+      val nested = (withs.flatMap(_.cteRelations.map(_._2)) ++
+        p.flatMap(_.expressions.flatMap(_.collect {
+          case sub: org.apache.spark.sql.catalyst.expressions
+            .SubqueryExpression => sub.plan
+        }))).map(walk)
       val rels = p.collect {
         case r: UnresolvedRelation => r.multipartIdentifier.last
       }
@@ -174,6 +231,90 @@ object LynxEngine {
       throw new IllegalArgumentException(
         "only basic 'SELECT .. FROM' style queries are supported")
     tables
+  }
+
+  /** Conservative UTC-day bounds for tier partition pruning: applies
+    * ONLY to a simple single-block query — one relation, no subquery
+    * expressions, at most one Filter directly over the scan — whose
+    * top-level conjuncts compare `timestamp` with literals. Returns
+    * inclusive (loDay, hiDay); a bound that can't be derived falls
+    * back to the open range. Never over-prunes: the SQL re-applies
+    * the full predicate after the day filter.
+    */
+  def dayBounds(plan: LogicalPlan): Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical
+    import org.apache.spark.sql.types.{StringType, TimestampType}
+    val simple =
+      plan.collect { case r: UnresolvedRelation => r }.size == 1 &&
+      !plan.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[SubqueryExpression])))
+    if (!simple) return None
+    // the Filter must sit directly over the scan (through aliases)
+    def overScan(p: LogicalPlan): Boolean = p match {
+      case _: UnresolvedRelation => true
+      case a: logical.SubqueryAlias => overScan(a.child)
+      case _ => false
+    }
+    val scanFilters = plan.collect {
+      case f: logical.Filter if overScan(f.child) => f.condition
+    }
+    if (scanFilters.size != 1) return None
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def isTs(e: Expression): Boolean = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.last.equalsIgnoreCase("timestamp")
+      case Cast(c, _, _, _) => isTs(c)
+      case _ => false
+    }
+    def micros(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, TimestampType) => Some(v)
+      case Literal(s, StringType) =>
+        val str = String.valueOf(s)
+        val full = if (str.length == 10) str + " 00:00:00" else str
+        try Some(java.time.LocalDateTime.parse(full.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)
+        catch { case _: Exception => None }
+      case Cast(c, _, _, _) => micros(c)
+      case _ => None
+    }
+    var lo: Option[Long] = None
+    var hi: Option[Long] = None
+    def tighten(b: Option[Long], v: Long, isLo: Boolean): Option[Long] =
+      Some(b.fold(v)(prev => if (isLo) math.max(prev, v)
+        else math.min(prev, v)))
+    conjuncts(scanFilters.head).foreach {
+      case GreaterThanOrEqual(a, l) if isTs(a) =>
+        micros(l).foreach(v => lo = tighten(lo, v, isLo = true))
+      case GreaterThan(a, l) if isTs(a) =>
+        micros(l).foreach(v => lo = tighten(lo, v, isLo = true))
+      case LessThanOrEqual(a, l) if isTs(a) =>
+        micros(l).foreach(v => hi = tighten(hi, v, isLo = false))
+      case LessThan(a, l) if isTs(a) =>
+        micros(l).foreach(v => hi = tighten(hi, v, isLo = false))
+      case EqualTo(a, l) if isTs(a) =>
+        micros(l).foreach { v =>
+          lo = tighten(lo, v, isLo = true)
+          hi = tighten(hi, v, isLo = false)
+        }
+      // literal-first orientation
+      case GreaterThanOrEqual(l, a) if isTs(a) =>
+        micros(l).foreach(v => hi = tighten(hi, v, isLo = false))
+      case GreaterThan(l, a) if isTs(a) =>
+        micros(l).foreach(v => hi = tighten(hi, v, isLo = false))
+      case LessThanOrEqual(l, a) if isTs(a) =>
+        micros(l).foreach(v => lo = tighten(lo, v, isLo = true))
+      case LessThan(l, a) if isTs(a) =>
+        micros(l).foreach(v => lo = tighten(lo, v, isLo = true))
+      case _ =>
+    }
+    if (lo.isEmpty && hi.isEmpty) None
+    else Some((
+      lo.map(graft.buffer.PartitionKey.fromMicros).getOrElse("0000-01-01"),
+      hi.map(graft.buffer.PartitionKey.fromMicros).getOrElse("9999-12-31")))
   }
 
   /** Dynamic schema inference + row→columnar conversion (reference

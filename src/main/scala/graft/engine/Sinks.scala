@@ -87,6 +87,9 @@ object Sinks {
               sb.append(jsonString(formatCell(v)))
             case s: String => sb.append(jsonString(s))
             case b: Boolean => sb.append(b.toString)
+            case d: Double if d.isNaN || d.isInfinite =>
+              sb.append("null") // bare NaN/Infinity is not valid JSON
+            case f: Float if f.isNaN || f.isInfinite => sb.append("null")
             case n @ (_: Int | _: Long | _: Double | _: Float |
                       _: Short | _: Byte) => sb.append(n.toString)
             case d: java.math.BigDecimal => sb.append(d.toPlainString)

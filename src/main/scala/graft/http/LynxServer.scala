@@ -29,6 +29,13 @@ object Json {
     require(n.hasNonNull("namespace") && n.hasNonNull("measurement") &&
       n.hasNonNull("value") && n.hasNonNull("timestamp"),
       "missing required field")
+    // i64 semantics (reference wal.rs:24): a non-numeric timestamp
+    // must be rejected, not silently coerced to 0
+    require(n.get("timestamp").isIntegralNumber,
+      "timestamp must be an integer (microseconds since epoch)")
+    require(!n.get("namespace").asText()
+      .startsWith(graft.core.SealMarker.Namespace),
+      "reserved namespace")
     val metadata: Map[String, TagValue] =
       if (n.hasNonNull("metadata")) {
         val m = n.get("metadata")
@@ -81,35 +88,58 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
 
   server.createContext("/health", (ex: HttpExchange) => respond(ex, 200))
 
+  // malformed request bodies → 422 (the reference's axum Json
+  // extractor rejects them pre-handler with a 4xx); engine-side
+  // failures, including bad SQL, → 500 (reference main.rs:84-87)
   server.createContext("/api/v1/write", (ex: HttpExchange) => {
     if (ex.getRequestMethod != "POST") respond(ex, 405)
-    else try {
-      val w = Json.parseWrite(ex.getRequestBody.readAllBytes())
-      engine.write(w)
-      respond(ex, 200)
-    } catch {
-      case e: Exception =>
-        System.err.println(e)
-        respond(ex, 500)
+    else {
+      val parsed =
+        try Right(Json.parseWrite(ex.getRequestBody.readAllBytes()))
+        catch { case e: Exception => Left(e) }
+      parsed match {
+        case Left(e) =>
+          System.err.println(e)
+          respond(ex, 422)
+        case Right(w) =>
+          try {
+            engine.write(w)
+            respond(ex, 200)
+          } catch {
+            case e: Exception =>
+              System.err.println(e)
+              respond(ex, 500)
+          }
+      }
     }
   })
 
   server.createContext("/api/v1/query", (ex: HttpExchange) => {
     if (ex.getRequestMethod != "POST") respond(ex, 405)
-    else try {
-      val (ns, sql, fmt) = Json.parseQuery(ex.getRequestBody.readAllBytes())
-      engine.query(ns, sql) match {
-        case Some(result) =>
-          respond(ex, 200, fmt match {
-            case "json" => Sinks.toJson(result)
-            case _ => Sinks.toTable(result)
-          })
-        case None => respond(ex, 404)
+    else {
+      val parsed =
+        try Right(Json.parseQuery(ex.getRequestBody.readAllBytes()))
+        catch { case e: Exception => Left(e) }
+      parsed match {
+        case Left(e) =>
+          System.err.println(e)
+          respond(ex, 422)
+        case Right((ns, sql, fmt)) =>
+          try {
+            engine.query(ns, sql) match {
+              case Some(result) =>
+                respond(ex, 200, fmt match {
+                  case "json" => Sinks.toJson(result)
+                  case _ => Sinks.toTable(result)
+                })
+              case None => respond(ex, 404)
+            }
+          } catch {
+            case e: Exception =>
+              System.err.println(e)
+              respond(ex, 500)
+          }
       }
-    } catch {
-      case e: Exception =>
-        System.err.println(e)
-        respond(ex, 500)
     }
   })
 

@@ -42,12 +42,49 @@ final class ParquetTier(root: File) {
       .parquet(tableDir(ns, table).getPath)
       .drop("day") // partition dir column; `timestamp` carries the data
 
+  /** Data files of a table, for pinning a consistent snapshot: the
+    * engine lists these under its write lock so a concurrent seal
+    * can't make rows visible twice (once from the RAM snapshot, once
+    * from a newly sealed file).
+    */
+  def dataFiles(ns: String, table: String): Seq[String] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(tableDir(ns, table)).map(_.getPath)
+  }
+
+  /** Read a pinned file set; `basePath` keeps the `day=` directory
+    * parsing so `dayBounds` (inclusive yyyy-MM-dd strings) prunes
+    * partitions before any file I/O.
+    */
+  def readFiles(spark: SparkSession, ns: String, table: String,
+      files: Seq[String],
+      dayBounds: Option[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read
+      .option("mergeSchema", "true")
+      .option("basePath", tableDir(ns, table).getPath)
+      .parquet(files: _*)
+    val pruned = dayBounds match {
+      case Some((lo, hi)) =>
+        df.filter(col("day").cast("string") >= lo &&
+          col("day").cast("string") <= hi)
+      case None => df
+    }
+    pruned.drop("day")
+  }
+
   /** Compact a table's day partitions: every `seal` appends a new
     * file per partition, and at 100 TB the small-file count (not
     * data volume) becomes the scan bottleneck — compaction rewrites
     * each day to a single file (hash-clustered on `day`, so each
     * output task owns whole days). Writes to a temp dir first, then
-    * swaps, so a concurrent reader never sees a half-written table.
+    * swaps. Call through LynxEngine.compact, which serializes against
+    * seals via the write lock; queries that pinned the pre-compaction
+    * file list must finish before the old files are removed (a full
+    * manifest/MVCC layer is the next step at real scale).
     */
   def compact(spark: SparkSession, ns: String, table: String): Unit = {
     val dir = tableDir(ns, table)

@@ -155,30 +155,40 @@ object Wal {
     var highest = 0L
     val observed = mutable.ArrayBuffer.empty[Long]
     // numeric segment order ("10.wal" after "2.wal") so the buffer
-    // sees writes in commit order across rotations
+    // sees writes in commit order across rotations; stray non-segment
+    // files (editor droppings, lost+found) are skipped, but a real
+    // *.wal file with a bad header still fails loudly
+    val segRe = """(\d+)\.wal""".r
     val files = Option(directory.listFiles()).getOrElse(Array.empty)
     files.filter(_.isFile)
-      .sortBy(f => f.getName.stripSuffix(".wal").toLongOption
-        .getOrElse(Long.MaxValue))
-      .foreach { f =>
-        val id = f.getName.stripSuffix(".wal").toLong
-      observed += id
-      highest = math.max(highest, id)
-      val in = new DataInputStream(
-        new BufferedInputStream(new FileInputStream(f)))
-      try {
-        val header = new Array[Byte](WalCodec.Header.length)
-        in.readFully(header)
-        if (!java.util.Arrays.equals(header, WalCodec.Header))
-          throw new IllegalStateException(
-            s"segment file must contain header (LYNX1): $f")
-        var rec = WalCodec.decode(in)
-        while (rec.isDefined) {
-          buffer.insert(rec.get)
-          rec = WalCodec.decode(in)
-        }
-      } finally in.close()
-    }
+      .flatMap(f => f.getName match {
+        case segRe(id) => Some((id.toLong, f))
+        case _ => None
+      })
+      .sortBy(_._1)
+      .foreach { case (id, f) =>
+        observed += id
+        highest = math.max(highest, id)
+        val in = new DataInputStream(
+          new BufferedInputStream(new FileInputStream(f)))
+        try {
+          val header = new Array[Byte](WalCodec.Header.length)
+          in.readFully(header)
+          if (!java.util.Arrays.equals(header, WalCodec.Header))
+            throw new IllegalStateException(
+              s"segment file must contain header (LYNX1): $f")
+          var rec = WalCodec.decode(in)
+          while (rec.isDefined) {
+            val w = rec.get
+            if (w.namespace == graft.core.SealMarker.Namespace)
+              // sealed-to-tier checkpoint: rows before this marker for
+              // (value=namespace, measurement=table) live in the tier
+              buffer.drainTable(w.value, w.measurement)
+            else buffer.insert(w)
+            rec = WalCodec.decode(in)
+          }
+        } finally in.close()
+      }
     (highest, observed.toSeq)
   }
 }

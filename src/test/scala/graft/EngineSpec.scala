@@ -111,6 +111,16 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       LynxEngine.referencedTables(s, "DROP TABLE foo")
     }
+    // CTAS/CACHE AS SELECT contain an UnresolvedRelation but are DDL
+    intercept[IllegalArgumentException] {
+      LynxEngine.referencedTables(s, "CREATE TABLE p AS SELECT * FROM foo")
+    }
+    intercept[IllegalArgumentException] {
+      LynxEngine.referencedTables(s, "CACHE TABLE p AS SELECT * FROM foo")
+    }
+    // relations inside subquery expressions are collected
+    assert(LynxEngine.referencedTables(s,
+      "SELECT * FROM a WHERE x IN (SELECT y FROM b)").toSet == Set("a", "b"))
   }
 
   test("WAL replay restores queryability across restarts (wal.rs:465-547)") {
@@ -126,6 +136,55 @@ class EngineSpec extends AnyFunSuite {
     assert(r.rows.head.getLong(0) == 8 && r.rows.head.getLong(1) == 28)
   }
 
+  test("restart after seal does not double-count sealed rows") {
+    val walDir = Files.createTempDirectory("seal-replay-wal").toFile
+    val tierDir = Files.createTempDirectory("seal-replay-tier").toFile
+    val e1 = new LynxEngine(SparkFixture.spark, walDir, 1024 * 1024,
+      Some(new ParquetTier(tierDir)))
+    (1 to 10).foreach(i =>
+      e1.write(WriteRequest("ns", "cpu", i.toString, Map.empty, i.toLong)))
+    e1.seal("ns", "cpu")
+    // post-seal writes stay in RAM
+    (11 to 13).foreach(i =>
+      e1.write(WriteRequest("ns", "cpu", i.toString, Map.empty, i.toLong)))
+    e1.wal.close()
+    // restart on the same WAL + tier
+    val e2 = new LynxEngine(SparkFixture.spark, walDir, 1024 * 1024,
+      Some(new ParquetTier(tierDir)))
+    val r = e2.query("ns", "SELECT count(*) AS n FROM cpu").get
+    assert(r.rows.head.getLong(0) == 13,
+      "sealed rows must not replay into the buffer again")
+  }
+
+  test("simple time-range query prunes tier day partitions") {
+    val spark = SparkFixture.spark
+    val dayUs = 86400L * 1000000L
+    // bounds extraction on the parsed plan
+    val b1 = LynxEngine.dayBounds(LynxEngine.parse(spark,
+      """SELECT * FROM cpu WHERE timestamp >= TIMESTAMP '1970-01-03
+        | 00:00:00' AND timestamp < TIMESTAMP '1970-01-05 00:00:00'"""
+        .stripMargin.replace("\n", "")))
+    assert(b1.contains(("1970-01-03", "1970-01-05")))
+    // subqueries and joins disable pruning (conservative)
+    assert(LynxEngine.dayBounds(LynxEngine.parse(spark,
+      """SELECT * FROM cpu WHERE value IN
+        |(SELECT value FROM cpu WHERE timestamp > TIMESTAMP
+        |'1970-01-03 00:00:00')""".stripMargin.replace("\n", " "))).isEmpty)
+    // end-to-end: data across 4 days, bounded query stays correct
+    val tierDir = Files.createTempDirectory("prune-tier").toFile
+    val e = newEngine(Some(new ParquetTier(tierDir)))
+    (0 until 4).foreach(d =>
+      e.write(WriteRequest("ns", "cpu", d.toString, Map.empty,
+        d * dayUs + 1)))
+    e.seal("ns", "cpu")
+    val r = e.query("ns",
+      """SELECT value FROM cpu WHERE timestamp >=
+        |TIMESTAMP '1970-01-02 00:00:00' AND timestamp <
+        |TIMESTAMP '1970-01-04 00:00:00' ORDER BY timestamp"""
+        .stripMargin.replace("\n", " ")).get
+    assert(r.rows.map(_.getString(0)) == Seq("1", "2"))
+  }
+
   test("tier compaction merges seal files and preserves results") {
     val tierDir = Files.createTempDirectory("compact-tier").toFile
     val tier = new ParquetTier(tierDir)
@@ -138,7 +197,7 @@ class EngineSpec extends AnyFunSuite {
     val dayDir = new java.io.File(tierDir, "ns/cpu/day=1970-01-01")
     def files() = dayDir.listFiles().count(_.getName.endsWith(".parquet"))
     assert(files() == 5)
-    tier.compact(SparkFixture.spark, "ns", "cpu")
+    e.compact("ns", "cpu")
     assert(files() == 1)
     val r = e.query("ns",
       "SELECT sum(CAST(value AS BIGINT)) AS s FROM cpu").get

@@ -85,16 +85,25 @@ class HttpSpec extends AnyFunSuite {
         """{"namespace": "ns", "query": "INSERT INTO t VALUES (1)"}""")
       assert(r500.statusCode() == 500)
       val rMalformed = post(port, "/api/v1/write", """{"namespace": "x"}""")
-      assert(rMalformed.statusCode() == 500)
+      assert(rMalformed.statusCode() == 422)
       // non-u64 tag values rejected (reference serde u64 semantics)
       val rFloatTag = post(port, "/api/v1/write",
         """{"namespace":"ns","measurement":"t","value":"1",
           |"metadata":{"x":1.5},"timestamp":1}""".stripMargin)
-      assert(rFloatTag.statusCode() == 500)
+      assert(rFloatTag.statusCode() == 422)
       val rNegTag = post(port, "/api/v1/write",
         """{"namespace":"ns","measurement":"t","value":"1",
           |"metadata":{"x":-3},"timestamp":1}""".stripMargin)
-      assert(rNegTag.statusCode() == 500)
+      assert(rNegTag.statusCode() == 422)
+      // non-integer timestamp rejected, not coerced to epoch 0
+      val rBadTs = post(port, "/api/v1/write",
+        """{"namespace":"ns","measurement":"t","value":"1",
+          |"timestamp":"oops"}""".stripMargin)
+      assert(rBadTs.statusCode() == 422)
+      // DDL through the query endpoint rejected (CTAS bypass)
+      val rCtas = post(port, "/api/v1/query",
+        """{"namespace":"ns","query":"CREATE TABLE p AS SELECT * FROM t"}""")
+      assert(rCtas.statusCode() == 500)
       // non-POST method
       val rGet = client.send(
         HttpRequest.newBuilder(
