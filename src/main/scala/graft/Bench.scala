@@ -23,11 +23,16 @@ object Bench {
     // absorb session/codegen warm-up outside the measured loop
     try SparkEntry.entry(spark).queryExecution.toRdd.count()
     catch { case _: Throwable => }
+    // two measured reps per query, report the min — single-run
+    // local[32] numbers are ±50% noisy (GC, codegen compilation)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

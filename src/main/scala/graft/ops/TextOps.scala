@@ -170,5 +170,49 @@ object TextOps {
           (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(qTokens, qQuality, qLangId, qFingerprint)
+  /** Per-document top-3 salient terms by tf·(N/df) — tf-idf with the
+    * exact rational N/df in place of ln(N/df), because ln() is not
+    * bit-identical across engines while integer-ratio division is;
+    * the ranking this produces is the same for any monotone weight.
+    * Two shuffles (term stats, per-doc ranking), both on bounded keys.
+    */
+  val qTfIdf = QueryDef(
+    "q_text_tfidf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.t(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          (col("tf").cast("double") * col("n_docs") / col("df"))
+            .as("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("doc_id", "rnk")
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT doc_id, term, tf, df, score, rnk FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score,
+          CAST(row_number() OVER (PARTITION BY tf.doc_id
+            ORDER BY CAST(tf.tf AS DOUBLE) * n.n_docs / df.df DESC,
+                     tf.term) AS BIGINT) AS rnk
+        FROM tf JOIN df USING (term) CROSS JOIN n)
+      WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
+
+  val all: Seq[QueryDef] =
+    Seq(qTokens, qQuality, qLangId, qFingerprint, qTfIdf)
 }

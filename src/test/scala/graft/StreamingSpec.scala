@@ -75,6 +75,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(res.map(_.getDouble(3)).toSeq == Seq(0.0, 20.0, 10.0, 30.0))
   }
 
+  test("streaming exact dedup drops repeated content across batches") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[StreamRow]
+    val deduped = StreamingIngest.dedupExact(mem.toDS())
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    mem.addData(Seq(
+      StreamRow("ns", "docs", "alpha", Map.empty, 1L),
+      StreamRow("ns", "docs", "alpha", Map.empty, 2L), // dup in batch
+      StreamRow("ns", "docs", "beta", Map.empty, 3L)))
+    q.processAllAvailable()
+    mem.addData(Seq(
+      StreamRow("ns", "docs", "alpha", Map.empty, 4L), // dup across batch
+      StreamRow("ns", "docs", "gamma", Map.empty, 5L)))
+    q.processAllAvailable()
+    q.stop()
+    val vals = spark.sql("SELECT value FROM dedup_stream")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(vals == Seq("alpha", "beta", "gamma"))
+  }
+
   test("mapGroupsWithState accumulates per-series lifetime stats") {
     val spark = SparkFixture.spark
     import spark.implicits._
