@@ -104,5 +104,45 @@ object TimeSeries {
       LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = d.day
       ORDER BY u.user_id, d.day"""))
 
-  val all: Seq[QueryDef] = Seq(qAsofJoin, qGapFill)
+  /** Interval (range) join: clicks landing inside the 10-minute
+    * window after each error event of the same user. Spark OSS has no
+    * range-join optimization, so a naive non-equi join degenerates to
+    * a per-key nested loop; the scale path used here buckets time by
+    * the window width and equi-joins on (user, bucket) — each
+    * interval covers at most 2 buckets, so the join explodes
+    * intervals ×2, keeps the shuffle key-based, and applies the exact
+    * range as a residual filter.
+    */
+  val qIntervalJoin = QueryDef(
+    "q_ts_interval_join",
+    (s, dir) => {
+      val winUs = 600000000L // 10 minutes
+      val ev = Tables.t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("us").as("err_us"))
+        // an interval [t, t+win) covers bucket(t) and bucket(t)+1
+        .withColumn("bucket", explode(array(
+          expr(s"err_us DIV $winUs"), expr(s"err_us DIV $winUs + 1"))))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("click_us"))
+        .withColumn("bucket", expr(s"click_us DIV $winUs"))
+      errors.join(clicks, Seq("user_id", "bucket"))
+        .filter(col("click_us") >= col("err_us") &&
+          col("click_us") < col("err_us") + winUs)
+        .groupBy(col("err_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+        .orderBy("err_id")
+    },
+    Some("""
+      SELECT e.event_id AS err_id, count(*) AS n_clicks
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = e.user_id
+       AND epoch_us(c.ts) >= epoch_us(e.ts)
+       AND epoch_us(c.ts) < epoch_us(e.ts) + 600000000
+      GROUP BY 1 ORDER BY err_id"""))
+
+  val all: Seq[QueryDef] = Seq(qAsofJoin, qGapFill, qIntervalJoin)
 }
