@@ -1188,6 +1188,52 @@ object Relational {
               {'name': n_name, 'rk': n_regionkey} AS st FROM nation)
       ORDER BY n_nationkey"""))
 
+  /** Map build / key access / map_keys / map_values. */
+  val qMapFuncs = QueryDef(
+    "q_map_funcs",
+    (s, dir) =>
+      T(s, dir, "nation")
+        .select(col("n_nationkey"),
+          map(lit("name"), col("n_name"),
+            lit("rk"), col("n_regionkey").cast("string")).as("m"))
+        .select(
+          col("n_nationkey"),
+          element_at(col("m"), "name").as("nm"),
+          element_at(col("m"), "rk").cast("long").as("rk"),
+          concat_ws(",", array_sort(map_keys(col("m")))).as("keys"),
+          size(map_values(col("m"))).cast("long").as("nvals"))
+        .orderBy("n_nationkey"),
+    Some("""
+      SELECT n_nationkey,
+        m['name'][1] AS nm,
+        CAST(m['rk'][1] AS BIGINT) AS rk,
+        array_to_string(list_sort(map_keys(m)), ',') AS keys,
+        CAST(len(map_values(m)) AS BIGINT) AS nvals
+      FROM (SELECT n_nationkey,
+              map(['name', 'rk'],
+                  [n_name, CAST(n_regionkey AS VARCHAR)]) AS m
+            FROM nation)
+      ORDER BY n_nationkey"""))
+
+  /** PIVOT: order counts per (priority, status) as columns. */
+  val qPivot = QueryDef(
+    "q_pivot",
+    (s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority"),
+    Some("""
+      SELECT o_orderpriority,
+        coalesce("F", 0) AS F, coalesce("O", 0) AS O,
+        coalesce("P", 0) AS P
+      FROM (PIVOT (SELECT o_orderpriority, o_orderstatus FROM orders)
+            ON o_orderstatus IN ('F', 'O', 'P')
+            USING count(*) GROUP BY o_orderpriority)
+      ORDER BY o_orderpriority"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qFilter, qPredicates,
     qJoin3, qJoin6, qSemi, qAnti, qOuter, qFullOuter, qSelfJoin, qCross,
@@ -1200,5 +1246,6 @@ object Relational {
     qUnionAll, qUnionDedup, qIntersect, qExcept, qSetOpsAll,
     qScalarSubquery, qCorrelated, qInSubquery, qCte,
     qStringFuncs, qRegexHash, qDateFuncs, qDateBin, qMathFuncs,
-    qConditional, qJson, qExplode, qArrayFuncs, qSequence, qStruct)
+    qConditional, qJson, qExplode, qArrayFuncs, qSequence, qStruct,
+    qMapFuncs, qPivot)
 }
