@@ -94,6 +94,14 @@ final class MemBuffer {
     }
   }
 
+  /** True when no rows are buffered (empty namespaces/tables left by
+    * drains count as empty) — the WAL-truncation precondition.
+    */
+  def isEmpty: Boolean = lock.synchronized {
+    root.valuesIterator.flatMap(_.valuesIterator)
+      .flatMap(_.valuesIterator).forall(_.size == 0)
+  }
+
   /** Buffered row count per (namespace, table) — used by the engine
     * to rebuild its auto-seal counters after WAL replay.
     */

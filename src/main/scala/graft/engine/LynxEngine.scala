@@ -112,6 +112,21 @@ final class LynxEngine(
       }
     }
 
+  /** Seal every buffered table, then truncate the WAL: once the
+    * buffer is empty all closed segments are redundant (their data is
+    * in the tier; replaying nothing reproduces the same empty
+    * buffer), so they are deleted — bounding the WAL growth the
+    * reference never addresses (SURVEY.md §3.3). No-op without a
+    * tier.
+    */
+  def checkpoint(): Unit = writeLock.synchronized {
+    if (tier.isDefined) {
+      buffer.rowCounts.keys.toSeq.foreach { case (ns, t) => seal(ns, t) }
+      bufferedPerTable.clear()
+      if (buffer.isEmpty) wal.truncateClosed()
+    }
+  }
+
   /** Compact the table's tier files (one file per day) while holding
     * the write lock, so no concurrent seal can append files that the
     * rewrite would drop.

@@ -497,6 +497,38 @@ object Relational {
              CAST(bit_xor(l_orderkey) AS BIGINT) AS bxor
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** max_by / min_by (arg_max/arg_min) + deterministic mode. The
+    * value columns have unique extrema per group in the fixtures
+    * (verified at all SFs), and mode uses the lowest-on-ties variant
+    * on both sides.
+    */
+  val qArgExtremes = QueryDef(
+    "q_argmax_mode",
+    (s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"),
+          expr("mode(o_orderstatus, true)").as("common_status"))
+        .orderBy("o_orderpriority"),
+    Some("""
+      WITH m AS (
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        FROM orders GROUP BY 1, 2),
+      md AS (
+        SELECT o_orderpriority, o_orderstatus AS common_status
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                ORDER BY n DESC, o_orderstatus) AS rnk FROM m)
+        WHERE rnk = 1)
+      SELECT o.o_orderpriority,
+        arg_max(o.o_orderkey, o.o_totalprice) AS best_order,
+        arg_min(o.o_orderkey, o.o_totalprice) AS worst_order,
+        any_value(md.common_status) AS common_status
+      FROM orders o JOIN md ON md.o_orderpriority = o.o_orderpriority
+      GROUP BY o.o_orderpriority
+      ORDER BY o.o_orderpriority"""))
+
   /** Exact median / interpolated percentiles (whole-valued doubles, so
     * the interpolation arithmetic is engine-independent).
     */
@@ -1239,7 +1271,8 @@ object Relational {
     qJoin3, qJoin6, qSemi, qAnti, qOuter, qFullOuter, qSelfJoin, qCross,
     qDisjunctJoin, qQ22Shape,
     qCountDistinct, qHaving, qDistinct, qRollup, qCube, qGroupingSets,
-    qMinMax, qStringAgg, qBoolBit, qPercentile, qStatsExact, qStatsBuiltin,
+    qMinMax, qStringAgg, qBoolBit, qArgExtremes, qPercentile, qStatsExact,
+    qStatsBuiltin,
     qWindowRank, qWindowRankKinds, qWindowAnalytic, qWindowFrames,
     qWindowRangeFrames,
     qTopK, qOffset,

@@ -141,6 +141,26 @@ final class Wal(directory: File, startSegmentId: Long,
     active = new Segment(active.id + 1, directory)
   }
 
+  /** Rotate to a fresh segment and delete every closed one. ONLY
+    * sound when the caller has established that no closed segment
+    * holds data missing from durable storage — i.e. the buffer is
+    * empty because everything was sealed to the tier (see
+    * LynxEngine.checkpoint). Bounds the reference's unbounded WAL
+    * growth (SURVEY.md §3.3).
+    */
+  def truncateClosed(): Unit = synchronized {
+    rotate()
+    // every segment older than the fresh active one, including those
+    // inherited from a previous process via replay
+    val segRe = """(\d+)\.wal""".r
+    Option(directory.listFiles()).getOrElse(Array.empty)
+      .foreach(f => f.getName match {
+        case segRe(id) if id.toLong < active.id => f.delete()
+        case _ =>
+      })
+    closedSegments.clear()
+  }
+
   def close(): Unit = synchronized(active.close())
 }
 

@@ -136,6 +136,32 @@ class EngineSpec extends AnyFunSuite {
     assert(r.rows.head.getLong(0) == 8 && r.rows.head.getLong(1) == 28)
   }
 
+  test("checkpoint seals everything, truncates the WAL, survives restart") {
+    val walDir = Files.createTempDirectory("ckpt-wal").toFile
+    val tierDir = Files.createTempDirectory("ckpt-tier").toFile
+    val e1 = new LynxEngine(SparkFixture.spark, walDir, 256, // tiny segs
+      Some(new ParquetTier(tierDir)))
+    (1 to 20).foreach(i =>
+      e1.write(WriteRequest("ns", "cpu", i.toString, Map.empty, i.toLong)))
+    (1 to 5).foreach(i =>
+      e1.write(WriteRequest("ns", "mem", i.toString, Map.empty, i.toLong)))
+    assert(walDir.listFiles().count(_.getName.endsWith(".wal")) > 1)
+    e1.checkpoint()
+    // only the fresh active segment remains
+    assert(walDir.listFiles().count(_.getName.endsWith(".wal")) == 1)
+    // post-checkpoint write goes to the new segment
+    e1.write(WriteRequest("ns", "cpu", "21", Map.empty, 21L))
+    e1.wal.close()
+    val e2 = new LynxEngine(SparkFixture.spark, walDir, 256,
+      Some(new ParquetTier(tierDir)))
+    val r = e2.query("ns",
+      "SELECT count(*) AS n, sum(CAST(value AS BIGINT)) AS s FROM cpu").get
+    assert(r.rows.head.getLong(0) == 21)
+    assert(r.rows.head.getLong(1) == 21 * 22 / 2)
+    val rm = e2.query("ns", "SELECT count(*) AS n FROM mem").get
+    assert(rm.rows.head.getLong(0) == 5)
+  }
+
   test("restart after seal does not double-count sealed rows") {
     val walDir = Files.createTempDirectory("seal-replay-wal").toFile
     val tierDir = Files.createTempDirectory("seal-replay-tier").toFile
