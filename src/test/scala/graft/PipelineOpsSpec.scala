@@ -65,6 +65,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lsh.forall { case (_, _, _, c) => c >= -1.0 && c <= 1.0 })
   }
 
+  test("ivf quantizer assigns each vector to its nearest centroid " +
+    "and probes find true neighbors") {
+    import org.apache.spark.sql.functions._
+    val ivf = Similarity.qAnnIvf.run(spark, dir).collect()
+    assert(ivf.nonEmpty)
+    // per query: ranked by cosine desc within the probed cell
+    ivf.groupBy(_.getLong(0)).values.foreach { g =>
+      val cos = g.sortBy(_.getLong(4)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // top-1 recall vs brute force over the 5 fixed queries: the probed
+    // cell holds the query itself, so its nearest same-cell neighbor
+    // is found; require >= 2/5 exact top-1 hits (cells are coarse)
+    val brute = Similarity.qAnnTopK.run(spark, dir)
+      .filter(col("rnk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivfTop = ivf.filter(_.getLong(4) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = ivfTop.count { case (q, n) => brute.get(q).contains(n) }
+    assert(hits >= 2, s"IVF top-1 recall too low: $hits/5 ($ivfTop vs $brute)")
+  }
+
   test("text quality and tokens agree on token counts") {
     val t = TextOps.qTokens.run(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -75,6 +75,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(res.map(_.getDouble(3)).toSeq == Seq(0.0, 20.0, 10.0, 30.0))
   }
 
+  test("session windows close on the inactivity gap") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[StreamRow]
+    val sessions = StreamingIngest.sessionCounts(mem.toDF(),
+      watermark = "10 seconds", gap = "30 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Complete).start()
+    // cpu events at t=0s,10s,20s (one session) then t=120s (new one)
+    mem.addData(Seq(0L, 10L, 20L, 120L).map(sec =>
+      StreamRow("ns", "cpu", "1", Map.empty, sec * 1000000L)))
+    q.processAllAvailable()
+    q.stop()
+    val res = spark.sql(
+      """SELECT n FROM sess ORDER BY session_start""").collect()
+      .map(_.getLong(0)).toSeq
+    assert(res == Seq(3L, 1L))
+  }
+
   test("streaming exact dedup drops repeated content across batches") {
     val spark = SparkFixture.spark
     import spark.implicits._
