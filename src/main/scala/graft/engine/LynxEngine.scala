@@ -119,13 +119,19 @@ final class LynxEngine(
     * reference never addresses (SURVEY.md §3.3). No-op without a
     * tier.
     */
-  def checkpoint(): Unit = writeLock.synchronized {
+  def checkpoint(): Unit =
     if (tier.isDefined) {
+      // seal table-by-table — each seal is individually atomic and
+      // marker-protected — so writes/queries only block per table,
+      // not for the whole multi-table flush
       buffer.rowCounts.keys.toSeq.foreach { case (ns, t) => seal(ns, t) }
-      bufferedPerTable.clear()
-      if (buffer.isEmpty) wal.truncateClosed()
+      writeLock.synchronized {
+        bufferedPerTable.filterInPlace((k, _) =>
+          buffer.partitions(k._1, k._2) > 0)
+        // truncate only if no new writes landed since the seals
+        if (buffer.isEmpty) wal.truncateClosed()
+      }
     }
-  }
 
   /** Compact the table's tier files (one file per day) while holding
     * the write lock, so no concurrent seal can append files that the

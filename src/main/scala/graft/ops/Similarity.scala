@@ -213,17 +213,19 @@ object Similarity {
            element_at(c, j + 1))))"""
 
   /** Attach `cell` = 1-based index of the nearest centroid (ties to
-    * the lowest index via array_position of the min distance).
+    * the lowest index via array_position of the min distance). The
+    * distance array is materialized once per row, not re-evaluated
+    * for each argument of array_position.
     */
   private def withCell(vectors: DataFrame,
       centroids: Array[Array[Double]]): DataFrame =
     vectors
       .withColumn("cents",
         array(centroids.map(c => array(c.map(lit): _*)): _*))
+      .withColumn("dists", expr(distsExpr))
       .withColumn("cell",
-        expr(s"array_position($distsExpr, array_min($distsExpr))")
-          .cast("int"))
-      .drop("cents")
+        expr("array_position(dists, array_min(dists))").cast("int"))
+      .drop("cents", "dists")
 
   /** Deterministic coarse quantizer: k=8 centroids seeded from fixed
     * vec_ids, 3 Lloyd iterations whose per-dimension means use exact

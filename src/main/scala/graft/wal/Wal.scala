@@ -150,14 +150,21 @@ final class Wal(directory: File, startSegmentId: Long,
     */
   def truncateClosed(): Unit = synchronized {
     rotate()
-    // every segment older than the fresh active one, including those
-    // inherited from a previous process via replay
-    val segRe = """(\d+)\.wal""".r
-    Option(directory.listFiles()).getOrElse(Array.empty)
-      .foreach(f => f.getName match {
-        case segRe(id) if id.toLong < active.id => f.delete()
-        case _ =>
+    // Delete every segment older than the fresh active one (including
+    // those inherited from a previous process via replay), OLDEST
+    // FIRST and stopping on the first failure: a data row in a
+    // surviving segment then always has its seal marker in a later
+    // surviving segment, so a crash mid-truncate can never resurrect
+    // sealed rows without their marker.
+    val segs = Option(directory.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case Wal.SegmentName(id) if id.toLong < active.id =>
+          Some((id.toLong, f))
+        case _ => None
       })
+      .sortBy(_._1)
+    var ok = true
+    for ((_, f) <- segs if ok) ok = f.delete()
     closedSegments.clear()
   }
 
@@ -165,6 +172,9 @@ final class Wal(directory: File, startSegmentId: Long,
 }
 
 object Wal {
+  /** Segment file name shape, shared by replay and truncation. */
+  val SegmentName: scala.util.matching.Regex = """(\d+)\.wal""".r
+
   /** Replay every segment in `directory` into the buffer; returns
     * (highest segment id, all observed ids) — the caller opens the
     * next active segment at highest+1 (reference wal.rs:276-296,
@@ -178,11 +188,10 @@ object Wal {
     // sees writes in commit order across rotations; stray non-segment
     // files (editor droppings, lost+found) are skipped, but a real
     // *.wal file with a bad header still fails loudly
-    val segRe = """(\d+)\.wal""".r
     val files = Option(directory.listFiles()).getOrElse(Array.empty)
     files.filter(_.isFile)
       .flatMap(f => f.getName match {
-        case segRe(id) => Some((id.toLong, f))
+        case Wal.SegmentName(id) => Some((id.toLong, f))
         case _ => None
       })
       .sortBy(_._1)
