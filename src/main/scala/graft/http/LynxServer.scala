@@ -143,6 +143,20 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
     }
   })
 
+  // admin: flush the RAM tail to the tier and truncate the WAL
+  // (no-op engine-side without a configured tier)
+  server.createContext("/api/v1/admin/checkpoint", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "POST") respond(ex, 405)
+    else try {
+      engine.checkpoint()
+      respond(ex, 200)
+    } catch {
+      case e: Exception =>
+        System.err.println(e)
+        respond(ex, 500)
+    }
+  })
+
   def start(): Unit = server.start()
   def stop(): Unit = server.stop(0)
   def boundPort: Int = server.getAddress.getPort

@@ -74,6 +74,27 @@ class HttpSpec extends AnyFunSuite {
     }
   }
 
+  test("admin checkpoint flushes the buffer through the tier") {
+    val dir = Files.createTempDirectory("http-ckpt").toFile
+    val tierDir = Files.createTempDirectory("http-ckpt-tier").toFile
+    val engine = new LynxEngine(SparkFixture.spark, dir, 1024 * 1024,
+      Some(new graft.tier.ParquetTier(tierDir)))
+    val server = new LynxServer(engine, "127.0.0.1", 0)
+    server.start()
+    try {
+      val port = server.boundPort
+      post(port, "/api/v1/write",
+        """{"namespace":"ns","measurement":"cpu","value":"1","timestamp":1}""")
+      val ck = post(port, "/api/v1/admin/checkpoint", "")
+      assert(ck.statusCode() == 200)
+      assert(engine.buffer.isEmpty)
+      // data still queryable from the tier
+      val q = post(port, "/api/v1/query",
+        """{"namespace":"ns","query":"SELECT value FROM cpu","format":"json"}""")
+      assert(q.body() == """[{"value":"1"}]""")
+    } finally server.stop()
+  }
+
   test("unknown namespace → 404; bad SQL → 500 (main.rs:83-87)") {
     withServer { port =>
       val r404 = post(port, "/api/v1/query",
