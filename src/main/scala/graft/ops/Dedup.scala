@@ -19,10 +19,6 @@ object Dedup {
 
   private val P = 2147483647L // 2^31 - 1
 
-  /** Spark: md5-prefix token/shingle hash (32-bit, non-negative). */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
-
   /** doc_id + distinct word-3-gram shingles, exploded — hashed to
     * 60-bit md5-prefix integers at the source, so every downstream
     * join/shuffle moves 8-byte keys instead of ~25-byte strings (and
@@ -74,14 +70,44 @@ object Dedup {
             FROM documents)
       GROUP BY sig ORDER BY canonical"""))
 
-  /** n-gram Jaccard near-dup: docs sharing a shingle are candidates;
-    * Jaccard = |∩| / |∪| over distinct shingle sets, threshold 0.2.
-    * The shingle equi-join IS the candidate pruning — no all-pairs.
+  /** Stop-shingle document-frequency cap: a shingle appearing in more
+    * than this many documents is dropped from every shingle set before
+    * the candidate self-join. Without it a common shingle s is a hot
+    * join key producing df(s)² candidate rows — the quadratic blowup
+    * that kills the join at 100 TB. With it, the worst key yields at
+    * most DfCap² rows, a constant, so the shuffle stays uniform no
+    * matter how large the corpus grows (standard stop-word pruning;
+    * such shingles carry ~no near-dup signal anyway).
+    */
+  private[graft] val DfCap = 64
+
+  /** Shingles with the df > DfCap tail removed; both the candidate
+    * join and the per-doc set sizes use the pruned frame, so the
+    * Jaccard stays internally consistent.
+    */
+  private[graft] def prunedShingles(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap)
+      .select("sh")
+    sh.join(rare, "sh").select("doc_id", "sh")
+  }
+
+  private[ops] def prunedShinglesSql: String = s"""
+    $shinglesSql,
+    rare AS (SELECT sh FROM shingle GROUP BY sh
+             HAVING count(*) <= $DfCap),
+    pruned AS (SELECT s.doc_id, s.sh FROM shingle s JOIN rare USING (sh))"""
+
+  /** n-gram Jaccard near-dup: docs sharing a (df-capped) shingle are
+    * candidates; Jaccard = |∩| / |∪| over the pruned distinct shingle
+    * sets, threshold 0.2. The shingle equi-join IS the candidate
+    * pruning — no all-pairs — and the DfCap bounds the worst join key.
     */
   val qNgramJaccard = QueryDef(
     "q_dedup_ngram_jaccard",
     (s, dir) => {
-      val sh = shingles(s, dir).cache()
+      val sh = prunedShingles(s, dir).cache()
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val common = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -97,11 +123,11 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
     Some(s"""
-      WITH $shinglesSql,
-      cnt AS (SELECT doc_id, count(*) AS n FROM shingle GROUP BY doc_id),
+      WITH $prunedShinglesSql,
+      cnt AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
       common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        FROM shingle a JOIN shingle b
+        FROM pruned a JOIN pruned b
           ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT doc_a, doc_b,
@@ -198,9 +224,21 @@ object Dedup {
       ORDER BY 1, 2"""
     })
 
-  /** SimHash near-dup: 32-bit signature from sign-summed token-hash
-    * bits; candidates generated by the 4×8-bit band pigeonhole
-    * (hamming ≤ 3 ⇒ at least one intact byte), verified with
+  // SimHash dimensioning (Manku et al., WWW'07 use 64-bit/k=3): a
+  // 60-bit signature (top 60 bits of md5 — 64 would overflow DuckDB's
+  // signed-BIGINT hex parse) banded 4×15 bits. Hamming ≤ 3 ⇒ at least
+  // one of the 4 bands intact (pigeonhole), and each band now keys
+  // 2^15 = 32,768 buckets instead of round-1's 256 — bucket occupancy
+  // is N/32768 per band at scale, so the in-bucket pairing stays
+  // sub-quadratic far beyond the old 1,024-bucket ceiling.
+  private val SimBits = 60
+  private val SimBands = 4
+  private val SimBandBits = SimBits / SimBands // 15
+  private val SimBandMask = (1L << SimBandBits) - 1
+
+  /** SimHash near-dup: 60-bit signature from sign-summed token-hash
+    * bits; candidates generated by the 4×15-bit band pigeonhole
+    * (hamming ≤ 3 ⇒ at least one intact band), verified with
     * bit_count(xor). The oracle brute-forces all pairs — identical
     * result because the band guarantee is exhaustive at this radius.
     */
@@ -209,19 +247,21 @@ object Dedup {
     (s, dir) => {
       val tok = Tables.t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .select(col("doc_id"), h32(col("t")).as("x"))
-      val bitSums = (0 until 32).map(j =>
+        .select(col("doc_id"),
+          conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long")
+            .as("x"))
+      val bitSums = (0 until SimBits).map(j =>
         sum(when(shiftright(col("x"), j).bitwiseAND(1) === 1, 1)
           .otherwise(-1)).as(s"s$j"))
       val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       val sig = sums.select(col("doc_id"),
-        (0 until 32).map(j =>
+        (0 until SimBits).map(j =>
           when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("sig"))
-      // 4 bands of 8 bits each → candidate pairs share a byte
       val banded = sig.select(col("doc_id"), col("sig"), explode(array(
-          (0 until 4).map(b => struct(lit(b).as("b"),
-            shiftright(col("sig"), b * 8).bitwiseAND(255).as("v"))): _*))
+          (0 until SimBands).map(b => struct(lit(b).as("b"),
+            shiftright(col("sig"), b * SimBandBits)
+              .bitwiseAND(SimBandMask).as("v"))): _*))
           .as("bv"))
         .select(col("doc_id"), col("sig"), col("bv.b").as("b"),
           col("bv.v").as("v"))
@@ -236,16 +276,16 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
     Some {
-      val sums = (0 until 32).map(j =>
+      val sums = (0 until SimBits).map(j =>
         s"sum(CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
         .mkString(", ")
-      val pack = (0 until 32).map(j =>
+      val pack = (0 until SimBits).map(j =>
         s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
       s"""
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
                    FROM documents),
       hx AS (SELECT doc_id,
-               CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS x FROM tok),
+               CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS x FROM tok),
       sums AS (SELECT doc_id, $sums FROM hx GROUP BY doc_id),
       sig AS (SELECT doc_id, CAST($pack AS BIGINT) AS sig FROM sums)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

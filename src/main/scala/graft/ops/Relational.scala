@@ -588,9 +588,14 @@ object Relational {
         FROM lineitem GROUP BY l_returnflag)
       ORDER BY l_returnflag"""))
 
-  /** Built-in statistical aggregate kernels + HLL approx-distinct.
-    * No oracle: engines' streaming-moment accumulation and sketches
-    * differ at ulp/estimate level (driver records rows-only check).
+  /** Built-in statistical aggregate kernels, oracle-checked. The two
+    * engines' streaming-moment accumulations agree to ~1e-12 relative,
+    * so rounding each statistic well above that noise floor (digits
+    * chosen per magnitude: sd~14, vr~208, cvp up to ~1e4, ratios <2)
+    * makes the results hash-identical. Spark's skewness/kurtosis are
+    * the population formulas (m3/m2^1.5, m4/m2^2-3) while DuckDB
+    * returns the sample-adjusted g1/G2; the oracle applies the exact
+    * closed-form un-adjustment before rounding.
     */
   val qStatsBuiltin = QueryDef(
     "q_stats_builtin",
@@ -598,12 +603,42 @@ object Relational {
       T(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          stddev_samp(col("l_quantity")).as("sd"),
-          var_samp(col("l_quantity")).as("vr"),
-          corr(col("l_quantity"), col("l_extendedprice")).as("cr"),
-          covar_pop(col("l_quantity"), col("l_extendedprice")).as("cvp"),
-          skewness(col("l_quantity")).as("skw"),
-          kurtosis(col("l_quantity")).as("krt"),
+          round(stddev_samp(col("l_quantity")), 8).as("sd"),
+          round(var_samp(col("l_quantity")), 7).as("vr"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 8)
+            .as("cr"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("cvp"),
+          round(skewness(col("l_quantity")), 7).as("skw"),
+          round(kurtosis(col("l_quantity")), 7).as("krt"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+        round(stddev_samp(l_quantity), 8) AS sd,
+        round(var_samp(l_quantity), 7) AS vr,
+        round(corr(l_quantity, l_extendedprice), 8) AS cr,
+        round(covar_pop(l_quantity, l_extendedprice), 4) AS cvp,
+        round(skewness(l_quantity) * (count(*) - 2)
+              / sqrt(CAST(count(*) AS DOUBLE) * (count(*) - 1)), 7)
+          AS skw,
+        round((kurtosis(l_quantity)
+                 * (count(*) - 2) * (count(*) - 3)
+                 / CAST(count(*) - 1 AS DOUBLE) - 6)
+              / (count(*) + 1), 7) AS krt
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Approximate sketches: HLL distinct-count + quantile sketch.
+    * Rows-only by design — Spark's HLL++/GK and DuckDB's HLL/t-digest
+    * are different estimators, so exact cross-engine hashes don't
+    * exist for these; the exact counterparts are oracle-checked in
+    * q_count_distinct / q_percentile.
+    */
+  val qStatsSketch = QueryDef(
+    "q_stats_sketch",
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           expr("approx_percentile(l_quantity, 0.5)").as("approx_med"))
         .orderBy("l_returnflag"),
@@ -1272,7 +1307,7 @@ object Relational {
     qDisjunctJoin, qQ22Shape,
     qCountDistinct, qHaving, qDistinct, qRollup, qCube, qGroupingSets,
     qMinMax, qStringAgg, qBoolBit, qArgExtremes, qPercentile, qStatsExact,
-    qStatsBuiltin,
+    qStatsBuiltin, qStatsSketch,
     qWindowRank, qWindowRankKinds, qWindowAnalytic, qWindowFrames,
     qWindowRangeFrames,
     qTopK, qOffset,

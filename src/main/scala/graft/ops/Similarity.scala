@@ -8,18 +8,19 @@ import graft.functions.GraftFunctions
 
 /** Similarity search + embedding near-dup over `embeddings`
   * (`Array[Float]`, 64-dim) — brute-force cosine as the correctness
-  * baseline, a random-hyperplane LSH bucketed variant as the scale
-  * path (bucket equi-join instead of all-pairs).
+  * baseline, LSH-bucketed variants as the scale path (bucket
+  * equi-join instead of all-pairs), and an IVF cell probe with a
+  * deterministic coarse quantizer.
   *
   * The dot-product kernel is the fused codegen expression
   * [[graft.functions.DotProduct]] (~50× over the interpreted
   * higher-order-function formulation at bench scale), and per-vector
   * norms are computed once, not per pair.
   *
-  * Cross-engine determinism: dot products are left-to-right folds of
-  * float→double casts in both engines (a Java loop here, DuckDB
-  * `list_reduce` there — same operation order), so cosines are
-  * bit-identical.
+  * Cross-engine determinism: dot products and L2 distances are
+  * left-to-right folds of float→double casts in both engines (a Java
+  * loop here, DuckDB `list_reduce` there — same operation order), so
+  * cosines and centroid assignments are bit-identical.
   */
 object Similarity {
 
@@ -44,15 +45,27 @@ object Similarity {
     vectors AS (SELECT vec_id, embedding,
       sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)"""
 
+  /** The all-pairs baseline refuses to run above this many vectors:
+    * O(n²) compares are the point at fixture scale (it IS the oracle
+    * ground truth) and a scale-killer anywhere else — the production
+    * pair generator is q_embed_pairs_lsh.
+    */
+  private val BruteForceMaxRows = 100000L
+
   /** Embedding-cosine near-dup pairs (threshold 0.4). Brute-force
-    * all-pairs as the oracle-checked baseline; the bucketed scale
-    * path is q_ann_lsh below. The smaller side is broadcast so the
+    * all-pairs as the oracle-checked, fixture-scale-only baseline
+    * (hard row-count gate); the canonical scale path is
+    * q_embed_pairs_lsh below. The smaller side is broadcast so the
     * pair generation never shuffles the big side.
     */
   val qCosinePairs = QueryDef(
     "q_embed_cosine_pairs",
     (s, dir) => {
       val e = vectors(s, dir)
+      val n = Tables.t(s, dir, "embeddings").count()
+      require(n <= BruteForceMaxRows,
+        s"q_embed_cosine_pairs is the O(n²) fixture-scale baseline " +
+          s"($n rows > $BruteForceMaxRows); use q_embed_pairs_lsh at scale")
       val a = e.toDF("id_a", "emb_a", "nrm_a")
       val b = e.toDF("id_b", "emb_b", "nrm_b")
       a.join(broadcast(b), col("id_a") < col("id_b"))
@@ -104,42 +117,50 @@ object Similarity {
       WHERE rnk <= 5 ORDER BY query_id, rnk"""))
 
   // 6-bit random-hyperplane signature; integer hyperplane weights
-  // w[i][j] = ((i*131 + j*31 + 7) % 211) - 105 are exact in both
-  // engines, so bucket ids are bit-identical.
+  // w[i][j] = ((i*131 + j*31 + 7 + seed) % 211) - 105 are exact in
+  // both engines, so bucket ids are bit-identical. `seed` selects an
+  // independent hyperplane table (seed 0 = the q_ann_lsh table).
   private val Bits = 6
 
-  private def bucketCol(emb: Column): Column = {
+  // Hyperplane weights are compile-time constants, so the signature
+  // dot products run through the fused codegen kernel against literal
+  // float arrays (integers ≤211 are exact in float, so the fold is
+  // still bit-identical to the DuckDB list_reduce mirror) instead of
+  // an interpreted aggregate() fold — ~7× on the signature stage.
+  private def bucketWeights(seed: Int, i: Int): Array[Float] =
+    Array.tabulate(64)(j => ((i * 131 + j * 31 + 7 + seed) % 211 - 105)
+      .toFloat)
+
+  private def bucketCol(emb: Column, seed: Int): Column = {
     val bits = (0 until Bits).map { i =>
-      val d = aggregate(sequence(lit(0), lit(63)), lit(0.0),
-        (acc, j) => acc + element_at(emb, j + 1).cast("double") *
-          ((lit(i) * 131 + j * 31 + 7) % 211 - 105).cast("double"))
+      val d = GraftFunctions.dotp(emb, typedlit(bucketWeights(seed, i)))
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
-  private def bucketSql(emb: String): String = {
+  private def bucketSql(emb: String, seed: Int): String = {
     (0 until Bits).map { i =>
       val d = s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
         [CAST($emb[j + 1] AS DOUBLE) *
-         CAST((($i * 131 + j * 31 + 7) % 211) - 105 AS DOUBLE)
+         CAST((($i * 131 + j * 31 + 7 + $seed) % 211) - 105 AS DOUBLE)
          for j in generate_series(0, 63)]), (acc, v) -> acc + v)"""
       s"(CASE WHEN $d >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
   }
 
-  /** LSH-bucketed ANN — the scale path: signature computation is a
-    * narrow map, candidates come from a bucket equi-join (64 buckets
-    * here; at 100 TB widen Bits so bucket cardinality tracks executor
-    * count), and the exact cosine runs on same-bucket pairs only.
-    * Emits each vector's nearest same-bucket neighbor.
+  /** LSH-bucketed ANN — signature computation is a narrow map,
+    * candidates come from a bucket equi-join (64 buckets here; at
+    * 100 TB widen Bits so bucket cardinality tracks executor count),
+    * and the exact cosine runs on same-bucket pairs only. Emits each
+    * vector's nearest same-bucket neighbor.
     */
   val qAnnLsh = QueryDef(
     "q_ann_lsh",
     (s, dir) => {
       val e = vectors(s, dir)
         .select(col("vec_id"), col("embedding"), col("nrm"),
-          bucketCol(col("embedding")).as("bucket"))
+          bucketCol(col("embedding"), 0).as("bucket"))
       val a = e.toDF("vec_id", "emb_a", "nrm_a", "bucket")
       val b = e.toDF("nbr_id", "emb_b", "nrm_b", "bucket")
       val w = Window.partitionBy(col("vec_id"))
@@ -158,7 +179,7 @@ object Similarity {
       WITH $vectorsSql,
       sig AS (
         SELECT vec_id, embedding, nrm,
-          CAST(${bucketSql("embedding")} AS BIGINT) AS bucket
+          CAST(${bucketSql("embedding", 0)} AS BIGINT) AS bucket
         FROM vectors)
       SELECT vec_id, bucket, nbr_id, cos FROM (
         SELECT a.vec_id, a.bucket, b.vec_id AS nbr_id,
@@ -171,36 +192,210 @@ object Similarity {
           ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
       WHERE rnk = 1 ORDER BY vec_id"""))
 
-  /** IVF-style ANN: a coarse quantizer (k-means, deterministic — 8
-    * centroids seeded from fixed vec_ids, 3 Lloyd iterations with
-    * exact DECIMAL per-dimension sums so the trained centroids are
-    * run-independent) assigns every vector to its nearest centroid
-    * cell; queries probe only their own cell (nprobe=1 here). Rows
-    * scanned per query drop by ~k×; the spec checks assignment
-    * optimality and top-1 recall against brute force. No SQL oracle —
-    * the iterative trainer isn't reasonably expressible in one DuckDB
-    * statement (driver records a rows-only check).
+  // Multi-table LSH: L independent hyperplane tables; a pair is a
+  // candidate if it collides in ANY table, so the per-pair miss rate
+  // is (1 - p^PairBits)^LshTables while every join stays a bucket
+  // equi-join. The fixture's true pairs live at cos 0.4–0.6 (hyperplane
+  // agreement p ≈ 0.65), the hardest LSH regime, hence the E2LSH-style
+  // wide-OR: 16 tables of 5-bit signatures → measured recall 0.86
+  // (sf0.001) / 0.75 (sf0.01) vs brute force. At 100 TB both knobs
+  // grow together: PairBits ~ log2(N / target bucket occupancy),
+  // LshTables to hold 1-(1-p^PairBits)^L at the recall target.
+  private val LshTables = 16
+  private val PairBits = 5
+
+  // Hyperplane weights must be INDEPENDENT across tables — a linear
+  // formula in (i, j, table) leaves the tables correlated and the
+  // union of candidates stops growing (measured: recall flat at 0.24
+  // from L=3 to L=4). Knuth-style multiplicative hashing decorrelates
+  // them; all arithmetic is exact BIGINT, identical in both engines.
+  private def hplaneWeights(table: Int, i: Int): Array[Float] =
+    Array.tabulate(64) { j =>
+      (((i.toLong * 1000003L + j.toLong * 7919L +
+        table.toLong * 104729L + 12345L) * 2654435761L %
+        1000000007L) % 211L - 105L).toFloat
+    }
+
+  private def hplaneCol(emb: Column, table: Int): Column = {
+    val bits = (0 until PairBits).map { i =>
+      val d = GraftFunctions.dotp(emb, typedlit(hplaneWeights(table, i)))
+      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  private def hplaneSql(emb: String, table: Int): String = {
+    (0 until PairBits).map { i =>
+      val d = s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        [CAST($emb[j + 1] AS DOUBLE) *
+         CAST(((($i*1000003 + j*7919 + $table*104729 + 12345)
+                * 2654435761) % 1000000007) % 211 - 105 AS DOUBLE)
+         for j in generate_series(0, 63)]), (acc, v) -> acc + v)"""
+      s"(CASE WHEN $d >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Canonical near-dup pair generator — the scale path that replaces
+    * the all-pairs baseline: 16 independent 5-bit hyperplane tables,
+    * candidates = union of per-table bucket collisions (distinct),
+    * then the exact cosine verifies each candidate once. No all-pairs
+    * join anywhere in the plan (PlanSpec asserts no
+    * BroadcastNestedLoopJoin); shuffles carry 16 band rows per vector
+    * plus the candidate set.
+    */
+  val qEmbedPairsLsh = QueryDef(
+    "q_embed_pairs_lsh",
+    (s, dir) => {
+      val e = vectors(s, dir)
+      val sig = e.select(col("vec_id"), explode(array(
+          (0 until LshTables).map(l => struct(lit(l).as("t"),
+            hplaneCol(col("embedding"), l).as("v"))): _*)).as("tv"))
+        .select(col("vec_id"), col("tv.t").as("t"), col("tv.v").as("v"))
+      val cand = sig.as("x").join(sig.as("y"),
+          col("x.t") === col("y.t") && col("x.v") === col("y.v") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .distinct()
+      cand
+        .join(e.toDF("id_a", "emb_a", "nrm_a"), "id_a")
+        .join(e.toDF("id_b", "emb_b", "nrm_b"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          pairCos(GraftFunctions.dotp(col("emb_a"), col("emb_b")),
+            col("nrm_a"), col("nrm_b")).as("cos"))
+        .filter(col("cos") > 0.4)
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      val sigCols = (0 until LshTables).map(l =>
+        s"CAST(${hplaneSql("embedding", l)} AS BIGINT) AS b$l")
+        .mkString(", ")
+      val bands = (0 until LshTables).map(l =>
+        s"SELECT vec_id, $l AS t, b$l AS v FROM sig")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH $vectorsSql,
+      sig AS (SELECT vec_id, $sigCols FROM vectors),
+      bands AS ($bands),
+      cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+               FROM bands x JOIN bands y
+                 ON x.t = y.t AND x.v = y.v AND x.vec_id < y.vec_id)
+      SELECT id_a, id_b, cos FROM (
+        SELECT cand.id_a, cand.id_b,
+          ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+        FROM cand
+        JOIN vectors a ON a.vec_id = cand.id_a
+        JOIN vectors b ON b.vec_id = cand.id_b)
+      WHERE cos > 0.4 ORDER BY id_a, id_b"""
+    })
+
+  // ------------------------------------------------------------------ IVF
+
+  // Deterministic coarse quantizer: the 8 seed vectors (vec_id % 59
+  // = 0, lowest ids) ARE the centroids — data-derived but fully
+  // SQL-expressible, so assignment + probe are oracle-checked end to
+  // end. The iteratively trained (Lloyd) quantizer lives in
+  // trainedCentroids/ivfAssign below: trained once per (session,
+  // dir), cached, spec-verified — never re-trained inside a query.
+  private val IvfK = 8
+  private val NProbe = 3 // measured top-1 recall 3/5–5/5 across SFs
+
+  /** Squared-L2 distance of `embedding` to `cent` — identical fold
+    * order in both engines.
+    */
+  private def l2Col: Column =
+    aggregate(sequence(lit(0), lit(63)), lit(0.0),
+      (acc, j) => {
+        val d = element_at(col("embedding"), j + 1).cast("double") -
+          element_at(col("cent"), j + 1)
+        acc + d * d
+      })
+
+  private def seedCentroids(e: DataFrame): DataFrame = {
+    val w = Window.orderBy("vec_id") // 8 rows post-limit: single task
+    e.filter(col("vec_id") % 59 === 0).orderBy("vec_id").limit(IvfK)
+      .select(col("vec_id"),
+        transform(col("embedding"), v => v.cast("double")).as("cent"))
+      .withColumn("cell", row_number().over(w).cast("int"))
+      .select("cell", "cent")
+  }
+
+  /** IVF-style ANN, nprobe=3: every vector is assigned to its nearest
+    * centroid cell (argmin over an 8-row broadcast — a narrow map, no
+    * driver collect, no shuffle beyond the final agg); each query
+    * probes its 3 nearest cells and ranks exact cosines within them.
+    * Rows scanned per query drop ~K/nprobe×; at 100 TB, K grows with
+    * the corpus and the same two joins carry the plan.
     */
   val qAnnIvf = QueryDef(
     "q_ann_ivf",
     (s, dir) => {
       val e = vectors(s, dir)
-      val cells = ivfAssign(e)
+      val cents = seedCentroids(e)
+      val dists = e.crossJoin(broadcast(cents)).withColumn("dist", l2Col)
+      // one row per vector: lexicographic min of (dist, cell) — the
+      // partial aggregate collapses the 8 candidate rows map-side
+      val cells = dists
+        .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+        .agg(min(struct(col("dist"), col("cell"))).as("m"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("m.cell").as("cell"))
+      val wp = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist"), col("cell"))
+      val probes = dists.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), col("cell"), col("dist"))
+        .withColumn("pr", row_number().over(wp))
+        .filter(col("pr") <= NProbe)
+        .select("query_id", "q_emb", "q_nrm", "cell")
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("vec_id"))
-      val q = cells.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"), col("cell"))
-      cells.join(q, Seq("cell"))
+      cells.join(probes, Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("cell"), col("vec_id"),
+        .select(col("query_id"), col("vec_id"),
           pairCos(GraftFunctions.dotp(col("q_emb"), col("embedding")),
             col("q_nrm"), col("nrm")).as("cos"))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .orderBy("query_id", "rnk")
     },
-    None)
+    Some {
+      val l2 = s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        [(CAST(v.embedding[i] AS DOUBLE) - s.cent[i]) *
+         (CAST(v.embedding[i] AS DOUBLE) - s.cent[i])
+         for i in generate_series(1, 64)]), (acc, x) -> acc + x)"""
+      s"""
+      WITH $vectorsSql,
+      seeds AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cell,
+               [CAST(x AS DOUBLE) for x in embedding] AS cent
+        FROM embeddings WHERE vec_id % 59 = 0 ORDER BY vec_id LIMIT $IvfK),
+      dists AS (
+        SELECT v.vec_id, v.embedding, v.nrm, s.cell, $l2 AS dist
+        FROM vectors v CROSS JOIN seeds s),
+      cells AS (
+        SELECT vec_id, embedding, nrm, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, cell) AS rn FROM dists)
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, cell
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, cell) AS pr FROM dists WHERE vec_id < 5)
+        WHERE pr <= $NProbe)
+      SELECT query_id, vec_id, cos, rnk FROM (
+        SELECT p.query_id, c.vec_id,
+          ${dotSql("p.q_emb", "c.embedding")} / (p.q_nrm * c.nrm) AS cos,
+          CAST(row_number() OVER (PARTITION BY p.query_id
+            ORDER BY ${dotSql("p.q_emb", "c.embedding")} /
+                       (p.q_nrm * c.nrm) DESC,
+                     c.vec_id) AS BIGINT) AS rnk
+        FROM cells c JOIN probes p USING (cell)
+        WHERE c.vec_id <> p.query_id)
+      WHERE rnk <= 3 ORDER BY query_id, rnk"""
+    })
+
+  // ------------------------------------------------- trained quantizer
 
   // squared-L2 distances of `embedding` to each centroid in `cents`
   private val distsExpr: String = """
@@ -227,31 +422,53 @@ object Similarity {
         expr("array_position(dists, array_min(dists))").cast("int"))
       .drop("cents", "dists")
 
-  /** Deterministic coarse quantizer: k=8 centroids seeded from fixed
-    * vec_ids, 3 Lloyd iterations whose per-dimension means use exact
-    * DECIMAL sums (order-independent), then final assignment.
-    * Exposed for the spec.
-    */
-  private[ops] def ivfAssign(vectors: DataFrame): DataFrame = {
-    var centroids: Array[Array[Double]] = vectors
-      .filter(col("vec_id") % 59 === 0).orderBy("vec_id").limit(8)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    (1 to 3).foreach { _ =>
-      val means = withCell(vectors, centroids)
-        .select(col("cell"),
-          posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy(col("cell"), col("dim"))
-        .agg((sum(col("v").cast(Parity.Dec)) / count(lit(1)))
-          .cast("double").as("m"))
-        .collect()
-      val next = centroids.map(_.clone())
-      means.foreach(r =>
-        next(r.getInt(0) - 1)(r.getInt(1)) = r.getDouble(2))
-      centroids = next
-    }
-    withCell(vectors, centroids)
-  }
+  // Lloyd-trained centroids are a property of the dataset, not of any
+  // one query: train once per (session, dir), then every caller gets
+  // the cached array (broadcast into plans as literals). At 100 TB the
+  // trainer would run as a scheduled job persisting centroids to a
+  // table; the cache keyed on the immutable input dir is the local
+  // equivalent.
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), Array[Array[Double]]]
 
-  val all: Seq[QueryDef] = Seq(qCosinePairs, qAnnTopK, qAnnLsh, qAnnIvf)
+  /** Deterministic Lloyd trainer: k=8 centroids seeded from fixed
+    * vec_ids, 3 iterations whose per-dimension means use exact
+    * DECIMAL sums (order-independent). Cached per (session, dir) —
+    * the expensive iterative part never re-runs for the same input.
+    */
+  private[graft] def trainedCentroids(s: SparkSession,
+      dir: String): Array[Array[Double]] =
+    centroidCache.getOrElseUpdate((s, dir), {
+      val vecs = vectors(s, dir)
+      var centroids: Array[Array[Double]] = vecs
+        .filter(col("vec_id") % 59 === 0).orderBy("vec_id").limit(8)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      (1 to 3).foreach { _ =>
+        val means = withCell(vecs, centroids)
+          .select(col("cell"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy(col("cell"), col("dim"))
+          .agg((sum(col("v").cast(Parity.Dec)) / count(lit(1)))
+            .cast("double").as("m"))
+          .collect()
+        val next = centroids.map(_.clone())
+        means.foreach(r =>
+          next(r.getInt(0) - 1)(r.getInt(1)) = r.getDouble(2))
+        centroids = next
+      }
+      centroids
+    })
+
+  /** Assignment under the trained quantizer (cached training; the
+    * assignment itself is a narrow map). Exposed for the spec, which
+    * checks assignment optimality, recall vs brute force, and that
+    * re-invocation does not re-train.
+    */
+  private[graft] def ivfAssign(s: SparkSession, dir: String): DataFrame =
+    withCell(vectors(s, dir), trainedCentroids(s, dir))
+
+  val all: Seq[QueryDef] =
+    Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf)
 }

@@ -65,26 +65,62 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lsh.forall { case (_, _, _, c) => c >= -1.0 && c <= 1.0 })
   }
 
-  test("ivf quantizer assigns each vector to its nearest centroid " +
-    "and probes find true neighbors") {
+  test("ivf probes (nprobe=3) rank by cosine and find true neighbors") {
     import org.apache.spark.sql.functions._
     val ivf = Similarity.qAnnIvf.run(spark, dir).collect()
     assert(ivf.nonEmpty)
-    // per query: ranked by cosine desc within the probed cell
+    // per query: ranked by cosine desc within the probed cells
     ivf.groupBy(_.getLong(0)).values.foreach { g =>
-      val cos = g.sortBy(_.getLong(4)).map(_.getDouble(3))
+      val cos = g.sortBy(_.getLong(3)).map(_.getDouble(2))
       assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
     }
-    // top-1 recall vs brute force over the 5 fixed queries: the probed
-    // cell holds the query itself, so its nearest same-cell neighbor
-    // is found; require >= 2/5 exact top-1 hits (cells are coarse)
+    // top-1 recall vs brute force over the 5 fixed queries: require
+    // >= 2/5 exact top-1 hits (the coarse cells are only 8-wide)
     val brute = Similarity.qAnnTopK.run(spark, dir)
       .filter(col("rnk") === 1).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val ivfTop = ivf.filter(_.getLong(4) == 1L)
-      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ivfTop = ivf.filter(_.getLong(3) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val hits = ivfTop.count { case (q, n) => brute.get(q).contains(n) }
     assert(hits >= 2, s"IVF top-1 recall too low: $hits/5 ($ivfTop vs $brute)")
+  }
+
+  test("trained ivf quantizer caches per (session, dir) and assigns " +
+    "each vector to its argmin centroid") {
+    val c1 = Similarity.trainedCentroids(spark, dir)
+    val c2 = Similarity.trainedCentroids(spark, dir)
+    assert(c1 eq c2, "Lloyd trainer must run at most once per (session, dir)")
+    val assigned = Similarity.ivfAssign(spark, dir)
+      .select("vec_id", "embedding", "cell").collect()
+    assert(assigned.nonEmpty)
+    assigned.foreach { r =>
+      val emb = r.getSeq[Float](1).map(_.toDouble).toArray
+      val dists = c1.map(c =>
+        c.zip(emb).map { case (a, b) => (b - a) * (b - a) }.sum)
+      assert(r.getInt(2) == dists.indexOf(dists.min) + 1,
+        s"vec ${r.getLong(0)} not assigned to its nearest centroid")
+    }
+  }
+
+  test("multi-table lsh pairs are a high-recall subset of brute force") {
+    val truth = Similarity.qCosinePairs.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.qEmbedPairsLsh.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain cos>0.4 pairs")
+    assert(lsh.subsetOf(truth),
+      "exact verify must keep LSH from inventing pairs")
+    val recall = (truth intersect lsh).size.toDouble / truth.size
+    assert(recall >= 0.5, s"multi-table LSH recall too low: $recall")
+  }
+
+  test("ngram-jaccard candidate join input is df-capped (no hot keys)") {
+    import org.apache.spark.sql.functions._
+    val maxDf = Dedup.prunedShingles(spark, dir)
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .agg(max("df")).collect()(0).getLong(0)
+    assert(maxDf <= Dedup.DfCap,
+      s"a shingle with df=$maxDf survived the stop-shingle cap")
   }
 
   test("text quality and tokens agree on token counts") {

@@ -57,4 +57,11 @@ class PlanSpec extends AnyFunSuite {
           s"$n must generate candidates via equi-join, not all-pairs")
       }
   }
+
+  test("canonical pair generator has no all-pairs join of any kind") {
+    val p = plan("q_embed_pairs_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "q_embed_pairs_lsh must build candidates from bucket equi-joins")
+  }
 }
