@@ -23,7 +23,12 @@ object IngestBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = Files.createTempDirectory("ingest-bench").toFile
-    val engine = new LynxEngine(spark, dir, 50L * 1024 * 1024)
+    // LYNX_WAL_GROUP_COMMIT_MS > 0 benches the group-commit flush
+    // policy against the default per-record flush
+    val groupCommitMs = sys.env.get("LYNX_WAL_GROUP_COMMIT_MS")
+      .map(_.toLong).getOrElse(0L)
+    val engine = new LynxEngine(spark, dir, 50L * 1024 * 1024,
+      walGroupCommitMillis = groupCommitMs)
     val tags = Map("host" -> TagString("h1"), "region" -> TagString("eu"))
     // warm-up
     (0 until 1000).foreach(i =>
@@ -40,7 +45,7 @@ object IngestBench {
     val rows = engine.query("bench", "SELECT count(*) AS n FROM cpu")
       .get.rows.head.getLong(0)
     require(rows == n, s"lost writes: $rows != $n")
-    println(f"""{"metric":"ingest_writes_per_sec","value":${n / secs}%.0f,"unit":"writes/sec","n":$n,"wal_segments":${engine.wal.activeSegmentId + 1}}""")
+    println(f"""{"metric":"ingest_writes_per_sec","value":${n / secs}%.0f,"unit":"writes/sec","n":$n,"wal_segments":${engine.wal.activeSegmentId + 1},"group_commit_ms":$groupCommitMs}""")
     engine.wal.close()
     spark.stop()
   }

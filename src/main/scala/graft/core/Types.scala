@@ -27,8 +27,24 @@ final case class TagNumber(bits: Long) extends TagValue
   */
 object SealMarker {
   val Namespace = "\u0000lynx.seal"
-  def apply(namespace: String, table: String): WriteRequest =
-    WriteRequest(Namespace, table, namespace, Map.empty, 0L)
+  /** Tag keys carrying the staged-seal commit record: the staging dir
+    * id and the newline-joined relative file list. Replay re-drives
+    * the (idempotent) tier publish from them, making the seal atomic —
+    * a marker without a publish is completed at replay; staged files
+    * without a marker are discarded and their rows replay into the
+    * buffer.
+    */
+  val StagingTag = "staging"
+  val FilesTag = "files"
+
+  def apply(namespace: String, table: String,
+      stagingId: String = "", files: Seq[String] = Nil): WriteRequest =
+    WriteRequest(Namespace, table, namespace,
+      if (stagingId.isEmpty) Map.empty
+      else Map(
+        StagingTag -> TagString(stagingId),
+        FilesTag -> TagString(files.mkString("\n"))),
+      0L)
 }
 
 /** The unit of ingest (reference wal.rs:18-25): one measurement point.

@@ -46,16 +46,36 @@ final case class QueryResult(schema: StructType, rows: Seq[Row])
   * the in-RAM tail, and Catalyst prunes `day=` partitions the
   * reference always scans (SURVEY.md §4.1).
   */
-final class LynxEngine(
+class LynxEngine(
     val spark: SparkSession,
     walDir: File,
     maxSegmentSize: Long = 50L * 1024 * 1024,
     tier: Option[ParquetTier] = None,
-    maxBufferedRows: Int = Int.MaxValue) {
+    maxBufferedRows: Int = Int.MaxValue,
+    maxResultRows: Int = Int.MaxValue,
+    walGroupCommitMillis: Long = 0L) {
 
   val buffer = new MemBuffer
-  private val (replayedHighest, replayedIds) = Wal.replay(walDir, buffer)
-  val wal = new Wal(walDir, replayedHighest + 1, maxSegmentSize)
+  private val (replayedHighest, replayedIds) =
+    Wal.replay(walDir, buffer, m => {
+      buffer.drainTable(m.value, m.measurement)
+      // re-drive the tier publish recorded in the marker: idempotent,
+      // so a crash anywhere between marker and publish converges here
+      for {
+        t <- tier
+        sid <- m.metadata.get(graft.core.SealMarker.StagingTag)
+      } {
+        val files = m.metadata.get(graft.core.SealMarker.FilesTag)
+          .map(_.render.split("\n").toSeq.filter(_.nonEmpty))
+          .getOrElse(Nil)
+        t.publish(m.value, m.measurement, sid.render, files)
+      }
+    })
+  // staging dirs whose marker never became durable: their rows just
+  // replayed into the buffer, so the staged copies must be dropped
+  tier.foreach(_.cleanStaging())
+  val wal = new Wal(walDir, replayedHighest + 1, maxSegmentSize,
+    groupCommitMillis = walGroupCommitMillis)
   def replayedSegments: Seq[Long] = replayedIds
 
   private val writeLock = new Object
@@ -75,6 +95,13 @@ final class LynxEngine(
       }
 
   def write(w: WriteRequest): Unit = writeLock.synchronized {
+    // tag keys may not shadow the fixed engine columns or the reserved
+    // `__lynx` namespace (the tier's partition column): a tag named
+    // `timestamp`/`value` would collide in the inferred schema, and a
+    // `__lynx_day` tag would be silently overwritten at seal time
+    w.metadata.keys.foreach(k => require(
+      k != "timestamp" && k != "value" && !k.startsWith("__lynx"),
+      s"reserved tag key: $k"))
     wal.write(w) // WAL-first invariant (reference lynx.rs:32-33,64)
     buffer.insert(w)
     // auto-seal: once a table's RAM tail exceeds the threshold, spill
@@ -95,19 +122,28 @@ final class LynxEngine(
     * SURVEY.md §3.3; this is the 100 TB path). Runs under the write
     * lock — query snapshots also synchronize on it, so a query sees
     * either the pre-seal RAM tail or the post-seal tier, never the
-    * in-between. A durable seal marker lands in the WAL afterwards so
-    * replay does not re-buffer (and double-count) sealed rows.
+    * in-between.
+    *
+    * Crash-atomic commit order: stage the parquet (invisible to
+    * readers), make the seal durable with a WAL marker carrying the
+    * staged file list, then publish. Replay completes a marked-but-
+    * unpublished seal (publish is idempotent) and discards markerless
+    * staging — so a crash at any point neither loses nor
+    * double-counts the sealed rows.
     */
   def seal(namespace: String, table: String): Unit =
     writeLock.synchronized {
       tier.foreach { t =>
         buffer.drainTable(namespace, table).foreach { parts =>
-          t.seal(spark, namespace, table,
-            LynxEngine.toDataFrame(spark, parts).withColumn(
-              "day", org.apache.spark.sql.functions.date_format(
-                org.apache.spark.sql.functions.col("timestamp"),
-                "yyyy-MM-dd")))
-          wal.write(graft.core.SealMarker(namespace, table))
+          val df = LynxEngine.toDataFrame(spark, parts).withColumn(
+            ParquetTier.DayCol,
+            org.apache.spark.sql.functions.date_format(
+              org.apache.spark.sql.functions.col("timestamp"),
+              "yyyy-MM-dd"))
+          val (stagingId, files) = t.stage(spark, namespace, table, df)
+          wal.write(
+            graft.core.SealMarker(namespace, table, stagingId, files))
+          t.publish(namespace, table, stagingId, files)
         }
       }
     }
@@ -147,6 +183,14 @@ final class LynxEngine(
     */
   def query(namespace: String, sql: String): Option[QueryResult] = {
     val plan = LynxEngine.parse(spark, sql)
+    // expression-level escape hatches: reflect()/java_method() invoke
+    // arbitrary public static JVM methods (env/property exfiltration)
+    // — a wider surface than the reference's DataFusion exposes; deny
+    // them up front (untrusted SQL reaches this path over HTTP)
+    val banned = LynxEngine.forbiddenCalls(plan)
+    if (banned.nonEmpty)
+      throw new IllegalArgumentException(
+        s"function not allowed: ${banned.head}")
     val tables = LynxEngine.referencedTables(plan)
     // day-partition pruning: for a simple single-table time-range
     // query, derive the UTC-day bounds from the WHERE clause and read
@@ -165,6 +209,9 @@ final class LynxEngine(
     if (snapshot.isEmpty && tieredFiles.isEmpty) return None
 
     val session = spark.newSession()
+    // no file-path relations for untrusted SQL (SELECT * FROM
+    // parquet.`/path` would read arbitrary host files)
+    session.conf.set("spark.sql.runSQLOnFiles", "false")
     val inMem = snapshot.getOrElse(
       TreeMap.empty[String, TreeMap[String, MeasurementsView]])
     for (t <- tables) {
@@ -188,7 +235,21 @@ final class LynxEngine(
         .createOrReplaceTempView(t)
     }
     val df = session.sql(sql)
-    Some(QueryResult(df.schema, df.collect().toSeq))
+    // The reference collects unboundedly (lynx.rs:142); at scale a
+    // `SELECT * FROM big` over the tier would OOM the driver, so the
+    // engine can cap the materialized result (documented deviation:
+    // an over-limit query fails cleanly instead of ballooning).
+    val rows =
+      if (maxResultRows == Int.MaxValue) df.collect().toSeq
+      else {
+        val r = df.limit(maxResultRows + 1).collect()
+        if (r.length > maxResultRows)
+          throw new IllegalStateException(
+            s"query result exceeds the $maxResultRows-row cap; " +
+              "add a LIMIT or raise LYNX_MAX_RESULT_ROWS")
+        r.toSeq
+      }
+    Some(QueryResult(df.schema, rows))
   }
 }
 
@@ -252,6 +313,46 @@ object LynxEngine {
       throw new IllegalArgumentException(
         "only basic 'SELECT .. FROM' style queries are supported")
     tables
+  }
+
+  /** Expression-level deny list for the untrusted-SQL path. Spark's
+    * reflect/java_method call arbitrary public static JVM methods —
+    * System.getenv, System.getProperty, … — which the reference's
+    * DataFusion surface simply doesn't have; a gatekeeper that only
+    * blocks DDL/DML would let them through inside a SELECT.
+    */
+  private val BannedFunctions = Set("reflect", "java_method")
+
+  /** Names of banned function calls anywhere in the plan, including
+    * inside CTE definitions and subquery expressions (both invisible
+    * to a plain plan traversal).
+    */
+  def forbiddenCalls(plan: LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.{Expression,
+      SubqueryExpression}
+    def fromExpr(e: Expression): Seq[String] = {
+      val here = e match {
+        case f: UnresolvedFunction
+          if BannedFunctions(f.nameParts.last.toLowerCase) =>
+          Seq(f.nameParts.last.toLowerCase)
+        case _ => Nil
+      }
+      val nested = e match {
+        case s: SubqueryExpression => fromPlan(s.plan)
+        case _ => Nil
+      }
+      here ++ nested ++ e.children.flatMap(fromExpr)
+    }
+    def fromPlan(p: LogicalPlan): Seq[String] = {
+      val ctePlans = p.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+          w.cteRelations.map(_._2)
+      }.flatten
+      p.flatMap(_.expressions.flatMap(fromExpr)) ++
+        ctePlans.flatMap(fromPlan)
+    }
+    fromPlan(plan).distinct
   }
 
   /** Conservative UTC-day bounds for tier partition pruning: applies

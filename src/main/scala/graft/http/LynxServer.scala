@@ -30,9 +30,12 @@ object Json {
       n.hasNonNull("value") && n.hasNonNull("timestamp"),
       "missing required field")
     // i64 semantics (reference wal.rs:24): a non-numeric timestamp
-    // must be rejected, not silently coerced to 0
+    // must be rejected, not silently coerced to 0 — and an integer
+    // outside i64 must 422, not wrap through asLong()
     require(n.get("timestamp").isIntegralNumber,
       "timestamp must be an integer (microseconds since epoch)")
+    require(n.get("timestamp").bigIntegerValue().bitLength() <= 63,
+      "timestamp out of i64 range")
     require(!n.get("namespace").asText()
       .startsWith(graft.core.SealMarker.Namespace),
       "reserved namespace")
@@ -54,6 +57,9 @@ object Json {
                 s"tag ${e.getKey}: out of u64 range")
               TagNumber(big.longValue())
             } else TagString(e.getValue.asText())
+          require(e.getKey != "timestamp" && e.getKey != "value" &&
+            !e.getKey.startsWith("__lynx"),
+            s"tag ${e.getKey}: reserved key")
           b += e.getKey -> v
         }
         b.result()
@@ -78,6 +84,13 @@ object Json {
 
 final class LynxServer(engine: LynxEngine, host: String, port: Int) {
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+  // without an executor every request serializes on the dispatch
+  // thread; the reference serves each request on its own tokio task
+  // (main.rs:91) and the engine is concurrency-safe (ConcurrencySpec),
+  // so give the server a real pool
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    math.max(8, Runtime.getRuntime.availableProcessors()))
+  server.setExecutor(pool)
 
   private def respond(ex: HttpExchange, code: Int, body: String = ""): Unit = {
     val bytes = body.getBytes(UTF_8)
@@ -158,13 +171,20 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
   })
 
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdown()
+  }
   def boundPort: Int = server.getAddress.getPort
 }
 
 /** Entry point; env config mirrors the reference (main.rs:19-29):
   * LYNX_HTTP_ADDR (default 127.0.0.1:3000), LYNX_WAL_MAX_SEGMENT_SIZE
   * (default 50 MiB), plus LYNX_WAL_DIR for the segment directory.
+  * Engine extensions: LYNX_MAX_RESULT_ROWS caps what one query may
+  * materialize on the driver (default unbounded, reference-faithful);
+  * LYNX_WAL_GROUP_COMMIT_MS enables WAL group commit (default 0 =
+  * flush per record like the reference).
   */
 object LynxServerMain {
   def main(args: Array[String]): Unit = {
@@ -172,6 +192,10 @@ object LynxServerMain {
     val Array(host, port) = addr.split(":", 2)
     val maxSeg = sys.env.get("LYNX_WAL_MAX_SEGMENT_SIZE")
       .map(_.toLong).getOrElse(50L * 1024 * 1024)
+    val maxRows = sys.env.get("LYNX_MAX_RESULT_ROWS")
+      .map(_.toInt).getOrElse(Int.MaxValue)
+    val groupCommitMs = sys.env.get("LYNX_WAL_GROUP_COMMIT_MS")
+      .map(_.toLong).getOrElse(0L)
     val walDir = new File(sys.env.getOrElse("LYNX_WAL_DIR", "lynx-wal"))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -181,7 +205,8 @@ object LynxServerMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val engine = new LynxEngine(spark, walDir, maxSeg)
+    val engine = new LynxEngine(spark, walDir, maxSeg,
+      maxResultRows = maxRows, walGroupCommitMillis = groupCommitMs)
     val server = new LynxServer(engine, host, port.toInt)
     server.start()
     println(s"lynx-graft listening on $host:${server.boundPort}")

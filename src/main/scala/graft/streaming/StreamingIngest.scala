@@ -34,16 +34,19 @@ object StreamingIngest {
       tags: Map[String, String],
       timestampUs: Long)
 
-  /** Event-time projection: micros → TimestampType + day partition. */
+  /** Event-time projection: micros → TimestampType + the tier's
+    * reserved day partition column.
+    */
   def withEventTime(rows: DataFrame): DataFrame =
     rows
       .withColumn("eventTime", timestamp_micros(col("timestampUs")))
-      .withColumn("day", date_format(col("eventTime"), "yyyy-MM-dd"))
+      .withColumn(graft.tier.ParquetTier.DayCol,
+        date_format(col("eventTime"), "yyyy-MM-dd"))
 
   /** (a) Durable ingest: append the stream to day-partitioned parquet
     * — streamed data lands in the exact layout the batch engine
-    * reads (`…/day=YYYY-MM-DD/`), so time-bounded queries prune
-    * partitions. Checkpointing gives exactly-once file sink
+    * reads (`…/__lynx_day=YYYY-MM-DD/`), so time-bounded queries
+    * prune partitions. Checkpointing gives exactly-once file sink
     * semantics, replacing the reference's WAL on the stream path.
     */
   def toParquetTier(rows: DataFrame, tableDir: String,
@@ -52,7 +55,7 @@ object StreamingIngest {
       .format("parquet")
       .option("path", tableDir)
       .option("checkpointLocation", checkpointDir)
-      .partitionBy("day")
+      .partitionBy(graft.tier.ParquetTier.DayCol)
       .outputMode(OutputMode.Append)
       .start()
 

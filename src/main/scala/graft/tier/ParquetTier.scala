@@ -1,6 +1,8 @@
 package graft.tier
 
 import java.io.File
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -8,22 +10,51 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reference lacks (it keeps the whole dataset in RAM and the WAL
   * grows forever; SURVEY.md §3.3, §7.1 step 8).
   *
-  * Layout: `root/<namespace>/<table>/day=YYYY-MM-DD/part-*.parquet`.
+  * Layout: `root/<ns>/<table>/__lynx_day=YYYY-MM-DD/part-*.parquet`.
+  * The partition column is the reserved `__lynx_day` (not `day`) so a
+  * user tag named `day` survives tiering as an ordinary data column.
   * Day directory partitioning restores the partition pruning the
   * reference's query path throws away (it concatenates every daily
   * partition before the SQL engine sees a `WHERE timestamp` filter,
   * reference lynx.rs:86-91): a time-bounded query reads only matching
-  * `day=` directories (Catalyst `PartitionFilters`).
+  * day directories (Catalyst `PartitionFilters`). Spark keeps
+  * `_`-prefixed partition dirs visible because the name contains `=`.
+  *
+  * Readers resolve files through a MANIFEST, not directory listing:
+  * `_manifest/v<N>.list` holds the table's current relative file set,
+  * and every seal/compaction publishes a new version. Queries pin a
+  * manifest's file list; compaction replaces the manifest and parks
+  * the superseded files on a TRASH list that is only physically
+  * deleted after `trashGraceMs` — so an in-flight query holding a
+  * pre-compaction pin keeps reading files that still exist. (A full
+  * MVCC catalog would add snapshot ids and atomic commit; this is the
+  * single-writer sketch of it — the engine's write lock serializes
+  * manifest writers.)
+  *
+  * Seals are crash-atomic with the WAL: [[stage]] writes under a
+  * hidden `.staging-<id>` dir (invisible to readers), the engine then
+  * makes the seal durable with a WAL marker carrying the staged file
+  * list, and only then [[publish]] moves the files into the table and
+  * the manifest. Replay re-drives `publish` for any marker whose
+  * staging survived (idempotent), and [[cleanStaging]] discards
+  * markerless staging dirs, whose rows replay back into the buffer.
   *
   * Schema evolution: tag columns appear over time, so sealed segments
   * are read with `mergeSchema=true` and the engine NULL-fills via
   * `unionByName(allowMissingColumns)` — preserving the reference's
   * widening-schema semantics (lynx.rs:93-116) on columnar storage.
   */
-final class ParquetTier(root: File) {
+final class ParquetTier(root: File,
+    trashGraceMs: Long = 10L * 60 * 1000) {
+
+  import ParquetTier.DayCol
 
   private def tableDir(ns: String, table: String) =
     new File(new File(root, ns), table)
+  private def manifestDir(ns: String, table: String) =
+    new File(tableDir(ns, table), "_manifest")
+  private def stagingDir(ns: String, table: String, id: String) =
+    new File(tableDir(ns, table), s".staging-$id")
 
   def tables(ns: String): Set[String] = {
     val d = new File(root, ns)
@@ -31,33 +62,185 @@ final class ParquetTier(root: File) {
       .filter(_.isDirectory).map(_.getName).toSet
   }
 
-  /** Append one sealed batch (must carry a `day` string column). */
-  def seal(spark: SparkSession, ns: String, table: String,
-      df: DataFrame): Unit =
-    df.write.mode("append").partitionBy("day")
-      .parquet(tableDir(ns, table).getPath)
+  // ------------------------------------------------------------ listing
 
-  def read(spark: SparkSession, ns: String, table: String): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .parquet(tableDir(ns, table).getPath)
-      .drop("day") // partition dir column; `timestamp` carries the data
+  // Spark's hidden-path rule: names starting with '.' are hidden, and
+  // '_'-prefixed names are hidden unless they contain '=' (partition
+  // dirs like __lynx_day=…). Mirror it so walks agree with scans.
+  private def hidden(name: String): Boolean =
+    name.startsWith(".") || (name.startsWith("_") && !name.contains("="))
 
-  /** Data files of a table, for pinning a consistent snapshot: the
-    * engine lists these under its write lock so a concurrent seal
-    * can't make rows visible twice (once from the RAM snapshot, once
-    * from a newly sealed file).
-    */
-  def dataFiles(ns: String, table: String): Seq[String] = {
+  private def parquetFilesUnder(base: File): Seq[File] = {
     def walk(f: File): Seq[File] =
-      if (f.isDirectory)
+      if (hidden(f.getName)) Nil
+      else if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
-      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-    walk(tableDir(ns, table)).map(_.getPath)
+      else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Nil
+    if (base.isDirectory) // base itself may be a (hidden) staging dir
+      Option(base.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+    else Nil
   }
 
-  /** Read a pinned file set; `basePath` keeps the `day=` directory
-    * parsing so `dayBounds` (inclusive yyyy-MM-dd strings) prunes
-    * partitions before any file I/O.
+  private def relativize(base: File, f: File): String =
+    base.toPath.relativize(f.toPath).toString
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+
+  // ----------------------------------------------------------- manifest
+
+  private def versioned(re: scala.util.matching.Regex,
+      ns: String, table: String): Seq[(Long, File)] =
+    Option(manifestDir(ns, table).listFiles()).getOrElse(Array.empty)
+      .toSeq
+      .flatMap(f => f.getName match {
+        case re(v) => Some((v.toLong, f))
+        case _ => None
+      })
+      .sortBy(_._1)
+
+  private def readList(f: File): Seq[String] =
+    Files.readString(f.toPath, UTF_8).linesIterator
+      .filter(_.nonEmpty).toSeq
+
+  /** Current manifest file list (relative paths), if any version has
+    * been published.
+    */
+  private def readManifest(ns: String, table: String): Option[Seq[String]] =
+    versioned(ParquetTier.ManifestName, ns, table).lastOption
+      .map { case (_, f) => readList(f) }
+
+  private def writeManifest(ns: String, table: String,
+      rel: Seq[String]): Unit = {
+    val dir = manifestDir(ns, table)
+    dir.mkdirs()
+    val v = versioned(ParquetTier.ManifestName, ns, table)
+      .lastOption.map(_._1 + 1).getOrElse(1L)
+    // write-then-rename so a torn write never becomes the current
+    // manifest version
+    val tmp = new File(dir, s".v$v.tmp")
+    Files.writeString(tmp.toPath, rel.mkString("\n"), UTF_8)
+    val dst = new File(dir, f"v$v%09d.list")
+    if (!tmp.renameTo(dst))
+      throw new IllegalStateException(s"manifest publish failed: $dst")
+  }
+
+  private def trashedFiles(ns: String, table: String): Set[String] =
+    versioned(ParquetTier.TrashName, ns, table)
+      .flatMap { case (_, f) => readList(f) }.toSet
+
+  private def appendTrash(ns: String, table: String,
+      rel: Seq[String]): Unit =
+    if (rel.nonEmpty) {
+      val dir = manifestDir(ns, table)
+      dir.mkdirs()
+      Files.writeString(
+        new File(dir, s"trash-${System.currentTimeMillis}-" +
+          s"${java.util.UUID.randomUUID()}.list").toPath,
+        rel.mkString("\n"), UTF_8)
+    }
+
+  /** Physically delete trash lists older than the grace period: files
+    * first, then the record — a crash in between leaves the record,
+    * and publish() treats recorded files as gone either way.
+    */
+  private def gcTrash(ns: String, table: String): Unit = {
+    val cutoff = System.currentTimeMillis - trashGraceMs
+    versioned(ParquetTier.TrashName, ns, table)
+      .filter(_._1 <= cutoff)
+      .foreach { case (_, f) =>
+        readList(f).foreach(rel => new File(tableDir(ns, table), rel).delete())
+        f.delete()
+      }
+  }
+
+  // -------------------------------------------------------- seal commit
+
+  /** Stage a sealed batch (must carry a `__lynx_day` string column)
+    * under a hidden staging dir; returns the staging id plus the
+    * relative file paths, which the caller writes into the WAL seal
+    * marker BEFORE calling publish — that ordering is what makes the
+    * seal crash-atomic.
+    */
+  def stage(spark: SparkSession, ns: String, table: String,
+      df: DataFrame): (String, Seq[String]) = {
+    val id = java.util.UUID.randomUUID().toString
+    val staging = stagingDir(ns, table, id)
+    df.write.mode("overwrite").partitionBy(DayCol).parquet(staging.getPath)
+    (id, parquetFilesUnder(staging).map(relativize(staging, _)))
+  }
+
+  /** Publish a staged seal: move its files into the table dir and add
+    * them to a new manifest version. Idempotent — replay re-drives it
+    * for every marker, so each step tolerates having already happened:
+    * moves are skipped when the source is gone, and the manifest adds
+    * only files that exist on disk, aren't already listed, and weren't
+    * since compacted away (trash).
+    */
+  def publish(ns: String, table: String, stagingId: String,
+      files: Seq[String]): Unit = {
+    val staging = stagingDir(ns, table, stagingId)
+    val dir = tableDir(ns, table)
+    files.foreach { rel =>
+      val src = new File(staging, rel)
+      if (src.isFile) {
+        val dst = new File(dir, rel)
+        dst.getParentFile.mkdirs()
+        if (!src.renameTo(dst))
+          throw new IllegalStateException(s"publish: cannot move $src")
+      }
+    }
+    if (staging.exists()) deleteRecursively(staging)
+    val current = readManifest(ns, table).getOrElse(Nil)
+    val known = current.toSet
+    val trashed = trashedFiles(ns, table)
+    val add = files.filter(rel => !known(rel) && !trashed(rel) &&
+      new File(dir, rel).isFile)
+    if (add.nonEmpty || readManifest(ns, table).isEmpty)
+      writeManifest(ns, table, current ++ add)
+  }
+
+  /** Delete every staging dir under the tier — sound ONLY right after
+    * WAL replay, before any new seal: a surviving staging dir means
+    * its seal marker never became durable, so replay has already put
+    * those rows back in the buffer.
+    */
+  def cleanStaging(): Unit =
+    for {
+      ns <- Option(root.listFiles()).getOrElse(Array.empty)
+      if ns.isDirectory
+      t <- Option(ns.listFiles()).getOrElse(Array.empty)
+      if t.isDirectory
+      s <- Option(t.listFiles()).getOrElse(Array.empty)
+      if s.isDirectory && s.getName.startsWith(".staging-")
+    } deleteRecursively(s)
+
+  // ------------------------------------------------------------ reading
+
+  /** Data files of the table's current version: the manifest when one
+    * exists (post-compaction correctness depends on it), else a
+    * directory walk. The engine pins this list under its write lock so
+    * a concurrent seal or compaction can't change what a running query
+    * sees.
+    */
+  def dataFiles(ns: String, table: String): Seq[String] = {
+    val dir = tableDir(ns, table)
+    readManifest(ns, table) match {
+      case Some(rel) => rel.map(new File(dir, _).getPath)
+      case None => parquetFilesUnder(dir).map(_.getPath)
+    }
+  }
+
+  /** Read the table's current version (convenience over readFiles). */
+  def read(spark: SparkSession, ns: String, table: String): DataFrame =
+    readFiles(spark, ns, table, dataFiles(ns, table), None)
+
+  /** Read a pinned file set; `basePath` keeps the `__lynx_day=`
+    * directory parsing so `dayBounds` (inclusive yyyy-MM-dd strings)
+    * prunes partitions before any file I/O.
     */
   def readFiles(spark: SparkSession, ns: String, table: String,
       files: Seq[String],
@@ -69,42 +252,64 @@ final class ParquetTier(root: File) {
       .parquet(files: _*)
     val pruned = dayBounds match {
       case Some((lo, hi)) =>
-        df.filter(col("day").cast("string") >= lo &&
-          col("day").cast("string") <= hi)
+        df.filter(col(DayCol).cast("string") >= lo &&
+          col(DayCol).cast("string") <= hi)
       case None => df
     }
-    pruned.drop("day")
+    pruned.drop(DayCol)
   }
 
-  /** Compact a table's day partitions: every `seal` appends a new
-    * file per partition, and at 100 TB the small-file count (not
-    * data volume) becomes the scan bottleneck — compaction rewrites
-    * each day to a single file (hash-clustered on `day`, so each
-    * output task owns whole days). Writes to a temp dir first, then
-    * swaps. Call through LynxEngine.compact, which serializes against
-    * seals via the write lock; queries that pinned the pre-compaction
-    * file list must finish before the old files are removed (a full
-    * manifest/MVCC layer is the next step at real scale).
+  // --------------------------------------------------------- compaction
+
+  /** Compact the table's current version: every seal appends a file
+    * per day partition, and at 100 TB the small-file count (not data
+    * volume) becomes the scan bottleneck — compaction rewrites each
+    * day to a single file (hash-clustered on the day column, so each
+    * output task owns whole days). New files land beside the old ones
+    * (Spark part names are job-unique), a new manifest version points
+    * at only the new files, and the old files go to the trash list for
+    * deferred deletion — in-flight queries that pinned the previous
+    * manifest keep reading them until the grace period expires. Call
+    * through LynxEngine.compact, which serializes manifest writers via
+    * the engine write lock.
     */
   def compact(spark: SparkSession, ns: String, table: String): Unit = {
+    import org.apache.spark.sql.functions.col
     val dir = tableDir(ns, table)
-    if (dir.isDirectory) {
-      val tmp = new File(dir.getParentFile, dir.getName + ".compacting")
-      spark.read.option("mergeSchema", "true").parquet(dir.getPath)
-        .repartition(org.apache.spark.sql.functions.col("day"))
-        .write.mode("overwrite").partitionBy("day").parquet(tmp.getPath)
-      val old = new File(dir.getParentFile, dir.getName + ".old")
-      if (!dir.renameTo(old))
-        throw new IllegalStateException(s"compact: cannot move $dir")
-      if (!tmp.renameTo(dir)) {
-        old.renameTo(dir) // roll back
-        throw new IllegalStateException(s"compact: cannot publish $tmp")
-      }
-      def rm(f: File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(old)
+    if (!dir.isDirectory) return
+    val currentRel = readManifest(ns, table)
+      .getOrElse(parquetFilesUnder(dir).map(relativize(dir, _)))
+    if (currentRel.isEmpty) return
+    val staging = stagingDir(ns, table,
+      "compact-" + java.util.UUID.randomUUID())
+    spark.read.option("mergeSchema", "true")
+      .option("basePath", dir.getPath)
+      .parquet(currentRel.map(new File(dir, _).getPath): _*)
+      .repartition(col(DayCol))
+      .write.mode("overwrite").partitionBy(DayCol).parquet(staging.getPath)
+    val newRel = parquetFilesUnder(staging).map(relativize(staging, _))
+    newRel.foreach { rel =>
+      val dst = new File(dir, rel)
+      dst.getParentFile.mkdirs()
+      if (!new File(staging, rel).renameTo(dst))
+        throw new IllegalStateException(s"compact: cannot publish $rel")
     }
+    deleteRecursively(staging)
+    // manifest flip is the commit point: a crash before it leaves the
+    // old manifest current (new files are unreferenced garbage, never
+    // double-read); after it, old files are trash with a grace period
+    writeManifest(ns, table, newRel)
+    appendTrash(ns, table, currentRel)
+    gcTrash(ns, table)
   }
+}
+
+object ParquetTier {
+  /** Reserved tier partition column; user tag keys may not start with
+    * `__lynx` (enforced at ingest).
+    */
+  val DayCol = "__lynx_day"
+
+  private val ManifestName = """v(\d+)\.list""".r
+  private val TrashName = """trash-(\d+)-[0-9a-f-]+\.list""".r
 }

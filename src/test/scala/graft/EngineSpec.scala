@@ -220,14 +220,152 @@ class EngineSpec extends AnyFunSuite {
       e.write(WriteRequest("ns", "cpu", i.toString, Map.empty, i.toLong))
       e.seal("ns", "cpu")
     }
-    val dayDir = new java.io.File(tierDir, "ns/cpu/day=1970-01-01")
-    def files() = dayDir.listFiles().count(_.getName.endsWith(".parquet"))
-    assert(files() == 5)
+    assert(tier.dataFiles("ns", "cpu").size == 5)
     e.compact("ns", "cpu")
-    assert(files() == 1)
+    // current version is the single compacted file per day
+    assert(tier.dataFiles("ns", "cpu").size == 1)
     val r = e.query("ns",
       "SELECT sum(CAST(value AS BIGINT)) AS s FROM cpu").get
     assert(r.rows.head.getLong(0) == 15)
+  }
+
+  test("compaction defers old-file deletion so pinned readers finish") {
+    val spark = SparkFixture.spark
+    val tierDir = Files.createTempDirectory("compact-pin-tier").toFile
+    val tier = new ParquetTier(tierDir) // default 10-min trash grace
+    val e = newEngine(Some(tier))
+    (1 to 4).foreach { i =>
+      e.write(WriteRequest("ns", "cpu", i.toString, Map.empty, i.toLong))
+      e.seal("ns", "cpu")
+    }
+    // a query pins the pre-compaction file list (as LynxEngine.query
+    // does under its write lock), then compaction runs "concurrently"
+    val pinned = tier.dataFiles("ns", "cpu")
+    e.compact("ns", "cpu")
+    // the pinned read still succeeds: superseded files are trash, not
+    // deleted, until the grace period expires
+    assert(pinned.forall(p => new java.io.File(p).isFile),
+      "compaction must not delete files a reader may have pinned")
+    val viaPin = tier.readFiles(spark, "ns", "cpu", pinned, None)
+    assert(viaPin.count() == 4)
+    // and the current (manifest) view is the compacted one
+    val r = e.query("ns",
+      "SELECT sum(CAST(value AS BIGINT)) AS s FROM cpu").get
+    assert(r.rows.head.getLong(0) == 10)
+    // a zero-grace tier collects the trash on its next compaction
+    val tier0 = new ParquetTier(tierDir, trashGraceMs = 0)
+    tier0.compact(spark, "ns", "cpu")
+    assert(!pinned.exists(p => new java.io.File(p).isFile),
+      "expired trash should be physically deleted")
+    assert(tier0.read(spark, "ns", "cpu")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.expr("CAST(value AS BIGINT)")))
+      .collect()(0).getLong(0) == 10)
+  }
+
+  test("a user tag named 'day' survives tiering as a data column") {
+    val tierDir = Files.createTempDirectory("daytag-tier").toFile
+    val e = newEngine(Some(new ParquetTier(tierDir)))
+    e.write(WriteRequest("ns", "cpu", "1",
+      Map("day" -> TagString("payday")), 1))
+    e.seal("ns", "cpu")
+    val r = e.query("ns", "SELECT value, day FROM cpu").get
+    assert(r.rows.map(r0 => (r0.getString(0), r0.getString(1))) ==
+      Seq(("1", "payday")),
+      "the tier partition column must not shadow a user 'day' tag")
+  }
+
+  test("reserved tag keys are rejected at write time") {
+    val e = newEngine()
+    Seq("timestamp", "value", "__lynx_day", "__lynxfoo").foreach { k =>
+      intercept[IllegalArgumentException] {
+        e.write(WriteRequest("ns", "cpu", "1",
+          Map(k -> TagString("x")), 1))
+      }
+    }
+  }
+
+  test("seal is crash-atomic: marker without publish completes on " +
+    "replay; staging without marker is discarded") {
+    val spark = SparkFixture.spark
+    // window A: crash AFTER the WAL marker, BEFORE publish
+    val walA = Files.createTempDirectory("seal-crash-a-wal").toFile
+    val tierA = Files.createTempDirectory("seal-crash-a-tier").toFile
+    val t1 = new ParquetTier(tierA)
+    val e1 = new LynxEngine(spark, walA, 1024 * 1024, Some(t1))
+    (1 to 10).foreach(i =>
+      e1.write(WriteRequest("ns", "cpu", i.toString, Map.empty, i.toLong)))
+    // replicate seal() up to the crash point: drain, stage, marker — no
+    // publish
+    val parts = e1.buffer.drainTable("ns", "cpu").get
+    val df = LynxEngine.toDataFrame(spark, parts).withColumn(
+      graft.tier.ParquetTier.DayCol,
+      org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("timestamp"), "yyyy-MM-dd"))
+    val (sid, files) = t1.stage(spark, "ns", "cpu", df)
+    e1.wal.write(graft.core.SealMarker("ns", "cpu", sid, files))
+    e1.wal.close() // "crash"
+    val e2 = new LynxEngine(spark, walA, 1024 * 1024,
+      Some(new ParquetTier(tierA)))
+    val rA = e2.query("ns", "SELECT count(*) AS n FROM cpu").get
+    assert(rA.rows.head.getLong(0) == 10,
+      "replay must finish the marked-but-unpublished seal")
+    assert(e2.buffer.isEmpty, "sealed rows must not sit in the buffer too")
+
+    // window B: crash AFTER staging, BEFORE the marker
+    val walB = Files.createTempDirectory("seal-crash-b-wal").toFile
+    val tierB = Files.createTempDirectory("seal-crash-b-tier").toFile
+    val t2 = new ParquetTier(tierB)
+    val e3 = new LynxEngine(spark, walB, 1024 * 1024, Some(t2))
+    (1 to 7).foreach(i =>
+      e3.write(WriteRequest("ns", "cpu", i.toString, Map.empty, i.toLong)))
+    e3.buffer.drainTable("ns", "cpu")
+    t2.stage(spark, "ns", "cpu", df) // staged, no marker
+    e3.wal.close() // "crash"
+    val e4 = new LynxEngine(spark, walB, 1024 * 1024,
+      Some(new ParquetTier(tierB)))
+    val rB = e4.query("ns", "SELECT count(*) AS n FROM cpu").get
+    assert(rB.rows.head.getLong(0) == 7,
+      "markerless staging must be dropped; rows replay into the buffer")
+    val cpuDir = new java.io.File(tierB, "ns/cpu")
+    assert(!Option(cpuDir.listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.startsWith(".staging-")),
+      "orphan staging dirs must be cleaned at startup")
+  }
+
+  test("query results can be capped; over-limit queries fail cleanly") {
+    val dir = Files.createTempDirectory("cap-wal").toFile
+    val e = new LynxEngine(SparkFixture.spark, dir, 1024 * 1024,
+      maxResultRows = 5)
+    (1 to 10).foreach(i =>
+      e.write(WriteRequest("ns", "cpu", i.toString, Map.empty, i.toLong)))
+    val ex = intercept[IllegalStateException] {
+      e.query("ns", "SELECT * FROM cpu")
+    }
+    assert(ex.getMessage.contains("cap"))
+    // within the cap (explicit LIMIT or small result) works
+    assert(e.query("ns", "SELECT * FROM cpu LIMIT 3").get.rows.size == 3)
+    assert(e.query("ns",
+      "SELECT count(*) AS n FROM cpu").get.rows.head.getLong(0) == 10)
+  }
+
+  test("gatekeeper denies reflect/java_method anywhere in the query") {
+    val e = newEngine()
+    e.write(WriteRequest("ns", "cpu", "1", Map.empty, 1))
+    Seq(
+      "SELECT reflect('java.lang.System', 'getenv') FROM cpu",
+      "SELECT java_method('java.lang.System', 'getProperty', 'user.dir') FROM cpu",
+      "SELECT * FROM cpu WHERE value IN " +
+        "(SELECT reflect('java.lang.System', 'getenv') FROM cpu)",
+      "WITH t AS (SELECT reflect('java.lang.System', 'getenv') v " +
+        "FROM cpu) SELECT * FROM t"
+    ).foreach { sql =>
+      val ex = intercept[IllegalArgumentException](e.query("ns", sql))
+      assert(ex.getMessage.contains("not allowed"), sql)
+    }
+    // plain functions still pass
+    assert(e.query("ns",
+      "SELECT upper(value) AS v FROM cpu").get.rows.head.getString(0) == "1")
   }
 
   test("property: random writes round-trip through SQL unchanged") {

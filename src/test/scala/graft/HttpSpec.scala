@@ -121,6 +121,16 @@ class HttpSpec extends AnyFunSuite {
         """{"namespace":"ns","measurement":"t","value":"1",
           |"timestamp":"oops"}""".stripMargin)
       assert(rBadTs.statusCode() == 422)
+      // out-of-i64 timestamp rejected, not wrapped through asLong()
+      val rHugeTs = post(port, "/api/v1/write",
+        """{"namespace":"ns","measurement":"t","value":"1",
+          |"timestamp":9223372036854775808}""".stripMargin)
+      assert(rHugeTs.statusCode() == 422)
+      // reserved tag keys rejected (they'd shadow engine columns)
+      val rResTag = post(port, "/api/v1/write",
+        """{"namespace":"ns","measurement":"t","value":"1",
+          |"metadata":{"__lynx_day":"x"},"timestamp":1}""".stripMargin)
+      assert(rResTag.statusCode() == 422)
       // DDL through the query endpoint rejected (CTAS bypass)
       val rCtas = post(port, "/api/v1/query",
         """{"namespace":"ns","query":"CREATE TABLE p AS SELECT * FROM t"}""")
@@ -132,5 +142,37 @@ class HttpSpec extends AnyFunSuite {
         HttpResponse.BodyHandlers.ofString())
       assert(rGet.statusCode() == 405)
     }
+  }
+
+  test("concurrent requests are served by overlapping handler threads") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val dir = Files.createTempDirectory("http-conc").toFile
+    // both in-flight queries must be inside the handler at once: each
+    // waits for the other before answering. With a serialized (single
+    // dispatch-thread) server, the first would time out → 500.
+    val latch = new CountDownLatch(2)
+    val engine = new LynxEngine(SparkFixture.spark, dir, 1024 * 1024) {
+      override def query(ns: String, sql: String) = {
+        latch.countDown()
+        if (!latch.await(10, TimeUnit.SECONDS))
+          throw new IllegalStateException(
+            "second request never started — handlers serialized")
+        super.query(ns, sql)
+      }
+    }
+    engine.write(graft.core.WriteRequest("ns", "t", "1", Map.empty, 1))
+    val server = new LynxServer(engine, "127.0.0.1", 0)
+    server.start()
+    try {
+      val port = server.boundPort
+      val body = """{"namespace":"ns","query":"SELECT value FROM t","format":"json"}"""
+      val req = HttpRequest
+        .newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+      val f1 = client.sendAsync(req, HttpResponse.BodyHandlers.ofString())
+      val f2 = client.sendAsync(req, HttpResponse.BodyHandlers.ofString())
+      assert(f1.get(30, TimeUnit.SECONDS).statusCode() == 200)
+      assert(f2.get(30, TimeUnit.SECONDS).statusCode() == 200)
+    } finally server.stop()
   }
 }

@@ -37,14 +37,15 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
 
+    val dayCol = graft.tier.ParquetTier.DayCol
     val read = spark.read.parquet(out.getPath)
     assert(read.count() == 8)
-    // day= directory partitioning exists (partition pruning at scale);
+    // reserved-day directory partitioning exists (pruning at scale);
     // partition values are type-inferred as DATE on read — cast back
-    val days = read.select(org.apache.spark.sql.functions.col("day")
+    val days = read.select(org.apache.spark.sql.functions.col(dayCol)
       .cast("string")).distinct().collect().map(_.getString(0))
     assert(days.toSet == Set("1970-01-01", "1970-01-02"))
-    val pruned = read.filter(org.apache.spark.sql.functions.col("day") ===
+    val pruned = read.filter(org.apache.spark.sql.functions.col(dayCol) ===
       "1970-01-02")
     assert(pruned.count() == 4)
   }

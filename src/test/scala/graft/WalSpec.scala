@@ -158,4 +158,34 @@ class WalSpec extends AnyFunSuite {
     assert(wal2.activeSegmentId == highest + 1)
     wal2.close()
   }
+
+  test("group-commit WAL round-trips every record after close") {
+    val dir = tempDir()
+    val wal = new Wal(dir, 1, 1024 * 1024,
+      groupCommitMillis = 10000) // no timer fires within the test
+    val writes = (1 to 50).map(i =>
+      WriteRequest("ns", "cpu", i.toString, Map.empty, i.toLong))
+    writes.foreach(wal.write)
+    wal.close() // close flushes buffered records
+    val buf = new MemBuffer
+    Wal.replay(dir, buf)
+    assert(buf.rowCounts == Map(("ns", "cpu") -> 50))
+  }
+
+  test("group-commit timer flushes buffered records while idle") {
+    val dir = tempDir()
+    val wal = new Wal(dir, 1, 1024 * 1024, groupCommitMillis = 50)
+    val w = WriteRequest("ns", "cpu", "1", Map.empty, 1L)
+    wal.write(w)
+    // without closing the WAL, the daemon timer must push the record
+    // to the OS within ~groupCommitMillis
+    val seg = new File(dir, "1.wal")
+    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+    val expected = WalCodec.Header.length + WalCodec.encode(w).length
+    while (seg.length() < expected && System.nanoTime() < deadline)
+      Thread.sleep(10)
+    assert(seg.length() == expected,
+      "timer never flushed the buffered record")
+    wal.close()
+  }
 }
