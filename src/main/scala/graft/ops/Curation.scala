@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators over `documents`: sequence packing
+  * (assembling training context windows from documents under a token
+  * budget) and deterministic stratified sampling (mixture weighting by
+  * language). Both are the last-mile stages of a training-data
+  * pipeline, downstream of dedup/quality filtering.
+  *
+  * Cross-engine determinism: packing is pure integer arithmetic over a
+  * window frame with a total order; sampling draws its uniform from an
+  * md5-prefix integer over 2^32 (exact in a double), identical in both
+  * engines.
+  */
+object Curation {
+
+  /** Context-window token budget for packing. */
+  private val PackBudget = 512L
+
+  /** Sequence packing: assign each document to a training context
+    * window ("bin") of PackBudget tokens, packing greedily in doc_id
+    * order within each language partition — bin = the window its
+    * cumulative start offset falls in, so bins may overflow by at most
+    * one document (the standard streaming-packer behavior; no
+    * doc splitting here).
+    *
+    * Scale shape: packing is inherently sequential *within* a
+    * partition but embarrassingly parallel *across* partitions — the
+    * partition key (lang here; any hash-bucket key at 100 TB) is the
+    * parallelism unit, and the window sum is a single sort per
+    * partition, no shuffle beyond it.
+    */
+  val qPackSequences = QueryDef(
+    "q_pack_sequences",
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val toks = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("seq_tokens"))
+      val binned = toks
+        .withColumn("cum", sum(col("seq_tokens")).over(w))
+        .withColumn("bin",
+          expr(s"(cum - seq_tokens) div $PackBudget"))
+      val stats = binned.groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("bin_docs"),
+          sum(col("seq_tokens")).as("bin_tokens"))
+      binned.join(stats, Seq("lang", "bin"))
+        .select(col("doc_id"), col("lang"), col("seq_tokens"), col("bin"),
+          col("bin_docs"), col("bin_tokens"),
+          (col("bin_tokens").cast("double") / PackBudget).as("fill"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS seq_tokens
+        FROM documents),
+      binned AS (
+        SELECT doc_id, lang, seq_tokens,
+          (sum(seq_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - seq_tokens) // $PackBudget AS bin
+        FROM toks),
+      stats AS (
+        SELECT lang, bin, count(*) AS bin_docs,
+          sum(seq_tokens) AS bin_tokens
+        FROM binned GROUP BY lang, bin)
+      SELECT b.doc_id, b.lang, b.seq_tokens, b.bin,
+        s.bin_docs, CAST(s.bin_tokens AS BIGINT) AS bin_tokens,
+        CAST(s.bin_tokens AS DOUBLE) / $PackBudget AS fill
+      FROM binned b JOIN stats s ON s.lang = b.lang AND s.bin = b.bin
+      ORDER BY b.doc_id"""))
+
+  // Mixture weights per language stratum (a typical "up-sample the
+  // high-resource language, down-sample the rest" recipe).
+  private val rates: Seq[(String, Double)] =
+    Seq("en" -> 0.5, "de" -> 0.3, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1)
+
+  /** Deterministic stratified sampling: keep a document iff its
+    * md5-derived uniform u ∈ [0,1) falls under its language's mixture
+    * rate. Hash-based (not rand()) so the sample is reproducible
+    * across runs, engines, and cluster sizes — the property a
+    * training-data pipeline needs for auditability. Narrow per-row
+    * transform; scales linearly.
+    */
+  val qSampleStratified = QueryDef(
+    "q_sample_stratified",
+    (s, dir) => {
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long").cast("double") / 4294967296.0).as("u")
+      val rate = rates.tail.foldLeft(
+        when(col("lang") === rates.head._1, rates.head._2)) {
+        case (acc, (l, r)) => acc.when(col("lang") === l, r)
+      }.otherwise(0.0)
+      val wl = Window.partitionBy(col("lang"))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), u, rate.as("rate"))
+        .filter(col("u") < col("rate"))
+        .withColumn("kept_in_lang", count(lit(1)).over(wl))
+        .orderBy("doc_id")
+    },
+    Some {
+      val rateSql = rates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+        .mkString("CASE ", " ", " ELSE 0.0 END")
+      s"""
+      WITH scored AS (
+        SELECT doc_id, lang,
+          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) AS DOUBLE) / 4294967296.0 AS u,
+          $rateSql AS rate
+        FROM documents)
+      SELECT doc_id, lang, u, rate,
+        count(*) OVER (PARTITION BY lang) AS kept_in_lang
+      FROM scored WHERE u < rate ORDER BY doc_id"""
+    })
+
+  val all: Seq[QueryDef] = Seq(qPackSequences, qSampleStratified)
+}

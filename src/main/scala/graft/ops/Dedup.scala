@@ -145,13 +145,13 @@ object Dedup {
   private def aCoef(i: Int): Long = 2L * i + 1
   private def bCoef(i: Int): Long = 7919L * i + 13
 
-  /** MinHash + LSH near-dup. Candidate generation joins on (band,
-    * band-hash) — at 100 TB the shuffle carries 4 rows per doc, and
-    * the quadratic verify work is confined to same-bucket pairs.
+  /** MinHash+LSH candidate pairs with verified Jaccard, unordered —
+    * shared by q_dedup_minhash_lsh (presentation) and q_dedup_clusters
+    * (edge source). Candidate generation joins on (band, band-hash) —
+    * at 100 TB the shuffle carries 4 rows per doc, and the quadratic
+    * verify work is confined to same-bucket pairs.
     */
-  val qMinHashLsh = QueryDef(
-    "q_dedup_minhash_lsh",
-    (s, dir) => {
+  private def minHashPairs(s: SparkSession, dir: String): DataFrame = {
       // minhash permutation input: fold the 60-bit shingle hash to 32
       // bits (uniform md5 bits, so the modulo keeps the distribution)
       val sh = shingles(s, dir)
@@ -185,21 +185,23 @@ object Dedup {
             (col("na") + col("nb") -
               size(array_intersect(col("sa"), col("sb")))))
             .as("jacc"))
-        .orderBy("doc_a", "doc_b")
-    },
-    Some {
-      val minsSql = (0 until K).map(i =>
-        s"min((x * ${aCoef(i)} + ${bCoef(i)}) % $P) AS m$i").mkString(", ")
-      def bandSql(b: Int): String = {
-        val folded = (0 until 4).map(r => s"m${b * 4 + r}")
-          .reduce((acc, m) => s"(($acc) % $P) * 31 + $m")
-        s"($folded) % $P"
-      }
-      val bandsSql = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS b, (${bandSql(b)}) AS v FROM mh")
-        .mkString(" UNION ALL ")
-      s"""
-      WITH $shinglesSql,
+  }
+
+  /** The same pair pipeline as CTEs ending in `pairs(doc_a, doc_b,
+    * jacc)`, composable into larger oracle queries.
+    */
+  private val minHashCtesSql: String = {
+    val minsSql = (0 until K).map(i =>
+      s"min((x * ${aCoef(i)} + ${bCoef(i)}) % $P) AS m$i").mkString(", ")
+    def bandSql(b: Int): String = {
+      val folded = (0 until 4).map(r => s"m${b * 4 + r}")
+        .reduce((acc, m) => s"(($acc) % $P) * 31 + $m")
+      s"($folded) % $P"
+    }
+    val bandsSql = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS b, (${bandSql(b)}) AS v FROM mh")
+      .mkString(" UNION ALL ")
+    s"""$shinglesSql,
       hx AS (SELECT doc_id, sh, sh % 4294967296 AS x FROM shingle),
       mh AS (SELECT doc_id, $minsSql FROM hx GROUP BY doc_id),
       bands AS ($bandsSql),
@@ -212,17 +214,99 @@ object Dedup {
         FROM hx a JOIN hx b ON a.sh = b.sh AND a.doc_id < b.doc_id
         WHERE EXISTS (SELECT 1 FROM cand
                       WHERE cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id)
-        GROUP BY 1, 2)
-      SELECT cand.doc_a, cand.doc_b,
-        CAST(coalesce(c, 0) AS DOUBLE) /
-          (na.n + nb.n - coalesce(c, 0)) AS jacc
-      FROM cand
-      LEFT JOIN common ON common.doc_a = cand.doc_a
-                      AND common.doc_b = cand.doc_b
-      JOIN cnt na ON na.doc_id = cand.doc_a
-      JOIN cnt nb ON nb.doc_id = cand.doc_b
-      ORDER BY 1, 2"""
-    })
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT cand.doc_a, cand.doc_b,
+          CAST(coalesce(c, 0) AS DOUBLE) /
+            (na.n + nb.n - coalesce(c, 0)) AS jacc
+        FROM cand
+        LEFT JOIN common ON common.doc_a = cand.doc_a
+                        AND common.doc_b = cand.doc_b
+        JOIN cnt na ON na.doc_id = cand.doc_a
+        JOIN cnt nb ON nb.doc_id = cand.doc_b)"""
+  }
+
+  val qMinHashLsh = QueryDef(
+    "q_dedup_minhash_lsh",
+    (s, dir) => minHashPairs(s, dir).orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH $minHashCtesSql
+      SELECT doc_a, doc_b, jacc FROM pairs ORDER BY doc_a, doc_b"""))
+
+  /** Near-dup Jaccard threshold above which two docs are considered
+    * duplicates for clustering.
+    */
+  private val ClusterJacc = 0.2
+
+  /** Cluster dedup: connected components over the MinHash-LSH near-dup
+    * graph, canonical = min doc_id per component — the "keep one per
+    * duplicate cluster" stage that follows pair generation in a real
+    * pipeline (pairs alone over-delete when dups chain A–B–C).
+    *
+    * Hash-min label propagation: every vertex starts labeled with its
+    * own id; each round takes the min label over itself and its
+    * neighbors until fixpoint. Converges in O(component diameter)
+    * rounds — near-dup clusters are shallow (dups of one source), so
+    * 2–4 rounds in practice; at 100 TB-scale diameters switch to the
+    * large-star/small-star algorithm (same join shape, O(log n)
+    * rounds). Convergence is detected by the label sum, which strictly
+    * decreases until fixpoint (labels only ever decrease).
+    *
+    * The fixpoint (min reachable id per vertex) is unique, so the
+    * result is deterministic regardless of join order — the DuckDB
+    * oracle computes the same closure with a recursive CTE.
+    */
+  val qClusters = QueryDef(
+    "q_dedup_clusters",
+    (s, dir) => {
+      val pairs = minHashPairs(s, dir)
+        .filter(col("jacc") >= ClusterJacc)
+        .select(col("doc_a"), col("doc_b")).cache()
+      val edges = pairs.toDF("u", "w")
+        .union(pairs.select(col("doc_b"), col("doc_a"))).cache()
+      edges.count() // materialize once; the loop reuses the cached edges
+      pairs.unpersist(false)
+      var labels = Tables.t(s, dir, "documents")
+        .select(col("doc_id").as("v"), col("doc_id").as("l")).cache()
+      var prevSum = Long.MaxValue
+      var sum = labels.agg(org.apache.spark.sql.functions.sum("l"))
+        .first().getLong(0)
+      var rounds = 0
+      while (sum < prevSum && rounds < 25) {
+        val next = edges.join(labels.withColumnRenamed("v", "u"), "u")
+          .select(col("w").as("v"), col("l"))
+          .union(labels)
+          .groupBy("v").agg(min("l").as("l")).cache()
+        prevSum = sum
+        sum = next.agg(org.apache.spark.sql.functions.sum("l"))
+          .first().getLong(0)
+        labels.unpersist(false)
+        labels = next
+        rounds += 1
+      }
+      val lab = labels.select(col("v").as("doc_id"), col("l").as("cluster"))
+      val sz = lab.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      lab.join(sz, "cluster")
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          (col("doc_id") === col("cluster")).as("is_canonical"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $minHashCtesSql,
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs WHERE jacc >= $ClusterJacc
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs WHERE jacc >= $ClusterJacc),
+      cc AS (
+        SELECT doc_id AS v, doc_id AS l FROM documents
+        UNION
+        SELECT e.v, cc.l FROM edges e JOIN cc ON cc.v = e.u),
+      lab AS (SELECT v AS doc_id, min(l) AS cluster FROM cc GROUP BY v),
+      sz AS (SELECT cluster, count(*) AS cluster_size FROM lab
+             GROUP BY cluster)
+      SELECT doc_id, cluster, cluster_size,
+        doc_id = cluster AS is_canonical
+      FROM lab JOIN sz USING (cluster) ORDER BY doc_id"""))
 
   // SimHash dimensioning (Manku et al., WWW'07 use 64-bit/k=3): a
   // 60-bit signature (top 60 bits of md5 — 64 would overflow DuckDB's
@@ -295,5 +379,6 @@ object Dedup {
       ORDER BY doc_a, doc_b"""
     })
 
-  val all: Seq[QueryDef] = Seq(qExact, qNgramJaccard, qMinHashLsh, qSimHash)
+  val all: Seq[QueryDef] =
+    Seq(qExact, qNgramJaccard, qMinHashLsh, qSimHash, qClusters)
 }

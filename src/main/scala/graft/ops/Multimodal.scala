@@ -108,8 +108,12 @@ object Multimodal {
       FROM documents ORDER BY doc_id"""))
 
   /** Full decode pipeline (typed Datasets + mapPartitions batch
-    * kernel). Deterministic, but not SQL-expressible → rows-only
-    * driver check; the ScalaTest spec asserts the feature values.
+    * kernel). The stub kernel's features are integer-byte arithmetic,
+    * so the whole pipeline is oracle-checked: DuckDB re-derives the
+    * bytes via hex(encode(text)) expansion. Byte sums are exact in
+    * doubles (values ≤ 255, counts ≪ 2^45), so means divide to
+    * bit-identical doubles in both engines — only the codec stub
+    * itself is a stand-in, not the verification.
     */
   val qDecode = QueryDef(
     "q_multimodal_decode",
@@ -118,7 +122,28 @@ object Multimodal {
         .select(col("doc_id"), col("n_bytes"), col("n_frames"),
           col("mean_byte"), element_at(col("frame_means"), 1).as("f0"))
         .orderBy("doc_id"),
-    None)
+    Some("""
+      WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents),
+      vals AS (
+        SELECT doc_id, unnest(generate_series(0, n - 1)) AS i, h
+        FROM b),
+      agg AS (
+        SELECT doc_id,
+          sum(CAST('0x' || substr(h, CAST(2*i+1 AS INT), 2) AS BIGINT))
+            AS s,
+          sum(CASE WHEN i < 16 THEN
+            CAST('0x' || substr(h, CAST(2*i+1 AS INT), 2) AS BIGINT) END)
+            AS s0
+        FROM vals GROUP BY doc_id)
+      SELECT b.doc_id, b.n AS n_bytes,
+        CAST(ceil(b.n / 16.0) AS INT) AS n_frames,
+        coalesce(agg.s / CAST(b.n AS DOUBLE), 0.0) AS mean_byte,
+        agg.s0 / CAST(least(b.n, 16) AS DOUBLE) AS f0
+      FROM b LEFT JOIN agg USING (doc_id)
+      ORDER BY b.doc_id"""))
 
   val all: Seq[QueryDef] = Seq(qMeta, qDecode)
 }

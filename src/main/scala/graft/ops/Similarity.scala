@@ -469,6 +469,57 @@ object Similarity {
   private[graft] def ivfAssign(s: SparkSession, dir: String): DataFrame =
     withCell(vectors(s, dir), trainedCentroids(s, dir))
 
+  /** Per-label embedding centroids in long form (label, dim, c) with
+    * member count and centroid norm — the class-prototype /
+    * cluster-summary aggregate (semantic dedup representatives,
+    * label-balanced retrieval). One shuffle keyed (label, dim): 64
+    * uniform keys per label, no skew at any scale, map-side partial
+    * aggregation collapses each partition to ≤ labels×64 rows.
+    *
+    * Determinism: DECIMAL sums don't help here (float→DECIMAL rounding
+    * is engine-dependent for values that don't terminate at 10
+    * digits), so each component is quantized to integer units of 2^-20
+    * first — the ×2^20 scaling is exact (power of two) and round()
+    * ties go away-from-zero in both engines — making the sums exact
+    * int64 arithmetic and the means bit-identical. The norm then sums
+    * identical doubles in dim order (belt-and-braces round to 9).
+    */
+  val qEmbedCentroids = QueryDef(
+    "q_embed_centroids",
+    (s, dir) => {
+      val Q = 1048576.0 // 2^20
+      val wl = Window.partitionBy(col("label")).orderBy(col("dim"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+          round(col("v").cast("double") * Q).cast("long").as("q"))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("q")).cast("double") / (count(lit(1)) * Q)).as("c"))
+        .withColumn("norm", round(sqrt(sum(col("c") * col("c")).over(wl)), 9))
+        .select("label", "dim", "n", "c", "norm")
+        .orderBy("label", "dim")
+    },
+    Some("""
+      WITH vals AS (
+        SELECT CAST(label AS BIGINT) AS label,
+          unnest(generate_series(1, 64)) AS dim, embedding
+        FROM embeddings),
+      cent AS (
+        SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+          CAST(sum(CAST(round(
+              CAST(embedding[CAST(dim AS INT)] AS DOUBLE) * 1048576.0)
+            AS BIGINT)) AS DOUBLE) / (count(*) * 1048576.0) AS c
+        FROM vals GROUP BY label, dim)
+      SELECT label, dim, n, c,
+        round(sqrt(sum(c * c) OVER (PARTITION BY label ORDER BY dim
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)), 9)
+          AS norm
+      FROM cent ORDER BY label, dim"""))
+
   val all: Seq[QueryDef] =
-    Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf)
+    Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf,
+      qEmbedCentroids)
 }

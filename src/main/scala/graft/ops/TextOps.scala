@@ -213,6 +213,133 @@ object TextOps {
         FROM tf JOIN df USING (term) CROSS JOIN n)
       WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
 
+  /** Repetition signals (the Gopher-rules family): share of the most
+    * frequent word 2-gram, fraction of 3-gram occurrences that are
+    * repeats, and duplicate-word fraction — the standard filters for
+    * boilerplate/spam in web-scale training text. Two shuffles, both
+    * keyed on (doc_id, gram): uniformly distributed, skew-free at any
+    * corpus size, and the per-doc gram count bounds each group.
+    */
+  val qRepetition = QueryDef(
+    "q_text_repetition",
+    (s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      def grams(n: Int) = docs.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("g"))
+      def gramStats(n: Int, top: String, dup: String, tot: String) =
+        grams(n).groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("c")).as(top),
+            sum(when(col("c") >= 2, col("c")).otherwise(0L)).as(dup),
+            sum(col("c")).as(tot))
+      val g2 = gramStats(2, "top2", "dup2", "n2")
+      val g3 = gramStats(3, "top3", "dup3", "n3")
+      val words = docs.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      words.join(g2, Seq("doc_id"), "left").join(g3, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_words"))
+            .as("dup_word_frac"),
+          (col("top2").cast("double") / col("n2")).as("top2_share"),
+          (col("dup3").cast("double") / col("n3")).as("dup3_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g2 AS (
+        SELECT doc_id, max(c) AS top2,
+               sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup2,
+               sum(c) AS n2
+        FROM (SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, unnest(
+                      [array_to_string(toks[i:i+1], ' ')
+                       for i in generate_series(1, len(toks) - 1)]) AS g
+                    FROM toks)
+              GROUP BY doc_id, g)
+        GROUP BY doc_id),
+      g3 AS (
+        SELECT doc_id, max(c) AS top3,
+               sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3,
+               sum(c) AS n3
+        FROM (SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, unnest(
+                      [array_to_string(toks[i:i+2], ' ')
+                       for i in generate_series(1, len(toks) - 2)]) AS g
+                    FROM toks)
+              GROUP BY doc_id, g)
+        GROUP BY doc_id),
+      words AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+        FROM toks)
+      SELECT w.doc_id, w.n_words,
+        1.0 - CAST(n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+        CAST(top2 AS DOUBLE) / n2 AS top2_share,
+        CAST(dup3 AS DOUBLE) / n3 AS dup3_frac
+      FROM words w
+      LEFT JOIN g2 ON g2.doc_id = w.doc_id
+      LEFT JOIN g3 ON g3.doc_id = w.doc_id
+      ORDER BY w.doc_id"""))
+
+  // PII patterns chosen inside the Java∩RE2 common dialect (character
+  // classes, bounded repeats — no lookarounds), so Spark and DuckDB
+  // match identical spans.
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\+1-555-[0-9]{4}"
+
+  /** PII redaction / text cleaning: count and replace email + phone
+    * spans, emit the cleaned text's signature. The fixture text is
+    * PII-free, so the input stage deterministically plants contact
+    * strings derived from fixture columns — the redactor then has real
+    * spans to find; swap the planted column for raw text in a real
+    * corpus. Narrow per-row transform: scales linearly.
+    */
+  val qClean = QueryDef(
+    "q_text_clean",
+    (s, dir) => {
+      val dirty = concat(col("text"), lit(" contact "), col("source"),
+        lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), dirty.as("dirty"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("dirty"), lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("dirty"), lit(phoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("clean_sig"),
+          length(regexp_replace(
+            regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).cast("long").as("clean_len"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH dirty AS (
+        SELECT doc_id,
+          text || ' contact ' || source || '@example.com or +1-555-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(dirty, '$emailRe')) AS BIGINT)
+          AS n_emails,
+        CAST(len(regexp_extract_all(dirty, '$phoneRe')) AS BIGINT)
+          AS n_phones,
+        md5(regexp_replace(
+          regexp_replace(dirty, '$emailRe', '<EMAIL>', 'g'),
+          '$phoneRe', '<PHONE>', 'g')) AS clean_sig,
+        CAST(length(regexp_replace(
+          regexp_replace(dirty, '$emailRe', '<EMAIL>', 'g'),
+          '$phoneRe', '<PHONE>', 'g')) AS BIGINT) AS clean_len
+      FROM dirty ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(qTokens, qQuality, qLangId, qFingerprint, qTfIdf)
+    Seq(qTokens, qQuality, qLangId, qFingerprint, qTfIdf,
+      qRepetition, qClean)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextOps}
 
 /** Semantics tests for the training-data pipeline operators (dedup /
   * similarity / text analysis / multimodal) on the sf0.001 fixtures.
@@ -160,5 +160,123 @@ class PipelineOpsSpec extends AnyFunSuite {
     val again = Multimodal.extractFeatures(
       Multimodal.mediaTable(spark, dir)).collect()
     assert(feats.map(_.mean_byte).toSeq == again.map(_.mean_byte).toSeq)
+  }
+
+  test("cluster dedup matches a driver-side union-find over the " +
+    "same near-dup edges") {
+    // ground truth: union-find over the LSH pairs at the same threshold
+    val edges = Dedup.qMinHashLsh.run(spark, dir).collect()
+      .filter(_.getDouble(2) >= 0.2)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docs = graft.ops.Tables.t(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = docs.map(d => d -> find(d)).toMap
+    val got = Dedup.qClusters.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "hash-min labels must equal union-find components")
+    // canonical flag marks exactly one representative per cluster
+    val canon = Dedup.qClusters.run(spark, dir).collect()
+      .filter(_.getBoolean(3)).map(_.getLong(1)).toSet
+    assert(canon == want.values.toSet)
+  }
+
+  test("repetition metrics match a direct per-doc recomputation") {
+    val texts = graft.ops.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextOps.qRepetition.run(spark, dir).collect()
+    assert(rows.length == texts.size)
+    rows.take(50).foreach { r =>
+      val toks = texts(r.getLong(0)).split(" ", -1)
+      val g2 = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val g3 = toks.sliding(3).map(_.mkString(" ")).toSeq
+      val c2 = g2.groupBy(identity).map(_._2.size)
+      val c3 = g3.groupBy(identity).map(_._2.size)
+      assert(r.getLong(1) == toks.length)
+      assert(math.abs(r.getDouble(2) -
+        (1.0 - toks.distinct.length.toDouble / toks.length)) < 1e-12)
+      assert(math.abs(r.getDouble(3) - c2.max.toDouble / g2.size) < 1e-12)
+      assert(math.abs(r.getDouble(4) -
+        c3.filter(_ >= 2).sum.toDouble / g3.size) < 1e-12)
+    }
+  }
+
+  test("pii clean finds every planted span and redacts them all") {
+    val rows = TextOps.qClean.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1, "planted email must be found")
+      assert(r.getLong(2) >= 1, "planted phone must be found")
+    }
+  }
+
+  test("sequence packing: bins are the cumulative-offset windows and " +
+    "stats are internally consistent") {
+    val rows = Curation.qPackSequences.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val budget = 512L
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val ordered = g.sortBy(_._1)
+      var cum = 0L
+      ordered.foreach { case (_, _, tok, bin, _, _) =>
+        assert(bin == cum / budget, "bin must be the start-offset window")
+        cum += tok
+      }
+      // per-bin stats agree with the assignment
+      ordered.groupBy(_._4).foreach { case (bin, docs) =>
+        assert(docs.head._5 == docs.length)
+        assert(docs.head._6 == docs.map(_._3).sum)
+        assert(docs.forall(d => d._5 == docs.head._5 && d._6 == docs.head._6))
+      }
+    }
+  }
+
+  test("stratified sample keeps exactly the under-rate hashes and is " +
+    "reproducible") {
+    val rows = Curation.qSampleStratified.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) < r.getDouble(3), "kept row must be under rate")
+    }
+    val again = Curation.qSampleStratified.run(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
+  test("embedding centroids: counts, means and norms are consistent") {
+    val cents = Similarity.qEmbedCentroids.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(cents.nonEmpty)
+    val embs = graft.ops.Tables.t(spark, dir, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => r.getInt(0).toLong -> r.getSeq[Float](1))
+    cents.groupBy(_._1).foreach { case (label, g) =>
+      assert(g.length == 64, "one row per dimension")
+      val members = embs.filter(_._1 == label).map(_._2)
+      assert(g.head._3 == members.length)
+      // mean of 2^-20-quantized components, exactly
+      g.foreach { case (_, dim, n, c, _) =>
+        // HALF_UP (ties away from zero) — what both engines' round() does;
+        // math.round would differ for negative .5 ties
+        val s = members.map(v =>
+          BigDecimal(v(dim.toInt - 1).toDouble * 1048576.0)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+        assert(c == s.toDouble / (n * 1048576.0), s"dim $dim mean")
+      }
+      val norm = math.sqrt(g.sortBy(_._2).map(x => x._4 * x._4).sum)
+      assert(math.abs(g.head._5 - norm) < 1e-8)
+    }
   }
 }
