@@ -266,11 +266,19 @@ object Dedup {
         .union(pairs.select(col("doc_b"), col("doc_a"))).cache()
       edges.count() // materialize once; the loop reuses the cached edges
       pairs.unpersist(false)
-      var labels = Tables.t(s, dir, "documents")
-        .select(col("doc_id").as("v"), col("doc_id").as("l")).cache()
+      // Propagate labels only over vertices that HAVE an edge: docs
+      // outside the near-dup graph are singletons by construction and
+      // rejoin at the end. At corpus scale paired docs are a small
+      // fraction of N, so every iteration touches |E| rows, not the
+      // whole corpus.
+      var labels = edges.select(col("u").as("v")).distinct()
+        .withColumn("l", col("v")).cache()
+      def labelSum(df: DataFrame): Long = {
+        val r = df.agg(org.apache.spark.sql.functions.sum("l")).first()
+        if (r.isNullAt(0)) 0L else r.getLong(0) // null = no paired docs
+      }
       var prevSum = Long.MaxValue
-      var sum = labels.agg(org.apache.spark.sql.functions.sum("l"))
-        .first().getLong(0)
+      var sum = labelSum(labels)
       var rounds = 0
       while (sum < prevSum && rounds < 25) {
         val next = edges.join(labels.withColumnRenamed("v", "u"), "u")
@@ -284,7 +292,10 @@ object Dedup {
         labels = next
         rounds += 1
       }
-      val lab = labels.select(col("v").as("doc_id"), col("l").as("cluster"))
+      val lab = Tables.t(s, dir, "documents").select(col("doc_id"))
+        .join(labels.toDF("doc_id", "l"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("l"), col("doc_id")).as("cluster"))
       val sz = lab.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
       lab.join(sz, "cluster")
         .select(col("doc_id"), col("cluster"), col("cluster_size"),

@@ -519,7 +519,192 @@ object Similarity {
           AS norm
       FROM cent ORDER BY label, dim"""))
 
+  // ------------------------------------------------- product quantization
+
+  // PQ(8×8): 64 dims → 8 subspaces of 8 dims, each coded against a
+  // 16-entry codebook → 4 bits/subspace, 32 bits/vector — a 64×
+  // compression of the float payload. The codebook is deterministic
+  // (subvectors of the 16 lowest vec_id % 29 == 0 donors), so both
+  // engines derive identical codes; a production build would train it
+  // with k-means per subspace exactly like trainedCentroids.
+  private val PqM = 8
+  private val PqDim = 8
+  private val PqK = 16
+
+  /** (m, k, cent) codebook rows: donor k's m-th subvector. */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("vec_id") // 16 rows post-limit: single task
+    Tables.t(s, dir, "embeddings")
+      .filter(col("vec_id") % 29 === 0).orderBy("vec_id").limit(PqK)
+      .withColumn("k", row_number().over(w))
+      .select(col("k"), explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"),
+          transform(slice(col("embedding"), m * PqDim + 1, PqDim),
+            v => v.cast("double")).as("cent"))): _*)).as("mc"))
+      .select(col("mc.m").as("m"), col("k"), col("mc.cent").as("cent"))
+  }
+
+  /** (vec_id, m, sub): every vector's subvectors. */
+  private def pqSubs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"),
+          transform(slice(col("embedding"), m * PqDim + 1, PqDim),
+            v => v.cast("double")).as("sub"))): _*)).as("ms"))
+      .select(col("vec_id"), col("ms.m").as("m"), col("ms.sub").as("sub"))
+
+  /** Squared L2 between two 8-dim double arrays — strict left fold,
+    * same order as the DuckDB list_reduce mirror.
+    */
+  private def subL2(a: Column, b: Column): Column =
+    aggregate(sequence(lit(0), lit(PqDim - 1)), lit(0.0), (acc, j) => {
+      val d = element_at(a, j + 1) - element_at(b, j + 1)
+      acc + d * d
+    })
+
+  /** (vec_id, m, k, dist): each subvector's nearest codebook entry —
+    * the narrow map at the heart of PQ encoding (codebook broadcast,
+    * no shuffle until the per-vector regroup).
+    */
+  private def pqAssign(s: SparkSession, dir: String): DataFrame =
+    pqSubs(s, dir).join(broadcast(pqCodebook(s, dir)), "m")
+      .select(col("vec_id"), col("m"), col("k"),
+        subL2(col("sub"), col("cent")).as("dist"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("k"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.k").as("k"),
+        col("best.dist").as("dist"))
+
+  /** Shared oracle CTEs ending in `assign(vec_id, m, k, dist)`. */
+  private val pqCtesSql: String = s"""
+    donors AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS k,
+             embedding
+      FROM embeddings WHERE vec_id % 29 = 0 ORDER BY vec_id LIMIT $PqK),
+    axes AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+    codebook AS (
+      SELECT m, k,
+        [CAST(embedding[m*$PqDim + j] AS DOUBLE)
+         for j in generate_series(1, $PqDim)] AS cent
+      FROM donors CROSS JOIN axes),
+    subs AS (
+      SELECT vec_id, m,
+        [CAST(embedding[m*$PqDim + j] AS DOUBLE)
+         for j in generate_series(1, $PqDim)] AS sub
+      FROM embeddings CROSS JOIN axes),
+    pqd AS (
+      SELECT s.vec_id, s.m, c.k,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          [(s.sub[j] - c.cent[j]) * (s.sub[j] - c.cent[j])
+           for j in generate_series(1, $PqDim)]),
+          (acc, v) -> acc + v) AS dist
+      FROM subs s JOIN codebook c USING (m)),
+    assign AS (
+      SELECT vec_id, m, k, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+          ORDER BY dist, k) AS rn FROM pqd) WHERE rn = 1)"""
+
+  // 16^m weights for packing 4-bit codes into one BIGINT
+  private def pqWeight(m: Int): Long = 1L << (4 * m)
+
+  /** PQ encode: pack the 8 sub-codes into one 32-bit integer and
+    * report the total squared reconstruction error. The quantization
+    * quality metric a pipeline monitors; codes are what an ANN index
+    * stores — 4 B/vector instead of 256 B.
+    *
+    * Determinism: codes are integer argmins over identical doubles;
+    * recon sums the 8 subspace errors in fixed m order (d0+…+d7,
+    * left-associated in both engines).
+    */
+  val qEmbedPq = QueryDef(
+    "q_embed_pq",
+    (s, dir) => {
+      val aggs = (0 until PqM).flatMap(m => Seq(
+        min(when(col("m") === m, col("k"))).as(s"k$m"),
+        min(when(col("m") === m, col("dist"))).as(s"d$m")))
+      pqAssign(s, dir)
+        .groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+        .select(col("vec_id"),
+          (0 until PqM).map(m =>
+            (col(s"k$m") - 1).cast("long") * pqWeight(m)).reduce(_ + _)
+            .as("code"),
+          (0 until PqM).map(m => col(s"d$m")).reduce(_ + _).as("recon"))
+        .orderBy("vec_id")
+    },
+    Some {
+      val codeCase = (0 until PqM).map(m =>
+        s"WHEN $m THEN CAST(k - 1 AS BIGINT) * ${pqWeight(m)}").mkString(" ")
+      val dmins = (0 until PqM).map(m =>
+        s"min(CASE WHEN m = $m THEN dist END) AS d$m").mkString(", ")
+      val dsum = (0 until PqM).map(m => s"d$m").mkString(" + ")
+      s"""
+      WITH $pqCtesSql,
+      pq AS (
+        SELECT vec_id,
+          CAST(sum(CASE m $codeCase END) AS BIGINT) AS code,
+          $dmins
+        FROM assign GROUP BY vec_id)
+      SELECT vec_id, code, $dsum AS recon FROM pq ORDER BY vec_id"""
+    })
+
+  /** PQ ANN via asymmetric distance computation: each query builds an
+    * 8×16 lookup table of subspace distances to the codebook (tiny,
+    * broadcast), and every database vector's distance is 8 table
+    * lookups on its stored code — no float vector is touched at scan
+    * time. This is the memory-bound scan PQ buys at 100 TB: the scan
+    * reads 4-byte codes (64× less IO), the (m, k) equi-join carries
+    * the lookups, and exact re-ranking (if wanted) touches only the
+    * top candidates.
+    */
+  val qAnnAdc = QueryDef(
+    "q_ann_adc",
+    (s, dir) => {
+      val tbl = pqSubs(s, dir).filter(col("vec_id") < 5)
+        .toDF("query_id", "m", "sub")
+        .join(broadcast(pqCodebook(s, dir)), "m")
+        .select(col("query_id"), col("m"), col("k"),
+          subL2(col("sub"), col("cent")).as("t"))
+      val lookups = pqAssign(s, dir)
+        .join(broadcast(tbl), Seq("m", "k"))
+        .filter(col("query_id") =!= col("vec_id"))
+      val tmins = (0 until PqM).map(m =>
+        min(when(col("m") === m, col("t"))).as(s"t$m"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adist"), col("vec_id"))
+      lookups.groupBy("query_id", "vec_id").agg(tmins.head, tmins.tail: _*)
+        .select(col("query_id"), col("vec_id"),
+          (0 until PqM).map(m => col(s"t$m")).reduce(_ + _).as("adist"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("query_id", "rnk")
+    },
+    Some {
+      val tmins = (0 until PqM).map(m =>
+        s"min(CASE WHEN a.m = $m THEN t END) AS t$m").mkString(", ")
+      val tsum = (0 until PqM).map(m => s"t$m").mkString(" + ")
+      s"""
+      WITH $pqCtesSql,
+      tbl AS (
+        SELECT q.vec_id AS query_id, c.m, c.k,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            [(q.sub[j] - c.cent[j]) * (q.sub[j] - c.cent[j])
+             for j in generate_series(1, $PqDim)]),
+            (acc, v) -> acc + v) AS t
+        FROM subs q JOIN codebook c USING (m) WHERE q.vec_id < 5),
+      adc AS (
+        SELECT t.query_id, a.vec_id, $tmins
+        FROM assign a JOIN tbl t ON t.m = a.m AND t.k = a.k
+        WHERE t.query_id <> a.vec_id
+        GROUP BY t.query_id, a.vec_id)
+      SELECT query_id, vec_id, adist, rnk FROM (
+        SELECT query_id, vec_id, $tsum AS adist,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY $tsum, vec_id) AS BIGINT) AS rnk
+        FROM adc)
+      WHERE rnk <= 3 ORDER BY query_id, rnk"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf,
-      qEmbedCentroids)
+      qEmbedCentroids, qEmbedPq, qAnnAdc)
 }

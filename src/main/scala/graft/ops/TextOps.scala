@@ -339,7 +339,76 @@ object TextOps {
           '$phoneRe', '<PHONE>', 'g')) AS BIGINT) AS clean_len
       FROM dirty ORDER BY doc_id"""))
 
+  /** Corpus-LM surprise scoring: build a word-bigram model over the
+    * whole corpus (count(w1,w2) and context totals count(w1)), then
+    * score each document by its mean inverse conditional probability
+    * — the perplexity-style quality signal pipelines use to drop
+    * gibberish, with an exact rational surprise (ctx/cnt) instead of
+    * log-prob because ln() is not bit-identical across engines while
+    * correctly-rounded integer division is.
+    *
+    * Two-pass shape that scales: pass 1 aggregates the model (keys =
+    * bigram vocab, bounded); pass 2 is a model equi-join + one window
+    * per doc. Per-doc summation runs in token order via a running
+    * window sum (both engines fold sequentially in frame order), so
+    * the double accumulation is order-deterministic.
+    */
+  val qSurprise = QueryDef(
+    "q_text_surprise",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val bg = toks
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+        .select(col("doc_id"), col("i"),
+          element_at(col("toks"), col("i")).as("w1"),
+          element_at(col("toks"), col("i") + 1).as("w2"))
+      val model = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val ctx = bg.groupBy("w1").agg(count(lit(1)).as("cw"))
+      // per-doc fold over an i-sorted array — NOT a window running
+      // sum: DuckDB's windowed sum aggregates via a segment tree
+      // (different fp association), while an explicit list fold is
+      // strictly sequential in both engines.
+      bg.join(model, Seq("w1", "w2")).join(ctx, Seq("w1"))
+        .select(col("doc_id"), col("i"),
+          (col("cw").cast("double") / col("c")).as("r"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"),
+          sort_array(collect_list(struct(col("i"), col("r")))).as("rs"))
+        .select(col("doc_id"), col("n").as("n_bigrams"),
+          (aggregate(transform(col("rs"), x => x.getField("r")),
+            lit(0.0), (acc, v) => acc + v) / col("n")).as("surprise"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      bg AS (
+        SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i,
+               toks
+        FROM toks),
+      bg2 AS (
+        SELECT doc_id, i, toks[CAST(i AS INT)] AS w1,
+               toks[CAST(i AS INT) + 1] AS w2
+        FROM bg),
+      model AS (SELECT w1, w2, count(*) AS c FROM bg2 GROUP BY w1, w2),
+      ctx AS (SELECT w1, count(*) AS cw FROM bg2 GROUP BY w1),
+      scored AS (
+        SELECT b.doc_id, b.i, CAST(ctx.cw AS DOUBLE) / model.c AS r
+        FROM bg2 b
+        JOIN model ON model.w1 = b.w1 AND model.w2 = b.w2
+        JOIN ctx ON ctx.w1 = b.w1)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          [x.r for x in list_sort(list(struct_pack(i := i, r := r)))]),
+          (acc, v) -> acc + v) / count(*) AS surprise
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(qTokens, qQuality, qLangId, qFingerprint, qTfIdf,
-      qRepetition, qClean)
+      qRepetition, qClean, qSurprise)
 }

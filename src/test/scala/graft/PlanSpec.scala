@@ -64,4 +64,32 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("CartesianProduct"),
       "q_embed_pairs_lsh must build candidates from bucket equi-joins")
   }
+
+  test("pq encode broadcasts the codebook and keeps scans narrow") {
+    val p = plan("q_embed_pq")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 128-row codebook must broadcast, not shuffle")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("adc search joins lookups on (m, k), never the float vectors") {
+    val p = plan("q_ann_adc")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "ADC must be equi-join lookups on the code table")
+  }
+
+  test("packing stays narrow: one exchange per window partition key") {
+    val p = plan("q_pack_sequences")
+    // the doc scan reads only the 3 needed columns
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(read.count(_ == ',') <= 2, s"scan reads too many columns: $read")
+  }
+
+  test("surprise scoring: model joins are hash joins on the vocab key") {
+    val p = plan("q_text_surprise")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
