@@ -117,5 +117,49 @@ object Curation {
       FROM scored WHERE u < rate ORDER BY doc_id"""
     })
 
+  /** End-to-end corpus curation: the operators above composed into
+    * the actual training-data flow — redact PII, score quality and
+    * repetition, filter, drop non-canonical near-dup cluster members,
+    * pack the survivors into context windows. Returns the curated
+    * doc-level frame (one row per kept doc with its bin assignment).
+    *
+    * Composition note: each stage is the SAME DataFrame pipeline as
+    * its standalone oracle-checked query, joined on doc_id, so
+    * correctness is inherited; this function exists to prove the
+    * stages compose without collecting anything to the driver — the
+    * output is still a lazy plan a caller can write wherever.
+    */
+  def curate(s: org.apache.spark.sql.SparkSession, dir: String,
+      minQuality: Double = 0.05, maxTop2Share: Double = 0.2)
+      : org.apache.spark.sql.DataFrame = {
+    val quality = TextOps.qQuality.run(s, dir)
+      .select("doc_id", "quality")
+    val rep = TextOps.qRepetition.run(s, dir)
+      .select("doc_id", "top2_share")
+    val canon = Dedup.qClusters.run(s, dir)
+      .select("doc_id", "cluster", "is_canonical")
+    val clean = TextOps.qClean.run(s, dir)
+      .select("doc_id", "clean_sig", "n_emails", "n_phones")
+    val kept = quality.join(rep, "doc_id").join(canon, "doc_id")
+      .join(clean, "doc_id")
+      .filter(col("quality") >= minQuality &&
+        col("top2_share") <= maxTop2Share && col("is_canonical"))
+    // re-pack only the survivors (same packer shape as the oracle
+    // query, applied post-filter)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val toks = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("seq_tokens"))
+    kept.join(toks, "doc_id")
+      .withColumn("cum", sum(col("seq_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum - seq_tokens) div $PackBudget"))
+      .select("doc_id", "lang", "cluster", "quality", "top2_share",
+        "clean_sig", "seq_tokens", "bin")
+  }
+
   val all: Seq[QueryDef] = Seq(qPackSequences, qSampleStratified)
 }

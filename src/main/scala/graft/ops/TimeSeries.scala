@@ -144,5 +144,114 @@ object TimeSeries {
        AND epoch_us(c.ts) < epoch_us(e.ts) + 600000000
       GROUP BY 1 ORDER BY err_id"""))
 
-  val all: Seq[QueryDef] = Seq(qAsofJoin, qGapFill, qIntervalJoin)
+  /** Session gap in microseconds: a quiet period longer than this
+    * starts a new session.
+    */
+  private val SessionGapUs = 1800000000L // 30 minutes
+
+  /** Batch sessionization: split each user's event stream at >30 min
+    * gaps (lag + conditional flag + running sum — the standard
+    * windowed formulation) and aggregate per session. One shuffle on
+    * user_id, two window passes over each partition; session counts
+    * and timestamps are integer arithmetic, so both engines agree
+    * bit-for-bit.
+    */
+  val qSessionize = QueryDef(
+    "q_ts_sessionize",
+    (s, dir) => {
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val ev = Tables.t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("new_sess",
+          when(col("us") - lag(col("us"), 1).over(wo) > SessionGapUs ||
+            lag(col("us"), 1).over(wo).isNull, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(wo.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+      ev.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"),
+          max(col("us")).as("end_us"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("start_us"), col("end_us"),
+          (col("end_us") - col("start_us")).as("duration_us"),
+          col("n_purchases"))
+        .orderBy("user_id", "session_id")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN us - lag(us) OVER w > $SessionGapUs
+                         OR lag(us) OVER w IS NULL
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      sess AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+          ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        count(*) AS n_events,
+        CAST(min(us) AS BIGINT) AS start_us,
+        CAST(max(us) AS BIGINT) AS end_us,
+        CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_purchases
+      FROM sess GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""))
+
+  /** OHLC downsample: per (event_type, hour) candlestick — open =
+    * value at the first event of the bucket, close at the last,
+    * high/low the extremes. First/last are picked by a row_number
+    * over (ts, event_id) so ties are deterministic; values pass
+    * through un-aggregated (no float summation), so both engines
+    * emit identical doubles. Single shuffle on the bucket key.
+    */
+  val qOhlc = QueryDef(
+    "q_ts_ohlc",
+    (s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+        .select(col("event_type"),
+          unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"),
+          col("ts"), col("event_id"), col("value"))
+      val wa = Window.partitionBy(col("event_type"), col("bucket_us"))
+        .orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy(col("event_type"), col("bucket_us"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev.withColumn("ra", row_number().over(wa))
+        .withColumn("rd", row_number().over(wd))
+        .groupBy(col("event_type"), col("bucket_us"))
+        .agg(count(lit(1)).as("n"),
+          min(when(col("ra") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          min(when(col("rd") === 1, col("value"))).as("close"))
+        .orderBy("event_type", "bucket_us")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type,
+          CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us,
+          ts, event_id, value,
+          row_number() OVER (PARTITION BY event_type,
+            date_trunc('hour', ts) ORDER BY ts, event_id) AS ra,
+          row_number() OVER (PARTITION BY event_type,
+            date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC) AS rd
+        FROM events)
+      SELECT event_type, bucket_us, count(*) AS n,
+        min(CASE WHEN ra = 1 THEN value END) AS open,
+        max(value) AS high, min(value) AS low,
+        min(CASE WHEN rd = 1 THEN value END) AS close
+      FROM ev GROUP BY event_type, bucket_us
+      ORDER BY event_type, bucket_us"""))
+
+  val all: Seq[QueryDef] =
+    Seq(qAsofJoin, qGapFill, qIntervalJoin, qSessionize, qOhlc)
 }

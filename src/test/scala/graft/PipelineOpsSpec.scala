@@ -313,6 +313,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(med > 1.0, "corpus must not be degenerate")
   }
 
+  test("curate() composes clean→quality→dedup→pack without losing " +
+    "canonical docs") {
+    val out = Curation.curate(spark, dir).collect()
+    assert(out.nonEmpty)
+    val clusters = Dedup.qClusters.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    val nonCanon = clusters.filter(!_._3).map(_._1).toSet
+    val keptIds = out.map(_.getLong(0)).toSet
+    assert((keptIds intersect nonCanon).isEmpty,
+      "non-canonical near-dup members must be dropped")
+    val total = graft.ops.Tables.t(spark, dir, "documents").count()
+    assert(keptIds.size < total, "filters must drop something")
+    // bins are the cumulative windows over the survivors per lang
+    out.groupBy(_.getString(1)).foreach { case (_, g) =>
+      var cum = 0L
+      g.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(7) == cum / 512L)
+        cum += r.getLong(6)
+      }
+    }
+  }
+
   test("embedding centroids: counts, means and norms are consistent") {
     val cents = Similarity.qEmbedCentroids.run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
