@@ -117,6 +117,41 @@ object Curation {
       FROM scored WHERE u < rate ORDER BY doc_id"""
     })
 
+  /** Reservoir size per stratum for q_sample_reservoir. */
+  private val ReservoirK = 20
+
+  /** Deterministic reservoir sampling: exactly K docs per language,
+    * chosen as the K smallest md5-derived keys — the fixed-size
+    * counterpart of the rate-based sampler (eval sets, human-review
+    * batches). Hash ranking makes the "random" choice reproducible
+    * and engine-independent; one shuffle on the stratum key, and the
+    * per-stratum top-K is a bounded heap regardless of corpus size
+    * (TakeOrderedAndProject semantics under the window).
+    */
+  val qSampleReservoir = QueryDef(
+    "q_sample_reservoir",
+    (s, dir) => {
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long").as("hkey")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("hkey"), col("doc_id"))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), u)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= ReservoirK)
+        .orderBy("lang", "rn")
+    },
+    Some(s"""
+      SELECT doc_id, lang, hkey, rn FROM (
+        SELECT doc_id, lang,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+            AS BIGINT) AS hkey,
+          CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+              1, 15) AS BIGINT), doc_id) AS BIGINT) AS rn
+        FROM documents)
+      WHERE rn <= $ReservoirK ORDER BY lang, rn"""))
+
   /** End-to-end corpus curation: the operators above composed into
     * the actual training-data flow — redact PII, score quality and
     * repetition, filter, drop non-canonical near-dup cluster members,
@@ -161,5 +196,6 @@ object Curation {
         "clean_sig", "seq_tokens", "bin")
   }
 
-  val all: Seq[QueryDef] = Seq(qPackSequences, qSampleStratified)
+  val all: Seq[QueryDef] =
+    Seq(qPackSequences, qSampleStratified, qSampleReservoir)
 }

