@@ -70,6 +70,51 @@ object Dedup {
             FROM documents)
       GROUP BY sig ORDER BY canonical"""))
 
+  /** JVM mirror of the SQL shingle→minhash pipeline, bit-for-bit
+    * (spec-asserted against the SQL frame): used by the streaming
+    * near-dup path so streaming candidates agree with the batch
+    * operator. None for docs with fewer than 3 tokens (no shingles),
+    * like the SQL `size(toks) >= 3` filter.
+    */
+  private[graft] def jvmMinHash(text: String): Option[Array[Long]] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < 3) None
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val shingles = (0 to toks.length - 3).map { i =>
+        md.reset()
+        val hex = md.digest(toks.slice(i, i + 3).mkString(" ")
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16)
+      }.distinct
+      Some(Array.tabulate(K) { i =>
+        shingles.map(x => ((x % 4294967296L) * aCoef(i) + bCoef(i)) % P).min
+      })
+    }
+  }
+
+  /** The 4 (band, bandValue) keys of a 16-hash signature — the same
+    * fold as the SQL bandVal.
+    */
+  private[graft] def jvmBands(mh: Array[Long]): Array[(Int, Long)] =
+    Array.tabulate(4) { b =>
+      val v = (0 until 4).map(r => mh(b * 4 + r))
+        .reduce((acc, m) => (acc % P) * 31 + m) % P
+      (b, v)
+    }
+
+  /** Per-doc 16-hash minhash signatures as columns m0..m15 (the SQL
+    * side of the jvmMinHash parity spec).
+    */
+  private[graft] def minHashSignatures(s: SparkSession,
+      dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+      .select(col("doc_id"), (col("sh") % 4294967296L).as("x"))
+    val mins = (0 until K).map(i =>
+      min((col("x") * aCoef(i) + bCoef(i)) % P).as(s"m$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
   /** Stop-shingle document-frequency cap: a shingle appearing in more
     * than this many documents is dropped from every shingle set before
     * the candidate self-join. Without it a common shingle s is a hot
@@ -256,48 +301,65 @@ object Dedup {
     * result is deterministic regardless of join order — the DuckDB
     * oracle computes the same closure with a recursive CTE.
     */
+  /** Connected components by hash-min label propagation over an
+    * undirected edge list `(doc_a, doc_b)`. Returns `(v, l)` — one
+    * row per vertex that has at least one edge, labeled with the
+    * minimum vertex id reachable from it; isolated vertices are their
+    * own components and are NOT emitted (join the vertex universe
+    * back with a left join + coalesce).
+    *
+    * Loop state is localCheckpoint-ed (eager, MEMORY_AND_DISK,
+    * lineage truncated), NOT cache()-d: a plain cache evicted under
+    * memory pressure would silently recompute the upstream pair
+    * pipeline once per iteration (measured 4× slowdown under
+    * bench-wide cache pressure), while checkpoint blocks spill to
+    * disk and the short lineage can't cascade. On a real cluster use
+    * reliable checkpointing (executor loss). Convergence is detected
+    * by the label sum, which strictly decreases until fixpoint
+    * (labels only ever decrease); the fixpoint is unique, so the
+    * result is deterministic regardless of join order.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val p = pairs.toDF("doc_a", "doc_b").cache()
+    val edges = p.toDF("u", "w")
+      .union(p.select(col("doc_b"), col("doc_a")))
+      .localCheckpoint(true)
+    p.unpersist(false)
+    var labels = edges.select(col("u").as("v")).distinct()
+      .withColumn("l", col("v")).localCheckpoint(true)
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(org.apache.spark.sql.functions.sum("l")).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0) // null = no edges at all
+    }
+    var prevSum = Long.MaxValue
+    var sum = labelSum(labels)
+    var rounds = 0
+    while (sum < prevSum && rounds < 50) {
+      val next = edges.join(labels.withColumnRenamed("v", "u"), "u")
+        .select(col("w").as("v"), col("l"))
+        .union(labels)
+        .groupBy("v").agg(min("l").as("l")).localCheckpoint(true)
+      prevSum = sum
+      sum = next.agg(org.apache.spark.sql.functions.sum("l"))
+        .first().getLong(0)
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
   val qClusters = QueryDef(
     "q_dedup_clusters",
     (s, dir) => {
-      val pairs = minHashPairs(s, dir)
-        .filter(col("jacc") >= ClusterJacc)
-        .select(col("doc_a"), col("doc_b")).cache()
-      // Loop state is localCheckpoint-ed (eager, MEMORY_AND_DISK,
-      // lineage truncated), NOT cache()-d: a plain cache evicted
-      // under memory pressure would silently recompute the whole
-      // MinHash pipeline once per iteration (measured 4× slowdown
-      // under bench-wide cache pressure), while checkpoint blocks
-      // spill to disk and the short lineage can't cascade. On a real
-      // cluster use reliable checkpointing (executor loss).
-      val edges = pairs.toDF("u", "w")
-        .union(pairs.select(col("doc_b"), col("doc_a")))
-        .localCheckpoint(true)
-      pairs.unpersist(false)
       // Propagate labels only over vertices that HAVE an edge: docs
       // outside the near-dup graph are singletons by construction and
       // rejoin at the end. At corpus scale paired docs are a small
       // fraction of N, so every iteration touches |E| rows, not the
       // whole corpus.
-      var labels = edges.select(col("u").as("v")).distinct()
-        .withColumn("l", col("v")).localCheckpoint(true)
-      def labelSum(df: DataFrame): Long = {
-        val r = df.agg(org.apache.spark.sql.functions.sum("l")).first()
-        if (r.isNullAt(0)) 0L else r.getLong(0) // null = no paired docs
-      }
-      var prevSum = Long.MaxValue
-      var sum = labelSum(labels)
-      var rounds = 0
-      while (sum < prevSum && rounds < 25) {
-        val next = edges.join(labels.withColumnRenamed("v", "u"), "u")
-          .select(col("w").as("v"), col("l"))
-          .union(labels)
-          .groupBy("v").agg(min("l").as("l")).localCheckpoint(true)
-        prevSum = sum
-        sum = next.agg(org.apache.spark.sql.functions.sum("l"))
-          .first().getLong(0)
-        labels = next
-        rounds += 1
-      }
+      val labels = connectedComponents(
+        minHashPairs(s, dir)
+          .filter(col("jacc") >= ClusterJacc)
+          .select(col("doc_a"), col("doc_b")))
       val lab = Tables.t(s, dir, "documents").select(col("doc_id"))
         .join(labels.toDF("doc_id", "l"), Seq("doc_id"), "left")
         .select(col("doc_id"),

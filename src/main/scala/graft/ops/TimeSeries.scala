@@ -252,6 +252,65 @@ object TimeSeries {
       FROM ev GROUP BY event_type, bucket_us
       ORDER BY event_type, bucket_us"""))
 
+  /** Ordered funnel: per user, the first 'view', the first 'click'
+    * strictly after it, and the first 'purchase' strictly after that
+    * — the classic conversion-funnel shape. Each stage is a
+    * groupBy(user) min over a stage-filtered join with the previous
+    * stage, so the plan is three user-keyed shuffles with partial
+    * aggregation; timestamps are integer micros, so both engines
+    * agree exactly.
+    */
+  val qFunnel = QueryDef(
+    "q_ts_funnel",
+    (s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val v1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val c2 = ev.filter(col("event_type") === "click")
+        .join(v1, "user_id").filter(col("us") > col("t1"))
+        .groupBy("user_id").agg(min("us").as("t2"))
+      val p3 = ev.filter(col("event_type") === "purchase")
+        .join(c2, "user_id").filter(col("us") > col("t2"))
+        .groupBy("user_id").agg(min("us").as("t3"))
+      ev.select("user_id").distinct()
+        .join(v1, Seq("user_id"), "left")
+        .join(c2, Seq("user_id"), "left")
+        .join(p3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          when(col("t3").isNotNull, 3L)
+            .when(col("t2").isNotNull, 2L)
+            .when(col("t1").isNotNull, 1L)
+            .otherwise(0L).as("reached_step"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      v1 AS (SELECT user_id, min(us) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY user_id),
+      c2 AS (SELECT e.user_id, min(e.us) AS t2
+             FROM ev e JOIN v1 ON v1.user_id = e.user_id
+             WHERE e.event_type = 'click' AND e.us > v1.t1
+             GROUP BY e.user_id),
+      p3 AS (SELECT e.user_id, min(e.us) AS t3
+             FROM ev e JOIN c2 ON c2.user_id = e.user_id
+             WHERE e.event_type = 'purchase' AND e.us > c2.t2
+             GROUP BY e.user_id)
+      SELECT u.user_id,
+        CAST(t1 AS BIGINT) AS t1, CAST(t2 AS BIGINT) AS t2,
+        CAST(t3 AS BIGINT) AS t3,
+        CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                  WHEN t2 IS NOT NULL THEN 2
+                  WHEN t1 IS NOT NULL THEN 1
+                  ELSE 0 END AS BIGINT) AS reached_step
+      FROM (SELECT DISTINCT user_id FROM ev) u
+      LEFT JOIN v1 ON v1.user_id = u.user_id
+      LEFT JOIN c2 ON c2.user_id = u.user_id
+      LEFT JOIN p3 ON p3.user_id = u.user_id
+      ORDER BY u.user_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(qAsofJoin, qGapFill, qIntervalJoin, qSessionize, qOhlc)
+    Seq(qAsofJoin, qGapFill, qIntervalJoin, qSessionize, qOhlc, qFunnel)
 }

@@ -126,6 +126,67 @@ object StreamingIngest {
       }
   }
 
+  /** A streamed document (the training-data ingest shape). */
+  final case class DocRow(doc_id: Long, text: String)
+
+  /** A near-dup candidate: `doc_id` collided with the earlier-kept
+    * `dup_of` in some band bucket; `est_jaccard` is the minhash
+    * agreement (an unbiased Jaccard estimate). The same pair can
+    * surface from multiple buckets — downstream dedups/verifies
+    * (exactly like the batch candidate→verify split).
+    */
+  final case class NearDupCand(doc_id: Long, dup_of: Long,
+      est_jaccard: Double)
+
+  final case class BandRow(bucket: String, doc_id: Long,
+      sig: Array[Long])
+
+  /** (f) Streaming near-dup candidate generation: MinHash banding
+    * with per-bucket signature state — the streaming face of
+    * q_dedup_minhash_lsh. Each arriving doc is banded with the SAME
+    * hash math as the batch operator (Dedup.jvmMinHash mirrors the
+    * SQL bit-for-bit, spec-asserted), compared against the
+    * signatures kept in its bucket, and collisions with ≥ minAgree
+    * signature agreement emit candidates for downstream exact
+    * verification. State per bucket is a ring of the most recent
+    * maxPerBucket signatures — bounded regardless of stream length;
+    * at production scale add state TTL / RocksDB via config.
+    */
+  def nearDupCandidates(docs: Dataset[DocRow], maxPerBucket: Int = 64,
+      minAgree: Double = 0.5): Dataset[NearDupCand] = {
+    import docs.sparkSession.implicits._
+    val banded = docs.flatMap { d =>
+      graft.ops.Dedup.jvmMinHash(d.text) match {
+        case Some(sig) =>
+          graft.ops.Dedup.jvmBands(sig).toSeq.map { case (b, v) =>
+            BandRow(s"$b:$v", d.doc_id, sig)
+          }
+        case None => Seq.empty[BandRow]
+      }
+    }
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[(Long, Array[Long])], NearDupCand](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, batch, state: GroupState[List[(Long, Array[Long])]]) =>
+          var kept = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[NearDupCand]
+          // deterministic order within a micro-batch
+          batch.toSeq.sortBy(_.doc_id).foreach { r =>
+            kept.foreach { case (prevId, prevSig) =>
+              if (prevId != r.doc_id) {
+                val agree = prevSig.zip(r.sig).count(t => t._1 == t._2)
+                  .toDouble / prevSig.length
+                if (agree >= minAgree)
+                  out += NearDupCand(r.doc_id, prevId, agree)
+              }
+            }
+            kept = ((r.doc_id, r.sig) :: kept).take(maxPerBucket)
+          }
+          state.update(kept)
+          out.result().iterator
+      }
+  }
+
   /** Per-series running state for (c): monotonic count + last value +
     * min/max over the series lifetime.
     */

@@ -313,6 +313,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(med > 1.0, "corpus must not be degenerate")
   }
 
+  test("connectedComponents equals union-find on random graphs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { _ =>
+      val n = 5 + rnd.nextInt(40)
+      val m = rnd.nextInt(3 * n)
+      val edges = Seq.fill(m) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map(
+          (0L until n.toLong).map(v => v -> v): _*)
+        def find(x: Long): Long = {
+          var r = x; while (parent(r) != r) r = parent(r); r
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        val want = touched.map(v => v -> find(v)).toMap
+        val got = Dedup.connectedComponents(
+          edges.toDF("doc_a", "doc_b")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"n=$n m=${edges.size}")
+      }
+    }
+  }
+
   test("curate() composes clean→quality→dedup→pack without losing " +
     "canonical docs") {
     val out = Curation.curate(spark, dir).collect()

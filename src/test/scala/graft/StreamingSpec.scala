@@ -143,4 +143,62 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(res.toSeq == Seq(("cpu", 4L), ("mem", 4L)))
   }
+
+  test("jvm minhash mirrors the sql signature bit-for-bit") {
+    val spark = SparkFixture.spark
+    val dir = "/root/testdata/sf0.001"
+    val sql = graft.ops.Dedup.minHashSignatures(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (1 to 16).map(i => r.getLong(i)).toSeq).toMap
+    val texts = graft.ops.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(sql.nonEmpty)
+    texts.foreach { case (id, text) =>
+      val jvm = graft.ops.Dedup.jvmMinHash(text)
+      (jvm, sql.get(id)) match {
+        case (Some(sig), Some(want)) =>
+          assert(sig.toSeq == want, s"doc $id signature mismatch")
+        case (None, None) => // < 3 tokens on both sides
+        case other => fail(s"doc $id presence mismatch: $other")
+      }
+    }
+  }
+
+  test("streaming near-dup candidates recover the batch LSH pairs") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+
+    // batch ground truth: candidate pairs whose true jaccard is high
+    // (planted dups ~0.9) — streaming banding must catch these too
+    val truth = graft.ops.Dedup.qMinHashLsh.run(spark, dir).collect()
+      .filter(_.getDouble(2) >= 0.5)
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    assert(truth.nonEmpty, "fixture should contain high-jaccard pairs")
+
+    val docs = graft.ops.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => StreamingIngest.DocRow(r.getLong(0), r.getString(1)))
+
+    val mem = MemoryStream[StreamingIngest.DocRow]
+    val cands = StreamingIngest.nearDupCandidates(mem.toDS())
+    val q = cands.writeStream.format("memory").queryName("near_dup")
+      .outputMode(OutputMode.Append).start()
+    val (first, second) = docs.splitAt(docs.length / 2)
+    mem.addData(first.toSeq)
+    q.processAllAvailable()
+    mem.addData(second.toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT doc_id, dup_of FROM near_dup").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    assert(got.forall { case (a, b) => a != b })
+    assert(truth.subsetOf(got),
+      s"streaming missed batch pairs: ${truth -- got}")
+  }
 }
