@@ -143,6 +143,10 @@ class LynxEngine(
           val (stagingId, files) = t.stage(spark, namespace, table, df)
           wal.write(
             graft.core.SealMarker(namespace, table, stagingId, files))
+          // under group commit the marker is only buffered — force it
+          // durable BEFORE publish, or a crash in between leaves
+          // published files with no marker and replay double-counts
+          wal.flush()
           t.publish(namespace, table, stagingId, files)
         }
       }

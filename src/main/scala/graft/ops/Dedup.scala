@@ -340,11 +340,16 @@ object Dedup {
         .union(labels)
         .groupBy("v").agg(min("l").as("l")).localCheckpoint(true)
       prevSum = sum
-      sum = next.agg(org.apache.spark.sql.functions.sum("l"))
-        .first().getLong(0)
+      sum = labelSum(next) // null-safe: empty when there are no edges
       labels = next
       rounds += 1
     }
+    // hash-min moves the min one hop per round; a component with
+    // diameter > rounds would exit mid-propagation — fail loudly
+    // rather than return labels that split one true cluster
+    require(sum == prevSum,
+      s"connectedComponents did not converge in $rounds rounds " +
+        "(component diameter exceeds the cap; use large-star/small-star)")
     labels
   }
 

@@ -117,9 +117,10 @@ object Similarity {
       WHERE rnk <= 5 ORDER BY query_id, rnk"""))
 
   // 6-bit random-hyperplane signature; integer hyperplane weights
-  // w[i][j] = ((i*131 + j*31 + 7 + seed) % 211) - 105 are exact in
-  // both engines, so bucket ids are bit-identical. `seed` selects an
-  // independent hyperplane table (seed 0 = the q_ann_lsh table).
+  // w[i][j] = ((i*131 + j*31 + 7) % 211) - 105 are exact in both
+  // engines, so bucket ids are bit-identical. (Multi-table LSH lives
+  // in hplaneWeights below — a linear seed here would leave tables
+  // correlated, so there is deliberately no seed knob.)
   private val Bits = 6
 
   // Hyperplane weights are compile-time constants, so the signature
@@ -127,23 +128,22 @@ object Similarity {
   // float arrays (integers ≤211 are exact in float, so the fold is
   // still bit-identical to the DuckDB list_reduce mirror) instead of
   // an interpreted aggregate() fold — ~7× on the signature stage.
-  private def bucketWeights(seed: Int, i: Int): Array[Float] =
-    Array.tabulate(64)(j => ((i * 131 + j * 31 + 7 + seed) % 211 - 105)
-      .toFloat)
+  private def bucketWeights(i: Int): Array[Float] =
+    Array.tabulate(64)(j => ((i * 131 + j * 31 + 7) % 211 - 105).toFloat)
 
-  private def bucketCol(emb: Column, seed: Int): Column = {
+  private def bucketCol(emb: Column): Column = {
     val bits = (0 until Bits).map { i =>
-      val d = GraftFunctions.dotp(emb, typedlit(bucketWeights(seed, i)))
+      val d = GraftFunctions.dotp(emb, typedlit(bucketWeights(i)))
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
-  private def bucketSql(emb: String, seed: Int): String = {
+  private def bucketSql(emb: String): String = {
     (0 until Bits).map { i =>
       val d = s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
         [CAST($emb[j + 1] AS DOUBLE) *
-         CAST((($i * 131 + j * 31 + 7 + $seed) % 211) - 105 AS DOUBLE)
+         CAST((($i * 131 + j * 31 + 7) % 211) - 105 AS DOUBLE)
          for j in generate_series(0, 63)]), (acc, v) -> acc + v)"""
       s"(CASE WHEN $d >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
@@ -160,7 +160,7 @@ object Similarity {
     (s, dir) => {
       val e = vectors(s, dir)
         .select(col("vec_id"), col("embedding"), col("nrm"),
-          bucketCol(col("embedding"), 0).as("bucket"))
+          bucketCol(col("embedding")).as("bucket"))
       val a = e.toDF("vec_id", "emb_a", "nrm_a", "bucket")
       val b = e.toDF("nbr_id", "emb_b", "nrm_b", "bucket")
       val w = Window.partitionBy(col("vec_id"))
@@ -179,7 +179,7 @@ object Similarity {
       WITH $vectorsSql,
       sig AS (
         SELECT vec_id, embedding, nrm,
-          CAST(${bucketSql("embedding", 0)} AS BIGINT) AS bucket
+          CAST(${bucketSql("embedding")} AS BIGINT) AS bucket
         FROM vectors)
       SELECT vec_id, bucket, nbr_id, cos FROM (
         SELECT a.vec_id, a.bucket, b.vec_id AS nbr_id,
@@ -428,9 +428,22 @@ object Similarity {
   // trainer would run as a scheduled job persisting centroids to a
   // table; the cache keyed on the immutable input dir is the local
   // equivalent.
+  // weak session keys: a closed/discarded SparkSession must not be
+  // pinned forever by its cached centroids (a long-lived process may
+  // cycle many sessions)
   private val centroidCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), Array[Array[Double]]]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]]()
+
+  private def centroidsFor(s: SparkSession) = centroidCache.synchronized {
+    var m = centroidCache.get(s)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap
+        .empty[String, Array[Array[Double]]]
+      centroidCache.put(s, m)
+    }
+    m
+  }
 
   /** Deterministic Lloyd trainer: k=8 centroids seeded from fixed
     * vec_ids, 3 iterations whose per-dimension means use exact
@@ -439,7 +452,7 @@ object Similarity {
     */
   private[graft] def trainedCentroids(s: SparkSession,
       dir: String): Array[Array[Double]] =
-    centroidCache.getOrElseUpdate((s, dir), {
+    centroidsFor(s).getOrElseUpdate(dir, {
       val vecs = vectors(s, dir)
       var centroids: Array[Array[Double]] = vecs
         .filter(col("vec_id") % 59 === 0).orderBy("vec_id").limit(8)

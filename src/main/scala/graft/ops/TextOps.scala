@@ -225,9 +225,17 @@ object TextOps {
     (s, dir) => {
       val docs = Tables.t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      def grams(n: Int) = docs.select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-          i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("g"))
+      // docs with < n tokens have no n-grams: filter BEFORE building
+      // the index sequence — sequence(1, 0) is descending in Spark
+      // and slice(toks, 0, n) is a runtime error (DuckDB's
+      // generate_series(1, 0) is empty, so without the guard the
+      // engines also diverge). Dropped docs resurface through the
+      // left join with NULL gram stats, matching the oracle.
+      def grams(n: Int) = docs
+        .filter(size(col("toks")) >= n)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("g"))
       def gramStats(n: Int, top: String, dup: String, tot: String) =
         grams(n).groupBy(col("doc_id"), col("g"))
           .agg(count(lit(1)).as("c"))

@@ -23,14 +23,30 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   // `spark.read.parquet` lists files and reads footers every call;
-  // cache the resolved DataFrame per (session, dir, table) so the 63
+  // cache the resolved DataFrame per (session, dir, table) so the
   // bench/verify queries don't pay that fixed cost 10× each. Plans
-  // are immutable, so sharing is safe.
+  // are immutable, so sharing is safe. Sessions are WEAK keys: a
+  // discarded SparkSession (and every plan hanging off it) must not
+  // be pinned forever by this JVM-global cache.
   private val dfCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
   private val viewsDone =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Unit]]()
+
+  private def perSession[K, V](
+      cache: java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[K, V]],
+      s: SparkSession): scala.collection.concurrent.TrieMap[K, V] =
+    cache.synchronized {
+      var m = cache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[K, V]
+        cache.put(s, m)
+      }
+      m
+    }
 
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
     * reader rejects; read it as raw nanos and truncate to micros —
@@ -38,7 +54,7 @@ object Tables {
     * event_id 0: …549829 ns → …549 us).
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    dfCache.getOrElseUpdate((spark, dir, name), {
+    perSession(dfCache, spark).getOrElseUpdate((dir, name), {
       if (name == "events") {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val raw = spark.read.parquet(s"$dir/events.parquet")
@@ -54,7 +70,7 @@ object Tables {
     * paths); once per (session, dir).
     */
   def views(spark: SparkSession, dir: String): Unit =
-    viewsDone.getOrElseUpdate((spark, dir),
+    perSession(viewsDone, spark).getOrElseUpdate(dir,
       all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n)))
 }
 

@@ -167,6 +167,16 @@ final class Wal(directory: File, startSegmentId: Long,
     }
   }
 
+  /** Force buffered records to the OS now, regardless of the group
+    * commit deadline. Callers that need a record durable *before* a
+    * dependent action (the seal marker before tier publish) must call
+    * this — under group commit a plain write() only buffers.
+    */
+  def flush(): Unit = synchronized {
+    active.flush()
+    lastFlushNanos = System.nanoTime()
+  }
+
   private def rotate(): Unit = {
     active.close()
     closedSegments += active.id

@@ -313,6 +313,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(med > 1.0, "corpus must not be degenerate")
   }
 
+  test("repetition and cluster dedup survive degenerate corpora " +
+    "(short docs, no near-dups)") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("degen").toFile
+    Seq((0L, "one", "en", "s", 3L), (1L, "two words", "en", "s", 9L),
+      (2L, "alpha beta gamma", "en", "s", 16L),
+      (3L, "delta epsilon zeta eta", "en", "s", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp.getPath + "/documents.parquet")
+    val rep = TextOps.qRepetition.run(spark, tmp.getPath).collect()
+    assert(rep.length == 4)
+    val r0 = rep.find(_.getLong(0) == 0L).get
+    assert(r0.isNullAt(3) && r0.isNullAt(4),
+      "a 1-token doc has no 2-/3-grams — NULL stats, not a crash")
+    val r1 = rep.find(_.getLong(0) == 1L).get
+    assert(r1.getDouble(3) == 1.0 && r1.isNullAt(4))
+    // all docs unique → empty near-dup edge list → all singletons
+    val cl = Dedup.qClusters.run(spark, tmp.getPath).collect()
+    assert(cl.length == 4)
+    assert(cl.forall(r => r.getLong(0) == r.getLong(1) &&
+      r.getLong(2) == 1L && r.getBoolean(3)))
+  }
+
   test("connectedComponents equals union-find on random graphs") {
     val s = spark
     import s.implicits._

@@ -172,6 +172,23 @@ class WalSpec extends AnyFunSuite {
     assert(buf.rowCounts == Map(("ns", "cpu") -> 50))
   }
 
+  test("flush() makes buffered group-commit records durable at once") {
+    val dir = tempDir()
+    // timer effectively never fires: durability must come from flush()
+    val wal = new Wal(dir, 1, 1024 * 1024, groupCommitMillis = 600000)
+    val w = WriteRequest("ns", "cpu", "1", Map.empty, 1L)
+    wal.write(w)
+    val seg = new File(dir, "1.wal")
+    val expected = WalCodec.Header.length + WalCodec.encode(w).length
+    assert(seg.length() < expected,
+      "write() should only buffer under group commit")
+    wal.flush()
+    assert(seg.length() == expected,
+      "flush() must force the buffered record to the OS immediately " +
+        "(seal markers depend on this before tier publish)")
+    wal.close()
+  }
+
   test("group-commit timer flushes buffered records while idle") {
     val dir = tempDir()
     val wal = new Wal(dir, 1, 1024 * 1024, groupCommitMillis = 50)
