@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** File-format sources (SURVEY.md §2B scan row): the reference never
+  * wires DataFusion's CSV/JSON readers to an endpoint; Spark gives
+  * them for free — prove the claim by round-tripping fixture data
+  * through each format and reading it back bit-equal.
+  */
+class SourcesSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  private def spark = SparkFixture.spark
+
+  test("csv source round-trips the nation table") {
+    val src = graft.ops.Tables.t(spark, dir, "nation")
+    val out = Files.createTempDirectory("csv-src").toFile.getPath + "/n"
+    src.write.option("header", "true").csv(out)
+    val back = spark.read.option("header", "true")
+      .schema(src.schema) // explicit schema: no inference surprises
+      .csv(out)
+    assert(back.count() == src.count())
+    val a = src.collect().map(_.toSeq).sortBy(_.toString)
+    val b = back.collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.sameElements(b))
+  }
+
+  test("json-lines source round-trips the supplier table") {
+    val src = graft.ops.Tables.t(spark, dir, "supplier")
+    val out = Files.createTempDirectory("json-src").toFile.getPath + "/s"
+    src.write.json(out)
+    val back = spark.read.schema(src.schema).json(out)
+    assert(back.count() == src.count())
+    val a = src.collect().map(_.toSeq).sortBy(_.toString)
+    val b = back.collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.sameElements(b))
+  }
+
+  test("csv source feeds the same aggregation as parquet") {
+    val src = graft.ops.Tables.t(spark, dir, "lineitem")
+      .select("l_returnflag", "l_quantity")
+    val out = Files.createTempDirectory("csv-agg").toFile.getPath + "/l"
+    src.write.option("header", "true").csv(out)
+    import org.apache.spark.sql.functions._
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("l_returnflag")
+        .agg(graft.ops.Parity.dsum(col("l_quantity")).as("s"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val back = spark.read.option("header", "true").schema(src.schema)
+      .csv(out)
+    assert(agg(back) == agg(src))
+  }
+}
