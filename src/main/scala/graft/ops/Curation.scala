@@ -19,36 +19,56 @@ object Curation {
   /** Context-window token budget for packing. */
   private val PackBudget = 512L
 
+  /** Packer shard count: packing parallelism = strata × PackShards.
+    * Tune so each (stratum, shard) partition fits one task's sort at
+    * the target scale.
+    */
+  private[graft] val PackShards = 8
+
+  /** Deterministic md5-derived shard, identical in both engines
+    * (hex chars 17-18 of md5(doc_id), mod PackShards).
+    */
+  private def shardCol: org.apache.spark.sql.Column =
+    conv(substring(md5(col("doc_id").cast("string")), 17, 2), 16, 10)
+      .cast("long") % PackShards
+  private def shardSql: String =
+    s"""CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 2)
+        AS BIGINT) % $PackShards"""
+
   /** Sequence packing: assign each document to a training context
     * window ("bin") of PackBudget tokens, packing greedily in doc_id
-    * order within each language partition — bin = the window its
-    * cumulative start offset falls in, so bins may overflow by at most
-    * one document (the standard streaming-packer behavior; no
+    * order within each (lang, shard) partition — bin = the window its
+    * cumulative start offset falls in, so bins may overflow by at
+    * most one document (the standard streaming-packer behavior; no
     * doc splitting here).
     *
     * Scale shape: packing is inherently sequential *within* a
-    * partition but embarrassingly parallel *across* partitions — the
-    * partition key (lang here; any hash-bucket key at 100 TB) is the
-    * parallelism unit, and the window sum is a single sort per
-    * partition, no shuffle beyond it.
+    * partition but embarrassingly parallel *across* partitions, so
+    * the partition key must grow with the corpus — lang alone caps
+    * parallelism at the stratum count (5 sort tasks forever); the
+    * deterministic md5 shard multiplies it by PackShards, and at
+    * 100 TB you raise PackShards, not the algorithm.
     */
   val qPackSequences = QueryDef(
     "q_pack_sequences",
     (s, dir) => {
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val w = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val toks = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("seq_tokens"))
+        .withColumn("shard", shardCol)
       val binned = toks
         .withColumn("cum", sum(col("seq_tokens")).over(w))
         .withColumn("bin",
           expr(s"(cum - seq_tokens) div $PackBudget"))
-      val stats = binned.groupBy(col("lang"), col("bin"))
+      val stats = binned.groupBy(col("lang"), col("shard"), col("bin"))
         .agg(count(lit(1)).as("bin_docs"),
           sum(col("seq_tokens")).as("bin_tokens"))
-      binned.join(stats, Seq("lang", "bin"))
-        .select(col("doc_id"), col("lang"), col("seq_tokens"), col("bin"),
+      binned.join(stats, Seq("lang", "shard", "bin"))
+        .select(col("doc_id"), col("lang"), col("shard"),
+          col("seq_tokens"), col("bin"),
           col("bin_docs"), col("bin_tokens"),
           (col("bin_tokens").cast("double") / PackBudget).as("fill"))
         .orderBy("doc_id")
@@ -56,22 +76,25 @@ object Curation {
     Some(s"""
       WITH toks AS (
         SELECT doc_id, lang,
-          CAST(len(string_split(text, ' ')) AS BIGINT) AS seq_tokens
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS seq_tokens,
+          $shardSql AS shard
         FROM documents),
       binned AS (
-        SELECT doc_id, lang, seq_tokens,
-          (sum(seq_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        SELECT doc_id, lang, shard, seq_tokens,
+          (sum(seq_tokens) OVER (PARTITION BY lang, shard
+             ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            - seq_tokens) // $PackBudget AS bin
         FROM toks),
       stats AS (
-        SELECT lang, bin, count(*) AS bin_docs,
+        SELECT lang, shard, bin, count(*) AS bin_docs,
           sum(seq_tokens) AS bin_tokens
-        FROM binned GROUP BY lang, bin)
-      SELECT b.doc_id, b.lang, b.seq_tokens, b.bin,
+        FROM binned GROUP BY lang, shard, bin)
+      SELECT b.doc_id, b.lang, b.shard, b.seq_tokens, b.bin,
         s.bin_docs, CAST(s.bin_tokens AS BIGINT) AS bin_tokens,
         CAST(s.bin_tokens AS DOUBLE) / $PackBudget AS fill
-      FROM binned b JOIN stats s ON s.lang = b.lang AND s.bin = b.bin
+      FROM binned b JOIN stats s
+        ON s.lang = b.lang AND s.shard = b.shard AND s.bin = b.bin
       ORDER BY b.doc_id"""))
 
   // Mixture weights per language stratum (a typical "up-sample the
@@ -133,12 +156,27 @@ object Curation {
     (s, dir) => {
       val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
         16, 10).cast("long").as("hkey")
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("hkey"), col("doc_id"))
-      Tables.t(s, dir, "documents")
+      // Two-phase top-K: a single window per stratum means one sort
+      // task per language — 5 tasks at any corpus size. Phase 1 takes
+      // the per-(lang, shard) top-K in parallel (global top-K is a
+      // subset of the union of shard top-Ks), phase 2 re-ranks only
+      // the ≤ K×shards survivors. Output is IDENTICAL to the
+      // single-phase ranking (the oracle keeps the simple form).
+      val Shards = 16
+      val scored = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), u)
-        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("shard", pmod(crc32(col("doc_id").cast("string")),
+          lit(Shards)))
+      val wLocal = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(col("hkey"), col("doc_id"))
+      val wFinal = Window.partitionBy(col("lang"))
+        .orderBy(col("hkey"), col("doc_id"))
+      scored
+        .withColumn("lrn", row_number().over(wLocal))
+        .filter(col("lrn") <= ReservoirK)
+        .withColumn("rn", row_number().over(wFinal).cast("long"))
         .filter(col("rn") <= ReservoirK)
+        .select("doc_id", "lang", "hkey", "rn")
         .orderBy("lang", "rn")
     },
     Some(s"""
@@ -182,18 +220,19 @@ object Curation {
     // re-pack only the survivors (same packer shape as the oracle
     // query, applied post-filter)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val toks = Tables.t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("seq_tokens"))
+      .withColumn("shard", shardCol)
     kept.join(toks, "doc_id")
       .withColumn("cum", sum(col("seq_tokens")).over(w))
       .withColumn("bin", expr(s"(cum - seq_tokens) div $PackBudget"))
-      .select("doc_id", "lang", "cluster", "quality", "top2_share",
-        "clean_sig", "seq_tokens", "bin")
+      .select("doc_id", "lang", "shard", "cluster", "quality",
+        "top2_share", "clean_sig", "seq_tokens", "bin")
   }
 
   val all: Seq[QueryDef] =

@@ -220,25 +220,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("sequence packing: bins are the cumulative-offset windows and " +
-    "stats are internally consistent") {
+  test("sequence packing: bins are the cumulative-offset windows " +
+    "per (lang, shard) and stats are internally consistent") {
     val rows = Curation.qPackSequences.run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5)))
+        r.getLong(4), r.getLong(5), r.getLong(6)))
     assert(rows.nonEmpty)
+    // shard is the documented md5-derived function of doc_id
+    rows.foreach { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(r._1.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r._3 ==
+        java.lang.Long.parseLong(hex.substring(16, 18), 16) % 8)
+    }
     val budget = 512L
-    rows.groupBy(_._2).foreach { case (_, g) =>
+    rows.groupBy(r => (r._2, r._3)).foreach { case (_, g) =>
       val ordered = g.sortBy(_._1)
       var cum = 0L
-      ordered.foreach { case (_, _, tok, bin, _, _) =>
+      ordered.foreach { case (_, _, _, tok, bin, _, _) =>
         assert(bin == cum / budget, "bin must be the start-offset window")
         cum += tok
       }
       // per-bin stats agree with the assignment
-      ordered.groupBy(_._4).foreach { case (bin, docs) =>
-        assert(docs.head._5 == docs.length)
-        assert(docs.head._6 == docs.map(_._3).sum)
-        assert(docs.forall(d => d._5 == docs.head._5 && d._6 == docs.head._6))
+      ordered.groupBy(_._5).foreach { case (_, docs) =>
+        assert(docs.head._6 == docs.length)
+        assert(docs.head._7 == docs.map(_._4).sum)
+        assert(docs.forall(d => d._6 == docs.head._6 && d._7 == docs.head._7))
       }
     }
   }
@@ -380,13 +388,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       "non-canonical near-dup members must be dropped")
     val total = graft.ops.Tables.t(spark, dir, "documents").count()
     assert(keptIds.size < total, "filters must drop something")
-    // bins are the cumulative windows over the survivors per lang
-    out.groupBy(_.getString(1)).foreach { case (_, g) =>
-      var cum = 0L
-      g.sortBy(_.getLong(0)).foreach { r =>
-        assert(r.getLong(7) == cum / 512L)
-        cum += r.getLong(6)
-      }
+    // bins are the cumulative windows over the survivors per
+    // (lang, shard)
+    out.groupBy(r => (r.getString(1), r.getLong(2))).foreach {
+      case (_, g) =>
+        var cum = 0L
+        g.sortBy(_.getLong(0)).foreach { r =>
+          assert(r.getLong(8) == cum / 512L)
+          cum += r.getLong(7)
+        }
     }
   }
 
