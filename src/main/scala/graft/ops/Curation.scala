@@ -161,12 +161,11 @@ object Curation {
       // the per-(lang, shard) top-K in parallel (global top-K is a
       // subset of the union of shard top-Ks), phase 2 re-ranks only
       // the ≤ K×shards survivors. Output is IDENTICAL to the
-      // single-phase ranking (the oracle keeps the simple form).
-      val Shards = 16
+      // single-phase ranking (the oracle keeps the simple form);
+      // sharding reuses the packer's shardCol/PackShards knob.
       val scored = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), u)
-        .withColumn("shard", pmod(crc32(col("doc_id").cast("string")),
-          lit(Shards)))
+        .withColumn("shard", shardCol)
       val wLocal = Window.partitionBy(col("lang"), col("shard"))
         .orderBy(col("hkey"), col("doc_id"))
       val wFinal = Window.partitionBy(col("lang"))
@@ -213,10 +212,14 @@ object Curation {
       .select("doc_id", "cluster", "is_canonical")
     val clean = TextOps.qClean.run(s, dir)
       .select("doc_id", "clean_sig", "n_emails", "n_phones")
+    // NULL top2_share means "too short to have 2-grams", i.e. no
+    // repetition signal — keep, don't let SQL NULL semantics silently
+    // drop the doc from the filter
     val kept = quality.join(rep, "doc_id").join(canon, "doc_id")
       .join(clean, "doc_id")
       .filter(col("quality") >= minQuality &&
-        col("top2_share") <= maxTop2Share && col("is_canonical"))
+        coalesce(col("top2_share"), lit(0.0)) <= maxTop2Share &&
+        col("is_canonical"))
     // re-pack only the survivors (same packer shape as the oracle
     // query, applied post-filter)
     val w = org.apache.spark.sql.expressions.Window

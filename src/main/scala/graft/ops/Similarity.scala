@@ -435,15 +435,8 @@ object Similarity {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]]()
 
-  private def centroidsFor(s: SparkSession) = centroidCache.synchronized {
-    var m = centroidCache.get(s)
-    if (m == null) {
-      m = scala.collection.concurrent.TrieMap
-        .empty[String, Array[Array[Double]]]
-      centroidCache.put(s, m)
-    }
-    m
-  }
+  private def centroidsFor(s: SparkSession) =
+    Tables.perSession(centroidCache, s)
 
   /** Deterministic Lloyd trainer: k=8 centroids seeded from fixed
     * vec_ids, 3 iterations whose per-dimension means use exact

@@ -25,17 +25,31 @@ object Tables {
   // `spark.read.parquet` lists files and reads footers every call;
   // cache the resolved DataFrame per (session, dir, table) so the
   // bench/verify queries don't pay that fixed cost 10× each. Plans
-  // are immutable, so sharing is safe. Sessions are WEAK keys: a
-  // discarded SparkSession (and every plan hanging off it) must not
-  // be pinned forever by this JVM-global cache.
+  // are immutable, so sharing is safe. A DataFrame strongly
+  // references its SparkSession, so weak session keys would never
+  // collect (the classic WeakHashMap value→key pitfall); a bounded
+  // access-order LRU instead guarantees discarded sessions age out
+  // of this JVM-global cache within MaxCachedFrames insertions.
+  private val MaxCachedFrames = 64
   private val dfCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](
+      MaxCachedFrames, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame])
+          : Boolean = size() > MaxCachedFrames
+    }
+
+  // view registration markers hold no session reference in their
+  // values, so weak session keys work here
   private val viewsDone =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, Unit]]()
 
-  private def perSession[K, V](
+  /** Get-or-create the per-session sub-map of a weak-keyed cache —
+    * shared by every session-scoped cache whose values do NOT
+    * reference the session (see dfCache above for the other case).
+    */
+  private[graft] def perSession[K, V](
       cache: java.util.WeakHashMap[SparkSession,
         scala.collection.concurrent.TrieMap[K, V]],
       s: SparkSession): scala.collection.concurrent.TrieMap[K, V] =
@@ -54,7 +68,20 @@ object Tables {
     * event_id 0: …549829 ns → …549 us).
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    perSession(dfCache, spark).getOrElseUpdate((dir, name), {
+    dfCache.synchronized {
+      val key = (spark, dir, name)
+      val hit = dfCache.get(key)
+      if (hit != null) hit
+      else {
+        val df = load(spark, dir, name)
+        dfCache.put(key, df)
+        df
+      }
+    }
+
+  private def load(spark: SparkSession, dir: String,
+      name: String): DataFrame =
+    {
       if (name == "events") {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val raw = spark.read.parquet(s"$dir/events.parquet")
@@ -64,7 +91,7 @@ object Tables {
       } else {
         spark.read.parquet(s"$dir/$name.parquet")
       }
-    })
+    }
 
   /** Register every fixture table as a temp view (for spark.sql
     * paths); once per (session, dir).

@@ -146,10 +146,7 @@ final class Wal(directory: File, startSegmentId: Long,
     else {
       val t = new java.util.Timer("wal-group-commit", true)
       t.scheduleAtFixedRate(new java.util.TimerTask {
-        def run(): Unit = Wal.this.synchronized {
-          active.flush()
-          lastFlushNanos = System.nanoTime()
-        }
+        def run(): Unit = Wal.this.flush()
       }, groupCommitMillis, groupCommitMillis)
       Some(t)
     }
@@ -161,10 +158,8 @@ final class Wal(directory: File, startSegmentId: Long,
     if (active.size > maxSegmentSize) rotate()
     active.write(WalCodec.encode(w), flushNow = groupCommitMillis <= 0)
     if (groupCommitMillis > 0 &&
-        System.nanoTime() - lastFlushNanos >= groupCommitMillis * 1000000L) {
-      active.flush()
-      lastFlushNanos = System.nanoTime()
-    }
+        System.nanoTime() - lastFlushNanos >= groupCommitMillis * 1000000L)
+      flush() // reentrant: already holds the lock
   }
 
   /** Force buffered records to the OS now, regardless of the group

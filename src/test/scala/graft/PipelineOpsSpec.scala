@@ -343,6 +343,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cl.length == 4)
     assert(cl.forall(r => r.getLong(0) == r.getLong(1) &&
       r.getLong(2) == 1L && r.getBoolean(3)))
+    // curate with thresholds wide open keeps ALL docs: a NULL
+    // top2_share (too short for 2-grams) must not silently fail the
+    // repetition filter
+    val kept = Curation.curate(spark, tmp.getPath,
+      minQuality = 0.0, maxTop2Share = 1.0).collect()
+    assert(kept.length == 4,
+      s"short docs dropped by NULL semantics: kept ${kept.length}")
   }
 
   test("connectedComponents equals union-find on random graphs") {

@@ -16,7 +16,12 @@ class SourcesSpec extends AnyFunSuite {
   test("csv source round-trips the nation table") {
     val src = graft.ops.Tables.t(spark, dir, "nation")
     val out = Files.createTempDirectory("csv-src").toFile.getPath + "/n"
-    src.write.option("header", "true").csv(out)
+    // the CSV writer trims field whitespace by default — disable for
+    // a true bit-equal round-trip
+    src.write.option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(out)
     val back = spark.read.option("header", "true")
       .schema(src.schema) // explicit schema: no inference surprises
       .csv(out)
@@ -41,7 +46,10 @@ class SourcesSpec extends AnyFunSuite {
     val src = graft.ops.Tables.t(spark, dir, "lineitem")
       .select("l_returnflag", "l_quantity")
     val out = Files.createTempDirectory("csv-agg").toFile.getPath + "/l"
-    src.write.option("header", "true").csv(out)
+    src.write.option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(out)
     import org.apache.spark.sql.functions._
     def agg(df: org.apache.spark.sql.DataFrame) =
       df.groupBy("l_returnflag")
