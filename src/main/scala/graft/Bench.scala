@@ -23,10 +23,13 @@ object Bench {
     // absorb session/codegen warm-up outside the measured loop
     try SparkEntry.entry(spark).queryExecution.toRdd.count()
     catch { case _: Throwable => }
-    // two measured reps per query, report the min — single-run
-    // local[32] numbers are ±50% noisy (GC, codegen compilation)
+    // three measured reps per query, report the min — single-run
+    // local[32] numbers are ±50% noisy (GC, codegen compilation,
+    // co-scheduled load); min-of-3 also absorbs the one-time Janino
+    // compile of wide generated methods into rep 1
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => -1L }

@@ -27,8 +27,11 @@ object IngestBench {
     // policy against the default per-record flush
     val groupCommitMs = sys.env.get("LYNX_WAL_GROUP_COMMIT_MS")
       .map(_.toLong).getOrElse(0L)
+    // LYNX_WAL_FSYNC=1 benches the power-loss-durable top rung
+    val walFsync = sys.env.get("LYNX_WAL_FSYNC").exists(v =>
+      v == "1" || v.equalsIgnoreCase("true"))
     val engine = new LynxEngine(spark, dir, 50L * 1024 * 1024,
-      walGroupCommitMillis = groupCommitMs)
+      walGroupCommitMillis = groupCommitMs, walFsync = walFsync)
     val tags = Map("host" -> TagString("h1"), "region" -> TagString("eu"))
     // warm-up
     (0 until 1000).foreach(i =>

@@ -53,7 +53,8 @@ class LynxEngine(
     tier: Option[ParquetTier] = None,
     maxBufferedRows: Int = Int.MaxValue,
     maxResultRows: Int = Int.MaxValue,
-    walGroupCommitMillis: Long = 0L) {
+    walGroupCommitMillis: Long = 0L,
+    walFsync: Boolean = false) {
 
   val buffer = new MemBuffer
   private val (replayedHighest, replayedIds) =
@@ -75,7 +76,7 @@ class LynxEngine(
   // replayed into the buffer, so the staged copies must be dropped
   tier.foreach(_.cleanStaging())
   val wal = new Wal(walDir, replayedHighest + 1, maxSegmentSize,
-    groupCommitMillis = walGroupCommitMillis)
+    groupCommitMillis = walGroupCommitMillis, fsyncOnFlush = walFsync)
   def replayedSegments: Seq[Long] = replayedIds
 
   private val writeLock = new Object

@@ -184,7 +184,9 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
   * Engine extensions: LYNX_MAX_RESULT_ROWS caps what one query may
   * materialize on the driver (default unbounded, reference-faithful);
   * LYNX_WAL_GROUP_COMMIT_MS enables WAL group commit (default 0 =
-  * flush per record like the reference).
+  * flush per record like the reference); LYNX_WAL_FSYNC=1 upgrades
+  * every WAL flush to an fsync (power-loss durability — pair with
+  * group commit for one fsync per interval).
   */
 object LynxServerMain {
   def main(args: Array[String]): Unit = {
@@ -196,6 +198,8 @@ object LynxServerMain {
       .map(_.toInt).getOrElse(Int.MaxValue)
     val groupCommitMs = sys.env.get("LYNX_WAL_GROUP_COMMIT_MS")
       .map(_.toLong).getOrElse(0L)
+    val walFsync = sys.env.get("LYNX_WAL_FSYNC").exists(v =>
+      v == "1" || v.equalsIgnoreCase("true"))
     val walDir = new File(sys.env.getOrElse("LYNX_WAL_DIR", "lynx-wal"))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -206,7 +210,8 @@ object LynxServerMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val engine = new LynxEngine(spark, walDir, maxSeg,
-      maxResultRows = maxRows, walGroupCommitMillis = groupCommitMs)
+      maxResultRows = maxRows, walGroupCommitMillis = groupCommitMs,
+      walFsync = walFsync)
     val server = new LynxServer(engine, host, port.toInt)
     server.start()
     println(s"lynx-graft listening on $host:${server.boundPort}")

@@ -80,11 +80,14 @@ object Curation {
           $shardSql AS shard
         FROM documents),
       binned AS (
+        -- DuckDB widens window sum(BIGINT) to HUGEINT and -/// keep it;
+        -- the driver's hash is type-sensitive, so cast back to BIGINT
+        -- to match Spark's LongType.
         SELECT doc_id, lang, shard, seq_tokens,
-          (sum(seq_tokens) OVER (PARTITION BY lang, shard
+          CAST((sum(seq_tokens) OVER (PARTITION BY lang, shard
              ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           - seq_tokens) // $PackBudget AS bin
+           - seq_tokens) // $PackBudget AS BIGINT) AS bin
         FROM toks),
       stats AS (
         SELECT lang, shard, bin, count(*) AS bin_docs,

@@ -418,14 +418,23 @@ object Dedup {
         .select(col("doc_id"),
           conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long")
             .as("x"))
-      val bitSums = (0 until SimBits).map(j =>
-        sum(when(shiftright(col("x"), j).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)).as(s"s$j"))
-      val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      val sig = sums.select(col("doc_id"),
-        (0 until SimBits).map(j =>
-          when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("sig"))
+      // Exploded (doc, bit) layout instead of 60 parallel sum(when(..))
+      // aggregate columns: the wide-aggregate form compiles to a huge
+      // generated method (~13 s of one-time Janino compile measured at
+      // r2); this shape keeps every generated method small. The 60×
+      // row explosion is absorbed by map-side partial aggregation —
+      // post-shuffle volume is docs × 60 tiny rows, so the plan scales
+      // the same while codegen stays narrow.
+      val sums = tok
+        .select(col("doc_id"), col("x"),
+          explode(expr(s"sequence(0, ${SimBits - 1})")).as("j"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(sum(expr("2 * (CAST(shiftright(x, j) AS BIGINT) & 1) - 1"))
+          .as("bs"))
+      val sig = sums.groupBy(col("doc_id"))
+        .agg(sum(expr(
+          "IF(bs >= 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))"))
+          .as("sig"))
       val banded = sig.select(col("doc_id"), col("sig"), explode(array(
           (0 until SimBands).map(b => struct(lit(b).as("b"),
             shiftright(col("sig"), b * SimBandBits)

@@ -62,7 +62,8 @@ object Similarity {
     "q_embed_cosine_pairs",
     (s, dir) => {
       val e = vectors(s, dir)
-      val n = Tables.t(s, dir, "embeddings").count()
+      // footer-metadata count: no extra Spark job per execution
+      val n = Tables.rowCount(s, dir, "embeddings")
       require(n <= BruteForceMaxRows,
         s"q_embed_cosine_pairs is the O(n²) fixture-scale baseline " +
           s"($n rows > $BruteForceMaxRows); use q_embed_pairs_lsh at scale")

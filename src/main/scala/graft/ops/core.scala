@@ -93,6 +93,31 @@ object Tables {
       }
     }
 
+  /** Row count straight from parquet footer metadata — a driver-side
+    * read of a few KB, no Spark job. Used by fixture-scale gates
+    * (q_embed_cosine_pairs) so the guard doesn't cost an extra job on
+    * every execution. Cached per path: the fixtures are immutable.
+    */
+  private val countCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    countCache.getOrElseUpdate(s"$dir/$name", {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = root.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).toSeq
+        else Seq(root)
+      files.map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(p, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
+
   /** Register every fixture table as a temp view (for spark.sql
     * paths); once per (session, dir).
     */

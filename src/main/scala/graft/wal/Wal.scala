@@ -103,8 +103,8 @@ object WalCodec {
 final class Segment(val id: Long, directory: File) {
   private val file = new File(directory, s"$id.wal")
   require(!file.exists(), s"segment $file already exists")
-  private val out = new java.io.BufferedOutputStream(
-    new FileOutputStream(file), 64 * 1024)
+  private val fos = new FileOutputStream(file)
+  private val out = new java.io.BufferedOutputStream(fos, 64 * 1024)
   out.write(WalCodec.Header)
   out.flush()
   private var _size: Long = WalCodec.Header.length.toLong
@@ -116,6 +116,15 @@ final class Segment(val id: Long, directory: File) {
     _size += data.length
   }
   def flush(): Unit = out.flush()
+
+  /** Flush then fsync: data reaches the platter, not just the page
+    * cache — power-loss durability, the rung above the reference's
+    * flush-only policy (reference wal.rs:245-250).
+    */
+  def sync(): Unit = {
+    out.flush()
+    fos.getFD.sync()
+  }
   def close(): Unit = out.close() // BufferedOutputStream.close flushes
 }
 
@@ -132,12 +141,19 @@ final class Segment(val id: Long, directory: File) {
   * deadline pass, and by a daemon timer when writes go quiet) —
   * trading a bounded extra process-crash window for one syscall per
   * interval instead of per record on the hot ingest path.
+  *
+  * `fsyncOnFlush` adds the top rung of the durability ladder: every
+  * flush also fsyncs (FileDescriptor.sync), upgrading process-crash
+  * durability to power-loss durability. Sensible combined with group
+  * commit (one fsync per interval); with per-record flushing it means
+  * one fsync per write — correct but at spinning-disk latency.
   */
 final class Wal(directory: File, startSegmentId: Long,
     maxSegmentSize: Long,
     val closedSegments: mutable.ArrayBuffer[Long] =
       mutable.ArrayBuffer.empty,
-    groupCommitMillis: Long = 0L) {
+    groupCommitMillis: Long = 0L,
+    fsyncOnFlush: Boolean = false) {
   directory.mkdirs()
   private var active = new Segment(startSegmentId, directory)
   private var lastFlushNanos = System.nanoTime()
@@ -157,18 +173,21 @@ final class Wal(directory: File, startSegmentId: Long,
   def write(w: WriteRequest): Unit = synchronized {
     if (active.size > maxSegmentSize) rotate()
     active.write(WalCodec.encode(w), flushNow = groupCommitMillis <= 0)
+    if (groupCommitMillis <= 0 && fsyncOnFlush)
+      active.sync() // per-record fsync mode
     if (groupCommitMillis > 0 &&
         System.nanoTime() - lastFlushNanos >= groupCommitMillis * 1000000L)
       flush() // reentrant: already holds the lock
   }
 
-  /** Force buffered records to the OS now, regardless of the group
-    * commit deadline. Callers that need a record durable *before* a
-    * dependent action (the seal marker before tier publish) must call
-    * this — under group commit a plain write() only buffers.
+  /** Force buffered records to the OS now (and to the device when
+    * `fsyncOnFlush`), regardless of the group commit deadline. Callers
+    * that need a record durable *before* a dependent action (the seal
+    * marker before tier publish) must call this — under group commit a
+    * plain write() only buffers.
     */
   def flush(): Unit = synchronized {
-    active.flush()
+    if (fsyncOnFlush) active.sync() else active.flush()
     lastFlushNanos = System.nanoTime()
   }
 

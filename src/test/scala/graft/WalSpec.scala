@@ -205,4 +205,40 @@ class WalSpec extends AnyFunSuite {
       "timer never flushed the buffered record")
     wal.close()
   }
+
+  test("fsync mode: per-record sync keeps records durable and replayable") {
+    val dir = tempDir()
+    val wal = new Wal(dir, 0, 1024 * 1024, fsyncOnFlush = true)
+    val writes = (0 until 5).map(i =>
+      WriteRequest("ns", "t", s"v$i", Map("i" -> TagNumber(i.toLong)),
+        i.toLong))
+    writes.foreach(wal.write)
+    // every record must be on the device (at least visibly in the
+    // file) immediately, without flush() or close()
+    val seg = new File(dir, "0.wal")
+    val expected = WalCodec.Header.length +
+      writes.map(w => WalCodec.encode(w).length).sum
+    assert(seg.length() == expected,
+      "fsync mode must not leave records in the heap buffer")
+    wal.close()
+    val buffer = new MemBuffer
+    Wal.replay(dir, buffer)
+    assert(buffer.tables("ns").get("t")("1970-01-01").values ==
+      writes.map(_.value).toVector)
+  }
+
+  test("fsync mode composes with group commit: sync on the flush tick") {
+    val dir = tempDir()
+    val wal = new Wal(dir, 0, 1024 * 1024,
+      groupCommitMillis = 60 * 1000, fsyncOnFlush = true)
+    val w = WriteRequest("ns", "cpu", "1", Map.empty, 1L)
+    wal.write(w)
+    val seg = new File(dir, "0.wal")
+    val expected = WalCodec.Header.length + WalCodec.encode(w).length
+    assert(seg.length() < expected,
+      "under group commit, write() should only buffer even with fsync")
+    wal.flush() // the group-commit tick path
+    assert(seg.length() == expected)
+    wal.close()
+  }
 }
