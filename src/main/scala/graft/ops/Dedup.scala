@@ -301,56 +301,104 @@ object Dedup {
     * result is deterministic regardless of join order — the DuckDB
     * oracle computes the same closure with a recursive CTE.
     */
-  /** Connected components by hash-min label propagation over an
-    * undirected edge list `(doc_a, doc_b)`. Returns `(v, l)` — one
-    * row per vertex that has at least one edge, labeled with the
-    * minimum vertex id reachable from it; isolated vertices are their
-    * own components and are NOT emitted (join the vertex universe
-    * back with a left join + coalesce).
-    *
-    * Loop state is localCheckpoint-ed (eager, MEMORY_AND_DISK,
-    * lineage truncated), NOT cache()-d: a plain cache evicted under
-    * memory pressure would silently recompute the upstream pair
-    * pipeline once per iteration (measured 4× slowdown under
-    * bench-wide cache pressure), while checkpoint blocks spill to
-    * disk and the short lineage can't cascade. On a real cluster use
-    * reliable checkpointing (executor loss). Convergence is detected
-    * by the label sum, which strictly decreases until fixpoint
-    * (labels only ever decrease); the fixpoint is unique, so the
-    * result is deterministic regardless of join order.
+  /** Connected components over an undirected edge list
+    * `(doc_a, doc_b)`. Returns `(v, l)` — one row per vertex that has
+    * at least one edge, labeled with the minimum vertex id reachable
+    * from it; isolated vertices are their own components and are NOT
+    * emitted (join the vertex universe back with a left join +
+    * coalesce).
     */
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairs)._1
+
+  /** Large-star/small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round rewires
+    * every vertex's larger neighbors (large-star) then its smaller
+    * neighbors (small-star) onto the local minimum, collapsing every
+    * component into a star around its minimum id in O(log n) rounds —
+    * vs O(component diameter) for plain hash-min propagation, which
+    * stalls on chain-shaped duplicate graphs (A≈B≈C≈…).
+    *
+    * Loop state is localCheckpoint-ed (eager, MEMORY_AND_DISK, lineage
+    * truncated), NOT cache()-d: a plain cache evicted under memory
+    * pressure silently recomputes the upstream pair pipeline once per
+    * iteration (measured 4× slowdown under bench-wide cache pressure).
+    * On a real cluster use reliable checkpointing (executor loss).
+    *
+    * Convergence: per-vertex labels (min of self and neighbors) only
+    * ever decrease, so the label sum strictly decreases until
+    * fixpoint. The loop exit is then *certified* against the original
+    * edge list — both endpoints of every input edge must carry the
+    * same label — so a hypothetical premature plateau fails loudly
+    * instead of returning labels that split a true cluster. The
+    * fixpoint (min reachable id per vertex) is unique, hence
+    * deterministic regardless of join order; the DuckDB oracle
+    * computes the same closure with a recursive CTE.
+    */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame): (DataFrame, Int) = {
     val p = pairs.toDF("doc_a", "doc_b").cache()
-    val edges = p.toDF("u", "w")
-      .union(p.select(col("doc_b"), col("doc_a")))
-      .localCheckpoint(true)
-    p.unpersist(false)
-    var labels = edges.select(col("u").as("v")).distinct()
-      .withColumn("l", col("v")).localCheckpoint(true)
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(org.apache.spark.sql.functions.sum("l")).first()
+
+    // symmetric, self-loop-free view of an (a, b) edge list
+    def sym(e: DataFrame): DataFrame = {
+      val ne = e.filter(col("a") =!= col("b"))
+      ne.select(col("a").as("u"), col("b").as("v"))
+        .union(ne.select(col("b").as("u"), col("a").as("v")))
+        .distinct()
+    }
+    // per-vertex local minimum m = min(N(u) ∪ {u})
+    def mins(e: DataFrame): DataFrame =
+      e.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+    def labelSum(l: DataFrame): Long = {
+      val r = l.agg(org.apache.spark.sql.functions.sum("m")).first()
       if (r.isNullAt(0)) 0L else r.getLong(0) // null = no edges at all
     }
+
+    var edges = sym(p.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .localCheckpoint(true)
+    var labels = mins(edges).localCheckpoint(true)
     var prevSum = Long.MaxValue
-    var sum = labelSum(labels)
+    var curSum = labelSum(labels)
     var rounds = 0
-    while (sum < prevSum && rounds < 50) {
-      val next = edges.join(labels.withColumnRenamed("v", "u"), "u")
-        .select(col("w").as("v"), col("l"))
-        .union(labels)
-        .groupBy("v").agg(min("l").as("l")).localCheckpoint(true)
-      prevSum = sum
-      sum = labelSum(next) // null-safe: empty when there are no edges
-      labels = next
+    while (curSum < prevSum && rounds < 50) {
+      // large-star: every neighbor v > u rewires to u's local min
+      // (each undirected edge processed once, from its smaller end)
+      val large = edges.filter(col("v") > col("u"))
+        .join(labels, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+      val el = sym(large).localCheckpoint(true)
+      // small-star: every neighbor v < u rewires to u's local min,
+      // and u itself links to it (keeps u attached to its component)
+      val mS = mins(el)
+      val small = el.filter(col("v") < col("u"))
+        .join(mS, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(mS.select(col("u").as("a"), col("m").as("b")))
+      edges = sym(small).localCheckpoint(true)
+      labels = mins(edges).localCheckpoint(true)
+      prevSum = curSum
+      curSum = labelSum(labels)
       rounds += 1
     }
-    // hash-min moves the min one hop per round; a component with
-    // diameter > rounds would exit mid-propagation — fail loudly
-    // rather than return labels that split one true cluster
-    require(sum == prevSum,
-      s"connectedComponents did not converge in $rounds rounds " +
-        "(component diameter exceeds the cap; use large-star/small-star)")
-    labels
+    require(curSum == prevSum,
+      s"connectedComponents did not converge in $rounds rounds")
+    val lab = labels.select(col("u").as("v"), col("m").as("l"))
+      .localCheckpoint(true)
+    // certificate: label-consistency across every ORIGINAL edge (and
+    // coverage of both endpoints) proves the labels are the unique
+    // per-component minima — loop-exit heuristics can't silently lie
+    val la = lab.toDF("doc_a", "la")
+    val lb = lab.toDF("doc_b", "lb")
+    val viol = p.join(la, Seq("doc_a"), "left")
+      .join(lb, Seq("doc_b"), "left")
+      .filter(col("la").isNull || col("lb").isNull ||
+        col("la") =!= col("lb"))
+      .count()
+    require(viol == 0,
+      s"connectedComponents certificate failed on $viol edges")
+    p.unpersist(false)
+    (lab, rounds)
   }
 
   val qClusters = QueryDef(
