@@ -203,58 +203,63 @@ class LynxEngine(
     // reference lacks, SURVEY.md §4.1)
     val dayBounds =
       if (tables.size == 1) LynxEngine.dayBounds(plan) else None
-    // snapshot + pinned tier file list under the write lock: atomic
-    // vs seal(), so rows are visible exactly once
-    val (snapshot, tieredFiles) = writeLock.synchronized {
+    // buffer snapshot + pinned tier snapshots under the write lock:
+    // atomic vs seal(), so rows are visible exactly once — and the
+    // pins (not just the trash grace period) keep a concurrent
+    // compaction from deleting the files this query is reading
+    val (snapshot, tierSnaps) = writeLock.synchronized {
       (buffer.tables(namespace),
         tier.map(t => t.tables(namespace).map(name =>
-            name -> t.dataFiles(namespace, name)).toMap)
-          .getOrElse(Map.empty[String, Seq[String]]))
+            name -> t.snapshot(namespace, name)).toMap)
+          .getOrElse(Map.empty[String, graft.tier.TierSnapshot]))
     }
-    if (snapshot.isEmpty && tieredFiles.isEmpty) return None
+    try {
+      if (snapshot.isEmpty && tierSnaps.isEmpty) return None
 
-    val session = spark.newSession()
-    // no file-path relations for untrusted SQL (SELECT * FROM
-    // parquet.`/path` would read arbitrary host files)
-    session.conf.set("spark.sql.runSQLOnFiles", "false")
-    val inMem = snapshot.getOrElse(
-      TreeMap.empty[String, TreeMap[String, MeasurementsView]])
-    for (t <- tables) {
-      val mem: Option[DataFrame] =
-        inMem.get(t).map(LynxEngine.toDataFrame(session, _))
-      val sealedDf: Option[DataFrame] =
-        tieredFiles.get(t).filter(_.nonEmpty).flatMap(files =>
-          tier.map(_.readFiles(session, namespace, t, files, dayBounds)))
-      val df = (mem, sealedDf) match {
-        case (Some(m), Some(sd)) =>
-          m.unionByName(sd, allowMissingColumns = true)
-        case (Some(m), None) => m
-        case (None, Some(sd)) => sd
-        case (None, None) => return None // table unknown → 404
+      val session = spark.newSession()
+      // no file-path relations for untrusted SQL (SELECT * FROM
+      // parquet.`/path` would read arbitrary host files)
+      session.conf.set("spark.sql.runSQLOnFiles", "false")
+      val inMem = snapshot.getOrElse(
+        TreeMap.empty[String, TreeMap[String, MeasurementsView]])
+      for (t <- tables) {
+        val mem: Option[DataFrame] =
+          inMem.get(t).map(LynxEngine.toDataFrame(session, _))
+        val sealedDf: Option[DataFrame] =
+          tierSnaps.get(t).filter(_.files.nonEmpty).flatMap(snap =>
+            tier.map(_.readFiles(session, namespace, t, snap.files,
+              dayBounds)))
+        val df = (mem, sealedDf) match {
+          case (Some(m), Some(sd)) =>
+            m.unionByName(sd, allowMissingColumns = true)
+          case (Some(m), None) => m
+          case (None, Some(sd)) => sd
+          case (None, None) => return None // table unknown → 404
+        }
+        // Deterministic column order regardless of tier/buffer mix:
+        // timestamp, value, then tags sorted (SURVEY.md §1.4 deviation).
+        val ordered = Seq("timestamp", "value") ++
+          df.columns.filterNot(Set("timestamp", "value")).sorted
+        df.select(ordered.map(org.apache.spark.sql.functions.col): _*)
+          .createOrReplaceTempView(t)
       }
-      // Deterministic column order regardless of tier/buffer mix:
-      // timestamp, value, then tags sorted (SURVEY.md §1.4 deviation).
-      val ordered = Seq("timestamp", "value") ++
-        df.columns.filterNot(Set("timestamp", "value")).sorted
-      df.select(ordered.map(org.apache.spark.sql.functions.col): _*)
-        .createOrReplaceTempView(t)
-    }
-    val df = session.sql(sql)
-    // The reference collects unboundedly (lynx.rs:142); at scale a
-    // `SELECT * FROM big` over the tier would OOM the driver, so the
-    // engine can cap the materialized result (documented deviation:
-    // an over-limit query fails cleanly instead of ballooning).
-    val rows =
-      if (maxResultRows == Int.MaxValue) df.collect().toSeq
-      else {
-        val r = df.limit(maxResultRows + 1).collect()
-        if (r.length > maxResultRows)
-          throw new IllegalStateException(
-            s"query result exceeds the $maxResultRows-row cap; " +
-              "add a LIMIT or raise LYNX_MAX_RESULT_ROWS")
-        r.toSeq
-      }
-    Some(QueryResult(df.schema, rows))
+      val df = session.sql(sql)
+      // The reference collects unboundedly (lynx.rs:142); at scale a
+      // `SELECT * FROM big` over the tier would OOM the driver, so the
+      // engine can cap the materialized result (documented deviation:
+      // an over-limit query fails cleanly instead of ballooning).
+      val rows =
+        if (maxResultRows == Int.MaxValue) df.collect().toSeq
+        else {
+          val r = df.limit(maxResultRows + 1).collect()
+          if (r.length > maxResultRows)
+            throw new IllegalStateException(
+              s"query result exceeds the $maxResultRows-row cap; " +
+                "add a LIMIT or raise LYNX_MAX_RESULT_ROWS")
+          r.toSeq
+        }
+      Some(QueryResult(df.schema, rows))
+    } finally tier.foreach(t => tierSnaps.values.foreach(t.release))
   }
 }
 

@@ -23,13 +23,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Readers resolve files through a MANIFEST, not directory listing:
   * `_manifest/v<N>.list` holds the table's current relative file set,
   * and every seal/compaction publishes a new version. Queries pin a
-  * manifest's file list; compaction replaces the manifest and parks
-  * the superseded files on a TRASH list that is only physically
-  * deleted after `trashGraceMs` — so an in-flight query holding a
-  * pre-compaction pin keeps reading files that still exist. (A full
-  * MVCC catalog would add snapshot ids and atomic commit; this is the
-  * single-writer sketch of it — the engine's write lock serializes
-  * manifest writers.)
+  * manifest version via [[snapshot]] — an explicit (version, files)
+  * handle, ref-counted in-process — and compaction parks superseded
+  * files on a version-tagged TRASH list whose physical deletion is
+  * blocked while any pin at or below that version is live; [[release]]
+  * is what collects it. `trashGraceMs` remains as the backstop for
+  * pins lost to a process crash (the pin table is JVM-local). The
+  * engine's write lock serializes manifest writers — a full
+  * multi-writer catalog would need atomic commit on top.
   *
   * Seals are crash-atomic with the WAL: [[stage]] writes under a
   * hidden `.staging-<id>` dir (invisible to readers), the engine then
@@ -110,8 +111,12 @@ final class ParquetTier(root: File,
     * been published.
     */
   private def readManifest(ns: String, table: String): Option[Seq[String]] =
+    readManifestVersioned(ns, table).map(_._2)
+
+  private def readManifestVersioned(ns: String,
+      table: String): Option[(Long, Seq[String])] =
     versioned(ParquetTier.ManifestName, ns, table).lastOption
-      .map { case (_, f) => readList(f) }
+      .map { case (v, f) => (v, readList(f)) }
 
   private def writeManifest(ns: String, table: String,
       rel: Seq[String]): Unit = {
@@ -128,33 +133,94 @@ final class ParquetTier(root: File,
       throw new IllegalStateException(s"manifest publish failed: $dst")
   }
 
-  private def trashedFiles(ns: String, table: String): Set[String] =
-    versioned(ParquetTier.TrashName, ns, table)
-      .flatMap { case (_, f) => readList(f) }.toSet
+  /** Trash records as (createdMillis, supersededVersion, file): the
+    * record holds files referenced by manifest versions <= superseded
+    * and by none after it.
+    */
+  private def trashRecords(ns: String,
+      table: String): Seq[(Long, Long, File)] =
+    Option(manifestDir(ns, table).listFiles()).getOrElse(Array.empty)
+      .toSeq
+      .flatMap(f => f.getName match {
+        case ParquetTier.TrashName(ms, v) => Some((ms.toLong, v.toLong, f))
+        case _ => None
+      })
 
-  private def appendTrash(ns: String, table: String,
+  private def trashedFiles(ns: String, table: String): Set[String] =
+    trashRecords(ns, table).flatMap { case (_, _, f) => readList(f) }.toSet
+
+  private def appendTrash(ns: String, table: String, superseded: Long,
       rel: Seq[String]): Unit =
     if (rel.nonEmpty) {
       val dir = manifestDir(ns, table)
       dir.mkdirs()
       Files.writeString(
-        new File(dir, s"trash-${System.currentTimeMillis}-" +
+        new File(dir, s"trash-${System.currentTimeMillis}-v$superseded-" +
           s"${java.util.UUID.randomUUID()}.list").toPath,
         rel.mkString("\n"), UTF_8)
     }
 
-  /** Physically delete trash lists older than the grace period: files
-    * first, then the record — a crash in between leaves the record,
-    * and publish() treats recorded files as gone either way.
+  /** Physically delete trash lists that are (a) older than the grace
+    * period AND (b) not protected by an active snapshot pin — a pin at
+    * version P needs every file of manifest P, which is exactly the
+    * trash records with supersededVersion >= P. Files first, then the
+    * record — a crash in between leaves the record, and publish()
+    * treats recorded files as gone either way.
     */
   private def gcTrash(ns: String, table: String): Unit = {
     val cutoff = System.currentTimeMillis - trashGraceMs
-    versioned(ParquetTier.TrashName, ns, table)
-      .filter(_._1 <= cutoff)
-      .foreach { case (_, f) =>
+    val minPin = minPinnedVersion(ns, table)
+    trashRecords(ns, table)
+      .filter { case (ms, superseded, _) =>
+        ms <= cutoff && !minPin.exists(_ <= superseded)
+      }
+      .foreach { case (_, _, f) =>
         readList(f).foreach(rel => new File(tableDir(ns, table), rel).delete())
         f.delete()
       }
+  }
+
+  // ----------------------------------------------------- snapshot pins
+
+  private val pinSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  // (ns, table) -> pinId -> pinned manifest version
+  private val pins = scala.collection.mutable.Map
+    .empty[(String, String), scala.collection.mutable.Map[Long, Long]]
+
+  private def minPinnedVersion(ns: String, table: String): Option[Long] =
+    pins.synchronized {
+      pins.get((ns, table)).filter(_.nonEmpty).map(_.values.min)
+    }
+
+  /** Pin the table's current version and return it as an explicit
+    * (version, files) snapshot: while the pin is held, no compaction
+    * GC deletes a file the snapshot references, regardless of wall
+    * clock — release() is what frees them (ref-counted MVCC reads, the
+    * piece the single-writer sketch was missing). Always release in a
+    * `finally`; the JVM-local pin table dies with the process, in
+    * which case the trash grace period is the backstop.
+    */
+  def snapshot(ns: String, table: String): TierSnapshot = {
+    val dir = tableDir(ns, table)
+    val (version, rel) = readManifestVersioned(ns, table)
+      .getOrElse((0L, parquetFilesUnder(dir).map(relativize(dir, _))))
+    val id = pinSeq.incrementAndGet()
+    pins.synchronized {
+      pins.getOrElseUpdate((ns, table),
+        scala.collection.mutable.Map.empty)(id) = version
+    }
+    TierSnapshot(ns, table, version, rel.map(new File(dir, _).getPath), id)
+  }
+
+  /** Release a snapshot pin and collect any trash it was holding. */
+  def release(s: TierSnapshot): Unit = {
+    pins.synchronized {
+      pins.get((s.ns, s.table)).foreach { m =>
+        m.remove(s.pinId)
+        if (m.isEmpty) pins.remove((s.ns, s.table))
+      }
+    }
+    gcTrash(s.ns, s.table)
   }
 
   // -------------------------------------------------------- seal commit
@@ -277,8 +343,8 @@ final class ParquetTier(root: File,
     import org.apache.spark.sql.functions.col
     val dir = tableDir(ns, table)
     if (!dir.isDirectory) return
-    val currentRel = readManifest(ns, table)
-      .getOrElse(parquetFilesUnder(dir).map(relativize(dir, _)))
+    val (currentVersion, currentRel) = readManifestVersioned(ns, table)
+      .getOrElse((0L, parquetFilesUnder(dir).map(relativize(dir, _))))
     if (currentRel.isEmpty) return
     val staging = stagingDir(ns, table,
       "compact-" + java.util.UUID.randomUUID())
@@ -299,7 +365,7 @@ final class ParquetTier(root: File,
     // old manifest current (new files are unreferenced garbage, never
     // double-read); after it, old files are trash with a grace period
     writeManifest(ns, table, newRel)
-    appendTrash(ns, table, currentRel)
+    appendTrash(ns, table, currentVersion, currentRel)
     gcTrash(ns, table)
   }
 }
@@ -311,5 +377,13 @@ object ParquetTier {
   val DayCol = "__lynx_day"
 
   private val ManifestName = """v(\d+)\.list""".r
-  private val TrashName = """trash-(\d+)-[0-9a-f-]+\.list""".r
+  private val TrashName = """trash-(\d+)-v(\d+)-[0-9a-f-]+\.list""".r
 }
+
+/** An explicitly pinned tier read: the manifest `version` and the
+  * absolute `files` it resolved to (version 0 = pre-manifest directory
+  * walk). Hold it for the duration of the read and release() it —
+  * compaction GC will not delete a referenced file while pinned.
+  */
+final case class TierSnapshot(ns: String, table: String, version: Long,
+    files: Seq[String], private[tier] val pinId: Long)

@@ -263,6 +263,35 @@ class EngineSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 10)
   }
 
+  test("snapshot pins drive trash GC: a pinned version survives " +
+    "zero-grace compaction until release") {
+    val spark = SparkFixture.spark
+    val tierDir = Files.createTempDirectory("pin-gc-tier").toFile
+    // grace = 0: ONLY the pin protects superseded files
+    val tier = new ParquetTier(tierDir, trashGraceMs = 0)
+    val e = newEngine(Some(tier))
+    (1 to 4).foreach { i =>
+      e.write(WriteRequest("ns", "cpu", i.toString, Map.empty, i.toLong))
+      e.seal("ns", "cpu")
+    }
+    val snap = tier.snapshot("ns", "cpu")
+    assert(snap.version >= 1 && snap.files.size == 4)
+    e.compact("ns", "cpu")
+    // compaction ran its GC with zero grace, but the pin blocks it
+    assert(snap.files.forall(p => new java.io.File(p).isFile),
+      "pinned files must survive compaction GC")
+    assert(tier.readFiles(spark, "ns", "cpu", snap.files, None).count() == 4)
+    // the new current version is ahead of the pinned one
+    val after = tier.snapshot("ns", "cpu")
+    assert(after.version > snap.version && after.files.size == 1)
+    tier.release(after)
+    // releasing the old pin is what finally collects the trash
+    tier.release(snap)
+    assert(!snap.files.exists(p => new java.io.File(p).isFile),
+      "released pin must let GC delete superseded files")
+    assert(tier.read(spark, "ns", "cpu").count() == 4)
+  }
+
   test("a user tag named 'day' survives tiering as a data column") {
     val tierDir = Files.createTempDirectory("daytag-tier").toFile
     val e = newEngine(Some(new ParquetTier(tierDir)))

@@ -383,6 +383,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents collapses a 200-vertex chain in " +
+    "O(log n) rounds") {
+    val s = spark
+    import s.implicits._
+    // worst case for plain hash-min propagation (O(diameter) = 199
+    // rounds, beyond the 50-round guard); large-star/small-star must
+    // finish in O(log n)
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 200)
+    assert(got.forall(_._2 == 0L), "every chain vertex labels to the min id")
+    assert(rounds <= 12, s"expected O(log 200) rounds, took $rounds")
+  }
+
   test("curate() composes clean→quality→dedup→pack without losing " +
     "canonical docs") {
     val out = Curation.curate(spark, dir).collect()
