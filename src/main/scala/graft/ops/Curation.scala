@@ -192,6 +192,69 @@ object Curation {
         FROM documents)
       WHERE rn <= $ReservoirK ORDER BY lang, rn"""))
 
+  /** Numerator/denominator of the corpus share each source may keep
+    * in the domain-mixed output: budget = 7/10 of the corpus, split
+    * uniformly across sources. Integer arithmetic so the per-source
+    * cap is identical in both engines.
+    */
+  private val MixBudgetNum = 7L
+  private val MixBudgetDen = 10L
+
+  /** Domain-mix rebalancing: downsample each source so the output
+    * approaches a target mixture (uniform here; any per-source weight
+    * table slots into the same shape). The per-source keep-rate is
+    * cap/n_source where cap = budget/n_sources, and the keep decision
+    * reuses the md5-derived uniform — so the mix is reproducible
+    * across runs, engines, and cluster sizes, and composable with the
+    * stratified sampler (independent hash bytes: this draws from hex
+    * chars 9-16, the language sampler from 1-8).
+    *
+    * Scale shape: two global aggregates over (source) — tiny,
+    * broadcast back — then a narrow per-row filter; no per-doc
+    * shuffle at all.
+    */
+  val qDomainMix = QueryDef(
+    "q_domain_mix",
+    (s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val perSource = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_source"))
+      val totals = perSource.agg(
+        sum(col("n_source")).as("n_total"),
+        count(lit(1)).as("n_sources"))
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 9, 8),
+        16, 10).cast("long").cast("double") / 4294967296.0).as("u")
+      docs.select(col("doc_id"), col("source"), col("lang"), u)
+        .join(broadcast(perSource), "source")
+        .crossJoin(broadcast(totals))
+        .withColumn("cap", expr(
+          s"n_total * $MixBudgetNum div ($MixBudgetDen * n_sources)"))
+        .withColumn("keep_rate",
+          least(lit(1.0), col("cap").cast("double") / col("n_source")))
+        .filter(col("u") < col("keep_rate"))
+        .select("doc_id", "source", "lang", "u", "keep_rate")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH per_source AS (
+        SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+      totals AS (
+        SELECT CAST(sum(n_source) AS BIGINT) AS n_total,
+          count(*) AS n_sources
+        FROM per_source),
+      scored AS (
+        SELECT d.doc_id, d.source, d.lang,
+          CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 9, 8)
+               AS BIGINT) AS DOUBLE) / 4294967296.0 AS u,
+          least(1.0, CAST(t.n_total * $MixBudgetNum //
+              ($MixBudgetDen * t.n_sources) AS DOUBLE) / p.n_source)
+            AS keep_rate
+        FROM documents d
+        JOIN per_source p ON p.source = d.source
+        CROSS JOIN totals t)
+      SELECT doc_id, source, lang, u, keep_rate
+      FROM scored WHERE u < keep_rate ORDER BY doc_id"""))
+
   /** End-to-end corpus curation: the operators above composed into
     * the actual training-data flow — redact PII, score quality and
     * repetition, filter, drop non-canonical near-dup cluster members,
@@ -242,5 +305,5 @@ object Curation {
   }
 
   val all: Seq[QueryDef] =
-    Seq(qPackSequences, qSampleStratified, qSampleReservoir)
+    Seq(qPackSequences, qSampleStratified, qSampleReservoir, qDomainMix)
 }

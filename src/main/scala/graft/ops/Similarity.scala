@@ -711,7 +711,51 @@ object Similarity {
       WHERE rnk <= 3 ORDER BY query_id, rnk"""
     })
 
+  /** Output dimensionality of the random-projection reduction. */
+  private val RpDim = 8
+
+  /** Deterministic ±1 sign matrix for the projection — small-integer
+    * arithmetic so both engines derive the identical matrix, and ±1
+    * is exact in float so the fused dot-product fold is bit-identical
+    * to the DuckDB list_reduce mirror.
+    */
+  private def rpSigns(i: Int): Array[Float] =
+    Array.tabulate(64)(j =>
+      if ((i * 61 + j * 29 + 3) % 97 % 2 == 0) 1.0f else -1.0f)
+
+  /** Random-projection dimensionality reduction (Achlioptas-style ±1
+    * matrix): 64-dim float embeddings down to 8 dims, the cheap
+    * distance-preserving transform that feeds clustering / dedup when
+    * the full vectors are too wide to shuffle. A narrow per-row map —
+    * each output dim is one fused codegen dot product against a
+    * literal sign vector; no shuffle but the presentation sort, so it
+    * scales with input splits.
+    */
+  val qEmbedRp = QueryDef(
+    "q_embed_rp",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val projs = (0 until RpDim).map(i =>
+        GraftFunctions.dotp(col("embedding"), typedlit(rpSigns(i)))
+          .as(s"p$i"))
+      Tables.t(s, dir, "embeddings")
+        .select(col("vec_id") +: projs: _*)
+        .orderBy("vec_id")
+    },
+    Some {
+      val projs = (0 until RpDim).map { i =>
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          [CAST(embedding[j + 1] AS DOUBLE) *
+           (CASE WHEN (($i * 61 + j * 29 + 3) % 97) % 2 = 0
+                 THEN 1.0 ELSE -1.0 END)
+           for j in generate_series(0, 63)]), (acc, v) -> acc + v) AS p$i"""
+      }.mkString(", ")
+      s"""
+      SELECT vec_id, $projs
+      FROM embeddings ORDER BY vec_id"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf,
-      qEmbedCentroids, qEmbedPq, qAnnAdc)
+      qEmbedCentroids, qEmbedPq, qAnnAdc, qEmbedRp)
 }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Parity._
 
@@ -416,7 +417,116 @@ object TextOps {
           (acc, v) -> acc + v) / count(*) AS surprise
       FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Contamination n-gram width: long enough that a match is a real
+    * benchmark excerpt, short enough to survive light edits.
+    */
+  private val ContamN = 5
+
+  /** Benchmark-contamination check: for every corpus document, the
+    * fraction of its distinct word-5-grams that also appear in a
+    * held-out "benchmark" set (the `src0` source here; in production,
+    * the eval suites). This is the decontamination gate every
+    * training-data pipeline runs before a model sees the corpus.
+    *
+    * Scale shape: grams are hashed to 60-bit md5-prefix integers at
+    * the source (8-byte join keys), the benchmark side is a DISTINCT
+    * set that is tiny relative to the corpus — Spark broadcasts it (or
+    * AQE does) so the corpus side never shuffles; the per-doc counts
+    * are one (doc_id)-keyed partial aggregation.
+    */
+  val qContamination = QueryDef(
+    "q_contamination",
+    (s, dir) => {
+      def grams(df: org.apache.spark.sql.DataFrame) = {
+        val toks = split(col("text"), " ")
+        df.select(col("doc_id"), toks.as("toks"))
+          .filter(size(col("toks")) >= ContamN)
+          .select(col("doc_id"), explode(array_distinct(
+            transform(sequence(lit(1), size(col("toks")) - (ContamN - 1)),
+              i => conv(substring(md5(
+                concat_ws(" ", slice(col("toks"), i, lit(ContamN)))),
+                1, 15), 16, 10).cast("long")))).as("g"))
+      }
+      val docs = Tables.t(s, dir, "documents")
+      val bench = grams(docs.filter(col("source") === "src0"))
+        .select("g").distinct()
+      val corpus = grams(docs.filter(col("source") =!= "src0"))
+      val hits = corpus.join(bench, Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
+            .as("contam_frac"))
+        .withColumn("is_contaminated", col("contam_frac") >= 0.1)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= $ContamN),
+      grams AS (
+        SELECT doc_id, source, unnest(list_distinct(
+          [CAST('0x' || substr(md5(array_to_string(
+             toks[i:i+${ContamN - 1}], ' ')), 1, 15) AS BIGINT)
+           for i in generate_series(1, len(toks) - ${ContamN - 1})])) AS g
+        FROM toks),
+      bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+      corpus AS (SELECT doc_id, g FROM grams WHERE source <> 'src0'),
+      hits AS (
+        SELECT doc_id, count(*) AS n_hit FROM corpus
+        WHERE g IN (SELECT g FROM bench) GROUP BY doc_id),
+      tot AS (SELECT doc_id, count(*) AS n_grams FROM corpus
+              GROUP BY doc_id)
+      SELECT t.doc_id, t.n_grams,
+        coalesce(h.n_hit, 0) AS n_hit,
+        CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_grams AS contam_frac,
+        CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_grams >= 0.1
+          AS is_contaminated
+      FROM tot t LEFT JOIN hits h ON h.doc_id = t.doc_id
+      ORDER BY t.doc_id"""))
+
+  /** Token-length histogram (the length-distribution audit that drives
+    * packing budgets and truncation policy): 16-token-wide bins with
+    * per-bin doc/token counts and corpus share. Two tiny aggregations
+    * — per-bin counts, then a windowed total; pure integer arithmetic
+    * until the final share division.
+    */
+  val qLengthHist = QueryDef(
+    "q_length_hist",
+    (s, dir) => {
+      val wAll = Window.partitionBy()
+      Tables.t(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .select(expr("n_tokens div 16").as("bin"), col("n_tokens"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+          min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"))
+        .select(col("bin"), (col("bin") * 16).as("bin_lo"),
+          col("n_docs"), col("total_tokens"), col("min_tokens"),
+          col("max_tokens"),
+          (col("n_docs").cast("double") / sum(col("n_docs")).over(wAll))
+            .as("share"))
+        .orderBy("bin")
+    },
+    Some("""
+      WITH t AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      b AS (
+        SELECT n_tokens // 16 AS bin, count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+          min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        FROM t GROUP BY 1)
+      SELECT bin, bin * 16 AS bin_lo, n_docs, total_tokens,
+        min_tokens, max_tokens,
+        CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)
+          AS share
+      FROM b ORDER BY bin"""))
+
   val all: Seq[QueryDef] =
     Seq(qTokens, qQuality, qLangId, qFingerprint, qTfIdf,
-      qRepetition, qClean, qSurprise)
+      qRepetition, qClean, qSurprise, qContamination, qLengthHist)
 }

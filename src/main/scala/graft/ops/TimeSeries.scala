@@ -311,6 +311,148 @@ object TimeSeries {
       LEFT JOIN p3 ON p3.user_id = u.user_id
       ORDER BY u.user_id"""))
 
+  /** Hourly per-series sums as the shared input of the rate / EWMA /
+    * anomaly operators: one (event_type, hour) shuffle with partial
+    * aggregation, exact decimal sums so both engines see identical
+    * doubles downstream.
+    */
+  private def hourly(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.t(s, dir, "events")
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(dsum(col("value")).as("bucket_sum"), count(lit(1)).as("n"))
+
+  private val hourlySql: String = s"""
+    hourly AS (
+      SELECT event_type,
+        CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us,
+        ${dsumSql("value")} AS bucket_sum, count(*) AS n
+      FROM events GROUP BY 1, 2)"""
+
+  /** Per-series rate of change (the monitoring `rate()`/`delta()`
+    * primitive): hourly sums per event_type, delta vs the previous
+    * bucket via lag, normalized to per-second. One bucket-key shuffle
+    * plus one series-key window pass; deltas subtract two identical
+    * doubles, so both engines agree bit-for-bit.
+    */
+  val qRate = QueryDef(
+    "q_ts_rate",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_us"))
+      hourly(s, dir)
+        .select(col("event_type"), col("bucket_us"), col("n"),
+          col("bucket_sum"),
+          (col("bucket_sum") - lag(col("bucket_sum"), 1).over(w))
+            .as("delta"),
+          ((col("bucket_sum") - lag(col("bucket_sum"), 1).over(w)) / 3600.0)
+            .as("rate_per_s"))
+        .orderBy("event_type", "bucket_us")
+    },
+    Some(s"""
+      WITH $hourlySql
+      SELECT event_type, bucket_us, n, bucket_sum,
+        bucket_sum - lag(bucket_sum) OVER w AS delta,
+        (bucket_sum - lag(bucket_sum) OVER w) / 3600.0 AS rate_per_s
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us)
+      ORDER BY event_type, bucket_us"""))
+
+  /** EWMA smoothing (α = 0.5) over each series' hourly sums. The
+    * recurrence y = αx + (1-α)y' is a sequential float fold, so the
+    * cross-engine-deterministic formulation is an ordered list fold:
+    * collect the running prefix per row and `aggregate()` it left to
+    * right — DuckDB's `list_reduce` replays the identical operation
+    * order (see the memory note on segment-tree window sums: a plain
+    * windowed aggregate would NOT match). The prefix list is bounded
+    * by the series' bucket count (time-range / hour), not the raw row
+    * count — at unbounded-stream scale this moves to the streaming
+    * path's stateful recurrence instead.
+    */
+  val qEwma = QueryDef(
+    "q_ts_ewma",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_us"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hourly(s, dir)
+        .withColumn("xs", collect_list(col("bucket_sum")).over(w))
+        .select(col("event_type"), col("bucket_us"), col("bucket_sum"),
+          expr("""aggregate(xs, CAST(NULL AS DOUBLE),
+            (acc, x) -> CASE WHEN acc IS NULL THEN x
+                             ELSE 0.5 * x + 0.5 * acc END)""").as("ewma"))
+        .orderBy("event_type", "bucket_us")
+    },
+    Some(s"""
+      WITH $hourlySql
+      SELECT event_type, bucket_us, bucket_sum,
+        list_reduce(list(bucket_sum) OVER (PARTITION BY event_type
+            ORDER BY bucket_us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma
+      FROM hourly
+      ORDER BY event_type, bucket_us"""))
+
+  /** Trailing-window z-score anomaly detection: each hourly bucket
+    * scored against the previous 24 buckets of its series (mean /
+    * sample stddev), flagged at |z| > 2.5. Sums and sums-of-squares
+    * are ordered list folds for the same cross-engine reason as the
+    * EWMA; mean/var/z are then identical-double arithmetic. The frame
+    * is a constant 24 elements per row, so the window pass is O(1)
+    * memory per series regardless of corpus size.
+    */
+  val qAnomaly = QueryDef(
+    "q_ts_anomaly",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_us"))
+        .rowsBetween(-24, -1)
+      hourly(s, dir)
+        .withColumn("hist", collect_list(col("bucket_sum")).over(w))
+        .filter(size(col("hist")) >= 12)
+        .select(col("event_type"), col("bucket_us"), col("bucket_sum"),
+          size(col("hist")).cast("long").as("n_hist"),
+          expr("aggregate(hist, CAST(0 AS DOUBLE), (a, x) -> a + x)")
+            .as("s1"),
+          expr("aggregate(hist, CAST(0 AS DOUBLE), (a, x) -> a + x * x)")
+            .as("s2"))
+        .withColumn("mean", col("s1") / col("n_hist"))
+        .withColumn("variance",
+          (col("s2") - col("s1") * col("s1") / col("n_hist")) /
+            (col("n_hist") - 1))
+        .filter(col("variance") > 0)
+        .withColumn("z",
+          (col("bucket_sum") - col("mean")) / sqrt(col("variance")))
+        .select(col("event_type"), col("bucket_us"), col("bucket_sum"),
+          col("n_hist"), col("mean"), col("z"),
+          (abs(col("z")) > 2.5).as("is_anomaly"))
+        .orderBy("event_type", "bucket_us")
+    },
+    Some(s"""
+      WITH $hourlySql,
+      framed AS (
+        SELECT event_type, bucket_us, bucket_sum,
+          list(bucket_sum) OVER (PARTITION BY event_type ORDER BY bucket_us
+            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS hist
+        FROM hourly),
+      folded AS (
+        SELECT event_type, bucket_us, bucket_sum,
+          CAST(len(hist) AS BIGINT) AS n_hist,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), hist),
+            (a, x) -> a + x) AS s1,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), hist),
+            (a, x) -> a + x * x) AS s2
+        FROM framed WHERE len(hist) >= 12),
+      scored AS (
+        SELECT event_type, bucket_us, bucket_sum, n_hist,
+          s1 / n_hist AS mean,
+          (s2 - s1 * s1 / n_hist) / (n_hist - 1) AS variance
+        FROM folded)
+      SELECT event_type, bucket_us, bucket_sum, n_hist, mean,
+        (bucket_sum - mean) / sqrt(variance) AS z,
+        abs((bucket_sum - mean) / sqrt(variance)) > 2.5 AS is_anomaly
+      FROM scored WHERE variance > 0
+      ORDER BY event_type, bucket_us"""))
+
   val all: Seq[QueryDef] =
-    Seq(qAsofJoin, qGapFill, qIntervalJoin, qSessionize, qOhlc, qFunnel)
+    Seq(qAsofJoin, qGapFill, qIntervalJoin, qSessionize, qOhlc, qFunnel,
+      qRate, qEwma, qAnomaly)
 }

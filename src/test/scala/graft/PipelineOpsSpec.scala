@@ -422,6 +422,119 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination flags a verbatim benchmark copy and clears " +
+    "disjoint text") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("contam").toFile
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "en", "src0", 35L),
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "src1", 35L),
+      (2L, "one two three four five six seven", "en", "src1", 33L),
+      (3L, "too short", "en", "src1", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp.getPath + "/documents.parquet")
+    val rows = TextOps.qContamination.run(spark, tmp.getPath).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    // benchmark docs and <5-token docs are not scored
+    assert(rows.keySet == Set(1L, 2L))
+    assert(rows(1L) == ((2L, 2L, 1.0, true)),
+      "a verbatim copy must have every 5-gram contaminated")
+    assert(rows(2L) == ((3L, 0L, 0.0, false)))
+  }
+
+  test("ewma matches the sequential recurrence exactly") {
+    val out = graft.ops.TimeSeries.qEwma.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, g) =>
+      var acc = Double.NaN
+      g.sortBy(_._2).foreach { case (_, _, x, got) =>
+        acc = if (acc.isNaN) x else 0.5 * x + 0.5 * acc
+        assert(acc == got, "EWMA must equal the exact left fold")
+      }
+    }
+  }
+
+  test("anomaly z-scores match the trailing-window formula exactly") {
+    val ewmaIn = graft.ops.TimeSeries.qEwma.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val series = ewmaIn.groupBy(_._1).map { case (k, g) =>
+      k -> g.sortBy(_._2).map(x => (x._2, x._3))
+    }
+    val out = graft.ops.TimeSeries.qAnomaly.run(spark, dir).collect()
+    assert(out.nonEmpty)
+    var anomalies = 0
+    out.foreach { r =>
+      val (et, bus) = (r.getString(0), r.getLong(1))
+      val ser = series(et)
+      val i = ser.indexWhere(_._1 == bus)
+      val hist = ser.slice(math.max(0, i - 24), i).map(_._2)
+      assert(hist.length >= 12 && hist.length == r.getLong(3))
+      val s1 = hist.foldLeft(0.0)(_ + _)
+      val s2 = hist.foldLeft(0.0)((a, x) => a + x * x)
+      val n = hist.length
+      val mean = s1 / n
+      val varc = (s2 - s1 * s1 / n) / (n - 1)
+      val z = (r.getDouble(2) - mean) / math.sqrt(varc)
+      assert(z == r.getDouble(5), s"z mismatch at ($et, $bus)")
+      assert((math.abs(z) > 2.5) == r.getBoolean(6))
+      if (r.getBoolean(6)) anomalies += 1
+    }
+    assert(anomalies < out.length, "not everything should be anomalous")
+  }
+
+  test("domain mix keeps exactly the hash-decided docs at the " +
+    "integer-cap rate") {
+    val docs = graft.ops.Tables.t(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySource = docs.groupBy(_._2).map { case (k, g) => k -> g.length }
+    val total = docs.length.toLong
+    val cap = total * 7 / (10 * bySource.size)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long): Double = {
+      md.reset()
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(8, 16), 16) / 4294967296.0
+    }
+    val expected = docs.filter { case (id, src) =>
+      u(id) < math.min(1.0, cap.toDouble / bySource(src))
+    }.map(_._1).toSet
+    val got = Curation.qDomainMix.run(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSet == expected,
+      "the kept set must be exactly the hash-decided one")
+    got.foreach { r =>
+      val rate = math.min(1.0, cap.toDouble / bySource(r.getString(1)))
+      assert(r.getDouble(4) == rate)
+    }
+  }
+
+  test("random projection equals the exact sign-matrix fold") {
+    val embs = graft.ops.Tables.t(spark, dir, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val rows = Similarity.qEmbedRp.run(spark, dir).collect()
+      .filter(_.getLong(0) < 3)
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val v = embs(r.getLong(0))
+      (0 until 8).foreach { i =>
+        var acc = 0.0
+        (0 until 64).foreach { j =>
+          val s = if ((i * 61 + j * 29 + 3) % 97 % 2 == 0) 1.0f else -1.0f
+          acc += v(j).toDouble * s.toDouble
+        }
+        assert(acc == r.getDouble(i + 1), s"dim $i of vec ${r.getLong(0)}")
+      }
+    }
+  }
+
   test("embedding centroids: counts, means and norms are consistent") {
     val cents = Similarity.qEmbedCentroids.run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),

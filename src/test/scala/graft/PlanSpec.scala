@@ -92,4 +92,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("contamination check joins benchmark grams by hash key") {
+    val p = plan("q_contamination")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the benchmark-gram membership test must be an equi-join")
+    assert(p.contains("LeftSemi"), "hits should be a semi-join")
+  }
+
+  test("random projection is a narrow scan feeding codegen kernels") {
+    val p = plan("q_embed_rp")
+    // only vec_id + embedding should be read
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(read.count(_ == ',') <= 1, s"scan reads too many columns: $read")
+    assert(p.contains("dotproduct"), "projection must use the fused kernel")
+    // no shuffle but the presentation sort ("Exchange (n)" matches the
+    // tree nodes; the bare word also appears in the detail section)
+    assert("""Exchange \(\d+\)""".r.findAllIn(p).size <= 1,
+      "random projection must not shuffle the vectors")
+  }
 }
