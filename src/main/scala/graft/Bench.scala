@@ -10,6 +10,13 @@ import org.apache.spark.sql.SparkSession
   * and cosines, under-measuring).
   */
 object Bench {
+  /** Full-fidelity copy of the summary line; the stdout line points here
+    * when the per-query map had to be truncated to fit the capture window. */
+  val OutFile = "/root/repo/bench_out.json"
+  /** Safe ceiling for the final stdout line: the driver keeps ~2000 tail
+    * chars, and per-query lines printed just before share that window. */
+  val LineBudget = 1500
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -37,15 +44,47 @@ object Bench {
       }
       name -> times.min
     }
-    // 3-decimal output: with ~90 queries the JSON line must stay well
-    // under the driver's tail-capture window or it arrives truncated
-    // and unparseable (BENCH_r03 "parsed": null was exactly this)
+    // The driver captures only the LAST ~2000 chars of stdout and
+    // json-parses what it finds there; one 3000-char JSON line arrives
+    // front-truncated and unparseable (BENCH_r01..r04 all "parsed":
+    // null). Three redundant channels, every one individually enough:
+    //  1. one short self-contained JSON line per query (each parses
+    //     on its own even if the window cuts earlier lines),
+    //  2. the complete result written to /root/repo/bench_out.json,
+    //  3. a final one-line summary guaranteed to fit the window —
+    //     the full per-query map if it fits, else the slowest
+    //     queries that do, with queries_truncated + the file path.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val entries = results.toSeq.map { case (k, v) => (k, "\"" + k + "\":" + fmt(v)) }
+    entries.sortBy(_._1).foreach { case (k, _) =>
+      println(s"""{"q":"$k","s":${fmt(results(k))}}""")
+    }
+    val fullQs = entries.map(_._2).mkString("{", ",", "}")
+    def line(qs: String, truncated: Boolean): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        (if (truncated) s""","queries_truncated":true,"queries_file":"$OutFile"""" else "") + "}"
+    val fullLine = line(fullQs, truncated = false)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(OutFile),
+      fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val finalLine =
+      if (fullLine.length <= LineBudget) fullLine
+      else {
+        // keep the slowest queries — the informative ones — up to budget
+        val bySlowest = results.toSeq.sortBy(-_._2)
+        val sb = new StringBuilder
+        var n = 0
+        for ((k, v) <- bySlowest) {
+          val piece = (if (n > 0) "," else "") + "\"" + k + "\":" + fmt(v)
+          if (line(sb.toString + piece + "}", truncated = true).length + 1 <= LineBudget) {
+            sb.append(piece); n += 1
+          }
+        }
+        line("{" + sb.toString + "}", truncated = true)
+      }
+    println(finalLine)
     spark.stop()
   }
 }

@@ -206,15 +206,34 @@ class LynxEngine(
     // buffer snapshot + pinned tier snapshots under the write lock:
     // atomic vs seal(), so rows are visible exactly once — and the
     // pins (not just the trash grace period) keep a concurrent
-    // compaction from deleting the files this query is reading
-    val (snapshot, tierSnaps) = writeLock.synchronized {
-      (buffer.tables(namespace),
-        tier.map(t => t.tables(namespace).map(name =>
-            name -> t.snapshot(namespace, name)).toMap)
-          .getOrElse(Map.empty[String, graft.tier.TierSnapshot]))
+    // compaction from deleting the files this query is reading.
+    // Only the tables the SQL references are pinned (a namespace can
+    // hold hundreds of tables; pinning them all made every query's
+    // lock hold time and release-side GC scan linear in namespace
+    // size), and the acquisition loop releases what it already pinned
+    // if a later snapshot() throws — otherwise those pins would leak
+    // for the life of the process and block trash GC forever.
+    val (snapshot, tierSnaps, tierHasNs) = writeLock.synchronized {
+      val mem = buffer.tables(namespace)
+      tier match {
+        case None => (mem, Map.empty[String, graft.tier.TierSnapshot], false)
+        case Some(t) =>
+          val present = t.tables(namespace)
+          val acquired =
+            scala.collection.mutable.Map.empty[String, graft.tier.TierSnapshot]
+          try
+            for (name <- tables if present(name))
+              acquired(name) = t.snapshot(namespace, name)
+          catch {
+            case e: Throwable =>
+              acquired.values.foreach(t.release)
+              throw e
+          }
+          (mem, acquired.toMap, present.nonEmpty)
+      }
     }
     try {
-      if (snapshot.isEmpty && tierSnaps.isEmpty) return None
+      if (snapshot.isEmpty && !tierHasNs) return None
 
       val session = spark.newSession()
       // no file-path relations for untrusted SQL (SELECT * FROM

@@ -27,8 +27,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * handle, ref-counted in-process — and compaction parks superseded
   * files on a version-tagged TRASH list whose physical deletion is
   * blocked while any pin at or below that version is live; [[release]]
-  * is what collects it. `trashGraceMs` remains as the backstop for
-  * pins lost to a process crash (the pin table is JVM-local). The
+  * is what collects it. Pins are recorded both in a JVM-local table
+  * (exact) and as expiring lease files under `_manifest/` (visible to
+  * a compactor in another process on the same root). `trashGraceMs`
+  * remains as the final backstop for pins lost to a crash. The
   * engine's write lock serializes manifest writers — a full
   * multi-writer catalog would need atomic commit on top.
   *
@@ -46,7 +48,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * widening-schema semantics (lynx.rs:93-116) on columnar storage.
   */
 final class ParquetTier(root: File,
-    trashGraceMs: Long = 10L * 60 * 1000) {
+    trashGraceMs: Long = 10L * 60 * 1000,
+    pinLeaseMs: Long = 10L * 60 * 1000) {
 
   import ParquetTier.DayCol
 
@@ -143,6 +146,12 @@ final class ParquetTier(root: File,
       .toSeq
       .flatMap(f => f.getName match {
         case ParquetTier.TrashName(ms, v) => Some((ms.toLong, v.toLong, f))
+        // pre-v-tag records (trash-<ms>-<uuid>.list): treat as
+        // supersededVersion=0 so a tier directory carried across the
+        // format change still GCs them (no new pin can land at ≤0
+        // unless the table is still pre-manifest) and publish() keeps
+        // seeing their files as gone
+        case ParquetTier.LegacyTrashName(ms) => Some((ms.toLong, 0L, f))
         case _ => None
       })
 
@@ -170,9 +179,11 @@ final class ParquetTier(root: File,
   private def gcTrash(ns: String, table: String): Unit = {
     val cutoff = System.currentTimeMillis - trashGraceMs
     val minPin = minPinnedVersion(ns, table)
+    val minLease = minLeasedVersion(ns, table)
     trashRecords(ns, table)
       .filter { case (ms, superseded, _) =>
-        ms <= cutoff && !minPin.exists(_ <= superseded)
+        ms <= cutoff && !minPin.exists(_ <= superseded) &&
+          !minLease.exists(_ <= superseded)
       }
       .foreach { case (_, _, f) =>
         readList(f).foreach(rel => new File(tableDir(ns, table), rel).delete())
@@ -183,45 +194,100 @@ final class ParquetTier(root: File,
   // ----------------------------------------------------- snapshot pins
 
   private val pinSeq = new java.util.concurrent.atomic.AtomicLong(0)
-  // (ns, table) -> pinId -> pinned manifest version
+  // (ns, table) -> pinId -> (pinned manifest version, created millis)
   private val pins = scala.collection.mutable.Map
-    .empty[(String, String), scala.collection.mutable.Map[Long, Long]]
+    .empty[(String, String), scala.collection.mutable.Map[Long, (Long, Long)]]
 
-  private def minPinnedVersion(ns: String, table: String): Option[Long] =
+  /** In-process pins older than this stop blocking trash GC — the
+    * backstop for a pin leaked by a caller that never release()d
+    * (acquisition paths are try/release-guarded, so a pin this old is
+    * a bug, not a query). Queries legitimately longer than this lose
+    * pin protection and fall back to the lease file + grace period.
+    */
+  private val pinMaxAgeMs: Long = 20L * trashGraceMs
+
+  private def minPinnedVersion(ns: String, table: String): Option[Long] = {
+    val cutoff = System.currentTimeMillis - pinMaxAgeMs
     pins.synchronized {
-      pins.get((ns, table)).filter(_.nonEmpty).map(_.values.min)
+      pins.get((ns, table))
+        .map(_.values.collect { case (v, created) if created > cutoff => v })
+        .filter(_.nonEmpty).map(_.min)
     }
+  }
+
+  /** Live (unexpired) lease files' minimum pinned version; reaps
+    * expired lease files on the way through. Lease files are what make
+    * pins visible ACROSS processes: a second ParquetTier instance on
+    * the same root sees this reader's lease and keeps its files.
+    */
+  private def minLeasedVersion(ns: String, table: String): Option[Long] = {
+    val now = System.currentTimeMillis
+    val live = Option(manifestDir(ns, table).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .flatMap(f => f.getName match {
+        case ParquetTier.LeaseName(expiry, v) =>
+          if (expiry.toLong >= now) Some(v.toLong)
+          else { f.delete(); None } // expired lease: reap, don't honor
+        case _ => None
+      })
+    if (live.isEmpty) None else Some(live.min)
+  }
 
   /** Pin the table's current version and return it as an explicit
     * (version, files) snapshot: while the pin is held, no compaction
     * GC deletes a file the snapshot references, regardless of wall
     * clock — release() is what frees them (ref-counted MVCC reads, the
-    * piece the single-writer sketch was missing). Always release in a
-    * `finally`; the JVM-local pin table dies with the process, in
-    * which case the trash grace period is the backstop.
+    * piece the single-writer sketch was missing). The pin is recorded
+    * twice: in the JVM-local table (exact, ref-counted) and as a lease
+    * file under `_manifest/` with a `pinLeaseMs` expiry, so a
+    * compactor in ANOTHER process honors it too. Always release in a
+    * `finally`; a pin lost to a crash is bounded by the lease expiry /
+    * trash grace period, a pin leaked in-process by `pinMaxAgeMs`.
     */
   def snapshot(ns: String, table: String): TierSnapshot = {
     val dir = tableDir(ns, table)
     val (version, rel) = readManifestVersioned(ns, table)
       .getOrElse((0L, parquetFilesUnder(dir).map(relativize(dir, _))))
     val id = pinSeq.incrementAndGet()
+    val now = System.currentTimeMillis
     pins.synchronized {
       pins.getOrElseUpdate((ns, table),
-        scala.collection.mutable.Map.empty)(id) = version
+        scala.collection.mutable.Map.empty)(id) = (version, now)
     }
-    TierSnapshot(ns, table, version, rel.map(new File(dir, _).getPath), id)
+    val lease = {
+      val mdir = manifestDir(ns, table)
+      mdir.mkdirs()
+      val f = new File(mdir, s"pin-${now + pinLeaseMs}-v$version-" +
+        s"${java.util.UUID.randomUUID()}.lease")
+      try { Files.writeString(f.toPath, pidLine, UTF_8); Some(f) }
+      catch { case _: java.io.IOException => None } // pin table still holds
+    }
+    TierSnapshot(ns, table, version, rel.map(new File(dir, _).getPath),
+      id, lease)
   }
 
-  /** Release a snapshot pin and collect any trash it was holding. */
+  /** Release a snapshot pin and collect any trash it was holding. The
+    * GC scan is skipped when another live pin at or below the released
+    * version remains — that release cannot have unblocked any trash
+    * record, and scanning the manifest dir per query-release is the
+    * kind of per-query overhead that compounds at high QPS.
+    */
   def release(s: TierSnapshot): Unit = {
-    pins.synchronized {
-      pins.get((s.ns, s.table)).foreach { m =>
-        m.remove(s.pinId)
-        if (m.isEmpty) pins.remove((s.ns, s.table))
+    s.leaseFile.foreach(_.delete())
+    val mayUnblock = pins.synchronized {
+      pins.get((s.ns, s.table)) match {
+        case Some(m) =>
+          m.remove(s.pinId)
+          if (m.isEmpty) { pins.remove((s.ns, s.table)); true }
+          else !m.values.exists(_._1 <= s.version)
+        case None => true
       }
     }
-    gcTrash(s.ns, s.table)
+    if (mayUnblock) gcTrash(s.ns, s.table)
   }
+
+  private def pidLine: String =
+    ProcessHandle.current().pid().toString + "\n"
 
   // -------------------------------------------------------- seal commit
 
@@ -378,6 +444,8 @@ object ParquetTier {
 
   private val ManifestName = """v(\d+)\.list""".r
   private val TrashName = """trash-(\d+)-v(\d+)-[0-9a-f-]+\.list""".r
+  private val LegacyTrashName = """trash-(\d+)-[0-9a-f-]+\.list""".r
+  private[tier] val LeaseName = """pin-(\d+)-v(\d+)-[0-9a-f-]+\.lease""".r
 }
 
 /** An explicitly pinned tier read: the manifest `version` and the
@@ -386,4 +454,5 @@ object ParquetTier {
   * compaction GC will not delete a referenced file while pinned.
   */
 final case class TierSnapshot(ns: String, table: String, version: Long,
-    files: Seq[String], private[tier] val pinId: Long)
+    files: Seq[String], private[tier] val pinId: Long,
+    private[tier] val leaseFile: Option[File] = None)

@@ -292,6 +292,80 @@ class EngineSpec extends AnyFunSuite {
     assert(tier.read(spark, "ns", "cpu").count() == 4)
   }
 
+  test("lease files protect a reader in ANOTHER tier instance from " +
+    "zero-grace compaction GC") {
+    val spark = SparkFixture.spark
+    val tierDir = Files.createTempDirectory("lease-tier").toFile
+    val reader = new ParquetTier(tierDir, trashGraceMs = 0)
+    val e = newEngine(Some(reader))
+    (1 to 4).foreach { i =>
+      e.write(WriteRequest("ns", "cpu", i.toString, Map.empty, i.toLong))
+      e.seal("ns", "cpu")
+    }
+    // reader pins in ITS process (in-memory pin + on-disk lease)...
+    val snap = reader.snapshot("ns", "cpu")
+    assert(snap.files.size == 4)
+    // ...while a compactor in a DIFFERENT process (second instance —
+    // its in-memory pin table is empty) compacts with zero grace
+    val compactor = new ParquetTier(tierDir, trashGraceMs = 0)
+    compactor.compact(spark, "ns", "cpu")
+    assert(snap.files.forall(p => new java.io.File(p).isFile),
+      "the on-disk lease must block a cross-process compactor's GC")
+    assert(reader.readFiles(spark, "ns", "cpu", snap.files, None)
+      .count() == 4)
+    // release deletes the lease; the next GC (reader-side) collects
+    reader.release(snap)
+    assert(!snap.files.exists(p => new java.io.File(p).isFile),
+      "released lease must let GC delete superseded files")
+    assert(compactor.read(spark, "ns", "cpu").count() == 4)
+  }
+
+  test("a leaked pin stops blocking GC after the age ceiling " +
+    "(and an expired lease after its expiry)") {
+    val spark = SparkFixture.spark
+    val tierDir = Files.createTempDirectory("leak-tier").toFile
+    // grace 1 ms → pinMaxAge 20 ms; lease expires after 1 ms
+    val tier = new ParquetTier(tierDir, trashGraceMs = 1, pinLeaseMs = 1)
+    val e = newEngine(Some(tier))
+    (1 to 3).foreach { i =>
+      e.write(WriteRequest("ns", "cpu", i.toString, Map.empty, i.toLong))
+      e.seal("ns", "cpu")
+    }
+    val leaked = tier.snapshot("ns", "cpu") // never released — a bug
+    e.compact("ns", "cpu")
+    Thread.sleep(60)
+    // second compaction's GC ignores the over-age pin + expired lease
+    e.compact("ns", "cpu")
+    assert(!leaked.files.exists(p => new java.io.File(p).isFile),
+      "a pin older than the age ceiling must not block trash GC forever")
+    assert(tier.read(spark, "ns", "cpu").count() == 3)
+  }
+
+  test("legacy (pre-v-tag) trash records are still GC'd") {
+    val spark = SparkFixture.spark
+    val tierDir = Files.createTempDirectory("legacy-trash-tier").toFile
+    val tier = new ParquetTier(tierDir, trashGraceMs = 0)
+    val e = newEngine(Some(tier))
+    e.write(WriteRequest("ns", "cpu", "1", Map.empty, 1))
+    e.seal("ns", "cpu")
+    // simulate a pre-upgrade trash record pointing at a real file
+    val dir = new java.io.File(tierDir, "ns/cpu")
+    val victim = new java.io.File(dir, "orphan.parquet")
+    java.nio.file.Files.writeString(victim.toPath, "x")
+    val mdir = new java.io.File(dir, "_manifest")
+    java.nio.file.Files.writeString(
+      new java.io.File(mdir, s"trash-${System.currentTimeMillis - 1000}-" +
+        "0a1b2c3d-0000-0000-0000-000000000000.list").toPath,
+      "orphan.parquet")
+    // any GC pass (here: compaction) must collect the legacy record
+    e.compact("ns", "cpu")
+    assert(!victim.isFile, "legacy trash record's file must be deleted")
+    assert(!Option(mdir.listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.startsWith("trash-")),
+      "legacy trash record itself must be deleted")
+    assert(tier.read(spark, "ns", "cpu").count() == 1)
+  }
+
   test("a user tag named 'day' survives tiering as a data column") {
     val tierDir = Files.createTempDirectory("daytag-tier").toFile
     val e = newEngine(Some(new ParquetTier(tierDir)))
