@@ -332,9 +332,13 @@ object TimeSeries {
 
   /** Per-series rate of change (the monitoring `rate()`/`delta()`
     * primitive): hourly sums per event_type, delta vs the previous
-    * bucket via lag, normalized to per-second. One bucket-key shuffle
-    * plus one series-key window pass; deltas subtract two identical
-    * doubles, so both engines agree bit-for-bit.
+    * bucket via lag, normalized by the ACTUAL elapsed time between the
+    * two buckets (lag returns the previous *existing* bucket, so with
+    * missing hours the gap is a multiple of 3600 s — dividing by a
+    * constant hour would overstate the rate by that factor). One
+    * bucket-key shuffle plus one series-key window pass; the delta
+    * subtracts two identical doubles and the elapsed micros are exact
+    * integers divided by 1e6, so both engines agree bit-for-bit.
     */
   val qRate = QueryDef(
     "q_ts_rate",
@@ -345,7 +349,8 @@ object TimeSeries {
           col("bucket_sum"),
           (col("bucket_sum") - lag(col("bucket_sum"), 1).over(w))
             .as("delta"),
-          ((col("bucket_sum") - lag(col("bucket_sum"), 1).over(w)) / 3600.0)
+          ((col("bucket_sum") - lag(col("bucket_sum"), 1).over(w)) /
+            ((col("bucket_us") - lag(col("bucket_us"), 1).over(w)) / 1e6))
             .as("rate_per_s"))
         .orderBy("event_type", "bucket_us")
     },
@@ -353,43 +358,62 @@ object TimeSeries {
       WITH $hourlySql
       SELECT event_type, bucket_us, n, bucket_sum,
         bucket_sum - lag(bucket_sum) OVER w AS delta,
-        (bucket_sum - lag(bucket_sum) OVER w) / 3600.0 AS rate_per_s
+        (bucket_sum - lag(bucket_sum) OVER w) /
+          ((bucket_us - lag(bucket_us) OVER w) / 1e6) AS rate_per_s
       FROM hourly
       WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us)
       ORDER BY event_type, bucket_us"""))
 
   /** EWMA smoothing (α = 0.5) over each series' hourly sums. The
     * recurrence y = αx + (1-α)y' is a sequential float fold, so the
-    * cross-engine-deterministic formulation is an ordered list fold:
-    * collect the running prefix per row and `aggregate()` it left to
-    * right — DuckDB's `list_reduce` replays the identical operation
-    * order (see the memory note on segment-tree window sums: a plain
-    * windowed aggregate would NOT match). The prefix list is bounded
-    * by the series' bucket count (time-range / hour), not the raw row
-    * count — at unbounded-stream scale this moves to the streaming
-    * path's stateful recurrence instead.
+    * cross-engine-deterministic formulation is an ordered fold (see
+    * the memory note on segment-tree window sums: a plain windowed
+    * aggregate would NOT match) — and it runs ONCE per series: collect
+    * the series' ordered points, fold left-to-right emitting every
+    * prefix EWMA into one array, explode back to rows. O(B) elements
+    * touched per series of B buckets, replacing the earlier per-row
+    * prefix window that materialized O(B²). DuckDB replays the
+    * identical operation order with `list_reduce` over single-element
+    * lists (its accumulator must share the element type). At
+    * unbounded-stream scale the recurrence moves to the streaming
+    * path's stateful op instead.
     */
   val qEwma = QueryDef(
     "q_ts_ewma",
     (s, dir) => {
-      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_us"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       hourly(s, dir)
-        .withColumn("xs", collect_list(col("bucket_sum")).over(w))
-        .select(col("event_type"), col("bucket_us"), col("bucket_sum"),
-          expr("""aggregate(xs, CAST(NULL AS DOUBLE),
-            (acc, x) -> CASE WHEN acc IS NULL THEN x
-                             ELSE 0.5 * x + 0.5 * acc END)""").as("ewma"))
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("bucket_us"),
+          col("bucket_sum")))).as("pts"))
+        .withColumn("ews", expr("""aggregate(
+            slice(pts, 2, size(pts) - 1),
+            array(pts[0].bucket_sum),
+            (acc, p) -> concat(acc,
+              array(0.5 * p.bucket_sum + 0.5 * element_at(acc, -1))))"""))
+        .select(col("event_type"),
+          explode(arrays_zip(col("pts"), col("ews"))).as("z"))
+        .select(col("event_type"),
+          col("z.pts.bucket_us").as("bucket_us"),
+          col("z.pts.bucket_sum").as("bucket_sum"),
+          col("z.ews").as("ewma"))
         .orderBy("event_type", "bucket_us")
     },
     Some(s"""
-      WITH $hourlySql
-      SELECT event_type, bucket_us, bucket_sum,
-        list_reduce(list(bucket_sum) OVER (PARTITION BY event_type
-            ORDER BY bucket_us
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-          (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma
-      FROM hourly
+      WITH $hourlySql,
+      g AS (
+        SELECT event_type,
+          list(bucket_us ORDER BY bucket_us) AS us,
+          list(bucket_sum ORDER BY bucket_us) AS sums
+        FROM hourly GROUP BY event_type),
+      e AS (
+        SELECT event_type, us, sums,
+          list_reduce(list_transform(sums, x -> [x]),
+            (acc, x) -> list_append(acc, 0.5 * x[1] + 0.5 * acc[len(acc)]))
+            AS ews
+        FROM g)
+      SELECT event_type, unnest(us) AS bucket_us,
+        unnest(sums) AS bucket_sum, unnest(ews) AS ewma
+      FROM e
       ORDER BY event_type, bucket_us"""))
 
   /** Trailing-window z-score anomaly detection: each hourly bucket

@@ -101,6 +101,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), "hits should be a semi-join")
   }
 
+  test("ewma folds once per series: no per-row prefix-list window") {
+    val p = plan("q_ts_ewma")
+    assert(!p.contains("Window"),
+      "ewma must not materialize per-row prefix lists via a window " +
+        "(O(B^2) per series); fold once per series instead")
+    // one collect per series = a partial+final ObjectHashAggregate pair
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "series points should be collected via two-phase aggregation")
+  }
+
   test("random projection is a narrow scan feeding codegen kernels") {
     val p = plan("q_embed_rp")
     // only vec_id + embedding should be read
