@@ -5,16 +5,27 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque `binary` columns
   * with typed metadata, plus decode / feature-extract / frame-sample
-  * stages (builder brief). No media codecs ship in this container, so
-  * the DECODE KERNEL IS A STUB — a deterministic fake that stands in
-  * for e.g. a JPEG decoder — while everything Spark-side (schema,
-  * typed Dataset plumbing, per-partition batch shape, partitioning)
-  * is real and tested.
+  * stages (builder brief). Two kernels:
   *
-  * The binary payload is derived deterministically from `documents`
+  *  - a REAL image codec path ([[qPixels]]): PNG bytes produced with
+  *    JDK `ImageIO` (no external codec library needed), decoded back
+  *    through `ImageIO.read` in the extract stage, pixel statistics
+  *    oracle-checked end-to-end — since 8-bit grayscale PNG is
+  *    lossless, DuckDB re-derives the expected pixels from the source
+  *    bytes and any codec round-trip error would hash-mismatch;
+  *  - a codec-free byte-window path ([[qDecode]]) standing in for
+  *    formats the JDK cannot decode (audio/video) — the frame kernel
+  *    there is a deterministic fake, the Spark plumbing (typed
+  *    Dataset, per-partition batch shape, column pruning) is real.
+  *
+  * The binary payloads are derived deterministically from `documents`
   * (UTF-8 bytes of the text) so fixtures need no media files.
   */
 object Multimodal {
+
+  // ImageIO defaults to spooling through a temp FILE per stream; for a
+  // per-row decode kernel that is pure overhead — keep it on-heap.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Typed media row: opaque bytes + metadata, the schema a media
     * lakehouse table would carry (content in its own column so
@@ -74,11 +85,86 @@ object Multimodal {
     }
   }
 
-  /** STUB for the codec: fixed-stride frame sampling. A real build
-    * replaces this with the image/audio library call.
+  /** STUB for the audio/video codec: fixed-stride frame sampling. A
+    * real build replaces this with the media library call (the image
+    * path below already uses a real decoder).
     */
   private def decodeFrames(content: Array[Byte]): Array[Array[Byte]] =
     content.grouped(16).toArray
+
+  // ------------------------------------------------ real image codec
+
+  /** Per-image pixel statistics out of the REAL decode path. */
+  final case class PixelStats(
+      doc_id: Long,
+      n_pixels: Long,
+      mean_pixel: Double,
+      min_pixel: Long,
+      max_pixel: Long)
+
+  /** Deterministic 8-bit grayscale PNG: dimensions from the byte
+    * count (w in 8..16, h in 8..14), pixel i (row-major) = source
+    * byte i mod n. Encoded with the JDK's own PNG writer — the bytes
+    * in `content` are a genuine PNG file, not a fake.
+    */
+  private[graft] def synthesizePng(id: Long,
+      textBytes: Array[Byte]): MediaRecord = {
+    val n = textBytes.length
+    val w = 8 + (n % 9)
+    val h = 8 + (n % 7)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      raster.setSample(i % w, i / w, 0,
+        if (n == 0) 0 else textBytes(i % n) & 0xff)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    MediaRecord(id, "image", bos.toByteArray, w, h)
+  }
+
+  /** Real decode: `ImageIO.read` the PNG, raw raster samples (NOT
+    * `getRGB`, which would route gray through the color model).
+    * Returns pixels in the same row-major order the encoder used.
+    */
+  private def decodeGray(content: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(content))
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val px = new Array[Int](w * h)
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(i) = raster.getSample(x, y, 0); i += 1; x += 1 }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** Decode + pixel-stat kernel, per-partition batches (same shape as
+    * [[extractFeatures]]; a heavier codec would init once here).
+    * Integer sums stay in Long, one double division at the end — the
+    * exact arithmetic the oracle replays.
+    */
+  def decodePixelStats(media: Dataset[MediaRecord]): Dataset[PixelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, px) = decodeGray(m.content)
+        var s = 0L
+        var mn = 255L
+        var mx = 0L
+        px.foreach { p => s += p; if (p < mn) mn = p; if (p > mx) mx = p }
+        PixelStats(m.doc_id, (w * h).toLong, s.toDouble / (w * h), mn, mx)
+      }
+    }
+  }
 
   /** Metadata-only query over the binary table — oracle-checked: the
     * byte-length/dimension arithmetic is engine-independent. Reads
@@ -145,5 +231,53 @@ object Multimodal {
       FROM b LEFT JOIN agg USING (doc_id)
       ORDER BY b.doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(qMeta, qDecode)
+  /** Real-codec pipeline: synthesize a PNG per document with the JDK
+    * encoder, decode it back with `ImageIO.read` in a mapPartitions
+    * kernel, emit pixel statistics. Oracle-checked END TO END: 8-bit
+    * grayscale PNG is lossless, so DuckDB recomputes the expected
+    * pixels straight from the document bytes (same row-major
+    * byte-cycling the encoder used) — if the codec round trip altered
+    * even one pixel, the hash would mismatch. Pixel sums are exact in
+    * BIGINT/doubles (≤ 255·224), so the mean divides identically in
+    * both engines.
+    */
+  val qPixels = QueryDef(
+    "q_multimodal_pixels",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables.t(s, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)]
+        .map { case (id, text) => synthesizePng(id, text.getBytes("UTF-8")) }
+      decodePixelStats(media).toDF()
+        .select(col("doc_id"), col("n_pixels"), col("mean_pixel"),
+          col("min_pixel"), col("max_pixel"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents),
+      dims AS (
+        SELECT doc_id, h, n, 8 + (n % 9) AS w, 8 + (n % 7) AS ht
+        FROM b),
+      px AS (
+        SELECT doc_id, n, h, w, ht,
+          unnest(generate_series(0, w * ht - 1)) AS i
+        FROM dims),
+      v AS (
+        SELECT doc_id, w, ht,
+          CASE WHEN n = 0 THEN 0
+               ELSE CAST('0x' ||
+                 substr(h, CAST(2 * (i % n) + 1 AS INT), 2) AS BIGINT)
+          END AS p
+        FROM px)
+      SELECT doc_id,
+        CAST(w * ht AS BIGINT) AS n_pixels,
+        CAST(sum(p) AS DOUBLE) / CAST(w * ht AS DOUBLE) AS mean_pixel,
+        min(p) AS min_pixel, max(p) AS max_pixel
+      FROM v GROUP BY doc_id, w, ht
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(qMeta, qDecode, qPixels)
 }

