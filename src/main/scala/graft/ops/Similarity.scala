@@ -117,12 +117,58 @@ object Similarity {
         WHERE q.vec_id < 5)
       WHERE rnk <= 5 ORDER BY query_id, rnk"""))
 
-  // 6-bit random-hyperplane signature; integer hyperplane weights
+  // ---------------------------------------------- adaptive LSH sizing
+  //
+  // Bucket counts are DERIVED from the corpus size, not fixed: the
+  // smallest b with 2^b buckets holding the table at the target mean
+  // occupancy, clamped to [minBits, MaxBits]. Integer arithmetic only
+  // — the DuckDB oracle derives the identical value, and a float
+  // log2() can differ by 1 ulp across engines exactly at power-of-two
+  // boundaries. At the fixture SFs (500–2000 vectors) this reproduces
+  // the previously hand-tuned constants (6 ann bits / 5 pair bits);
+  // at 1e9 vectors it yields 25 ann bits — occupancy, and therefore
+  // per-bucket join cost, stays constant as the corpus grows.
+  private[graft] def derivedBits(n: Long, minBits: Int,
+      occupancy: Long): Int = {
+    var b = minBits
+    while (b < MaxBits && (1L << b) * occupancy < n) b += 1
+    b
+  }
+
+  /** Spark-side ceiling: 2^30 buckets ≈ 3·10^10 vectors at occupancy
+    * 32 — past that the knob saturates (documented, not silent: bucket
+    * occupancy starts growing linearly again).
+    */
+  private val MaxBits = 30
+
+  /** Oracle-side ceiling: the SQL mirror must UNROLL the signature
+    * terms, so it computes a fixed `MaxSqlBits`-bit signature and
+    * masks down to the derived width. Derivations agree exactly for
+    * n ≤ 2^16 · occupancy (≥ 2M vectors — three orders of magnitude
+    * above any fixture; DuckDB could not check beyond that anyway).
+    */
+  private val MaxSqlBits = 16
+
+  /** DuckDB twin of [[derivedBits]]: min b in [minBits, MaxSqlBits]
+    * with (1<<b)·occupancy ≥ count, else MaxSqlBits — pure-integer
+    * scan of the candidate range, no floating log.
+    */
+  private def bitsSql(minBits: Int, occupancy: Long): String =
+    s"""(SELECT min(b) FROM
+          (SELECT unnest(generate_series($minBits, $MaxSqlBits)) AS b),
+          (SELECT count(*) AS n FROM vectors) c
+        WHERE (CAST(1 AS BIGINT) << b) * $occupancy >= c.n
+           OR b = $MaxSqlBits)"""
+
+  /** q_ann_lsh target: ~32 vectors per bucket. */
+  private val AnnOccupancy = 32L
+  private val MinAnnBits = 6
+
+  // Random-hyperplane signature; integer hyperplane weights
   // w[i][j] = ((i*131 + j*31 + 7) % 211) - 105 are exact in both
   // engines, so bucket ids are bit-identical. (Multi-table LSH lives
   // in hplaneWeights below — a linear seed here would leave tables
   // correlated, so there is deliberately no seed knob.)
-  private val Bits = 6
 
   // Hyperplane weights are compile-time constants, so the signature
   // dot products run through the fused codegen kernel against literal
@@ -132,16 +178,20 @@ object Similarity {
   private def bucketWeights(i: Int): Array[Float] =
     Array.tabulate(64)(j => ((i * 131 + j * 31 + 7) % 211 - 105).toFloat)
 
-  private def bucketCol(emb: Column): Column = {
-    val bits = (0 until Bits).map { i =>
+  private def bucketCol(emb: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map { i =>
       val d = GraftFunctions.dotp(emb, typedlit(bucketWeights(i)))
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
+  /** Full MaxSqlBits-wide signature; callers mask to the derived
+    * width (`% (1 << bits)` keeps the low bits — exactly the terms
+    * the Spark side computed).
+    */
   private def bucketSql(emb: String): String = {
-    (0 until Bits).map { i =>
+    (0 until MaxSqlBits).map { i =>
       val d = s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
         [CAST($emb[j + 1] AS DOUBLE) *
          CAST((($i * 131 + j * 31 + 7) % 211) - 105 AS DOUBLE)
@@ -151,17 +201,20 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN — signature computation is a narrow map,
-    * candidates come from a bucket equi-join (64 buckets here; at
-    * 100 TB widen Bits so bucket cardinality tracks executor count),
-    * and the exact cosine runs on same-bucket pairs only. Emits each
-    * vector's nearest same-bucket neighbor.
+    * candidates come from a bucket equi-join, and the exact cosine
+    * runs on same-bucket pairs only. The bucket count is derived from
+    * the corpus row count (footer metadata, no extra job) so mean
+    * occupancy stays ~[[AnnOccupancy]] from sf0.001 through 10^10
+    * vectors. Emits each vector's nearest same-bucket neighbor.
     */
   val qAnnLsh = QueryDef(
     "q_ann_lsh",
     (s, dir) => {
+      val nBits = derivedBits(Tables.rowCount(s, dir, "embeddings"),
+        MinAnnBits, AnnOccupancy)
       val e = vectors(s, dir)
         .select(col("vec_id"), col("embedding"), col("nrm"),
-          bucketCol(col("embedding")).as("bucket"))
+          bucketCol(col("embedding"), nBits).as("bucket"))
       val a = e.toDF("vec_id", "emb_a", "nrm_a", "bucket")
       val b = e.toDF("nbr_id", "emb_b", "nrm_b", "bucket")
       val w = Window.partitionBy(col("vec_id"))
@@ -178,9 +231,11 @@ object Similarity {
     },
     Some(s"""
       WITH $vectorsSql,
+      nb AS (SELECT ${bitsSql(MinAnnBits, AnnOccupancy)} AS bits),
       sig AS (
         SELECT vec_id, embedding, nrm,
-          CAST(${bucketSql("embedding")} AS BIGINT) AS bucket
+          CAST(${bucketSql("embedding")} AS BIGINT) %
+            (CAST(1 AS BIGINT) << (SELECT bits FROM nb)) AS bucket
         FROM vectors)
       SELECT vec_id, bucket, nbr_id, cos FROM (
         SELECT a.vec_id, a.bucket, b.vec_id AS nbr_id,
@@ -195,15 +250,22 @@ object Similarity {
 
   // Multi-table LSH: L independent hyperplane tables; a pair is a
   // candidate if it collides in ANY table, so the per-pair miss rate
-  // is (1 - p^PairBits)^LshTables while every join stays a bucket
-  // equi-join. The fixture's true pairs live at cos 0.4–0.6 (hyperplane
+  // is (1 - p^b)^LshTables while every join stays a bucket equi-join.
+  // The fixture's true pairs live at cos 0.4–0.6 (hyperplane
   // agreement p ≈ 0.65), the hardest LSH regime, hence the E2LSH-style
   // wide-OR: 16 tables of 5-bit signatures → measured recall 0.86
-  // (sf0.001) / 0.75 (sf0.01) vs brute force. At 100 TB both knobs
-  // grow together: PairBits ~ log2(N / target bucket occupancy),
-  // LshTables to hold 1-(1-p^PairBits)^L at the recall target.
+  // (sf0.001) / 0.75 (sf0.01) vs brute force. The per-table bit width
+  // is derived from the corpus size (constant [[PairOccupancy]] mean
+  // bucket occupancy → constant per-table join cost as N grows).
+  // LshTables stays a constant: it is the RECALL knob, not a scale
+  // knob — to hold recall R as b widens, L must track
+  // ln(1-R)/ln(1-p^b), a cost-vs-recall policy choice the caller
+  // owns, not something to silently re-derive.
   private val LshTables = 16
-  private val PairBits = 5
+  private val MinPairBits = 5
+
+  /** Per-table target: ~64 vectors per bucket. */
+  private val PairOccupancy = 64L
 
   // Hyperplane weights must be INDEPENDENT across tables — a linear
   // formula in (i, j, table) leaves the tables correlated and the
@@ -217,16 +279,19 @@ object Similarity {
         1000000007L) % 211L - 105L).toFloat
     }
 
-  private def hplaneCol(emb: Column, table: Int): Column = {
-    val bits = (0 until PairBits).map { i =>
+  private def hplaneCol(emb: Column, table: Int, nBits: Int): Column = {
+    val bits = (0 until nBits).map { i =>
       val d = GraftFunctions.dotp(emb, typedlit(hplaneWeights(table, i)))
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
+  /** Full MaxSqlBits-wide per-table signature (mask to derived width
+    * at the use site, like [[bucketSql]]).
+    */
   private def hplaneSql(emb: String, table: Int): String = {
-    (0 until PairBits).map { i =>
+    (0 until MaxSqlBits).map { i =>
       val d = s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
         [CAST($emb[j + 1] AS DOUBLE) *
          CAST(((($i*1000003 + j*7919 + $table*104729 + 12345)
@@ -247,10 +312,12 @@ object Similarity {
   val qEmbedPairsLsh = QueryDef(
     "q_embed_pairs_lsh",
     (s, dir) => {
+      val nBits = derivedBits(Tables.rowCount(s, dir, "embeddings"),
+        MinPairBits, PairOccupancy)
       val e = vectors(s, dir)
       val sig = e.select(col("vec_id"), explode(array(
           (0 until LshTables).map(l => struct(lit(l).as("t"),
-            hplaneCol(col("embedding"), l).as("v"))): _*)).as("tv"))
+            hplaneCol(col("embedding"), l, nBits).as("v"))): _*)).as("tv"))
         .select(col("vec_id"), col("tv.t").as("t"), col("tv.v").as("v"))
       val cand = sig.as("x").join(sig.as("y"),
           col("x.t") === col("y.t") && col("x.v") === col("y.v") &&
@@ -268,13 +335,15 @@ object Similarity {
     },
     Some {
       val sigCols = (0 until LshTables).map(l =>
-        s"CAST(${hplaneSql("embedding", l)} AS BIGINT) AS b$l")
+        s"""CAST(${hplaneSql("embedding", l)} AS BIGINT) %
+            (CAST(1 AS BIGINT) << (SELECT bits FROM nb)) AS b$l""")
         .mkString(", ")
       val bands = (0 until LshTables).map(l =>
         s"SELECT vec_id, $l AS t, b$l AS v FROM sig")
         .mkString(" UNION ALL ")
       s"""
       WITH $vectorsSql,
+      nb AS (SELECT ${bitsSql(MinPairBits, PairOccupancy)} AS bits),
       sig AS (SELECT vec_id, $sigCols FROM vectors),
       bands AS ($bands),
       cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b

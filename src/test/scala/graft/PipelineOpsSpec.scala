@@ -162,6 +162,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(feats.map(_.mean_byte).toSeq == again.map(_.mean_byte).toSeq)
   }
 
+  test("adaptive LSH bit widths derive from corpus size at constant " +
+    "occupancy") {
+    // fixture scale reproduces the previously hand-tuned constants
+    assert(Similarity.derivedBits(500, 6, 32) == 6)
+    assert(Similarity.derivedBits(2000, 6, 32) == 6)
+    assert(Similarity.derivedBits(500, 5, 64) == 5)
+    assert(Similarity.derivedBits(2000, 5, 64) == 5)
+    // bucket count tracks the corpus → occupancy stays ~constant
+    assert(Similarity.derivedBits(1L << 20, 6, 32) == 15)
+    assert(Similarity.derivedBits(1000000000L, 6, 32) == 25)
+    // saturates at the documented ceiling instead of overflowing
+    assert(Similarity.derivedBits(Long.MaxValue / 2, 6, 32) == 30)
+  }
+
   test("multimodal PNG codec round-trips losslessly: decoded pixel " +
     "stats equal the encoder's source bytes") {
     // JVM-side ground truth, no Spark: encode → decode must recover
