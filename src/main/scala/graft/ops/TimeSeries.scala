@@ -375,8 +375,10 @@ object TimeSeries {
     * prefix window that materialized O(B²). DuckDB replays the
     * identical operation order with `list_reduce` over single-element
     * lists (its accumulator must share the element type). At
-    * unbounded-stream scale the recurrence moves to the streaming
-    * path's stateful op instead.
+    * unbounded-stream scale the recurrence moves to
+    * [[graft.streaming.StreamingIngest.ewma]] — the same fold as a
+    * stateful op with one double of state per series, spec-proven
+    * bit-identical to this batch fold across micro-batch splits.
     */
   val qEwma = QueryDef(
     "q_ts_ewma",

@@ -201,6 +201,46 @@ object StreamingIngest {
     * windows can't express. State is per (namespace, measurement):
     * thousands of keys, not rows — bounded at 100 TB.
     */
+  // --------------------------------------------------- streaming EWMA
+
+  final case class EwmaPoint(series: String, bucketUs: Long, x: Double)
+  final case class EwmaOut(series: String, bucketUs: Long, x: Double,
+      ewma: Double)
+  final case class EwmaState(ewma: Double)
+
+  /** (d) The q_ts_ewma recurrence as a stateful streaming op — the
+    * unbounded-stream formulation the batch docstring points to.
+    * State is ONE double per series (O(series) memory, not O(buckets))
+    * and each bucket emits its smoothed value exactly once. The fold
+    * is the same `0.5·x + 0.5·prev` double arithmetic in the same
+    * order, so a stream fed the batch query's buckets in order
+    * produces bit-identical EWMAs regardless of how the stream is
+    * micro-batched (StreamingSpec asserts parity across splits).
+    * Contract: buckets arrive in per-series bucket order — i.e. this
+    * consumes the output of the watermarked windowed aggregation
+    * upstream, which closes windows in event-time order per key.
+    */
+  def ewma(points: Dataset[EwmaPoint],
+      alpha: Double = 0.5): Dataset[EwmaOut] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.series)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (series, batch, state: GroupState[EwmaState]) =>
+          var acc = state.getOption.map(_.ewma)
+          val out = batch.toSeq.sortBy(_.bucketUs).map { p =>
+            val e = acc match {
+              case None => p.x
+              case Some(prev) => alpha * p.x + (1 - alpha) * prev
+            }
+            acc = Some(e)
+            EwmaOut(series, p.bucketUs, p.x, e)
+          }
+          acc.foreach(e => state.update(EwmaState(e)))
+          out.iterator
+      }
+  }
+
   def seriesStats(rows: Dataset[StreamRow]): Dataset[SeriesUpdate] = {
     import rows.sparkSession.implicits._
     rows.groupByKey(r => (r.namespace, r.measurement))

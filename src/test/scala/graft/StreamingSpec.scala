@@ -121,6 +121,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(vals == Seq("alpha", "beta", "gamma"))
   }
 
+  test("streaming ewma is bit-identical to the sequential fold, " +
+    "however the stream is micro-batched") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.{EwmaOut, EwmaPoint}
+
+    val pts = (0 until 40).map(i =>
+      EwmaPoint(if (i % 2 == 0) "cpu" else "mem",
+        i.toLong * 3600000000L, math.sin(i) * 100 + i))
+    // ground truth: the q_ts_ewma fold (0.5·x + 0.5·prev, in order)
+    val expected = pts.groupBy(_.series).flatMap { case (s, g) =>
+      var acc = Option.empty[Double]
+      g.sortBy(_.bucketUs).map { p =>
+        val e = acc.fold(p.x)(prev => 0.5 * p.x + 0.5 * prev)
+        acc = Some(e)
+        (s, p.bucketUs) -> e
+      }
+    }
+
+    def run(splits: Seq[Seq[EwmaPoint]],
+        name: String): Map[(String, Long), Double] = {
+      val mem = MemoryStream[EwmaPoint]
+      val q = StreamingIngest.ewma(mem.toDS()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      splits.foreach { s => mem.addData(s); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[EwmaOut].collect()
+        .map(o => (o.series, o.bucketUs) -> o.ewma).toMap
+    }
+
+    // exact == on doubles: the state handoff must not perturb a bit
+    assert(run(Seq(pts), "ewma_one") == expected)
+    assert(run(Seq(pts.take(13), pts.slice(13, 27), pts.drop(27)),
+      "ewma_three") == expected)
+  }
+
   test("mapGroupsWithState accumulates per-series lifetime stats") {
     val spark = SparkFixture.spark
     import spark.implicits._
