@@ -824,7 +824,65 @@ object Similarity {
       FROM embeddings ORDER BY vec_id"""
     })
 
+  /** Int8 scalar quantization — the storage-compression pass for an
+    * embedding lakehouse (4× smaller than float32, ~1% cosine error;
+    * PQ above is the search-time codec, this is the storage codec).
+    * Per-vector symmetric scale = max|x|/127, codes = round(x/scale).
+    * A pure NARROW map: no shuffle, no broadcast, no state — the plan
+    * that scales to any corpus by adding splits. Cross-engine: Spark
+    * `round()` and DuckDB `round()` both tie away from zero, scale
+    * and code arithmetic are correctly-rounded double ops, and the
+    * reconstruction-error fold is ordered left-to-right in both
+    * engines.
+    */
+  val qEmbedQuantize = QueryDef(
+    "q_embed_quantize",
+    (s, dir) => {
+      val emb = transform(col("embedding"), v => v.cast("double"))
+      val mx = array_max(transform(emb, x => abs(x)))
+      val scale = mx / lit(127.0)
+      val codes = transform(emb, x =>
+        when(mx === 0.0, lit(0L))
+          .otherwise(round(x / scale).cast("long")))
+      Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), scale.as("qscale"), codes.as("codes"),
+          emb.as("e"))
+        .select(col("vec_id"), col("qscale"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+          array_min(col("codes")).as("code_min"),
+          array_max(col("codes")).as("code_max"),
+          (aggregate(
+            zip_with(col("e"), col("codes"),
+              (x, c) => (x - c * col("qscale")) * (x - c * col("qscale"))),
+            lit(0.0), (a, d) => a + d) / lit(64.0)).as("mse"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id, embedding,
+          list_max(list_transform(embedding,
+            x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings),
+      c AS (
+        SELECT vec_id, embedding, mx, mx / 127.0 AS qscale,
+          [CASE WHEN mx = 0 THEN 0
+                ELSE CAST(round(CAST(embedding[i] AS DOUBLE) / (mx / 127.0))
+                          AS BIGINT) END
+           for i in generate_series(1, 64)] AS codes
+        FROM q)
+      SELECT vec_id, qscale,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+          (a, x) -> a + x) AS code_sum,
+        list_min(codes) AS code_min,
+        list_max(codes) AS code_max,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          [(CAST(embedding[i] AS DOUBLE) - codes[i] * qscale) *
+           (CAST(embedding[i] AS DOUBLE) - codes[i] * qscale)
+           for i in generate_series(1, 64)]),
+          (a, d) -> a + d) / 64.0 AS mse
+      FROM c ORDER BY vec_id"""))
+
   val all: Seq[QueryDef] =
     Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf,
-      qEmbedCentroids, qEmbedPq, qAnnAdc, qEmbedRp)
+      qEmbedCentroids, qEmbedPq, qAnnAdc, qEmbedRp, qEmbedQuantize)
 }

@@ -526,7 +526,69 @@ object TextOps {
           AS share
       FROM b ORDER BY bin"""))
 
+  /** Hashed linear classifier inference — the shape of "apply the
+    * quality/safety model to the whole corpus", the single most common
+    * scoring pass in a curation pipeline. Features are hashed unigrams
+    * and bigrams (the fastText trick: no vocabulary table at all, so
+    * no join — weight lookup is pure arithmetic on the feature hash),
+    * making the whole pass one NARROW map over the scan: no shuffle,
+    * no broadcast, trivially parallel at 100 TB. Weights here are a
+    * deterministic stand-in for trained parameters (md5-prefix ints;
+    * a real model would embed its array the same way); the emitted
+    * score is the raw mean-weight logit — exact integer sums, one
+    * final division — because sigmoid/exp is monotone anyway and not
+    * bit-identical across engines. Vocab-table models (a learned
+    * embedding join) are exercised separately by q_text_surprise.
+    */
+  val qClassify = QueryDef(
+    "q_text_classify",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      // hashed feature weight in [-half, m-1-half]
+      def w(c: org.apache.spark.sql.Column, m: Int,
+          half: Int): org.apache.spark.sql.Column =
+        conv(substring(md5(c), 1, 8), 16, 10).cast("long") % m - half
+      val sUni = aggregate(transform(toks, t => w(t, 257, 128)),
+        lit(0L), (a, x) => a + x)
+      // Spark's sequence(0, n-2) DESCENDS for n=1 (step defaults to
+      // sign(stop-start)) — guard the single-token case explicitly
+      val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2), i =>
+          w(concat(element_at(toks, i + 1), lit(" "),
+            element_at(toks, i + 2)), 1021, 510)))
+        .otherwise(array().cast("array<bigint>"))
+      val sBi = aggregate(bigrams, lit(0L), (a, x) => a + x)
+      val nFeat = (size(toks) * 2 - 1).cast("long")
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), (sUni + sBi).as("wsum"), nFeat.as("n_feat"))
+        .select(col("doc_id"), col("wsum"), col("n_feat"),
+          (col("wsum").cast("double") / col("n_feat")).as("logit"))
+        .withColumn("keep", col("logit") > 0)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      f AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(toks, tk ->
+              CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) % 257 - 128)),
+            (a, x) -> a + x)
+          + list_reduce(list_prepend(CAST(0 AS BIGINT),
+              [CAST('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2]),
+                 1, 8) AS BIGINT) % 1021 - 510
+               for i in generate_series(0, len(toks) - 2)]),
+              (a, x) -> a + x) AS wsum,
+          CAST(2 * len(toks) - 1 AS BIGINT) AS n_feat
+        FROM t)
+      SELECT doc_id, wsum, n_feat,
+        CAST(wsum AS DOUBLE) / n_feat AS logit,
+        CAST(wsum AS DOUBLE) / n_feat > 0 AS keep
+      FROM f ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(qTokens, qQuality, qLangId, qFingerprint, qTfIdf,
-      qRepetition, qClean, qSurprise, qContamination, qLengthHist)
+      qRepetition, qClean, qSurprise, qContamination, qLengthHist,
+      qClassify)
 }

@@ -101,6 +101,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), "hits should be a semi-join")
   }
 
+  test("classifier inference and int8 quantization are narrow maps: " +
+    "no shuffle but the presentation sort") {
+    for (n <- Seq("q_text_classify", "q_embed_quantize")) {
+      val p = plan(n)
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"$n must not join or window — hashed weights need no vocab")
+      assert("""Exchange \(\d+\)""".r.findAllIn(p).size <= 1,
+        s"$n must scale by adding splits, not by shuffling")
+    }
+  }
+
   test("ewma folds once per series: no per-row prefix-list window") {
     val p = plan("q_ts_ewma")
     assert(!p.contains("Window"),
