@@ -257,9 +257,10 @@ object Curation {
 
   /** End-to-end corpus curation: the operators above composed into
     * the actual training-data flow — redact PII, score quality and
-    * repetition, filter, drop non-canonical near-dup cluster members,
-    * pack the survivors into context windows. Returns the curated
-    * doc-level frame (one row per kept doc with its bin assignment).
+    * repetition, run the hashed classifier, filter, drop
+    * non-canonical near-dup cluster members, pack the survivors into
+    * context windows. Returns the curated doc-level frame (one row
+    * per kept doc with its bin assignment).
     *
     * Composition note: each stage is the SAME DataFrame pipeline as
     * its standalone oracle-checked query, joined on doc_id, so
@@ -268,7 +269,8 @@ object Curation {
     * output is still a lazy plan a caller can write wherever.
     */
   def curate(s: org.apache.spark.sql.SparkSession, dir: String,
-      minQuality: Double = 0.05, maxTop2Share: Double = 0.2)
+      minQuality: Double = 0.05, maxTop2Share: Double = 0.2,
+      minLogit: Double = Double.NegativeInfinity)
       : org.apache.spark.sql.DataFrame = {
     val quality = TextOps.qQuality.run(s, dir)
       .select("doc_id", "quality")
@@ -278,13 +280,16 @@ object Curation {
       .select("doc_id", "cluster", "is_canonical")
     val clean = TextOps.qClean.run(s, dir)
       .select("doc_id", "clean_sig", "n_emails", "n_phones")
+    val model = TextOps.qClassify.run(s, dir)
+      .select("doc_id", "logit")
     // NULL top2_share means "too short to have 2-grams", i.e. no
     // repetition signal — keep, don't let SQL NULL semantics silently
     // drop the doc from the filter
     val kept = quality.join(rep, "doc_id").join(canon, "doc_id")
-      .join(clean, "doc_id")
+      .join(clean, "doc_id").join(model, "doc_id")
       .filter(col("quality") >= minQuality &&
         coalesce(col("top2_share"), lit(0.0)) <= maxTop2Share &&
+        col("logit") >= minLogit &&
         col("is_canonical"))
     // re-pack only the survivors (same packer shape as the oracle
     // query, applied post-filter)
@@ -301,7 +306,7 @@ object Curation {
       .withColumn("cum", sum(col("seq_tokens")).over(w))
       .withColumn("bin", expr(s"(cum - seq_tokens) div $PackBudget"))
       .select("doc_id", "lang", "shard", "cluster", "quality",
-        "top2_share", "clean_sig", "seq_tokens", "bin")
+        "top2_share", "logit", "clean_sig", "seq_tokens", "bin")
   }
 
   val all: Seq[QueryDef] =

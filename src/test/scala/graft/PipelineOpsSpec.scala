@@ -466,10 +466,16 @@ class PipelineOpsSpec extends AnyFunSuite {
       case (_, g) =>
         var cum = 0L
         g.sortBy(_.getLong(0)).foreach { r =>
-          assert(r.getLong(8) == cum / 512L)
-          cum += r.getLong(7)
+          assert(r.getLong(9) == cum / 512L)
+          cum += r.getLong(8)
         }
     }
+    // the classifier stage actually gates: an impossible logit floor
+    // empties the corpus, and each kept row carries its logit
+    assert(Curation.curate(spark, dir, minLogit = 1e9).isEmpty)
+    val logits = TextOps.qClassify.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    out.foreach(r => assert(r.getDouble(6) == logits(r.getLong(0))))
   }
 
   test("contamination flags a verbatim benchmark copy and clears " +
