@@ -241,6 +241,81 @@ object StreamingIngest {
       }
   }
 
+  final case class RateOut(series: String, bucketUs: Long, x: Double,
+      delta: Double, ratePerS: Double)
+  final case class RateState(bucketUs: Long, x: Double)
+
+  /** q_ts_rate as a stateful op: per-series delta vs the previous
+    * bucket, normalized by the actual elapsed seconds. State is the
+    * last (bucketUs, sum) pair per series. The first bucket of a
+    * series emits nothing (no predecessor — the batch query's NULL
+    * lag row), so output arithmetic is exactly the batch query's:
+    * identical-double subtraction and exact-integer elapsed micros
+    * divided by 1e6.
+    */
+  def rate(points: Dataset[EwmaPoint]): Dataset[RateOut] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.series)
+      .flatMapGroupsWithState[RateState, RateOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (series, batch, state: GroupState[RateState]) =>
+          var prev = state.getOption
+          val out = batch.toSeq.sortBy(_.bucketUs).flatMap { p =>
+            val o = prev.map { q =>
+              val delta = p.x - q.x
+              RateOut(series, p.bucketUs, p.x, delta,
+                delta / ((p.bucketUs - q.bucketUs) / 1e6))
+            }
+            prev = Some(RateState(p.bucketUs, p.x))
+            o
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  final case class AnomalyOut(series: String, bucketUs: Long, x: Double,
+      nHist: Long, mean: Double, z: Double, isAnomaly: Boolean)
+  final case class AnomalyState(hist: List[Double])
+
+  /** q_ts_anomaly as a stateful op: each bucket scored against the
+    * previous ≤`window` buckets of its series (mean / sample stddev,
+    * flagged at |z| > `zThresh`), state a bounded list per series —
+    * O(window) memory per key at any corpus size. The history fold
+    * runs ascending left-to-right, the same order as the batch
+    * query's collect_list window frame, so mean/z are bit-identical
+    * to q_ts_anomaly for the same bucket sequence (StreamingSpec
+    * feeds the batch buckets through and compares exactly).
+    */
+  def anomaly(points: Dataset[EwmaPoint], window: Int = 24,
+      minHist: Int = 12, zThresh: Double = 2.5): Dataset[AnomalyOut] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.series)
+      .flatMapGroupsWithState[AnomalyState, AnomalyOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (series, batch, state: GroupState[AnomalyState]) =>
+          var hist = state.getOption.map(_.hist).getOrElse(Nil)
+          val out = Seq.newBuilder[AnomalyOut]
+          batch.toSeq.sortBy(_.bucketUs).foreach { p =>
+            val n = hist.length
+            if (n >= minHist) {
+              val s1 = hist.foldLeft(0.0)(_ + _)
+              val s2 = hist.foldLeft(0.0)((a, x) => a + x * x)
+              val mean = s1 / n
+              val variance = (s2 - s1 * s1 / n) / (n - 1)
+              if (variance > 0) {
+                val z = (p.x - mean) / math.sqrt(variance)
+                out += AnomalyOut(series, p.bucketUs, p.x, n.toLong,
+                  mean, z, math.abs(z) > zThresh)
+              }
+            }
+            hist = (hist :+ p.x).takeRight(window)
+          }
+          state.update(AnomalyState(hist))
+          out.result().iterator
+      }
+  }
+
   def seriesStats(rows: Dataset[StreamRow]): Dataset[SeriesUpdate] = {
     import rows.sparkSession.implicits._
     rows.groupByKey(r => (r.namespace, r.measurement))

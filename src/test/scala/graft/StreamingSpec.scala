@@ -159,6 +159,56 @@ class StreamingSpec extends AnyFunSuite {
       "ewma_three") == expected)
   }
 
+  test("streaming rate and anomaly ops reproduce the batch " +
+    "operators bit-for-bit on the same bucket sequence") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.{AnomalyOut, EwmaPoint,
+      RateOut}
+    val dir = "/root/testdata/sf0.001"
+
+    val rateRows = SparkEntry.queries("q_ts_rate")(spark, dir).collect()
+    val buckets = rateRows
+      .map(r => EwmaPoint(r.getString(0), r.getLong(1), r.getDouble(3)))
+      .sortBy(p => (p.series, p.bucketUs)).toSeq
+    val expRate = rateRows.filter(!_.isNullAt(4))
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(4), r.getDouble(5))).toMap
+    val expAnom = SparkEntry.queries("q_ts_anomaly")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getBoolean(6))).toMap
+    assert(expRate.nonEmpty && expAnom.nonEmpty)
+
+    // three micro-batches, split mid-series: the state handoff must
+    // not perturb a bit of any delta, mean, or z-score
+    val splits = Seq(buckets.take(300), buckets.slice(300, 600),
+      buckets.drop(600))
+
+    val memR = MemoryStream[EwmaPoint]
+    val qr = StreamingIngest.rate(memR.toDS()).writeStream
+      .format("memory").queryName("rate_par")
+      .outputMode(OutputMode.Append).start()
+    splits.foreach { s => memR.addData(s); qr.processAllAvailable() }
+    qr.stop()
+    val gotRate = spark.table("rate_par").as[RateOut].collect()
+      .map(o => (o.series, o.bucketUs) -> (o.delta, o.ratePerS)).toMap
+    assert(gotRate == expRate)
+
+    val memA = MemoryStream[EwmaPoint]
+    val qa = StreamingIngest.anomaly(memA.toDS()).writeStream
+      .format("memory").queryName("anom_par")
+      .outputMode(OutputMode.Append).start()
+    splits.foreach { s => memA.addData(s); qa.processAllAvailable() }
+    qa.stop()
+    val gotAnom = spark.table("anom_par").as[AnomalyOut].collect()
+      .map(o => (o.series, o.bucketUs) ->
+        (o.nHist, o.mean, o.z, o.isAnomaly)).toMap
+    assert(gotAnom == expAnom)
+  }
+
   test("mapGroupsWithState accumulates per-series lifetime stats") {
     val spark = SparkFixture.spark
     import spark.implicits._
