@@ -838,15 +838,21 @@ object Similarity {
   val qEmbedQuantize = QueryDef(
     "q_embed_quantize",
     (s, dir) => {
-      val emb = transform(col("embedding"), v => v.cast("double"))
-      val mx = array_max(transform(emb, x => abs(x)))
-      val scale = mx / lit(127.0)
-      val codes = transform(emb, x =>
-        when(mx === 0.0, lit(0L))
-          .otherwise(round(x / scale).cast("long")))
+      // Each intermediate is aliased through its own projection
+      // boundary so downstream lambdas see ATTRIBUTES: inlining e.g.
+      // qscale's array_max into the codes lambda would re-reduce the
+      // whole vector once per element (64× the work per row).
       Tables.t(s, dir, "embeddings")
-        .select(col("vec_id"), scale.as("qscale"), codes.as("codes"),
-          emb.as("e"))
+        .select(col("vec_id"),
+          transform(col("embedding"), v => v.cast("double")).as("e"))
+        .select(col("vec_id"), col("e"),
+          (array_max(transform(col("e"), x => abs(x))) / lit(127.0))
+            .as("qscale"))
+        .select(col("vec_id"), col("e"), col("qscale"),
+          when(col("qscale") === 0.0,
+            transform(col("e"), _ => lit(0L)))
+            .otherwise(transform(col("e"),
+              x => round(x / col("qscale")).cast("long"))).as("codes"))
         .select(col("vec_id"), col("qscale"),
           aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
           array_min(col("codes")).as("code_min"),

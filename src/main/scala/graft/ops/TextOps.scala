@@ -543,23 +543,29 @@ object TextOps {
   val qClassify = QueryDef(
     "q_text_classify",
     (s, dir) => {
-      val toks = split(col("text"), " ")
-      // hashed feature weight in [-half, m-1-half]
-      def w(c: org.apache.spark.sql.Column, m: Int,
-          half: Int): org.apache.spark.sql.Column =
-        conv(substring(md5(c), 1, 8), 16, 10).cast("long") % m - half
-      val sUni = aggregate(transform(toks, t => w(t, 257, 128)),
+      // One md5 per TOKEN (aliased through a projection boundary so
+      // the hash array is an attribute, never an expression re-inlined
+      // into downstream lambdas); bigram weights combine the two
+      // precomputed token hashes instead of hashing the pair string —
+      // half the md5 calls and no per-element re-evaluation of the
+      // tokenizer. Weight ranges: unigram [-128,128], bigram
+      // [-510,510].
+      val hs = transform(split(col("text"), " "),
+        t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+      val sUni = aggregate(
+        transform(col("hs"), h => h % 257 - 128),
         lit(0L), (a, x) => a + x)
       // Spark's sequence(0, n-2) DESCENDS for n=1 (step defaults to
       // sign(stop-start)) — guard the single-token case explicitly
-      val bigrams = when(size(toks) >= 2,
-        transform(sequence(lit(0), size(toks) - 2), i =>
-          w(concat(element_at(toks, i + 1), lit(" "),
-            element_at(toks, i + 2)), 1021, 510)))
+      val bigrams = when(size(col("hs")) >= 2,
+        transform(sequence(lit(0), size(col("hs")) - 2), i =>
+          (element_at(col("hs"), i + 1) * 31 +
+            element_at(col("hs"), i + 2)) % 1021 - 510))
         .otherwise(array().cast("array<bigint>"))
       val sBi = aggregate(bigrams, lit(0L), (a, x) => a + x)
-      val nFeat = (size(toks) * 2 - 1).cast("long")
+      val nFeat = (size(col("hs")) * 2 - 1).cast("long")
       Tables.t(s, dir, "documents")
+        .select(col("doc_id"), hs.as("hs"))
         .select(col("doc_id"), (sUni + sBi).as("wsum"), nFeat.as("n_feat"))
         .select(col("doc_id"), col("wsum"), col("n_feat"),
           (col("wsum").cast("double") / col("n_feat")).as("logit"))
@@ -568,19 +574,20 @@ object TextOps {
     },
     Some("""
       WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        SELECT doc_id,
+          list_transform(string_split(text, ' '), tk ->
+            CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT)) AS hs
+        FROM documents),
       f AS (
         SELECT doc_id,
           list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(toks, tk ->
-              CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) % 257 - 128)),
+            list_transform(hs, h -> h % 257 - 128)),
             (a, x) -> a + x)
           + list_reduce(list_prepend(CAST(0 AS BIGINT),
-              [CAST('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2]),
-                 1, 8) AS BIGINT) % 1021 - 510
-               for i in generate_series(0, len(toks) - 2)]),
+              [(hs[i+1] * 31 + hs[i+2]) % 1021 - 510
+               for i in generate_series(0, len(hs) - 2)]),
               (a, x) -> a + x) AS wsum,
-          CAST(2 * len(toks) - 1 AS BIGINT) AS n_feat
+          CAST(2 * len(hs) - 1 AS BIGINT) AS n_feat
         FROM t)
       SELECT doc_id, wsum, n_feat,
         CAST(wsum AS DOUBLE) / n_feat AS logit,
