@@ -255,6 +255,48 @@ object Curation {
       SELECT doc_id, source, lang, u, keep_rate
       FROM scored WHERE u < keep_rate ORDER BY doc_id"""))
 
+  /** Deterministic train/val/test assignment (90/5/5): membership is
+    * a pure function of the salted doc_id hash, so it is decidable
+    * per row with no global state, stable under re-scrapes,
+    * repartitioning, and cluster resizing, and identical in every
+    * engine — the property that keeps eval contamination structurally
+    * impossible (a doc can never migrate between splits). The salt
+    * decorrelates the split from the sampler's keep decision (same
+    * hash would couple them: every 'val' doc would also be the first
+    * kept by sampling). Narrow map; the per-split count window is an
+    * audit convenience over 3 keys.
+    */
+  val qSplitTrain = QueryDef(
+    "q_split_train",
+    (s, dir) => {
+      val u = (conv(substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long").cast("double") / 4294967296.0).as("u")
+      val w = Window.partitionBy(col("split"))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), u)
+        .withColumn("split",
+          when(col("u") < 0.9, "train")
+            .when(col("u") < 0.95, "val").otherwise("test"))
+        .withColumn("n_split", count(lit(1)).over(w))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id,
+          CAST(CAST('0x' ||
+            substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        FROM documents),
+      tagged AS (
+        SELECT doc_id, u,
+          CASE WHEN u < 0.9 THEN 'train'
+               WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
+        FROM scored)
+      SELECT doc_id, u, split,
+        count(*) OVER (PARTITION BY split) AS n_split
+      FROM tagged ORDER BY doc_id"""))
+
   /** End-to-end corpus curation: the operators above composed into
     * the actual training-data flow — redact PII, score quality and
     * repetition, run the hashed classifier, filter, drop
@@ -310,5 +352,6 @@ object Curation {
   }
 
   val all: Seq[QueryDef] =
-    Seq(qPackSequences, qSampleStratified, qSampleReservoir, qDomainMix)
+    Seq(qPackSequences, qSampleStratified, qSampleReservoir, qDomainMix,
+      qSplitTrain)
 }
