@@ -121,11 +121,16 @@ object Curation {
         when(col("lang") === rates.head._1, rates.head._2)) {
         case (acc, (l, r)) => acc.when(col("lang") === l, r)
       }.otherwise(0.0)
-      val wl = Window.partitionBy(col("lang"))
-      Tables.t(s, dir, "documents")
+      // per-language audit counts via two-phase agg + broadcast join
+      // back — a count(*) WINDOW over 5 language keys would funnel
+      // every kept row through 5 tasks at 100 TB
+      val kept = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), u, rate.as("rate"))
         .filter(col("u") < col("rate"))
-        .withColumn("kept_in_lang", count(lit(1)).over(wl))
+      val counts = kept.groupBy("lang")
+        .agg(count(lit(1)).as("kept_in_lang"))
+      kept.join(broadcast(counts), "lang")
+        .select("doc_id", "lang", "u", "rate", "kept_in_lang")
         .orderBy("doc_id")
     },
     Some {
@@ -263,8 +268,9 @@ object Curation {
     * impossible (a doc can never migrate between splits). The salt
     * decorrelates the split from the sampler's keep decision (same
     * hash would couple them: every 'val' doc would also be the first
-    * kept by sampling). Narrow map; the per-split count window is an
-    * audit convenience over 3 keys.
+    * kept by sampling). Narrow map; the per-split audit counts go
+    * through a two-phase aggregation and broadcast back (a window
+    * over the 3 split keys would funnel the corpus into 3 tasks).
     */
   val qSplitTrain = QueryDef(
     "q_split_train",
@@ -272,13 +278,15 @@ object Curation {
       val u = (conv(substring(md5(concat(lit("split:"),
         col("doc_id").cast("string"))), 1, 8), 16, 10)
         .cast("long").cast("double") / 4294967296.0).as("u")
-      val w = Window.partitionBy(col("split"))
-      Tables.t(s, dir, "documents")
+      val tagged = Tables.t(s, dir, "documents")
         .select(col("doc_id"), u)
         .withColumn("split",
           when(col("u") < 0.9, "train")
             .when(col("u") < 0.95, "val").otherwise("test"))
-        .withColumn("n_split", count(lit(1)).over(w))
+      val counts = tagged.groupBy("split")
+        .agg(count(lit(1)).as("n_split"))
+      tagged.join(broadcast(counts), "split")
+        .select("doc_id", "u", "split", "n_split")
         .orderBy("doc_id")
     },
     Some("""

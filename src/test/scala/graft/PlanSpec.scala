@@ -112,6 +112,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sampling/split audit counts broadcast back — no tiny-key " +
+    "window funneling the corpus") {
+    for (n <- Seq("q_split_train", "q_sample_stratified")) {
+      val p = plan(n)
+      assert(!p.contains("Window"),
+        s"$n must not window over 3-5 keys (collapses to 3-5 tasks)")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$n audit counts should broadcast-join back")
+    }
+  }
+
   test("ewma folds once per series: no per-row prefix-list window") {
     val p = plan("q_ts_ewma")
     assert(!p.contains("Window"),
