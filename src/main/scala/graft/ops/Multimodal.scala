@@ -231,6 +231,80 @@ object Multimodal {
       FROM b LEFT JOIN agg USING (doc_id)
       ORDER BY b.doc_id"""))
 
+  /** Per-sampled-frame stats out of the multi-frame container. */
+  final case class FrameStats(
+      doc_id: Long,
+      frame_idx: Long,
+      width: Long,
+      height: Long,
+      mean_pixel: Double)
+
+  /** Deterministic multi-frame container: 1 + (n % 4) grayscale PNG
+    * frames, each length-prefixed (4-byte big-endian) — the shape of
+    * a real video/animation payload. Frame f's pixel i (row-major) is
+    * source byte (i + 31·f) mod n, dims vary per frame.
+    */
+  private[graft] def synthesizeFrames(textBytes: Array[Byte]): Array[Byte] = {
+    val n = textBytes.length
+    val nFrames = 1 + (n % 4)
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    for (f <- 0 until nFrames) {
+      val w = 8 + ((n + f) % 5)
+      val h = 8 + ((n + f) % 3)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      while (i < w * h) {
+        raster.setSample(i % w, i / w, 0,
+          if (n == 0) 0 else textBytes((i + 31 * f) % n) & 0xff)
+        i += 1
+      }
+      val frame = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", frame)
+      val bytes = frame.toByteArray
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Frame-sampling decode kernel: walk the length-prefixed container,
+    * decode every SECOND frame with `ImageIO.read` (the stride-2
+    * sampling policy a video pipeline applies before feature
+    * extraction — skipped frames are never decoded, only skipped
+    * over), emit per-frame pixel means. mapPartitions batch shape as
+    * everywhere else in this module.
+    */
+  def sampleFrameStats(media: Dataset[(Long, Array[Byte])],
+      stride: Int = 2): Dataset[FrameStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { case (docId, content) =>
+        val in = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(content))
+        val out = Seq.newBuilder[FrameStats]
+        var f = 0L
+        while (in.available() >= 4) {
+          val len = in.readInt()
+          if (f % stride == 0) {
+            val buf = new Array[Byte](len)
+            in.readFully(buf)
+            val (w, h, px) = decodeGray(buf)
+            var s = 0L
+            px.foreach(s += _)
+            out += FrameStats(docId, f, w.toLong, h.toLong,
+              s.toDouble / (w * h))
+          } else in.skipBytes(len) // sampled out: not decoded
+          f += 1
+        }
+        out.result()
+      }
+    }
+  }
+
   /** Real-codec pipeline: synthesize a PNG per document with the JDK
     * encoder, decode it back with `ImageIO.read` in a mapPartitions
     * kernel, emit pixel statistics. Oracle-checked END TO END: 8-bit
@@ -279,5 +353,55 @@ object Multimodal {
       FROM v GROUP BY doc_id, w, ht
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(qMeta, qDecode, qPixels)
+  /** Frame-sampled video-shaped pipeline: the multi-frame container
+    * decoded through the REAL JDK codec at stride 2. Same lossless
+    * oracle argument as [[qPixels]], per frame — DuckDB recomputes
+    * each sampled frame's expected pixels straight from the document
+    * bytes, so a single corrupted pixel anywhere in the
+    * encode→container→seek→decode path would hash-mismatch.
+    */
+  val qFrames = QueryDef(
+    "q_multimodal_frames",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables.t(s, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)]
+        .map(t => (t._1, synthesizeFrames(t._2.getBytes("UTF-8"))))
+      sampleFrameStats(media).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"),
+          col("height"), col("mean_pixel"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents),
+      fr AS (
+        SELECT doc_id, h, n,
+          unnest(generate_series(0, n % 4)) AS f
+        FROM b),
+      sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+      dims AS (
+        SELECT doc_id, h, n, f,
+          8 + ((n + f) % 5) AS w, 8 + ((n + f) % 3) AS ht
+        FROM sampled),
+      px AS (
+        SELECT doc_id, f, w, ht, n, h,
+          unnest(generate_series(0, w * ht - 1)) AS i
+        FROM dims),
+      v AS (
+        SELECT doc_id, f, w, ht,
+          CASE WHEN n = 0 THEN 0
+               ELSE CAST('0x' || substr(h,
+                 CAST(2 * ((i + 31 * f) % n) + 1 AS INT), 2) AS BIGINT)
+          END AS p
+        FROM px)
+      SELECT doc_id, f AS frame_idx,
+        CAST(w AS BIGINT) AS width, CAST(ht AS BIGINT) AS height,
+        CAST(sum(p) AS DOUBLE) / CAST(w * ht AS DOUBLE) AS mean_pixel
+      FROM v GROUP BY doc_id, f, w, ht
+      ORDER BY doc_id, frame_idx"""))
+
+  val all: Seq[QueryDef] = Seq(qMeta, qDecode, qPixels, qFrames)
 }
