@@ -520,6 +520,52 @@ object Dedup {
       ORDER BY doc_a, doc_b"""
     })
 
+  /** Line-level dedup (the RefinedWeb/FineWeb recipe): boilerplate —
+    * nav bars, footers, license blurbs — repeats VERBATIM across
+    * documents at the line level while whole docs stay unique, so
+    * doc-level dedup never sees it. Lines (sentence-split, ≥20 chars
+    * to skip connective noise) are hashed to 48-bit integers; a
+    * corpus-wide count per line hash marks duplicated lines, joined
+    * back to score each doc's duplicated-line share — the signal used
+    * to drop or trim boilerplate-heavy docs. Scale shape: one shuffle
+    * on the uniform line hash for the count, one co-keyed join back,
+    * one doc_id aggregation; no string ever shuffles (8-byte keys).
+    */
+  val qLineDedup = QueryDef(
+    "q_dedup_lines",
+    (s, dir) => {
+      val lines = Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(col("text"), "\\. ")).as("line"))
+        .filter(length(col("line")) >= 20)
+        .select(col("doc_id"),
+          conv(substring(md5(col("line")), 1, 12), 16, 10)
+            .cast("long").as("lh"))
+      val counts = lines.groupBy("lh").agg(count(lit(1)).as("cnt"))
+      lines.join(counts, "lh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_lines"))
+        .withColumn("dup_share",
+          col("n_dup_lines").cast("double") / col("n_lines"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH l AS (
+        SELECT doc_id, CAST('0x' || substr(md5(ln), 1, 12) AS BIGINT) AS lh
+        FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS ln
+              FROM documents)
+        WHERE len(ln) >= 20),
+      c AS (SELECT lh, count(*) AS cnt FROM l GROUP BY lh)
+      SELECT doc_id, count(*) AS n_lines,
+        CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_lines,
+        CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*) AS dup_share
+      FROM l JOIN c USING (lh)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(qExact, qNgramJaccard, qMinHashLsh, qSimHash, qClusters)
+    Seq(qExact, qNgramJaccard, qMinHashLsh, qSimHash, qClusters,
+      qLineDedup)
 }
