@@ -66,9 +66,13 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
         (if (truncated) s""","queries_truncated":true,"queries_file":"$OutFile"""" else "") + "}"
     val fullLine = line(fullQs, truncated = false)
-    java.nio.file.Files.write(
+    // channel 2 must not be able to kill channels 1+3: a full disk /
+    // read-only repo here would otherwise abort before the final line
+    try java.nio.file.Files.write(
       java.nio.file.Paths.get(OutFile),
       fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $OutFile: $e") }
     val finalLine =
       if (fullLine.length <= LineBudget) fullLine
       else {

@@ -211,9 +211,13 @@ class LynxEngine(
     // hold hundreds of tables; pinning them all made every query's
     // lock hold time and release-side GC scan linear in namespace
     // size), and the acquisition loop releases what it already pinned
-    // if a later snapshot() throws — otherwise those pins would leak
-    // for the life of the process and block trash GC forever.
-    val (snapshot, tierSnaps, tierHasNs) = writeLock.synchronized {
+    // if a later snapshotPinned() throws — otherwise those pins would
+    // leak for the life of the process and block trash GC forever.
+    // Only the in-memory pin is taken under the lock; the lease FILE
+    // (a disk write) happens after the lock is dropped — the pin
+    // already blocks in-process GC, and a foreign compactor owes the
+    // trash grace period across the sub-millisecond gap.
+    val (snapshot, pinned, tierHasNs) = writeLock.synchronized {
       val mem = buffer.tables(namespace)
       tier match {
         case None => (mem, Map.empty[String, graft.tier.TierSnapshot], false)
@@ -223,7 +227,7 @@ class LynxEngine(
             scala.collection.mutable.Map.empty[String, graft.tier.TierSnapshot]
           try
             for (name <- tables if present(name))
-              acquired(name) = t.snapshot(namespace, name)
+              acquired(name) = t.snapshotPinned(namespace, name)
           catch {
             case e: Throwable =>
               acquired.values.foreach(t.release)
@@ -231,6 +235,10 @@ class LynxEngine(
           }
           (mem, acquired.toMap, present.nonEmpty)
       }
+    }
+    val tierSnaps = tier match {
+      case Some(t) => pinned.map { case (k, v) => k -> t.lease(v) }
+      case None => pinned
     }
     try {
       if (snapshot.isEmpty && !tierHasNs) return None

@@ -23,9 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  // ImageIO defaults to spooling through a temp FILE per stream; for a
-  // per-row decode kernel that is pure overhead — keep it on-heap.
-  javax.imageio.ImageIO.setUseCache(false)
+  // ImageIO defaults to spooling through a temp FILE per stream —
+  // pure overhead for a per-row kernel. Rather than flipping the
+  // JVM-global ImageIO.setUseCache (a hidden side effect on every
+  // other ImageIO user in the executor), the codec paths below pass
+  // explicit on-heap Memory*CacheImage streams.
+  private def memIn(bytes: Array[Byte]) =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+  private def memOut(bos: java.io.OutputStream) =
+    new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
 
   /** Typed media row: opaque bytes + metadata, the schema a media
     * lakehouse table would carry (content in its own column so
@@ -122,7 +129,9 @@ object Multimodal {
       i += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val out = memOut(bos)
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.close()
     MediaRecord(id, "image", bos.toByteArray, w, h)
   }
 
@@ -131,8 +140,7 @@ object Multimodal {
     * Returns pixels in the same row-major order the encoder used.
     */
   private def decodeGray(content: Array[Byte]): (Int, Int, Array[Int]) = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(content))
+    val img = javax.imageio.ImageIO.read(memIn(content))
     val w = img.getWidth
     val h = img.getHeight
     val raster = img.getRaster
@@ -262,7 +270,9 @@ object Multimodal {
         i += 1
       }
       val frame = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", frame)
+      val fout = memOut(frame)
+      javax.imageio.ImageIO.write(img, "png", fout)
+      fout.close()
       val bytes = frame.toByteArray
       out.writeInt(bytes.length)
       out.write(bytes)

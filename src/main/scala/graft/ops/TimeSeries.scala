@@ -368,13 +368,13 @@ object TimeSeries {
     * recurrence y = αx + (1-α)y' is a sequential float fold, so the
     * cross-engine-deterministic formulation is an ordered fold (see
     * the memory note on segment-tree window sums: a plain windowed
-    * aggregate would NOT match) — and it runs ONCE per series: collect
-    * the series' ordered points, fold left-to-right emitting every
-    * prefix EWMA into one array, explode back to rows. O(B) elements
-    * touched per series of B buckets, replacing the earlier per-row
-    * prefix window that materialized O(B²). DuckDB replays the
-    * identical operation order with `list_reduce` over single-element
-    * lists (its accumulator must share the element type). At
+    * aggregate would NOT match) — and it runs ONCE per series as a
+    * typed `flatMapGroups` fold: one shuffle on the series key, one
+    * in-memory sort, one left-to-right JVM fold emitting every prefix
+    * — genuinely O(B) work per series of B buckets (a Catalyst
+    * `aggregate` building the prefix array via concat would copy the
+    * accumulator per element, O(B²) again). Same double arithmetic in
+    * the same order as DuckDB's list_reduce mirror. At
     * unbounded-stream scale the recurrence moves to
     * [[graft.streaming.StreamingIngest.ewma]] — the same fold as a
     * stateful op with one double of state per series, spec-proven
@@ -383,21 +383,21 @@ object TimeSeries {
   val qEwma = QueryDef(
     "q_ts_ewma",
     (s, dir) => {
+      import s.implicits._
       hourly(s, dir)
-        .groupBy(col("event_type"))
-        .agg(sort_array(collect_list(struct(col("bucket_us"),
-          col("bucket_sum")))).as("pts"))
-        .withColumn("ews", expr("""aggregate(
-            slice(pts, 2, size(pts) - 1),
-            array(pts[0].bucket_sum),
-            (acc, p) -> concat(acc,
-              array(0.5 * p.bucket_sum + 0.5 * element_at(acc, -1))))"""))
-        .select(col("event_type"),
-          explode(arrays_zip(col("pts"), col("ews"))).as("z"))
-        .select(col("event_type"),
-          col("z.pts.bucket_us").as("bucket_us"),
-          col("z.pts.bucket_sum").as("bucket_sum"),
-          col("z.ews").as("ewma"))
+        .select(col("event_type"), col("bucket_us"), col("bucket_sum"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (series, it) =>
+          val pts = it.toArray.sortBy(_._2)
+          var acc = 0.0
+          var first = true
+          pts.iterator.map { case (_, us, x) =>
+            acc = if (first) { first = false; x } else 0.5 * x + 0.5 * acc
+            (series, us, x, acc)
+          }
+        }
+        .toDF("event_type", "bucket_us", "bucket_sum", "ewma")
         .orderBy("event_type", "bucket_us")
     },
     Some(s"""

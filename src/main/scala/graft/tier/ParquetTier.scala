@@ -49,7 +49,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class ParquetTier(root: File,
     trashGraceMs: Long = 10L * 60 * 1000,
-    pinLeaseMs: Long = 10L * 60 * 1000) {
+    pinLeaseMs: Long = 10L * 60 * 1000,
+    pinMaxAgeMsOverride: Long = -1L) {
 
   import ParquetTier.DayCol
 
@@ -203,8 +204,14 @@ final class ParquetTier(root: File,
     * (acquisition paths are try/release-guarded, so a pin this old is
     * a bug, not a query). Queries legitimately longer than this lose
     * pin protection and fall back to the lease file + grace period.
+    * Floored at 10 minutes so a zero/low trashGraceMs (tests,
+    * aggressive-GC configs) cannot silently disable pin protection —
+    * 20·0 = 0 would age out every pin at birth; override explicitly
+    * to test the ceiling itself.
     */
-  private val pinMaxAgeMs: Long = 20L * trashGraceMs
+  private val pinMaxAgeMs: Long =
+    if (pinMaxAgeMsOverride >= 0) pinMaxAgeMsOverride
+    else math.max(20L * trashGraceMs, 10L * 60 * 1000)
 
   private def minPinnedVersion(ns: String, table: String): Option[Long] = {
     val cutoff = System.currentTimeMillis - pinMaxAgeMs
@@ -215,23 +222,41 @@ final class ParquetTier(root: File,
     }
   }
 
-  /** Live (unexpired) lease files' minimum pinned version; reaps
-    * expired lease files on the way through. Lease files are what make
-    * pins visible ACROSS processes: a second ParquetTier instance on
-    * the same root sees this reader's lease and keeps its files.
+  /** Live lease files' minimum pinned version; reaps dead lease files
+    * on the way through. Lease files are what make pins visible
+    * ACROSS processes: a second ParquetTier instance on the same root
+    * sees this reader's lease and keeps its files. An unexpired lease
+    * is always honored; an EXPIRED lease is still honored while its
+    * writer process is alive (`/proc/<pid>` on Linux) — so a foreign
+    * query legitimately longer than `pinLeaseMs` keeps protection
+    * without renewal heartbeats. An expired lease from THIS process
+    * is reaped instead: the in-memory pin table (exact, with the
+    * leak-age ceiling) is authoritative in-process, and honoring own
+    * stale lease files would resurrect the leaked-pin-blocks-GC-
+    * forever failure mode. (Pid reuse can extend a dead foreign lease
+    * spuriously; the effect is bounded — it only delays deletion of
+    * already-superseded files.)
     */
   private def minLeasedVersion(ns: String, table: String): Option[Long] = {
     val now = System.currentTimeMillis
+    val self = ProcessHandle.current().pid()
     val live = Option(manifestDir(ns, table).listFiles())
       .getOrElse(Array.empty).toSeq
       .flatMap(f => f.getName match {
         case ParquetTier.LeaseName(expiry, v) =>
+          lazy val owner = leaseOwner(f)
           if (expiry.toLong >= now) Some(v.toLong)
-          else { f.delete(); None } // expired lease: reap, don't honor
+          else if (owner.exists(p => p != self &&
+              new File(s"/proc/$p").exists())) Some(v.toLong)
+          else { f.delete(); None } // expired + (own or dead): reap
         case _ => None
       })
     if (live.isEmpty) None else Some(live.min)
   }
+
+  private def leaseOwner(lease: File): Option[Long] =
+    try Some(Files.readString(lease.toPath, UTF_8).trim.toLong)
+    catch { case _: Exception => None }
 
   /** Pin the table's current version and return it as an explicit
     * (version, files) snapshot: while the pin is held, no compaction
@@ -244,7 +269,15 @@ final class ParquetTier(root: File,
     * `finally`; a pin lost to a crash is bounded by the lease expiry /
     * trash grace period, a pin leaked in-process by `pinMaxAgeMs`.
     */
-  def snapshot(ns: String, table: String): TierSnapshot = {
+  def snapshot(ns: String, table: String): TierSnapshot =
+    lease(snapshotPinned(ns, table))
+
+  /** Pin-only snapshot (no lease file yet) — for callers that must
+    * hold a lock during acquisition; follow with [[lease]] outside
+    * it. The in-memory pin fully protects against THIS process's GC
+    * from the moment it is registered.
+    */
+  def snapshotPinned(ns: String, table: String): TierSnapshot = {
     val dir = tableDir(ns, table)
     val (version, rel) = readManifestVersioned(ns, table)
       .getOrElse((0L, parquetFilesUnder(dir).map(relativize(dir, _))))
@@ -254,16 +287,28 @@ final class ParquetTier(root: File,
       pins.getOrElseUpdate((ns, table),
         scala.collection.mutable.Map.empty)(id) = (version, now)
     }
-    val lease = {
-      val mdir = manifestDir(ns, table)
-      mdir.mkdirs()
-      val f = new File(mdir, s"pin-${now + pinLeaseMs}-v$version-" +
-        s"${java.util.UUID.randomUUID()}.lease")
-      try { Files.writeString(f.toPath, pidLine, UTF_8); Some(f) }
-      catch { case _: java.io.IOException => None } // pin table still holds
-    }
     TierSnapshot(ns, table, version, rel.map(new File(dir, _).getPath),
-      id, lease)
+      id, None)
+  }
+
+  /** Write the snapshot's cross-process lease file and return the
+    * snapshot carrying it. Split from [[snapshot]]'s pin so an engine
+    * serializing snapshot acquisition under a lock can do this disk
+    * write OUTSIDE the lock — the in-memory pin alone protects
+    * against in-process GC, and the trash grace period covers the
+    * sub-millisecond gap against a foreign compactor. Never throws:
+    * on IO failure the snapshot still holds its in-memory pin (a
+    * foreign compactor then only owes it the grace period).
+    */
+  def lease(s: TierSnapshot): TierSnapshot = {
+    val mdir = manifestDir(s.ns, s.table)
+    mdir.mkdirs()
+    val f = new File(mdir,
+      s"pin-${System.currentTimeMillis + pinLeaseMs}-v${s.version}-" +
+        s"${java.util.UUID.randomUUID()}.lease")
+    try { Files.writeString(f.toPath, pidLine, UTF_8)
+      s.copy(leaseFile = Some(f)) }
+    catch { case _: Exception => s }
   }
 
   /** Release a snapshot pin and collect any trash it was holding. The
@@ -274,12 +319,19 @@ final class ParquetTier(root: File,
     */
   def release(s: TierSnapshot): Unit = {
     s.leaseFile.foreach(_.delete())
+    // a remaining pin blocks the released version's trash only if it
+    // is at-or-below that version AND still inside the age ceiling —
+    // the same cutoff gcTrash applies, so an aged-out leaked pin
+    // cannot make release skip a GC that would succeed
+    val cutoff = System.currentTimeMillis - pinMaxAgeMs
     val mayUnblock = pins.synchronized {
       pins.get((s.ns, s.table)) match {
         case Some(m) =>
           m.remove(s.pinId)
           if (m.isEmpty) { pins.remove((s.ns, s.table)); true }
-          else !m.values.exists(_._1 <= s.version)
+          else !m.values.exists { case (v, created) =>
+            v <= s.version && created > cutoff
+          }
         case None => true
       }
     }

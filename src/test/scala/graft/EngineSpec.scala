@@ -324,8 +324,11 @@ class EngineSpec extends AnyFunSuite {
     "(and an expired lease after its expiry)") {
     val spark = SparkFixture.spark
     val tierDir = Files.createTempDirectory("leak-tier").toFile
-    // grace 1 ms → pinMaxAge 20 ms; lease expires after 1 ms
-    val tier = new ParquetTier(tierDir, trashGraceMs = 1, pinLeaseMs = 1)
+    // tiny grace + explicit 20 ms age ceiling (the default floors at
+    // 10 min so low-grace configs keep pin protection); lease expires
+    // after 1 ms and is own-process, so it is reaped, not honored
+    val tier = new ParquetTier(tierDir, trashGraceMs = 1, pinLeaseMs = 1,
+      pinMaxAgeMsOverride = 20)
     val e = newEngine(Some(tier))
     (1 to 3).foreach { i =>
       e.write(WriteRequest("ns", "cpu", i.toString, Map.empty, i.toLong))

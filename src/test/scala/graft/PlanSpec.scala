@@ -128,9 +128,8 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"),
       "ewma must not materialize per-row prefix lists via a window " +
         "(O(B^2) per series); fold once per series instead")
-    // one collect per series = a partial+final ObjectHashAggregate pair
-    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
-      "series points should be collected via two-phase aggregation")
+    assert(p.contains("MapGroups"),
+      "the prefix emission should be one typed fold per series")
   }
 
   test("random projection is a narrow scan feeding codegen kernels") {
