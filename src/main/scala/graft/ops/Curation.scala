@@ -260,6 +260,66 @@ object Curation {
       SELECT doc_id, source, lang, u, keep_rate
       FROM scored WHERE u < keep_rate ORDER BY doc_id"""))
 
+  /** Temperature-based source re-weighting (multinomial sampling at
+    * T = 2, i.e. p_s ∝ √n_s): the canonical recipe for flattening a
+    * skewed source distribution without fully uniforming it.
+    * Per-source keep rate = min(1, frac·N·√n_s / (S·n_s)) with
+    * S = Σ√n_s, so expected kept ≈ frac·N distributed ∝ √n_s. sqrt is
+    * IEEE-correctly-rounded in both engines — which is exactly why T
+    * is fixed at 2 rather than parameterized through pow()/exp()
+    * (neither is bit-identical across engines); S is an ordered fold
+    * over sources sorted by name; the per-doc keep decision reuses
+    * the salted md5 uniform. Scale: two tiny aggregations broadcast
+    * back over one narrow scan — no corpus-wide shuffle.
+    */
+  val qTemperatureMix = QueryDef(
+    "q_temperature_mix",
+    (s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val perSource = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_source"))
+      val totals = perSource.groupBy()
+        .agg(sum("n_source").cast("double").as("n_total"),
+          aggregate(
+            sort_array(collect_list(struct(col("source"),
+              sqrt(col("n_source").cast("double")).as("sq")))),
+            lit(0.0), (a, x) => a + x.getField("sq")).as("s_sqrt"))
+      val u = (conv(substring(md5(concat(lit("mix:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long").cast("double") / 4294967296.0).as("u")
+      docs.select(col("doc_id"), col("source"), u)
+        .join(broadcast(perSource), "source")
+        .crossJoin(broadcast(totals))
+        .withColumn("keep_rate",
+          least(lit(1.0),
+            (lit(0.5) * col("n_total") *
+              sqrt(col("n_source").cast("double"))) /
+              (col("s_sqrt") * col("n_source").cast("double"))))
+        .filter(col("u") < col("keep_rate"))
+        .select("doc_id", "source", "u", "keep_rate")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH ps AS (
+        SELECT source, count(*) AS n_source FROM documents
+        GROUP BY source),
+      t AS (
+        SELECT CAST(sum(n_source) AS DOUBLE) AS n_total,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(sqrt(CAST(n_source AS DOUBLE)) ORDER BY source)),
+            (a, x) -> a + x) AS s_sqrt
+        FROM ps),
+      scored AS (
+        SELECT d.doc_id, d.source,
+          CAST(CAST('0x' ||
+            substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) AS DOUBLE) / 4294967296.0 AS u,
+          least(1.0, (0.5 * t.n_total * sqrt(CAST(p.n_source AS DOUBLE)))
+            / (t.s_sqrt * CAST(p.n_source AS DOUBLE))) AS keep_rate
+        FROM documents d JOIN ps p USING (source) CROSS JOIN t)
+      SELECT doc_id, source, u, keep_rate
+      FROM scored WHERE u < keep_rate ORDER BY doc_id"""))
+
   /** Deterministic train/val/test assignment (90/5/5): membership is
     * a pure function of the salted doc_id hash, so it is decidable
     * per row with no global state, stable under re-scrapes,
@@ -361,5 +421,5 @@ object Curation {
 
   val all: Seq[QueryDef] =
     Seq(qPackSequences, qSampleStratified, qSampleReservoir, qDomainMix,
-      qSplitTrain)
+      qSplitTrain, qTemperatureMix)
 }
