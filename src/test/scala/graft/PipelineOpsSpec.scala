@@ -174,6 +174,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Similarity.derivedBits(1000000000L, 6, 32) == 25)
     // saturates at the documented ceiling instead of overflowing
     assert(Similarity.derivedBits(Long.MaxValue / 2, 6, 32) == 30)
+    // the oracle SQL's formulation — min b in [minBits, 16] with
+    // (1<<b)*occ >= n, else 16 — must equal the Scala loop for every
+    // corpus size the oracle could check (n <= 2^16 * occupancy)
+    def sqlTwin(n: Long, minBits: Int, occ: Long): Int =
+      (minBits to 16).find(b => (1L << b) * occ >= n).getOrElse(16)
+    for (occ <- Seq(32L, 64L); minB <- Seq(5, 6);
+         n <- (0 to 22).map(1L << _) ++ Seq(1L, 500L, 2000L, 3L, 999L);
+         nn <- Seq(n - 1, n, n + 1) if nn >= 1 && nn <= (1L << 16) * occ)
+      assert(Similarity.derivedBits(nn, minB, occ) == sqlTwin(nn, minB, occ),
+        s"divergence at n=$nn minB=$minB occ=$occ")
   }
 
   test("multimodal PNG codec round-trips losslessly: decoded pixel " +
