@@ -300,16 +300,16 @@ final class ParquetTier(root: File,
     * on IO failure the snapshot still holds its in-memory pin (a
     * foreign compactor then only owes it the grace period).
     */
-  def lease(s: TierSnapshot): TierSnapshot = {
-    val mdir = manifestDir(s.ns, s.table)
-    mdir.mkdirs()
-    val f = new File(mdir,
-      s"pin-${System.currentTimeMillis + pinLeaseMs}-v${s.version}-" +
-        s"${java.util.UUID.randomUUID()}.lease")
-    try { Files.writeString(f.toPath, pidLine, UTF_8)
-      s.copy(leaseFile = Some(f)) }
-    catch { case _: Exception => s }
-  }
+  def lease(s: TierSnapshot): TierSnapshot =
+    try {
+      val mdir = manifestDir(s.ns, s.table)
+      mdir.mkdirs()
+      val f = new File(mdir,
+        s"pin-${System.currentTimeMillis + pinLeaseMs}-v${s.version}-" +
+          s"${java.util.UUID.randomUUID()}.lease")
+      Files.writeString(f.toPath, pidLine, UTF_8)
+      s.copy(leaseFile = Some(f))
+    } catch { case _: Exception => s }
 
   /** Release a snapshot pin and collect any trash it was holding. The
     * GC scan is skipped when another live pin at or below the released
