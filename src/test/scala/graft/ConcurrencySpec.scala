@@ -43,6 +43,53 @@ class ConcurrencySpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("queries racing writes, seals and zero-grace compactions " +
+    "never read a GC'd file and never miss a row") {
+    val dir = Files.createTempDirectory("race-wal").toFile
+    val tierDir = Files.createTempDirectory("race-tier").toFile
+    // zero grace: only the pin/lease protocol protects running reads
+    val e = new LynxEngine(SparkFixture.spark, dir, 1024 * 1024,
+      Some(new ParquetTier(tierDir, trashGraceMs = 0)),
+      maxBufferedRows = 7)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      @volatile var writerDone = false
+      val writer = Future {
+        (1 to 400).foreach { i =>
+          e.write(WriteRequest("ns", "cpu", i.toString,
+            Map("host" -> TagString(s"h${i % 3}")), i.toLong * 1000))
+          if (i % 60 == 0) e.compact("ns", "cpu")
+        }
+        writerDone = true
+      }
+      // readers: monotone count, sum always consistent with count
+      val readers = (1 to 6).map(_ => Future {
+        var last = 0L
+        var checks = 0
+        while (!writerDone || checks == 0) {
+          val r = e.query("ns",
+            "SELECT count(*) AS n, sum(CAST(value AS BIGINT)) AS s " +
+              "FROM cpu").get.rows.head
+          val (n, s) = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+          assert(n >= last, s"count went backwards: $n < $last")
+          last = n
+          // rows are 1..n written in order under one lock, so the sum
+          // of any atomic snapshot of the first n writes is n(n+1)/2
+          assert(s == n * (n + 1) / 2, s"torn snapshot: n=$n s=$s")
+          checks += 1
+        }
+        checks
+      })
+      Await.result(writer, 120.seconds)
+      val counts = Await.result(Future.sequence(readers), 120.seconds)
+      assert(counts.forall(_ > 0))
+      e.compact("ns", "cpu")
+      val fin = e.query("ns", "SELECT count(*) AS n FROM cpu").get
+      assert(fin.rows.head.getLong(0) == 400)
+    } finally pool.shutdown()
+  }
+
   test("auto-seal spills the RAM tail to the tier at the threshold") {
     val dir = Files.createTempDirectory("autoseal-wal").toFile
     val tierDir = Files.createTempDirectory("autoseal-tier").toFile
