@@ -486,7 +486,8 @@ object Similarity {
       centroids: Array[Array[Double]]): DataFrame =
     vectors
       .withColumn("cents",
-        array(centroids.map(c => array(c.map(lit): _*)): _*))
+        array(centroids.toIndexedSeq.map(c =>
+          array(c.toIndexedSeq.map(lit): _*)): _*))
       .withColumn("dists", expr(distsExpr))
       .withColumn("cell",
         expr("array_position(dists, array_min(dists))").cast("int"))
