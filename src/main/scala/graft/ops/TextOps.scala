@@ -594,8 +594,45 @@ object TextOps {
         CAST(wsum AS DOUBLE) / n_feat > 0 AS keep
       FROM f ORDER BY doc_id"""))
 
+  /** Corpus-wide vocabulary induction: top-50 words by occurrence
+    * count with corpus share — the first step of tokenizer/BPE
+    * training and the canonical "heavy hitters over 100 TB" shape:
+    * explode to words, two-phase count on the word key (map-side
+    * partial absorbs the skew of frequent words before any shuffle),
+    * then a bounded top-k (TakeOrderedAndProject — the driver holds
+    * 50 rows, never the vocabulary). Ties break by word for
+    * determinism; the share divides two exact integers.
+    */
+  val qVocabTopK = QueryDef(
+    "q_vocab_topk",
+    (s, dir) => {
+      val counts = Tables.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+      val total = counts.groupBy()
+        .agg(sum("n").as("total_words"))
+      counts.crossJoin(broadcast(total))
+        .select(col("word"), col("n"), col("total_words"),
+          (col("n").cast("double") / col("total_words")).as("share"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(50)
+    },
+    Some("""
+      WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      c AS (
+        SELECT word, count(*) AS n FROM w
+        WHERE len(word) >= 1 GROUP BY word),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS total_words FROM c)
+      SELECT word, n, total_words,
+        CAST(n AS DOUBLE) / total_words AS share
+      FROM c CROSS JOIN t
+      ORDER BY n DESC, word LIMIT 50"""))
+
   val all: Seq[QueryDef] =
     Seq(qTokens, qQuality, qLangId, qFingerprint, qTfIdf,
       qRepetition, qClean, qSurprise, qContamination, qLengthHist,
-      qClassify)
+      qClassify, qVocabTopK)
 }

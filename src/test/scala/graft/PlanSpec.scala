@@ -31,6 +31,10 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
     val p3 = plan("q_join3_topk")
     assert(p3.contains("TakeOrderedAndProject"))
+    // vocab induction: the driver holds 50 rows, never the vocabulary
+    val pv = plan("q_vocab_topk")
+    assert(pv.contains("TakeOrderedAndProject"))
+    assert("HashAggregate".r.findAllIn(pv).size >= 2 && pv.contains("partial_"))
   }
 
   test("partial aggregation happens map-side (two HashAggregate phases)") {
