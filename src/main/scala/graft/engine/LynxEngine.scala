@@ -392,33 +392,95 @@ object LynxEngine {
     fromPlan(plan).distinct
   }
 
+  /** Inline (non-recursive) WITH definitions so a CTE-wrapped
+    * time-range query still exposes its Filter-over-scan shape to
+    * [[dayBounds]]. Later CTEs may reference earlier ones; a CTE
+    * name shadows an engine table within the substituted scope,
+    * which matches SQL resolution order.
+    */
+  private def inlineCtes(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
+    def substitute(p: LogicalPlan,
+        defs: Map[String, LogicalPlan]): LogicalPlan =
+      if (defs.isEmpty) p
+      else p.transformUp {
+        case r: UnresolvedRelation if r.multipartIdentifier.size == 1 &&
+            defs.contains(r.multipartIdentifier.head.toLowerCase) =>
+          defs(r.multipartIdentifier.head.toLowerCase)
+      }
+    plan.transformUp {
+      case w: UnresolvedWith if !w.allowRecursion =>
+        var defs = Map.empty[String, LogicalPlan]
+        w.cteRelations.foreach { case (name, sub, _) =>
+          defs += name.toLowerCase -> substitute(sub.child, defs)
+        }
+        substitute(w.child, defs)
+    }
+  }
+
   /** Conservative UTC-day bounds for tier partition pruning: applies
-    * ONLY to a simple single-block query — one relation, no subquery
-    * expressions, at most one Filter directly over the scan — whose
-    * top-level conjuncts compare `timestamp` with literals. Returns
+    * ONLY to a single-relation query (after CTE inlining) with no
+    * subquery expressions. Bounds come from the conjuncts of every
+    * Filter whose path down to the scan provably preserves the raw
+    * `timestamp` column (aliases, other Filters, Distinct, Sort,
+    * and Projects that pass `timestamp` through unrenamed) —
+    * so `WITH t AS (... WHERE timestamp >= X) SELECT ... FROM t`
+    * and filters split across a derived table still prune. Returns
     * inclusive (loDay, hiDay); a bound that can't be derived falls
     * back to the open range. Never over-prunes: the SQL re-applies
-    * the full predicate after the day filter.
+    * the full predicate after the day filter, and any shape this
+    * analysis can't prove is left unpruned.
     */
-  def dayBounds(plan: LogicalPlan): Option[(String, String)] = {
+  def dayBounds(rawPlan: LogicalPlan): Option[(String, String)] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.plans.logical
     import org.apache.spark.sql.types.{StringType, TimestampType}
+    val plan = inlineCtes(rawPlan)
     val simple =
       plan.collect { case r: UnresolvedRelation => r }.size == 1 &&
       !plan.exists(_.expressions.exists(_.exists(
         _.isInstanceOf[SubqueryExpression])))
     if (!simple) return None
-    // the Filter must sit directly over the scan (through aliases)
-    def overScan(p: LogicalPlan): Boolean = p match {
+    // `timestamp` below this node is still the scan's raw column iff
+    // every node on the path to the relation passes it through
+    // untransformed and nothing else is renamed to `timestamp`
+    def isTsName(s: String): Boolean = s.equalsIgnoreCase("timestamp")
+    def preservesTs(p: LogicalPlan): Boolean = p match {
       case _: UnresolvedRelation => true
-      case a: logical.SubqueryAlias => overScan(a.child)
+      case a: logical.SubqueryAlias => preservesTs(a.child)
+      case f: logical.Filter => preservesTs(f.child)
+      // NOT Limit: a filter above a LIMIT can't push below it —
+      // pruning the scan would change which rows the limit keeps.
+      // Distinct/Sort commute with a row-level predicate, so rows a
+      // pruned scan drops are exactly rows the filter drops anyway.
+      case d: logical.Distinct => preservesTs(d.child)
+      case s: logical.Sort => preservesTs(s.child)
+      case pr: logical.Project =>
+        val passesThrough = pr.projectList.exists {
+          case _: org.apache.spark.sql.catalyst.analysis.UnresolvedStar =>
+            true
+          case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => isTsName(a.nameParts.last)
+          case Alias(c: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute, name) =>
+            isTsName(name) && isTsName(c.nameParts.last)
+          case _ => false
+        }
+        val renamesOther = pr.projectList.exists {
+          case Alias(c, name) if isTsName(name) => c match {
+            case u: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute => !isTsName(u.nameParts.last)
+            case _ => true
+          }
+          case _ => false
+        }
+        passesThrough && !renamesOther && preservesTs(pr.child)
       case _ => false
     }
     val scanFilters = plan.collect {
-      case f: logical.Filter if overScan(f.child) => f.condition
+      case f: logical.Filter if preservesTs(f.child) => f.condition
     }
-    if (scanFilters.size != 1) return None
+    if (scanFilters.isEmpty) return None
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
@@ -445,7 +507,7 @@ object LynxEngine {
     def tighten(b: Option[Long], v: Long, isLo: Boolean): Option[Long] =
       Some(b.fold(v)(prev => if (isLo) math.max(prev, v)
         else math.min(prev, v)))
-    conjuncts(scanFilters.head).foreach {
+    scanFilters.flatMap(conjuncts).foreach {
       case GreaterThanOrEqual(a, l) if isTs(a) =>
         micros(l).foreach(v => lo = tighten(lo, v, isLo = true))
       case GreaterThan(a, l) if isTs(a) =>

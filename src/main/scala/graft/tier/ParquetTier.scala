@@ -425,15 +425,35 @@ final class ParquetTier(root: File,
   /** Read a pinned file set; `basePath` keeps the `__lynx_day=`
     * directory parsing so `dayBounds` (inclusive yyyy-MM-dd strings)
     * prunes partitions before any file I/O.
+    *
+    * The pruning must happen on the FILE LIST, not only as a
+    * partition-column filter: `mergeSchema=true` reads every listed
+    * file's footer eagerly at `spark.read` time, so a filter-only
+    * prune still pays footer I/O proportional to the whole table —
+    * the dominant cost of a one-day query over years of data. A file
+    * whose day can't be parsed from its path is kept (conservative),
+    * and the column filter stays on as the correctness net.
     */
   def readFiles(spark: SparkSession, ns: String, table: String,
       files: Seq[String],
       dayBounds: Option[(String, String)]): DataFrame = {
     import org.apache.spark.sql.functions.col
+    val inRange: String => Boolean = dayBounds match {
+      case Some((lo, hi)) => path =>
+        ParquetTier.DayFromPath.findFirstMatchIn(path) match {
+          case Some(m) => val d = m.group(1); d >= lo && d <= hi
+          case None => true
+        }
+      case None => _ => true
+    }
+    val listed = files.filter(inRange)
+    // all files pruned: keep one so the read still yields the schema;
+    // the day filter below removes every row without scanning data
+    val toRead = if (listed.nonEmpty) listed else files.take(1)
     val df = spark.read
       .option("mergeSchema", "true")
       .option("basePath", tableDir(ns, table).getPath)
-      .parquet(files: _*)
+      .parquet(toRead: _*)
     val pruned = dayBounds match {
       case Some((lo, hi)) =>
         df.filter(col(DayCol).cast("string") >= lo &&
@@ -493,6 +513,9 @@ object ParquetTier {
     * `__lynx` (enforced at ingest).
     */
   val DayCol = "__lynx_day"
+
+  /** Extracts the day value from a data-file path's partition dir. */
+  private[tier] val DayFromPath = """__lynx_day=(\d{4}-\d{2}-\d{2})/""".r
 
   private val ManifestName = """v(\d+)\.list""".r
   private val TrashName = """trash-(\d+)-v(\d+)-[0-9a-f-]+\.list""".r

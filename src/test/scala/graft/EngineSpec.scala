@@ -211,6 +211,81 @@ class EngineSpec extends AnyFunSuite {
     assert(r.rows.map(_.getString(0)) == Seq("1", "2"))
   }
 
+  test("CTE and derived-table time ranges still prune day partitions") {
+    val spark = SparkFixture.spark
+    def bounds(sql: String) =
+      LynxEngine.dayBounds(LynxEngine.parse(spark, sql))
+    // CTE-wrapped range
+    assert(bounds(
+      """WITH t AS (SELECT * FROM cpu WHERE timestamp >=
+        |TIMESTAMP '1970-01-03 00:00:00') SELECT count(*) AS n FROM t
+        |WHERE timestamp < TIMESTAMP '1970-01-05 00:00:00'"""
+        .stripMargin.replace("\n", " "))
+      .contains(("1970-01-03", "1970-01-05")))
+    // chained CTEs, bounds split across both
+    assert(bounds(
+      """WITH a AS (SELECT * FROM cpu WHERE timestamp >=
+        |TIMESTAMP '1970-01-02 00:00:00'),
+        |b AS (SELECT timestamp, value FROM a WHERE timestamp <
+        |TIMESTAMP '1970-01-04 00:00:00')
+        |SELECT value FROM b WHERE value <> 'x'"""
+        .stripMargin.replace("\n", " "))
+      .contains(("1970-01-02", "1970-01-04")))
+    // derived table + outer tag predicate
+    assert(bounds(
+      """SELECT value FROM (SELECT * FROM cpu WHERE timestamp >=
+        |TIMESTAMP '1970-01-03 00:00:00') d WHERE value = 'u'"""
+        .stripMargin.replace("\n", " "))
+      .contains(("1970-01-03", "9999-12-31")))
+    // a projection that REBINDS `timestamp` must disable pruning —
+    // the outer predicate ranges over the shifted column
+    assert(bounds(
+      """SELECT * FROM (SELECT timestamp + INTERVAL 1 DAY AS
+        |timestamp, value FROM cpu) d WHERE timestamp >=
+        |TIMESTAMP '1970-01-03 00:00:00'"""
+        .stripMargin.replace("\n", " ")).isEmpty)
+    // a filter above a LIMIT must not push below it
+    assert(bounds(
+      """SELECT * FROM (SELECT * FROM cpu ORDER BY timestamp
+        |LIMIT 2) d WHERE timestamp >=
+        |TIMESTAMP '1970-01-03 00:00:00'"""
+        .stripMargin.replace("\n", " ")).isEmpty)
+    // aggregation between filter and scan: HAVING-style outer
+    // predicate on a grouped timestamp contributes nothing
+    assert(bounds(
+      """SELECT * FROM (SELECT timestamp, count(*) AS n FROM cpu
+        |GROUP BY timestamp) d WHERE timestamp >=
+        |TIMESTAMP '1970-01-03 00:00:00'"""
+        .stripMargin.replace("\n", " ")).isEmpty)
+
+    // end-to-end: out-of-range day dirs are NOT read. Corrupt the
+    // parquet files of days outside the range — if pruning failed,
+    // the scan would hit the garbage footers and throw.
+    val dayUs = 86400L * 1000000L
+    val tierDir = Files.createTempDirectory("prune-cte-tier").toFile
+    val e = newEngine(Some(new ParquetTier(tierDir)))
+    (0 until 4).foreach(d =>
+      e.write(WriteRequest("ns", "cpu", d.toString, Map.empty,
+        d * dayUs + 1)))
+    e.seal("ns", "cpu")
+    for (day <- Seq("1970-01-01", "1970-01-04")) {
+      val dir = new java.io.File(tierDir, s"ns/cpu/__lynx_day=$day")
+      val parts = dir.listFiles((_, n) => n.endsWith(".parquet"))
+      assert(parts != null && parts.nonEmpty, s"expected files in $dir")
+      parts.foreach(p =>
+        Files.write(p.toPath, "not parquet".getBytes))
+    }
+    // hi bound mid-day-03 so the conservative inclusive day range is
+    // exactly [1970-01-02, 1970-01-03] — both corrupted dirs outside
+    val r = e.query("ns",
+      """WITH t AS (SELECT * FROM cpu WHERE timestamp >=
+        |TIMESTAMP '1970-01-02 00:00:00') SELECT value FROM t
+        |WHERE timestamp <= TIMESTAMP '1970-01-03 12:00:00'
+        |ORDER BY timestamp""".stripMargin.replace("\n", " ")).get
+    assert(r.rows.map(_.getString(0)) == Seq("1", "2"),
+      "CTE-wrapped range must read only the in-range day dirs")
+  }
+
   test("tier compaction merges seal files and preserves results") {
     val tierDir = Files.createTempDirectory("compact-tier").toFile
     val tier = new ParquetTier(tierDir)

@@ -1,25 +1,34 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 
 import graft.ops.Relational
 
-/** Accuracy bounds for the approximate sketches in q_stats_sketch.
+/** Accuracy bounds for the approximate sketches behind q_stats_sketch.
   *
-  * The sketch query is rows-only in the driver gate by design (Spark's
-  * HLL++/GK and DuckDB's HLL/t-digest are different estimators, so no
-  * cross-engine hash exists) — this spec is the missing accuracy check:
-  * it fails if Spark's estimators ever drift from the exact answers
-  * computed by the oracle-checked q_count_distinct / q_percentile.
+  * The driver gate hashes q_stats_sketch's within-bounds BOOLEANS (the
+  * raw HLL++/GK estimates can't hash-match DuckDB's HLL/t-digest) —
+  * this spec keeps the tighter numeric assertions on the estimates
+  * themselves, against the exact answers computed by the oracle-checked
+  * q_count_distinct / q_percentile.
   */
 class SketchSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.01"
   private def spark = SparkFixture.spark
 
+  private def sketches = spark.read
+    .parquet(s"$dir/lineitem.parquet")
+    .groupBy(col("l_returnflag"))
+    .agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      expr("approx_percentile(l_quantity, 0.5)").as("approx_med"))
+    .collect()
+
   test("approx_count_distinct lands within 5% of the exact count") {
     val exact = Relational.qCountDistinct.run(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = Relational.qStatsSketch.run(spark, dir).collect()
+    val approx = sketches
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(exact.keySet == approx.keySet)
     exact.foreach { case (flag, ex) =>
@@ -34,13 +43,22 @@ class SketchSpec extends AnyFunSuite {
   test("approx_percentile(0.5) lands inside the exact P25–P90 envelope") {
     val envelope = Relational.qPercentile.run(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
-    val approx = Relational.qStatsSketch.run(spark, dir).collect()
+    val approx = sketches
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(envelope.keySet == approx.keySet)
     envelope.foreach { case (flag, (p25, p90)) =>
       val med = approx(flag)
       assert(med >= p25 && med <= p90,
         s"approx median($flag) = $med outside exact [$p25, $p90]")
+    }
+  }
+
+  test("q_stats_sketch reports every accuracy bound as satisfied") {
+    val rows = Relational.qStatsSketch.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"cd_ok false for ${r.getString(0)}")
+      assert(r.getBoolean(3), s"med_ok false for ${r.getString(0)}")
     }
   }
 }
