@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale smoke for the shuffle-heavy pipeline queries.
+  *
+  * The driver's testdata tops out at sf0.1 (5k documents / 2k
+  * embeddings); the queries whose cost is candidate-pair generation
+  * (LSH joins, connected components, banded SimHash, contamination
+  * semi-join) deserve evidence that their PLANS survive a data-size
+  * jump — no flip to a nested-loop/cartesian join, shuffle volume
+  * growing near-linearly, wall time not exploding quadratically.
+  *
+  * This main materializes a deterministic 10× corpus under
+  * `target/sf1` (re-used across runs) and times the heavy queries on
+  * it. Replica 0 is the original corpus; replicas 1–9 get every word
+  * tagged with the replica index, so cross-replica docs share no
+  * shingles (a 10× corpus of DISTINCT documents, not 10 copies), while
+  * docs with `doc_id % 10 == 0` stay exact duplicates across replicas
+  * to keep real dup/cluster structure present. Embedding replicas get
+  * per-element deterministic jitter, keeping vectors distinct but
+  * similarly distributed.
+  *
+  *   sbt "runMain graft.ScaleSmoke [query ...]"
+  */
+object ScaleSmoke {
+  private val Replicas = 10
+  private val IdStride = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_embed_pairs_lsh", "q_dedup_clusters", "q_dedup_simhash",
+        "q_contamination", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    generateIfMissing(spark, src, out)
+
+    // task-level shuffle totals; the listener bus is async, so settle
+    // briefly after each query before reading the counters
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+
+    // absorb session/codegen warm-up outside the measured loop
+    try SparkEntry.entry(spark).queryExecution.toRdd.count()
+    catch { case _: Throwable => }
+
+    // min-of-2 at each scale; at 10× distinct documents a healthy
+    // candidate-generator grows ~linearly in wall and shuffle volume
+    case class M(sec: Double, rows: Long, readMb: Double, writeMb: Double,
+      badJoin: Boolean)
+    def measure(n: String, dir: String): M = {
+      var best = M(Double.MaxValue, 0L, 0, 0, badJoin = false)
+      for (_ <- 1 to 2) {
+        // fresh plan per rep: re-counting one RDD would reuse the
+        // prior rep's registered shuffle outputs and skip map stages
+        val df = SparkEntry.queries(n)(spark, dir)
+        val physical = df.queryExecution.executedPlan.toString
+        val bad = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
+          .exists(physical.contains)
+        shuffleRead.set(0); shuffleWrite.set(0)
+        val t0 = System.nanoTime()
+        val rows = df.queryExecution.toRdd.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // drain listener bus
+        if (sec < best.sec) best = M(sec, rows,
+          shuffleRead.get / 1e6, shuffleWrite.get / 1e6, bad)
+      }
+      best
+    }
+    names.foreach { n =>
+      val base = measure(n, src)
+      val big = measure(n, out)
+      println(f"""{"q":"$n","sf01_s":${base.sec}%.3f,""" +
+        f""""sf1_s":${big.sec}%.3f,""" +
+        f""""wall_ratio":${big.sec / base.sec}%.1f,""" +
+        f""""rows":[${base.rows},${big.rows}],""" +
+        f""""sf1_shuffle_rw_mb":[${big.readMb}%.1f,${big.writeMb}%.1f],""" +
+        f""""shuffle_ratio":${
+          if (base.writeMb > 0) big.writeMb / base.writeMb else 0.0}%.1f,""" +
+        s""""bad_join":${base.badJoin || big.badJoin}}""")
+    }
+    spark.stop()
+  }
+
+  private def generateIfMissing(spark: SparkSession, src: String,
+      out: String): Unit = {
+    val done = new java.io.File(s"$out/_SMOKE_READY")
+    if (done.isFile) return
+    val r = explode(sequence(lit(0), lit(Replicas - 1)))
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .withColumn("r", r)
+      .select(
+        (col("doc_id") + col("r") * IdStride).as("doc_id"),
+        when(col("r") === 0 || col("doc_id") % 10 === 0, col("text"))
+          .otherwise(concat_ws(" ",
+            transform(split(col("text"), " "),
+              w => concat(w, lit("~"), col("r").cast("string")))))
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+    docs.repartition(8).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+
+    val embs = spark.read.parquet(s"$src/embeddings.parquet")
+      .withColumn("r", r)
+      .select(
+        (col("vec_id") + col("r") * IdStride).as("vec_id"),
+        // replicas flip element signs on a per-(vec,dim,replica) hash
+        // pattern: same magnitude distribution, but cross-replica
+        // cosines land near 0 — 10× DISTINCT vectors, not 10-cliques
+        // of near-duplicates that would inflate every pair count
+        when(col("r") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"), (x, i) =>
+            (x * when((col("vec_id") * 31 + i * 7 + col("r") * 13) % 2
+              === 0, 1.0).otherwise(-1.0)).cast("float")))
+          .as("embedding"),
+        col("label"))
+    embs.repartition(8).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+
+    java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+    println(s"""{"generated":"$out","docs":${Replicas}x,"src":"$src"}""")
+  }
+}
