@@ -419,7 +419,92 @@ object Curation {
         "top2_share", "logit", "clean_sig", "seq_tokens", "bin")
   }
 
+  /** Token budget per source for q_token_budget. */
+  private val TokenBudget = 800L
+
+  /** Per-source token-budget subsampling: a mixture recipe usually
+    * caps each source at a token budget, not a document count. Docs
+    * are ranked inside their source by an md5-derived key (a
+    * reproducible "random" order — same docs survive on any engine or
+    * cluster size), the token counts are prefix-summed in that order,
+    * and the prefix that fits the budget is kept.
+    *
+    * Scale shape: one running-sum window per source — a sort per
+    * source partition, ~10s of sources, each sort distributed over
+    * its hash range. At extreme per-source row counts the same cut
+    * can be computed as a two-phase hkey-quantile (sample the token
+    * CDF, cut at the budget quantile, refine the boundary shard);
+    * the windowed form is the exact-semantics reference.
+    */
+  val qTokenBudget = QueryDef(
+    "q_token_budget",
+    (s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("hkey"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+            16, 10).cast("long").as("hkey"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= TokenBudget)
+        .select("doc_id", "source", "n_tok", "cum_tok")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) AS hkey
+        FROM documents),
+      cum AS (
+        SELECT doc_id, source, n_tok,
+          sum(n_tok) OVER (PARTITION BY source ORDER BY hkey, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        FROM scored)
+      SELECT doc_id, source, n_tok, cum_tok FROM cum
+      WHERE cum_tok <= $TokenBudget ORDER BY doc_id"""))
+
+  /** Shard count for the training-order shuffle. */
+  private val ShuffleShards = 8
+
+  /** Deterministic corpus shuffle: the last step before training —
+    * assign every doc a pseudo-random shard and a position within it,
+    * both md5-derived, so the training order is fully reproducible
+    * (and re-derivable for any doc) yet uncorrelated with ingest
+    * order, source, or length. One row_number window per shard;
+    * shards are uniform by construction so no partition skews.
+    */
+  val qCorpusShuffle = QueryDef(
+    "q_corpus_shuffle",
+    (s, dir) => {
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("hkey"), col("doc_id"))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+            16, 10).cast("long").as("hkey"))
+        .withColumn("shard", pmod(col("hkey"), lit(ShuffleShards)))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) AS hkey
+        FROM documents),
+      sharded AS (
+        SELECT doc_id, hkey, hkey % $ShuffleShards AS shard FROM scored)
+      SELECT doc_id, shard,
+        CAST(row_number() OVER (PARTITION BY shard
+          ORDER BY hkey, doc_id) AS BIGINT) AS pos
+      FROM sharded ORDER BY shard, pos"""))
+
   val all: Seq[QueryDef] =
     Seq(qPackSequences, qSampleStratified, qSampleReservoir, qDomainMix,
-      qSplitTrain, qTemperatureMix)
+      qSplitTrain, qTemperatureMix, qTokenBudget, qCorpusShuffle)
 }

@@ -1324,6 +1324,32 @@ object Relational {
             USING count(*) GROUP BY o_orderpriority)
       ORDER BY o_orderpriority"""))
 
+  /** UNPIVOT: melt the lineitem measure columns into long form via
+    * `stack` (the codegen'd row-expansion path — no shuffle, the
+    * Generate runs inside the scan stage). The oracle keeps the
+    * dialect-neutral UNION ALL form.
+    */
+  val qUnpivot = QueryDef(
+    "q_unpivot",
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 200)
+        .selectExpr("l_orderkey", "l_linenumber",
+          """stack(3, 'disc', l_discount, 'price', l_extendedprice,
+             'qty', l_quantity) AS (metric, val)""")
+        .orderBy("l_orderkey", "l_linenumber", "metric"),
+    Some("""
+      SELECT l_orderkey, l_linenumber, metric, val FROM (
+        SELECT l_orderkey, l_linenumber, 'disc' AS metric,
+               l_discount AS val FROM lineitem WHERE l_orderkey < 200
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+        FROM lineitem WHERE l_orderkey < 200
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'qty', l_quantity
+        FROM lineitem WHERE l_orderkey < 200)
+      ORDER BY l_orderkey, l_linenumber, metric"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qFilter, qPredicates,
     qJoin3, qJoin6, qSemi, qAnti, qOuter, qFullOuter, qSelfJoin, qCross,
@@ -1338,5 +1364,5 @@ object Relational {
     qScalarSubquery, qCorrelated, qInSubquery, qCte,
     qStringFuncs, qRegexHash, qDateFuncs, qDateBin, qMathFuncs,
     qConditional, qJson, qExplode, qArrayFuncs, qSequence, qStruct,
-    qMapFuncs, qPivot)
+    qMapFuncs, qPivot, qUnpivot)
 }

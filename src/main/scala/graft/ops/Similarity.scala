@@ -889,7 +889,103 @@ object Similarity {
           (a, d) -> a + d) / 64.0 AS mse
       FROM c ORDER BY vec_id"""))
 
+  // ------------------------------------------------- semantic dedup
+
+  /** Seed stride for semantic-dedup cells: every `vec_id % stride == 0`
+    * vector is a cluster seed, so the cell count GROWS with the corpus
+    * (N/64 cells) and mean occupancy stays ~64 — within-cell pairwise
+    * work is ~32·N compares at any N, never N².
+    */
+  private val SemStride = 64
+
+  private val SemThreshold = 0.4
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus with a
+    * deterministic coarse quantizer (seeds = every SemStride-th
+    * vector, assignment = nearest-L2 centroid), then within each cell
+    * mark every vector that has a lower-id neighbor with cosine ≥
+    * [[SemThreshold]] as a duplicate of the lowest such id. Clustering
+    * bounds the pairwise step to cell occupancy (~64), so the work is
+    * linear in N while catching the near-duplicate mass that exact and
+    * shingle dedup miss (paraphrases, re-encodings).
+    *
+    * Scale shape: seeds grow as N/64, so the assignment cross join is
+    * N×(N/64) L2 distances — at ~10^9 vectors the coarse quantizer
+    * itself must go hierarchical (assign to √K super-cells first),
+    * which composes from this same operator; the within-cell pairwise
+    * stays bounded by construction. The deterministic seed rule keeps
+    * the whole pipeline (clustering included) oracle-checkable.
+    */
+  val qSemanticDedup = QueryDef(
+    "q_semantic_dedup",
+    (s, dir) => {
+      val e = vectors(s, dir)
+      val seeds = e.filter(col("vec_id") % SemStride === 0)
+        .select(col("vec_id").as("seed_id"),
+          transform(col("embedding"), v => v.cast("double")).as("cent"))
+      val dists = e.crossJoin(broadcast(seeds)).withColumn("dist", l2Col)
+      val cells = dists
+        .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+        .agg(min(struct(col("dist"), col("seed_id"))).as("m"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("m.seed_id").as("cell"))
+      val a = cells.toDF("id_a", "emb_a", "nrm_a", "cell")
+      val b = cells.toDF("vec_id", "emb_b", "nrm_b", "cell")
+      val matches = a.join(b,
+          a("cell") === b("cell") && col("id_a") < col("vec_id"))
+        .select(col("vec_id"), b("cell"), col("id_a"),
+          pairCos(GraftFunctions.dotp(col("emb_a"), col("emb_b")),
+            col("nrm_a"), col("nrm_b")).as("cos"))
+        .filter(col("cos") >= SemThreshold)
+      val best = matches.groupBy(col("vec_id"))
+        .agg(min(struct(col("id_a"), col("cos"))).as("m"))
+        .select(col("vec_id"), col("m.id_a").as("dup_of"),
+          col("m.cos").as("dup_cos"))
+      cells.select(col("vec_id"), col("cell"))
+        .join(best, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          col("dup_of").isNotNull.as("is_dup"),
+          col("dup_of"), col("dup_cos"))
+        .orderBy("vec_id")
+    },
+    Some {
+      val l2 = s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        [(CAST(v.embedding[i] AS DOUBLE) - s.cent[i]) *
+         (CAST(v.embedding[i] AS DOUBLE) - s.cent[i])
+         for i in generate_series(1, 64)]), (acc, x) -> acc + x)"""
+      s"""
+      WITH $vectorsSql,
+      seeds AS (
+        SELECT vec_id AS seed_id,
+               [CAST(x AS DOUBLE) for x in embedding] AS cent
+        FROM embeddings WHERE vec_id % $SemStride = 0),
+      dists AS (
+        SELECT v.vec_id, v.embedding, v.nrm, s.seed_id, $l2 AS dist
+        FROM vectors v CROSS JOIN seeds s),
+      cells AS (
+        SELECT vec_id, embedding, nrm, seed_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, seed_id) AS rn FROM dists)
+        WHERE rn = 1),
+      matches AS (
+        SELECT b.vec_id, b.cell, a.vec_id AS id_a,
+          ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+        FROM cells a JOIN cells b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      best AS (
+        SELECT vec_id, id_a AS dup_of, cos AS dup_cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY id_a, cos) AS rn
+          FROM matches WHERE cos >= $SemThreshold)
+        WHERE rn = 1)
+      SELECT c.vec_id, c.cell, best.dup_of IS NOT NULL AS is_dup,
+             best.dup_of, best.dup_cos
+      FROM cells c LEFT JOIN best USING (vec_id)
+      ORDER BY c.vec_id"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf,
-      qEmbedCentroids, qEmbedPq, qAnnAdc, qEmbedRp, qEmbedQuantize)
+      qEmbedCentroids, qEmbedPq, qAnnAdc, qEmbedRp, qEmbedQuantize,
+      qSemanticDedup)
 }
