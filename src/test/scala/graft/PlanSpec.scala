@@ -136,6 +136,48 @@ class PlanSpec extends AnyFunSuite {
       "the prefix emission should be one typed fold per series")
   }
 
+  test("semantic dedup: within-cell matching is an equi-join; only " +
+    "the seed assignment may nested-loop against the broadcast seeds") {
+    val df = graft.ops.Similarity.qSemanticDedup
+      .run(SparkFixture.spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    // every nested-loop must be the documented coarse-quantizer shape
+    // (a Cross against the IdentityBroadcast seed set) — the pairwise
+    // step itself must never appear as a nested-loop
+    val bnlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.nonEmpty && bnlj.forall(_.contains("Cross")),
+      s"non-assignment nested-loop in plan:\n${bnlj.mkString("\n")}")
+    // and the pair generation joins on the cell key
+    assert(p.linesIterator.exists(l =>
+      (l.contains("HashJoin [cell") || l.contains("MergeJoin [cell"))),
+      "within-cell pair generation must be an equi-join on cell")
+  }
+
+  test("token budget and corpus shuffle scale by partition key, and " +
+    "their scans stay narrow") {
+    for ((n, cols) <- Seq("q_token_budget" -> 3, "q_corpus_shuffle" -> 1)) {
+      val p = plan(n)
+      val read = p.linesIterator.find(_.startsWith("ReadSchema")).get
+      assert(read.count(_ == ',') < cols,
+        s"$n scan reads too many columns: $read")
+      assert(!p.contains("Join"), s"$n is a single-pass window op")
+    }
+  }
+
+  test("unpivot expands rows inside the scan stage without a shuffle") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Generate") || p.contains("Expand"),
+      "stack() should lower to a Generate/Expand, not a union of scans")
+    // one scan feeds the expansion (formatted mode prints each node
+    // twice: once in the tree, once in the details section)
+    assert("""Scan parquet""".r.findAllIn(p).size <= 2,
+      "unpivot must read the table once, not once per measure")
+    assert("""Exchange \(\d+\)""".r.findAllIn(p).size <= 1,
+      "unpivot must not shuffle beyond the presentation sort")
+  }
+
   test("random projection is a narrow scan feeding codegen kernels") {
     val p = plan("q_embed_rp")
     // only vec_id + embedding should be read
