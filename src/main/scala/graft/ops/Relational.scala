@@ -639,15 +639,22 @@ object Relational {
     */
   val qStatsSketch = QueryDef(
     "q_stats_sketch",
-    (s, dir) =>
-      T(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("approx_percentile(l_quantity, 0.5)").as("approx_med"),
-          expr("percentile(l_quantity, 0.25)").as("p25"),
+    (s, dir) => {
+      // three separate two-phase aggregates joined on the 3-row group
+      // key: countDistinct alongside imperative percentile/HLL buffers
+      // in ONE aggregate forces an Expand and the object-hash slow
+      // path over every expanded row (measured 10× slower at sf0.1)
+      val li = T(s, dir, "lineitem")
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      val perc = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
           expr("percentile(l_quantity, 0.90)").as("p90"))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_quantity, 0.5)").as("approx_med"))
+      exact.join(broadcast(perc), "l_returnflag")
+        .join(broadcast(approx), "l_returnflag")
         .select(
           col("l_returnflag"),
           col("exact_parts"),
@@ -655,7 +662,8 @@ object Relational {
             col("exact_parts") * 0.05).as("cd_ok"),
           (col("approx_med") >= col("p25") &&
             col("approx_med") <= col("p90")).as("med_ok"))
-        .orderBy("l_returnflag"),
+        .orderBy("l_returnflag")
+    },
     Some("""
       SELECT l_returnflag,
         CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
