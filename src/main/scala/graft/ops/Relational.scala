@@ -351,6 +351,129 @@ object Relational {
                             AND o_totalprice > 300000))
       GROUP BY cntrycode ORDER BY cntrycode"""))
 
+  // ------------------------------------------------ TPC-H headline shapes
+
+  /** TPC-H Q3 (shipping priority): segment-filtered customer dim
+    * broadcast into the orders⋈lineitem join, grouped revenue, top-10.
+    * Date windows shifted into the fixture's 1995–2001 range.
+    */
+  val qTpchQ3 = QueryDef(
+    "q_tpch_q3",
+    (s, dir) => {
+      val cust = T(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = T(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1997-03-15").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = T(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""
+      SELECT l_orderkey, o_orderdate,
+        ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-03-15'
+        AND l_shipdate > TIMESTAMP '1997-03-15'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"""))
+
+  /** TPC-H Q5 (local supplier volume): the 6-way join with the
+    * customer-and-supplier-same-nation constraint, region/nation dims
+    * broadcast, grouped by nation. Date window fixture-shifted.
+    */
+  val qTpchQ5 = QueryDef(
+    "q_tpch_q5",
+    (s, dir) => {
+      val asia = T(s, dir, "region").filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      val nat = T(s, dir, "nation")
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val ord = T(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      T(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(T(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some(s"""
+      SELECT n_name,
+        ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+        AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
+  /** TPC-H Q10 (returned-item reporting): quarter of returned
+    * lineitems joined back to customers, top-20 by lost revenue.
+    */
+  val qTpchQ10 = QueryDef(
+    "q_tpch_q10",
+    (s, dir) => {
+      val ord = T(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      T(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "nation")
+          .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some(s"""
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+        ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-10-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
   // ------------------------------------------------------------ aggregates
 
   /** count(DISTINCT …) — Catalyst expand + two-phase aggregate. */
@@ -1361,7 +1484,7 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
     q1Agg, qFilter, qPredicates,
     qJoin3, qJoin6, qSemi, qAnti, qOuter, qFullOuter, qSelfJoin, qCross,
-    qDisjunctJoin, qQ22Shape,
+    qDisjunctJoin, qQ22Shape, qTpchQ3, qTpchQ5, qTpchQ10,
     qCountDistinct, qHaving, qDistinct, qRollup, qCube, qGroupingSets,
     qMinMax, qStringAgg, qBoolBit, qArgExtremes, qPercentile, qStatsExact,
     qStatsBuiltin, qStatsSketch,

@@ -96,6 +96,69 @@ object TextOps {
         FROM documents)
       ORDER BY doc_id"""))
 
+  /** Gopher-style rule gate: the hard pass/fail document filters from
+    * the Gopher/MassiveText recipe (word count window, mean word
+    * length window, symbol-to-word ratio cap, alphabetic-word
+    * fraction floor, minimum stop-word count), each emitted as its
+    * own boolean plus the conjunction — unlike [[qQuality]]'s soft
+    * composite score, this is the binary pre-filter stage. Thresholds
+    * are adapted to the fixture's short synthetic docs; at corpus
+    * scale they're config. Narrow per-row transform, scales linearly.
+    */
+  val qGopherRules = QueryDef(
+    "q_gopher_rules",
+    (s, dir) => {
+      val words = split(col("text"), " ")
+      val nWords = size(words).cast("double")
+      val chars = length(col("text")).cast("double")
+      // mean word length over non-space chars: exact in both engines
+      val meanWlen = (chars - (nWords - 1)) / nWords
+      val alphaFrac = size(expr(
+        "filter(split(text, ' '), w -> w rlike '[a-z]')"))
+        .cast("double") / nWords
+      val symbolRatio = size(regexp_extract_all(col("text"),
+        lit("[^a-z0-9 ]"), lit(0))).cast("double") / nWords
+      val nStops = size(regexp_extract_all(col("text"), lit(stopRe),
+        lit(0))).cast("long")
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          nWords.cast("long").as("n_words"),
+          (nWords >= 10 && nWords <= 1000).as("ok_words"),
+          (meanWlen >= 2.0 && meanWlen <= 12.0).as("ok_wlen"),
+          (symbolRatio <= 0.3).as("ok_symbols"),
+          (alphaFrac >= 0.7).as("ok_alpha"),
+          (nStops >= 2L).as("ok_stops"))
+        .withColumn("pass",
+          col("ok_words") && col("ok_wlen") && col("ok_symbols") &&
+            col("ok_alpha") && col("ok_stops"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        ok_words, ok_wlen, ok_symbols, ok_alpha, ok_stops,
+        (ok_words AND ok_wlen AND ok_symbols AND ok_alpha AND ok_stops)
+          AS pass
+      FROM (
+        SELECT doc_id, n_words,
+          (n_words >= 10 AND n_words <= 1000) AS ok_words,
+          ((chars - (n_words - 1)) / n_words >= 2.0 AND
+           (chars - (n_words - 1)) / n_words <= 12.0) AS ok_wlen,
+          (symbols / n_words <= 0.3) AS ok_symbols,
+          (alpha / n_words >= 0.7) AS ok_alpha,
+          (n_stops >= 2) AS ok_stops
+        FROM (
+          SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+            CAST(length(text) AS DOUBLE) AS chars,
+            CAST(len(regexp_extract_all(text, '[^a-z0-9 ]'))
+              AS DOUBLE) AS symbols,
+            CAST(len(list_filter(string_split(text, ' '),
+              w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) AS alpha,
+            CAST(len(regexp_extract_all(text, '$stopRe')) AS BIGINT)
+              AS n_stops
+          FROM documents))
+      ORDER BY doc_id"""))
+
   /** Language ID: marker-n-gram scoring — count hits of per-language
     * function-word markers (plus a CJK codepoint check), argmax with a
     * deterministic tie order. The standard fastText-free heuristic for
@@ -632,7 +695,7 @@ object TextOps {
       ORDER BY n DESC, word LIMIT 50"""))
 
   val all: Seq[QueryDef] =
-    Seq(qTokens, qQuality, qLangId, qFingerprint, qTfIdf,
+    Seq(qTokens, qQuality, qGopherRules, qLangId, qFingerprint, qTfIdf,
       qRepetition, qClean, qSurprise, qContamination, qLengthHist,
       qClassify, qVocabTopK)
 }
