@@ -34,7 +34,8 @@ object ScaleSmoke {
     val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_embed_pairs_lsh", "q_dedup_clusters", "q_dedup_simhash",
-        "q_contamination", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard")
+        "q_contamination", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard",
+        "q_semantic_dedup")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,8 +76,13 @@ object ScaleSmoke {
         // prior rep's registered shuffle outputs and skip map stages
         val df = SparkEntry.queries(n)(spark, dir)
         val physical = df.queryExecution.executedPlan.toString
-        val bad = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
-          .exists(physical.contains)
+        // a Cross nested-loop against a bounded broadcast is the
+        // documented coarse-quantizer shape (semantic dedup's seed
+        // assignment); only a cartesian product or a NON-Cross
+        // nested-loop marks a degraded equi-join
+        val bad = physical.contains("CartesianProduct") ||
+          physical.linesIterator.exists(l =>
+            l.contains("BroadcastNestedLoopJoin") && !l.contains("Cross"))
         shuffleRead.set(0); shuffleWrite.set(0)
         val t0 = System.nanoTime()
         val rows = df.queryExecution.toRdd.count()

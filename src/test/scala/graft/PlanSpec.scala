@@ -178,6 +178,21 @@ class PlanSpec extends AnyFunSuite {
       "unpivot must not shuffle beyond the presentation sort")
   }
 
+  test("TPC-H shapes: dims broadcast, fact scans stay filtered+narrow") {
+    for (n <- Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q10")) {
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$n must broadcast its bounded dimension side")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+      assert(p.contains("PushedFilters:"),
+        s"$n must push its date/flag predicates to the scan")
+    }
+    // top-k queries fuse the final sort+limit
+    assert(plan("q_tpch_q3").contains("TakeOrderedAndProject"))
+    assert(plan("q_tpch_q10").contains("TakeOrderedAndProject"))
+  }
+
   test("random projection is a narrow scan feeding codegen kernels") {
     val p = plan("q_embed_rp")
     // only vec_id + embedding should be read
