@@ -497,19 +497,28 @@ object TextOps {
     * AQE does) so the corpus side never shuffles; the per-doc counts
     * are one (doc_id)-keyed partial aggregation.
     */
+  /** Distinct hashed word-[[ContamN]]-grams of a (doc_id, text) frame
+    * — 60-bit md5-prefix integers, the 8-byte contamination join key.
+    * Pure Column expressions, so the same builder serves the batch
+    * operator and the streaming stream-static semi-join
+    * (StreamingIngest.contamination).
+    */
+  private[graft] def contamGrams(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = split(col("text"), " ")
+    df.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= ContamN)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("toks")) - (ContamN - 1)),
+          i => conv(substring(md5(
+            concat_ws(" ", slice(col("toks"), i, lit(ContamN)))),
+            1, 15), 16, 10).cast("long")))).as("g"))
+  }
+
   val qContamination = QueryDef(
     "q_contamination",
     (s, dir) => {
-      def grams(df: org.apache.spark.sql.DataFrame) = {
-        val toks = split(col("text"), " ")
-        df.select(col("doc_id"), toks.as("toks"))
-          .filter(size(col("toks")) >= ContamN)
-          .select(col("doc_id"), explode(array_distinct(
-            transform(sequence(lit(1), size(col("toks")) - (ContamN - 1)),
-              i => conv(substring(md5(
-                concat_ws(" ", slice(col("toks"), i, lit(ContamN)))),
-                1, 15), 16, 10).cast("long")))).as("g"))
-      }
+      def grams(df: org.apache.spark.sql.DataFrame) = contamGrams(df)
       val docs = Tables.t(s, dir, "documents")
       val bench = grams(docs.filter(col("source") === "src0"))
         .select("g").distinct()

@@ -316,6 +316,50 @@ object StreamingIngest {
       }
   }
 
+  /** Per-doc contamination tallies for the streaming gate. */
+  final case class ContamOut(doc_id: Long, n_grams: Long, n_hit: Long,
+      contam_frac: Double, is_contaminated: Boolean)
+  final case class ContamState(nGrams: Long, nHit: Long)
+  final case class GramHit(doc_id: Long, hit: Boolean)
+
+  /** (g) Streaming benchmark decontamination: the batch
+    * q_contamination gate applied to documents as they arrive. Each
+    * doc explodes into the SAME hashed 5-gram keys as the batch
+    * operator (TextOps.contamGrams — shared Column expressions, so
+    * stream and batch verdicts are bit-identical), a stream-static
+    * LEFT OUTER join marks grams present in the static benchmark-gram
+    * set (broadcast, like the batch plan), and a per-doc stateful
+    * tally emits the updated contamination fraction. Totals
+    * accumulate across micro-batches, so a doc re-scored after its
+    * grams arrive in separate batches converges to the batch answer.
+    *
+    * State is two counters per doc — bounded by corpus size, not
+    * stream length; production adds TTL once a doc's grams are known
+    * complete.
+    */
+  def contamination(docs: Dataset[DocRow], benchGrams: DataFrame,
+      threshold: Double = 0.1): Dataset[ContamOut] = {
+    import docs.sparkSession.implicits._
+    val grams = graft.ops.TextOps.contamGrams(docs.toDF)
+    val marked = grams
+      .join(broadcast(benchGrams.select(col("g"), lit(true).as("hit"))),
+        Seq("g"), "left_outer")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("hit"))
+      .as[GramHit]
+    marked.groupByKey(_.doc_id)
+      .mapGroupsWithState[ContamState, ContamOut](
+        GroupStateTimeout.NoTimeout) {
+        case (docId, batch, state: GroupState[ContamState]) =>
+          val prev = state.getOption.getOrElse(ContamState(0L, 0L))
+          val next = batch.foldLeft(prev)((st, g) =>
+            ContamState(st.nGrams + 1, st.nHit + (if (g.hit) 1 else 0)))
+          state.update(next)
+          val frac = next.nHit.toDouble / next.nGrams
+          ContamOut(docId, next.nGrams, next.nHit, frac,
+            frac >= threshold)
+      }
+  }
+
   def seriesStats(rows: Dataset[StreamRow]): Dataset[SeriesUpdate] = {
     import rows.sparkSession.implicits._
     rows.groupByKey(r => (r.namespace, r.measurement))

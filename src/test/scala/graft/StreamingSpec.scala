@@ -289,4 +289,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(truth.subsetOf(got),
       s"streaming missed batch pairs: ${truth -- got}")
   }
+
+  test("streaming contamination reproduces the batch gate verdicts") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+
+    // batch ground truth: (doc_id → n_grams, n_hit, is_contaminated)
+    val truth = graft.ops.TextOps.qContamination.run(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(4))).toMap
+    assert(truth.nonEmpty && truth.values.exists(_._2 > 0),
+      "fixture should contain contaminated docs")
+
+    val docsDf = graft.ops.Tables.t(spark, dir, "documents")
+    val bench = graft.ops.TextOps.contamGrams(
+      docsDf.filter($"source" === "src0")).select("g").distinct()
+    val corpus = docsDf.filter($"source" =!= "src0")
+      .select("doc_id", "text").collect()
+      .map(r => StreamingIngest.DocRow(r.getLong(0), r.getString(1)))
+
+    val mem = MemoryStream[StreamingIngest.DocRow]
+    val out = StreamingIngest.contamination(mem.toDS(), bench)
+    val q = out.writeStream.format("memory").queryName("contam")
+      .outputMode(OutputMode.Update).start()
+    val (first, second) = corpus.splitAt(corpus.length / 2)
+    mem.addData(first.toSeq)
+    q.processAllAvailable()
+    mem.addData(second.toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    // latest update per doc = the one with the most grams tallied
+    val got = spark.sql(
+      "SELECT doc_id, n_grams, n_hit, is_contaminated FROM contam")
+      .collect().groupBy(_.getLong(0)).map { case (id, rs) =>
+        val r = rs.maxBy(_.getLong(1))
+        id -> (r.getLong(1), r.getLong(2), r.getBoolean(3))
+      }
+    assert(got == truth,
+      "streaming verdicts must be bit-identical to batch q_contamination")
+  }
 }
