@@ -309,22 +309,49 @@ object Similarity {
     * BroadcastNestedLoopJoin); shuffles carry 16 band rows per vector
     * plus the candidate set.
     */
+  /** The multi-table LSH candidate pair set (id_a < id_b, distinct) —
+    * shared by the pair generator and the recall evaluator.
+    */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val nBits = derivedBits(Tables.rowCount(s, dir, "embeddings"),
+      MinPairBits, PairOccupancy)
+    val e = vectors(s, dir)
+    val sig = e.select(col("vec_id"), explode(array(
+        (0 until LshTables).map(l => struct(lit(l).as("t"),
+          hplaneCol(col("embedding"), l, nBits).as("v"))): _*)).as("tv"))
+      .select(col("vec_id"), col("tv.t").as("t"), col("tv.v").as("v"))
+    sig.as("x").join(sig.as("y"),
+        col("x.t") === col("y.t") && col("x.v") === col("y.v") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+  }
+
+  /** WITH-clause prefix producing the `cand` CTE of [[lshCandidates]]
+    * in DuckDB (vectors, derived bits, per-table signatures, bands).
+    */
+  private val lshCandWithSql: String = {
+    val sigCols = (0 until LshTables).map(l =>
+      s"""CAST(${hplaneSql("embedding", l)} AS BIGINT) %
+          (CAST(1 AS BIGINT) << (SELECT bits FROM nb)) AS b$l""")
+      .mkString(", ")
+    val bands = (0 until LshTables).map(l =>
+      s"SELECT vec_id, $l AS t, b$l AS v FROM sig")
+      .mkString(" UNION ALL ")
+    s"""$vectorsSql,
+      nb AS (SELECT ${bitsSql(MinPairBits, PairOccupancy)} AS bits),
+      sig AS (SELECT vec_id, $sigCols FROM vectors),
+      bands AS ($bands),
+      cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+               FROM bands x JOIN bands y
+                 ON x.t = y.t AND x.v = y.v AND x.vec_id < y.vec_id)"""
+  }
+
   val qEmbedPairsLsh = QueryDef(
     "q_embed_pairs_lsh",
     (s, dir) => {
-      val nBits = derivedBits(Tables.rowCount(s, dir, "embeddings"),
-        MinPairBits, PairOccupancy)
       val e = vectors(s, dir)
-      val sig = e.select(col("vec_id"), explode(array(
-          (0 until LshTables).map(l => struct(lit(l).as("t"),
-            hplaneCol(col("embedding"), l, nBits).as("v"))): _*)).as("tv"))
-        .select(col("vec_id"), col("tv.t").as("t"), col("tv.v").as("v"))
-      val cand = sig.as("x").join(sig.as("y"),
-          col("x.t") === col("y.t") && col("x.v") === col("y.v") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-        .distinct()
-      cand
+      lshCandidates(s, dir)
         .join(e.toDF("id_a", "emb_a", "nrm_a"), "id_a")
         .join(e.toDF("id_b", "emb_b", "nrm_b"), "id_b")
         .select(col("id_a"), col("id_b"),
@@ -333,30 +360,58 @@ object Similarity {
         .filter(col("cos") > 0.4)
         .orderBy("id_a", "id_b")
     },
-    Some {
-      val sigCols = (0 until LshTables).map(l =>
-        s"""CAST(${hplaneSql("embedding", l)} AS BIGINT) %
-            (CAST(1 AS BIGINT) << (SELECT bits FROM nb)) AS b$l""")
-        .mkString(", ")
-      val bands = (0 until LshTables).map(l =>
-        s"SELECT vec_id, $l AS t, b$l AS v FROM sig")
-        .mkString(" UNION ALL ")
-      s"""
-      WITH $vectorsSql,
-      nb AS (SELECT ${bitsSql(MinPairBits, PairOccupancy)} AS bits),
-      sig AS (SELECT vec_id, $sigCols FROM vectors),
-      bands AS ($bands),
-      cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-               FROM bands x JOIN bands y
-                 ON x.t = y.t AND x.v = y.v AND x.vec_id < y.vec_id)
+    Some(s"""
+      WITH $lshCandWithSql
       SELECT id_a, id_b, cos FROM (
         SELECT cand.id_a, cand.id_b,
           ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
         FROM cand
         JOIN vectors a ON a.vec_id = cand.id_a
         JOIN vectors b ON b.vec_id = cand.id_b)
-      WHERE cos > 0.4 ORDER BY id_a, id_b"""
-    })
+      WHERE cos > 0.4 ORDER BY id_a, id_b"""))
+
+  /** LSH recall evaluation: joins the brute-force ground-truth pair
+    * set (cos > 0.4, the hard-gated baseline) against the LSH
+    * candidate set and reports hit counts and recall per 0.1-wide
+    * cosine band — the index-quality measurement a pipeline runs
+    * before trusting an ANN path, here oracle-checked cross-engine
+    * (cosines are bit-identical, so band edges and counts agree
+    * exactly). Fixture-gated like the baseline it consumes.
+    */
+  val qAnnRecall = QueryDef(
+    "q_ann_recall",
+    (s, dir) => {
+      val truth = qCosinePairs.run(s, dir)
+        .select(col("id_a"), col("id_b"),
+          least(floor((col("cos") - 0.4) / 0.1), lit(2))
+            .cast("int").as("band"))
+      val cand = lshCandidates(s, dir).withColumn("hit", lit(1L))
+      truth.join(cand, Seq("id_a", "id_b"), "left")
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_true"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .select(col("band"), col("n_true"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_true")).as("recall"))
+        .orderBy("band")
+    },
+    Some(s"""
+      WITH $lshCandWithSql,
+      bf AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+        FROM vectors a JOIN vectors b ON a.vec_id < b.vec_id
+        WHERE ${dotSql("a.embedding", "b.embedding")} /
+          (a.nrm * b.nrm) > 0.4)
+      SELECT band, count(*) AS n_true,
+        CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hit,
+        CAST(coalesce(sum(hit), 0) AS DOUBLE) / count(*) AS recall
+      FROM (
+        SELECT CAST(least(floor((bf.cos - 0.4) / 0.1), 2) AS INT)
+                 AS band,
+               CASE WHEN cand.id_a IS NOT NULL THEN 1 END AS hit
+        FROM bf LEFT JOIN cand
+          ON bf.id_a = cand.id_a AND bf.id_b = cand.id_b)
+      GROUP BY band ORDER BY band"""))
 
   // ------------------------------------------------------------------ IVF
 
@@ -987,5 +1042,5 @@ object Similarity {
   val all: Seq[QueryDef] =
     Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf,
       qEmbedCentroids, qEmbedPq, qAnnAdc, qEmbedRp, qEmbedQuantize,
-      qSemanticDedup)
+      qSemanticDedup, qAnnRecall)
 }
