@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   *    oracle-checked end-to-end — since 8-bit grayscale PNG is
   *    lossless, DuckDB re-derives the expected pixels from the source
   *    bytes and any codec round-trip error would hash-mismatch;
+  *  - a REAL audio codec path ([[qAudio]]): PCM-16 WAV written and
+  *    decoded with `javax.sound.sampled` (lossless, so the oracle
+  *    re-derives the exact samples from the source bytes);
   *  - a codec-free byte-window path ([[qDecode]]) standing in for
-  *    formats the JDK cannot decode (audio/video) — the frame kernel
-  *    there is a deterministic fake, the Spark plumbing (typed
-  *    Dataset, per-partition batch shape, column pruning) is real.
+  *    formats the JDK cannot decode (e.g. compressed video) — the
+  *    frame kernel there is a deterministic fake, the Spark plumbing
+  *    (typed Dataset, per-partition batch shape, column pruning) is
+  *    real.
   *
   * The binary payloads are derived deterministically from `documents`
   * (UTF-8 bytes of the text) so fixtures need no media files.
@@ -92,9 +96,10 @@ object Multimodal {
     }
   }
 
-  /** STUB for the audio/video codec: fixed-stride frame sampling. A
-    * real build replaces this with the media library call (the image
-    * path below already uses a real decoder).
+  /** STUB for codecs outside the JDK (compressed video): fixed-stride
+    * frame sampling. A real build replaces this with the media library
+    * call — the image (ImageIO) and audio (javax.sound) paths below
+    * use real decoders.
     */
   private def decodeFrames(content: Array[Byte]): Array[Array[Byte]] =
     content.grouped(16).toArray
@@ -413,5 +418,139 @@ object Multimodal {
       FROM v GROUP BY doc_id, f, w, ht
       ORDER BY doc_id, frame_idx"""))
 
-  val all: Seq[QueryDef] = Seq(qMeta, qDecode, qPixels, qFrames)
+  // ------------------------------------------------ real audio codec
+
+  /** Decoded-audio statistics for one clip. */
+  final case class AudioStats(
+      doc_id: Long,
+      n_samples: Long,
+      mean_amp: Double,
+      zero_cross: Long,
+      peak: Long)
+
+  /** Deterministic PCM-16 mono WAV: sample i = (byte i − 96)·128
+    * (int16-exact; the 96 offset puts letters above zero and spaces
+    * below, so zero crossings track word boundaries instead of
+    * degenerating to 0 on all-ASCII text). Written with the JDK's own
+    * WAV encoder — the bytes are a genuine RIFF/WAVE file, not a fake.
+    */
+  private[graft] def synthesizeWav(textBytes: Array[Byte]): Array[Byte] = {
+    val n = textBytes.length
+    val pcm = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      val v = ((textBytes(i) & 0xff) - 96) * 128
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real decode: `AudioSystem.getAudioInputStream` parses the RIFF
+    * header and yields the PCM frames; little-endian int16 samples
+    * are reassembled exactly as encoded (WAV is lossless).
+    */
+  private def decodePcm(content: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.BufferedInputStream(
+        new java.io.ByteArrayInputStream(content)))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+      fmt.getChannels == 1, s"unexpected wav format: $fmt")
+    val raw = ais.readAllBytes()
+    ais.close()
+    val out = new Array[Int](raw.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = (raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xff)
+      i += 1
+    }
+    out
+  }
+
+  /** Decode + sample-stat kernel (same per-partition batch shape as
+    * the image kernels): signed mean amplitude, zero crossings
+    * (sign(s) = s ≥ 0), peak |sample| — all integer-exact, so the
+    * oracle re-derives them from the synthesis formula.
+    */
+  def decodeAudioStats(
+      media: Dataset[MediaRecord]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val s = decodePcm(m.content)
+        var sum = 0L
+        var zc = 0L
+        var peak = 0L
+        var i = 0
+        while (i < s.length) {
+          sum += s(i)
+          val a = math.abs(s(i).toLong)
+          if (a > peak) peak = a
+          if (i > 0 && (s(i) >= 0) != (s(i - 1) >= 0)) zc += 1
+          i += 1
+        }
+        AudioStats(m.doc_id, s.length.toLong,
+          sum.toDouble / s.length, zc, peak)
+      }
+    }
+  }
+
+  /** REAL audio pipeline: every doc's bytes become a genuine WAV via
+    * the JDK encoder, `AudioSystem` decodes it back, and the sample
+    * statistics are oracle-checked — DuckDB replays the synthesis
+    * formula ((byte − 128)·256) over the hex-expanded text and must
+    * agree exactly, which it only can if the WAV round-trip is
+    * lossless and the decoder is real. Closes the last codec stand-in
+    * (image and multi-frame paths are already ImageIO-real).
+    */
+  val qAudio = QueryDef(
+    "q_multimodal_audio",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables.t(s, dir, "documents")
+        .select("doc_id", "text").as[(Long, String)]
+        .filter(_._2.nonEmpty)
+        .map { case (id, text) =>
+          val wav = synthesizeWav(text.getBytes("UTF-8"))
+          MediaRecord(id, "audio", wav, 0, 0)
+        }
+      decodeAudioStats(media).toDF()
+        .select("doc_id", "n_samples", "mean_amp", "zero_cross", "peak")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents WHERE octet_length(encode(text)) > 0),
+      samp AS (
+        SELECT doc_id, i,
+          (CAST('0x' || substr(h, CAST(2*i+1 AS INT), 2) AS BIGINT)
+            - 96) * 128 AS s
+        FROM (SELECT doc_id, h,
+                unnest(generate_series(0, n - 1)) AS i FROM b)),
+      x AS (
+        SELECT doc_id, s,
+          CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY i)
+                 IS NOT NULL
+                AND ((s >= 0) <>
+                     (lag(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0))
+          THEN 1 ELSE 0 END AS zc
+        FROM samp)
+      SELECT doc_id, count(*) AS n_samples,
+        CAST(sum(s) AS DOUBLE) / count(*) AS mean_amp,
+        CAST(sum(zc) AS BIGINT) AS zero_cross,
+        CAST(max(abs(s)) AS BIGINT) AS peak
+      FROM x GROUP BY doc_id ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(qMeta, qDecode, qPixels, qFrames, qAudio)
 }
