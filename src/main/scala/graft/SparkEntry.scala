@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops.{Curation, Dedup, Multimodal, QueryDef, Relational,
-  Similarity, Tables, TextOps, TimeSeries}
+  Similarity, Tables, TextOps, TimeSeries, TpcH}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,8 +15,8 @@ object SparkEntry {
 
   /** All registered operator queries, in registration order. */
   def defs: Seq[QueryDef] =
-    Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all ++
-      Multimodal.all ++ TimeSeries.all ++ Curation.all
+    Relational.all ++ TpcH.all ++ TextOps.all ++ Dedup.all ++
+      Similarity.all ++ Multimodal.all ++ TimeSeries.all ++ Curation.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

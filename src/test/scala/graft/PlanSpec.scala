@@ -179,18 +179,34 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("TPC-H shapes: dims broadcast, fact scans stay filtered+narrow") {
-    for (n <- Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q10")) {
+    val withDims = Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q7", "q_tpch_q8",
+      "q_tpch_q9", "q_tpch_q10", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16",
+      "q_tpch_q17", "q_tpch_q20")
+    for (n <- withDims) {
       val p = plan(n)
       assert(p.contains("BroadcastHashJoin"),
         s"$n must broadcast its bounded dimension side")
       assert(!p.contains("CartesianProduct") &&
-        !p.contains("BroadcastNestedLoopJoin"))
-      assert(p.contains("PushedFilters:"),
-        s"$n must push its date/flag predicates to the scan")
+        !p.contains("BroadcastNestedLoopJoin"), s"$n has a degraded join")
     }
+    for (n <- Seq("q_tpch_q4", "q_tpch_q6", "q_tpch_q13", "q_tpch_q18",
+        "q_tpch_q21")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$n has a degraded join")
+    }
+    // Q6 is the pure scan-filter-agg: every predicate reaches the scan
+    // and the only exchange is the single-row final aggregate's.
+    val p6 = plan("q_tpch_q6")
+    assert(p6.contains("GreaterThanOrEqual(l_shipdate") &&
+      p6.contains("LessThan(l_quantity"),
+      "q6 must push date/discount/quantity predicates into the scan")
+    assert("""Exchange \(\d+\)""".r.findAllIn(p6).size == 1,
+      "q6 must shuffle only the partial-aggregate row")
     // top-k queries fuse the final sort+limit
-    assert(plan("q_tpch_q3").contains("TakeOrderedAndProject"))
-    assert(plan("q_tpch_q10").contains("TakeOrderedAndProject"))
+    for (n <- Seq("q_tpch_q3", "q_tpch_q10", "q_tpch_q18", "q_tpch_q21"))
+      assert(plan(n).contains("TakeOrderedAndProject"),
+        s"$n must fuse its ORDER BY + LIMIT")
   }
 
   test("random projection is a narrow scan feeding codegen kernels") {
