@@ -504,7 +504,83 @@ object Curation {
           ORDER BY hkey, doc_id) AS BIGINT) AS pos
       FROM sharded ORDER BY shard, pos"""))
 
+  /** Fractional-epoch up-sampling: materialize the training copies of
+    * each document for a per-source epoch count that need not be an
+    * integer (the "web ×1.2, curated ×3.4" mixing step of LLM data
+    * recipes). Every doc gets floor(epochs) copies, plus one more iff
+    * its own hash-uniform falls under the fractional part — so the
+    * realized per-source volume converges to n × epochs while the
+    * copy decision stays per-doc deterministic (reproducible across
+    * engines, runs, and cluster sizes). Per-source epochs here derive
+    * from a salted source-name hash ∈ [0.25, 3.0); a real weight table
+    * joins into the same shape.
+    *
+    * Scale shape: a narrow per-row map (the source-epoch "table" is a
+    * scalar expression; a real one broadcasts), an explode bounded by
+    * ⌈epochs⌉ ≤ 3 copies, and shard-partitioned windows for the
+    * training order — the same (hkey % shards) layout as
+    * q_corpus_shuffle, so no global sort and no skew.
+    */
+  val qEpochMix = QueryDef(
+    "q_epoch_mix",
+    (s, dir) => {
+      val uSrc = (conv(substring(md5(concat(lit("epoch:"), col("source"))),
+        1, 8), 16, 10).cast("double") / 4294967296.0)
+      val uDoc = (conv(substring(md5(concat(lit("epoch:"),
+        col("doc_id").cast("string"))), 17, 8), 16, 10).cast("double") /
+        4294967296.0)
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("hkey"), col("doc_id"), col("copy"))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (lit(0.25) + lit(2.75) * uSrc).as("epochs"), uDoc.as("u"))
+        .withColumn("copies",
+          (floor(col("epochs")) +
+            when(col("u") < col("epochs") - floor(col("epochs")), 1L)
+              .otherwise(0L)).cast("long"))
+        .filter(col("copies") >= 1)
+        .select(col("doc_id"), col("source"), col("copies"),
+          explode(sequence(lit(1L), col("copies"))).as("copy"))
+        .withColumn("hkey",
+          conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":"), col("copy").cast("string"))), 1, 15), 16, 10)
+            .cast("long"))
+        .withColumn("shard", pmod(col("hkey"), lit(ShuffleShards)))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select("doc_id", "source", "copies", "copy", "shard", "pos")
+        .orderBy("shard", "pos")
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, source,
+          0.25 + 2.75 * (CAST('0x' || substr(md5('epoch:' || source), 1, 8)
+            AS BIGINT) / 4294967296.0) AS epochs,
+          CAST('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)),
+            17, 8) AS BIGINT) / 4294967296.0 AS u
+        FROM documents),
+      c AS (
+        SELECT doc_id, source,
+          CAST(floor(epochs) +
+            (CASE WHEN u < epochs - floor(epochs) THEN 1 ELSE 0 END)
+            AS BIGINT) AS copies
+        FROM scored),
+      exp0 AS (
+        SELECT doc_id, source, copies,
+          unnest(generate_series(1, copies)) AS copy
+        FROM c WHERE copies >= 1),
+      expanded AS (
+        SELECT doc_id, source, copies, CAST(copy AS BIGINT) AS copy,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+            CAST(copy AS VARCHAR)), 1, 15) AS BIGINT) AS hkey
+        FROM exp0)
+      SELECT doc_id, source, copies, copy,
+        hkey % $ShuffleShards AS shard,
+        CAST(row_number() OVER (PARTITION BY hkey % $ShuffleShards
+          ORDER BY hkey, doc_id, copy) AS BIGINT) AS pos
+      FROM expanded ORDER BY shard, pos"""))
+
   val all: Seq[QueryDef] =
     Seq(qPackSequences, qSampleStratified, qSampleReservoir, qDomainMix,
-      qSplitTrain, qTemperatureMix, qTokenBudget, qCorpusShuffle)
+      qSplitTrain, qTemperatureMix, qTokenBudget, qCorpusShuffle,
+      qEpochMix)
 }

@@ -565,7 +565,136 @@ object Dedup {
       FROM l JOIN c USING (lh)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Substring-level duplication score (the "dedup training data at
+    * the substring level" signal of Lee et al. 2022): for every doc,
+    * the share of its word-5-gram positions whose gram also appears in
+    * at least one OTHER document, and the longest consecutive run of
+    * such positions — a long run means a long verbatim span shared
+    * with the rest of the corpus, the unit suffix-array dedup removes.
+    *
+    * Scale shape: grams carry positions but hash to 8-byte keys at the
+    * source; one shuffle keys the gram-df aggregate, one equi-join
+    * brings df back to positions, and the run-length (gaps-and-islands
+    * row_number) windows partition BY DOC — thousands of small sorted
+    * partitions, never a global window. No string leaves the scan
+    * stage.
+    */
+  val qDupSpans = QueryDef(
+    "q_dedup_spans",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      val grams = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("toks")) - 4),
+            i => struct(i.as("pos"), conv(substring(md5(
+              concat_ws(" ", slice(col("toks"), i, lit(5)))), 1, 15), 16, 10)
+              .cast("long").as("g")))).as("pg"))
+        .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+      val dupGrams = grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2)
+        .select("g")
+      val dupPos = grams.join(dupGrams, "g")
+      val islands = dupPos
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .groupBy(col("doc_id"), (col("pos") - col("rn")).as("island"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("run")).as("dup_grams"), max(col("run")).as("max_run"))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          greatest(size(toks) - 4, lit(0)).cast("long").as("n_grams"))
+        .join(islands, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+          coalesce(col("max_run"), lit(0L)).as("max_run"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+      gpos AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks) - 4)) AS pos
+               FROM toks WHERE len(toks) >= 5),
+      g AS (SELECT doc_id, pos,
+              CAST('0x' || substr(md5(array_to_string(toks[pos:pos+4], ' ')),
+                1, 15) AS BIGINT) AS g
+            FROM gpos),
+      df AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df
+                            FROM g GROUP BY g) WHERE df >= 2),
+      dup AS (SELECT doc_id, pos,
+                row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+              FROM g JOIN df USING (g)),
+      isl AS (SELECT doc_id, pos - rn AS island, count(*) AS run
+              FROM dup GROUP BY doc_id, pos - rn),
+      agg AS (SELECT doc_id, sum(run) AS dup_grams, max(run) AS max_run
+              FROM isl GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(greatest(len(string_split(d.text, ' ')) - 4, 0) AS BIGINT)
+          AS n_grams,
+        CAST(coalesce(agg.dup_grams, 0) AS BIGINT) AS dup_grams,
+        CAST(coalesce(agg.max_run, 0) AS BIGINT) AS max_run
+      FROM documents d LEFT OUTER JOIN agg ON d.doc_id = agg.doc_id
+      ORDER BY d.doc_id"""))
+
+  /** Pairwise source-overlap matrix: shingle-set Jaccard between every
+    * pair of sources — the corpus-level diagnostic behind mixture
+    * design (two "different" crawls sharing half their shingles are
+    * one source for weighting purposes) and leak detection between
+    * intended train/eval source splits.
+    *
+    * Scale shape: the per-source shingle sets dedup FIRST (one shuffle
+    * on the 8-byte gram), so the self-join on `sh` fans out at most
+    * n_sources rows per key — output and join cost are bounded by
+    * distinct-shingles × sources, and the final matrix is
+    * C(n_sources, 2) rows. Source count is bounded metadata (20 here),
+    * not corpus-sized.
+    */
+  val qSourceOverlap = QueryDef(
+    "q_source_overlap",
+    (s, dir) => {
+      val srcSh = shingles(s, dir)
+        .join(Tables.t(s, dir, "documents").select("doc_id", "source"),
+          "doc_id")
+        .select("source", "sh").distinct()
+      val sizes = srcSh.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sh"))
+      val inter = srcSh.toDF("sa", "sh")
+        .join(srcSh.toDF("sb", "sh2"),
+          col("sh") === col("sh2") && col("sa") < col("sb"))
+        .groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.toDF("source_a", "n_a")), "source_a")
+        .join(broadcast(sizes.toDF("source_b", "n_b")), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          col("inter"),
+          (col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(s"""
+      WITH $shinglesSql,
+      ss AS (SELECT DISTINCT d.source, sh
+             FROM shingle JOIN documents d USING (doc_id)),
+      sz AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY source),
+      iv AS (SELECT a.source AS source_a, b.source AS source_b,
+                    count(*) AS inter
+             FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+             GROUP BY 1, 2)
+      SELECT source_a, source_b, za.n_sh AS n_a, zb.n_sh AS n_b, inter,
+             CAST(inter AS DOUBLE) / (za.n_sh + zb.n_sh - inter)
+               AS jaccard
+      FROM iv
+      JOIN sz za ON za.source = source_a
+      JOIN sz zb ON zb.source = source_b
+      ORDER BY source_a, source_b"""))
+
   val all: Seq[QueryDef] =
     Seq(qExact, qNgramJaccard, qMinHashLsh, qSimHash, qClusters,
-      qLineDedup)
+      qLineDedup, qDupSpans, qSourceOverlap)
 }

@@ -209,6 +209,31 @@ class PlanSpec extends AnyFunSuite {
         s"$n must fuse its ORDER BY + LIMIT")
   }
 
+  test("dup spans: doc-partitioned windows, equi-joins only") {
+    val p = plan("q_dedup_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "gram joins must stay equi")
+    // the run-length window partitions by doc_id, never globally
+    assert(p.contains("Window"), "gaps-and-islands needs a window")
+    assert(!p.contains("Window [") || p.contains("partitionBy") ||
+      p.contains("doc_id"), "window must be per-doc")
+  }
+
+  test("source overlap: dedup before the self-join, bounded fanout") {
+    val p = plan("q_source_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the shingle self-join must be an equi-join on sh")
+    // per-source sets dedup before pairing (HashAggregate above join)
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("epoch mix is join-free: hash expressions, explode, sharded windows") {
+    val p = plan("q_epoch_mix")
+    assert(!p.contains("Join"), "epoch up-sampling must not join anything")
+    assert(p.contains("Generate"), "copies materialize via explode")
+  }
+
   test("random projection is a narrow scan feeding codegen kernels") {
     val p = plan("q_embed_rp")
     // only vec_id + embedding should be read
