@@ -592,11 +592,17 @@ object Dedup {
               concat_ws(" ", slice(col("toks"), i, lit(5)))), 1, 15), 16, 10)
               .cast("long").as("g")))).as("pg"))
         .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
-      val dupGrams = grams.groupBy(col("g"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .filter(col("df") >= 2)
-        .select("g")
-      val dupPos = grams.join(dupGrams, "g")
+      // a gram is cross-doc duplicated iff ≥2 distinct docs carry it,
+      // i.e. min(doc_id) != max(doc_id) over the gram partition — one
+      // pass, one shuffle on the 8-byte gram key, and the gram
+      // explode+md5 runs once (the agg+join-back formulation computes
+      // it for both join sides)
+      val gw = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      val dupPos = grams
+        .withColumn("dmin", min(col("doc_id")).over(gw))
+        .withColumn("dmax", max(col("doc_id")).over(gw))
+        .filter(col("dmin") =!= col("dmax"))
+        .select("doc_id", "pos")
       val islands = dupPos
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window
