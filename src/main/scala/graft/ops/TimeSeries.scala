@@ -478,7 +478,69 @@ object TimeSeries {
       FROM scored WHERE variance > 0
       ORDER BY event_type, bucket_us"""))
 
+  /** Weekly-epoch microseconds — integer week index, no calendar/tz
+    * dependence, identical arithmetic in both engines. */
+  private val WeekUs = 7L * 86400L * 1000000L
+
+  /** Cohort retention matrix: users grouped by their first-seen week,
+    * then for each week offset k the share of the cohort active again
+    * k weeks later — the product-analytics counterpart of q_ts_funnel.
+    * Week indexes are integer `us / WeekUs` buckets (calendar-free, so
+    * the cohort assignment is reproducible across engines and
+    * timezones).
+    *
+    * Scale shape: events collapse to distinct (user, week) FIRST (one
+    * shuffle on the user-uniform key), the per-user first week is a
+    * min over that compact set, and the (cohort, offset) aggregate has
+    * weeks² keys — tiny forever. The cohort-size join is a broadcast
+    * of one row per cohort week. No events-sized window anywhere.
+    */
+  val qRetention = QueryDef(
+    "q_ts_retention",
+    (s, dir) => {
+      // `div`, not `/`: Column `/` is double division, and Spark's
+      // double→long cast truncates while DuckDB's rounds — integer
+      // division on both engines sidesteps the rounding-mode mismatch
+      val uw = Tables.t(s, dir, "events")
+        .select(col("user_id"),
+          expr(s"unix_micros(ts) div $WeekUs").as("wk"))
+        .distinct()
+      val firstWk = uw.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      val joined = uw.join(firstWk, "user_id")
+      val cohortSize = firstWk.groupBy(col("cohort_wk"))
+        .agg(countDistinct(col("user_id")).as("cohort_size"))
+      joined
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(broadcast(cohortSize), "cohort_wk")
+        .select(col("cohort_wk"), col("offset"), col("n_active"),
+          col("cohort_size"),
+          (col("n_active").cast("double") / col("cohort_size"))
+            .as("retention"))
+        .orderBy("cohort_wk", "offset")
+    },
+    Some(s"""
+      WITH uw AS (
+        SELECT DISTINCT user_id,
+          CAST(epoch_us(ts) // $WeekUs AS BIGINT) AS wk
+        FROM events),
+      first AS (
+        SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id),
+      size AS (
+        SELECT cohort_wk, count(DISTINCT user_id) AS cohort_size
+        FROM first GROUP BY cohort_wk)
+      SELECT cohort_wk, wk - cohort_wk AS "offset",
+        count(DISTINCT uw.user_id) AS n_active, cohort_size,
+        CAST(count(DISTINCT uw.user_id) AS DOUBLE) / cohort_size
+          AS retention
+      FROM uw
+      JOIN first ON uw.user_id = first.user_id
+      JOIN size USING (cohort_wk)
+      GROUP BY cohort_wk, wk - cohort_wk, cohort_size
+      ORDER BY cohort_wk, "offset""""))
+
   val all: Seq[QueryDef] =
     Seq(qAsofJoin, qGapFill, qIntervalJoin, qSessionize, qOhlc, qFunnel,
-      qRate, qEwma, qAnomaly)
+      qRate, qEwma, qAnomaly, qRetention)
 }

@@ -360,6 +360,60 @@ object StreamingIngest {
       }
   }
 
+  // ------------------------------------------- streaming sessionization
+
+  final case class SessEvent(userId: Long, us: Long, eventId: Long,
+      eventType: String)
+  final case class SessionOut(userId: Long, sessionId: Long, nEvents: Long,
+      startUs: Long, endUs: Long, durationUs: Long, nPurchases: Long)
+  final case class SessState(sessionId: Long, nEvents: Long, startUs: Long,
+      endUs: Long, nPurchases: Long)
+
+  /** q_ts_sessionize as a stateful streaming op: per-user gap-based
+    * sessions (a > `gapUs` silence starts the next session), emitted
+    * when CLOSED by the first event of the following session. State is
+    * one open session per user — five longs, O(users) total, at any
+    * stream length; compare the batch query, which windows over every
+    * event.
+    *
+    * Session numbering, membership, and the per-session aggregates use
+    * the same (us, event_id) order and the same gap comparison as the
+    * batch operator, so for the same events a closed session here
+    * equals the batch row exactly (StreamingSpec asserts equality
+    * across micro-batch splits). Contract: per-user event-time order
+    * across batches (consume a watermark-ordered upstream); the last
+    * session of each user stays open — callers close tails by sending
+    * a past-gap sentinel event, or add a GroupStateTimeout flush.
+    */
+  def sessionize(events: Dataset[SessEvent],
+      gapUs: Long = 1800000000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (user, batch, state: GroupState[SessState]) =>
+          var cur = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          batch.toSeq.sortBy(e => (e.us, e.eventId)).foreach { e =>
+            val purchase = if (e.eventType == "purchase") 1L else 0L
+            cur match {
+              case Some(s) if e.us - s.endUs > gapUs =>
+                closed += SessionOut(user, s.sessionId, s.nEvents,
+                  s.startUs, s.endUs, s.endUs - s.startUs, s.nPurchases)
+                cur = Some(SessState(s.sessionId + 1, 1L, e.us, e.us,
+                  purchase))
+              case Some(s) =>
+                cur = Some(SessState(s.sessionId, s.nEvents + 1, s.startUs,
+                  e.us, s.nPurchases + purchase))
+              case None =>
+                cur = Some(SessState(1L, 1L, e.us, e.us, purchase))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
   def seriesStats(rows: Dataset[StreamRow]): Dataset[SeriesUpdate] = {
     import rows.sparkSession.implicits._
     rows.groupByKey(r => (r.namespace, r.measurement))

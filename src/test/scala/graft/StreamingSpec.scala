@@ -332,4 +332,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == truth,
       "streaming verdicts must be bit-identical to batch q_contamination")
   }
+
+  test("streaming sessionize closes the batch operator's sessions " +
+    "exactly, however the stream is micro-batched") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.{SessEvent, SessionOut}
+    val dir = "/root/testdata/sf0.001"
+
+    // batch ground truth: every q_ts_sessionize row, keyed for lookup
+    val truth = SparkEntry.queries("q_ts_sessionize")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+
+    // the same events as SessEvents, in global event-time order (which
+    // preserves per-user order — the op's cross-batch contract), plus a
+    // past-gap sentinel per user so every real session gets closed; the
+    // sentinel's own session stays open and is never emitted
+    val ev = graft.ops.Tables.t(spark, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "event_type")
+      .collect().map(r => SessEvent(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getString(3)))
+      .sortBy(e => (e.us, e.eventId))
+    val sentinels = ev.groupBy(_.userId).map { case (u, es) =>
+      SessEvent(u, es.map(_.us).max + 1800000001L, -1L, "sentinel")
+    }.toSeq
+
+    def run(splits: Seq[Seq[SessEvent]], name: String)
+        : Map[(Long, Long), (Long, Long, Long, Long, Long)] = {
+      val mem = MemoryStream[SessEvent]
+      val q = StreamingIngest.sessionize(mem.toDS()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      splits.foreach { s => mem.addData(s); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[SessionOut].collect()
+        .map(o => (o.userId, o.sessionId) ->
+          (o.nEvents, o.startUs, o.endUs, o.durationUs, o.nPurchases))
+        .toMap
+    }
+
+    val whole = run(Seq(ev.toSeq ++ sentinels), "sess_one")
+    assert(whole == truth,
+      "single-batch streaming sessions must equal the batch rows")
+    val n = ev.length
+    val three = run(Seq(ev.take(n / 3).toSeq,
+      ev.slice(n / 3, 2 * n / 3).toSeq,
+      ev.drop(2 * n / 3).toSeq ++ sentinels), "sess_three")
+    assert(three == truth,
+      "micro-batch boundaries must not change any session")
+  }
 }
