@@ -700,7 +700,50 @@ object Dedup {
       JOIN sz zb ON zb.source = source_b
       ORDER BY source_a, source_b"""))
 
+  /** Shingle containment |A∩B| / |A| — the ASYMMETRIC near-dup
+    * measure Jaccard misses: a short doc pasted inside a long one
+    * scores near 1.0 here but low on Jaccard (the union is dominated
+    * by the long doc). The quote/aggregator/boilerplate-wrapper case
+    * in corpus dedup. Ordered pairs, so A⊂B and B⊂A report
+    * separately.
+    *
+    * Scale shape: identical to q_dedup_ngram_jaccard — the df-capped
+    * shingle equi-join generates candidates (worst key bounded by
+    * DfCap², no all-pairs anywhere), one aggregation per ordered pair,
+    * set sizes broadcast back. Thresholds (containment ≥ 0.5, |A| ≥
+    * 10 pruned shingles) keep the report to genuine engulfment.
+    */
+  val qContainment = QueryDef(
+    "q_dedup_containment",
+    (s, dir) => {
+      val sh = prunedShingles(s, dir).cache()
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(cnt.toDF("doc_a", "n_a"), "doc_a")
+        .filter(col("n_a") >= 10)
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("inter"),
+          (col("inter").cast("double") / col("n_a")).as("containment"))
+        .filter(col("containment") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH $prunedShinglesSql,
+      cnt AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM pruned a JOIN pruned b
+          ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n AS n_a, inter,
+        CAST(inter AS DOUBLE) / n AS containment
+      FROM pairs JOIN cnt ON doc_a = doc_id
+      WHERE n >= 10 AND CAST(inter AS DOUBLE) / n >= 0.5
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[QueryDef] =
     Seq(qExact, qNgramJaccard, qMinHashLsh, qSimHash, qClusters,
-      qLineDedup, qDupSpans, qSourceOverlap)
+      qLineDedup, qDupSpans, qSourceOverlap, qContainment)
 }

@@ -418,6 +418,71 @@ object TimeSeries {
       FROM e
       ORDER BY event_type, bucket_us"""))
 
+  /** Holt linear (double-exponential) smoothing, α=0.5 β=0.25: level
+    * AND trend per hourly bucket, plus the one-step-ahead forecast
+    * l+b — the trend-aware upgrade of q_ts_ewma for drifting series.
+    * Initialization l₁=x₁, b₁=0. Same cross-engine strategy as the
+    * EWMA: a sequential two-variable float fold, run ONCE per series
+    * as a typed flatMapGroups (O(B) per series of B buckets), mirrored
+    * in DuckDB by a list_reduce whose accumulator appends (level,
+    * trend) pairs — coefficients 0.5/0.25/0.75 are exact binary
+    * doubles and the fold order is identical, so every output bit
+    * matches. The recurrence uses only IEEE · and +, never pow/exp.
+    */
+  val qHolt = QueryDef(
+    "q_ts_holt",
+    (s, dir) => {
+      import s.implicits._
+      hourly(s, dir)
+        .select(col("event_type"), col("bucket_us"), col("bucket_sum"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (series, it) =>
+          val pts = it.toArray.sortBy(_._2)
+          var l = 0.0; var b = 0.0; var first = true
+          pts.iterator.map { case (_, us, x) =>
+            if (first) { l = x; b = 0.0; first = false }
+            else {
+              val lp = l
+              l = 0.5 * x + 0.5 * (lp + b)
+              b = 0.25 * (l - lp) + 0.75 * b
+            }
+            (series, us, x, l, b, l + b)
+          }
+        }
+        .toDF("event_type", "bucket_us", "bucket_sum", "level", "trend",
+          "forecast")
+        .orderBy("event_type", "bucket_us")
+    },
+    Some(s"""
+      WITH $hourlySql,
+      g AS (
+        SELECT event_type,
+          list(bucket_us ORDER BY bucket_us) AS us,
+          list(bucket_sum ORDER BY bucket_us) AS sums
+        FROM hourly GROUP BY event_type),
+      f AS (
+        SELECT event_type, us, sums,
+          list_reduce(list_transform(sums, x -> [x, CAST(0 AS DOUBLE)]),
+            (acc, x) -> list_concat(acc, [
+              0.5 * x[1] + 0.5 * (acc[len(acc) - 1] + acc[len(acc)]),
+              0.25 * ((0.5 * x[1] + 0.5 * (acc[len(acc) - 1]
+                       + acc[len(acc)])) - acc[len(acc) - 1])
+                + 0.75 * acc[len(acc)]])) AS fold
+        FROM g),
+      z AS (
+        SELECT event_type, us, sums,
+          [fold[2 * i - 1] FOR i IN generate_series(1, len(sums))] AS lvls,
+          [fold[2 * i] FOR i IN generate_series(1, len(sums))] AS trends
+        FROM f)
+      SELECT event_type, unnest(us) AS bucket_us,
+        unnest(sums) AS bucket_sum, unnest(lvls) AS level,
+        unnest(trends) AS trend,
+        unnest(list_transform(generate_series(1, len(sums)),
+          i -> lvls[i] + trends[i])) AS forecast
+      FROM z
+      ORDER BY event_type, bucket_us"""))
+
   /** Trailing-window z-score anomaly detection: each hourly bucket
     * scored against the previous 24 buckets of its series (mean /
     * sample stddev), flagged at |z| > 2.5. Sums and sums-of-squares
@@ -542,5 +607,5 @@ object TimeSeries {
 
   val all: Seq[QueryDef] =
     Seq(qAsofJoin, qGapFill, qIntervalJoin, qSessionize, qOhlc, qFunnel,
-      qRate, qEwma, qAnomaly, qRetention)
+      qRate, qEwma, qHolt, qAnomaly, qRetention)
 }

@@ -54,7 +54,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dedup candidate generation has no cartesian product") {
-    Seq("q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_ann_lsh")
+    Seq("q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_ann_lsh",
+      "q_dedup_containment")
       .foreach { n =>
         val p = plan(n)
         assert(!p.contains("CartesianProduct"),
@@ -128,12 +129,14 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("ewma folds once per series: no per-row prefix-list window") {
-    val p = plan("q_ts_ewma")
-    assert(!p.contains("Window"),
-      "ewma must not materialize per-row prefix lists via a window " +
-        "(O(B^2) per series); fold once per series instead")
-    assert(p.contains("MapGroups"),
-      "the prefix emission should be one typed fold per series")
+    for (n <- Seq("q_ts_ewma", "q_ts_holt")) {
+      val p = plan(n)
+      assert(!p.contains("Window"),
+        s"$n must not materialize per-row prefix lists via a window " +
+          "(O(B^2) per series); fold once per series instead")
+      assert(p.contains("MapGroups"),
+        s"$n: the prefix emission should be one typed fold per series")
+    }
   }
 
   test("semantic dedup: within-cell matching is an equi-join; only " +
