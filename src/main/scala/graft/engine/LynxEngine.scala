@@ -176,11 +176,14 @@ class LynxEngine(
 
   /** Compact the table's tier files (one file per day) while holding
     * the write lock, so no concurrent seal can append files that the
-    * rewrite would drop.
+    * rewrite would drop. `clusterBy` sorts rows within each day on the
+    * given tag columns so row-group stats prune selective tag
+    * predicates (see ParquetTier.compact).
     */
-  def compact(namespace: String, table: String): Unit =
+  def compact(namespace: String, table: String,
+      clusterBy: Seq[String] = Nil): Unit =
     writeLock.synchronized {
-      tier.foreach(_.compact(spark, namespace, table))
+      tier.foreach(_.compact(spark, namespace, table, clusterBy))
     }
 
   /** Run `sql` against namespace `namespace`. None = unknown

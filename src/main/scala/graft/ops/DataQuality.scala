@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Parity._
+
+/** Data-quality operators (Deequ-style table QA): column profiling and
+  * declarative constraint validation — the checks an ingest pipeline
+  * runs before promoting a batch at 100 TB. Both are single-pass
+  * aggregates (one scan, partial aggregation map-side, a handful of
+  * result rows), so cost scales with the scan, never with the check
+  * count.
+  *
+  * Reference behavior: lynx has no QA surface; this is a north-star
+  * extension (the reference user's "is this batch sane" question,
+  * answered inside the engine).
+  */
+object DataQuality {
+
+  private def T(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  /** Column profile of lineitem in long form: one row per profiled
+    * column with row/null/distinct counts plus typed min/max (numeric
+    * as double, strings lexicographic — kept in separate columns so no
+    * cross-engine double→string formatting is ever compared). One scan
+    * computes every aggregate; the stack to long form is driver-free.
+    */
+  val qProfile = QueryDef(
+    "q_dq_profile",
+    (s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val nums = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val strs = Seq("l_returnflag", "l_linestatus")
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        nums.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_dist"),
+          min(col(c)).as(s"${c}_min"),
+          max(col(c)).as(s"${c}_max"))) ++
+        strs.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_dist"),
+          min(col(c)).as(s"${c}_min"),
+          max(col(c)).as(s"${c}_max")))
+      val wide = li.agg(aggs.head, aggs.tail: _*)
+      def profRow(c: String, numeric: Boolean) = struct(
+        lit(c).as("col_name"), col("n").as("n"),
+        col(s"${c}_nulls").as("n_nulls"),
+        col(s"${c}_dist").as("n_distinct"),
+        (if (numeric) col(s"${c}_min").cast("double")
+         else lit(null).cast("double")).as("min_num"),
+        (if (numeric) col(s"${c}_max").cast("double")
+         else lit(null).cast("double")).as("max_num"),
+        (if (numeric) lit(null).cast("string")
+         else col(s"${c}_min")).as("min_str"),
+        (if (numeric) lit(null).cast("string")
+         else col(s"${c}_max")).as("max_str"))
+      val rows = nums.map(profRow(_, numeric = true)) ++
+        strs.map(profRow(_, numeric = false))
+      wide.select(explode(array(rows: _*)).as("r"))
+        .select("r.*")
+        .orderBy("col_name")
+    },
+    Some {
+      val nums = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val strs = Seq("l_returnflag", "l_linestatus")
+      val sel = nums.map(c => s"""
+        SELECT '$c' AS col_name, count(*) AS n,
+          CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_nulls,
+          count(DISTINCT $c) AS n_distinct,
+          CAST(min($c) AS DOUBLE) AS min_num,
+          CAST(max($c) AS DOUBLE) AS max_num,
+          CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        FROM lineitem""") ++ strs.map(c => s"""
+        SELECT '$c' AS col_name, count(*) AS n,
+          CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_nulls,
+          count(DISTINCT $c) AS n_distinct,
+          CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+          min($c) AS min_str, max($c) AS max_str
+        FROM lineitem""")
+      sel.mkString("", " UNION ALL ", " ORDER BY col_name")
+    })
+
+  /** Declarative constraint suite over the star schema: referential
+    * integrity (anti-join orphan counts), key uniqueness, and domain
+    * rules, each one row of (check, n_violations, n_checked, ok).
+    * Violation counts come from semi/anti joins and predicate sums —
+    * every check is a scan-proportional aggregate, and the dim side of
+    * each FK check is the broadcastable side.
+    */
+  val qChecks = QueryDef(
+    "q_dq_checks",
+    (s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val ord = T(s, dir, "orders")
+      val cust = T(s, dir, "customer")
+      // every check is (1-row violation count) × (1-row checked count),
+      // assembled lazily — nothing executes at construction, and each
+      // crossJoin broadcasts a single row
+      def check(name: String, viol: DataFrame, checked: DataFrame)
+          : DataFrame =
+        viol.agg(count(lit(1)).as("n_violations"))
+          .crossJoin(broadcast(checked.agg(count(lit(1)).as("n_checked"))))
+          .select(lit(name).as("check_name"), col("n_violations"),
+            col("n_checked"), (col("n_violations") === 0L).as("ok"))
+      val dup = li.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_violations"))
+        .crossJoin(broadcast(li.agg(count(lit(1)).as("n_checked"))))
+        .select(lit("unique_lineitem_key").as("check_name"),
+          col("n_violations"), col("n_checked"),
+          (col("n_violations") === 0L).as("ok"))
+      check("fk_lineitem_orders",
+        li.select("l_orderkey").join(ord.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti"), li)
+        .union(check("fk_orders_customer",
+          ord.select("o_custkey").join(cust.select("c_custkey"),
+            col("o_custkey") === col("c_custkey"), "left_anti"), ord))
+        .union(dup)
+        .union(check("domain_quantity_positive",
+          li.filter(col("l_quantity") <= 0.0 || col("l_quantity").isNull),
+          li))
+        .union(check("domain_discount_unit_interval",
+          li.filter(col("l_discount") < 0.0 || col("l_discount") > 1.0),
+          li))
+        .union(check("order_before_ship",
+          li.select("l_orderkey", "l_shipdate")
+            .join(ord.select("o_orderkey", "o_orderdate"),
+              col("l_orderkey") === col("o_orderkey"))
+            .filter(col("l_shipdate") < col("o_orderdate")), li))
+        .orderBy("check_name")
+    },
+    Some("""
+      WITH t(check_name, n_violations, n_checked) AS (
+        SELECT 'fk_lineitem_orders',
+          (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+            (SELECT o_orderkey FROM orders)),
+          (SELECT count(*) FROM lineitem)
+        UNION ALL
+        SELECT 'fk_orders_customer',
+          (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+            (SELECT c_custkey FROM customer)),
+          (SELECT count(*) FROM orders)
+        UNION ALL
+        SELECT 'unique_lineitem_key',
+          (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM (
+            SELECT count(*) AS c FROM lineitem
+            GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)),
+          (SELECT count(*) FROM lineitem)
+        UNION ALL
+        SELECT 'domain_quantity_positive',
+          (SELECT count(*) FROM lineitem
+           WHERE l_quantity <= 0.0 OR l_quantity IS NULL),
+          (SELECT count(*) FROM lineitem)
+        UNION ALL
+        SELECT 'domain_discount_unit_interval',
+          (SELECT count(*) FROM lineitem
+           WHERE l_discount < 0.0 OR l_discount > 1.0),
+          (SELECT count(*) FROM lineitem)
+        UNION ALL
+        SELECT 'order_before_ship',
+          (SELECT count(*) FROM lineitem JOIN orders
+            ON l_orderkey = o_orderkey
+           WHERE l_shipdate < o_orderdate),
+          (SELECT count(*) FROM lineitem))
+      SELECT check_name, n_violations, n_checked,
+        n_violations = 0 AS ok
+      FROM t ORDER BY check_name"""))
+
+  val all: Seq[QueryDef] = Seq(qProfile, qChecks)
+}

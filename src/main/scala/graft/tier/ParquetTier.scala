@@ -477,7 +477,22 @@ final class ParquetTier(root: File,
     * through LynxEngine.compact, which serializes manifest writers via
     * the engine write lock.
     */
-  def compact(spark: SparkSession, ns: String, table: String): Unit = {
+  def compact(spark: SparkSession, ns: String, table: String): Unit =
+    compact(spark, ns, table, Nil)
+
+  /** Compact with optional data clustering: `clusterBy` columns are
+    * sorted WITHIN each day's rewrite, so parquet row-group min/max
+    * statistics on those columns become tight, disjoint ranges — a
+    * point/range predicate on a clustered column then skips whole row
+    * groups at scan time (and whole files once a day spans several).
+    * This is the scan-locality lever the 100 TB layout needs for
+    * selective non-time predicates (the day partitioning already
+    * handles time). `writeOptions` passes parquet knobs (e.g.
+    * `parquet.block.size` to bound row-group size) to the rewrite.
+    */
+  def compact(spark: SparkSession, ns: String, table: String,
+      clusterBy: Seq[String],
+      writeOptions: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.functions.col
     val dir = tableDir(ns, table)
     if (!dir.isDirectory) return
@@ -486,11 +501,17 @@ final class ParquetTier(root: File,
     if (currentRel.isEmpty) return
     val staging = stagingDir(ns, table,
       "compact-" + java.util.UUID.randomUUID())
-    spark.read.option("mergeSchema", "true")
+    val compacted = spark.read.option("mergeSchema", "true")
       .option("basePath", dir.getPath)
       .parquet(currentRel.map(new File(dir, _).getPath): _*)
       .repartition(col(DayCol))
-      .write.mode("overwrite").partitionBy(DayCol).parquet(staging.getPath)
+    val clustered =
+      if (clusterBy.isEmpty) compacted
+      else compacted.sortWithinPartitions(
+        (DayCol +: clusterBy).map(col): _*)
+    clustered
+      .write.mode("overwrite").options(writeOptions)
+      .partitionBy(DayCol).parquet(staging.getPath)
     val newRel = parquetFilesUnder(staging).map(relativize(staging, _))
     newRel.foreach { rel =>
       val dst = new File(dir, rel)

@@ -597,4 +597,56 @@ class EngineSpec extends AnyFunSuite {
     val rows = r2.rows.map(r0 => (0 until 3).map(r0.get))
     assert(rows == Seq(Seq("1", "h1", null), Seq("2", null, "z1")))
   }
+
+  test("clustered compaction yields disjoint row-group stats on the " +
+    "cluster column") {
+    import scala.jdk.CollectionConverters._
+    val spark = SparkFixture.spark
+    val tierDir = Files.createTempDirectory("cluster-tier").toFile
+    val tier = new ParquetTier(tierDir)
+    val e = newEngine(Some(tier))
+    // one day of rows over 40 hosts, ingest order interleaved so the
+    // unclustered layout has every host in every region of the file
+    val n = 8000
+    (0 until n).foreach { i =>
+      e.write(WriteRequest("ns", "cpu", (i % 97).toString,
+        Map("host" -> TagString(f"h${i % 40}%02d")), 1000000L + i))
+      if (i % 2000 == 1999) e.seal("ns", "cpu")
+    }
+    e.seal("ns", "cpu")
+    // cluster by host; tiny row groups so the small fixture still
+    // produces several groups to prove disjointness on
+    tier.compact(spark, "ns", "cpu", Seq("host"),
+      Map("parquet.block.size" -> "16384", "parquet.page.size" -> "4096"))
+    val files = tier.dataFiles("ns", "cpu")
+    assert(files.size == 1, "one day must compact to one file")
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(files.head),
+      spark.sparkContext.hadoopConfiguration)
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = rdr.getFooter.getBlocks.asScala.toSeq
+      assert(blocks.size >= 2,
+        s"need multiple row groups to prove clustering, got ${blocks.size}")
+      val ranges = blocks.map { b =>
+        val c = b.getColumns.asScala
+          .find(_.getPath.toDotString == "host").get
+        val st = c.getStatistics
+          .asInstanceOf[org.apache.parquet.column.statistics.BinaryStatistics]
+        (st.genericGetMin.toStringUsingUTF8,
+          st.genericGetMax.toStringUsingUTF8)
+      }
+      ranges.sliding(2).foreach {
+        case Seq((_, maxA), (minB, _)) =>
+          assert(maxA <= minB,
+            s"row-group host ranges must be disjoint after clustering: " +
+              s"$ranges")
+        case _ =>
+      }
+    } finally rdr.close()
+    // results unchanged: per-host counts survive the clustered rewrite
+    val r = e.query("ns",
+      "SELECT count(*) AS c FROM cpu WHERE host = 'h07'").get
+    assert(r.rows.head.getLong(0) == n / 40)
+  }
 }
