@@ -145,6 +145,37 @@ object ScaleSmoke {
     embs.repartition(8).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
 
+    // TPC-H facts replicate 10× with key-shifted order keys; dims stay
+    // fixed (the realistic growth mode: fact tables grow, dimensions
+    // don't). Every lineitem keeps its orders parent because both
+    // sides shift o_orderkey/l_orderkey by the same r·IdStride.
+    val ords = spark.read.parquet(s"$src/orders.parquet")
+      .withColumn("r", r)
+      .select((col("o_orderkey") + col("r") * IdStride).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    ords.repartition(8).write.mode("overwrite")
+      .parquet(s"$out/orders.parquet")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+      .withColumn("r", r)
+      .select((col("l_orderkey") + col("r") * IdStride).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"))
+    li.repartition(8).write.mode("overwrite")
+      .parquet(s"$out/lineitem.parquet")
+    // dimension + events tables: byte-for-byte copies (events carries
+    // TIMESTAMP(NANOS) metadata a read+rewrite would alter — see
+    // Tables.t — so never round-trip it through a reader)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "events")) {
+      val dst = new java.io.File(s"$out/$t.parquet")
+      if (!dst.exists())
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$src/$t.parquet"), dst.toPath)
+    }
+
     java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
     println(s"""{"generated":"$out","docs":${Replicas}x,"src":"$src"}""")
   }

@@ -241,6 +241,42 @@ object StreamingIngest {
       }
   }
 
+  final case class HoltOut(series: String, bucketUs: Long, x: Double,
+      level: Double, trend: Double, forecast: Double)
+  final case class HoltState(level: Double, trend: Double)
+
+  /** q_ts_holt as a stateful op: the level+trend recurrence with two
+    * doubles of state per series. Same coefficients (0.5/0.25/0.75,
+    * exact binary doubles), same l₁=x₁ b₁=0 init, same fold order as
+    * the batch operator — so the emitted (level, trend, forecast) are
+    * bit-identical to q_ts_holt for the same bucket sequence, however
+    * the stream is micro-batched (StreamingSpec asserts it). Same
+    * ordered-upstream contract as [[ewma]].
+    */
+  def holt(points: Dataset[EwmaPoint], alpha: Double = 0.5,
+      beta: Double = 0.25): Dataset[HoltOut] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.series)
+      .flatMapGroupsWithState[HoltState, HoltOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (series, batch, state: GroupState[HoltState]) =>
+          var st = state.getOption
+          val out = batch.toSeq.sortBy(_.bucketUs).map { p =>
+            val next = st match {
+              case None => HoltState(p.x, 0.0)
+              case Some(HoltState(lp, bp)) =>
+                val l = alpha * p.x + (1 - alpha) * (lp + bp)
+                HoltState(l, beta * (l - lp) + (1 - beta) * bp)
+            }
+            st = Some(next)
+            HoltOut(series, p.bucketUs, p.x, next.level, next.trend,
+              next.level + next.trend)
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   final case class RateOut(series: String, bucketUs: Long, x: Double,
       delta: Double, ratePerS: Double)
   final case class RateState(bucketUs: Long, x: Double)

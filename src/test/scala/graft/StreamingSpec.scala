@@ -159,6 +159,48 @@ class StreamingSpec extends AnyFunSuite {
       "ewma_three") == expected)
   }
 
+  test("streaming holt reproduces the batch level+trend fold " +
+    "bit-for-bit across micro-batch splits") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.{EwmaPoint, HoltOut}
+
+    val pts = (0 until 40).map(i =>
+      EwmaPoint(if (i % 2 == 0) "cpu" else "mem",
+        i.toLong * 3600000000L, math.sin(i) * 100 + i))
+    // ground truth: the q_ts_holt fold (same expression order)
+    val expected = pts.groupBy(_.series).flatMap { case (s, g) =>
+      var l = 0.0; var b = 0.0; var first = true
+      g.sortBy(_.bucketUs).map { p =>
+        if (first) { l = p.x; b = 0.0; first = false }
+        else {
+          val lp = l
+          l = 0.5 * p.x + 0.5 * (lp + b)
+          b = 0.25 * (l - lp) + 0.75 * b
+        }
+        (s, p.bucketUs) -> (l, b, l + b)
+      }
+    }
+
+    def run(splits: Seq[Seq[EwmaPoint]],
+        name: String): Map[(String, Long), (Double, Double, Double)] = {
+      val mem = MemoryStream[EwmaPoint]
+      val q = StreamingIngest.holt(mem.toDS()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      splits.foreach { s => mem.addData(s); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[HoltOut].collect()
+        .map(o => (o.series, o.bucketUs) -> (o.level, o.trend, o.forecast))
+        .toMap
+    }
+
+    assert(run(Seq(pts), "holt_one") == expected)
+    assert(run(Seq(pts.take(7), pts.slice(7, 29), pts.drop(29)),
+      "holt_three") == expected)
+  }
+
   test("streaming rate and anomaly ops reproduce the batch " +
     "operators bit-for-bit on the same bucket sequence") {
     val spark = SparkFixture.spark
