@@ -6,10 +6,9 @@ import Parity._
 
 /** Data-quality operators (Deequ-style table QA): column profiling and
   * declarative constraint validation — the checks an ingest pipeline
-  * runs before promoting a batch at 100 TB. Both are single-pass
-  * aggregates (one scan, partial aggregation map-side, a handful of
-  * result rows), so cost scales with the scan, never with the check
-  * count.
+  * runs before promoting a batch at 100 TB. Every aggregate is
+  * scan-proportional with map-side partial aggregation and a
+  * handful of result rows; nothing is ever collected per-row.
   *
   * Reference behavior: lynx has no QA surface; this is a north-star
   * extension (the reference user's "is this batch sane" question,
@@ -23,7 +22,10 @@ object DataQuality {
     * column with row/null/distinct counts plus typed min/max (numeric
     * as double, strings lexicographic — kept in separate columns so no
     * cross-engine double→string formatting is ever compared). One scan
-    * computes every aggregate; the stack to long form is driver-free.
+    * computes every non-distinct aggregate; distinct counts run as
+    * separate single-distinct two-phase aggregates over one-column
+    * pruned scans (see the Expand note below), and the long form comes
+    * from one explode — driver-free end to end.
     */
   val qProfile = QueryDef(
     "q_dq_profile",
@@ -31,18 +33,21 @@ object DataQuality {
       val li = T(s, dir, "lineitem")
       val nums = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val strs = Seq("l_returnflag", "l_linestatus")
+      // ONE scan for every non-distinct aggregate; the distinct counts
+      // would all land in one aggregate too, but >1 count(DISTINCT) in
+      // a single agg plans as an Expand that multiplies every row by
+      // (distinct-aggs + 1) — so each runs as its own single-distinct
+      // two-phase aggregate over a one-column pruned scan, and the
+      // 1-row results broadcast-crossJoin back onto the wide row
       val aggs = Seq(count(lit(1)).as("n")) ++
-        nums.flatMap(c => Seq(
+        (nums ++ strs).flatMap(c => Seq(
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-          countDistinct(col(c)).as(s"${c}_dist"),
-          min(col(c)).as(s"${c}_min"),
-          max(col(c)).as(s"${c}_max"))) ++
-        strs.flatMap(c => Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-          countDistinct(col(c)).as(s"${c}_dist"),
           min(col(c)).as(s"${c}_min"),
           max(col(c)).as(s"${c}_max")))
-      val wide = li.agg(aggs.head, aggs.tail: _*)
+      val wide = (nums ++ strs).foldLeft(li.agg(aggs.head, aggs.tail: _*)) {
+        (acc, c) => acc.crossJoin(broadcast(
+          li.agg(countDistinct(col(c)).as(s"${c}_dist"))))
+      }
       def profRow(c: String, numeric: Boolean) = struct(
         lit(c).as("col_name"), col("n").as("n"),
         col(s"${c}_nulls").as("n_nulls"),
