@@ -663,10 +663,12 @@ object Dedup {
   val qSourceOverlap = QueryDef(
     "q_source_overlap",
     (s, dir) => {
+      // cached: the set feeds the size aggregate AND both self-join
+      // sides — same idiom as qNgramJaccard's pruned-shingle cache
       val srcSh = shingles(s, dir)
         .join(Tables.t(s, dir, "documents").select("doc_id", "source"),
           "doc_id")
-        .select("source", "sh").distinct()
+        .select("source", "sh").distinct().cache()
       val sizes = srcSh.groupBy(col("source"))
         .agg(count(lit(1)).as("n_sh"))
       val inter = srcSh.toDF("sa", "sh")

@@ -1039,8 +1039,76 @@ object Similarity {
       ORDER BY c.vec_id"""
     })
 
+  /** Matryoshka truncation evaluation: how much cosine structure
+    * survives keeping only the first `MrlDims` of 64 dimensions — the
+    * measurement behind serving truncated (MRL-style) embeddings at a
+    * fraction of the storage/compute. For every ground-truth near-dup
+    * pair (the gated brute-force set, cos > 0.4), the truncated-space
+    * cosine is compared to the full one; per 0.1-wide cosine band:
+    * pair count, exact-decimal mean absolute error, and worst error.
+    * Prefix dot products fold left-to-right (Spark `aggregate` HOF ↔
+    * DuckDB list comprehension), so both engines see bit-identical
+    * truncated cosines. Fixture-gated like the baseline it consumes;
+    * at scale the same comparison runs over q_embed_pairs_lsh
+    * candidates instead.
+    */
+  val qMatryoshka = QueryDef(
+    "q_embed_matryoshka",
+    (s, dir) => {
+      val MrlDims = 16
+      def dot16(a: Column, b: Column): Column =
+        aggregate(sequence(lit(1), lit(MrlDims)), lit(0.0),
+          (acc, i) => acc + element_at(a, i).cast("double") *
+            element_at(b, i).cast("double"))
+      val e16 = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm16",
+          sqrt(dot16(col("embedding"), col("embedding"))))
+      val truth = qCosinePairs.run(s, dir)
+      truth
+        .join(broadcast(e16.toDF("id_a", "emb_a", "nrm_a")), "id_a")
+        .join(broadcast(e16.toDF("id_b", "emb_b", "nrm_b")), "id_b")
+        .select(
+          least(floor((col("cos") - 0.4) / 0.1), lit(2)).cast("int")
+            .as("band"),
+          abs(col("cos") - dot16(col("emb_a"), col("emb_b")) /
+            (col("nrm_a") * col("nrm_b"))).as("err"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          (Parity.dsum(col("err")) / count(lit(1))).as("mae"),
+          max(col("err")).as("max_err"))
+        .orderBy("band")
+    },
+    Some {
+      def dot16(a: String, b: String): String =
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
+             for i in generate_series(1, 16)]), (acc, v) -> acc + v)"""
+      s"""
+      WITH $vectorsSql,
+      e16 AS (SELECT vec_id, embedding,
+        sqrt(${dot16("embedding", "embedding")}) AS nrm16 FROM embeddings),
+      bf AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+        FROM vectors a JOIN vectors b ON a.vec_id < b.vec_id
+        WHERE ${dotSql("a.embedding", "b.embedding")} /
+          (a.nrm * b.nrm) > 0.4),
+      errs AS (
+        SELECT CAST(least(floor((cos - 0.4) / 0.1), 2) AS INT) AS band,
+          abs(cos - ${dot16("ea.embedding", "eb.embedding")} /
+            (ea.nrm16 * eb.nrm16)) AS err
+        FROM bf
+        JOIN e16 ea ON ea.vec_id = bf.id_a
+        JOIN e16 eb ON eb.vec_id = bf.id_b)
+      SELECT band, count(*) AS n,
+        ${Parity.dsumSql("err")} / count(*) AS mae,
+        max(err) AS max_err
+      FROM errs GROUP BY band ORDER BY band"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf,
       qEmbedCentroids, qEmbedPq, qAnnAdc, qEmbedRp, qEmbedQuantize,
-      qSemanticDedup, qAnnRecall)
+      qSemanticDedup, qAnnRecall, qMatryoshka)
 }
