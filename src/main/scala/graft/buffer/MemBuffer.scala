@@ -60,12 +60,23 @@ final class MemBuffer {
     mutable.TreeMap.empty
   private val lock = new Object
 
+  // Per-(ns, table) mutation counter: strictly increases on every
+  // insert and drain, so any cache keyed on (revision, tier version)
+  // can never serve stale buffered rows (see LynxEngine's result
+  // cache). Read it under the same engine lock as the snapshot.
+  private val revs = mutable.Map.empty[(String, String), Long]
+
+  def revision(namespace: String, table: String): Long =
+    lock.synchronized(revs.getOrElse((namespace, table), 0L))
+
   def insert(w: WriteRequest): Unit = lock.synchronized {
     val ns = root.getOrElseUpdate(w.namespace, mutable.TreeMap.empty)
     val table = ns.getOrElseUpdate(w.measurement, mutable.TreeMap.empty)
     val part = table.getOrElseUpdate(
       PartitionKey.fromMicros(w.timestamp), new Measurements)
     part.append(w)
+    val key = (w.namespace, w.measurement)
+    revs(key) = revs.getOrElse(key, 0L) + 1
   }
 
   /** Snapshot of all tables of a namespace (None if unknown —
@@ -89,6 +100,8 @@ final class MemBuffer {
       : Option[TreeMap[String, MeasurementsView]] = lock.synchronized {
     root.get(namespace).flatMap { ns =>
       ns.remove(table).map { parts =>
+        val key = (namespace, table)
+        revs(key) = revs.getOrElse(key, 0L) + 1
         TreeMap.from(parts.map { case (day, m) => day -> m.snapshot })
       }
     }

@@ -54,9 +54,26 @@ class LynxEngine(
     maxBufferedRows: Int = Int.MaxValue,
     maxResultRows: Int = Int.MaxValue,
     walGroupCommitMillis: Long = 0L,
-    walFsync: Boolean = false) {
+    walFsync: Boolean = false,
+    resultCacheEntries: Int = 64) {
 
   val buffer = new MemBuffer
+
+  // MVCC-keyed result cache: key = (ns, sql, per-referenced-table
+  // (buffer revision, tier manifest version)). Revisions strictly
+  // increase on every write/seal and the manifest version on every
+  // seal/compaction, so a stale entry can never be served — no TTLs,
+  // no explicit invalidation hooks. Bounded LRU of small results only
+  // (the cap keeps a cached SELECT * from pinning heap).
+  private val MaxCachedResultRows = 10000
+  private[graft] val resultCacheHits =
+    new java.util.concurrent.atomic.AtomicLong
+  private val resultCache =
+    new java.util.LinkedHashMap[AnyRef, QueryResult](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[AnyRef, QueryResult]): Boolean =
+        size > resultCacheEntries
+    }
   private val (replayedHighest, replayedIds) =
     Wal.replay(walDir, buffer, m => {
       buffer.drainTable(m.value, m.measurement)
@@ -220,10 +237,10 @@ class LynxEngine(
     // (a disk write) happens after the lock is dropped — the pin
     // already blocks in-process GC, and a foreign compactor owes the
     // trash grace period across the sub-millisecond gap.
-    val (snapshot, pinned, tierHasNs) = writeLock.synchronized {
+    val (snapshot, pinned, tierHasNs, cacheKey) = writeLock.synchronized {
       val mem = buffer.tables(namespace)
-      tier match {
-        case None => (mem, Map.empty[String, graft.tier.TierSnapshot], false)
+      val (acq, hasNs) = tier match {
+        case None => (Map.empty[String, graft.tier.TierSnapshot], false)
         case Some(t) =>
           val present = t.tables(namespace)
           val acquired =
@@ -236,7 +253,27 @@ class LynxEngine(
               acquired.values.foreach(t.release)
               throw e
           }
-          (mem, acquired.toMap, present.nonEmpty)
+          (acquired.toMap, present.nonEmpty)
+      }
+      // the cache key reads buffer revisions INSIDE the lock, atomic
+      // with the snapshot — a write racing this query either bumps the
+      // revision before the key is built (miss, fresh read) or lands
+      // after the snapshot (invisible to this query AND this key)
+      val key: AnyRef =
+        if (resultCacheEntries <= 0 || LynxEngine.cacheUnsafe(plan)) null
+        else (namespace, sql, tables.toSeq.sorted.map(t =>
+          (t, buffer.revision(namespace, t),
+            acq.get(t).map(_.version).getOrElse(-1L))))
+      (mem, acq, hasNs, key)
+    }
+    if (cacheKey != null) {
+      val hit = resultCache.synchronized(Option(resultCache.get(cacheKey)))
+      hit match {
+        case Some(r) =>
+          tier.foreach(t => pinned.values.foreach(t.release))
+          resultCacheHits.incrementAndGet()
+          return Some(r)
+        case None =>
       }
     }
     val tierSnaps = tier match {
@@ -288,7 +325,10 @@ class LynxEngine(
                 "add a LIMIT or raise LYNX_MAX_RESULT_ROWS")
           r.toSeq
         }
-      Some(QueryResult(df.schema, rows))
+      val result = QueryResult(df.schema, rows)
+      if (cacheKey != null && rows.length <= MaxCachedResultRows)
+        resultCache.synchronized { resultCache.put(cacheKey, result); () }
+      Some(result)
     } finally tier.foreach(t => tierSnaps.values.foreach(t.release))
   }
 }
@@ -363,18 +403,40 @@ object LynxEngine {
     */
   private val BannedFunctions = Set("reflect", "java_method")
 
+  /** Functions whose value depends on when/where the query runs —
+    * caching a result containing one would freeze it. The engine's
+    * result cache skips any query calling these (conservative
+    * name-based check on the unresolved plan).
+    */
+  private val NondeterministicFunctions = Set(
+    "now", "current_timestamp", "current_date", "current_timezone",
+    "localtimestamp", "curdate", "current_localdatetime", "unix_timestamp",
+    "rand", "random", "randn", "uuid", "shuffle", "monotonically_increasing_id",
+    "spark_partition_id", "input_file_name", "rand_str", "uniform",
+    "session_user", "current_user", "user", "version")
+
   /** Names of banned function calls anywhere in the plan, including
     * inside CTE definitions and subquery expressions (both invisible
     * to a plain plan traversal).
     */
-  def forbiddenCalls(plan: LogicalPlan): Seq[String] = {
+  def forbiddenCalls(plan: LogicalPlan): Seq[String] =
+    callsMatching(plan, BannedFunctions)
+
+  /** True when the query calls any time/run-dependent function — such
+    * results must not enter the result cache.
+    */
+  def cacheUnsafe(plan: LogicalPlan): Boolean =
+    callsMatching(plan, NondeterministicFunctions).nonEmpty
+
+  private def callsMatching(plan: LogicalPlan,
+      names: Set[String]): Seq[String] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
     import org.apache.spark.sql.catalyst.expressions.{Expression,
       SubqueryExpression}
     def fromExpr(e: Expression): Seq[String] = {
       val here = e match {
         case f: UnresolvedFunction
-          if BannedFunctions(f.nameParts.last.toLowerCase) =>
+          if names(f.nameParts.last.toLowerCase) =>
           Seq(f.nameParts.last.toLowerCase)
         case _ => Nil
       }

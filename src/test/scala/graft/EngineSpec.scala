@@ -598,6 +598,42 @@ class EngineSpec extends AnyFunSuite {
     assert(rows == Seq(Seq("1", "h1", null), Seq("2", null, "z1")))
   }
 
+  test("result cache: hits on identical MVCC state, invalidates on " +
+    "write and seal, skips nondeterministic SQL") {
+    val tierDir = Files.createTempDirectory("rescache-tier").toFile
+    val tier = new ParquetTier(tierDir)
+    val e = newEngine(Some(tier))
+    e.write(WriteRequest("ns", "cpu", "1", Map.empty, 1L))
+    val q = "SELECT sum(CAST(value AS BIGINT)) AS s FROM cpu"
+    assert(e.query("ns", q).get.rows.head.getLong(0) == 1L)
+    assert(e.resultCacheHits.get == 0)
+    // identical state → served from cache
+    val r2 = e.query("ns", q).get
+    assert(e.resultCacheHits.get == 1)
+    assert(r2.rows.head.getLong(0) == 1L)
+    // a write bumps the buffer revision → miss, fresh result
+    e.write(WriteRequest("ns", "cpu", "2", Map.empty, 2L))
+    assert(e.query("ns", q).get.rows.head.getLong(0) == 3L)
+    assert(e.resultCacheHits.get == 1)
+    // sealing moves rows to the tier (new revision + manifest
+    // version) → miss, then the re-keyed entry caches again
+    e.seal("ns", "cpu")
+    assert(e.query("ns", q).get.rows.head.getLong(0) == 3L)
+    assert(e.resultCacheHits.get == 1)
+    assert(e.query("ns", q).get.rows.head.getLong(0) == 3L)
+    assert(e.resultCacheHits.get == 2)
+    // a different table's writes must not invalidate this entry
+    e.write(WriteRequest("ns", "mem", "9", Map.empty, 3L))
+    assert(e.query("ns", q).get.rows.head.getLong(0) == 3L)
+    assert(e.resultCacheHits.get == 3)
+    // nondeterministic SQL is never cached
+    val nq = "SELECT value, now() AS t FROM cpu"
+    e.query("ns", nq)
+    e.query("ns", nq)
+    assert(e.resultCacheHits.get == 3,
+      "now() results must not be served from the cache")
+  }
+
   test("clustered compaction yields disjoint row-group stats on the " +
     "cluster column") {
     import scala.jdk.CollectionConverters._
