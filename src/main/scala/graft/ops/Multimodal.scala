@@ -552,5 +552,96 @@ object Multimodal {
         CAST(max(abs(s)) AS BIGINT) AS peak
       FROM x GROUP BY doc_id ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(qMeta, qDecode, qPixels, qFrames, qAudio)
+  final case class AudioFrames(doc_id: Long, n_frames: Long,
+      peak_energy: Long, peak_frame: Long, active_frames: Long)
+
+  /** Frame-energy kernel: 64-sample frames, per-frame sum of squares
+    * (integer-exact in Long — |s| ≤ 2^14 keeps 64 squares far under
+    * 2^63), per-doc peak frame (first index on ties) and count of
+    * frames above the activity threshold — the voice-activity /
+    * silence-trim primitive of audio curation. Partial tail frames
+    * are dropped so frame counts are well-defined.
+    */
+  def decodeAudioFrames(media: Dataset[MediaRecord],
+      frameLen: Int = 64,
+      activeThreshold: Long = 100000000L): Dataset[AudioFrames] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val s = decodePcm(m.content)
+        val nf = s.length / frameLen
+        if (nf == 0) None
+        else {
+          var peak = -1L
+          var peakIdx = 0L
+          var active = 0L
+          var f = 0
+          while (f < nf) {
+            var e = 0L
+            var i = f * frameLen
+            val end = i + frameLen
+            while (i < end) { e += s(i).toLong * s(i); i += 1 }
+            if (e > peak) { peak = e; peakIdx = f.toLong }
+            if (e > activeThreshold) active += 1
+            f += 1
+          }
+          Some(AudioFrames(m.doc_id, nf.toLong, peak, peakIdx, active))
+        }
+      }
+    }
+  }
+
+  /** Windowed audio-energy pipeline over the REAL WAV path: encode →
+    * decode → 64-sample frame energies, reporting per doc the frame
+    * count, peak frame energy + its (first) index, and the
+    * above-threshold frame count. All integer arithmetic, so the
+    * oracle re-derives every value from the synthesis formula.
+    */
+  val qAudioEnergy = QueryDef(
+    "q_multimodal_audio_energy",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables.t(s, dir, "documents")
+        .select("doc_id", "text").as[(Long, String)]
+        .filter(_._2.nonEmpty)
+        .map { case (id, text) =>
+          val wav = synthesizeWav(text.getBytes("UTF-8"))
+          MediaRecord(id, "audio", wav, 0, 0)
+        }
+      decodeAudioFrames(media).toDF()
+        .select("doc_id", "n_frames", "peak_energy", "peak_frame",
+          "active_frames")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents WHERE octet_length(encode(text)) > 0),
+      samp AS (
+        SELECT doc_id, n, i,
+          (CAST('0x' || substr(h, CAST(2*i+1 AS INT), 2) AS BIGINT)
+            - 96) * 128 AS s
+        FROM (SELECT doc_id, h, n,
+                unnest(generate_series(0, n - 1)) AS i FROM b)),
+      fr AS (
+        SELECT doc_id, CAST(i // 64 AS BIGINT) AS frame,
+          CAST(sum(s * s) AS BIGINT) AS e
+        FROM samp WHERE i // 64 < n // 64
+        GROUP BY doc_id, i // 64),
+      agg AS (
+        SELECT doc_id, count(*) AS n_frames,
+          max(e) AS peak_energy,
+          CAST(sum(CASE WHEN e > 100000000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS active_frames
+        FROM fr GROUP BY doc_id)
+      SELECT a.doc_id, a.n_frames, a.peak_energy,
+        (SELECT min(frame) FROM fr
+         WHERE fr.doc_id = a.doc_id AND fr.e = a.peak_energy)
+          AS peak_frame,
+        a.active_frames
+      FROM agg a ORDER BY a.doc_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(qMeta, qDecode, qPixels, qFrames, qAudio, qAudioEnergy)
 }
