@@ -642,6 +642,108 @@ object Multimodal {
         a.active_frames
       FROM agg a ORDER BY a.doc_id"""))
 
+  final case class AHash(doc_id: Long, w: Long, h: Long, ahash: Long,
+      bucket_n: Long)
+
+  /** 4×4 block-mean average hash from the REAL decoded raster: bit b
+    * is set iff block b's mean exceeds the image mean. Means are never
+    * computed — the comparison is the integer cross-multiplication
+    * block_sum·n_total > total_sum·n_block, so the hash is exact in
+    * both engines (no float division to disagree on). Blocks come
+    * from the index mapping bx = x·4/w (a partition of pixels for any
+    * w, h ≥ 4), identical in the SQL mirror.
+    */
+  private def aHash16(w: Int, h: Int, px: Array[Int]): Long = {
+    val bsum = new Array[Long](16)
+    val bn = new Array[Long](16)
+    var tsum = 0L
+    var i = 0
+    while (i < px.length) {
+      val x = i % w
+      val y = i / w
+      val b = (y * 4 / h) * 4 + (x * 4 / w)
+      bsum(b) += px(i)
+      bn(b) += 1
+      tsum += px(i)
+      i += 1
+    }
+    val tn = px.length.toLong
+    var hash = 0L
+    var b = 0
+    while (b < 16) {
+      if (bsum(b) * tn > tsum * bn(b)) hash |= (1L << b)
+      b += 1
+    }
+    hash
+  }
+
+  /** Image near-dup hashing (aHash) over the real PNG encode→decode
+    * path: each document's synthesized image decodes back through
+    * ImageIO, hashes to 16 block-mean bits, and docs sharing a hash
+    * form near-dup buckets (`bucket_n` = bucket size — the image-level
+    * counterpart of exact text dedup; a banded hamming join over these
+    * hashes is the scale path for ≤k-bit variants, exactly as SimHash
+    * does for text). One shuffle on the uniform 16-bit hash.
+    */
+  val qImageHash = QueryDef(
+    "q_multimodal_imagehash",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables.t(s, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)]
+        .map { case (id, text) => synthesizePng(id, text.getBytes("UTF-8")) }
+      val hashed = media.mapPartitions { it =>
+        it.map { m =>
+          val (w, h, px) = decodeGray(m.content)
+          (m.doc_id, w.toLong, h.toLong, aHash16(w, h, px))
+        }
+      }.toDF("doc_id", "w", "h", "ahash")
+      val buckets = hashed.groupBy(col("ahash"))
+        .agg(count(lit(1)).as("bucket_n"))
+      hashed.join(buckets, "ahash")
+        .select("doc_id", "w", "h", "ahash", "bucket_n")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents),
+      dims AS (
+        SELECT doc_id, h, n, 8 + (n % 9) AS w, 8 + (n % 7) AS ht
+        FROM b),
+      px AS (
+        SELECT doc_id, n, h, w, ht,
+          unnest(generate_series(0, w * ht - 1)) AS i
+        FROM dims),
+      v AS (
+        SELECT doc_id, w, ht,
+          ((i // w) * 4 // ht) * 4 + ((i % w) * 4 // w) AS blk,
+          CASE WHEN n = 0 THEN 0
+               ELSE CAST('0x' ||
+                 substr(h, CAST(2 * (i % n) + 1 AS INT), 2) AS BIGINT)
+          END AS p
+        FROM px),
+      bs AS (
+        SELECT doc_id, w, ht, blk, sum(p) AS bsum, count(*) AS bn
+        FROM v GROUP BY doc_id, w, ht, blk),
+      tot AS (
+        SELECT doc_id, sum(bsum) AS tsum, sum(bn) AS tn
+        FROM bs GROUP BY doc_id),
+      hs AS (
+        SELECT bs.doc_id, CAST(max(w) AS BIGINT) AS w,
+          CAST(max(ht) AS BIGINT) AS h,
+          CAST(coalesce(sum(CASE WHEN bsum * tn > tsum * bn
+            THEN CAST(1 AS BIGINT) << CAST(blk AS INT) ELSE 0 END), 0)
+            AS BIGINT) AS ahash
+        FROM bs JOIN tot ON bs.doc_id = tot.doc_id
+        GROUP BY bs.doc_id),
+      bk AS (SELECT ahash, count(*) AS bucket_n FROM hs GROUP BY ahash)
+      SELECT doc_id, w, h, hs.ahash, bucket_n
+      FROM hs JOIN bk ON hs.ahash = bk.ahash
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(qMeta, qDecode, qPixels, qFrames, qAudio, qAudioEnergy)
+    Seq(qMeta, qDecode, qPixels, qFrames, qAudio, qAudioEnergy,
+      qImageHash)
 }
