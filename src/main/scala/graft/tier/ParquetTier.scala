@@ -291,6 +291,55 @@ final class ParquetTier(root: File,
       id, None)
   }
 
+  /** All published manifest versions of a table, ascending — the
+    * time-travel axis: every seal/compaction publishes the next
+    * version, and the old list files are never deleted (only their
+    * DATA files are, once trashed past grace with no pin/lease).
+    */
+  def manifestVersions(ns: String, table: String): Seq[Long] =
+    versioned(ParquetTier.ManifestName, ns, table).map(_._1)
+
+  /** Pin a SPECIFIC published manifest version (time travel). None if
+    * the version was never published. The pin keeps the version's
+    * files from GC while held — but files superseded BEFORE this pin
+    * may already be physically gone; [[readAt]] surfaces that as None
+    * instead of a broken scan.
+    */
+  def snapshotPinnedAt(ns: String, table: String,
+      version: Long): Option[TierSnapshot] = {
+    val dir = tableDir(ns, table)
+    versioned(ParquetTier.ManifestName, ns, table)
+      .find(_._1 == version).map { case (v, f) =>
+        val rel = readList(f)
+        val id = pinSeq.incrementAndGet()
+        val now = System.currentTimeMillis
+        pins.synchronized {
+          pins.getOrElseUpdate((ns, table),
+            scala.collection.mutable.Map.empty)(id) = (v, now)
+        }
+        TierSnapshot(ns, table, v, rel.map(new File(dir, _).getPath),
+          id, None)
+      }
+  }
+
+  /** Time-travel read: the table exactly as manifest `version`
+    * published it. Some(df) while every file of that version still
+    * exists (superseded files live on through the trash grace window
+    * and any pins/leases); None for an unknown version or one whose
+    * files trash GC already deleted. Execute the returned frame
+    * promptly, or hold your own [[snapshotPinnedAt]] pin around the
+    * whole read for multi-minute scans.
+    */
+  def readAt(spark: SparkSession, ns: String, table: String,
+      version: Long): Option[DataFrame] =
+    snapshotPinnedAt(ns, table, version).flatMap { snap =>
+      try {
+        if (snap.files.nonEmpty && snap.files.forall(f => new File(f).isFile))
+          Some(readFiles(spark, ns, table, snap.files, None))
+        else None
+      } finally release(snap)
+    }
+
   /** Write the snapshot's cross-process lease file and return the
     * snapshot carrying it. Split from [[snapshot]]'s pin so an engine
     * serializing snapshot acquisition under a lock can do this disk

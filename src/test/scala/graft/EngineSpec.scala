@@ -634,6 +634,39 @@ class EngineSpec extends AnyFunSuite {
       "now() results must not be served from the cache")
   }
 
+  test("time travel: historical manifest versions read the old rows, " +
+    "and report cleanly once GC'd") {
+    val spark = SparkFixture.spark
+    val tierDir = Files.createTempDirectory("travel-tier").toFile
+    val tier = new ParquetTier(tierDir)
+    val e = newEngine(Some(tier))
+    e.write(WriteRequest("ns", "cpu", "1", Map.empty, 1L))
+    e.write(WriteRequest("ns", "cpu", "2", Map.empty, 2L))
+    e.seal("ns", "cpu") // manifest v1
+    e.write(WriteRequest("ns", "cpu", "3", Map.empty, 3L))
+    e.seal("ns", "cpu") // manifest v2
+    assert(tier.manifestVersions("ns", "cpu") == Seq(1L, 2L))
+    def sumAt(v: Long): Option[Long] =
+      tier.readAt(spark, "ns", "cpu", v)
+        .map(_.selectExpr("sum(CAST(value AS BIGINT))")
+          .head.getLong(0))
+    assert(sumAt(1L) == Some(3L), "v1 must see only the first seal")
+    assert(sumAt(2L) == Some(6L), "v2 must see both seals")
+    assert(sumAt(9L) == None, "unknown versions report None")
+    // compaction supersedes v1/v2 files but keeps them through the
+    // grace window — history is still readable
+    e.compact("ns", "cpu") // manifest v3
+    assert(sumAt(1L) == Some(3L),
+      "history must survive compaction during the grace window")
+    assert(sumAt(3L) == Some(6L))
+    // zero-grace GC deletes the superseded files: v1 now reports
+    // None instead of a broken scan
+    new ParquetTier(tierDir, trashGraceMs = 0).compact(spark, "ns", "cpu")
+    assert(sumAt(1L) == None,
+      "GC'd history must report None, not a partial read")
+    assert(tier.read(spark, "ns", "cpu").count() == 3)
+  }
+
   test("clustered compaction yields disjoint row-group stats on the " +
     "cluster column") {
     import scala.jdk.CollectionConverters._
