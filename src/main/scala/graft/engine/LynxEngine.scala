@@ -223,6 +223,8 @@ class LynxEngine(
     // reference lacks, SURVEY.md §4.1)
     val dayBounds =
       if (tables.size == 1) LynxEngine.dayBounds(plan) else None
+    val cacheable =
+      resultCacheEntries > 0 && !LynxEngine.cacheUnsafe(plan)
     // buffer snapshot + pinned tier snapshots under the write lock:
     // atomic vs seal(), so rows are visible exactly once — and the
     // pins (not just the trash grace period) keep a concurrent
@@ -258,9 +260,11 @@ class LynxEngine(
       // the cache key reads buffer revisions INSIDE the lock, atomic
       // with the snapshot — a write racing this query either bumps the
       // revision before the key is built (miss, fresh read) or lands
-      // after the snapshot (invisible to this query AND this key)
+      // after the snapshot (invisible to this query AND this key).
+      // `cacheable` was computed before the lock: the plan walk is a
+      // pure function and must not extend the write-lock hold time
       val key: AnyRef =
-        if (resultCacheEntries <= 0 || LynxEngine.cacheUnsafe(plan)) null
+        if (!cacheable) null
         else (namespace, sql, tables.toSeq.sorted.map(t =>
           (t, buffer.revision(namespace, t),
             acq.get(t).map(_.version).getOrElse(-1L))))
@@ -276,10 +280,18 @@ class LynxEngine(
         case None =>
       }
     }
-    val tierSnaps = tier match {
-      case Some(t) => pinned.map { case (k, v) => k -> t.lease(v) }
-      case None => pinned
-    }
+    // lease() is documented never-throwing, but anything escaping this
+    // map (OOM, runtime bug) would otherwise leak every pin until the
+    // pin-age backstop — release defensively
+    val tierSnaps =
+      try tier match {
+        case Some(t) => pinned.map { case (k, v) => k -> t.lease(v) }
+        case None => pinned
+      } catch {
+        case e: Throwable =>
+          tier.foreach(t => pinned.values.foreach(t.release))
+          throw e
+      }
     try {
       if (snapshot.isEmpty && !tierHasNs) return None
 
@@ -423,7 +435,14 @@ object LynxEngine {
     callsMatching(plan, BannedFunctions)
 
   /** True when the query calls any time/run-dependent function — such
-    * results must not enter the result cache.
+    * results must not enter the result cache. Paren-less temporal
+    * keywords (`current_date`, `current_timestamp`, ...) do NOT parse
+    * as UnresolvedFunction: under the default parser conf they arrive
+    * as UnresolvedAttribute (resolved later by literal-function
+    * resolution), under ANSI-reserved-keywords as CurrentDate/
+    * CurrentTimestamp expression nodes — both are matched here too. A
+    * tag column literally named `current_date` loses caching, which is
+    * the safe direction.
     */
   def cacheUnsafe(plan: LogicalPlan): Boolean =
     callsMatching(plan, NondeterministicFunctions).nonEmpty
@@ -438,6 +457,18 @@ object LynxEngine {
         case f: UnresolvedFunction
           if names(f.nameParts.last.toLowerCase) =>
           Seq(f.nameParts.last.toLowerCase)
+        // paren-less temporal keywords: UnresolvedAttribute under the
+        // default parser conf (literal-function resolution happens
+        // post-parse), direct expression nodes (CurrentDate, Now, ...)
+        // under ANSI reserved keywords
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if names(a.nameParts.last.toLowerCase) =>
+          Seq(a.nameParts.last.toLowerCase)
+        case other if {
+          val cls = other.getClass.getSimpleName.toLowerCase.stripSuffix("$")
+          names.exists(n => n.replace("_", "") == cls)
+        } =>
+          Seq(other.getClass.getSimpleName.toLowerCase.stripSuffix("$"))
         case _ => Nil
       }
       val nested = e match {

@@ -322,22 +322,25 @@ final class ParquetTier(root: File,
       }
   }
 
-  /** Time-travel read: the table exactly as manifest `version`
-    * published it. Some(df) while every file of that version still
-    * exists (superseded files live on through the trash grace window
-    * and any pins/leases); None for an unknown version or one whose
-    * files trash GC already deleted. Execute the returned frame
-    * promptly, or hold your own [[snapshotPinnedAt]] pin around the
-    * whole read for multi-minute scans.
+  /** Time-travel read: run `f` over the table exactly as manifest
+    * `version` published it. The version's pin AND cross-process lease
+    * are held for the whole execution of `f` (loan pattern — returning
+    * a lazy DataFrame and releasing first would let a concurrent GC
+    * delete files before the caller executes), so the files cannot be
+    * GC'd mid-read by this or any other tier instance honoring leases.
+    * None for an unknown version or one whose files trash GC already
+    * deleted before this call pinned it.
     */
-  def readAt(spark: SparkSession, ns: String, table: String,
-      version: Long): Option[DataFrame] =
+  def readAt[T](spark: SparkSession, ns: String, table: String,
+      version: Long)(f: DataFrame => T): Option[T] =
     snapshotPinnedAt(ns, table, version).flatMap { snap =>
+      val leased = lease(snap)
       try {
-        if (snap.files.nonEmpty && snap.files.forall(f => new File(f).isFile))
-          Some(readFiles(spark, ns, table, snap.files, None))
+        if (leased.files.nonEmpty &&
+            leased.files.forall(p => new File(p).isFile))
+          Some(f(readFiles(spark, ns, table, leased.files, None)))
         else None
-      } finally release(snap)
+      } finally release(leased)
     }
 
   /** Write the snapshot's cross-process lease file and return the

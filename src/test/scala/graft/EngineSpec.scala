@@ -626,12 +626,17 @@ class EngineSpec extends AnyFunSuite {
     e.write(WriteRequest("ns", "mem", "9", Map.empty, 3L))
     assert(e.query("ns", q).get.rows.head.getLong(0) == 3L)
     assert(e.resultCacheHits.get == 3)
-    // nondeterministic SQL is never cached
-    val nq = "SELECT value, now() AS t FROM cpu"
-    e.query("ns", nq)
-    e.query("ns", nq)
+    // nondeterministic SQL is never cached — both the function form
+    // and the paren-less temporal keywords (which parse as attributes
+    // or literal expression nodes, not UnresolvedFunction)
+    for (nq <- Seq("SELECT value, now() AS t FROM cpu",
+        "SELECT value, current_date AS d FROM cpu",
+        "SELECT value, current_timestamp AS ts2 FROM cpu")) {
+      e.query("ns", nq)
+      e.query("ns", nq)
+    }
     assert(e.resultCacheHits.get == 3,
-      "now() results must not be served from the cache")
+      "time-dependent results must not be served from the cache")
   }
 
   test("time travel: historical manifest versions read the old rows, " +
@@ -647,9 +652,8 @@ class EngineSpec extends AnyFunSuite {
     e.seal("ns", "cpu") // manifest v2
     assert(tier.manifestVersions("ns", "cpu") == Seq(1L, 2L))
     def sumAt(v: Long): Option[Long] =
-      tier.readAt(spark, "ns", "cpu", v)
-        .map(_.selectExpr("sum(CAST(value AS BIGINT))")
-          .head.getLong(0))
+      tier.readAt(spark, "ns", "cpu", v)(
+        _.selectExpr("sum(CAST(value AS BIGINT))").head.getLong(0))
     assert(sumAt(1L) == Some(3L), "v1 must see only the first seal")
     assert(sumAt(2L) == Some(6L), "v2 must see both seals")
     assert(sumAt(9L) == None, "unknown versions report None")

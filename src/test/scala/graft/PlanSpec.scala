@@ -198,6 +198,15 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"), s"$n has a degraded join")
     }
+    // the date/flag predicates must actually reach the fact scans
+    // (a "PushedFilters:" token alone is vacuous — every parquet scan
+    // prints one; assert the specific pushed predicate)
+    assert(plan("q_tpch_q3").contains("GreaterThan(l_shipdate"),
+      "q3 must push the lineitem ship-date predicate to the scan")
+    assert(plan("q_tpch_q5").contains("GreaterThanOrEqual(o_orderdate"),
+      "q5 must push the orders date-range predicate to the scan")
+    assert(plan("q_tpch_q10").contains("EqualTo(l_returnflag"),
+      "q10 must push the return-flag predicate to the scan")
     // Q6 is the pure scan-filter-agg: every predicate reaches the scan
     // and the only exchange is the single-row final aggregate's.
     val p6 = plan("q_tpch_q6")
