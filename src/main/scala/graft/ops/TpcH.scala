@@ -4,23 +4,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Parity._
 
-/** The remaining TPC-H query shapes expressible on the fixture star
-  * schema (TESTDATA.md). Q1/Q3/Q5/Q10/Q19/Q22 already live in
+/** The remaining TPC-H query shapes on the fixture star schema
+  * (TESTDATA.md). Q1/Q3/Q5/Q10/Q19/Q22 already live in
   * [[Relational]] (q1_agg, q_tpch_q3/q5/q10, q_join_disjunct,
-  * q_subquery_q22); this module adds Q4, Q6, Q7, Q8, Q9, Q13, Q14,
-  * Q15, Q16, Q17, Q18, Q20 and Q21.
+  * q_subquery_q22); this module adds the other sixteen, completing
+  * structural coverage of all 22 TPC-H queries.
   *
   * The fixture schema omits `partsupp`, `l_commitdate`,
   * `l_receiptdate`, `l_shipmode`, `p_container` and `p_mfgr`, so the
   * queries that depend on them are adapted, preserving the plan shape
   * (the join/aggregate/subquery structure the optimizer must handle)
   * while substituting available columns:
-  *   - "late delivery" (Q4/Q21): `l_receiptdate > l_commitdate`
-  *     becomes `l_shipdate > o_orderdate + 90 days`.
-  *   - partsupp (Q9/Q16/Q20): the distinct (l_partkey, l_suppkey)
-  *     pairs observed in lineitem stand in for the partsupp relation;
-  *     Q9's `ps_supplycost` becomes a retail-price fraction.
-  *   - Q16's "customer complaints" supplier exclusion becomes a
+  *   - "late delivery" (Q4/Q12/Q21): `l_receiptdate > l_commitdate`
+  *     becomes `l_shipdate > o_orderdate + N days`.
+  *   - partsupp (Q2/Q9/Q11/Q16/Q20): the distinct (l_partkey,
+  *     l_suppkey) pairs observed in lineitem stand in for the
+  *     partsupp relation; `ps_supplycost` becomes the observed unit
+  *     price (Q2) or a retail-price fraction (Q9), `ps_availqty`
+  *     value becomes observed revenue (Q11).
+  *   - Q12's ship modes become derived shipping-speed classes;
+  *     Q16's "customer complaints" supplier exclusion becomes a
   *     negative-balance exclusion.
   * Date windows are shifted into the fixture's 1995–2001 range.
   *
@@ -508,6 +511,141 @@ object TpcH {
       WHERE n_supp > 1 AND n_late = 1
       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10"""))
 
+  /** Q2 (minimum-cost supplier, adapted): `ps_supplycost` becomes the
+    * observed average unit price (extendedprice/quantity, exact-mean
+    * over the decimal sum) each supplier charged for the part — the
+    * min-cost-supplier-per-part correlated-min structure is Q2's.
+    * Region-filtered suppliers, one part class, suppliers hitting the
+    * per-part minimum win. The min/equality compares doubles both
+    * engines derived by identical arithmetic, so it is exact.
+    */
+  val q2 = QueryDef(
+    "q_tpch_q2",
+    (s, dir) => {
+      val eurSupp = T(s, dir, "supplier")
+        .join(broadcast(T(s, dir, "nation")
+          .join(T(s, dir, "region").filter(col("r_name") === "EUROPE")
+            .select("r_regionkey"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val parts = broadcast(T(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY" && col("p_size") === 15)
+        .select("p_partkey", "p_brand"))
+      val cost = T(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eurSupp.select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"), col("p_brand"))
+        .agg((dsum(col("l_extendedprice") / col("l_quantity")) /
+          count(lit(1))).as("unit_cost"))
+      val minCost = cost.groupBy(col("l_partkey").as("mk"))
+        .agg(min(col("unit_cost")).as("min_cost"))
+      cost
+        .join(broadcast(minCost),
+          col("l_partkey") === col("mk") &&
+            col("unit_cost") === col("min_cost"))
+        .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("l_partkey").as("p_partkey"), col("p_brand"),
+          col("unit_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+    },
+    Some(s"""
+      WITH cost AS (
+        SELECT l_partkey, l_suppkey, p_brand,
+          ${dsumSql("l_extendedprice / l_quantity")} / count(*)
+            AS unit_cost
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'ECONOMY' AND p_size = 15
+          AND l_suppkey IN (SELECT s_suppkey FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE')
+        GROUP BY l_partkey, l_suppkey, p_brand),
+      mc AS (SELECT l_partkey AS mk, min(unit_cost) AS min_cost
+             FROM cost GROUP BY l_partkey)
+      SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, p_brand,
+             unit_cost
+      FROM cost
+      JOIN mc ON l_partkey = mk AND unit_cost = min_cost
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey"""))
+
+  /** Q11 (important stock identification, adapted): partsupp value
+    * becomes each (part, supplier)'s observed revenue; parts whose
+    * total value exceeds a fixed fraction of the corpus total —
+    * the group-by + scalar-subquery-threshold structure of Q11.
+    */
+  val q11 = QueryDef(
+    "q_tpch_q11",
+    (s, dir) => {
+      val ps = T(s, dir, "lineitem")
+        .select("l_partkey", "l_extendedprice")
+        .groupBy(col("l_partkey"))
+        .agg(dsum(col("l_extendedprice")).as("part_value"))
+      val total = broadcast(ps.agg(dsum(col("part_value")).as("tot")))
+      ps.crossJoin(total)
+        .filter(col("part_value") > col("tot") * 0.00065)
+        .select(col("l_partkey").as("p_partkey"), col("part_value"))
+        .orderBy(col("part_value").desc, col("p_partkey"))
+    },
+    Some(s"""
+      WITH ps AS (
+        SELECT l_partkey, ${dsumSql("l_extendedprice")} AS part_value
+        FROM lineitem GROUP BY l_partkey)
+      SELECT l_partkey AS p_partkey, part_value
+      FROM ps
+      WHERE part_value > (SELECT ${dsumSql("part_value")} FROM ps) * 0.00065
+      ORDER BY part_value DESC, p_partkey"""))
+
+  /** Q12 (shipping modes and order priority, adapted): the fixture
+    * has no l_shipmode, so the mode becomes a derived shipping-speed
+    * class (FAST = shipped within 60 days of the order date) — Q12's
+    * conditional-count-by-priority-per-mode shape is intact.
+    */
+  val q12 = QueryDef(
+    "q_tpch_q12",
+    (s, dir) => {
+      val hi = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_shipdate")
+        .join(T(s, dir, "orders").select("o_orderkey", "o_orderdate",
+          "o_orderpriority"), col("l_orderkey") === col("o_orderkey"))
+        .select(
+          when(col("l_shipdate") <= col("o_orderdate") +
+            expr("INTERVAL 60 DAYS"), "FAST").otherwise("SLOW")
+            .as("ship_speed"),
+          when(hi, 1L).otherwise(0L).as("hi"),
+          when(hi, 0L).otherwise(1L).as("lo"))
+        .groupBy(col("ship_speed"))
+        .agg(sum(col("hi")).as("high_line_count"),
+          sum(col("lo")).as("low_line_count"))
+        .orderBy("ship_speed")
+    },
+    Some("""
+      SELECT
+        CASE WHEN l_shipdate <= o_orderdate + INTERVAL 60 DAY
+             THEN 'FAST' ELSE 'SLOW' END AS ship_speed,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1 ORDER BY ship_speed"""))
+
   val all: Seq[QueryDef] =
-    Seq(q4, q6, q7, q8, q9, q13, q14, q15, q16, q17, q18, q20, q21)
+    Seq(q2, q4, q6, q7, q8, q9, q11, q12, q13, q14, q15, q16, q17, q18,
+      q20, q21)
 }
