@@ -1107,8 +1107,43 @@ object Similarity {
       FROM errs GROUP BY band ORDER BY band"""
     })
 
+  /** IVF recall@3: the cell-probe ANN's top-3 against the brute-force
+    * top-3 per query — the index-quality measurement for the IVF path,
+    * composing the two oracle-checked queries (their cosines are
+    * bit-identical cross-engine, so the hit sets agree exactly).
+    * nprobe=3 over 8 cells: expect high but not always perfect recall;
+    * this query MEASURES it instead of asserting it.
+    */
+  val qIvfRecall = QueryDef(
+    "q_ann_ivf_recall",
+    (s, dir) => {
+      val truth = qAnnTopK.run(s, dir).filter(col("rnk") <= 3)
+        .select(col("query_id"), col("vec_id"))
+      val ivf = qAnnIvf.run(s, dir)
+        .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+      truth.join(ivf, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_true"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .select(col("query_id"), col("n_true"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_true")).as("recall"))
+        .orderBy("query_id")
+    },
+    Some(s"""
+      WITH truth0 AS (${qAnnTopK.oracle.get}),
+      truth AS (SELECT query_id, vec_id FROM truth0 WHERE rnk <= 3),
+      ivf AS (SELECT query_id, vec_id FROM (${qAnnIvf.oracle.get}))
+      SELECT t.query_id, count(*) AS n_true,
+        CAST(coalesce(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 END), 0)
+          AS BIGINT) AS n_hit,
+        CAST(coalesce(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 END), 0)
+          AS DOUBLE) / count(*) AS recall
+      FROM truth t LEFT JOIN ivf i
+        ON t.query_id = i.query_id AND t.vec_id = i.vec_id
+      GROUP BY t.query_id ORDER BY t.query_id"""))
+
   val all: Seq[QueryDef] =
     Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf,
       qEmbedCentroids, qEmbedPq, qAnnAdc, qEmbedRp, qEmbedQuantize,
-      qSemanticDedup, qAnnRecall, qMatryoshka)
+      qSemanticDedup, qAnnRecall, qMatryoshka, qIvfRecall)
 }
