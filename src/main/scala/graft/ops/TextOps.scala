@@ -703,8 +703,74 @@ object TextOps {
       FROM c CROSS JOIN t
       ORDER BY n DESC, word LIMIT 50"""))
 
+  /** Pairwise source term-frequency drift: L1 distance between the
+    * sources' normalized frequencies over the corpus-wide top-32
+    * vocabulary — the distribution-shift monitor for mixture design
+    * (a source whose term profile drifts from the rest needs
+    * re-weighting or investigation; complements q_source_overlap's
+    * set-level Jaccard with a frequency-level signal).
+    *
+    * Determinism: per-(source, term) frequencies are single IEEE
+    * divisions of exact counts; the L1 sum runs through the exact
+    * decimal accumulator (order-independent), so both engines produce
+    * identical distances. Scale shape: one bounded top-k (the basis),
+    * per-source counts over it (32 × sources keys), and a pair join
+    * on the term key — everything after the token count is
+    * vocabulary-sized, not corpus-sized.
+    */
+  val qSourceDrift = QueryDef(
+    "q_source_drift",
+    (s, dir) => {
+      val words = Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+      val basis = broadcast(words.groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(32)
+        .select("word"))
+      val perSrc = words.join(basis, "word")
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = perSrc.groupBy(col("source"))
+        .agg(sum(col("cnt")).as("tot"))
+      val freq = perSrc.join(broadcast(totals), "source")
+        .select(col("source"), col("word"),
+          (col("cnt").cast("double") / col("tot")).as("f"))
+      freq.toDF("sa", "word", "fa")
+        .join(freq.toDF("sb", "word2", "fb"),
+          col("word") === col("word2") && col("sa") < col("sb"))
+        .groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
+        .agg(Parity.dsum(abs(col("fa") - col("fb"))).as("l1_drift"),
+          count(lit(1)).as("n_terms"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents),
+      ww AS (SELECT source, word FROM w WHERE len(word) >= 1),
+      basis AS (
+        SELECT word FROM (
+          SELECT word, count(*) AS n FROM ww GROUP BY word
+          ORDER BY n DESC, word LIMIT 32)),
+      ps AS (
+        SELECT source, ww.word, count(*) AS cnt
+        FROM ww JOIN basis ON ww.word = basis.word
+        GROUP BY source, ww.word),
+      tt AS (SELECT source, sum(cnt) AS tot FROM ps GROUP BY source),
+      freq AS (
+        SELECT ps.source, word, CAST(cnt AS DOUBLE) / tot AS f
+        FROM ps JOIN tt ON ps.source = tt.source)
+      SELECT a.source AS source_a, b.source AS source_b,
+        ${Parity.dsumSql("abs(a.f - b.f)")} AS l1_drift,
+        count(*) AS n_terms
+      FROM freq a JOIN freq b
+        ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2 ORDER BY source_a, source_b"""))
+
   val all: Seq[QueryDef] =
     Seq(qTokens, qQuality, qGopherRules, qLangId, qFingerprint, qTfIdf,
       qRepetition, qClean, qSurprise, qContamination, qLengthHist,
-      qClassify, qVocabTopK)
+      qClassify, qVocabTopK, qSourceDrift)
 }
