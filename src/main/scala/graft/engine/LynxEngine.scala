@@ -207,7 +207,16 @@ class LynxEngine(
     * namespace/table → HTTP 404 (reference lynx.rs:144-148).
     */
   def query(namespace: String, sql: String): Option[QueryResult] = {
-    val plan = LynxEngine.parse(spark, sql)
+    val parsed = LynxEngine.parse(spark, sql)
+    // EXPLAIN <select> is allowed as an ops nicety (improvement over
+    // the reference's SELECT-only surface): every gate below runs on
+    // the EXPLAINED plan, so EXPLAIN cannot smuggle DML/banned
+    // functions past the checks, and plan text is never cached
+    val (plan, isExplain) = parsed match {
+      case ec: org.apache.spark.sql.execution.command.ExplainCommand =>
+        (ec.logicalPlan, true)
+      case p => (p, false)
+    }
     // expression-level escape hatches: reflect()/java_method() invoke
     // arbitrary public static JVM methods (env/property exfiltration)
     // — a wider surface than the reference's DataFusion exposes; deny
@@ -224,7 +233,7 @@ class LynxEngine(
     val dayBounds =
       if (tables.size == 1) LynxEngine.dayBounds(plan) else None
     val cacheable =
-      resultCacheEntries > 0 && !LynxEngine.cacheUnsafe(plan)
+      resultCacheEntries > 0 && !isExplain && !LynxEngine.cacheUnsafe(plan)
     // buffer snapshot + pinned tier snapshots under the write lock:
     // atomic vs seal(), so rows are visible exactly once — and the
     // pins (not just the trash grace period) keep a concurrent

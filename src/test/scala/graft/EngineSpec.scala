@@ -639,6 +639,26 @@ class EngineSpec extends AnyFunSuite {
       "time-dependent results must not be served from the cache")
   }
 
+  test("EXPLAIN passes the gate for SELECTs only; the inner plan is " +
+    "still checked and plan text is never cached") {
+    val e = newEngine()
+    e.write(WriteRequest("ns", "cpu", "1", Map.empty, 1L))
+    val r = e.query("ns", "EXPLAIN SELECT value FROM cpu").get
+    val text = r.rows.map(_.getString(0)).mkString("\n")
+    assert(text.contains("Physical Plan"),
+      s"EXPLAIN should return the plan, got: $text")
+    // gates still apply to the explained plan
+    intercept[IllegalArgumentException](
+      e.query("ns", "EXPLAIN INSERT INTO cpu VALUES (1)"))
+    intercept[IllegalArgumentException](
+      e.query("ns", "EXPLAIN SELECT reflect('java.lang.System', " +
+        "'getenv') FROM cpu"))
+    // plan text must not be served from the result cache
+    val h0 = e.resultCacheHits.get
+    e.query("ns", "EXPLAIN SELECT value FROM cpu")
+    assert(e.resultCacheHits.get == h0, "EXPLAIN output must not cache")
+  }
+
   test("time travel: historical manifest versions read the old rows, " +
     "and report cleanly once GC'd") {
     val spark = SparkFixture.spark
