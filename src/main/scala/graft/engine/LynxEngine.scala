@@ -290,17 +290,26 @@ class LynxEngine(
       }
     }
     // lease() is documented never-throwing, but anything escaping this
-    // map (OOM, runtime bug) would otherwise leak every pin until the
-    // pin-age backstop — release defensively
-    val tierSnaps =
-      try tier match {
-        case Some(t) => pinned.map { case (k, v) => k -> t.lease(v) }
-        case None => pinned
-      } catch {
-        case e: Throwable =>
-          tier.foreach(t => pinned.values.foreach(t.release))
-          throw e
-      }
+    // loop (OOM, runtime bug) would otherwise leak every pin until the
+    // pin-age backstop — release defensively, and release the LEASED
+    // snapshot for entries already leased (releasing the pre-lease pin
+    // would strand their lease files on disk until lease expiry)
+    val tierSnaps = tier match {
+      case None => pinned
+      case Some(t) =>
+        val leased = scala.collection.mutable.Map.empty[String,
+          graft.tier.TierSnapshot]
+        try {
+          pinned.foreach { case (k, v) => leased(k) = t.lease(v) }
+          leased.toMap
+        } catch {
+          case e: Throwable =>
+            pinned.foreach { case (k, v) =>
+              t.release(leased.getOrElse(k, v))
+            }
+            throw e
+        }
+    }
     try {
       if (snapshot.isEmpty && !tierHasNs) return None
 
@@ -346,7 +355,23 @@ class LynxEngine(
                 "add a LIMIT or raise LYNX_MAX_RESULT_ROWS")
           r.toSeq
         }
-      val result = QueryResult(df.schema, rows)
+      // EXPLAIN text embeds absolute scan locations (tier/WAL roots) —
+      // host filesystem layout must not cross the untrusted HTTP
+      // boundary, so redact the roots (namespace/table-relative layout
+      // under them is the caller's own data and stays visible)
+      val outRows =
+        if (!isExplain) rows
+        else {
+          val roots = tier.map(_.rootPath).toSeq :+ walDir.getAbsolutePath
+          rows.map { r =>
+            Row.fromSeq(r.toSeq.map {
+              case s: String =>
+                roots.foldLeft(s)((acc, p) => acc.replace(p, "<data-dir>"))
+              case v => v
+            })
+          }
+        }
+      val result = QueryResult(df.schema, outRows)
       if (cacheKey != null && rows.length <= MaxCachedResultRows)
         resultCache.synchronized { resultCache.put(cacheKey, result); () }
       Some(result)
@@ -441,7 +466,7 @@ object LynxEngine {
     * to a plain plan traversal).
     */
   def forbiddenCalls(plan: LogicalPlan): Seq[String] =
-    callsMatching(plan, BannedFunctions)
+    callsMatching(plan, BannedFunctions, matchAttributes = false)
 
   /** True when the query calls any time/run-dependent function — such
     * results must not enter the result cache. Paren-less temporal
@@ -454,10 +479,11 @@ object LynxEngine {
     * the safe direction.
     */
   def cacheUnsafe(plan: LogicalPlan): Boolean =
-    callsMatching(plan, NondeterministicFunctions).nonEmpty
+    callsMatching(plan, NondeterministicFunctions,
+      matchAttributes = true).nonEmpty
 
-  private def callsMatching(plan: LogicalPlan,
-      names: Set[String]): Seq[String] = {
+  private def callsMatching(plan: LogicalPlan, names: Set[String],
+      matchAttributes: Boolean): Seq[String] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
     import org.apache.spark.sql.catalyst.expressions.{Expression,
       SubqueryExpression}
@@ -469,11 +495,15 @@ object LynxEngine {
         // paren-less temporal keywords: UnresolvedAttribute under the
         // default parser conf (literal-function resolution happens
         // post-parse), direct expression nodes (CurrentDate, Now, ...)
-        // under ANSI reserved keywords
+        // under ANSI reserved keywords. ONLY for the cache-safety
+        // check: the banned-function gate must not reject a user
+        // column that merely shares a banned function's name (the
+        // attribute case would turn `SELECT reflect FROM t` into a
+        // 400 for data already written with a `reflect` tag)
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-          if names(a.nameParts.last.toLowerCase) =>
+          if matchAttributes && names(a.nameParts.last.toLowerCase) =>
           Seq(a.nameParts.last.toLowerCase)
-        case other if {
+        case other if matchAttributes && {
           val cls = other.getClass.getSimpleName.toLowerCase.stripSuffix("$")
           names.exists(n => n.replace("_", "") == cls)
         } =>

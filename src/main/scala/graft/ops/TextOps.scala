@@ -710,6 +710,9 @@ object TextOps {
     * re-weighting or investigation; complements q_source_overlap's
     * set-level Jaccard with a frequency-level signal).
     *
+    * The distance runs over the FULL basis (sources × basis
+    * scaffold, absent terms contribute |0 − f|), so disjoint term
+    * profiles score maximal drift instead of disappearing.
     * Determinism: per-(source, term) frequencies are single IEEE
     * divisions of exact counts; the L1 sum runs through the exact
     * decimal accumulator (order-independent), so both engines produce
@@ -734,9 +737,17 @@ object TextOps {
         .agg(count(lit(1)).as("cnt"))
       val totals = perSrc.groupBy(col("source"))
         .agg(sum(col("cnt")).as("tot"))
-      val freq = perSrc.join(broadcast(totals), "source")
+      // scaffold sources × basis so a term ABSENT from one source
+      // still contributes its full |0 − f| to the L1 — an inner join
+      // on observed terms would undercount exactly the most-drifted
+      // pairs (and emit nothing at all for disjoint profiles)
+      val scaffold = words.select("source").distinct().crossJoin(basis)
+      val freq = scaffold
+        .join(perSrc, Seq("source", "word"), "left_outer")
+        .join(broadcast(totals), "source")
         .select(col("source"), col("word"),
-          (col("cnt").cast("double") / col("tot")).as("f"))
+          (coalesce(col("cnt"), lit(0L)).cast("double") / col("tot"))
+            .as("f"))
       freq.toDF("sa", "word", "fa")
         .join(freq.toDF("sb", "word2", "fb"),
           col("word") === col("word2") && col("sa") < col("sb"))
@@ -759,9 +770,15 @@ object TextOps {
         FROM ww JOIN basis ON ww.word = basis.word
         GROUP BY source, ww.word),
       tt AS (SELECT source, sum(cnt) AS tot FROM ps GROUP BY source),
+      scaffold AS (
+        SELECT source, word
+        FROM (SELECT DISTINCT source FROM ww) CROSS JOIN basis),
       freq AS (
-        SELECT ps.source, word, CAST(cnt AS DOUBLE) / tot AS f
-        FROM ps JOIN tt ON ps.source = tt.source)
+        SELECT sc.source, sc.word,
+          CAST(coalesce(ps.cnt, 0) AS DOUBLE) / tt.tot AS f
+        FROM scaffold sc
+        LEFT JOIN ps ON sc.source = ps.source AND sc.word = ps.word
+        JOIN tt ON sc.source = tt.source)
       SELECT a.source AS source_a, b.source AS source_b,
         ${Parity.dsumSql("abs(a.f - b.f)")} AS l1_drift,
         count(*) AS n_terms

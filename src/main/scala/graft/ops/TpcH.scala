@@ -539,8 +539,8 @@ object TpcH {
         .join(broadcast(eurSupp.select("s_suppkey")),
           col("l_suppkey") === col("s_suppkey"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"), col("p_brand"))
-        .agg((dsum(col("l_extendedprice") / col("l_quantity")) /
-          count(lit(1))).as("unit_cost"))
+        .agg(davg(col("l_extendedprice") / col("l_quantity"))
+          .as("unit_cost"))
       val minCost = cost.groupBy(col("l_partkey").as("mk"))
         .agg(min(col("unit_cost")).as("min_cost"))
       cost
@@ -557,8 +557,7 @@ object TpcH {
     Some(s"""
       WITH cost AS (
         SELECT l_partkey, l_suppkey, p_brand,
-          ${dsumSql("l_extendedprice / l_quantity")} / count(*)
-            AS unit_cost
+          ${davgSql("l_extendedprice / l_quantity")} AS unit_cost
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE p_type = 'ECONOMY' AND p_size = 15
           AND l_suppkey IN (SELECT s_suppkey FROM supplier

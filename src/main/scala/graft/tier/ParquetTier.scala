@@ -52,6 +52,12 @@ final class ParquetTier(root: File,
     pinLeaseMs: Long = 10L * 60 * 1000,
     pinMaxAgeMsOverride: Long = -1L) {
 
+  /** Absolute tier root path — used by the engine to redact host
+    * filesystem locations from EXPLAIN output before it crosses the
+    * untrusted HTTP boundary.
+    */
+  def rootPath: String = root.getAbsolutePath
+
   import ParquetTier.DayCol
 
   private def tableDir(ns: String, table: String) =
@@ -334,13 +340,16 @@ final class ParquetTier(root: File,
   def readAt[T](spark: SparkSession, ns: String, table: String,
       version: Long)(f: DataFrame => T): Option[T] =
     snapshotPinnedAt(ns, table, version).flatMap { snap =>
-      val leased = lease(snap)
+      // lease INSIDE the try: an Error escaping lease() must still
+      // release the pin snapshotPinnedAt just registered
+      var held = snap
       try {
-        if (leased.files.nonEmpty &&
-            leased.files.forall(p => new File(p).isFile))
-          Some(f(readFiles(spark, ns, table, leased.files, None)))
+        held = lease(snap)
+        if (held.files.nonEmpty &&
+            held.files.forall(p => new File(p).isFile))
+          Some(f(readFiles(spark, ns, table, held.files, None)))
         else None
-      } finally release(leased)
+      } finally release(held)
     }
 
   /** Write the snapshot's cross-process lease file and return the

@@ -657,6 +657,17 @@ class EngineSpec extends AnyFunSuite {
     val h0 = e.resultCacheHits.get
     e.query("ns", "EXPLAIN SELECT value FROM cpu")
     assert(e.resultCacheHits.get == h0, "EXPLAIN output must not cache")
+    // EXPLAIN over tiered data must not leak the host tier root path
+    val tierDir = Files.createTempDirectory("explain-tier").toFile
+    val et = newEngine(Some(new ParquetTier(tierDir)))
+    et.write(WriteRequest("ns", "cpu", "1", Map.empty, 1L))
+    et.seal("ns", "cpu")
+    val planText = et.query("ns", "EXPLAIN SELECT value FROM cpu").get
+      .rows.map(_.getString(0)).mkString("\n")
+    assert(!planText.contains(tierDir.getAbsolutePath),
+      s"EXPLAIN must redact the tier root:\n$planText")
+    assert(planText.contains("<data-dir>"),
+      "redaction placeholder should appear where the scan path was")
   }
 
   test("time travel: historical manifest versions read the old rows, " +
