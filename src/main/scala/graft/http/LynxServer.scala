@@ -101,6 +101,17 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
 
   server.createContext("/health", (ex: HttpExchange) => respond(ex, 200))
 
+  // operational introspection (extension; the reference exposes only
+  // /health): buffered row/namespace counts and result-cache hits as
+  // one flat JSON object — enough for a scrape without a client lib
+  server.createContext("/metrics", (ex: HttpExchange) => {
+    val rows = engine.buffer.rowCounts.values.map(_.toLong).sum
+    respond(ex, 200,
+      s"""{"buffered_rows":$rows""" +
+        s""","namespaces":${engine.buffer.namespaceCount}""" +
+        s""","result_cache_hits":${engine.resultCacheHits.get}}""")
+  })
+
   // malformed request bodies → 422 (the reference's axum Json
   // extractor rejects them pre-handler with a 4xx); engine-side
   // failures, including bad SQL, → 500 (reference main.rs:84-87)

@@ -483,6 +483,64 @@ object TimeSeries {
       FROM z
       ORDER BY event_type, bucket_us"""))
 
+  /** Hour-of-day seasonal decomposition: each hourly bucket scored
+    * against its series' hour-of-day profile (mean and sample stddev
+    * of all same-hour buckets) — residual and seasonal z-score. The
+    * "is 3am traffic normal FOR 3am" question q_ts_anomaly's trailing
+    * window can't answer. Profile means/variances come from exact
+    * decimal sums (order-independent) with one IEEE sqrt, so both
+    * engines score identically.
+    *
+    * Scale shape: the profile is a 24×series-key aggregate broadcast
+    * back onto the buckets — no window at all, two shuffles total
+    * (profile agg + presentation sort), flat at any history length.
+    */
+  val qSeasonal = QueryDef(
+    "q_ts_seasonal",
+    (s, dir) => {
+      val withHod = hourly(s, dir)
+        .withColumn("hod", expr(s"(bucket_us div ${3600000000L}) % 24"))
+      val prof = withHod.groupBy(col("event_type").as("p_type"),
+          col("hod").as("p_hod"))
+        .agg(count(lit(1)).as("n_hod"),
+          (dsum(col("bucket_sum")) / count(lit(1))).as("hod_mean"),
+          ((dsum(col("bucket_sum") * col("bucket_sum")) -
+            dsum(col("bucket_sum")) * dsum(col("bucket_sum")) /
+              count(lit(1))) / (count(lit(1)) - 1)).as("hod_var"))
+      withHod
+        .join(broadcast(prof),
+          col("event_type") === col("p_type") && col("hod") === col("p_hod"))
+        .select(col("event_type"), col("bucket_us"), col("bucket_sum"),
+          col("hod"), col("n_hod"), col("hod_mean"),
+          (col("bucket_sum") - col("hod_mean")).as("residual"),
+          when(col("hod_var") > 0.0,
+            (col("bucket_sum") - col("hod_mean")) / sqrt(col("hod_var")))
+            .as("seasonal_z"))
+        .orderBy("event_type", "bucket_us")
+    },
+    Some(s"""
+      WITH $hourlySql,
+      hod AS (
+        SELECT event_type, bucket_us, bucket_sum,
+          (bucket_us // 3600000000) % 24 AS hod
+        FROM hourly),
+      prof AS (
+        SELECT event_type AS p_type, hod AS p_hod,
+          count(*) AS n_hod,
+          ${dsumSql("bucket_sum")} / count(*) AS hod_mean,
+          (${dsumSql("bucket_sum * bucket_sum")} -
+            ${dsumSql("bucket_sum")} * ${dsumSql("bucket_sum")} /
+              count(*)) / (count(*) - 1) AS hod_var
+        FROM hod GROUP BY 1, 2)
+      SELECT event_type, bucket_us, bucket_sum, hod, n_hod, hod_mean,
+        bucket_sum - hod_mean AS residual,
+        CASE WHEN hod_var > 0.0
+             THEN (bucket_sum - hod_mean) / sqrt(hod_var) END
+          AS seasonal_z
+      FROM hod JOIN prof
+        ON event_type = p_type AND hod = p_hod
+      ORDER BY event_type, bucket_us"""))
+
   /** Trailing-window z-score anomaly detection: each hourly bucket
     * scored against the previous 24 buckets of its series (mean /
     * sample stddev), flagged at |z| > 2.5. Sums and sums-of-squares
@@ -607,5 +665,5 @@ object TimeSeries {
 
   val all: Seq[QueryDef] =
     Seq(qAsofJoin, qGapFill, qIntervalJoin, qSessionize, qOhlc, qFunnel,
-      qRate, qEwma, qHolt, qAnomaly, qRetention)
+      qRate, qEwma, qHolt, qAnomaly, qRetention, qSeasonal)
 }

@@ -41,6 +41,27 @@ class HttpSpec extends AnyFunSuite {
     }
   }
 
+  test("metrics endpoint reports buffer and cache counters") {
+    withServer { port =>
+      def metrics(): String = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/metrics")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      assert(metrics().contains("\"buffered_rows\":0"))
+      post(port, "/api/v1/write",
+        """{"namespace":"m","measurement":"cpu","value":"1",
+          |"metadata":{},"timestamp":1}""".stripMargin)
+      val q = """{"namespace":"m","query":"SELECT * FROM cpu",
+        |"format":"json"}""".stripMargin
+      post(port, "/api/v1/query", q)
+      post(port, "/api/v1/query", q)
+      val m = metrics()
+      assert(m.contains("\"buffered_rows\":1") &&
+        m.contains("\"namespaces\":1") &&
+        m.contains("\"result_cache_hits\":1"), s"unexpected metrics: $m")
+    }
+  }
+
   test("write then query round-trips the reference fixtures " +
     "(testdata/write.json, testdata/query.json)") {
     withServer { port =>
