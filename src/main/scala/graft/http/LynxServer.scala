@@ -105,11 +105,22 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
   // /health): buffered row/namespace counts and result-cache hits as
   // one flat JSON object — enough for a scrape without a client lib
   server.createContext("/metrics", (ex: HttpExchange) => {
-    val rows = engine.buffer.rowCounts.values.map(_.toLong).sum
-    respond(ex, 200,
-      s"""{"buffered_rows":$rows""" +
-        s""","namespaces":${engine.buffer.namespaceCount}""" +
-        s""","result_cache_hits":${engine.resultCacheHits.get}}""")
+    try {
+      // one rowCounts snapshot feeds both counters, so a concurrent
+      // write can't tear the response into a state that never existed
+      // (namespaces = those with buffered rows, by construction)
+      val counts = engine.buffer.rowCounts
+      val rows = counts.values.map(_.toLong).sum
+      val namespaces = counts.keysIterator.map(_._1).toSet.size
+      respond(ex, 200,
+        s"""{"buffered_rows":$rows""" +
+          s""","namespaces":$namespaces""" +
+          s""","result_cache_hits":${engine.resultCacheHits.get}}""")
+    } catch {
+      case e: Exception =>
+        System.err.println(e)
+        respond(ex, 500)
+    }
   })
 
   // malformed request bodies → 422 (the reference's axum Json

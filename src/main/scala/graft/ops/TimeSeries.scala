@@ -513,7 +513,11 @@ object TimeSeries {
         .select(col("event_type"), col("bucket_us"), col("bucket_sum"),
           col("hod"), col("n_hod"), col("hod_mean"),
           (col("bucket_sum") - col("hod_mean")).as("residual"),
-          when(col("hod_var") > 0.0,
+          // n_hod >= 2 FIRST: a single-bucket hour makes the sample
+          // variance 0/0, and DuckDB >= 1.1 defaults to IEEE NaN for
+          // double/0 while Spark yields NULL — the false conjunct
+          // short-circuits the comparison identically in both engines
+          when(col("n_hod") >= 2 && col("hod_var") > 0.0,
             (col("bucket_sum") - col("hod_mean")) / sqrt(col("hod_var")))
             .as("seasonal_z"))
         .orderBy("event_type", "bucket_us")
@@ -534,7 +538,7 @@ object TimeSeries {
         FROM hod GROUP BY 1, 2)
       SELECT event_type, bucket_us, bucket_sum, hod, n_hod, hod_mean,
         bucket_sum - hod_mean AS residual,
-        CASE WHEN hod_var > 0.0
+        CASE WHEN n_hod >= 2 AND hod_var > 0.0
              THEN (bucket_sum - hod_mean) / sqrt(hod_var) END
           AS seasonal_z
       FROM hod JOIN prof
