@@ -105,4 +105,45 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(r.rows.head.getLong(0) == 25)
     assert(r.rows.head.getLong(1) == 25 * 26 / 2)
   }
+
+  test("property: a cached engine answers every query exactly like an " +
+    "uncached twin across random write/seal/query interleavings") {
+    import graft.tier.ParquetTier
+    def mk(cacheEntries: Int): LynxEngine = {
+      val dir = Files.createTempDirectory(s"cache-prop-$cacheEntries")
+      new LynxEngine(SparkFixture.spark, dir.toFile, 1024 * 1024,
+        Some(new ParquetTier(
+          Files.createTempDirectory(s"cache-prop-t$cacheEntries").toFile)),
+        resultCacheEntries = cacheEntries)
+    }
+    val cached = mk(64)
+    val plain = mk(0)
+    val rnd = new scala.util.Random(42)
+    val queries = Seq(
+      "SELECT count(*) AS n FROM cpu",
+      "SELECT sum(CAST(value AS BIGINT)) AS s FROM cpu",
+      "SELECT value FROM cpu ORDER BY timestamp, value",
+      "SELECT host, count(*) AS n FROM cpu GROUP BY host ORDER BY host")
+    var ts = 0L
+    var compared = 0
+    (1 to 120).foreach { _ =>
+      rnd.nextInt(10) match {
+        case k if k < 5 => // write the same row to both engines
+          ts += 1
+          val w = WriteRequest("ns", "cpu", rnd.nextInt(100).toString,
+            Map("host" -> graft.core.TagString(s"h${rnd.nextInt(3)}")), ts)
+          cached.write(w); plain.write(w)
+        case 5 => // seal both (no-op while empty)
+          cached.seal("ns", "cpu"); plain.seal("ns", "cpu")
+        case _ => // same query against both; results must agree exactly
+          val q = queries(rnd.nextInt(queries.length))
+          val a = cached.query("ns", q).map(_.rows.map(_.toSeq))
+          val b = plain.query("ns", q).map(_.rows.map(_.toSeq))
+          assert(a == b, s"cache divergence on `$q` after $ts writes")
+          compared += 1
+      }
+    }
+    assert(compared > 20 && cached.resultCacheHits.get > 0,
+      "the interleaving must actually exercise queries and cache hits")
+  }
 }
