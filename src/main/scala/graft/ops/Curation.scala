@@ -19,21 +19,32 @@ object Curation {
   /** Context-window token budget for packing. */
   private val PackBudget = 512L
 
-  /** Packer shard count: packing parallelism = strata × PackShards.
-    * Tune so each (stratum, shard) partition fits one task's sort at
-    * the target scale.
+  /** Shard counts are DERIVED from the corpus row count, not fixed:
+    * one shard per ~TargetRowsPerShard docs, floor MinShards — so a
+    * (stratum, shard) partition's sort stays bounded as the corpus
+    * grows, with nothing to retune. Pure integer arithmetic mirrored
+    * exactly by the oracle (a float ceil could disagree at exact
+    * multiples). At the fixture SFs this reproduces the previously
+    * fixed 8; at 1e9 docs it yields 10k-way packing parallelism.
     */
-  private[graft] val PackShards = 8
+  private[graft] val MinShards = 8L
+  private[graft] val TargetRowsPerShard = 100000L
+  private[graft] def shardsFor(n: Long): Long =
+    math.max(MinShards, (n + TargetRowsPerShard - 1) / TargetRowsPerShard)
+  private def shardsSubquery: String =
+    s"""(SELECT greatest($MinShards,
+        (count(*) + ${TargetRowsPerShard - 1}) // $TargetRowsPerShard)
+        FROM documents)"""
 
   /** Deterministic md5-derived shard, identical in both engines
-    * (hex chars 17-18 of md5(doc_id), mod PackShards).
+    * (hex chars 17-18 of md5(doc_id), mod the derived shard count).
     */
-  private def shardCol: org.apache.spark.sql.Column =
+  private def shardCol(n: Long): org.apache.spark.sql.Column =
     conv(substring(md5(col("doc_id").cast("string")), 17, 2), 16, 10)
-      .cast("long") % PackShards
+      .cast("long") % shardsFor(n)
   private def shardSql: String =
     s"""CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 2)
-        AS BIGINT) % $PackShards"""
+        AS BIGINT) % $shardsSubquery"""
 
   /** Sequence packing: assign each document to a training context
     * window ("bin") of PackBudget tokens, packing greedily in doc_id
@@ -58,7 +69,7 @@ object Curation {
       val toks = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("seq_tokens"))
-        .withColumn("shard", shardCol)
+        .withColumn("shard", shardCol(Tables.rowCount(s, dir, "documents")))
       val binned = toks
         .withColumn("cum", sum(col("seq_tokens")).over(w))
         .withColumn("bin",
@@ -173,7 +184,7 @@ object Curation {
       // sharding reuses the packer's shardCol/PackShards knob.
       val scored = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), u)
-        .withColumn("shard", shardCol)
+        .withColumn("shard", shardCol(Tables.rowCount(s, dir, "documents")))
       val wLocal = Window.partitionBy(col("lang"), col("shard"))
         .orderBy(col("hkey"), col("doc_id"))
       val wFinal = Window.partitionBy(col("lang"))
@@ -411,7 +422,7 @@ object Curation {
     val toks = Tables.t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("seq_tokens"))
-      .withColumn("shard", shardCol)
+      .withColumn("shard", shardCol(Tables.rowCount(s, dir, "documents")))
     kept.join(toks, "doc_id")
       .withColumn("cum", sum(col("seq_tokens")).over(w))
       .withColumn("bin", expr(s"(cum - seq_tokens) div $PackBudget"))
@@ -467,8 +478,6 @@ object Curation {
       SELECT doc_id, source, n_tok, cum_tok FROM cum
       WHERE cum_tok <= $TokenBudget ORDER BY doc_id"""))
 
-  /** Shard count for the training-order shuffle. */
-  private val ShuffleShards = 8
 
   /** Deterministic corpus shuffle: the last step before training —
     * assign every doc a pseudo-random shard and a position within it,
@@ -486,7 +495,8 @@ object Curation {
         .select(col("doc_id"),
           conv(substring(md5(col("doc_id").cast("string")), 1, 15),
             16, 10).cast("long").as("hkey"))
-        .withColumn("shard", pmod(col("hkey"), lit(ShuffleShards)))
+        .withColumn("shard", pmod(col("hkey"),
+          lit(shardsFor(Tables.rowCount(s, dir, "documents")))))
         .withColumn("pos", row_number().over(w).cast("long"))
         .select("doc_id", "shard", "pos")
         .orderBy("shard", "pos")
@@ -498,7 +508,7 @@ object Curation {
                AS BIGINT) AS hkey
         FROM documents),
       sharded AS (
-        SELECT doc_id, hkey, hkey % $ShuffleShards AS shard FROM scored)
+        SELECT doc_id, hkey, hkey % $shardsSubquery AS shard FROM scored)
       SELECT doc_id, shard,
         CAST(row_number() OVER (PARTITION BY shard
           ORDER BY hkey, doc_id) AS BIGINT) AS pos
@@ -545,7 +555,8 @@ object Curation {
           conv(substring(md5(concat(col("doc_id").cast("string"),
             lit(":"), col("copy").cast("string"))), 1, 15), 16, 10)
             .cast("long"))
-        .withColumn("shard", pmod(col("hkey"), lit(ShuffleShards)))
+        .withColumn("shard", pmod(col("hkey"),
+          lit(shardsFor(Tables.rowCount(s, dir, "documents")))))
         .withColumn("pos", row_number().over(w).cast("long"))
         .select("doc_id", "source", "copies", "copy", "shard", "pos")
         .orderBy("shard", "pos")
@@ -572,12 +583,13 @@ object Curation {
         SELECT doc_id, source, copies, CAST(copy AS BIGINT) AS copy,
           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
             CAST(copy AS VARCHAR)), 1, 15) AS BIGINT) AS hkey
-        FROM exp0)
-      SELECT doc_id, source, copies, copy,
-        hkey % $ShuffleShards AS shard,
-        CAST(row_number() OVER (PARTITION BY hkey % $ShuffleShards
+        FROM exp0),
+      sharded AS (
+        SELECT *, hkey % $shardsSubquery AS shard FROM expanded)
+      SELECT doc_id, source, copies, copy, shard,
+        CAST(row_number() OVER (PARTITION BY shard
           ORDER BY hkey, doc_id, copy) AS BIGINT) AS pos
-      FROM expanded ORDER BY shard, pos"""))
+      FROM sharded ORDER BY shard, pos"""))
 
   val all: Seq[QueryDef] =
     Seq(qPackSequences, qSampleStratified, qSampleReservoir, qDomainMix,
