@@ -234,6 +234,25 @@ object Wal {
   /** Segment file name shape, shared by replay and truncation. */
   val SegmentName: scala.util.matching.Regex = """(\d+)\.wal""".r
 
+  /** Counts bytes consumed by the decoder so replay knows the exact
+    * file offset of the last complete record (the buffer reads ahead
+    * below this wrapper, so it must sit between DataInputStream and
+    * BufferedInputStream).
+    */
+  private final class CountingInputStream(in: java.io.InputStream)
+      extends java.io.FilterInputStream(in) {
+    var count: Long = 0L
+    override def read(): Int = {
+      val b = super.read(); if (b >= 0) count += 1; b
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val n = super.read(b, off, len); if (n > 0) count += n; n
+    }
+    override def skip(n: Long): Long = {
+      val s = super.skip(n); count += s; s
+    }
+  }
+
   /** Replay every segment in `directory` into the buffer; returns
     * (highest segment id, all observed ids) — the caller opens the
     * next active segment at highest+1 (reference wal.rs:276-296,
@@ -256,24 +275,37 @@ object Wal {
     // sees writes in commit order across rotations; stray non-segment
     // files (editor droppings, lost+found) are skipped, but a real
     // *.wal file with a bad header still fails loudly
-    val files = Option(directory.listFiles()).getOrElse(Array.empty)
-    files.filter(_.isFile)
+    val segments = Option(directory.listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile)
       .flatMap(f => f.getName match {
         case Wal.SegmentName(id) => Some((id.toLong, f))
         case _ => None
       })
       .sortBy(_._1)
-      .foreach { case (id, f) =>
-        observed += id
-        highest = math.max(highest, id)
-        val in = new DataInputStream(
-          new BufferedInputStream(new FileInputStream(f)))
+    // A torn tail (crash mid-append, or power loss before the fsync
+    // rung caught up) can only exist in the HIGHEST segment: rotation
+    // closes-and-flushes a segment before the next one is created, so
+    // an incomplete record in any earlier segment is real corruption
+    // and still fails loudly. The format carries no per-record
+    // checksum (reference wal.rs:28-77), so only clean EOF-truncation
+    // is recoverable — garbage mid-file is indistinguishable from
+    // damage and must stop replay.
+    val lastId = segments.lastOption.fold(-1L)(_._1)
+    segments.foreach { case (id, f) =>
+      observed += id
+      highest = math.max(highest, id)
+      val counter = new CountingInputStream(
+        new BufferedInputStream(new FileInputStream(f)))
+      val in = new DataInputStream(counter)
+      var lastGood = 0L
+      try {
         try {
           val header = new Array[Byte](WalCodec.Header.length)
           in.readFully(header)
           if (!java.util.Arrays.equals(header, WalCodec.Header))
             throw new IllegalStateException(
               s"segment file must contain header (LYNX1): $f")
+          lastGood = WalCodec.Header.length.toLong
           var rec = WalCodec.decode(in)
           while (rec.isDefined) {
             val w = rec.get
@@ -282,10 +314,32 @@ object Wal {
               // (value=namespace, measurement=table) live in the tier
               onSeal(w)
             else buffer.insert(w)
+            lastGood = counter.count
             rec = WalCodec.decode(in)
           }
-        } finally in.close()
+        } catch {
+          case e: EOFException if id == lastId =>
+            val why = Option(e.getMessage).getOrElse("unexpected EOF")
+            System.err.println(
+              s"[wal] torn tail in $f ($why): keeping the " +
+                s"$lastGood-byte valid prefix")
+        }
+      } finally in.close()
+      // Truncate the torn bytes away so the next replay sees a clean
+      // boundary; a clean segment ends exactly at lastGood, making
+      // this a no-op. A file without even a full header holds no data
+      // at all — drop it (the next active segment opens at highest+1
+      // regardless).
+      if (id == lastId && lastGood < f.length()) {
+        if (lastGood < WalCodec.Header.length) {
+          if (!f.delete()) throw new IllegalStateException(
+            s"could not remove headerless torn segment $f")
+        } else {
+          val raf = new java.io.RandomAccessFile(f, "rw")
+          try raf.setLength(lastGood) finally raf.close()
+        }
       }
+    }
     (highest, observed.toSeq)
   }
 }

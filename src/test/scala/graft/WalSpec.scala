@@ -241,4 +241,81 @@ class WalSpec extends AnyFunSuite {
     assert(seg.length() == expected)
     wal.close()
   }
+
+  private def truncateBy(f: File, bytes: Long): Unit = {
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    try raf.setLength(raf.length() - bytes) finally raf.close()
+  }
+
+  test("torn tail in the last segment: valid prefix recovered, torn " +
+    "bytes truncated away") {
+    val dir = tempDir()
+    val wal = new Wal(dir, 0, 1024 * 1024) // single segment
+    val writes = (0 until 5).map(i =>
+      WriteRequest("ns", "t", s"v$i", Map("i" -> TagNumber(i.toLong)),
+        i.toLong))
+    writes.foreach(wal.write)
+    wal.close()
+    val seg = new File(dir, "0.wal")
+    val lastLen = WalCodec.encode(writes.last).length
+    truncateBy(seg, 3) // crash mid-append of the 5th record
+    val goodLen = seg.length() - (lastLen - 3)
+
+    val buffer = new MemBuffer
+    val (highest, _) = Wal.replay(dir, buffer)
+    assert(highest == 0)
+    assert(buffer.tables("ns").get("t")("1970-01-01").values ==
+      writes.init.map(_.value).toVector,
+      "the four complete records must survive")
+    assert(seg.length() == goodLen,
+      "the partial record must be truncated to the record boundary")
+
+    // recovery is stable: a second replay is clean (no-op truncation)
+    // and the wal continues at highest+1 as usual
+    val buffer2 = new MemBuffer
+    Wal.replay(dir, buffer2)
+    assert(seg.length() == goodLen)
+    assert(buffer2.tables("ns").get("t")("1970-01-01").values ==
+      writes.init.map(_.value).toVector)
+    val wal2 = new Wal(dir, highest + 1, 1024 * 1024)
+    wal2.write(writes.last)
+    wal2.close()
+    val buffer3 = new MemBuffer
+    Wal.replay(dir, buffer3)
+    assert(buffer3.tables("ns").get("t")("1970-01-01").values ==
+      writes.map(_.value).toVector.patch(4, Seq("v4"), 1))
+  }
+
+  test("torn tail in a NON-last segment is corruption and fails " +
+    "loudly (rotation closed it, so truncation there is damage)") {
+    val dir = tempDir()
+    val wal = new Wal(dir, 0, 48) // rotate roughly every write
+    (0 until 4).foreach(i =>
+      wal.write(WriteRequest("ns", "t", s"v$i", Map.empty, i.toLong)))
+    wal.close()
+    assert(new File(dir, "1.wal").exists(), "need several segments")
+    truncateBy(new File(dir, "0.wal"), 3)
+    intercept[java.io.EOFException] {
+      Wal.replay(dir, new MemBuffer)
+    }
+  }
+
+  test("last segment without even a full header is dropped; earlier " +
+    "segments still replay") {
+    val dir = tempDir()
+    val wal = new Wal(dir, 0, 1024 * 1024)
+    val w = WriteRequest("ns", "t", "v0", Map.empty, 1L)
+    wal.write(w)
+    wal.close()
+    // crash during Segment creation: only 3 of 5 header bytes landed
+    Files.write(new File(dir, "1.wal").toPath,
+      WalCodec.Header.take(3))
+    val buffer = new MemBuffer
+    val (highest, observed) = Wal.replay(dir, buffer)
+    assert(highest == 1 && observed == Seq(0L, 1L))
+    assert(!new File(dir, "1.wal").exists(),
+      "a headerless torn segment holds no data and must be removed")
+    assert(buffer.tables("ns").get("t")("1970-01-01").values ==
+      Vector("v0"))
+  }
 }
