@@ -591,8 +591,91 @@ object Curation {
           ORDER BY hkey, doc_id, copy) AS BIGINT) AS pos
       FROM sharded ORDER BY shard, pos"""))
 
+  /** Target sample count for weighted (PPS) sampling. */
+  private val PpsTarget = 100L
+
+  /** Order-aligned shard width for the distributed prefix sum: the
+    * TOP bits of the 60-bit hkey, so ordering by (shard, hkey) equals
+    * ordering by hkey and per-shard running sums can be stitched with
+    * per-shard offsets.
+    */
+  private val PpsShardShift = 56
+
+  /** Weighted (probability-proportional-to-size) systematic sampling:
+    * docs are laid out on a token axis in a reproducible md5-shuffled
+    * order, and every `step = total_tokens div target`-th token
+    * boundary picks the doc it lands in — so a doc's selection chance
+    * is proportional to its token count, the standard recipe for
+    * sampling a mixture audit set that reflects TRAINING tokens, not
+    * document counts. `hits` is the PPS multiplicity (a doc longer
+    * than `step` spans several boundaries). All arithmetic is int64
+    * (exact cross-engine); no RNG — the same docs survive on any
+    * engine or cluster size.
+    *
+    * Scale shape: the global prefix sum is two-phase — a running-sum
+    * window per hkey-range shard plus a ≤2^4-row shard-offset
+    * dimension stitched back by broadcast join — so no single
+    * partition ever sees the whole corpus (the oracle's single
+    * window is the exact-semantics reference).
+    */
+  val qSampleWeighted = QueryDef(
+    "q_sample_weighted",
+    (s, dir) => {
+      val base = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+            16, 10).cast("long").as("hkey"))
+        .withColumn("shard", expr(s"hkey div ${1L << PpsShardShift}"))
+      val localW = Window.partitionBy(col("shard"))
+        .orderBy(col("hkey"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // per-shard totals → exclusive running offsets (≤16 rows, so
+      // the unpartitioned window is a constant-size frame) + the
+      // global step, one tiny dimension broadcast back to the facts
+      val shardTotals = base.groupBy(col("shard"))
+        .agg(sum(col("n_tok")).as("shard_tok"))
+      val offW = Window.orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = shardTotals
+        .withColumn("offset",
+          coalesce(sum(col("shard_tok")).over(offW), lit(0L)))
+        .withColumn("step",
+          greatest(lit(1L),
+            expr(s"(sum(shard_tok) over ()) div $PpsTarget")))
+        .select("shard", "offset", "step")
+      base
+        .withColumn("local_cum", sum(col("n_tok")).over(localW))
+        .join(broadcast(offsets), "shard")
+        .withColumn("cum_tok", col("offset") + col("local_cum"))
+        .withColumn("hits",
+          expr("cum_tok div step - (cum_tok - n_tok) div step"))
+        .filter(col("hits") > 0)
+        .select("doc_id", "source", "n_tok", "cum_tok", "hits")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) AS hkey
+        FROM documents),
+      cum AS (
+        SELECT doc_id, source, n_tok,
+          sum(n_tok) OVER (ORDER BY hkey, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        FROM scored),
+      par AS (
+        SELECT greatest(1, sum(n_tok) // $PpsTarget) AS step FROM scored)
+      SELECT doc_id, source, n_tok, cum_tok,
+        cum_tok // step - (cum_tok - n_tok) // step AS hits
+      FROM cum, par
+      WHERE cum_tok // step > (cum_tok - n_tok) // step
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(qPackSequences, qSampleStratified, qSampleReservoir, qDomainMix,
       qSplitTrain, qTemperatureMix, qTokenBudget, qCorpusShuffle,
-      qEpochMix)
+      qEpochMix, qSampleWeighted)
 }

@@ -174,5 +174,61 @@ object DataQuality {
         n_violations = 0 AS ok
       FROM t ORDER BY check_name"""))
 
-  val all: Seq[QueryDef] = Seq(qProfile, qChecks)
+  /** Robust per-source outlier detection via median absolute
+    * deviation: for each source, the median document length, the MAD
+    * (median of |len − median|), and how many docs fall outside
+    * median ± 3·MAD — the dispersion gate that, unlike mean/stddev
+    * z-scores (q_ts_anomaly's tool), a few megabyte-long junk docs
+    * cannot drag open, so it's the right "did this source's length
+    * distribution shift" alarm for a crawl snapshot.
+    *
+    * Determinism: interpolated medians of int64 lengths are exact
+    * dyadic halves (a+b)/2 with every sum below 2^53, so both engines
+    * produce bit-identical doubles — no transcendental ever enters.
+    *
+    * Scale shape: two two-phase aggregations over a 2-column scan,
+    * stitched by broadcast joins on the ~handful of sources; per-doc
+    * deviations never shuffle.
+    */
+  val qMad = QueryDef(
+    "q_dq_mad",
+    (s, dir) => {
+      val docs = T(s, dir, "documents").select(col("source"),
+        col("n_chars").cast("double").as("len"))
+      val med = docs.groupBy(col("source"))
+        .agg(expr("percentile(len, 0.5)").as("med_chars"))
+      val dev = docs.join(broadcast(med), "source")
+        .withColumn("dev", abs(col("len") - col("med_chars")))
+      val mad = dev.groupBy(col("source"))
+        .agg(expr("percentile(dev, 0.5)").as("mad_chars"))
+      dev.join(broadcast(mad), "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("med_chars")).as("med_chars"),
+          min(col("mad_chars")).as("mad_chars"),
+          sum(when(col("dev") > col("mad_chars") * 3.0, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT source, CAST(n_chars AS DOUBLE) AS len FROM documents),
+      med AS (
+        SELECT source, quantile_cont(len, 0.5) AS med_chars
+        FROM docs GROUP BY source),
+      dev AS (
+        SELECT d.source, abs(d.len - m.med_chars) AS dev, m.med_chars
+        FROM docs d JOIN med m USING (source)),
+      mad AS (
+        SELECT source, quantile_cont(dev, 0.5) AS mad_chars
+        FROM dev GROUP BY source)
+      SELECT dev.source, CAST(count(*) AS BIGINT) AS n_docs,
+        min(dev.med_chars) AS med_chars,
+        min(m.mad_chars) AS mad_chars,
+        CAST(sum(CASE WHEN dev.dev > m.mad_chars * 3.0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dev JOIN mad m USING (source)
+      GROUP BY dev.source ORDER BY dev.source"""))
+
+  val all: Seq[QueryDef] = Seq(qProfile, qChecks, qMad)
 }

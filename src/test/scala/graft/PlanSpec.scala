@@ -169,6 +169,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted PPS sampling: prefix sum stays shard-partitioned, " +
+    "offsets broadcast back") {
+    val p = plan("q_sample_weighted")
+    assert(p.contains("BroadcastHashJoin"),
+      "shard offsets (≤16 rows) must broadcast, not shuffle the facts")
+    // the fact-side running sum must be partitioned by shard; the only
+    // unpartitioned window allowed is the ≤16-row offset stitch, which
+    // sits on the aggregated (grouped-by-shard) side
+    assert(p.contains("windowspecdefinition(shard"),
+      "fact prefix sum must window per shard")
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(read.count(_ == ',') < 3,
+      s"scan should read only doc_id/source/text: $read")
+  }
+
   test("unpivot expands rows inside the scan stage without a shuffle") {
     val p = plan("q_unpivot")
     assert(p.contains("Generate") || p.contains("Expand"),
