@@ -46,35 +46,52 @@ object TextOps {
 
   private val stopRe = "\\b(the|a|of|and|to|in|is|it|for|on)\\b"
 
+  // the quality-score signal columns, shared by q_text_quality and
+  // q_quality_calibrate (Column side and the mirrored DuckDB subquery)
+  private val cToks = size(split(col("text"), " ")).cast("double")
+  private val cStops =
+    size(regexp_extract_all(col("text"), lit(stopRe), lit(0))).cast("double")
+  private val cPunct = size(regexp_extract_all(col("text"),
+    lit("[^a-z0-9 ]"), lit(0))).cast("double")
+  private val cVocab =
+    size(array_distinct(split(col("text"), " "))).cast("double")
+  private val cChars = length(col("text")).cast("double")
+  // composite score: informative length, low punct, some stopwords
+  // (natural prose), low repetition
+  private val cQuality =
+    least(cToks / lit(100.0), lit(1.0)) * (lit(1.0) - cPunct / cChars) *
+      least(cStops / cToks * 5.0, lit(1.0)) * (cVocab / cToks)
+  private val qualityRawSql = s"""
+        SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS DOUBLE) AS toks,
+          CAST(len(regexp_extract_all(text, '$stopRe')) AS DOUBLE) AS stops,
+          CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+            AS punct,
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            AS vocab,
+          CAST(length(text) AS DOUBLE) AS chars
+        FROM documents"""
+  private val qualityExprSql =
+    """least(toks / 100.0, 1.0) * (1.0 - punct / chars) *
+          least(stops / toks * 5.0, 1.0) * (vocab / toks)"""
+
   /** Quality scoring: length, punctuation, stopword and repetition
     * signals composed into a single score — the usual pre-filter for
     * web-scraped training text.
     */
   val qQuality = QueryDef(
     "q_text_quality",
-    (s, dir) => {
-      val toks = size(split(col("text"), " ")).cast("double")
-      val stops = size(regexp_extract_all(col("text"), lit(stopRe), lit(0)))
-        .cast("double")
-      val punct = size(regexp_extract_all(col("text"),
-        lit("[^a-z0-9 ]"), lit(0))).cast("double")
-      val vocab = size(array_distinct(split(col("text"), " "))).cast("double")
-      val chars = length(col("text")).cast("double")
+    (s, dir) =>
       Tables.t(s, dir, "documents")
         .select(
           col("doc_id"),
-          toks.cast("long").as("n_tokens"),
-          (stops / toks).as("stop_ratio"),
-          (punct / chars).as("punct_ratio"),
-          (vocab / toks).as("ttr"), // type-token ratio: repetition signal
-          (chars / toks).as("avg_token_len"),
-          // composite score: informative length, low punct, some
-          // stopwords (natural prose), low repetition
-          (least(toks / lit(100.0), lit(1.0)) * (lit(1.0) - punct / chars) *
-            least(stops / toks * 5.0, lit(1.0)) * (vocab / toks))
-            .as("quality"))
-        .orderBy("doc_id")
-    },
+          cToks.cast("long").as("n_tokens"),
+          (cStops / cToks).as("stop_ratio"),
+          (cPunct / cChars).as("punct_ratio"),
+          (cVocab / cToks).as("ttr"), // type-token ratio: repetition
+          (cChars / cToks).as("avg_token_len"),
+          cQuality.as("quality"))
+        .orderBy("doc_id"),
     Some(s"""
       SELECT doc_id,
         CAST(toks AS BIGINT) AS n_tokens,
@@ -95,6 +112,42 @@ object TextOps {
           CAST(length(text) AS DOUBLE) AS chars
         FROM documents)
       ORDER BY doc_id"""))
+
+  /** Cross-source quality calibration: the composite score is NOT
+    * comparable across sources (a clean-wiki source's 0.4 is junk, a
+    * crawl source's 0.4 is its top decile), so mixing recipes
+    * threshold on the per-source RANK, not the raw score. Emits each
+    * doc's percent_rank and decile within its source — "keep the top
+    * 30% of every source" is then one filter, the FineWeb-Edu-style
+    * per-source cut. Rank ties break on doc_id so both engines agree
+    * exactly; percent_rank's (rank−1)/(n−1) divides int64s once —
+    * bit-identical IEEE.
+    *
+    * Scale shape: one window per source partition (same shape as
+    * q_token_budget; a two-phase sampled-CDF cut is the extreme-skew
+    * escape hatch documented there).
+    */
+  val qQualityCalibrate = QueryDef(
+    "q_quality_calibrate",
+    (s, dir) => {
+      val wSrc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), cQuality.as("quality"))
+        .withColumn("pct_in_source", percent_rank().over(wSrc))
+        .withColumn("decile", ntile(10).over(wSrc).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, source, $qualityExprSql AS quality
+        FROM ($qualityRawSql))
+      SELECT doc_id, source, quality,
+        percent_rank() OVER (PARTITION BY source
+          ORDER BY quality, doc_id) AS pct_in_source,
+        CAST(ntile(10) OVER (PARTITION BY source
+          ORDER BY quality, doc_id) AS BIGINT) AS decile
+      FROM scored ORDER BY doc_id"""))
 
   /** Gopher-style rule gate: the hard pass/fail document filters from
     * the Gopher/MassiveText recipe (word count window, mean word
@@ -787,7 +840,7 @@ object TextOps {
       GROUP BY 1, 2 ORDER BY source_a, source_b"""))
 
   val all: Seq[QueryDef] =
-    Seq(qTokens, qQuality, qGopherRules, qLangId, qFingerprint, qTfIdf,
-      qRepetition, qClean, qSurprise, qContamination, qLengthHist,
-      qClassify, qVocabTopK, qSourceDrift)
+    Seq(qTokens, qQuality, qQualityCalibrate, qGopherRules, qLangId,
+      qFingerprint, qTfIdf, qRepetition, qClean, qSurprise,
+      qContamination, qLengthHist, qClassify, qVocabTopK, qSourceDrift)
 }
