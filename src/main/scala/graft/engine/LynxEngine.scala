@@ -55,7 +55,8 @@ class LynxEngine(
     maxResultRows: Int = Int.MaxValue,
     walGroupCommitMillis: Long = 0L,
     walFsync: Boolean = false,
-    resultCacheEntries: Int = 64) {
+    resultCacheEntries: Int = 64,
+    autoCompactFileThreshold: Int = 0) {
 
   val buffer = new MemBuffer
 
@@ -166,6 +167,16 @@ class LynxEngine(
           // published files with no marker and replay double-counts
           wal.flush()
           t.publish(namespace, table, stagingId, files)
+          // every seal appends a file per day; at 100 TB the
+          // small-file count, not data volume, becomes the scan
+          // bottleneck. With a threshold configured, compact inline
+          // once the manifest crosses it — amortized one rewrite per
+          // `threshold` seals, under the same write lock every
+          // compaction already requires. In-flight queries keep
+          // reading their pinned pre-compaction manifest.
+          if (autoCompactFileThreshold > 0 &&
+              t.fileCount(namespace, table) >= autoCompactFileThreshold)
+            t.compact(spark, namespace, table)
         }
       }
     }

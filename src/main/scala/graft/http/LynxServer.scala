@@ -208,7 +208,12 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
   * LYNX_WAL_GROUP_COMMIT_MS enables WAL group commit (default 0 =
   * flush per record like the reference); LYNX_WAL_FSYNC=1 upgrades
   * every WAL flush to an fsync (power-loss durability — pair with
-  * group commit for one fsync per interval).
+  * group commit for one fsync per interval); LYNX_TIER_DIR enables
+  * the parquet tier at that root (POST /api/v1/admin/checkpoint then
+  * seals the RAM tail there and truncates the WAL — without it the
+  * endpoint is a no-op, reference-faithful); LYNX_AUTO_COMPACT_FILES
+  * compacts a table inline when its manifest crosses that many files
+  * (default 0 = manual compaction only; needs LYNX_TIER_DIR).
   */
 object LynxServerMain {
   def main(args: Array[String]): Unit = {
@@ -223,6 +228,9 @@ object LynxServerMain {
     val walFsync = sys.env.get("LYNX_WAL_FSYNC").exists(v =>
       v == "1" || v.equalsIgnoreCase("true"))
     val walDir = new File(sys.env.getOrElse("LYNX_WAL_DIR", "lynx-wal"))
+    val tierDir = sys.env.get("LYNX_TIER_DIR").map(new File(_))
+    val autoCompact = sys.env.get("LYNX_AUTO_COMPACT_FILES")
+      .map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-lynx")
@@ -232,8 +240,9 @@ object LynxServerMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val engine = new LynxEngine(spark, walDir, maxSeg,
+      tier = tierDir.map(new graft.tier.ParquetTier(_)),
       maxResultRows = maxRows, walGroupCommitMillis = groupCommitMs,
-      walFsync = walFsync)
+      walFsync = walFsync, autoCompactFileThreshold = autoCompact)
     val server = new LynxServer(engine, host, port.toInt)
     server.start()
     println(s"lynx-graft listening on $host:${server.boundPort}")

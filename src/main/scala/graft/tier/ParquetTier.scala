@@ -128,6 +128,13 @@ final class ParquetTier(root: File,
     versioned(ParquetTier.ManifestName, ns, table).lastOption
       .map { case (v, f) => (v, readList(f)) }
 
+  /** Number of data files the current manifest references (0 before
+    * the first publish) — the auto-compaction trigger reads this
+    * cheaply: one small manifest file, no directory walk.
+    */
+  def fileCount(ns: String, table: String): Int =
+    readManifest(ns, table).map(_.size).getOrElse(0)
+
   private def writeManifest(ns: String, table: String,
       rel: Seq[String]): Unit = {
     val dir = manifestDir(ns, table)

@@ -367,6 +367,28 @@ class EngineSpec extends AnyFunSuite {
     assert(tier.read(spark, "ns", "cpu").count() == 4)
   }
 
+  test("auto-compaction: the manifest file count stays bounded by the " +
+    "threshold while results are unchanged") {
+    val tierDir = Files.createTempDirectory("auto-compact-tier").toFile
+    val tier = new ParquetTier(tierDir)
+    val walDir = Files.createTempDirectory("auto-compact-wal").toFile
+    val e = new LynxEngine(SparkFixture.spark, walDir, 1024 * 1024,
+      Some(tier), autoCompactFileThreshold = 3)
+    // same day each time: without compaction the manifest would grow
+    // one file per seal
+    (1 to 7).foreach { i =>
+      e.write(WriteRequest("ns", "cpu", i.toString, Map.empty, i.toLong))
+      e.seal("ns", "cpu")
+      assert(tier.fileCount("ns", "cpu") < 3 + 1,
+        s"seal $i left ${tier.fileCount("ns", "cpu")} files — " +
+          "threshold crossing must compact inline")
+    }
+    val r = e.query("ns",
+      "SELECT sum(CAST(value AS BIGINT)) AS s, count(*) AS n FROM cpu").get
+    assert(r.rows.head.getLong(0) == 28 && r.rows.head.getLong(1) == 7,
+      "auto-compaction must preserve every sealed row")
+  }
+
   test("lease files protect a reader in ANOTHER tier instance from " +
     "zero-grace compaction GC") {
     val spark = SparkFixture.spark
