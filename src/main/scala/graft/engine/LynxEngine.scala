@@ -170,12 +170,16 @@ class LynxEngine(
           // every seal appends a file per day; at 100 TB the
           // small-file count, not data volume, becomes the scan
           // bottleneck. With a threshold configured, compact inline
-          // once the manifest crosses it — amortized one rewrite per
-          // `threshold` seals, under the same write lock every
-          // compaction already requires. In-flight queries keep
-          // reading their pinned pre-compaction manifest.
+          // once the manifest holds `threshold` files BEYOND
+          // compaction's floor of one per day — thresholding on the
+          // total would fire on every seal once the table spans that
+          // many days (a full rewrite per seal). Amortized one
+          // rewrite per `threshold` seals, under the same write lock
+          // every compaction already requires; in-flight queries
+          // keep reading their pinned pre-compaction manifest.
           if (autoCompactFileThreshold > 0 &&
-              t.fileCount(namespace, table) >= autoCompactFileThreshold)
+              t.redundantFileCount(namespace, table) >=
+                autoCompactFileThreshold)
             t.compact(spark, namespace, table)
         }
       }

@@ -212,8 +212,9 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
   * the parquet tier at that root (POST /api/v1/admin/checkpoint then
   * seals the RAM tail there and truncates the WAL — without it the
   * endpoint is a no-op, reference-faithful); LYNX_AUTO_COMPACT_FILES
-  * compacts a table inline when its manifest crosses that many files
-  * (default 0 = manual compaction only; needs LYNX_TIER_DIR).
+  * compacts a table inline when its manifest holds that many files
+  * beyond compaction's one-per-day floor (default 0 = manual
+  * compaction only; needs LYNX_TIER_DIR).
   */
 object LynxServerMain {
   def main(args: Array[String]): Unit = {

@@ -36,14 +36,16 @@ object Curation {
         (count(*) + ${TargetRowsPerShard - 1}) // $TargetRowsPerShard)
         FROM documents)"""
 
-  /** Deterministic md5-derived shard, identical in both engines
-    * (hex chars 17-18 of md5(doc_id), mod the derived shard count).
+  /** Deterministic md5-derived shard, identical in both engines:
+    * hex chars 17-24 of md5(doc_id) — 32 bits, so the modulus stays
+    * meaningful up to ~4B derived shards (2 chars would silently cap
+    * the effective shard count at 256) — mod the derived count.
     */
   private def shardCol(n: Long): org.apache.spark.sql.Column =
-    conv(substring(md5(col("doc_id").cast("string")), 17, 2), 16, 10)
+    conv(substring(md5(col("doc_id").cast("string")), 17, 8), 16, 10)
       .cast("long") % shardsFor(n)
   private def shardSql: String =
-    s"""CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 2)
+    s"""CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8)
         AS BIGINT) % $shardsSubquery"""
 
   /** Sequence packing: assign each document to a training context
@@ -57,8 +59,9 @@ object Curation {
     * partition but embarrassingly parallel *across* partitions, so
     * the partition key must grow with the corpus — lang alone caps
     * parallelism at the stratum count (5 sort tasks forever); the
-    * deterministic md5 shard multiplies it by PackShards, and at
-    * 100 TB you raise PackShards, not the algorithm.
+    * deterministic md5 shard multiplies it by the row-count-derived
+    * shard count (shardsFor), which grows with the corpus on its own
+    * — nothing to retune, and never the algorithm.
     */
   val qPackSequences = QueryDef(
     "q_pack_sequences",
@@ -181,7 +184,7 @@ object Curation {
       // subset of the union of shard top-Ks), phase 2 re-ranks only
       // the ≤ K×shards survivors. Output is IDENTICAL to the
       // single-phase ranking (the oracle keeps the simple form);
-      // sharding reuses the packer's shardCol/PackShards knob.
+      // sharding reuses the packer's derived shardCol.
       val scored = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), u)
         .withColumn("shard", shardCol(Tables.rowCount(s, dir, "documents")))
@@ -668,8 +671,10 @@ object Curation {
         FROM scored),
       par AS (
         SELECT greatest(1, sum(n_tok) // $PpsTarget) AS step FROM scored)
-      SELECT doc_id, source, n_tok, cum_tok,
-        cum_tok // step - (cum_tok - n_tok) // step AS hits
+      SELECT doc_id, source, n_tok,
+        CAST(cum_tok AS BIGINT) AS cum_tok,
+        CAST(cum_tok // step - (cum_tok - n_tok) // step AS BIGINT)
+          AS hits
       FROM cum, par
       WHERE cum_tok // step > (cum_tok - n_tok) // step
       ORDER BY doc_id"""))

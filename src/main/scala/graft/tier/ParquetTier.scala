@@ -129,11 +129,26 @@ final class ParquetTier(root: File,
       .map { case (v, f) => (v, readList(f)) }
 
   /** Number of data files the current manifest references (0 before
-    * the first publish) — the auto-compaction trigger reads this
-    * cheaply: one small manifest file, no directory walk.
+    * the first publish) — read cheaply from one small manifest file,
+    * no directory walk.
     */
   def fileCount(ns: String, table: String): Int =
     readManifest(ns, table).map(_.size).getOrElse(0)
+
+  /** Manifest files in EXCESS of compaction's floor of one file per
+    * day partition. This is what the auto-compaction trigger must
+    * threshold on: total file count never drops below the number of
+    * distinct days, so a total-count trigger would fire on every seal
+    * once a table spans that many days — a full-table rewrite per
+    * seal, the opposite of amortization.
+    */
+  def redundantFileCount(ns: String, table: String): Int =
+    readManifest(ns, table).fold(0) { rel =>
+      val days = rel.flatMap(
+        ParquetTier.DayFromPath.findFirstMatchIn(_).map(_.group(1)))
+        .toSet
+      rel.size - days.size
+    }
 
   private def writeManifest(ns: String, table: String,
       rel: Seq[String]): Unit = {

@@ -389,6 +389,39 @@ class EngineSpec extends AnyFunSuite {
       "auto-compaction must preserve every sealed row")
   }
 
+  test("auto-compaction thresholds on files BEYOND the one-per-day " +
+    "floor, so a many-day table does not rewrite on every seal") {
+    val tierDir = Files.createTempDirectory("auto-compact-days").toFile
+    val tier = new ParquetTier(tierDir)
+    val walDir = Files.createTempDirectory("auto-compact-days-wal").toFile
+    val e = new LynxEngine(SparkFixture.spark, walDir, 1024 * 1024,
+      Some(tier), autoCompactFileThreshold = 3)
+    val day = 86400000000L // micros
+    // one seal covering 4 distinct days → 4 files, 0 redundant
+    (0 until 4).foreach(i =>
+      e.write(WriteRequest("ns", "cpu", i.toString, Map.empty, i * day)))
+    e.seal("ns", "cpu")
+    assert(tier.fileCount("ns", "cpu") == 4 &&
+      tier.redundantFileCount("ns", "cpu") == 0)
+    // another seal on day 0: total (5) exceeds the threshold but only
+    // 1 file is redundant — compaction must NOT run
+    e.write(WriteRequest("ns", "cpu", "10", Map.empty, 1L))
+    e.seal("ns", "cpu")
+    assert(tier.fileCount("ns", "cpu") == 5,
+      "redundancy below threshold must not trigger a full rewrite")
+    // two more seals on day 0 reach 3 redundant → one compaction back
+    // to the per-day floor
+    (0 until 2).foreach { i =>
+      e.write(WriteRequest("ns", "cpu", "10", Map.empty, 1L))
+      e.seal("ns", "cpu")
+    }
+    assert(tier.fileCount("ns", "cpu") == 4 &&
+      tier.redundantFileCount("ns", "cpu") == 0,
+      "crossing the redundancy threshold compacts to one file per day")
+    val r = e.query("ns", "SELECT count(*) AS n FROM cpu").get
+    assert(r.rows.head.getLong(0) == 7)
+  }
+
   test("lease files protect a reader in ANOTHER tier instance from " +
     "zero-grace compaction GC") {
     val spark = SparkFixture.spark

@@ -286,13 +286,16 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6)))
     assert(rows.nonEmpty)
-    // shard is the documented md5-derived function of doc_id
+    // shard is the documented md5-derived function of doc_id: 32 bits
+    // (hex chars 17-24) mod the row-count-derived shard count
+    val nDocs = graft.ops.Tables.rowCount(spark, dir, "documents")
+    val nShards = Curation.shardsFor(nDocs)
     rows.foreach { r =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(r._1.toString.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       assert(r._3 ==
-        java.lang.Long.parseLong(hex.substring(16, 18), 16) % 8)
+        java.lang.Long.parseLong(hex.substring(16, 24), 16) % nShards)
     }
     val budget = 512L
     rows.groupBy(r => (r._2, r._3)).foreach { case (_, g) =>

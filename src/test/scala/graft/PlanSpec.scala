@@ -177,8 +177,13 @@ class PlanSpec extends AnyFunSuite {
     // the fact-side running sum must be partitioned by shard; the only
     // unpartitioned window allowed is the ≤16-row offset stitch, which
     // sits on the aggregated (grouped-by-shard) side
-    assert(p.contains("windowspecdefinition(shard"),
-      "fact prefix sum must window per shard")
+    // must match the PARTITIONED fact-side window (shard, then the
+    // hkey order key) — a bare "windowspecdefinition(shard" would
+    // also match the unpartitioned ≤16-row offset stitch, making the
+    // check vacuous
+    assert("""windowspecdefinition\(shard#\d+L?, hkey""".r
+      .findFirstIn(p).isDefined,
+      "fact prefix sum must window per shard ordered by hkey")
     val read = p.linesIterator.find(_.startsWith("ReadSchema")).get
     assert(read.count(_ == ',') < 3,
       s"scan should read only doc_id/source/text: $read")
