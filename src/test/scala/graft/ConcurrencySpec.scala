@@ -90,6 +90,54 @@ class ConcurrencySpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("queries racing AUTO-seals with inline AUTO-compaction (zero " +
+    "grace) keep snapshot atomicity") {
+    val dir = Files.createTempDirectory("auto-race-wal").toFile
+    val tierDir = Files.createTempDirectory("auto-race-tier").toFile
+    // auto-seal every 7 buffered rows, auto-compact at 2 redundant
+    // files, zero grace: compaction churns constantly inside the
+    // write path while readers pin snapshots
+    val e = new LynxEngine(SparkFixture.spark, dir, 1024 * 1024,
+      Some(new ParquetTier(tierDir, trashGraceMs = 0)),
+      maxBufferedRows = 7, autoCompactFileThreshold = 2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      @volatile var writerDone = false
+      val writer = Future {
+        (1 to 300).foreach { i =>
+          e.write(WriteRequest("ns", "cpu", i.toString,
+            Map("host" -> TagString(s"h${i % 3}")), i.toLong * 1000))
+        }
+        writerDone = true
+      }
+      val readers = (1 to 6).map(_ => Future {
+        var last = 0L
+        var checks = 0
+        while (!writerDone || checks == 0) {
+          val r = e.query("ns",
+            "SELECT count(*) AS n, sum(CAST(value AS BIGINT)) AS s " +
+              "FROM cpu").get.rows.head
+          val (n, s) = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+          assert(n >= last, s"count went backwards: $n < $last")
+          last = n
+          assert(s == n * (n + 1) / 2, s"torn snapshot: n=$n s=$s")
+          checks += 1
+        }
+        checks
+      })
+      Await.result(writer, 120.seconds)
+      val counts = Await.result(Future.sequence(readers), 120.seconds)
+      assert(counts.forall(_ > 0))
+      val fin = e.query("ns",
+        "SELECT count(*) AS n FROM cpu").get
+      assert(fin.rows.head.getLong(0) == 300)
+      // compaction actually ran: the manifest is near the per-day
+      // floor, not ~43 seal files
+      assert(new ParquetTier(tierDir).fileCount("ns", "cpu") <= 3)
+    } finally pool.shutdown()
+  }
+
   test("auto-seal spills the RAM tail to the tier at the threshold") {
     val dir = Files.createTempDirectory("autoseal-wal").toFile
     val tierDir = Files.createTempDirectory("autoseal-tier").toFile
