@@ -568,6 +568,95 @@ object TextOps {
             1, 15), 16, 10).cast("long")))).as("g"))
   }
 
+  /** Winnowing fingerprint size (tokens per gram) and window (hashes
+    * per selection window) — Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting" (SIGMOD 2003).
+    */
+  private val WinnowK = 5
+  private val WinnowW = 4
+
+  /** Winnowing fingerprint selection: hash every K-token gram, slide
+    * a window of W consecutive hashes, keep each window's minimum
+    * (rightmost on ties), dedupe — the MOSS scheme. Its guarantee:
+    * any shared run of K+W−1 tokens between two docs shares at least
+    * one SELECTED fingerprint, so matching on the ~1/W-density
+    * fingerprint set (instead of every gram, q_contamination's cost)
+    * still finds every sufficiently long overlap.
+    *
+    * The rightmost-tie rule needs argmin-with-last-tie, which neither
+    * engine's window functions express directly; both get the
+    * identical form: reverse the window into an array and take
+    * array_position of the min — first-in-reversed IS rightmost.
+    *
+    * Scale shape: one gram explode (~tokens/doc) and one lead()
+    * window per doc partition — uniform keys, no joins; the
+    * fingerprint set is what downstream overlap joins then consume at
+    * 1/W the gram volume.
+    */
+  val qWinnow = QueryDef(
+    "q_text_winnow",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = split(col("text"), " ")
+      val hashes = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= WinnowK + WinnowW - 1)
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(1), size(col("toks")) - (WinnowK - 1)),
+            i => conv(substring(md5(
+              concat_ws(" ", slice(col("toks"), i, lit(WinnowK)))),
+              1, 15), 16, 10).cast("long"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+          col("col").as("h"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      hashes
+        .withColumn("h1", lead(col("h"), 1).over(wDoc))
+        .withColumn("h2", lead(col("h"), 2).over(wDoc))
+        .withColumn("h3", lead(col("h"), 3).over(wDoc))
+        .filter(col("h3").isNotNull) // complete windows only
+        .withColumn("arr",
+          array(col("h3"), col("h2"), col("h1"), col("h")))
+        .withColumn("fp_hash", array_min(col("arr")))
+        .withColumn("fp_pos",
+          (col("i") + WinnowW -
+            array_position(col("arr"), col("fp_hash"))).cast("long"))
+        .select("doc_id", "fp_pos", "fp_hash").distinct()
+        .orderBy("doc_id", "fp_pos")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' '))
+          >= ${WinnowK + WinnowW - 1}),
+      pos AS (
+        SELECT doc_id,
+          unnest(generate_series(1,
+            len(toks) - ${WinnowK - 1})) AS i, toks
+        FROM toks),
+      hashes AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+          CAST('0x' || substr(md5(array_to_string(
+            toks[CAST(i AS INT):CAST(i AS INT) + ${WinnowK - 1}], ' ')),
+            1, 15) AS BIGINT) AS h
+        FROM pos),
+      leads AS (
+        SELECT doc_id, i, h,
+          lead(h, 1) OVER w AS h1,
+          lead(h, 2) OVER w AS h2,
+          lead(h, 3) OVER w AS h3
+        FROM hashes WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+      wins AS (
+        SELECT doc_id, i, [h3, h2, h1, h] AS arr
+        FROM leads WHERE h3 IS NOT NULL),
+      sel AS (
+        SELECT doc_id,
+          CAST(i + $WinnowW - list_position(arr, list_min(arr))
+            AS BIGINT) AS fp_pos,
+          list_min(arr) AS fp_hash
+        FROM wins)
+      SELECT DISTINCT doc_id, fp_pos, fp_hash FROM sel
+      ORDER BY doc_id, fp_pos"""))
+
   val qContamination = QueryDef(
     "q_contamination",
     (s, dir) => {
@@ -841,6 +930,6 @@ object TextOps {
 
   val all: Seq[QueryDef] =
     Seq(qTokens, qQuality, qQualityCalibrate, qGopherRules, qLangId,
-      qFingerprint, qTfIdf, qRepetition, qClean, qSurprise,
+      qFingerprint, qTfIdf, qRepetition, qClean, qSurprise, qWinnow,
       qContamination, qLengthHist, qClassify, qVocabTopK, qSourceDrift)
 }

@@ -266,6 +266,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), "copies materialize via explode")
   }
 
+  test("winnowing is join-free: one doc-partitioned window over grams") {
+    val p = plan("q_text_winnow")
+    assert(!p.contains("Join"),
+      "fingerprint selection is per-doc — nothing to join")
+    // doc scan reads only doc_id + text
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(read.count(_ == ',') <= 1, s"scan reads too many columns: $read")
+    // exactly one Window (the lead() chain shares a single spec)
+    assert("""Window \(\d+\)""".r.findAllIn(p).size == 1,
+      "the three lead() calls must fuse into one window operator")
+  }
+
   test("random projection is a narrow scan feeding codegen kernels") {
     val p = plan("q_embed_rp")
     // only vec_id + embedding should be read
