@@ -593,37 +593,43 @@ object TextOps {
     * fingerprint set is what downstream overlap joins then consume at
     * 1/W the gram volume.
     */
-  val qWinnow = QueryDef(
-    "q_text_winnow",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = split(col("text"), " ")
-      val hashes = Tables.t(s, dir, "documents")
-        .select(col("doc_id"), toks.as("toks"))
-        .filter(size(col("toks")) >= WinnowK + WinnowW - 1)
-        .select(col("doc_id"), posexplode(
-          transform(sequence(lit(1), size(col("toks")) - (WinnowK - 1)),
-            i => conv(substring(md5(
-              concat_ws(" ", slice(col("toks"), i, lit(WinnowK)))),
-              1, 15), 16, 10).cast("long"))))
-        .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
-          col("col").as("h"))
-      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      hashes
-        .withColumn("h1", lead(col("h"), 1).over(wDoc))
-        .withColumn("h2", lead(col("h"), 2).over(wDoc))
-        .withColumn("h3", lead(col("h"), 3).over(wDoc))
-        .filter(col("h3").isNotNull) // complete windows only
-        .withColumn("arr",
-          array(col("h3"), col("h2"), col("h1"), col("h")))
-        .withColumn("fp_hash", array_min(col("arr")))
-        .withColumn("fp_pos",
-          (col("i") + WinnowW -
-            array_position(col("arr"), col("fp_hash"))).cast("long"))
-        .select("doc_id", "fp_pos", "fp_hash").distinct()
-        .orderBy("doc_id", "fp_pos")
-    },
-    Some(s"""
+  /** The pre-dedupe winnow selection (one row per sliding window):
+    * doc_id, fp_pos, fp_hash. Shared by q_text_winnow (fingerprint
+    * dump) and q_winnow_overlap (pairwise consumer).
+    */
+  private def winnowSel(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val hashes = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= WinnowK + WinnowW - 1)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("toks")) - (WinnowK - 1)),
+          i => conv(substring(md5(
+            concat_ws(" ", slice(col("toks"), i, lit(WinnowK)))),
+            1, 15), 16, 10).cast("long"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+        col("col").as("h"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    hashes
+      .withColumn("h1", lead(col("h"), 1).over(wDoc))
+      .withColumn("h2", lead(col("h"), 2).over(wDoc))
+      .withColumn("h3", lead(col("h"), 3).over(wDoc))
+      .filter(col("h3").isNotNull) // complete windows only
+      .withColumn("arr",
+        array(col("h3"), col("h2"), col("h1"), col("h")))
+      .withColumn("fp_hash", array_min(col("arr")))
+      .withColumn("fp_pos",
+        (col("i") + WinnowW -
+          array_position(col("arr"), col("fp_hash"))).cast("long"))
+      .select("doc_id", "fp_pos", "fp_hash")
+  }
+
+  /** DuckDB twin of [[winnowSel]]: CTE chain ending in `sel` with the
+    * same three columns.
+    */
+  private val WinnowCtes = s"""
       WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         WHERE len(string_split(text, ' '))
@@ -653,9 +659,84 @@ object TextOps {
           CAST(i + $WinnowW - list_position(arr, list_min(arr))
             AS BIGINT) AS fp_pos,
           list_min(arr) AS fp_hash
-        FROM wins)
+        FROM wins)"""
+
+  val qWinnow = QueryDef(
+    "q_text_winnow",
+    (s, dir) => winnowSel(s, dir).distinct().orderBy("doc_id", "fp_pos"),
+    Some(s"""$WinnowCtes
       SELECT DISTINCT doc_id, fp_pos, fp_hash FROM sel
       ORDER BY doc_id, fp_pos"""))
+
+  /** Max docs a fingerprint may appear in before it is treated as a
+    * stop-phrase (boilerplate) and dropped from pair generation, and
+    * the min shared-fingerprint count for a pair to be reported.
+    */
+  private val WinnowDfCap = 64
+  private val WinnowMinShared = 3
+
+  /** MOSS-style pairwise overlap: join docs on shared winnow
+    * fingerprints, count matches per pair, score with fingerprint-set
+    * Jaccard. The winnowing guarantee makes this detection-complete:
+    * any pair sharing a run of K+W−1 = ${WinnowK + WinnowW - 1} tokens
+    * shares ≥1 selected fingerprint, at ~1/W the gram-join volume
+    * q_contamination pays.
+    *
+    * Scale shape: the pair generator is a self-equi-join on fp_hash
+    * with a df-cap (drop fingerprints in > DfCap docs) bounding the
+    * worst key's fanout at DfCap² — same stop-shingle defense as
+    * Dedup.scala's n-gram join; no all-pairs anything.
+    */
+  val qWinnowOverlap = QueryDef(
+    "q_winnow_overlap",
+    (s, dir) => {
+      val fps = winnowSel(s, dir).select("doc_id", "fp_hash").distinct()
+      val rare = fps.groupBy("fp_hash")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WinnowDfCap)
+        .select("fp_hash")
+      val kept = fps.join(rare, Seq("fp_hash"), "left_semi")
+      val nfp = kept.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+      val pairs = kept.as("a")
+        .join(kept.as("b"),
+          col("a.fp_hash") === col("b.fp_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= WinnowMinShared)
+      pairs
+        .join(nfp.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("nfp", "nfp_a"), Seq("doc_a"))
+        .join(nfp.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("nfp", "nfp_b"), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          (col("shared") /
+            (col("nfp_a") + col("nfp_b") - col("shared"))).as("jacc"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""$WinnowCtes,
+      fps AS (SELECT DISTINCT doc_id, fp_hash FROM sel),
+      rare AS (
+        SELECT fp_hash FROM fps GROUP BY fp_hash
+        HAVING count(*) <= $WinnowDfCap),
+      kept AS (
+        SELECT doc_id, fp_hash FROM fps
+        WHERE fp_hash IN (SELECT fp_hash FROM rare)),
+      nfp AS (
+        SELECT doc_id, count(*) AS nfp FROM kept GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS shared
+        FROM kept a JOIN kept b
+          ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= $WinnowMinShared)
+      SELECT doc_a, doc_b, shared,
+        shared / (na.nfp + nb.nfp - shared) AS jacc
+      FROM pairs
+      JOIN nfp na ON na.doc_id = doc_a
+      JOIN nfp nb ON nb.doc_id = doc_b
+      ORDER BY doc_a, doc_b"""))
 
   val qContamination = QueryDef(
     "q_contamination",
@@ -931,5 +1012,6 @@ object TextOps {
   val all: Seq[QueryDef] =
     Seq(qTokens, qQuality, qQualityCalibrate, qGopherRules, qLangId,
       qFingerprint, qTfIdf, qRepetition, qClean, qSurprise, qWinnow,
-      qContamination, qLengthHist, qClassify, qVocabTopK, qSourceDrift)
+      qWinnowOverlap, qContamination, qLengthHist, qClassify, qVocabTopK,
+      qSourceDrift)
 }

@@ -278,6 +278,13 @@ class PlanSpec extends AnyFunSuite {
       "the three lead() calls must fuse into one window operator")
   }
 
+  test("winnow overlap builds pairs from fp_hash equi-joins only") {
+    val p = plan("q_winnow_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation must be the df-capped fingerprint equi-join")
+  }
+
   test("random projection is a narrow scan feeding codegen kernels") {
     val p = plan("q_embed_rp")
     // only vec_id + embedding should be read
