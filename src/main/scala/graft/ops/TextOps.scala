@@ -626,6 +626,34 @@ object TextOps {
       .select("doc_id", "fp_pos", "fp_hash")
   }
 
+  /** Pure-JVM twin of [[winnowSel]] for parity/property specs (the
+    * jvmMinHash precedent, Dedup.scala): returns the deduped
+    * (fp_pos, fp_hash) set for one document, or Nil when shorter than
+    * K+W−1 tokens. Must stay fold-for-fold identical to the SQL: gram
+    * hash = first 15 hex chars of md5 parsed base-16; window min with
+    * rightmost tie via the reversed-array position.
+    */
+  private[graft] def jvmWinnow(text: String): Seq[(Long, Long)] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < WinnowK + WinnowW - 1) Nil
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val grams = Array.tabulate(toks.length - (WinnowK - 1)) { i0 =>
+        md.reset()
+        val hex = md.digest(toks.slice(i0, i0 + WinnowK).mkString(" ")
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      (1 to grams.length - (WinnowW - 1)).map { i =>
+        // arr = [h(i+3), h(i+2), h(i+1), h(i)] — reversed window
+        val arr = Array.tabulate(WinnowW)(j => grams(i - 1 + WinnowW - 1 - j))
+        val mn = arr.min
+        val idx = arr.indexOf(mn) + 1 // 1-based array_position
+        (i.toLong + WinnowW - idx, mn)
+      }.distinct.sorted
+    }
+  }
+
   /** DuckDB twin of [[winnowSel]]: CTE chain ending in `sel` with the
     * same three columns.
     */
