@@ -71,8 +71,8 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
-  /** Register graft_dot in the session's function registry
-    * (idempotent per session).
+  /** Register graft_dot and graft_might_contain in the session's
+    * function registry (idempotent per session).
     */
   def register(spark: SparkSession): Unit = synchronized {
     val id = FunctionIdentifier("graft_dot")
@@ -82,8 +82,28 @@ object GraftFunctions {
         new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
         (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)))
     }
+    val mc = FunctionIdentifier("graft_might_contain")
+    if (!spark.sessionState.functionRegistry.functionExists(mc)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        mc,
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions
+            .BloomFilterMightContain].getName, "graft_might_contain"),
+        (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst
+          .expressions.BloomFilterMightContain(exprs(0), exprs(1)))
+    }
   }
 
   /** Fused dot product column; requires register(spark) first. */
   def dotp(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Bloom membership probe over a serialized
+    * `org.apache.spark.util.sketch.BloomFilter` — the same expression
+    * Spark's InjectRuntimeFilter plants, exposed so operators can
+    * build the filter explicitly (e.g. from a dim-key aggregate) and
+    * pin it on a fact scan. `v` must be a LONG column (the sketch
+    * hashes it internally); requires register(spark) first.
+    */
+  def mightContain(bloomBytes: Column, v: Column): Column =
+    call_function("graft_might_contain", bloomBytes, v)
 }

@@ -262,6 +262,54 @@ object Relational {
         AND a.l_linenumber < b.l_linenumber
       ORDER BY a.l_orderkey, ln_a, ln_b"""))
 
+  /** Bloom pre-filtered semi-join — the runtime-filter pattern for
+    * the 100 TB case where the dim side is too large to
+    * broadcast-hash-join (8+ bytes/key in a hash map) but a
+    * ~1.2-byte/key bloom still ships: build the filter from the dim
+    * keys with the public `stat.bloomFilter` tree-aggregate (one
+    * distributed job), plant it on the fact scan via the same
+    * `BloomFilterMightContain` expression Spark's InjectRuntimeFilter
+    * uses, and drop non-members BEFORE the fact shuffle; the exact
+    * semi-join then runs on the survivors. False positives are
+    * removed by that join; false negatives are impossible, so the
+    * result — and the oracle — is exactly the plain semi-join
+    * regardless of fpp. Sized from the orders footer row count (no
+    * selectivity guess). Past the point where even the bloom literal
+    * is too fat to ship (~10^9 dim keys), flip to Spark's automatic
+    * injection (spark.sql.optimizer.runtime.bloomFilter) whose
+    * filter stays distributed as a scalar subquery.
+    */
+  val qBloomJoin = QueryDef(
+    "q_bloom_join",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val dim = T(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("key"))
+      val nKeys = math.max(64L, Tables.rowCount(s, dir, "orders"))
+      val bloom = dim.stat.bloomFilter("key", nKeys, 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      val pre = T(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+        .filter(graft.functions.GraftFunctions.mightContain(
+          lit(bos.toByteArray), col("l_orderkey")))
+      pre.join(dim, pre("l_orderkey") === dim("key"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      SELECT l_returnflag,
+        ${Parity.dsumSql("l_quantity")} AS sum_qty,
+        count(*) AS n
+      FROM lineitem
+      WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT')
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Cross join (small × small) with a theta filter. */
   val qCross = QueryDef(
     "q_cross_theta",
@@ -1484,7 +1532,7 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
     q1Agg, qFilter, qPredicates,
     qJoin3, qJoin6, qSemi, qAnti, qOuter, qFullOuter, qSelfJoin, qCross,
-    qDisjunctJoin, qQ22Shape, qTpchQ3, qTpchQ5, qTpchQ10,
+    qDisjunctJoin, qBloomJoin, qQ22Shape, qTpchQ3, qTpchQ5, qTpchQ10,
     qCountDistinct, qHaving, qDistinct, qRollup, qCube, qGroupingSets,
     qMinMax, qStringAgg, qBoolBit, qArgExtremes, qPercentile, qStatsExact,
     qStatsBuiltin, qStatsSketch,

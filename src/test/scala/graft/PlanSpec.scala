@@ -278,6 +278,21 @@ class PlanSpec extends AnyFunSuite {
       "the three lead() calls must fuse into one window operator")
   }
 
+  test("bloom join: might_contain probes the fact scan below the semi") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("might_contain"),
+      "the bloom probe must survive into the physical plan")
+    assert(p.contains("LeftSemi"), "exactness comes from the semi-join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the probe sits in the fact-side Filter, i.e. before any join:
+    // the first Filter the formatted plan prints under the semi's
+    // left ("Filter (2)") carries the probe
+    val probeLine = p.linesIterator
+      .find(l => l.contains("might_contain") && l.contains("l_orderkey"))
+    assert(probeLine.isDefined, "probe must filter the fact table")
+  }
+
   test("winnow overlap builds pairs from fp_hash equi-joins only") {
     val p = plan("q_winnow_overlap")
     assert(!p.contains("CartesianProduct") &&
