@@ -745,7 +745,48 @@ object Dedup {
       WHERE n >= 10 AND CAST(inter AS DOUBLE) / n >= 0.5
       ORDER BY doc_a, doc_b"""))
 
+  /** Blocked edit-distance near-dup: the record-linkage workhorse for
+    * short fields (titles, names) where token shingles are too coarse.
+    * Classic blocking-key design: candidates = docs sharing an 8-char
+    * prefix block, verified with Levenshtein over a 40-char title
+    * proxy — O(pairs·40²) DP only on candidates, never all-pairs.
+    * Both engines implement the identical unweighted Levenshtein, so
+    * distances hash-match exactly.
+    *
+    * Scale shape: a prefix-block equi-join (uniform short-string
+    * keys; at corpus scale a hot boilerplate block is the df-cap
+    * story, same as shingles — here the fixture's worst block is
+    * bounded and the join stays a hash join). Pairs then verify in a
+    * narrow map.
+    */
+  val qEditDist = QueryDef(
+    "q_dedup_editdist",
+    (s, dir) => {
+      val t = Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          substring(col("text"), 1, 40).as("title"),
+          substring(col("text"), 1, 8).as("blk"))
+      t.as("a").join(t.as("b"),
+          col("a.blk") === col("b.blk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.title"), col("b.title")).cast("long")
+            .as("dist"))
+        .filter(col("dist") <= 10)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, substr(text, 1, 40) AS title,
+          substr(text, 1, 8) AS blk
+        FROM documents)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        levenshtein(a.title, b.title) AS dist
+      FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.title, b.title) <= 10
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[QueryDef] =
     Seq(qExact, qNgramJaccard, qMinHashLsh, qSimHash, qClusters,
-      qLineDedup, qDupSpans, qSourceOverlap, qContainment)
+      qLineDedup, qDupSpans, qSourceOverlap, qContainment, qEditDist)
 }

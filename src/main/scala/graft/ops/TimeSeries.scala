@@ -667,7 +667,111 @@ object TimeSeries {
       GROUP BY cohort_wk, wk - cohort_wk, cohort_size
       ORDER BY cohort_wk, "offset""""))
 
+  /** LTTB target bucket count per series. */
+  private val LttbNB = 50
+
+  /** Largest-Triangle-Three-Buckets downsample (Steinarsson 2013),
+    * parallel "bucket-average" variant: per event_type series, split
+    * the time range into NB equal buckets, and from each bucket keep
+    * the point forming the largest triangle against the NEIGHBOR
+    * BUCKETS' average points (classic LTTB anchors on the previously
+    * *selected* point, a sequential dependency; anchoring on the
+    * prev-bucket average is the standard parallelization and what
+    * plotting backends ship). First/last existing buckets pin the
+    * series' first/last points, preserving the envelope.
+    *
+    * Determinism: bucket averages use the exact decimal-sum route
+    * (Parity.davg); the triangle area is *,−,abs on doubles (IEEE
+    * exact); ties break on (us, event_id). Spark picks argmax via
+    * max_by over a lexicographic struct — a two-phase aggregate, no
+    * per-bucket sort — while the oracle uses a row_number window;
+    * same selection, different mechanics.
+    *
+    * Scale shape: one bucket-key aggregate, a window over the tiny
+    * NB-row bucket frame, a broadcast join back, and a max_by
+    * aggregate. The corpus never funnels into the 250 (type, b) keys
+    * as a sorted window — partial aggregation absorbs it map-side.
+    */
+  val qLttb = QueryDef(
+    "q_ts_lttb",
+    (s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("value"))
+      val rng = ev.groupBy("event_type")
+        .agg(min("us").as("min_us"), max("us").as("max_us"))
+      val pts = ev.join(broadcast(rng), "event_type")
+        .withColumn("b",
+          expr(s"((us - min_us) * $LttbNB) div (max_us - min_us + 1)"))
+      val bk = pts.groupBy(col("event_type"), col("b"))
+        .agg(davg(col("us").cast("double")).as("ax"),
+          davg(col("value")).as("ay"))
+      val wb = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      val nbr = bk
+        .withColumn("prev_ax", lag(col("ax"), 1).over(wb))
+        .withColumn("prev_ay", lag(col("ay"), 1).over(wb))
+        .withColumn("next_ax", lead(col("ax"), 1).over(wb))
+        .withColumn("next_ay", lead(col("ay"), 1).over(wb))
+        .drop("ax", "ay")
+      val x = col("us").cast("double")
+      val scored = pts.join(broadcast(nbr), Seq("event_type", "b"))
+        .withColumn("score",
+          when(col("prev_ax").isNull, -x)
+            .when(col("next_ax").isNull, x)
+            .otherwise(abs(
+              (col("prev_ax") - col("next_ax")) *
+                (col("value") - col("next_ay")) -
+              (col("prev_ax") - x) *
+                (col("next_ay") - col("prev_ay")))))
+      scored.groupBy(col("event_type"), col("b"))
+        .agg(max_by(struct(col("us"), col("value")),
+          struct(col("score"), (-col("us")).as("nus"),
+            (-col("event_id")).as("nid"))).as("p"))
+        .select(col("event_type"), col("b"), col("p.us").as("us"),
+          col("p.value").as("value"))
+        .orderBy("event_type", "b")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS us,
+          event_id, value
+        FROM events),
+      rng AS (
+        SELECT event_type, min(us) AS min_us, max(us) AS max_us
+        FROM ev GROUP BY 1),
+      pts AS (
+        SELECT ev.*, ((us - min_us) * $LttbNB)
+          // (max_us - min_us + 1) AS b
+        FROM ev JOIN rng USING (event_type)),
+      bk AS (
+        SELECT event_type, b,
+          ${davgSql("CAST(us AS DOUBLE)")} AS ax,
+          ${davgSql("value")} AS ay
+        FROM pts GROUP BY 1, 2),
+      nbr AS (
+        SELECT event_type, b,
+          lag(ax) OVER w AS prev_ax, lag(ay) OVER w AS prev_ay,
+          lead(ax) OVER w AS next_ax, lead(ay) OVER w AS next_ay
+        FROM bk WINDOW w AS (PARTITION BY event_type ORDER BY b)),
+      sc AS (
+        SELECT p.event_type, p.b, p.us, p.event_id, p.value,
+          CASE WHEN n.prev_ax IS NULL THEN -CAST(p.us AS DOUBLE)
+               WHEN n.next_ax IS NULL THEN CAST(p.us AS DOUBLE)
+               ELSE abs((n.prev_ax - n.next_ax)
+                      * (p.value - n.next_ay)
+                    - (n.prev_ax - CAST(p.us AS DOUBLE))
+                      * (n.next_ay - n.prev_ay)) END AS score
+        FROM pts p JOIN nbr n USING (event_type, b)),
+      pick AS (
+        SELECT event_type, b, us, value,
+          row_number() OVER (PARTITION BY event_type, b
+            ORDER BY score DESC, us, event_id) AS rn
+        FROM sc)
+      SELECT event_type, CAST(b AS BIGINT) AS b, us, value
+      FROM pick WHERE rn = 1
+      ORDER BY event_type, b"""))
+
   val all: Seq[QueryDef] =
     Seq(qAsofJoin, qGapFill, qIntervalJoin, qSessionize, qOhlc, qFunnel,
-      qRate, qEwma, qHolt, qAnomaly, qRetention, qSeasonal)
+      qRate, qEwma, qHolt, qAnomaly, qRetention, qSeasonal, qLttb)
 }

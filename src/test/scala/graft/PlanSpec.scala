@@ -293,6 +293,26 @@ class PlanSpec extends AnyFunSuite {
     assert(probeLine.isDefined, "probe must filter the fact table")
   }
 
+  test("edit-distance dedup: candidates from the prefix-block " +
+    "equi-join, never all-pairs") {
+    val p = plan("q_dedup_editdist")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "levenshtein must verify blocked candidates only")
+  }
+
+  test("lttb: corpus aggregates by (type,bucket); the only sorted " +
+    "window is over the tiny bucket frame") {
+    val p = plan("q_ts_lttb")
+    assert(!p.contains("CartesianProduct"))
+    // exactly one Window op — the NB-row-per-series neighbor frame;
+    // point selection must be the max_by aggregate, not a window
+    assert("""Window \(\d+\)""".r.findAllIn(p).size == 1,
+      "per-point argmax must not sort the corpus inside 250 buckets")
+    assert("HashAggregate".r.findAllIn(p).size >= 2 && p.contains("partial_"),
+      "bucket stats and max_by selection must aggregate two-phase")
+  }
+
   test("winnow overlap builds pairs from fp_hash equi-joins only") {
     val p = plan("q_winnow_overlap")
     assert(!p.contains("CartesianProduct") &&
