@@ -753,19 +753,22 @@ object Dedup {
     * Both engines implement the identical unweighted Levenshtein, so
     * distances hash-match exactly.
     *
-    * Scale shape: a prefix-block equi-join (uniform short-string
-    * keys; at corpus scale a hot boilerplate block is the df-cap
-    * story, same as shingles — here the fixture's worst block is
-    * bounded and the join stays a hash join). Pairs then verify in a
-    * narrow map.
+    * Scale shape: a prefix-block equi-join with a block-size cap —
+    * blocks holding > 64 docs are boilerplate prefixes and are
+    * dropped (the shingle df-cap defense), bounding any one key's
+    * fanout at 64² however skewed the corpus; the join stays a hash
+    * join. Pairs then verify in a narrow map.
     */
   val qEditDist = QueryDef(
     "q_dedup_editdist",
     (s, dir) => {
-      val t = Tables.t(s, dir, "documents")
+      val t0 = Tables.t(s, dir, "documents")
         .select(col("doc_id"),
           substring(col("text"), 1, 40).as("title"),
           substring(col("text"), 1, 8).as("blk"))
+      val okBlk = t0.groupBy("blk").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= 64).select("blk")
+      val t = t0.join(okBlk, Seq("blk"), "left_semi")
       t.as("a").join(t.as("b"),
           col("a.blk") === col("b.blk") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -776,10 +779,12 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
     Some("""
-      WITH t AS (
+      WITH t0 AS (
         SELECT doc_id, substr(text, 1, 40) AS title,
           substr(text, 1, 8) AS blk
-        FROM documents)
+        FROM documents),
+      ok AS (SELECT blk FROM t0 GROUP BY blk HAVING count(*) <= 64),
+      t AS (SELECT * FROM t0 WHERE blk IN (SELECT blk FROM ok))
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         levenshtein(a.title, b.title) AS dist
       FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
