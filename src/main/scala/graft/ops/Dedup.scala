@@ -750,8 +750,13 @@ object Dedup {
     * Classic blocking-key design: candidates = docs sharing an 8-char
     * prefix block, verified with Levenshtein over a 40-char title
     * proxy — O(pairs·40²) DP only on candidates, never all-pairs.
-    * Both engines implement the identical unweighted Levenshtein, so
-    * distances hash-match exactly.
+    * Both engines implement unweighted Levenshtein, but DuckDB counts
+    * UTF-8 BYTES where Spark counts codepoints — so the compared
+    * titles are first projected to printable ASCII (`[ -~]`, the
+    * Java∩RE2 class both regex engines treat identically), replacing
+    * anything else with `_`; on that domain byte == codepoint and
+    * distances hash-match exactly on any corpus, not just ASCII
+    * fixtures.
     *
     * Scale shape: a prefix-block equi-join with a block-size cap —
     * blocks holding > 64 docs are boilerplate prefixes and are
@@ -762,10 +767,11 @@ object Dedup {
   val qEditDist = QueryDef(
     "q_dedup_editdist",
     (s, dir) => {
+      val ascii = regexp_replace(substring(col("text"), 1, 40),
+        "[^ -~]", "_")
       val t0 = Tables.t(s, dir, "documents")
-        .select(col("doc_id"),
-          substring(col("text"), 1, 40).as("title"),
-          substring(col("text"), 1, 8).as("blk"))
+        .select(col("doc_id"), ascii.as("title"),
+          substring(ascii, 1, 8).as("blk"))
       val okBlk = t0.groupBy("blk").agg(count(lit(1)).as("n"))
         .filter(col("n") <= 64).select("blk")
       val t = t0.join(okBlk, Seq("blk"), "left_semi")
@@ -780,8 +786,11 @@ object Dedup {
     },
     Some("""
       WITH t0 AS (
-        SELECT doc_id, substr(text, 1, 40) AS title,
-          substr(text, 1, 8) AS blk
+        SELECT doc_id,
+          regexp_replace(substr(text, 1, 40), '[^ -~]', '_', 'g')
+            AS title,
+          substr(regexp_replace(substr(text, 1, 40), '[^ -~]', '_', 'g'),
+            1, 8) AS blk
         FROM documents),
       ok AS (SELECT blk FROM t0 GROUP BY blk HAVING count(*) <= 64),
       t AS (SELECT * FROM t0 WHERE blk IN (SELECT blk FROM ok))

@@ -705,10 +705,15 @@ object TextOps {
 
   /** MOSS-style pairwise overlap: join docs on shared winnow
     * fingerprints, count matches per pair, score with fingerprint-set
-    * Jaccard. The winnowing guarantee makes this detection-complete:
-    * any pair sharing a run of K+W−1 = ${WinnowK + WinnowW - 1} tokens
-    * shares ≥1 selected fingerprint, at ~1/W the gram-join volume
-    * q_contamination pays.
+    * Jaccard. The winnowing guarantee bounds what the fingerprint SET
+    * can miss — any pair sharing a run of K+W−1 tokens shares ≥1
+    * selected fingerprint, at ~1/W the gram-join volume
+    * q_contamination pays. The REPORT then trades that recall for
+    * precision: MinShared = 3 suppresses pairs whose only overlap is
+    * one or two short runs (set it to 1 for the detection-complete
+    * mode), and the df-cap drops fingerprints shared corpus-wide
+    * (boilerplate), which can also hide a pair whose entire overlap
+    * is boilerplate.
     *
     * Scale shape: the pair generator is a self-equi-join on fp_hash
     * with a df-cap (drop fingerprints in > DfCap docs) bounding the

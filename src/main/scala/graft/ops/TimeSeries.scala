@@ -720,7 +720,7 @@ object TimeSeries {
             .when(col("next_ax").isNull, x)
             .otherwise(abs(
               (col("prev_ax") - col("next_ax")) *
-                (col("value") - col("next_ay")) -
+                (col("value") - col("prev_ay")) -
               (col("prev_ax") - x) *
                 (col("next_ay") - col("prev_ay")))))
       scored.groupBy(col("event_type"), col("b"))
@@ -758,7 +758,7 @@ object TimeSeries {
           CASE WHEN n.prev_ax IS NULL THEN -CAST(p.us AS DOUBLE)
                WHEN n.next_ax IS NULL THEN CAST(p.us AS DOUBLE)
                ELSE abs((n.prev_ax - n.next_ax)
-                      * (p.value - n.next_ay)
+                      * (p.value - n.prev_ay)
                     - (n.prev_ax - CAST(p.us AS DOUBLE))
                       * (n.next_ay - n.prev_ay)) END AS score
         FROM pts p JOIN nbr n USING (event_type, b)),

@@ -285,12 +285,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), "exactness comes from the semi-join")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
-    // the probe sits in the fact-side Filter, i.e. before any join:
-    // the first Filter the formatted plan prints under the semi's
-    // left ("Filter (2)") carries the probe
-    val probeLine = p.linesIterator
-      .find(l => l.contains("might_contain") && l.contains("l_orderkey"))
-    assert(probeLine.isDefined, "probe must filter the fact table")
+    // the probe must sit in the Filter that is the semi-join's LEFT
+    // child (i.e. before the join), not above it: in the formatted
+    // tree the left child renders as ":- Filter (n)" right after the
+    // LeftSemi line; that node id's detail section must carry the
+    // might_contain condition
+    val lines = p.linesIterator.toVector
+    val joinIx = lines.indexWhere(_.contains("LeftSemi"))
+    assert(joinIx >= 0)
+    val childFilter = lines.drop(joinIx + 1)
+      .flatMap(""":- Filter \((\d+)\)""".r.findFirstMatchIn(_))
+      .headOption
+    assert(childFilter.isDefined, "semi-join's left child must be a Filter")
+    val detailIx = lines.indexWhere(
+      _.startsWith(s"(${childFilter.get.group(1)}) Filter"))
+    assert(detailIx >= 0 && lines.drop(detailIx).take(4)
+      .exists(l => l.contains("might_contain") && l.contains("l_orderkey")),
+      "the fact-side Filter below the semi-join must carry the probe")
   }
 
   test("edit-distance dedup: candidates from the prefix-block " +
