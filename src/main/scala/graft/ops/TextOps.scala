@@ -598,10 +598,19 @@ object TextOps {
     * dump) and q_winnow_overlap (pairwise consumer).
     */
   private def winnowSel(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String): org.apache.spark.sql.DataFrame =
+    winnowSelOf(Tables.t(s, dir, "documents"))
+
+  /** [[winnowSel]] over an arbitrary (doc_id, text) frame — lets the
+    * contamination variant fingerprint the bench and corpus slices
+    * separately.
+    */
+  private def winnowSelOf(
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = split(col("text"), " ")
-    val hashes = Tables.t(s, dir, "documents")
+    val hashes = docs
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= WinnowK + WinnowW - 1)
       .select(col("doc_id"), posexplode(
@@ -654,40 +663,44 @@ object TextOps {
     }
   }
 
-  /** DuckDB twin of [[winnowSel]]: CTE chain ending in `sel` with the
-    * same three columns.
+  /** DuckDB twin of [[winnowSelOf]]: CTE chain ending in `${p}sel`
+    * with (doc_id, fp_pos, fp_hash); `p` prefixes the CTE names so
+    * two chains (bench/corpus) can share one WITH, `where` filters
+    * the documents slice.
     */
-  private val WinnowCtes = s"""
-      WITH toks AS (
+  private def winnowCtes(p: String, where: String): String = s"""
+      ${p}toks AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         WHERE len(string_split(text, ' '))
-          >= ${WinnowK + WinnowW - 1}),
-      pos AS (
+          >= ${WinnowK + WinnowW - 1} AND ($where)),
+      ${p}pos AS (
         SELECT doc_id,
           unnest(generate_series(1,
             len(toks) - ${WinnowK - 1})) AS i, toks
-        FROM toks),
-      hashes AS (
+        FROM ${p}toks),
+      ${p}hashes AS (
         SELECT doc_id, CAST(i AS BIGINT) AS i,
           CAST('0x' || substr(md5(array_to_string(
             toks[CAST(i AS INT):CAST(i AS INT) + ${WinnowK - 1}], ' ')),
             1, 15) AS BIGINT) AS h
-        FROM pos),
-      leads AS (
+        FROM ${p}pos),
+      ${p}leads AS (
         SELECT doc_id, i, h,
           lead(h, 1) OVER w AS h1,
           lead(h, 2) OVER w AS h2,
           lead(h, 3) OVER w AS h3
-        FROM hashes WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
-      wins AS (
+        FROM ${p}hashes WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+      ${p}wins AS (
         SELECT doc_id, i, [h3, h2, h1, h] AS arr
-        FROM leads WHERE h3 IS NOT NULL),
-      sel AS (
+        FROM ${p}leads WHERE h3 IS NOT NULL),
+      ${p}sel AS (
         SELECT doc_id,
           CAST(i + $WinnowW - list_position(arr, list_min(arr))
             AS BIGINT) AS fp_pos,
           list_min(arr) AS fp_hash
-        FROM wins)"""
+        FROM ${p}wins)"""
+
+  private val WinnowCtes = "\n      WITH " + winnowCtes("", "TRUE")
 
   val qWinnow = QueryDef(
     "q_text_winnow",
@@ -770,6 +783,52 @@ object TextOps {
       JOIN nfp na ON na.doc_id = doc_a
       JOIN nfp nb ON nb.doc_id = doc_b
       ORDER BY doc_a, doc_b"""))
+
+  /** Benchmark decontamination over winnow fingerprints: like
+    * q_contamination, flag corpus docs overlapping the benchmark
+    * source (src0), but match on the ~1/W-density selected
+    * fingerprints instead of every 5-gram — the winnowing guarantee
+    * keeps any ≥ K+W−1-token verbatim overlap detectable while the
+    * semi-join moves a quarter of the keys. The flag threshold is on
+    * the HIT COUNT (≥ 2 shared fingerprints), not a fraction of a
+    * down-sampled denominator.
+    *
+    * Scale shape: identical to q_contamination — bench fingerprint
+    * set is broadcast-size, corpus side is a narrow per-doc explode,
+    * one LeftSemi on an 8-byte key, two bounded aggregates.
+    */
+  val qWinnowContam = QueryDef(
+    "q_winnow_contamination",
+    (s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val bench = winnowSelOf(docs.filter(col("source") === "src0"))
+        .select("fp_hash").distinct()
+      val corpus = winnowSelOf(docs.filter(col("source") =!= "src0"))
+        .select("doc_id", "fp_hash").distinct()
+      val hits = corpus.join(bench, Seq("fp_hash"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      corpus.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_fp"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("is_contaminated", col("n_hit") >= 2)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH ${winnowCtes("b_", "source = 'src0'")},
+      ${winnowCtes("c_", "source <> 'src0'")},
+      bench AS (SELECT DISTINCT fp_hash FROM b_sel),
+      corp AS (SELECT DISTINCT doc_id, fp_hash FROM c_sel),
+      hits AS (
+        SELECT doc_id, count(*) AS n_hit FROM corp
+        WHERE fp_hash IN (SELECT fp_hash FROM bench)
+        GROUP BY doc_id)
+      SELECT c.doc_id, count(*) AS n_fp,
+        coalesce(any_value(h.n_hit), 0) AS n_hit,
+        coalesce(any_value(h.n_hit), 0) >= 2 AS is_contaminated
+      FROM corp c LEFT JOIN hits h ON c.doc_id = h.doc_id
+      GROUP BY c.doc_id
+      ORDER BY c.doc_id"""))
 
   val qContamination = QueryDef(
     "q_contamination",
@@ -1045,6 +1104,6 @@ object TextOps {
   val all: Seq[QueryDef] =
     Seq(qTokens, qQuality, qQualityCalibrate, qGopherRules, qLangId,
       qFingerprint, qTfIdf, qRepetition, qClean, qSurprise, qWinnow,
-      qWinnowOverlap, qContamination, qLengthHist, qClassify, qVocabTopK,
-      qSourceDrift)
+      qWinnowOverlap, qWinnowContam, qContamination, qLengthHist,
+      qClassify, qVocabTopK, qSourceDrift)
 }

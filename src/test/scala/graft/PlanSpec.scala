@@ -98,12 +98,15 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("contamination check joins benchmark grams by hash key") {
-    val p = plan("q_contamination")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      "the benchmark-gram membership test must be an equi-join")
-    assert(p.contains("LeftSemi"), "hits should be a semi-join")
+  test("contamination checks join benchmark grams/fingerprints by " +
+    "hash key") {
+    for (n <- Seq("q_contamination", "q_winnow_contamination")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$n: the benchmark membership test must be an equi-join")
+      assert(p.contains("LeftSemi"), s"$n: hits should be a semi-join")
+    }
   }
 
   test("classifier inference and int8 quantization are narrow maps: " +
