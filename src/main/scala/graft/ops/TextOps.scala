@@ -736,7 +736,11 @@ object TextOps {
   val qWinnowOverlap = QueryDef(
     "q_winnow_overlap",
     (s, dir) => {
+      // cache: the winnow explode+window pipeline would otherwise
+      // re-run for every consumer below (df counts, both join sides,
+      // per-doc sizes) — the prunedShingles .cache() precedent
       val fps = winnowSel(s, dir).select("doc_id", "fp_hash").distinct()
+        .cache()
       val rare = fps.groupBy("fp_hash")
         .agg(count(lit(1)).as("df"))
         .filter(col("df") <= WinnowDfCap)
@@ -803,8 +807,10 @@ object TextOps {
       val docs = Tables.t(s, dir, "documents")
       val bench = winnowSelOf(docs.filter(col("source") === "src0"))
         .select("fp_hash").distinct()
+      // cache: consumed by both the hit semi-join and the per-doc
+      // fingerprint counts
       val corpus = winnowSelOf(docs.filter(col("source") =!= "src0"))
-        .select("doc_id", "fp_hash").distinct()
+        .select("doc_id", "fp_hash").distinct().cache()
       val hits = corpus.join(bench, Seq("fp_hash"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
       corpus.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
