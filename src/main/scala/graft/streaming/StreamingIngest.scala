@@ -396,6 +396,36 @@ object StreamingIngest {
       }
   }
 
+  /** Per-doc winnow-decontamination verdict for the streaming gate. */
+  final case class WinnowContamOut(doc_id: Long, n_fp: Long, n_hit: Long,
+      is_contaminated: Boolean)
+
+  /** (g2) Streaming winnow decontamination: the batch
+    * q_winnow_contamination gate applied per arriving document.
+    * Unlike the gram tally (which accumulates state across batches),
+    * a document's winnow fingerprint set is a pure function of its
+    * complete text — TextOps.jvmWinnow, spec-proven identical to the
+    * SQL selection — so the op is a STATELESS map against the bench
+    * fingerprint set (broadcast once via the closure; at corpus
+    * scale, ship it as a bloom + exact re-check or a stream-static
+    * join). Stateless ⇒ append-mode safe, no watermark, and verdicts
+    * are bit-identical to the batch operator regardless of
+    * micro-batch splits.
+    */
+  def winnowContamination(docs: Dataset[DocRow], benchFp: Set[Long],
+      minShared: Int = 2): Dataset[WinnowContamOut] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      val fps = graft.ops.TextOps.jvmWinnow(d.text).map(_._2).distinct
+      if (fps.isEmpty) None
+      else {
+        val hits = fps.count(benchFp.contains)
+        Some(WinnowContamOut(d.doc_id, fps.size.toLong, hits.toLong,
+          hits >= minShared))
+      }
+    }
+  }
+
   // ------------------------------------------- streaming sessionization
 
   final case class SessEvent(userId: Long, us: Long, eventId: Long,

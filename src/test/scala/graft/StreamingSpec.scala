@@ -375,6 +375,52 @@ class StreamingSpec extends AnyFunSuite {
       "streaming verdicts must be bit-identical to batch q_contamination")
   }
 
+  test("streaming winnow decontamination reproduces the batch " +
+    "verdicts statelessly") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+
+    // batch ground truth: (doc_id → n_fp, n_hit, is_contaminated)
+    val truth = graft.ops.TextOps.qWinnowContam.run(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    assert(truth.nonEmpty)
+
+    val docsDf = graft.ops.Tables.t(spark, dir, "documents")
+    // bench fingerprint set via the JVM twin — WinnowSpec proves it
+    // identical to the SQL selection the batch bench side uses
+    val benchFp = docsDf.filter($"source" === "src0")
+      .select("text").collect()
+      .flatMap(r => graft.ops.TextOps.jvmWinnow(r.getString(0)).map(_._2))
+      .toSet
+    assert(benchFp.nonEmpty)
+    val corpus = docsDf.filter($"source" =!= "src0")
+      .select("doc_id", "text").collect()
+      .map(r => StreamingIngest.DocRow(r.getLong(0), r.getString(1)))
+
+    val mem = MemoryStream[StreamingIngest.DocRow]
+    val out = StreamingIngest.winnowContamination(mem.toDS(), benchFp)
+    val q = out.writeStream.format("memory").queryName("winnow_contam")
+      .outputMode(OutputMode.Append).start()
+    val (first, second) = corpus.splitAt(corpus.length / 2)
+    mem.addData(first.toSeq)
+    q.processAllAvailable()
+    mem.addData(second.toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql(
+      "SELECT doc_id, n_fp, n_hit, is_contaminated FROM winnow_contam")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    assert(got == truth,
+      "stateless streaming verdicts must equal batch q_winnow_contamination")
+  }
+
   test("streaming sessionize closes the batch operator's sessions " +
     "exactly, however the stream is micro-batched") {
     val spark = SparkFixture.spark
