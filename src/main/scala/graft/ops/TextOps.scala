@@ -579,7 +579,7 @@ object TextOps {
     * a window of W consecutive hashes, keep each window's minimum
     * (rightmost on ties), dedupe — the MOSS scheme. Its guarantee:
     * any shared run of K+W−1 tokens between two docs shares at least
-    * one SELECTED fingerprint, so matching on the ~1/W-density
+    * one SELECTED fingerprint, so matching on the ~2/(W+1)-density
     * fingerprint set (instead of every gram, q_contamination's cost)
     * still finds every sufficiently long overlap.
     *
@@ -591,7 +591,7 @@ object TextOps {
     * Scale shape: one gram explode (~tokens/doc) and one lead()
     * window per doc partition — uniform keys, no joins; the
     * fingerprint set is what downstream overlap joins then consume at
-    * 1/W the gram volume.
+    * 2/(W+1) of the gram volume.
     */
   /** The pre-dedupe winnow selection (one row per sliding window):
     * doc_id, fp_pos, fp_hash. Shared by q_text_winnow (fingerprint
@@ -720,7 +720,7 @@ object TextOps {
     * fingerprints, count matches per pair, score with fingerprint-set
     * Jaccard. The winnowing guarantee bounds what the fingerprint SET
     * can miss — any pair sharing a run of K+W−1 tokens shares ≥1
-    * selected fingerprint, at ~1/W the gram-join volume
+    * selected fingerprint, at ~2/(W+1) the gram-join volume
     * q_contamination pays. The REPORT then trades that recall for
     * precision: MinShared = 3 suppresses pairs whose only overlap is
     * one or two short runs (set it to 1 for the detection-complete
@@ -790,7 +790,7 @@ object TextOps {
 
   /** Benchmark decontamination over winnow fingerprints: like
     * q_contamination, flag corpus docs overlapping the benchmark
-    * source (src0), but match on the ~1/W-density selected
+    * source (src0), but match on the ~2/(W+1)-density selected
     * fingerprints instead of every 5-gram — the winnowing guarantee
     * keeps any ≥ K+W−1-token verbatim overlap detectable while the
     * semi-join moves a quarter of the keys. The flag threshold is on
@@ -828,13 +828,13 @@ object TextOps {
       hits AS (
         SELECT doc_id, count(*) AS n_hit FROM corp
         WHERE fp_hash IN (SELECT fp_hash FROM bench)
-        GROUP BY doc_id)
-      SELECT c.doc_id, count(*) AS n_fp,
-        coalesce(any_value(h.n_hit), 0) AS n_hit,
-        coalesce(any_value(h.n_hit), 0) >= 2 AS is_contaminated
-      FROM corp c LEFT JOIN hits h ON c.doc_id = h.doc_id
-      GROUP BY c.doc_id
-      ORDER BY c.doc_id"""))
+        GROUP BY doc_id),
+      tot AS (SELECT doc_id, count(*) AS n_fp FROM corp GROUP BY doc_id)
+      SELECT t.doc_id, t.n_fp,
+        coalesce(h.n_hit, 0) AS n_hit,
+        coalesce(h.n_hit, 0) >= 2 AS is_contaminated
+      FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+      ORDER BY t.doc_id"""))
 
   val qContamination = QueryDef(
     "q_contamination",

@@ -416,7 +416,11 @@ object StreamingIngest {
       minShared: Int = 2): Dataset[WinnowContamOut] = {
     import docs.sparkSession.implicits._
     docs.flatMap { d =>
-      val fps = graft.ops.TextOps.jvmWinnow(d.text).map(_._2).distinct
+      // null text drops silently, like the batch twin's size filter
+      // (Spark split(null) → null → filter false) — a poisoned row
+      // must not kill the stream
+      val fps = Option(d.text).toSeq
+        .flatMap(t => graft.ops.TextOps.jvmWinnow(t).map(_._2)).distinct
       if (fps.isEmpty) None
       else {
         val hits = fps.count(benchFp.contains)
