@@ -568,6 +568,50 @@ object TextOps {
             1, 15), 16, 10).cast("long")))).as("g"))
   }
 
+  /** Readability scoring: Flesch reading ease over the vowel-group
+    * syllable heuristic (a vowel run ≈ one syllable — the standard
+    * dictionary-free approximation) and `[.!?]+` sentence runs,
+    * floored at 1 sentence so punctuation-free docs (this fixture)
+    * degrade to a whole-doc-as-one-sentence reading. The formula's
+    * float constants multiply exact integer counts in the same
+    * left-to-right order on both engines, so scores are
+    * bit-identical. Narrow per-row transform.
+    */
+  val qReadability = QueryDef(
+    "q_text_readability",
+    (s, dir) => {
+      val nWords = size(split(col("text"), " ")).cast("long")
+      val nSent = greatest(lit(1),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))))
+        .cast("long")
+      val nSyll = size(regexp_extract_all(col("text"),
+        lit("[aeiouy]+"), lit(0))).cast("long")
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), nWords.as("n_words"),
+          nSent.as("n_sentences"), nSyll.as("n_syllables"))
+        .withColumn("flesch",
+          lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences")) -
+            lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words")))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+            AS BIGINT) AS n_sentences,
+          CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+            AS n_syllables
+        FROM documents)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+        206.835
+          - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+          - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch
+      FROM c ORDER BY doc_id"""))
+
   /** Winnowing fingerprint size (tokens per gram) and window (hashes
     * per selection window) — Schleimer, Wilkerson & Aiken, "Winnowing:
     * Local Algorithms for Document Fingerprinting" (SIGMOD 2003).
@@ -1109,7 +1153,8 @@ object TextOps {
 
   val all: Seq[QueryDef] =
     Seq(qTokens, qQuality, qQualityCalibrate, qGopherRules, qLangId,
-      qFingerprint, qTfIdf, qRepetition, qClean, qSurprise, qWinnow,
+      qFingerprint, qReadability, qTfIdf, qRepetition, qClean, qSurprise,
+      qWinnow,
       qWinnowOverlap, qWinnowContam, qContamination, qLengthHist,
       qClassify, qVocabTopK, qSourceDrift)
 }
