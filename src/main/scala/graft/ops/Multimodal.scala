@@ -743,7 +743,83 @@ object Multimodal {
       FROM hs JOIN bk ON hs.ahash = bk.ahash
       ORDER BY doc_id"""))
 
+  /** One resized block: grid cell coordinates, pixel count, mean. */
+  final case class ResizeBlock(doc_id: Long, bx: Long, by: Long,
+      n_px: Long, block_mean: Double)
+
+  /** Box-filter resize of the decoded raster onto a grid×grid image:
+    * pixel (x, y) maps to cell ((x·grid) div w, (y·grid) div h) — the
+    * per-pixel assignment form, so uneven block edges partition
+    * identically in both engines — and each cell emits its exact
+    * integer-sum mean (one double division at the end). The standard
+    * thumbnail/feature-map primitive; aHash is this at 4×4 plus a
+    * threshold.
+    */
+  def resizeBlocks(media: Dataset[MediaRecord],
+      grid: Int = 4): Dataset[ResizeBlock] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val (w, h, px) = decodeGray(m.content)
+        val sums = new Array[Long](grid * grid)
+        val cnts = new Array[Long](grid * grid)
+        var i = 0
+        while (i < px.length) {
+          val b = (i / w * grid / h) * grid + (i % w * grid / w)
+          sums(b) += px(i); cnts(b) += 1; i += 1
+        }
+        for (by <- 0 until grid; bx <- 0 until grid) yield {
+          val b = by * grid + bx
+          ResizeBlock(m.doc_id, bx.toLong, by.toLong, cnts(b),
+            sums(b).toDouble / cnts(b))
+        }
+      }
+    }
+  }
+
+  /** Resize through the REAL decode path, oracle-checked: DuckDB
+    * recomputes every block mean straight from the document bytes via
+    * the same generative formula as [[qPixels]], so any deviation in
+    * the decode→assign→sum chain hash-mismatches. All 16 cells are
+    * non-empty (min synthesized dim 8 ≥ grid 4).
+    */
+  val qResize = QueryDef(
+    "q_multimodal_resize",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables.t(s, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)]
+        .map { case (id, text) => synthesizePng(id, text.getBytes("UTF-8")) }
+      resizeBlocks(media).toDF()
+        .orderBy("doc_id", "by", "bx")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents),
+      dims AS (
+        SELECT doc_id, h, n, 8 + (n % 9) AS w, 8 + (n % 7) AS ht
+        FROM b),
+      px AS (
+        SELECT doc_id, n, h, w, ht,
+          unnest(generate_series(0, w * ht - 1)) AS i
+        FROM dims),
+      v AS (
+        SELECT doc_id,
+          ((i // w) * 4 // ht) AS by, ((i % w) * 4 // w) AS bx,
+          CASE WHEN n = 0 THEN 0
+               ELSE CAST('0x' ||
+                 substr(h, CAST(2 * (i % n) + 1 AS INT), 2) AS BIGINT)
+          END AS p
+        FROM px)
+      SELECT doc_id, CAST(bx AS BIGINT) AS bx, CAST(by AS BIGINT) AS by,
+        count(*) AS n_px,
+        CAST(sum(p) AS DOUBLE) / count(*) AS block_mean
+      FROM v GROUP BY doc_id, bx, by
+      ORDER BY doc_id, by, bx"""))
+
   val all: Seq[QueryDef] =
     Seq(qMeta, qDecode, qPixels, qFrames, qAudio, qAudioEnergy,
-      qImageHash)
+      qImageHash, qResize)
 }
