@@ -653,20 +653,28 @@ object Multimodal {
     * from the index mapping bx = x·4/w (a partition of pixels for any
     * w, h ≥ 4), identical in the SQL mirror.
     */
-  private def aHash16(w: Int, h: Int, px: Array[Int]): Long = {
-    val bsum = new Array[Long](16)
-    val bn = new Array[Long](16)
-    var tsum = 0L
+  /** Shared grid accumulator: per-cell (sum, count) under the
+    * bx = x·grid/w per-pixel assignment — the single source of truth
+    * for the block-index formula both aHash16 and resizeBlocks (and
+    * their SQL mirrors) depend on.
+    */
+  private def blockSums(w: Int, h: Int, px: Array[Int],
+      grid: Int): (Array[Long], Array[Long]) = {
+    val bsum = new Array[Long](grid * grid)
+    val bn = new Array[Long](grid * grid)
     var i = 0
     while (i < px.length) {
-      val x = i % w
-      val y = i / w
-      val b = (y * 4 / h) * 4 + (x * 4 / w)
+      val b = (i / w * grid / h) * grid + (i % w * grid / w)
       bsum(b) += px(i)
       bn(b) += 1
-      tsum += px(i)
       i += 1
     }
+    (bsum, bn)
+  }
+
+  private def aHash16(w: Int, h: Int, px: Array[Int]): Long = {
+    val (bsum, bn) = blockSums(w, h, px, 4)
+    val tsum = bsum.sum
     val tn = px.length.toLong
     var hash = 0L
     var b = 0
@@ -761,18 +769,16 @@ object Multimodal {
     media.mapPartitions { it =>
       it.flatMap { m =>
         val (w, h, px) = decodeGray(m.content)
-        val sums = new Array[Long](grid * grid)
-        val cnts = new Array[Long](grid * grid)
-        var i = 0
-        while (i < px.length) {
-          val b = (i / w * grid / h) * grid + (i % w * grid / w)
-          sums(b) += px(i); cnts(b) += 1; i += 1
-        }
-        for (by <- 0 until grid; bx <- 0 until grid) yield {
-          val b = by * grid + bx
-          ResizeBlock(m.doc_id, bx.toLong, by.toLong, cnts(b),
-            sums(b).toDouble / cnts(b))
-        }
+        val (sums, cnts) = blockSums(w, h, px, grid)
+        // empty cells (grid > image dim) are omitted, matching the
+        // oracle's group-over-observed-pixels row set — never NaN
+        for {
+          by <- 0 until grid
+          bx <- 0 until grid
+          b = by * grid + bx
+          if cnts(b) > 0
+        } yield ResizeBlock(m.doc_id, bx.toLong, by.toLong, cnts(b),
+          sums(b).toDouble / cnts(b))
       }
     }
   }
