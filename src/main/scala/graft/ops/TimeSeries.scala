@@ -667,6 +667,93 @@ object TimeSeries {
       GROUP BY cohort_wk, wk - cohort_wk, cohort_size
       ORDER BY cohort_wk, "offset""""))
 
+  /** Two-sided CUSUM change-point detection (Page 1954), slack
+    * k = 0.5σ and decision interval h = 4σ — the standard
+    * mean-shift monitor for pipeline drift: c⁺ᵢ = max(0, c⁺ᵢ₋₁ +
+    * (xᵢ − μ − k)), c⁻ᵢ = max(0, c⁻ᵢ₋₁ + (μ − k − xᵢ)), flag when
+    * either exceeds h. μ and σ come from left-to-right folds over the
+    * series' ordered buckets (reduceLeft ↔ DuckDB list_reduce — same
+    * order, bit-identical doubles), and the recurrence is +, −, ·,
+    * max, sqrt only — all IEEE-exact, the EWMA/Holt fold discipline.
+    * A constant series has σ = 0 and never flags (strict >).
+    *
+    * Scale shape: one typed flatMapGroups fold per series, O(B) per
+    * series of B buckets — same as q_ts_ewma; the DuckDB mirror
+    * prepends a (0,0) sentinel pair so the fold's init and step
+    * clamp identically.
+    */
+  val qCusum = QueryDef(
+    "q_ts_cusum",
+    (s, dir) => {
+      import s.implicits._
+      hourly(s, dir)
+        .select(col("event_type"), col("bucket_us"), col("bucket_sum"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (series, it) =>
+          val pts = it.toArray.sortBy(_._2)
+          val xs = pts.map(_._3)
+          val n = xs.length
+          val mu = xs.reduceLeft(_ + _) / n
+          val sigma = math.sqrt(
+            xs.map(x => (x - mu) * (x - mu)).reduceLeft(_ + _) / n)
+          var cp = 0.0
+          var cn = 0.0
+          pts.iterator.map { case (_, us, x) =>
+            cp = math.max(0.0, cp + (x - mu - 0.5 * sigma))
+            cn = math.max(0.0, cn + (mu - 0.5 * sigma - x))
+            (series, us, x, cp, cn,
+              cp > 4.0 * sigma || cn > 4.0 * sigma)
+          }
+        }
+        .toDF("event_type", "bucket_us", "bucket_sum", "cusum_pos",
+          "cusum_neg", "is_shift")
+        .orderBy("event_type", "bucket_us")
+    },
+    Some(s"""
+      WITH $hourlySql,
+      g AS (
+        SELECT event_type,
+          list(bucket_us ORDER BY bucket_us) AS us,
+          list(bucket_sum ORDER BY bucket_us) AS sums
+        FROM hourly GROUP BY event_type),
+      m AS (
+        SELECT event_type, us, sums,
+          list_reduce(sums, (a, x) -> a + x) / len(sums) AS mu
+        FROM g),
+      sd AS (
+        SELECT event_type, us, sums, mu,
+          sqrt(list_reduce(list_transform(sums,
+            x -> (x - mu) * (x - mu)), (a, x) -> a + x) / len(sums))
+            AS sigma
+        FROM m),
+      f AS (
+        SELECT event_type, us, sums, mu, sigma,
+          list_reduce(list_concat(
+            [[CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]],
+            list_transform(sums,
+              x -> [x - mu - 0.5 * sigma, mu - 0.5 * sigma - x])),
+            (acc, p) -> list_concat(acc, [
+              greatest(CAST(0 AS DOUBLE), acc[len(acc) - 1] + p[1]),
+              greatest(CAST(0 AS DOUBLE), acc[len(acc)] + p[2])]))
+            AS fold
+        FROM sd),
+      z AS (
+        SELECT event_type, us, sums, sigma,
+          [fold[2 * i + 1] FOR i IN generate_series(1, len(sums))]
+            AS cps,
+          [fold[2 * i + 2] FOR i IN generate_series(1, len(sums))]
+            AS cns
+        FROM f)
+      SELECT event_type, unnest(us) AS bucket_us,
+        unnest(sums) AS bucket_sum,
+        unnest(cps) AS cusum_pos, unnest(cns) AS cusum_neg,
+        unnest(list_transform(generate_series(1, len(sums)),
+          i -> cps[i] > 4.0 * sigma OR cns[i] > 4.0 * sigma))
+          AS is_shift
+      FROM z
+      ORDER BY event_type, bucket_us"""))
+
   /** LTTB target bucket count per series. */
   private val LttbNB = 50
 
@@ -773,5 +860,6 @@ object TimeSeries {
 
   val all: Seq[QueryDef] =
     Seq(qAsofJoin, qGapFill, qIntervalJoin, qSessionize, qOhlc, qFunnel,
-      qRate, qEwma, qHolt, qAnomaly, qRetention, qSeasonal, qLttb)
+      qRate, qEwma, qHolt, qAnomaly, qRetention, qSeasonal, qLttb,
+      qCusum)
 }
