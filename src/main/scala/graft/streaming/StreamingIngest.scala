@@ -241,6 +241,42 @@ object StreamingIngest {
       }
   }
 
+  final case class CusumOut(series: String, bucketUs: Long, x: Double,
+      cusumPos: Double, cusumNeg: Double, isShift: Boolean)
+  final case class CusumState(cp: Double, cn: Double)
+
+  /** q_ts_cusum as a stateful op: the two-sided clamped recurrence
+    * with two doubles of state per series. The per-series calibration
+    * (μ, σ) is STATIC input — a stream cannot see its own future, so
+    * the batch operator's whole-series estimate becomes a trained
+    * profile here, exactly how a production monitor deploys CUSUM.
+    * Given the batch μ/σ, emitted values are bit-identical to
+    * q_ts_cusum for the same bucket sequence, however micro-batched
+    * (StreamingSpec asserts it): same k = 0.5σ slack, h = 4σ
+    * decision interval, clamp order, and strict >. Same
+    * ordered-upstream contract as [[ewma]].
+    */
+  def cusum(points: Dataset[EwmaPoint],
+      profile: Map[String, (Double, Double)]): Dataset[CusumOut] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.series)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (series, batch, state: GroupState[CusumState]) =>
+          val (mu, sigma) = profile.getOrElse(series, (0.0, 0.0))
+          var cp = state.getOption.map(_.cp).getOrElse(0.0)
+          var cn = state.getOption.map(_.cn).getOrElse(0.0)
+          val out = batch.toSeq.sortBy(_.bucketUs).map { p =>
+            cp = math.max(0.0, cp + (p.x - mu - 0.5 * sigma))
+            cn = math.max(0.0, cn + (mu - 0.5 * sigma - p.x))
+            CusumOut(series, p.bucketUs, p.x, cp, cn,
+              cp > 4.0 * sigma || cn > 4.0 * sigma)
+          }
+          state.update(CusumState(cp, cn))
+          out.iterator
+      }
+  }
+
   final case class HoltOut(series: String, bucketUs: Long, x: Double,
       level: Double, trend: Double, forecast: Double)
   final case class HoltState(level: Double, trend: Double)

@@ -159,6 +159,50 @@ class StreamingSpec extends AnyFunSuite {
       "ewma_three") == expected)
   }
 
+  test("streaming cusum with the batch profile reproduces the batch " +
+    "change-point rows bit-for-bit across micro-batch splits") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.{CusumOut, EwmaPoint}
+    val dir = "/root/testdata/sf0.001"
+
+    // batch ground truth over the real fixture, already bucket-ordered
+    val batch = SparkEntry.queries("q_ts_cusum")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    assert(batch.nonEmpty)
+    val truth = batch.map(b => (b._1, b._2) -> (b._4, b._5, b._6)).toMap
+
+    // the batch operator's whole-series (mu, sigma), same fold order
+    val profile = batch.groupBy(_._1).map { case (s, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      val mu = xs.reduceLeft(_ + _) / xs.length
+      val sigma = math.sqrt(
+        xs.map(x => (x - mu) * (x - mu)).reduceLeft(_ + _) / xs.length)
+      s -> (mu, sigma)
+    }
+    val pts = batch.map(b => EwmaPoint(b._1, b._2, b._3)).toSeq
+
+    def run(splits: Seq[Seq[EwmaPoint]], name: String)
+        : Map[(String, Long), (Double, Double, Boolean)] = {
+      val mem = MemoryStream[EwmaPoint]
+      val q = StreamingIngest.cusum(mem.toDS(), profile).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      splits.foreach { s => mem.addData(s); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[CusumOut].collect()
+        .map(o => (o.series, o.bucketUs) ->
+          (o.cusumPos, o.cusumNeg, o.isShift)).toMap
+    }
+
+    assert(run(Seq(pts), "cusum_one") == truth)
+    val n = pts.length
+    assert(run(Seq(pts.take(n / 3), pts.slice(n / 3, 2 * n / 3),
+      pts.drop(2 * n / 3)), "cusum_three") == truth)
+  }
+
   test("streaming holt reproduces the batch level+trend fold " +
     "bit-for-bit across micro-batch splits") {
     val spark = SparkFixture.spark
