@@ -552,6 +552,70 @@ object Multimodal {
         CAST(max(abs(s)) AS BIGINT) AS peak
       FROM x GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** One resampled PCM block: block index, input count, mean. */
+  final case class AudioResample(doc_id: Long, blk: Long, n_in: Long,
+      block_mean: Double)
+
+  /** Box-filter resample: decimate the decoded PCM by `factor` via
+    * per-block integer-sum means (sample i → block i div factor; the
+    * tail block keeps its partial count) — the audio counterpart of
+    * the image grid resize, and the anti-aliased downsample a feature
+    * pipeline applies before heavier transforms.
+    */
+  def resamplePcm(media: Dataset[MediaRecord],
+      factor: Int = 4): Dataset[AudioResample] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val s = decodePcm(m.content)
+        val nb = (s.length + factor - 1) / factor
+        val sums = new Array[Long](nb)
+        val cnts = new Array[Long](nb)
+        var i = 0
+        while (i < s.length) {
+          sums(i / factor) += s(i); cnts(i / factor) += 1; i += 1
+        }
+        (0 until nb).iterator.map(j =>
+          AudioResample(m.doc_id, j.toLong, cnts(j),
+            sums(j).toDouble / cnts(j)))
+      }
+    }
+  }
+
+  /** Resample through the REAL WAV round-trip, oracle-checked: DuckDB
+    * recomputes each block mean from the synthesis formula over the
+    * hex-expanded bytes — same lossless argument as [[qAudio]].
+    */
+  val qAudioResample = QueryDef(
+    "q_multimodal_audio_resample",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables.t(s, dir, "documents")
+        .select("doc_id", "text").as[(Long, String)]
+        .filter(_._2.nonEmpty)
+        .map { case (id, text) =>
+          MediaRecord(id, "audio", synthesizeWav(text.getBytes("UTF-8")),
+            0, 0)
+        }
+      resamplePcm(media).toDF().orderBy("doc_id", "blk")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents WHERE octet_length(encode(text)) > 0),
+      samp AS (
+        SELECT doc_id, i,
+          (CAST('0x' || substr(h, CAST(2*i+1 AS INT), 2) AS BIGINT)
+            - 96) * 128 AS s
+        FROM (SELECT doc_id, h,
+                unnest(generate_series(0, n - 1)) AS i FROM b))
+      SELECT doc_id, CAST(i // 4 AS BIGINT) AS blk,
+        count(*) AS n_in,
+        CAST(sum(s) AS DOUBLE) / count(*) AS block_mean
+      FROM samp GROUP BY doc_id, blk
+      ORDER BY doc_id, blk"""))
+
   final case class AudioFrames(doc_id: Long, n_frames: Long,
       peak_energy: Long, peak_frame: Long, active_frames: Long)
 
@@ -827,5 +891,5 @@ object Multimodal {
 
   val all: Seq[QueryDef] =
     Seq(qMeta, qDecode, qPixels, qFrames, qAudio, qAudioEnergy,
-      qImageHash, qResize)
+      qAudioResample, qImageHash, qResize)
 }
