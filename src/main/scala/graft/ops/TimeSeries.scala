@@ -754,6 +754,79 @@ object TimeSeries {
       FROM z
       ORDER BY event_type, bucket_us"""))
 
+  /** Lagged autocorrelation (ACF at lags 1–3 hours) of per-series
+    * hourly EVENT COUNTS: Pearson correlation over the paired sample
+    * {(cₜ, cₜ₋ₖ)} — the seasonality/persistence diagnostic that tells
+    * you whether q_ts_cusum's shifts are drift or cycles. Counts
+    * (not float sums) are correlated deliberately: every moment sum
+    * is then an exact 64-bit integer — no decimal rounding anywhere —
+    * and the closed form touches floats only in the final
+    * double-cast ·, −, /, sqrt, identical on both engines. (A
+    * float-valued ACF would need Σx·y of arbitrary double products,
+    * whose DECIMAL(28,10) rounding is the one place Spark and DuckDB
+    * casts can disagree by an ulp.)
+    *
+    * Pairs come from an equi-join of the hourly frame onto itself at
+    * bucket_us − k·3600s (missing buckets drop the pair, the
+    * standard gapped-series treatment), so the plan is a key-based
+    * hash join, never a window over the corpus.
+    */
+  val qAcf = QueryDef(
+    "q_ts_acf",
+    (s, dir) => {
+      val h = hourly(s, dir)
+        .select(col("event_type"), col("bucket_us"),
+          col("n").cast("long").as("c"))
+      val lags = h.select(col("event_type"), col("bucket_us"), col("c"),
+          explode(sequence(lit(1), lit(3))).as("lag"))
+        .withColumn("join_us",
+          col("bucket_us") - col("lag") * lit(3600000000L))
+      val pairs = lags.join(
+        h.select(col("event_type"),
+          col("bucket_us").as("join_us"),
+          col("c").as("y")),
+        Seq("event_type", "join_us"))
+      // all-integer moment sums: exact in any order, both engines
+      val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double")
+      val vx = (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val vy = (col("n") * col("syy") - col("sy") * col("sy"))
+        .cast("double")
+      pairs.groupBy(col("event_type"), col("lag").cast("long").as("lag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("c") * col("y")).as("sxy"),
+          sum(col("c") * col("c")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("lag"), col("n"),
+          (num / sqrt(vx * vy)).as("acf"))
+        .orderBy("event_type", "lag")
+    },
+    Some(s"""
+      WITH $hourlySql,
+      lags AS (
+        SELECT event_type, bucket_us, n AS c,
+          CAST(unnest(generate_series(1, 3)) AS BIGINT) AS lag
+        FROM hourly),
+      pairs AS (
+        SELECT l.event_type, l.lag, l.c AS x, h.n AS y
+        FROM lags l JOIN hourly h
+          ON h.event_type = l.event_type
+         AND h.bucket_us = l.bucket_us - l.lag * 3600000000),
+      agg AS (
+        SELECT event_type, lag, count(*) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * y) AS BIGINT) AS sxy,
+          CAST(sum(x * x) AS BIGINT) AS sxx,
+          CAST(sum(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY 1, 2)
+      SELECT event_type, lag, n,
+        CAST(n * sxy - sx * sy AS DOUBLE) /
+          sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+             * CAST(n * syy - sy * sy AS DOUBLE)) AS acf
+      FROM agg ORDER BY event_type, lag"""))
+
   /** LTTB target bucket count per series. */
   private val LttbNB = 50
 
@@ -861,5 +934,5 @@ object TimeSeries {
   val all: Seq[QueryDef] =
     Seq(qAsofJoin, qGapFill, qIntervalJoin, qSessionize, qOhlc, qFunnel,
       qRate, qEwma, qHolt, qAnomaly, qRetention, qSeasonal, qLttb,
-      qCusum)
+      qCusum, qAcf)
 }
