@@ -512,32 +512,48 @@ object Multimodal {
     * lossless and the decoder is real. Closes the last codec stand-in
     * (image and multi-frame paths are already ImageIO-real).
     */
-  val qAudio = QueryDef(
-    "q_multimodal_audio",
-    (s, dir) => {
-      import s.implicits._
-      val media = Tables.t(s, dir, "documents")
-        .select("doc_id", "text").as[(Long, String)]
-        .filter(_._2.nonEmpty)
-        .map { case (id, text) =>
-          val wav = synthesizeWav(text.getBytes("UTF-8"))
-          MediaRecord(id, "audio", wav, 0, 0)
-        }
-      decodeAudioStats(media).toDF()
-        .select("doc_id", "n_samples", "mean_amp", "zero_cross", "peak")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH b AS (
+  /** The synthesized-WAV media frame all three audio queries share:
+    * one non-empty-text doc → one real WAV via the JDK encoder.
+    */
+  private def audioMedia(s: SparkSession,
+      dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)]
+      .filter(_._2.nonEmpty)
+      .map { case (id, text) =>
+        MediaRecord(id, "audio", synthesizeWav(text.getBytes("UTF-8")),
+          0, 0)
+      }
+  }
+
+  /** DuckDB twin of [[audioMedia]]+[[decodePcm]]: CTE chain ending in
+    * `samp` (doc_id, n, i, s) — the synthesis formula (byte − 96)·128
+    * over the hex-expanded text, shared by all three audio oracles so
+    * it can only be edited in one place.
+    */
+  private val PcmSampSql = """b AS (
         SELECT doc_id, hex(encode(text)) AS h,
                CAST(octet_length(encode(text)) AS BIGINT) AS n
         FROM documents WHERE octet_length(encode(text)) > 0),
       samp AS (
-        SELECT doc_id, i,
+        SELECT doc_id, n, i,
           (CAST('0x' || substr(h, CAST(2*i+1 AS INT), 2) AS BIGINT)
             - 96) * 128 AS s
-        FROM (SELECT doc_id, h,
-                unnest(generate_series(0, n - 1)) AS i FROM b)),
+        FROM (SELECT doc_id, h, n,
+                unnest(generate_series(0, n - 1)) AS i FROM b))"""
+
+  val qAudio = QueryDef(
+    "q_multimodal_audio",
+    (s, dir) => {
+      import s.implicits._
+      val media = audioMedia(s, dir)
+      decodeAudioStats(media).toDF()
+        .select("doc_id", "n_samples", "mean_amp", "zero_cross", "peak")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $PcmSampSql,
       x AS (
         SELECT doc_id, s,
           CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY i)
@@ -562,8 +578,13 @@ object Multimodal {
     * the image grid resize, and the anti-aliased downsample a feature
     * pipeline applies before heavier transforms.
     */
+  /** Decimation factor shared by [[resamplePcm]]'s default and the
+    * q_multimodal_audio_resample oracle — one constant, two engines.
+    */
+  private val ResampleFactor = 4
+
   def resamplePcm(media: Dataset[MediaRecord],
-      factor: Int = 4): Dataset[AudioResample] = {
+      factor: Int = ResampleFactor): Dataset[AudioResample] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { m =>
@@ -590,27 +611,12 @@ object Multimodal {
     "q_multimodal_audio_resample",
     (s, dir) => {
       import s.implicits._
-      val media = Tables.t(s, dir, "documents")
-        .select("doc_id", "text").as[(Long, String)]
-        .filter(_._2.nonEmpty)
-        .map { case (id, text) =>
-          MediaRecord(id, "audio", synthesizeWav(text.getBytes("UTF-8")),
-            0, 0)
-        }
+      val media = audioMedia(s, dir)
       resamplePcm(media).toDF().orderBy("doc_id", "blk")
     },
-    Some("""
-      WITH b AS (
-        SELECT doc_id, hex(encode(text)) AS h,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n
-        FROM documents WHERE octet_length(encode(text)) > 0),
-      samp AS (
-        SELECT doc_id, i,
-          (CAST('0x' || substr(h, CAST(2*i+1 AS INT), 2) AS BIGINT)
-            - 96) * 128 AS s
-        FROM (SELECT doc_id, h,
-                unnest(generate_series(0, n - 1)) AS i FROM b))
-      SELECT doc_id, CAST(i // 4 AS BIGINT) AS blk,
+    Some(s"""
+      WITH $PcmSampSql
+      SELECT doc_id, CAST(i // $ResampleFactor AS BIGINT) AS blk,
         count(*) AS n_in,
         CAST(sum(s) AS DOUBLE) / count(*) AS block_mean
       FROM samp GROUP BY doc_id, blk
@@ -665,29 +671,14 @@ object Multimodal {
     "q_multimodal_audio_energy",
     (s, dir) => {
       import s.implicits._
-      val media = Tables.t(s, dir, "documents")
-        .select("doc_id", "text").as[(Long, String)]
-        .filter(_._2.nonEmpty)
-        .map { case (id, text) =>
-          val wav = synthesizeWav(text.getBytes("UTF-8"))
-          MediaRecord(id, "audio", wav, 0, 0)
-        }
+      val media = audioMedia(s, dir)
       decodeAudioFrames(media).toDF()
         .select("doc_id", "n_frames", "peak_energy", "peak_frame",
           "active_frames")
         .orderBy("doc_id")
     },
-    Some("""
-      WITH b AS (
-        SELECT doc_id, hex(encode(text)) AS h,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n
-        FROM documents WHERE octet_length(encode(text)) > 0),
-      samp AS (
-        SELECT doc_id, n, i,
-          (CAST('0x' || substr(h, CAST(2*i+1 AS INT), 2) AS BIGINT)
-            - 96) * 128 AS s
-        FROM (SELECT doc_id, h, n,
-                unnest(generate_series(0, n - 1)) AS i FROM b)),
+    Some(s"""
+      WITH $PcmSampSql,
       fr AS (
         SELECT doc_id, CAST(i // 64 AS BIGINT) AS frame,
           CAST(sum(s * s) AS BIGINT) AS e

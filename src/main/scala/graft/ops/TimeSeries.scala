@@ -766,6 +766,11 @@ object TimeSeries {
     * whose DECIMAL(28,10) rounding is the one place Spark and DuckDB
     * casts can disagree by an ulp.)
     *
+    * Exactness bound: with B buckets the largest moment is
+    * B·Σc² ≤ B²·max(c)² — 64-bit-exact for hourly counts up to ~8·10⁵
+    * at B = 3.4k; past that, pre-scale counts (e.g. to thousands)
+    * before correlating.
+    *
     * Pairs come from an equi-join of the hourly frame onto itself at
     * bucket_us − k·3600s (missing buckets drop the pair, the
     * standard gapped-series treatment), so the plan is a key-based
@@ -799,6 +804,10 @@ object TimeSeries {
           sum(col("c") * col("y")).as("sxy"),
           sum(col("c") * col("c")).as("sxx"),
           sum(col("y") * col("y")).as("syy"))
+        // drop zero-variance lags BEFORE dividing: 0/0 is NULL in
+        // Spark but NaN in DuckDB (ieee_floating_point_ops) — the
+        // documented division parity trap
+        .filter(vx > 0 && vy > 0)
         .select(col("event_type"), col("lag"), col("n"),
           (num / sqrt(vx * vy)).as("acf"))
         .orderBy("event_type", "lag")
@@ -825,7 +834,9 @@ object TimeSeries {
         CAST(n * sxy - sx * sy AS DOUBLE) /
           sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
              * CAST(n * syy - sy * sy AS DOUBLE)) AS acf
-      FROM agg ORDER BY event_type, lag"""))
+      FROM agg
+      WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      ORDER BY event_type, lag"""))
 
   /** LTTB target bucket count per series. */
   private val LttbNB = 50

@@ -263,17 +263,24 @@ object StreamingIngest {
       .flatMapGroupsWithState[CusumState, CusumOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         case (series, batch, state: GroupState[CusumState]) =>
-          val (mu, sigma) = profile.getOrElse(series, (0.0, 0.0))
-          var cp = state.getOption.map(_.cp).getOrElse(0.0)
-          var cn = state.getOption.map(_.cn).getOrElse(0.0)
-          val out = batch.toSeq.sortBy(_.bucketUs).map { p =>
-            cp = math.max(0.0, cp + (p.x - mu - 0.5 * sigma))
-            cn = math.max(0.0, cn + (mu - 0.5 * sigma - p.x))
-            CusumOut(series, p.bucketUs, p.x, cp, cn,
-              cp > 4.0 * sigma || cn > 4.0 * sigma)
+          profile.get(series) match {
+            // an untrained series must NOT default to (μ=0, σ=0) —
+            // that flags every positive sample forever; skip it until
+            // a profile exists (the monitor's train-before-watch
+            // contract)
+            case None => Iterator.empty
+            case Some((mu, sigma)) =>
+              var cp = state.getOption.map(_.cp).getOrElse(0.0)
+              var cn = state.getOption.map(_.cn).getOrElse(0.0)
+              val out = batch.toSeq.sortBy(_.bucketUs).map { p =>
+                cp = math.max(0.0, cp + (p.x - mu - 0.5 * sigma))
+                cn = math.max(0.0, cn + (mu - 0.5 * sigma - p.x))
+                CusumOut(series, p.bucketUs, p.x, cp, cn,
+                  cp > 4.0 * sigma || cn > 4.0 * sigma)
+              }
+              state.update(CusumState(cp, cn))
+              out.iterator
           }
-          state.update(CusumState(cp, cn))
-          out.iterator
       }
   }
 
