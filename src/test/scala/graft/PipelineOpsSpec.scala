@@ -630,12 +630,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("bloom prefilter is exact at any fpp: a deliberately " +
-    "undersized filter changes nothing but the pruning rate") {
-    val spark = SparkFixture.spark
+  test("bloom prefilter is exact at any fpp, and a sized filter " +
+    "actually prunes") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
-    val dir = "/root/testdata/sf0.001"
     val dim = graft.ops.Tables.t(spark, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("key"))
@@ -649,17 +647,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     val l = graft.ops.Tables.t(spark, dir, "lineitem")
       .select("l_orderkey", "l_returnflag")
     val truth = agg(l)
-    // a filter sized 100x too small (expected 10 keys, fpp 0.5) has
-    // a large real fpp — membership still may not drop a true key
-    val bloom = dim.stat.bloomFilter("key", 10, 0.5)
-    val bos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
-    val pre = l.filter(graft.functions.GraftFunctions.mightContain(
-      lit(bos.toByteArray), col("l_orderkey")))
-    assert(agg(pre) == truth,
+    def prefiltered(expected: Long, fpp: Double) = {
+      val bloom = dim.stat.bloomFilter("key", expected, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      l.filter(graft.functions.GraftFunctions.mightContain(
+        lit(bos.toByteArray), col("l_orderkey")))
+    }
+    // a saturated filter (sized for 10 keys, real fpp ≈ 1) may prune
+    // nothing — but must never drop a true member, so the exact join
+    // result is invariant
+    assert(agg(prefiltered(10, 0.5)) == truth,
       "an undersized bloom must never change the exact-join result")
-    // and it must still be a filter, not a no-op: some non-member
-    // keys are pruned even at this fpp
-    assert(pre.count() <= l.count())
+    // a correctly sized filter must both preserve the result AND
+    // genuinely prune: ~1/5 of orders are urgent, so well under half
+    // of lineitem survives the probe at fpp 1%
+    val sized = prefiltered(1000, 0.01)
+    assert(agg(sized) == truth)
+    assert(sized.count() < l.count() / 2,
+      "a sized bloom must prune the non-urgent majority")
   }
 }
