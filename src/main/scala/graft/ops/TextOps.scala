@@ -832,6 +832,73 @@ object TextOps {
       JOIN nfp nb ON nb.doc_id = doc_b
       ORDER BY doc_a, doc_b"""))
 
+  /** Span localization for the reported overlap pairs: the matched
+    * fingerprint ANCHORS (pos_a, pos_b) of every q_winnow_overlap
+    * pair — MOSS's actual review output ("these regions match"), and
+    * the input a side-by-side diff viewer consumes. Each anchor marks
+    * a shared K-token gram; consecutive anchors chain into spans.
+    *
+    * Scale shape: the same df-capped fp_hash equi-join as the overlap
+    * pair generator (64² worst-key bound), with positions carried
+    * through and a semi-join restricting output to pairs that cleared
+    * MinShared — anchors for unreported pairs never materialize.
+    */
+  val qWinnowSpans = QueryDef(
+    "q_winnow_spans",
+    (s, dir) => {
+      val sel = winnowSel(s, dir).distinct().cache()
+      val fps = sel.select("doc_id", "fp_hash").distinct()
+      val rare = fps.groupBy("fp_hash")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WinnowDfCap)
+        .select("fp_hash")
+      val kept = fps.join(rare, Seq("fp_hash"), "left_semi")
+      val reported = kept.as("a")
+        .join(kept.as("b"),
+          col("a.fp_hash") === col("b.fp_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= WinnowMinShared)
+        .select("doc_a", "doc_b")
+      val keptPos = sel.join(rare, Seq("fp_hash"), "left_semi")
+      keptPos.as("a")
+        .join(keptPos.as("b"),
+          col("a.fp_hash") === col("b.fp_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.fp_pos").as("pos_a"), col("b.fp_pos").as("pos_b"))
+        .join(reported, Seq("doc_a", "doc_b"), "left_semi")
+        .distinct()
+        .orderBy("doc_a", "doc_b", "pos_a", "pos_b")
+    },
+    Some(s"""$WinnowCtes,
+      dsel AS (SELECT DISTINCT doc_id, fp_pos, fp_hash FROM sel),
+      fps AS (SELECT DISTINCT doc_id, fp_hash FROM dsel),
+      rare AS (
+        SELECT fp_hash FROM fps GROUP BY fp_hash
+        HAVING count(*) <= $WinnowDfCap),
+      kept AS (
+        SELECT doc_id, fp_hash FROM fps
+        WHERE fp_hash IN (SELECT fp_hash FROM rare)),
+      reported AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= $WinnowMinShared),
+      keptpos AS (
+        SELECT doc_id, fp_pos, fp_hash FROM dsel
+        WHERE fp_hash IN (SELECT fp_hash FROM rare))
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.fp_pos AS pos_a, b.fp_pos AS pos_b
+      FROM keptpos a
+      JOIN keptpos b
+        ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+      JOIN reported r
+        ON r.doc_a = a.doc_id AND r.doc_b = b.doc_id
+      ORDER BY doc_a, doc_b, pos_a, pos_b"""))
+
   /** Benchmark decontamination over winnow fingerprints: like
     * q_contamination, flag corpus docs overlapping the benchmark
     * source (src0), but match on the ~2/(W+1)-density selected
@@ -1155,6 +1222,7 @@ object TextOps {
     Seq(qTokens, qQuality, qQualityCalibrate, qGopherRules, qLangId,
       qFingerprint, qReadability, qTfIdf, qRepetition, qClean, qSurprise,
       qWinnow,
-      qWinnowOverlap, qWinnowContam, qContamination, qLengthHist,
+      qWinnowOverlap, qWinnowSpans, qWinnowContam, qContamination,
+      qLengthHist,
       qClassify, qVocabTopK, qSourceDrift)
 }
