@@ -475,8 +475,9 @@ object Curation {
         FROM documents),
       cum AS (
         SELECT doc_id, source, n_tok,
-          sum(n_tok) OVER (PARTITION BY source ORDER BY hkey, doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+          CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY hkey, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tok
         FROM scored)
       SELECT doc_id, source, n_tok, cum_tok FROM cum
       WHERE cum_tok <= $TokenBudget ORDER BY doc_id"""))

@@ -427,11 +427,16 @@ object Similarity {
   /** Squared-L2 distance of `embedding` to `cent` — identical fold
     * order in both engines.
     */
-  private def l2Col: Column =
+  private def l2Col: Column = l2Between("embedding", "cent")
+
+  /** Squared-L2 of two array columns (`a` float-or-double, `b` double)
+    * — identical fold order in both engines.
+    */
+  private def l2Between(a: String, b: String): Column =
     aggregate(sequence(lit(0), lit(63)), lit(0.0),
       (acc, j) => {
-        val d = element_at(col("embedding"), j + 1).cast("double") -
-          element_at(col("cent"), j + 1)
+        val d = element_at(col(a), j + 1).cast("double") -
+          element_at(col(b), j + 1)
         acc + d * d
       })
 
@@ -956,30 +961,53 @@ object Similarity {
   private val SemThreshold = 0.4
 
   /** SemDeDup-style semantic deduplication: cluster the corpus with a
-    * deterministic coarse quantizer (seeds = every SemStride-th
-    * vector, assignment = nearest-L2 centroid), then within each cell
-    * mark every vector that has a lower-id neighbor with cosine ≥
-    * [[SemThreshold]] as a duplicate of the lowest such id. Clustering
-    * bounds the pairwise step to cell occupancy (~64), so the work is
-    * linear in N while catching the near-duplicate mass that exact and
-    * shingle dedup miss (paraphrases, re-encodings).
+    * deterministic HIERARCHICAL coarse quantizer — super-seeds are
+    * every SemStride²-th vector, seeds every SemStride-th; each seed
+    * is grouped under its nearest-L2 super-seed, and each vector is
+    * assigned by first picking its nearest super-seed, then its
+    * nearest seed within that super-cell. Within each cell, every
+    * vector with a lower-id neighbor at cosine ≥ [[SemThreshold]] is
+    * marked a duplicate of the lowest such id. Clustering bounds the
+    * pairwise step to cell occupancy (~64), catching the
+    * near-duplicate mass exact and shingle dedup miss.
     *
-    * Scale shape: seeds grow as N/64, so the assignment cross join is
-    * N×(N/64) L2 distances — at ~10^9 vectors the coarse quantizer
-    * itself must go hierarchical (assign to √K super-cells first),
-    * which composes from this same operator; the within-cell pairwise
-    * stays bounded by construction. The deterministic seed rule keeps
-    * the whole pipeline (clustering included) oracle-checkable.
+    * Scale shape: the flat assignment was N×(N/64) L2 distances; the
+    * two-level one is N×(N/4096) super-distances + ~64 in-super-cell
+    * seed distances per vector — a 64× cut in the quadratic term, and
+    * the same construction composes to more levels when N/4096
+    * super-seeds themselves outgrow a broadcast. Both engines
+    * implement the identical two-stage rule (ties broken by ascending
+    * id at both levels), so the whole pipeline stays oracle-checkable.
     */
   val qSemanticDedup = QueryDef(
     "q_semantic_dedup",
     (s, dir) => {
       val e = vectors(s, dir)
+      val sup = e.filter(col("vec_id") % (SemStride * SemStride) === 0)
+        .select(col("vec_id").as("super_id"),
+          transform(col("embedding"), v => v.cast("double")).as("scent"))
       val seeds = e.filter(col("vec_id") % SemStride === 0)
         .select(col("vec_id").as("seed_id"),
           transform(col("embedding"), v => v.cast("double")).as("cent"))
-      val dists = e.crossJoin(broadcast(seeds)).withColumn("dist", l2Col)
-      val cells = dists
+      // level 1a: group the N/64 seeds under their nearest super-seed
+      // (tiny cross: (N/64) x (N/4096) rows)
+      val seedCells = seeds.crossJoin(broadcast(sup))
+        .withColumn("sdist", l2Between("cent", "scent"))
+        .groupBy(col("seed_id"), col("cent"))
+        .agg(min(struct(col("sdist"), col("super_id"))).as("m"))
+        .select(col("seed_id"), col("cent"),
+          col("m.super_id").as("super_id"))
+      // level 1b: each vector -> nearest super-seed (N x N/4096)
+      val vsup = e.crossJoin(broadcast(sup))
+        .withColumn("sdist", l2Between("embedding", "scent"))
+        .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+        .agg(min(struct(col("sdist"), col("super_id"))).as("m"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("m.super_id").as("super_id"))
+      // level 2: nearest seed WITHIN the super-cell (equi-join on
+      // super_id against the broadcast seed directory; ~64 seeds/cell)
+      val cells = vsup.join(broadcast(seedCells), Seq("super_id"))
+        .withColumn("dist", l2Between("embedding", "cent"))
         .groupBy(col("vec_id"), col("embedding"), col("nrm"))
         .agg(min(struct(col("dist"), col("seed_id"))).as("m"))
         .select(col("vec_id"), col("embedding"), col("nrm"),
@@ -1004,19 +1032,39 @@ object Similarity {
         .orderBy("vec_id")
     },
     Some {
-      val l2 = s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        [(CAST(v.embedding[i] AS DOUBLE) - s.cent[i]) *
-         (CAST(v.embedding[i] AS DOUBLE) - s.cent[i])
+      def l2(a: String, b: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        [(CAST($a[i] AS DOUBLE) - $b[i]) *
+         (CAST($a[i] AS DOUBLE) - $b[i])
          for i in generate_series(1, 64)]), (acc, x) -> acc + x)"""
       s"""
       WITH $vectorsSql,
+      sup AS (
+        SELECT vec_id AS super_id,
+               [CAST(x AS DOUBLE) for x in embedding] AS scent
+        FROM embeddings WHERE vec_id % ${SemStride * SemStride} = 0),
       seeds AS (
         SELECT vec_id AS seed_id,
                [CAST(x AS DOUBLE) for x in embedding] AS cent
         FROM embeddings WHERE vec_id % $SemStride = 0),
+      seed_cells AS (
+        SELECT seed_id, cent, super_id FROM (
+          SELECT s.seed_id, s.cent, p.super_id,
+            row_number() OVER (PARTITION BY s.seed_id
+              ORDER BY ${l2("s.cent", "p.scent")}, p.super_id) AS rn
+          FROM seeds s CROSS JOIN sup p)
+        WHERE rn = 1),
+      vsup AS (
+        SELECT vec_id, embedding, nrm, super_id FROM (
+          SELECT v.vec_id, v.embedding, v.nrm, p.super_id,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${l2("v.embedding", "p.scent")}, p.super_id) AS rn
+          FROM vectors v CROSS JOIN sup p)
+        WHERE rn = 1),
       dists AS (
-        SELECT v.vec_id, v.embedding, v.nrm, s.seed_id, $l2 AS dist
-        FROM vectors v CROSS JOIN seeds s),
+        SELECT v.vec_id, v.embedding, v.nrm, s.seed_id,
+          ${l2("v.embedding", "s.cent")} AS dist
+        FROM vsup v JOIN seed_cells s ON v.super_id = s.super_id),
       cells AS (
         SELECT vec_id, embedding, nrm, seed_id AS cell FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id
