@@ -35,6 +35,17 @@ object Bench {
     // co-scheduled load); min-of-3 also absorbs the one-time Janino
     // compile of wide generated methods into rep 1
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // 1-min system load average, sampled around each query: a
+    // co-scheduled process on the driver box shows up as load >> this
+    // JVM's own parallelism, making a spiked number machine-
+    // adjudicable from bench_out.json instead of needing a re-run.
+    def loadavg(): Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg()
+    var loadMax = loadStart
+    val qLoad = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -42,8 +53,12 @@ object Bench {
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      val l = loadavg()
+      if (l > loadMax) loadMax = l
+      qLoad(name) = l
       name -> times.min
     }
+    val loadEnd = loadavg()
     // The driver captures only the LAST ~2000 chars of stdout and
     // json-parses what it finds there; one 3000-char JSON line arrives
     // front-truncated and unparseable (BENCH_r01..r04 all "parsed":
@@ -62,15 +77,27 @@ object Bench {
       println(s"""{"q":"$k","s":${fmt(results(k))}}""")
     }
     val fullQs = entries.map(_._2).mkString("{", ",", "}")
+    // nproc + per-phase loadavg: load >> cpus means an external
+    // process shared the box during the window — flag, don't re-run
+    val loadJson =
+      s""""cpus":${Runtime.getRuntime.availableProcessors},""" +
+      s""""load":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}""" +
+      s""","max":${fmt(loadMax)}}"""
     def line(qs: String, truncated: Boolean): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$loadJson""" +
         (if (truncated) s""","queries_truncated":true,"queries_file":"$OutFile"""" else "") + "}"
     val fullLine = line(fullQs, truncated = false)
+    // full per-query load samples only in the file channel (too long
+    // for the stdout window)
+    val qLoadJson = qLoad.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     // channel 2 must not be able to kill channels 1+3: a full disk /
     // read-only repo here would otherwise abort before the final line
+    val fileLine = fullLine.dropRight(1) + s""","qload":$qLoadJson}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(OutFile),
-      fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      fileLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $OutFile: $e") }
     val finalLine =

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
   *
-  * Each result dir also gets a `canonical.md5` — a deterministic hash of
+  * Each result dir also gets a `_canonical.md5` — a deterministic hash of
   * the parquet AS WRITTEN (read back post-roundtrip, so it reflects the
   * exact types the driver's DuckDB sees). Format, reproduced bit-for-bit
   * by tools/canonical_hash.py against the oracle SQL: columns sorted by
@@ -34,6 +34,9 @@ object Verify {
       "t:" + (t.getTime * 1000L + (t.getNanos / 1000) % 1000)
     case t: java.time.Instant =>
       "t:" + (t.getEpochSecond * 1000000L + t.getNano / 1000)
+    case t: java.time.LocalDateTime => // TIMESTAMP_NTZ collect() shape
+      val u = t.toInstant(java.time.ZoneOffset.UTC)
+      "t:" + (u.getEpochSecond * 1000000L + u.getNano / 1000)
     case d: java.sql.Date => "D:" + d.toLocalDate.toEpochDay
     case d: java.time.LocalDate => "D:" + d.toEpochDay
     case n: java.math.BigDecimal => "n:" + n.toPlainString
@@ -62,7 +65,10 @@ object Verify {
     (md.map("%02x".format(_)).mkString, rows.length)
   }
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // extra args = run only these queries (local bisection; the
+    // driver always passes exactly two)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -72,15 +78,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         // Hash the parquet as written (driver-visible types), not the
-        // in-flight dataframe; `canonical.md5` doesn't match the
-        // driver's <dir>/*.parquet glob so it never pollutes the read.
+        // in-flight dataframe. The file MUST be underscore-prefixed:
+        // pyarrow's directory-as-dataset read treats any non-`_`/`.`
+        // file as a parquet part and fails on it (this zeroed round 6's
+        // correctness run); `_`-prefixed files are skipped by pyarrow,
+        // Spark, and the driver's *.parquet glob alike.
         val (h, n) = canonicalHash(spark.read.parquet(s"$outDir/$name"))
-        Files.writeString(Paths.get(s"$outDir/$name/canonical.md5"),
+        Files.writeString(Paths.get(s"$outDir/$name/_canonical.md5"),
           s"$h\nrows=$n\n")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

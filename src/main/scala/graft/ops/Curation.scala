@@ -148,8 +148,11 @@ object Curation {
         .orderBy("doc_id")
     },
     Some {
+      // CAST: DuckDB types a CASE over decimal literals as DECIMAL,
+      // Spark's `when` chain yields DOUBLE — same values, different
+      // driver-visible type
       val rateSql = rates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
-        .mkString("CASE ", " ", " ELSE 0.0 END")
+        .mkString("CAST(CASE ", " ", " ELSE 0.0 END AS DOUBLE)")
       s"""
       WITH scored AS (
         SELECT doc_id, lang,

@@ -316,12 +316,20 @@ object Similarity {
     val nBits = derivedBits(Tables.rowCount(s, dir, "embeddings"),
       MinPairBits, PairOccupancy)
     val e = vectors(s, dir)
+    // One packed int64 join key `k = v·L + t` instead of the (t, v)
+    // column pair: the bucket value is < 2^nBits and t < LshTables,
+    // so the packing is bijective and the exchange rows shrink to
+    // (vec_id, k) — 16 B of key+payload per band row where the
+    // two-column key carried 20 B and hashed twice. Both join inputs
+    // are the SAME plan, so the sort-merge join reuses one exchange
+    // (PlanSpec asserts the ReusedExchange) — the band table is
+    // shuffled once, not twice.
     val sig = e.select(col("vec_id"), explode(array(
-        (0 until LshTables).map(l => struct(lit(l).as("t"),
-          hplaneCol(col("embedding"), l, nBits).as("v"))): _*)).as("tv"))
-      .select(col("vec_id"), col("tv.t").as("t"), col("tv.v").as("v"))
+        (0 until LshTables).map(l =>
+          hplaneCol(col("embedding"), l, nBits) * LshTables + l): _*))
+        .as("k"))
     sig.as("x").join(sig.as("y"),
-        col("x.t") === col("y.t") && col("x.v") === col("y.v") &&
+        col("x.k") === col("y.k") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()

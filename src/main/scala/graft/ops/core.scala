@@ -62,10 +62,15 @@ object Tables {
       m
     }
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; read it as raw nanos and truncate to micros —
-    * DuckDB's reader truncates ns→us identically (verified on fixture
-    * event_id 0: …549829 ns → …549 us).
+  /** events.parquet's `ts` physical type has varied across driver
+    * testdata generations — TIMESTAMP(NANOS) (which Spark's reader
+    * rejects; read as raw nanos and truncate to micros, matching
+    * DuckDB's ns→us truncation, verified on fixture event_id 0:
+    * …549829 ns → …549 us) and plain timestamp[us] (which Spark
+    * reads as TIMESTAMP_NTZ). The loader inspects the footer schema
+    * and normalizes both to session-TZ TIMESTAMP (session is pinned
+    * UTC everywhere, so NTZ→LTZ is value-preserving and matches
+    * DuckDB's naive-timestamp arithmetic bit-for-bit).
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     dfCache.synchronized {
@@ -85,7 +90,12 @@ object Tables {
       if (name == "events") {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val raw = spark.read.parquet(s"$dir/events.parquet")
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val ts = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => // legacy nanos
+            timestamp_micros(expr("ts DIV 1000"))
+          case _ => col("ts").cast("timestamp") // micros (NTZ or LTZ)
+        }
+        raw.withColumn("ts", ts)
           .select("event_id", "ts", "user_id", "event_type", "value",
             "props")
       } else {

@@ -129,6 +129,15 @@ object StreamingIngest {
   /** A streamed document (the training-data ingest shape). */
   final case class DocRow(doc_id: Long, text: String)
 
+  /** A streamed document with its ingest event time — the shape the
+    * TTL-bounded near-dup op consumes (`tsUs` = event-time micros).
+    */
+  final case class TimedDoc(doc_id: Long, text: String, tsUs: Long)
+
+  /** One band row of a timed doc, post-watermark. */
+  final case class BandEvt(bucket: String, doc_id: Long,
+      sig: Array[Long], ts: java.sql.Timestamp)
+
   /** A near-dup candidate: `doc_id` collided with the earlier-kept
     * `dup_of` in some band bucket; `est_jaccard` is the minhash
     * agreement (an unbiased Jaccard estimate). The same pair can
@@ -149,41 +158,75 @@ object StreamingIngest {
     * signatures kept in its bucket, and collisions with ≥ minAgree
     * signature agreement emit candidates for downstream exact
     * verification. State per bucket is a ring of the most recent
-    * maxPerBucket signatures — bounded regardless of stream length;
-    * at production scale add state TTL / RocksDB via config.
+    * maxPerBucket signatures, AND every bucket key carries an
+    * event-time TTL (`stateTtl`, enforced against the stream's
+    * watermark): a bucket that sees no traffic for that long past the
+    * watermark is evicted, so total state is bounded by the
+    * recent-window key cardinality rather than growing with every
+    * bucket the stream has ever touched (the difference between
+    * O(active buckets) and O(all-time buckets) at 100 TB of ingest).
+    * Event-time (not processing-time) timeout is deliberate: eviction
+    * is driven by the data's own clock, so replays/backfills behave
+    * identically to live runs, and batches only fire when the
+    * watermark actually advances (a processing-time timer forces the
+    * engine into a permanent batch-construction loop). Semantics
+    * under eviction: a dup arriving AFTER its original's bucket
+    * expired is missed — the documented trade of any windowed dedup —
+    * but duplicates that co-occur within the TTL window are still
+    * caught, including in a bucket that expired and then reappeared
+    * (state restarts empty and catches pairs among the new arrivals;
+    * spec-asserted).
     */
-  def nearDupCandidates(docs: Dataset[DocRow], maxPerBucket: Int = 64,
-      minAgree: Double = 0.5): Dataset[NearDupCand] = {
+  def nearDupCandidates(docs: Dataset[TimedDoc], maxPerBucket: Int = 64,
+      minAgree: Double = 0.5, stateTtl: String = "30 minutes",
+      watermarkDelay: String = "10 seconds"): Dataset[NearDupCand] = {
     import docs.sparkSession.implicits._
     val banded = docs.flatMap { d =>
       graft.ops.Dedup.jvmMinHash(d.text) match {
         case Some(sig) =>
           graft.ops.Dedup.jvmBands(sig).toSeq.map { case (b, v) =>
-            BandRow(s"$b:$v", d.doc_id, sig)
+            BandEvt(s"$b:$v", d.doc_id, sig,
+              new java.sql.Timestamp(d.tsUs / 1000L))
           }
-        case None => Seq.empty[BandRow]
+        case None => Seq.empty[BandEvt]
       }
     }
-    banded.groupByKey(_.bucket)
+    banded.withWatermark("ts", watermarkDelay)
+      .as[BandEvt]
+      .groupByKey(_.bucket)
       .flatMapGroupsWithState[List[(Long, Array[Long])], NearDupCand](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (_, batch, state: GroupState[List[(Long, Array[Long])]]) =>
-          var kept = state.getOption.getOrElse(Nil)
-          val out = List.newBuilder[NearDupCand]
-          // deterministic order within a micro-batch
-          batch.toSeq.sortBy(_.doc_id).foreach { r =>
-            kept.foreach { case (prevId, prevSig) =>
-              if (prevId != r.doc_id) {
-                val agree = prevSig.zip(r.sig).count(t => t._1 == t._2)
-                  .toDouble / prevSig.length
-                if (agree >= minAgree)
-                  out += NearDupCand(r.doc_id, prevId, agree)
+          if (state.hasTimedOut) {
+            // idle past TTL: evict the bucket's ring entirely
+            state.remove()
+            Iterator.empty
+          } else {
+            var kept = state.getOption.getOrElse(Nil)
+            val out = List.newBuilder[NearDupCand]
+            var maxEvtMs = Long.MinValue
+            // deterministic order within a micro-batch
+            batch.toSeq.sortBy(_.doc_id).foreach { r =>
+              if (r.ts.getTime > maxEvtMs) maxEvtMs = r.ts.getTime
+              kept.foreach { case (prevId, prevSig) =>
+                if (prevId != r.doc_id) {
+                  val agree = prevSig.zip(r.sig).count(t => t._1 == t._2)
+                    .toDouble / prevSig.length
+                  if (agree >= minAgree)
+                    out += NearDupCand(r.doc_id, prevId, agree)
+                }
               }
+              kept = ((r.doc_id, r.sig) :: kept).take(maxPerBucket)
             }
-            kept = ((r.doc_id, r.sig) :: kept).take(maxPerBucket)
+            state.update(kept)
+            // expire stateTtl past this bucket's newest event, but
+            // never at-or-below the current watermark (late data can
+            // put maxEvt behind it, which Spark rejects)
+            state.setTimeoutTimestamp(
+              math.max(maxEvtMs, state.getCurrentWatermarkMs + 1),
+              stateTtl)
+            out.result().iterator
           }
-          state.update(kept)
-          out.result().iterator
       }
   }
 

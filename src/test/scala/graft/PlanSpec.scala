@@ -70,6 +70,25 @@ class PlanSpec extends AnyFunSuite {
       "q_embed_pairs_lsh must build candidates from bucket equi-joins")
   }
 
+  test("lsh band self-join shuffles the band table once at scale") {
+    // At cluster scale the band self-join is a sort-merge join; both
+    // sides are the identical plan, so Spark must plan ONE exchange
+    // and a ReusedExchange, not shuffle the band table twice. The
+    // fixture would broadcast, so force the SMJ path for the check.
+    val spark = SparkFixture.spark
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q_embed_pairs_lsh")(spark, dir)
+      df.collect() // finalize the adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        "band self-join must reuse one exchange for both sides")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
+
   test("pq encode broadcasts the codebook and keeps scans narrow") {
     val p = plan("q_embed_pq")
     assert(p.contains("BroadcastHashJoin"),

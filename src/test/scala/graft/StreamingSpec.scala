@@ -353,11 +353,15 @@ class StreamingSpec extends AnyFunSuite {
         math.max(r.getLong(0), r.getLong(1)))).toSet
     assert(truth.nonEmpty, "fixture should contain high-jaccard pairs")
 
+    // constant event time: the watermark never passes any bucket's
+    // TTL, so this exercises pure candidate recall (expiry is the
+    // dedicated TTL specs' job)
     val docs = graft.ops.Tables.t(spark, dir, "documents")
       .select("doc_id", "text").collect()
-      .map(r => StreamingIngest.DocRow(r.getLong(0), r.getString(1)))
+      .map(r => StreamingIngest.TimedDoc(r.getLong(0), r.getString(1),
+        1700000000000000L))
 
-    val mem = MemoryStream[StreamingIngest.DocRow]
+    val mem = MemoryStream[StreamingIngest.TimedDoc]
     val cands = StreamingIngest.nearDupCandidates(mem.toDS())
     val q = cands.writeStream.format("memory").queryName("near_dup")
       .outputMode(OutputMode.Append).start()
@@ -374,6 +378,94 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.forall { case (a, b) => a != b })
     assert(truth.subsetOf(got),
       s"streaming missed batch pairs: ${truth -- got}")
+  }
+
+  test("near-dup bucket state is TTL-bounded under key churn") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val hourUs = 3600L * 1000000L
+    // distinct texts → distinct band buckets per batch (key churn);
+    // each batch's event time is an hour later, so with a 1-minute
+    // TTL and zero watermark delay every earlier batch's buckets are
+    // past expiry as soon as the watermark advances — state must stay
+    // O(one batch's keys), not accumulate across the stream
+    def batchDocs(base: Long, tsUs: Long): Seq[StreamingIngest.TimedDoc] =
+      (0 until 8).map { i =>
+        val id = base + i
+        StreamingIngest.TimedDoc(id,
+          s"unique document $id with entirely distinct content " +
+            (0 until 30).map(j => s"w${id}_$j").mkString(" "), tsUs)
+      }
+
+    val mem = MemoryStream[StreamingIngest.TimedDoc]
+    val cands = StreamingIngest.nearDupCandidates(mem.toDS(),
+      stateTtl = "1 minute", watermarkDelay = "0 seconds")
+    val q = cands.writeStream.format("memory").queryName("ttl_churn")
+      .outputMode(OutputMode.Append).start()
+
+    def stateRows(): Long =
+      q.lastProgress.stateOperators.apply(0).numRowsTotal
+
+    val t0 = 1700000000000000L
+    mem.addData(batchDocs(0, t0))
+    q.processAllAvailable()
+    val afterFirst = stateRows()
+    assert(afterFirst > 0, "first batch must create bucket state")
+
+    (1 to 4).foreach { b =>
+      mem.addData(batchDocs(b * 100L, t0 + b * hourUs))
+      q.processAllAvailable()
+    }
+    val afterChurn = stateRows()
+    assert(afterChurn <= 2 * afterFirst,
+      s"state must stay bounded by the active window " +
+        s"($afterChurn rows after churn vs $afterFirst after batch 1 " +
+        "— event-time TTL eviction is not firing)")
+    q.stop()
+  }
+
+  test("an expired bucket still catches duplicates that co-occur later") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val hourUs = 3600L * 1000000L
+    val t0 = 1700000000000000L
+    val text = "the quick brown fox jumps over the lazy dog " +
+      (0 until 40).map(j => s"shared$j").mkString(" ")
+
+    val mem = MemoryStream[StreamingIngest.TimedDoc]
+    val cands = StreamingIngest.nearDupCandidates(mem.toDS(),
+      stateTtl = "1 minute", watermarkDelay = "0 seconds")
+    val q = cands.writeStream.format("memory").queryName("ttl_reappear")
+      .outputMode(OutputMode.Append).start()
+
+    // batch 1: the original — its buckets will expire an event-hour on
+    mem.addData(Seq(StreamingIngest.TimedDoc(1L, text, t0)))
+    q.processAllAvailable()
+    // an unrelated batch an hour later advances the watermark past
+    // doc 1's TTL, evicting its idle buckets
+    mem.addData(Seq(StreamingIngest.TimedDoc(2L,
+      (0 until 40).map(j => s"filler$j unrelated$j").mkString(" "),
+      t0 + hourUs)))
+    q.processAllAvailable()
+    // batch 3: two fresh duplicates land in the SAME (reappearing)
+    // buckets — state restarted empty but must catch the pair
+    mem.addData(Seq(
+      StreamingIngest.TimedDoc(3L, text, t0 + 2 * hourUs),
+      StreamingIngest.TimedDoc(4L, text, t0 + 2 * hourUs)))
+    q.processAllAvailable()
+    q.stop()
+
+    val pairs = spark.sql("SELECT doc_id, dup_of FROM ttl_reappear")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((4L, 3L)),
+      s"post-expiry co-occurring duplicates must be caught, got $pairs")
+    // and the evicted original is indeed missed — the windowed trade
+    assert(!pairs.exists(_._2 == 1L),
+      "doc 1's buckets should have expired before docs 3/4 arrived")
   }
 
   test("streaming contamination reproduces the batch gate verdicts") {

@@ -6,7 +6,7 @@ Usage:
 
 For each query (default: all in oracle_sql.json), runs the oracle SQL
 in DuckDB over <sfDir>'s parquet tables, computes the canonical hash
-with EXACTLY the format Verify writes to <verifyOutDir>/<q>/canonical.md5
+with EXACTLY the format Verify writes to <verifyOutDir>/<q>/_canonical.md5
 (columns sorted by name; cells stringified — NULL / lowercase booleans /
 IEEE-754 bit-hex doubles / epoch-micro timestamps / epoch-day dates /
 plain-string decimals / hex binary / bracketed collections; rows sorted
@@ -81,7 +81,7 @@ def main():
     for name in sorted(oracle):
         if only and name not in only:
             continue
-        path = os.path.join(out_dir, name, "canonical.md5")
+        path = os.path.join(out_dir, name, "_canonical.md5")
         spark_hash = open(path).read().split()[0] \
             if os.path.exists(path) else "(missing)"
         res = con.execute(oracle[name])
