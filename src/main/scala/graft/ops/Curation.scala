@@ -683,8 +683,70 @@ object Curation {
       WHERE cum_tok // step > (cum_tok - n_tok) // step
       ORDER BY doc_id"""))
 
+  /** Sliding-window chunk size / stride (tokens). Overlap =
+    * ChunkW − ChunkS tokens carried between consecutive chunks — the
+    * standard context-window chunking for long-document training
+    * (and for retrieval indexing).
+    */
+  private val ChunkW = 48L
+  private val ChunkS = 32L
+
+  /** Sliding-window document chunking: each document becomes
+    * ⌈(n−W)/S⌉+1 chunks of ≤W tokens starting every S tokens (one
+    * chunk when n≤W), each carrying a deterministic 60-bit md5
+    * content hash — the unit-of-training-example transform that
+    * follows curation in a 100 TB pipeline, upstream of packing.
+    *
+    * Scale shape: per-row explode of an integer sequence + narrow
+    * projections — no join, no shuffle except the presentation sort;
+    * output rows ≈ input tokens / S, linear in corpus size. The
+    * chunk-index arithmetic is pure integers, identical in both
+    * engines; the trailing chunk is the natural short one (slice
+    * clamps at n), never a duplicate of the previous window.
+    */
+  val qChunkSliding = QueryDef(
+    "q_chunk_sliding",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      val n = size(col("toks")).cast("long")
+      // Column `/` is double division; the operands are positive so
+      // the truncating long cast is the integer ceil-div intended
+      val lastK = when(n <= ChunkW, lit(0L))
+        .otherwise(((n - ChunkW + ChunkS - 1L) / ChunkS).cast("long"))
+      val start = (col("k") * ChunkS + 1L).cast("int")
+      val len = least(lit(ChunkW), n - col("k") * ChunkS).cast("int")
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L), lastK)).as("k"))
+        .select(col("doc_id"), col("k").as("chunk_idx"),
+          start.cast("long").as("start_tok"),
+          len.cast("long").as("chunk_toks"),
+          conv(substring(md5(concat_ws(" ",
+            slice(col("toks"), start, len))), 1, 15), 16, 10)
+            .cast("long").as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents),
+      ks AS (
+        SELECT doc_id, toks, n,
+          unnest(generate_series(0, CASE WHEN n <= $ChunkW THEN 0
+            ELSE (n - $ChunkW + ${ChunkS - 1}) // $ChunkS END)) AS k
+        FROM toks)
+      SELECT doc_id, k AS chunk_idx,
+        CAST(k * $ChunkS + 1 AS BIGINT) AS start_tok,
+        CAST(least($ChunkW, n - k * $ChunkS) AS BIGINT) AS chunk_toks,
+        CAST('0x' || substr(md5(array_to_string(
+          toks[(k * $ChunkS + 1):(k * $ChunkS + least($ChunkW, n - k * $ChunkS))],
+          ' ')), 1, 15) AS BIGINT) AS chunk_hash
+      FROM ks ORDER BY doc_id, chunk_idx"""))
+
   val all: Seq[QueryDef] =
     Seq(qPackSequences, qSampleStratified, qSampleReservoir, qDomainMix,
       qSplitTrain, qTemperatureMix, qTokenBudget, qCorpusShuffle,
-      qEpochMix, qSampleWeighted)
+      qEpochMix, qSampleWeighted, qChunkSliding)
 }

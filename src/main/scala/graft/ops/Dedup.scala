@@ -800,7 +800,114 @@ object Dedup {
       WHERE levenshtein(a.title, b.title) <= 10
       ORDER BY doc_a, doc_b"""))
 
+  /** Incremental (cross-corpus) near-dedup: a NEW ingest batch is
+    * deduplicated against the EXISTING corpus without ever re-pairing
+    * the corpus with itself — the production shape for a continuously
+    * growing 100 TB corpus, where full-corpus self-join dedup per
+    * ingest would be quadratic in corpus size over time. Candidate
+    * generation is the same banded-MinHash equi-join as
+    * q_dedup_minhash_lsh, but one join side is only the new batch: the
+    * per-ingest cost is O(batch × bucket occupancy), independent of
+    * how many prior batches exist (the corpus-side signatures are
+    * precomputed once and reused; at scale they live bucket-
+    * partitioned on disk).
+    *
+    * Fixture split: sources src0..src9 (name length 4) are the
+    * standing corpus, src10..src19 the new batch. Output: per new doc
+    * with any corpus match at Jaccard ≥ 0.2, the match count, the
+    * canonical (min) corpus doc, and the best Jaccard.
+    */
+  val qIncremental = QueryDef(
+    "q_dedup_incremental",
+    (s, dir) => {
+      val side = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), (length(col("source")) <= 4).as("is_old"))
+      val sh = shingles(s, dir)
+        .select(col("doc_id"), col("sh"), (col("sh") % 4294967296L).as("x"))
+        .join(side, "doc_id")
+        .cache()
+      val mins = (0 until K).map(i =>
+        min((col("x") * aCoef(i) + bCoef(i)) % P).as(s"m$i"))
+      val mh = sh.groupBy(col("doc_id"), col("is_old"))
+        .agg(mins.head, mins.tail: _*)
+      def bandVal(b: Int): Column =
+        (0 until 4).map(r => col(s"m${b * 4 + r}"))
+          .reduce((acc, m) => (acc % P) * 31 + m) % P
+      val bands = mh.select(col("doc_id"), col("is_old"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("b"), bandVal(b).as("v"))): _*)).as("bv"))
+        .select(col("doc_id"), col("is_old"),
+          col("bv.b").as("b"), col("bv.v").as("v"))
+      val cand = bands.filter(!col("is_old")).as("n")
+        .join(bands.filter(col("is_old")).as("o"),
+          col("n.b") === col("o.b") && col("n.v") === col("o.v"))
+        .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+        .distinct()
+      val sets = sh.groupBy(col("doc_id"))
+        .agg(collect_set(col("sh")).as("set"), count(lit(1)).as("cnt"))
+      cand
+        .join(sets.select(col("doc_id").as("new_id"), col("set").as("sa"),
+          col("cnt").as("na")), "new_id")
+        .join(sets.select(col("doc_id").as("old_id"), col("set").as("sb"),
+          col("cnt").as("nb")), "old_id")
+        .select(col("new_id"), col("old_id"),
+          (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            (col("na") + col("nb") -
+              size(array_intersect(col("sa"), col("sb"))))).as("jacc"))
+        .filter(col("jacc") >= 0.2)
+        .groupBy(col("new_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("old_id")).as("canonical_old"),
+          max(col("jacc")).as("best_jacc"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val minsSql = (0 until K).map(i =>
+        s"min((x * ${aCoef(i)} + ${bCoef(i)}) % $P) AS m$i").mkString(", ")
+      def bandSql(b: Int): String = {
+        val folded = (0 until 4).map(r => s"m${b * 4 + r}")
+          .reduce((acc, m) => s"(($acc) % $P) * 31 + $m")
+        s"($folded) % $P"
+      }
+      val bandsSql = (0 until 4).map(b =>
+        s"SELECT doc_id, is_old, $b AS b, (${bandSql(b)}) AS v FROM mh")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH $shinglesSql,
+      side AS (SELECT doc_id, length(source) <= 4 AS is_old
+               FROM documents),
+      hx AS (SELECT s.doc_id, s.sh, s.sh % 4294967296 AS x, d.is_old
+             FROM shingle s JOIN side d USING (doc_id)),
+      mh AS (SELECT doc_id, is_old, $minsSql FROM hx
+             GROUP BY doc_id, is_old),
+      bands AS ($bandsSql),
+      cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+               FROM bands n JOIN bands o
+                 ON n.b = o.b AND n.v = o.v AND NOT n.is_old AND o.is_old),
+      cnt AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY doc_id),
+      common AS (
+        SELECT c.new_id, c.old_id, count(*) AS cc
+        FROM cand c
+        JOIN hx a ON a.doc_id = c.new_id
+        JOIN hx b ON b.doc_id = c.old_id AND b.sh = a.sh
+        GROUP BY 1, 2),
+      jacc AS (
+        SELECT cand.new_id, cand.old_id,
+          CAST(coalesce(cc, 0) AS DOUBLE) /
+            (na.n + nb.n - coalesce(cc, 0)) AS jacc
+        FROM cand
+        LEFT JOIN common ON common.new_id = cand.new_id
+                        AND common.old_id = cand.old_id
+        JOIN cnt na ON na.doc_id = cand.new_id
+        JOIN cnt nb ON nb.doc_id = cand.old_id)
+      SELECT new_id AS doc_id, count(*) AS n_matches,
+        min(old_id) AS canonical_old, max(jacc) AS best_jacc
+      FROM jacc WHERE jacc >= 0.2
+      GROUP BY 1 ORDER BY doc_id"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(qExact, qNgramJaccard, qMinHashLsh, qSimHash, qClusters,
-      qLineDedup, qDupSpans, qSourceOverlap, qContainment, qEditDist)
+      qLineDedup, qDupSpans, qSourceOverlap, qContainment, qEditDist,
+      qIncremental)
 }

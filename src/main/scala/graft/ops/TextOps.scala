@@ -1218,11 +1218,118 @@ object TextOps {
         ON a.word = b.word AND a.source < b.source
       GROUP BY 1, 2 ORDER BY source_a, source_b"""))
 
+  /** Lexical-diversity profile per document: type-token ratio, hapax
+    * ratio (words seen once), Simpson repeat probability and Gini
+    * impurity over the word distribution — the repetition/diversity
+    * quality signals (Gopher's "fraction of unique words" family)
+    * expressed as EXACT rationals. Shannon entropy is the textbook
+    * metric here, but ln()/log2() are not bit-identical across
+    * engines (see qTfIdf's note at :291); Simpson/Gini carry the same
+    * signal as pure integer sums with one final double division,
+    * deterministic everywhere.
+    *
+    * Scale shape: explode → two hash aggregations keyed by
+    * (doc_id, word) then doc_id — both map-side-combining, no joins,
+    * no window; linear in corpus size.
+    */
+  val qDiversity = QueryDef(
+    "q_text_diversity",
+    (s, dir) => {
+      val wc = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      wc.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_toks"),
+          count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+          sum(col("c") * (col("c") - 1)).as("s2"),
+          sum(col("c") * col("c")).as("ss"))
+        .select(col("doc_id"), col("n_toks"), col("vocab"), col("hapax"),
+          (col("vocab").cast("double") / col("n_toks")).as("ttr"),
+          (col("hapax").cast("double") / col("vocab")).as("hapax_ratio"),
+          when(col("n_toks") >= 2,
+            col("s2").cast("double") /
+              (col("n_toks") * (col("n_toks") - 1)))
+            .as("simpson"),
+          (lit(1.0) - col("ss").cast("double") /
+            (col("n_toks") * col("n_toks"))).as("gini"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH wc AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY doc_id, w),
+      agg AS (
+        SELECT doc_id, sum(c) AS n_toks, count(*) AS vocab,
+          sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+          sum(c * (c - 1)) AS s2, sum(c * c) AS ss
+        FROM wc GROUP BY doc_id)
+      SELECT doc_id, n_toks, vocab, hapax,
+        CAST(vocab AS DOUBLE) / n_toks AS ttr,
+        CAST(hapax AS DOUBLE) / vocab AS hapax_ratio,
+        CASE WHEN n_toks >= 2
+          THEN CAST(s2 AS DOUBLE) / (n_toks * (n_toks - 1)) END AS simpson,
+        1.0 - CAST(ss AS DOUBLE) / (n_toks * n_toks) AS gini
+      FROM agg ORDER BY doc_id"""))
+
+  /** Ensemble quality filter: the per-signal scores combined as a
+    * fixed-weight LINEAR model with a keep threshold, reported as a
+    * per-source funnel (docs in → docs kept → keep rate → mean score).
+    * A logistic head is the textbook form, but exp() is not
+    * bit-identical across engines; with a monotone link and a
+    * threshold decision the linear score is decision-equivalent and
+    * IEEE mul/add/compare are exact everywhere.
+    *
+    * Scale shape: narrow per-row scoring then one hash aggregation on
+    * source — the decision stage of the quality pipeline that a
+    * 100 TB curation run executes as its final filter pass.
+    */
+  val qQualityEnsemble = QueryDef(
+    "q_quality_ensemble",
+    (s, dir) => {
+      val score =
+        lit(0.3) * least(cToks / lit(100.0), lit(1.0)) +
+          lit(0.25) * (lit(1.0) - cPunct / cChars) +
+          lit(0.25) * least(cStops / cToks * 5.0, lit(1.0)) +
+          lit(0.2) * (cVocab / cToks)
+      Tables.t(s, dir, "documents")
+        .select(col("source"), score.as("score"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") >= 0.5, 1L).otherwise(0L)).as("n_kept"),
+          Parity.dsum(col("score")).as("sum_score"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          (col("n_kept").cast("double") / col("n_docs")).as("keep_rate"),
+          (col("sum_score") / col("n_docs")).as("mean_score"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH sig AS ($qualityRawSql),
+      scored AS (
+        SELECT source,
+          0.3 * least(toks / 100.0, 1.0) +
+          0.25 * (1.0 - punct / chars) +
+          0.25 * least(stops / toks * 5.0, 1.0) +
+          0.2 * (vocab / toks) AS score
+        FROM sig),
+      agg AS (
+        SELECT source, count(*) AS n_docs,
+          sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS n_kept,
+          ${Parity.dsumSql("score")} AS sum_score
+        FROM scored GROUP BY source)
+      SELECT source, n_docs, n_kept,
+        CAST(n_kept AS DOUBLE) / n_docs AS keep_rate,
+        sum_score / n_docs AS mean_score
+      FROM agg ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(qTokens, qQuality, qQualityCalibrate, qGopherRules, qLangId,
       qFingerprint, qReadability, qTfIdf, qRepetition, qClean, qSurprise,
       qWinnow,
       qWinnowOverlap, qWinnowSpans, qWinnowContam, qContamination,
       qLengthHist,
-      qClassify, qVocabTopK, qSourceDrift)
+      qClassify, qVocabTopK, qSourceDrift, qDiversity, qQualityEnsemble)
 }

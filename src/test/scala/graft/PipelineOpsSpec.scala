@@ -667,4 +667,93 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(sized.count() < l.count() / 2,
       "a sized bloom must prune the non-urgent majority")
   }
+
+  test("sliding chunks tile every document: full coverage, fixed stride") {
+    val chunks = Curation.qChunkSliding.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = graft.ops.Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " "))
+          .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.map(_._1).toSet == docs.keySet,
+      "every document must produce at least one chunk")
+    chunks.groupBy(_._1).foreach { case (id, g) =>
+      val n = docs(id)
+      val sorted = g.sortBy(_._2)
+      // stride: chunk k starts at k*S+1; last chunk ends exactly at n
+      sorted.foreach { case (_, k, start, len) =>
+        assert(start == k * 32 + 1 && len >= 1 && len <= 48)
+      }
+      assert(sorted.last._3 + sorted.last._4 - 1 == n,
+        s"doc $id: chunks must cover through the last token")
+      // every token index is inside some chunk (W > S ⇒ no gaps)
+      assert(sorted.forall { case (_, k, s0, l0) =>
+        k == 0 || s0 <= sorted((k - 1).toInt)._3 +
+          sorted((k - 1).toInt)._4 },
+        s"doc $id: a chunk starts past the previous chunk's end")
+    }
+  }
+
+  test("diversity metrics are exact rationals with the right bounds") {
+    val rows = TextOps.qDiversity.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, vocab, hapax) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hapax <= vocab && vocab <= n)
+      val ttr = r.getDouble(4)
+      assert(ttr > 0 && ttr <= 1.0)
+      if (!r.isNullAt(6)) {
+        val simpson = r.getDouble(6)
+        assert(simpson >= 0 && simpson <= 1.0)
+      }
+      val gini = r.getDouble(7)
+      assert(gini >= 0 && gini < 1.0)
+    }
+    // a max-diversity doc (all words distinct) has simpson 0, ttr 1
+    val allDistinct = rows.filter(r => r.getLong(1) == r.getLong(2))
+    allDistinct.foreach { r =>
+      assert(r.getDouble(4) == 1.0)
+      if (!r.isNullAt(6)) assert(r.getDouble(6) == 0.0)
+    }
+  }
+
+  test("incremental dedup only ever pairs new-batch docs with the corpus") {
+    import org.apache.spark.sql.functions.{col, length}
+    val out = Dedup.qIncremental.run(spark, dir)
+    val docs = graft.ops.Tables.t(spark, dir, "documents")
+    val newIds = docs.filter(length(col("source")) > 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val oldIds = docs.filter(length(col("source")) <= 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = out.collect()
+    assert(rows.nonEmpty, "fixture should plant cross-source near-dups")
+    rows.foreach { r =>
+      assert(newIds.contains(r.getLong(0)),
+        "output doc_id must come from the new batch")
+      assert(oldIds.contains(r.getLong(2)),
+        "canonical match must come from the standing corpus")
+      assert(r.getDouble(3) >= 0.2 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(1) >= 1)
+    }
+  }
+
+  test("ensemble keep decision is a consistent per-source funnel") {
+    val rows = TextOps.qQualityEnsemble.run(spark, dir).collect()
+    assert(rows.length == 20, "one row per source")
+    rows.foreach { r =>
+      val (n, kept, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(kept >= 0 && kept <= n)
+      assert(math.abs(rate - kept.toDouble / n) == 0.0)
+      val mean = r.getDouble(4)
+      assert(mean > 0 && mean <= 1.0)
+    }
+    // the threshold must actually split the corpus, not pass/fail all
+    val total = rows.map(_.getLong(1)).sum
+    val keptAll = rows.map(_.getLong(2)).sum
+    assert(keptAll > 0 && keptAll < total,
+      s"threshold should separate docs, kept $keptAll of $total")
+  }
 }

@@ -55,12 +55,28 @@ class PlanSpec extends AnyFunSuite {
 
   test("dedup candidate generation has no cartesian product") {
     Seq("q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_ann_lsh",
-      "q_dedup_containment")
+      "q_dedup_containment", "q_dedup_incremental")
       .foreach { n =>
         val p = plan(n)
         assert(!p.contains("CartesianProduct"),
           s"$n must generate candidates via equi-join, not all-pairs")
       }
+  }
+
+  test("sliding chunking is a narrow per-row transform") {
+    val p = plan("q_chunk_sliding")
+    assert(!p.contains("Join"), "chunking must not join")
+    // only the presentation sort may exchange
+    assert("""Exchange \(\d+\)""".r.findAllIn(p).size <= 1,
+      "chunking must not shuffle beyond the presentation sort")
+  }
+
+  test("diversity and ensemble aggregate with map-side partials") {
+    Seq("q_text_diversity", "q_quality_ensemble").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("Join"), s"$n must not join")
+      assert(p.contains("partial_"), s"$n must combine map-side")
+    }
   }
 
   test("canonical pair generator has no all-pairs join of any kind") {
