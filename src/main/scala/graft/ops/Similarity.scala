@@ -1198,8 +1198,92 @@ object Similarity {
         ON t.query_id = i.query_id AND t.vec_id = i.vec_id
       GROUP BY t.query_id ORDER BY t.query_id"""))
 
+  /** Semantic-outlier filter: each vector's cosine to its OWN label
+    * centroid, with a low-cosine outlier flag — the embedding-space
+    * curation gate (CCNet/DataComp-style) that drops documents far
+    * from their cluster's semantic center before training.
+    *
+    * Determinism: the centroid is kept in exact integer space — the
+    * per-dimension SUM of 2^20-quantized values (never divided until
+    * the final double step) — and every dot product is an ordered
+    * left fold over dims 1..64 (Spark `aggregate`, DuckDB
+    * `list_reduce` — same order, same IEEE ops), so both engines
+    * produce bit-identical cosines with no rounding fudge.
+    *
+    * Scale shape: one map-side-combining aggregation to build the
+    * per-label sums (labels × 64 rows — tiny), broadcast back to the
+    * vector scan, then a narrow per-row fold. No shuffle of the
+    * vector payload at any point; linear in corpus size.
+    */
+  val qSemanticOutlier = QueryDef(
+    "q_semantic_outlier",
+    (s, dir) => {
+      val Q = 1048576.0 // 2^20, same quantum as q_embed_centroids
+      val e = Tables.t(s, dir, "embeddings")
+      val sums = e
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), col("pos"),
+          round(col("v").cast("double") * Q).cast("long").as("q"))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("q")).as("sd"), count(lit(1)).as("n"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(
+            struct(col("pos"), col("sd")))), x => x("sd")).as("sarr"),
+          max(col("n")).as("n"))
+      GraftFunctions.register(s)
+      val vn = e
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding"),
+          sqrt(GraftFunctions.dotp(col("embedding"), col("embedding")))
+            .as("nrm"))
+        .join(broadcast(sums), "label")
+      val dotVS = expr(
+        """aggregate(zip_with(embedding, sarr,
+             (v, s) -> CAST(v AS DOUBLE) * CAST(s AS DOUBLE)),
+           CAST(0 AS DOUBLE), (acc, x) -> acc + x)""")
+      val cnormSq = expr(
+        """aggregate(transform(sarr, s -> CAST(s AS DOUBLE) * CAST(s AS DOUBLE)),
+           CAST(0 AS DOUBLE), (acc, x) -> acc + x)""")
+      vn.select(col("vec_id"), col("label"),
+          (dotVS / (col("n") * Q) /
+            (col("nrm") * sqrt(cnormSq) / (col("n") * Q))).as("cos"))
+        .select(col("vec_id"), col("label"), col("cos"),
+          (col("cos") < 0.0).as("is_outlier"))
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH dims AS (
+        SELECT CAST(label AS BIGINT) AS label,
+          unnest(generate_series(1, 64)) AS dim, embedding
+        FROM embeddings),
+      persum AS (
+        SELECT label, dim,
+          sum(CAST(round(CAST(embedding[CAST(dim AS INT)] AS DOUBLE)
+            * 1048576.0) AS BIGINT)) AS sd,
+          count(*) AS n
+        FROM dims GROUP BY label, dim),
+      sums AS (
+        SELECT label, list(sd ORDER BY dim) AS sarr, max(n) AS n
+        FROM persum GROUP BY label),
+      scored AS (
+        SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            [CAST(e.embedding[i] AS DOUBLE) * CAST(s.sarr[i] AS DOUBLE)
+             for i in generate_series(1, 64)]), (acc, x) -> acc + x)
+            / (s.n * 1048576.0)
+            / (sqrt(${dotSql("e.embedding", "e.embedding")})
+               * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   [CAST(s.sarr[i] AS DOUBLE) * CAST(s.sarr[i] AS DOUBLE)
+                    for i in generate_series(1, 64)]), (acc, x) -> acc + x))
+                 / (s.n * 1048576.0)) AS cos
+        FROM embeddings e JOIN sums s ON CAST(e.label AS BIGINT) = s.label)
+      SELECT vec_id, label, cos, cos < 0.0 AS is_outlier
+      FROM scored ORDER BY vec_id"""))
+
   val all: Seq[QueryDef] =
     Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf,
       qEmbedCentroids, qEmbedPq, qAnnAdc, qEmbedRp, qEmbedQuantize,
-      qSemanticDedup, qAnnRecall, qMatryoshka, qIvfRecall)
+      qSemanticDedup, qAnnRecall, qMatryoshka, qIvfRecall,
+      qSemanticOutlier)
 }

@@ -740,6 +740,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic outlier: one row per vector, flag matches the cosine") {
+    val rows = Similarity.qSemanticOutlier.run(spark, dir).collect()
+    val nVec = graft.ops.Tables.t(spark, dir, "embeddings").count()
+    assert(rows.length == nVec, "every vector scores exactly once")
+    rows.foreach { r =>
+      val cos = r.getDouble(2)
+      assert(cos >= -1.0 - 1e-12 && cos <= 1.0 + 1e-12)
+      assert(r.getBoolean(3) == (cos < 0.0))
+    }
+    // centroids must attract their own members on average
+    val byLabel = rows.groupBy(_.getLong(1))
+    byLabel.values.foreach { g =>
+      val mean = g.map(_.getDouble(2)).sum / g.length
+      assert(mean > 0.0,
+        "a label's members should align with their own centroid on average")
+      assert(g.exists(r => !r.getBoolean(3)),
+        "each label should keep at least one non-outlier")
+    }
+  }
+
   test("ensemble keep decision is a consistent per-source funnel") {
     val rows = TextOps.qQualityEnsemble.run(spark, dir).collect()
     assert(rows.length == 20, "one row per source")

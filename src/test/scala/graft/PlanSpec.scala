@@ -79,6 +79,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic outlier broadcasts the label sums to the vector scan") {
+    val p = plan("q_semantic_outlier")
+    assert(p.contains("BroadcastHashJoin"),
+      "the tiny label-sums side must broadcast")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "the vector payload must never shuffle for this join")
+  }
+
   test("canonical pair generator has no all-pairs join of any kind") {
     val p = plan("q_embed_pairs_lsh")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
