@@ -1198,6 +1198,113 @@ object Similarity {
         ON t.query_id = i.query_id AND t.vec_id = i.vec_id
       GROUP BY t.query_id ORDER BY t.query_id"""))
 
+  /** IVF-PQ search (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI'11): the production ANN shape — IVF cell
+    * probing restricts the candidate set (nprobe=3 of 8 cells), then
+    * ranking runs entirely over 4-bit PQ codes via the ADC lookup
+    * table, never touching the float vectors of the candidates. The
+    * index scan cost per query is |cell| code lookups (4 B/vector
+    * payload), and the only full-width work is the per-query table
+    * build (M×K=128 sub-distances against the broadcast codebook).
+    *
+    * Scale shape: candidates come from the (cell) equi-join of the
+    * probed cells — never all-pairs; the ADC table and codebook are
+    * broadcast; the per-candidate work is an 8-row integer-keyed
+    * lookup-and-sum. Composes q_ann_ivf's quantizer with q_ann_adc's
+    * ranking, both already oracle-proven deterministic.
+    */
+  val qAnnIvfPq = QueryDef(
+    "q_ann_ivf_pq",
+    (s, dir) => {
+      val e = vectors(s, dir)
+      val cents = seedCentroids(e)
+      val dists = e.crossJoin(broadcast(cents)).withColumn("dist", l2Col)
+      val cells = dists
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cell"))).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"))
+      val wp = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist"), col("cell"))
+      val probes = dists.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("cell"), col("dist"))
+        .withColumn("pr", row_number().over(wp))
+        .filter(col("pr") <= NProbe)
+        .select("query_id", "cell")
+      val cands = cells.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"))
+      val tbl = pqSubs(s, dir).filter(col("vec_id") < 5)
+        .toDF("query_id", "m", "sub")
+        .join(broadcast(pqCodebook(s, dir)), "m")
+        .select(col("query_id"), col("m"), col("k"),
+          subL2(col("sub"), col("cent")).as("t"))
+      val tmins = (0 until PqM).map(m =>
+        min(when(col("m") === m, col("t"))).as(s"t$m"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adist"), col("vec_id"))
+      cands.join(pqAssign(s, dir), "vec_id")
+        .join(broadcast(tbl), Seq("query_id", "m", "k"))
+        .groupBy("query_id", "vec_id").agg(tmins.head, tmins.tail: _*)
+        .select(col("query_id"), col("vec_id"),
+          (0 until PqM).map(m => col(s"t$m")).reduce(_ + _).as("adist"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("query_id", "rnk")
+    },
+    Some {
+      val l2 = s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        [(CAST(v.embedding[i] AS DOUBLE) - s.cent[i]) *
+         (CAST(v.embedding[i] AS DOUBLE) - s.cent[i])
+         for i in generate_series(1, 64)]), (acc, x) -> acc + x)"""
+      val tmins = (0 until PqM).map(m =>
+        s"min(CASE WHEN a.m = $m THEN t END) AS t$m").mkString(", ")
+      val tsum = (0 until PqM).map(m => s"t$m").mkString(" + ")
+      s"""
+      WITH $pqCtesSql,
+      seeds AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cell,
+               [CAST(x AS DOUBLE) for x in embedding] AS cent
+        FROM embeddings WHERE vec_id % 59 = 0 ORDER BY vec_id LIMIT $IvfK),
+      dists AS (
+        SELECT v.vec_id, s.cell, $l2 AS dist
+        FROM embeddings v CROSS JOIN seeds s),
+      cells AS (
+        SELECT vec_id, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, cell) AS rn FROM dists)
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, cell
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, cell) AS pr FROM dists WHERE vec_id < 5)
+        WHERE pr <= $NProbe),
+      cands AS (
+        SELECT p.query_id, c.vec_id
+        FROM cells c JOIN probes p USING (cell)
+        WHERE c.vec_id <> p.query_id),
+      tbl AS (
+        SELECT q.vec_id AS query_id, c.m, c.k,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            [(q.sub[j] - c.cent[j]) * (q.sub[j] - c.cent[j])
+             for j in generate_series(1, $PqDim)]),
+            (acc, v) -> acc + v) AS t
+        FROM subs q JOIN codebook c USING (m) WHERE q.vec_id < 5),
+      adc AS (
+        SELECT cd.query_id, cd.vec_id, $tmins
+        FROM cands cd
+        JOIN assign a ON a.vec_id = cd.vec_id
+        JOIN tbl t ON t.query_id = cd.query_id
+                  AND t.m = a.m AND t.k = a.k
+        GROUP BY cd.query_id, cd.vec_id)
+      SELECT query_id, vec_id, adist, rnk FROM (
+        SELECT query_id, vec_id, $tsum AS adist,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY $tsum, vec_id) AS BIGINT) AS rnk
+        FROM adc)
+      WHERE rnk <= 3 ORDER BY query_id, rnk"""
+    })
+
   /** Semantic-outlier filter: each vector's cosine to its OWN label
     * centroid, with a low-cosine outlier flag — the embedding-space
     * curation gate (CCNet/DataComp-style) that drops documents far
@@ -1285,5 +1392,5 @@ object Similarity {
     Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf,
       qEmbedCentroids, qEmbedPq, qAnnAdc, qEmbedRp, qEmbedQuantize,
       qSemanticDedup, qAnnRecall, qMatryoshka, qIvfRecall,
-      qSemanticOutlier)
+      qSemanticOutlier, qAnnIvfPq)
 }

@@ -760,6 +760,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-pq returns ranked code-space top-3 per query, no self") {
+    val rows = Similarity.qAnnIvfPq.run(spark, dir).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQuery.values.foreach { g =>
+      assert(g.length == 3)
+      val dists = g.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b },
+        "ADC distances must be nondecreasing in rank")
+      assert(g.forall(r => r.getLong(1) != r.getLong(0)))
+      assert(g.forall(_.getDouble(2) >= 0.0))
+    }
+    // code-space ranking retains SOME exact-IVF agreement — the
+    // fixture codebook is 16 untrained donor codewords (4 bits per
+    // 8-dim subspace), so heavy quantization loss is by design here;
+    // ADC ranking quality itself is oracle-proven in q_ann_adc
+    val exact = Similarity.qAnnIvf.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exact intersect pq).nonEmpty,
+      s"IVF-PQ lost ALL agreement with the exact IVF top-3")
+  }
+
   test("ensemble keep decision is a consistent per-source funnel") {
     val rows = TextOps.qQualityEnsemble.run(spark, dir).collect()
     assert(rows.length == 20, "one row per source")

@@ -79,6 +79,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-pq candidates come from the probed-cell equi-join") {
+    val p = plan("q_ann_ivf_pq")
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop is the bounded 8-seed broadcast assignment
+    // (same allowance as q_ann_ivf); candidate × code ranking joins
+    // must all be hash joins on integer keys
+    assert(p.contains("BroadcastHashJoin"),
+      "probes/ADC table must broadcast-hash-join the candidate scan")
+  }
+
   test("semantic outlier broadcasts the label sums to the vector scan") {
     val p = plan("q_semantic_outlier")
     assert(p.contains("BroadcastHashJoin"),
