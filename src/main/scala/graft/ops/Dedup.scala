@@ -232,10 +232,13 @@ object Dedup {
             .as("jacc"))
   }
 
-  /** The same pair pipeline as CTEs ending in `pairs(doc_a, doc_b,
-    * jacc)`, composable into larger oracle queries.
+  /** The minhash pipeline CTEs AFTER the shared `shingle` CTE —
+    * `hx`/`mh`/`bands`/`cand`/`cnt`/`common`/`pairs` — so callers
+    * that already bring their own `shinglesSql` (e.g. the recall
+    * evaluation, which also needs the PRUNED variant) can compose
+    * without duplicate CTE names.
     */
-  private val minHashCtesSql: String = {
+  private val minHashCoreSql: String = {
     val minsSql = (0 until K).map(i =>
       s"min((x * ${aCoef(i)} + ${bCoef(i)}) % $P) AS m$i").mkString(", ")
     def bandSql(b: Int): String = {
@@ -246,8 +249,7 @@ object Dedup {
     val bandsSql = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS b, (${bandSql(b)}) AS v FROM mh")
       .mkString(" UNION ALL ")
-    s"""$shinglesSql,
-      hx AS (SELECT doc_id, sh, sh % 4294967296 AS x FROM shingle),
+    s"""hx AS (SELECT doc_id, sh, sh % 4294967296 AS x FROM shingle),
       mh AS (SELECT doc_id, $minsSql FROM hx GROUP BY doc_id),
       bands AS ($bandsSql),
       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -270,6 +272,12 @@ object Dedup {
         JOIN cnt na ON na.doc_id = cand.doc_a
         JOIN cnt nb ON nb.doc_id = cand.doc_b)"""
   }
+
+  /** The full pair pipeline as CTEs ending in `pairs(doc_a, doc_b,
+    * jacc)`, composable into larger oracle queries.
+    */
+  private val minHashCtesSql: String = s"""$shinglesSql,
+      $minHashCoreSql"""
 
   val qMinHashLsh = QueryDef(
     "q_dedup_minhash_lsh",
@@ -800,6 +808,79 @@ object Dedup {
       WHERE levenshtein(a.title, b.title) <= 10
       ORDER BY doc_a, doc_b"""))
 
+  /** MinHash-LSH candidate recall vs the verified Jaccard ground
+    * truth, per Jaccard band — the index-quality evaluation a
+    * pipeline runs before trusting banded LSH at a new corpus or
+    * threshold (the dedup-side twin of q_ann_recall). Truth = the
+    * df-capped shingle-join pairs at jacc ≥ 0.2 (q_dedup_ngram_jaccard
+    * semantics, exhaustive by construction); found = the pair
+    * appearing among the banded-MinHash candidates. Recall should
+    * rise with the band: 4×4 banding catches j≈0.2 pairs with
+    * moderate probability and j≥0.6 near-certainly.
+    *
+    * Scale shape: both sides are the existing equi-join pipelines;
+    * the evaluation adds one (doc_a, doc_b) hash join and a 5-row
+    * aggregation. Banding arithmetic is double division + floor,
+    * bit-identical across engines.
+    */
+  val qMinhashRecall = QueryDef(
+    "q_dedup_minhash_recall",
+    (s, dir) => {
+      val sh = prunedShingles(s, dir)
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val common = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      val truth = common
+        .join(cnt.toDF("doc_a", "na"), "doc_a")
+        .join(cnt.toDF("doc_b", "nb"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("c").cast("double") / (col("na") + col("nb") - col("c")))
+            .as("jacc"))
+        .filter(col("jacc") >= 0.2)
+      val cand = minHashPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("found"))
+      truth.join(cand, Seq("doc_a", "doc_b"), "left")
+        .select(least(floor(col("jacc") / 0.2), lit(4L)).cast("long")
+            .as("band"),
+          coalesce(col("found"), lit(0L)).as("found"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_truth"), sum(col("found")).as("n_found"))
+        .select(col("band"), col("n_truth"), col("n_found"),
+          (col("n_found").cast("double") / col("n_truth")).as("recall"))
+        .orderBy("band")
+    },
+    Some(s"""
+      WITH $shinglesSql,
+      rare AS (SELECT sh FROM shingle GROUP BY sh
+               HAVING count(*) <= $DfCap),
+      pruned AS (SELECT s.doc_id, s.sh FROM shingle s JOIN rare USING (sh)),
+      $minHashCoreSql,
+      tcnt AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
+      tcommon AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM pruned a JOIN pruned b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS (
+        SELECT doc_a, doc_b,
+          CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jacc
+        FROM tcommon
+        JOIN tcnt na ON na.doc_id = doc_a
+        JOIN tcnt nb ON nb.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.2),
+      joined AS (
+        SELECT CAST(least(floor(t.jacc / 0.2), 4) AS BIGINT) AS band,
+          CASE WHEN p.doc_a IS NULL THEN 0 ELSE 1 END AS found
+        FROM truth t
+        LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM pairs) p
+          ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b)
+      SELECT band, count(*) AS n_truth,
+        CAST(sum(found) AS BIGINT) AS n_found,
+        CAST(sum(found) AS DOUBLE) / count(*) AS recall
+      FROM joined GROUP BY band ORDER BY band"""))
+
   /** Incremental (cross-corpus) near-dedup: a NEW ingest batch is
     * deduplicated against the EXISTING corpus without ever re-pairing
     * the corpus with itself — the production shape for a continuously
@@ -909,5 +990,5 @@ object Dedup {
   val all: Seq[QueryDef] =
     Seq(qExact, qNgramJaccard, qMinHashLsh, qSimHash, qClusters,
       qLineDedup, qDupSpans, qSourceOverlap, qContainment, qEditDist,
-      qIncremental)
+      qIncremental, qMinhashRecall)
 }

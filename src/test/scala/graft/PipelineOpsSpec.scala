@@ -760,6 +760,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash recall bands are consistent and catch the planted dups") {
+    val rows = Dedup.qMinhashRecall.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (band, nT, nF, rec) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(band >= 1 && band <= 4)
+      assert(nF <= nT && rec >= 0.0 && rec <= 1.0)
+      assert(rec == nF.toDouble / nT)
+    }
+    // the planted near-exact dups live in the top band, where 4x4
+    // banding has ~zero miss probability
+    val top = rows.find(_.getLong(0) == 4)
+    assert(top.exists(_.getDouble(3) == 1.0),
+      "top-band (j>=0.8) recall must be 1.0 on the planted dups")
+  }
+
   test("ivf-pq returns ranked code-space top-3 per query, no self") {
     val rows = Similarity.qAnnIvfPq.run(spark, dir).collect()
     val byQuery = rows.groupBy(_.getLong(0))
