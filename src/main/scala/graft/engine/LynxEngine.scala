@@ -218,6 +218,18 @@ class LynxEngine(
       tier.foreach(_.compact(spark, namespace, table, clusterBy))
     }
 
+  /** Expire tier day-partitions older than `beforeDay` (exclusive,
+    * "yyyy-MM-dd") under the write lock — no concurrent seal can
+    * publish into a manifest the expiry is about to flip. Buffered
+    * (unsealed) rows are untouched: retention is a tier policy, and
+    * sealing still ages them out on the next pass. Returns files
+    * dropped (0 without a tier).
+    */
+  def expire(namespace: String, table: String, beforeDay: String): Int =
+    writeLock.synchronized {
+      tier.map(_.expire(namespace, table, beforeDay)).getOrElse(0)
+    }
+
   /** Run `sql` against namespace `namespace`. None = unknown
     * namespace/table → HTTP 404 (reference lynx.rs:144-148).
     */

@@ -546,6 +546,42 @@ final class ParquetTier(root: File,
     pruned.drop(DayCol)
   }
 
+  // --------------------------------------------------------- retention
+
+  /** Retention expiry: drop every day-partition strictly older than
+    * `beforeDay` ("yyyy-MM-dd", exclusive) from the current manifest —
+    * the age-out a time-series tier needs and the reference never
+    * addresses (its buffer only ever grows; SURVEY.md §3.4). The
+    * manifest flip is the commit point, exactly like compaction:
+    * a crash before it leaves the old manifest current; after it,
+    * expired files are trash under the usual grace/pin protections,
+    * so in-flight queries that pinned the previous manifest finish
+    * their scans untouched. Day strings compare lexicographically ==
+    * chronologically; a file without a day directory is never expired
+    * (conservative). Call through LynxEngine.expire, which serializes
+    * manifest writers via the engine write lock. Returns the number
+    * of data files dropped.
+    *
+    * Scale shape: pure manifest metadata — no data file is read or
+    * rewritten, so expiring a year of partitions on a 100 TB table is
+    * O(manifest length) driver work and zero cluster work.
+    */
+  def expire(ns: String, table: String, beforeDay: String): Int = {
+    val dir = tableDir(ns, table)
+    if (!dir.isDirectory) return 0
+    val (currentVersion, currentRel) = readManifestVersioned(ns, table)
+      .getOrElse((0L, parquetFilesUnder(dir).map(relativize(dir, _))))
+    val (dropped, kept) = currentRel.partition { rel =>
+      ParquetTier.DayFromPath.findFirstMatchIn(rel)
+        .exists(_.group(1) < beforeDay)
+    }
+    if (dropped.isEmpty) return 0
+    writeManifest(ns, table, kept)
+    appendTrash(ns, table, currentVersion, dropped)
+    gcTrash(ns, table)
+    dropped.size
+  }
+
   // --------------------------------------------------------- compaction
 
   /** Compact the table's current version: every seal appends a file

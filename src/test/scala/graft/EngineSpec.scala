@@ -304,6 +304,41 @@ class EngineSpec extends AnyFunSuite {
     assert(r.rows.head.getLong(0) == 15)
   }
 
+  test("retention expiry drops old days from the manifest, defers " +
+      "deletion for pinned readers, and never touches newer days") {
+    val spark = SparkFixture.spark
+    val dayUs = 86400L * 1000000L
+    val tierDir = Files.createTempDirectory("expire-tier").toFile
+    val tier = new ParquetTier(tierDir) // default grace: trash deferred
+    val e = newEngine(Some(tier))
+    // one sealed file per day: 1970-01-01, 01-02, 01-03
+    (0 to 2).foreach { d =>
+      e.write(WriteRequest("ns", "cpu", (d + 1).toString, Map.empty,
+        d * dayUs + 1))
+      e.seal("ns", "cpu")
+    }
+    assert(tier.dataFiles("ns", "cpu").size == 3)
+    val pinned = tier.dataFiles("ns", "cpu")
+    // expire the two oldest days; the pinned pre-expiry read finishes
+    val dropped = e.expire("ns", "cpu", "1970-01-03")
+    assert(dropped == 2)
+    assert(tier.dataFiles("ns", "cpu").size == 1)
+    assert(pinned.forall(p => new java.io.File(p).isFile),
+      "expiry must defer physical deletion for the grace period")
+    assert(tier.readFiles(spark, "ns", "cpu", pinned, None).count() == 3)
+    // the current view serves only the surviving day
+    val r = e.query("ns",
+      "SELECT sum(CAST(value AS BIGINT)) AS s FROM cpu").get
+    assert(r.rows.head.getLong(0) == 3)
+    // idempotent: nothing older remains
+    assert(e.expire("ns", "cpu", "1970-01-03") == 0)
+    // zero-grace GC (next manifest writer) deletes the expired files
+    val tier0 = new ParquetTier(tierDir, trashGraceMs = 0)
+    assert(tier0.expire("ns", "cpu", "1970-01-04") == 1)
+    assert(pinned.count(p => new java.io.File(p).isFile) == 0,
+      "expired trash should be physically deleted past grace")
+  }
+
   test("compaction defers old-file deletion so pinned readers finish") {
     val spark = SparkFixture.spark
     val tierDir = Files.createTempDirectory("compact-pin-tier").toFile
