@@ -429,6 +429,38 @@ object TimeSeries {
     * doubles and the fold order is identical, so every output bit
     * matches. The recurrence uses only IEEE · and +, never pow/exp.
     */
+  /** The Holt fold as CTEs ending in `holt(event_type, bucket_us,
+    * bucket_sum, level, trend, forecast)` — shared by q_ts_holt and
+    * the backtest evaluation.
+    */
+  private lazy val holtCtesSql: String = s"""$hourlySql,
+      g AS (
+        SELECT event_type,
+          list(bucket_us ORDER BY bucket_us) AS us,
+          list(bucket_sum ORDER BY bucket_us) AS sums
+        FROM hourly GROUP BY event_type),
+      f AS (
+        SELECT event_type, us, sums,
+          list_reduce(list_transform(sums, x -> [x, CAST(0 AS DOUBLE)]),
+            (acc, x) -> list_concat(acc, [
+              0.5 * x[1] + 0.5 * (acc[len(acc) - 1] + acc[len(acc)]),
+              0.25 * ((0.5 * x[1] + 0.5 * (acc[len(acc) - 1]
+                       + acc[len(acc)])) - acc[len(acc) - 1])
+                + 0.75 * acc[len(acc)]])) AS fold
+        FROM g),
+      z AS (
+        SELECT event_type, us, sums,
+          [fold[2 * i - 1] FOR i IN generate_series(1, len(sums))] AS lvls,
+          [fold[2 * i] FOR i IN generate_series(1, len(sums))] AS trends
+        FROM f),
+      holt AS (
+        SELECT event_type, unnest(us) AS bucket_us,
+          unnest(sums) AS bucket_sum, unnest(lvls) AS level,
+          unnest(trends) AS trend,
+          unnest(list_transform(generate_series(1, len(sums)),
+            i -> lvls[i] + trends[i])) AS forecast
+        FROM z)"""
+
   val qHolt = QueryDef(
     "q_ts_holt",
     (s, dir) => {
@@ -455,33 +487,80 @@ object TimeSeries {
         .orderBy("event_type", "bucket_us")
     },
     Some(s"""
-      WITH $hourlySql,
-      g AS (
-        SELECT event_type,
-          list(bucket_us ORDER BY bucket_us) AS us,
-          list(bucket_sum ORDER BY bucket_us) AS sums
-        FROM hourly GROUP BY event_type),
-      f AS (
-        SELECT event_type, us, sums,
-          list_reduce(list_transform(sums, x -> [x, CAST(0 AS DOUBLE)]),
-            (acc, x) -> list_concat(acc, [
-              0.5 * x[1] + 0.5 * (acc[len(acc) - 1] + acc[len(acc)]),
-              0.25 * ((0.5 * x[1] + 0.5 * (acc[len(acc) - 1]
-                       + acc[len(acc)])) - acc[len(acc) - 1])
-                + 0.75 * acc[len(acc)]])) AS fold
-        FROM g),
-      z AS (
-        SELECT event_type, us, sums,
-          [fold[2 * i - 1] FOR i IN generate_series(1, len(sums))] AS lvls,
-          [fold[2 * i] FOR i IN generate_series(1, len(sums))] AS trends
-        FROM f)
-      SELECT event_type, unnest(us) AS bucket_us,
-        unnest(sums) AS bucket_sum, unnest(lvls) AS level,
-        unnest(trends) AS trend,
-        unnest(list_transform(generate_series(1, len(sums)),
-          i -> lvls[i] + trends[i])) AS forecast
-      FROM z
+      WITH $holtCtesSql
+      SELECT event_type, bucket_us, bucket_sum, level, trend, forecast
+      FROM holt
       ORDER BY event_type, bucket_us"""))
+
+  /** Holt backtest: one-step-ahead forecast error per series, scored
+    * against the naive last-value forecast — the skill evaluation
+    * ("is the model beating persistence?") a monitoring pipeline runs
+    * before trusting a forecaster. skill = 1 − MAE_holt/MAE_naive;
+    * positive means Holt beats persistence on that series.
+    *
+    * Determinism: per-row errors come from the same fold both engines
+    * already agree on (q_ts_holt), then every accumulator is ALL
+    * INTEGER (the q_ts_acf discipline): errors are floor-scaled to
+    * integer billionths — floor(err·1e9) is exact IEEE multiply +
+    * floor, bit-identical everywhere — and summed as BIGINTs. Neither
+    * decimal casts nor round() survive here: both round a DOUBLE at a
+    * decimal digit and the two engines disagree near .5 boundaries on
+    * arbitrary fold-output mantissas (observed at digit 10 with the
+    * decimal accumulator and again at digit 9 with round(x,9) across
+    * the two fixture scales). The final ratios are single IEEE
+    * divisions of exact integers.
+    *
+    * Scale shape: one lag window per series over hourly buckets (tiny
+    * frames), then a per-series aggregation — same shape as the fold
+    * itself, linear in bucket count.
+    */
+  val qHoltBacktest = QueryDef(
+    "q_ts_holt_backtest",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_us"))
+      qHolt.run(s, dir)
+        .select(col("event_type"), col("bucket_us"), col("bucket_sum"),
+          lag(col("forecast"), 1).over(w).as("fprev"),
+          lag(col("bucket_sum"), 1).over(w).as("xprev"))
+        .filter(col("fprev").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(abs(col("bucket_sum") - col("fprev")) * 1e9)
+            .cast("long")).as("sae_holt"),
+          sum(floor(abs(col("bucket_sum") - col("xprev")) * 1e9)
+            .cast("long")).as("sae_naive"))
+        .select(col("event_type"), col("n"),
+          (col("sae_holt").cast("double") / 1e9 / col("n"))
+            .as("mae_holt"),
+          (col("sae_naive").cast("double") / 1e9 / col("n"))
+            .as("mae_naive"),
+          (lit(1.0) - col("sae_holt").cast("double") /
+            col("sae_naive").cast("double")).as("skill"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH $holtCtesSql,
+      lagd AS (
+        SELECT event_type, bucket_sum,
+          lag(forecast) OVER (PARTITION BY event_type
+            ORDER BY bucket_us) AS fprev,
+          lag(bucket_sum) OVER (PARTITION BY event_type
+            ORDER BY bucket_us) AS xprev
+        FROM holt),
+      agg AS (
+        SELECT event_type, count(*) AS n,
+          CAST(sum(CAST(floor(abs(bucket_sum - fprev) * 1e9) AS BIGINT))
+            AS BIGINT) AS sae_holt,
+          CAST(sum(CAST(floor(abs(bucket_sum - xprev) * 1e9) AS BIGINT))
+            AS BIGINT) AS sae_naive
+        FROM lagd WHERE fprev IS NOT NULL
+        GROUP BY event_type)
+      SELECT event_type, n,
+        CAST(sae_holt AS DOUBLE) / 1e9 / n AS mae_holt,
+        CAST(sae_naive AS DOUBLE) / 1e9 / n AS mae_naive,
+        1.0 - CAST(sae_holt AS DOUBLE) / CAST(sae_naive AS DOUBLE)
+          AS skill
+      FROM agg ORDER BY event_type"""))
 
   /** Hour-of-day seasonal decomposition: each hourly bucket scored
     * against its series' hour-of-day profile (mean and sample stddev
@@ -945,5 +1024,5 @@ object TimeSeries {
   val all: Seq[QueryDef] =
     Seq(qAsofJoin, qGapFill, qIntervalJoin, qSessionize, qOhlc, qFunnel,
       qRate, qEwma, qHolt, qAnomaly, qRetention, qSeasonal, qLttb,
-      qCusum, qAcf)
+      qCusum, qAcf, qHoltBacktest)
 }

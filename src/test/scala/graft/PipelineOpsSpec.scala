@@ -760,6 +760,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("holt backtest: consistent error funnel, naive baseline honest") {
+    val rows = graft.ops.TimeSeries.qHoltBacktest.run(spark, dir).collect()
+    assert(rows.nonEmpty, "every event_type series should score")
+    rows.foreach { r =>
+      val (n, maeH, maeN, skill) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(n >= 2)
+      assert(maeH >= 0.0 && maeN >= 0.0)
+      // skill is exactly 1 - maeH/maeN (same integer accumulators)
+      assert(math.abs(skill - (1.0 - maeH / maeN)) < 1e-12)
+      assert(skill <= 1.0)
+    }
+  }
+
   test("minhash recall bands are consistent and catch the planted dups") {
     val rows = Dedup.qMinhashRecall.run(spark, dir).collect()
     assert(rows.nonEmpty)
