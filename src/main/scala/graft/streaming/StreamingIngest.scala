@@ -230,6 +230,54 @@ object StreamingIngest {
       }
   }
 
+  /** A streamed doc's band collision with the static corpus index. */
+  final case class CorpusHit(doc_id: Long, corpus_doc: Long,
+      bucket: String)
+
+  /** The standing corpus as a band index: one (bucket, corpus_doc)
+    * row per MinHash band — built ONCE from the frozen corpus with
+    * the same jvm hash math as the batch operator, then reused by
+    * every micro-batch. At 100 TB this index lives bucket-partitioned
+    * on disk and the stream-static join co-locates on the bucket key.
+    */
+  def corpusBandIndex(docs: Dataset[DocRow]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      graft.ops.Dedup.jvmMinHash(d.text) match {
+        case Some(sig) =>
+          graft.ops.Dedup.jvmBands(sig).toSeq
+            .map { case (b, v) => (s"$b:$v", d.doc_id) }
+        case None => Seq.empty[(String, Long)]
+      }
+    }.toDF("bucket", "corpus_doc")
+  }
+
+  /** (g) Stream-vs-static incremental dedup: every arriving doc is
+    * banded (same math as q_dedup_incremental's batch side) and
+    * probed against the FROZEN corpus band index via a stream-static
+    * equi-join — completely STATELESS, no state store, no watermark,
+    * no TTL trade-off: the streaming face of the incremental-ingest
+    * dedup pattern, where the standing corpus never re-pairs with
+    * itself and a restart loses nothing. Emits one row per band
+    * collision; downstream dedups pairs and verifies exact Jaccard
+    * (the same candidate→verify split as every batch dedup here).
+    */
+  def incrementalDedup(docs: Dataset[TimedDoc],
+      corpusIndex: DataFrame): Dataset[CorpusHit] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+        graft.ops.Dedup.jvmMinHash(d.text) match {
+          case Some(sig) =>
+            graft.ops.Dedup.jvmBands(sig).toSeq
+              .map { case (b, v) => (s"$b:$v", d.doc_id) }
+          case None => Seq.empty[(String, Long)]
+        }
+      }.toDF("bucket", "doc_id")
+      .join(corpusIndex, "bucket")
+      .select(col("doc_id"), col("corpus_doc"), col("bucket"))
+      .as[CorpusHit]
+  }
+
   /** Per-series running state for (c): monotonic count + last value +
     * min/max over the series lifetime.
     */

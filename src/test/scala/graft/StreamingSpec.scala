@@ -609,4 +609,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(three == truth,
       "micro-batch boundaries must not change any session")
   }
+
+  test("stream-vs-static incremental dedup matches the batch band " +
+    "join and keeps zero state") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.{CorpusHit, DocRow, TimedDoc}
+
+    val docs = graft.ops.Tables.t(spark, "/root/testdata/sf0.001",
+        "documents")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val corpus = docs.filter(_._3.length <= 4)
+    val incoming = docs.filter(_._3.length > 4)
+
+    // ground truth: every (new, old) pair sharing any band key,
+    // derived with the same jvm hash math as both operators
+    def bands(text: String): Set[String] =
+      graft.ops.Dedup.jvmMinHash(text).toSeq
+        .flatMap(graft.ops.Dedup.jvmBands(_).toSeq)
+        .map { case (b, v) => s"$b:$v" }.toSet
+    val oldBands = corpus.map(d => d._1 -> bands(d._2))
+    val expected = (for {
+      (nid, ntext, _) <- incoming
+      nb = bands(ntext)
+      (oid, ob) <- oldBands
+      if (nb intersect ob).nonEmpty
+    } yield (nid, oid)).toSet
+    assert(expected.nonEmpty, "fixture plants cross-source near-dups")
+
+    val idx = StreamingIngest.corpusBandIndex(
+      corpus.map(d => DocRow(d._1, d._2)).toSeq.toDS())
+    val mem = MemoryStream[TimedDoc]
+    val q = StreamingIngest.incrementalDedup(mem.toDS(), idx)
+      .writeStream.format("memory").queryName("inc_dedup")
+      .outputMode(OutputMode.Append).start()
+    val timed = incoming.zipWithIndex
+      .map { case ((id, t, _), i) => TimedDoc(id, t, i.toLong * 1000000L) }
+    val n = timed.length
+    mem.addData(timed.take(n / 2).toSeq); q.processAllAvailable()
+    mem.addData(timed.drop(n / 2).toSeq); q.processAllAvailable()
+    val stateOps = Option(q.lastProgress)
+      .map(_.stateOperators.length).getOrElse(0)
+    q.stop()
+    val got = spark.table("inc_dedup").as[CorpusHit].collect()
+      .map(h => (h.doc_id, h.corpus_doc)).toSet
+    assert(got == expected,
+      "stream-static probe must reproduce the batch band join exactly")
+    assert(stateOps == 0,
+      "incremental dedup must be stateless — no state store operators")
+  }
 }
