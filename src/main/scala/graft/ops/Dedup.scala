@@ -144,6 +144,45 @@ object Dedup {
              HAVING count(*) <= $DfCap),
     pruned AS (SELECT s.doc_id, s.sh FROM shingle s JOIN rare USING (sh))"""
 
+  /** Verified df-capped shingle-join Jaccard pairs at ≥ 0.2 —
+    * q_dedup_ngram_jaccard's semantics, defined once and shared with
+    * the recall evaluation's ground truth so the two can never
+    * silently diverge.
+    */
+  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = prunedShingles(s, dir).cache()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(cnt.toDF("doc_a", "na"), "doc_a")
+      .join(cnt.toDF("doc_b", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c")))
+          .as("jacc"))
+      .filter(col("jacc") >= 0.2)
+  }
+
+  /** The same pairs as CTEs ending in `tpairs(doc_a, doc_b, jacc)`
+    * (includes prunedShinglesSql, hence also the unpruned `shingle`).
+    */
+  private def ngramPairsCtesSql: String = s"""$prunedShinglesSql,
+      tcnt AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
+      tcommon AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM pruned a JOIN pruned b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      tpairs AS (
+        SELECT doc_a, doc_b,
+          CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jacc
+        FROM tcommon
+        JOIN tcnt na ON na.doc_id = doc_a
+        JOIN tcnt nb ON nb.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.2)"""
+
   /** n-gram Jaccard near-dup: docs sharing a (df-capped) shingle are
     * candidates; Jaccard = |∩| / |∪| over the pruned distinct shingle
     * sets, threshold 0.2. The shingle equi-join IS the candidate
@@ -151,36 +190,10 @@ object Dedup {
     */
   val qNgramJaccard = QueryDef(
     "q_dedup_ngram_jaccard",
-    (s, dir) => {
-      val sh = prunedShingles(s, dir).cache()
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val common = sh.as("a").join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("c"))
-      common
-        .join(cnt.toDF("doc_a", "na"), "doc_a")
-        .join(cnt.toDF("doc_b", "nb"), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (col("c").cast("double") / (col("na") + col("nb") - col("c")))
-            .as("jacc"))
-        .filter(col("jacc") >= 0.2)
-        .orderBy("doc_a", "doc_b")
-    },
+    (s, dir) => ngramJaccardPairs(s, dir).orderBy("doc_a", "doc_b"),
     Some(s"""
-      WITH $prunedShinglesSql,
-      cnt AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
-      common AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        FROM pruned a JOIN pruned b
-          ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT doc_a, doc_b,
-        CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jacc
-      FROM common
-      JOIN cnt na ON na.doc_id = doc_a
-      JOIN cnt nb ON nb.doc_id = doc_b
-      WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.2
+      WITH $ngramPairsCtesSql
+      SELECT doc_a, doc_b, jacc FROM tpairs
       ORDER BY doc_a, doc_b"""))
 
   // MinHash: k=16 permutation hashes h_i(x) = ((2i+1)x + 7919i + 13) mod P,
@@ -189,6 +202,39 @@ object Dedup {
   private val K = 16
   private def aCoef(i: Int): Long = 2L * i + 1
   private def bCoef(i: Int): Long = 7919L * i + 13
+
+  // The permutation-minima and band-fold math exists ONCE per engine
+  // side — every minhash operator (self-pair, incremental, recall)
+  // composes these, so a change to the hash can never silently leave
+  // one operator on the old math.
+
+  /** SQL: the K permutation minima over a column `x`. */
+  private def minsSqlStr: String = (0 until K).map(i =>
+    s"min((x * ${aCoef(i)} + ${bCoef(i)}) % $P) AS m$i").mkString(", ")
+
+  /** SQL: the fold of m{4b}..m{4b+3} into one band value. */
+  private def bandSqlStr(b: Int): String = {
+    val folded = (0 until 4).map(r => s"m${b * 4 + r}")
+      .reduce((acc, m) => s"(($acc) % $P) * 31 + $m")
+    s"($folded) % $P"
+  }
+
+  /** SQL: the UNION ALL band expansion of `mh`, threading
+    * `extraCols` (e.g. ", is_old") through each branch.
+    */
+  private def bandsUnionSql(extraCols: String = ""): String =
+    (0 until 4).map(b =>
+      s"SELECT doc_id$extraCols, $b AS b, (${bandSqlStr(b)}) AS v FROM mh")
+      .mkString(" UNION ALL ")
+
+  /** Column side of minsSqlStr — aggregate minima over col("x"). */
+  private def minsAggCols: Seq[Column] = (0 until K).map(i =>
+    min((col("x") * aCoef(i) + bCoef(i)) % P).as(s"m$i"))
+
+  /** Column side of bandSqlStr. */
+  private def bandValCol(b: Int): Column =
+    (0 until 4).map(r => col(s"m${b * 4 + r}"))
+      .reduce((acc, m) => (acc % P) * 31 + m) % P
 
   /** MinHash+LSH candidate pairs with verified Jaccard, unordered —
     * shared by q_dedup_minhash_lsh (presentation) and q_dedup_clusters
@@ -203,14 +249,11 @@ object Dedup {
         .select(col("doc_id"), col("sh"),
           (col("sh") % 4294967296L).as("x"))
         .cache()
-      val mins = (0 until K).map(i =>
-        min((col("x") * aCoef(i) + bCoef(i)) % P).as(s"m$i"))
+      val mins = minsAggCols
       val mh = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      def bandVal(b: Int): Column =
-        (0 until 4).map(r => col(s"m${b * 4 + r}"))
-          .reduce((acc, m) => (acc % P) * 31 + m) % P
       val bands = mh.select(col("doc_id"), explode(array((0 until 4).map(
-          b => struct(lit(b).as("b"), bandVal(b).as("v"))): _*)).as("bv"))
+          b => struct(lit(b).as("b"), bandValCol(b).as("v"))): _*))
+          .as("bv"))
         .select(col("doc_id"), col("bv.b").as("b"), col("bv.v").as("v"))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
@@ -239,19 +282,9 @@ object Dedup {
     * without duplicate CTE names.
     */
   private val minHashCoreSql: String = {
-    val minsSql = (0 until K).map(i =>
-      s"min((x * ${aCoef(i)} + ${bCoef(i)}) % $P) AS m$i").mkString(", ")
-    def bandSql(b: Int): String = {
-      val folded = (0 until 4).map(r => s"m${b * 4 + r}")
-        .reduce((acc, m) => s"(($acc) % $P) * 31 + $m")
-      s"($folded) % $P"
-    }
-    val bandsSql = (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS b, (${bandSql(b)}) AS v FROM mh")
-      .mkString(" UNION ALL ")
     s"""hx AS (SELECT doc_id, sh, sh % 4294967296 AS x FROM shingle),
-      mh AS (SELECT doc_id, $minsSql FROM hx GROUP BY doc_id),
-      bands AS ($bandsSql),
+      mh AS (SELECT doc_id, $minsSqlStr FROM hx GROUP BY doc_id),
+      bands AS (${bandsUnionSql()}),
       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                FROM bands x JOIN bands y
                  ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
@@ -826,19 +859,7 @@ object Dedup {
   val qMinhashRecall = QueryDef(
     "q_dedup_minhash_recall",
     (s, dir) => {
-      val sh = prunedShingles(s, dir)
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val common = sh.as("a").join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("c"))
-      val truth = common
-        .join(cnt.toDF("doc_a", "na"), "doc_a")
-        .join(cnt.toDF("doc_b", "nb"), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (col("c").cast("double") / (col("na") + col("nb") - col("c")))
-            .as("jacc"))
-        .filter(col("jacc") >= 0.2)
+      val truth = ngramJaccardPairs(s, dir)
       val cand = minHashPairs(s, dir)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("found"))
       truth.join(cand, Seq("doc_a", "doc_b"), "left")
@@ -852,28 +873,12 @@ object Dedup {
         .orderBy("band")
     },
     Some(s"""
-      WITH $shinglesSql,
-      rare AS (SELECT sh FROM shingle GROUP BY sh
-               HAVING count(*) <= $DfCap),
-      pruned AS (SELECT s.doc_id, s.sh FROM shingle s JOIN rare USING (sh)),
+      WITH $ngramPairsCtesSql,
       $minHashCoreSql,
-      tcnt AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
-      tcommon AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        FROM pruned a JOIN pruned b
-          ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
-      truth AS (
-        SELECT doc_a, doc_b,
-          CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jacc
-        FROM tcommon
-        JOIN tcnt na ON na.doc_id = doc_a
-        JOIN tcnt nb ON nb.doc_id = doc_b
-        WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.2),
       joined AS (
         SELECT CAST(least(floor(t.jacc / 0.2), 4) AS BIGINT) AS band,
           CASE WHEN p.doc_a IS NULL THEN 0 ELSE 1 END AS found
-        FROM truth t
+        FROM tpairs t
         LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM pairs) p
           ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b)
       SELECT band, count(*) AS n_truth,
@@ -907,16 +912,12 @@ object Dedup {
         .select(col("doc_id"), col("sh"), (col("sh") % 4294967296L).as("x"))
         .join(side, "doc_id")
         .cache()
-      val mins = (0 until K).map(i =>
-        min((col("x") * aCoef(i) + bCoef(i)) % P).as(s"m$i"))
+      val mins = minsAggCols
       val mh = sh.groupBy(col("doc_id"), col("is_old"))
         .agg(mins.head, mins.tail: _*)
-      def bandVal(b: Int): Column =
-        (0 until 4).map(r => col(s"m${b * 4 + r}"))
-          .reduce((acc, m) => (acc % P) * 31 + m) % P
       val bands = mh.select(col("doc_id"), col("is_old"),
         explode(array((0 until 4).map(b =>
-          struct(lit(b).as("b"), bandVal(b).as("v"))): _*)).as("bv"))
+          struct(lit(b).as("b"), bandValCol(b).as("v"))): _*)).as("bv"))
         .select(col("doc_id"), col("is_old"),
           col("bv.b").as("b"), col("bv.v").as("v"))
       val cand = bands.filter(!col("is_old")).as("n")
@@ -943,25 +944,15 @@ object Dedup {
         .orderBy("doc_id")
     },
     Some {
-      val minsSql = (0 until K).map(i =>
-        s"min((x * ${aCoef(i)} + ${bCoef(i)}) % $P) AS m$i").mkString(", ")
-      def bandSql(b: Int): String = {
-        val folded = (0 until 4).map(r => s"m${b * 4 + r}")
-          .reduce((acc, m) => s"(($acc) % $P) * 31 + $m")
-        s"($folded) % $P"
-      }
-      val bandsSql = (0 until 4).map(b =>
-        s"SELECT doc_id, is_old, $b AS b, (${bandSql(b)}) AS v FROM mh")
-        .mkString(" UNION ALL ")
       s"""
       WITH $shinglesSql,
       side AS (SELECT doc_id, length(source) <= 4 AS is_old
                FROM documents),
       hx AS (SELECT s.doc_id, s.sh, s.sh % 4294967296 AS x, d.is_old
              FROM shingle s JOIN side d USING (doc_id)),
-      mh AS (SELECT doc_id, is_old, $minsSql FROM hx
+      mh AS (SELECT doc_id, is_old, $minsSqlStr FROM hx
              GROUP BY doc_id, is_old),
-      bands AS ($bandsSql),
+      bands AS (${bandsUnionSql(", is_old")}),
       cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
                FROM bands n JOIN bands o
                  ON n.b = o.b AND n.v = o.v AND NOT n.is_old AND o.is_old),

@@ -457,6 +457,33 @@ object Similarity {
       .select("cell", "cent")
   }
 
+  // The coarse quantizer exists ONCE per engine side — q_ann_ivf and
+  // q_ann_ivf_pq both probe THESE cells, so a change to the seeding,
+  // IvfK, or the (dist, cell) tie-break cannot make the two operators
+  // silently probe different partitions.
+
+  /** Every vector × every seed with its squared-L2 — the frame both
+    * cell assignment and query probing argmin over.
+    */
+  private def ivfDists(e: DataFrame): DataFrame =
+    e.crossJoin(broadcast(seedCentroids(e))).withColumn("dist", l2Col)
+
+  /** SQL: the seeds CTE (same selection as seedCentroids). */
+  private val ivfSeedsSql: String = s"""
+      seeds AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cell,
+               [CAST(x AS DOUBLE) for x in embedding] AS cent
+        FROM embeddings WHERE vec_id % 59 = 0 ORDER BY vec_id
+        LIMIT $IvfK)"""
+
+  /** SQL: the squared-L2 of `v.embedding` against `s.cent` — the
+    * same fold order as l2Col.
+    */
+  private val ivfL2Sql: String = """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        [(CAST(v.embedding[i] AS DOUBLE) - s.cent[i]) *
+         (CAST(v.embedding[i] AS DOUBLE) - s.cent[i])
+         for i in generate_series(1, 64)]), (acc, x) -> acc + x)"""
+
   /** IVF-style ANN, nprobe=3: every vector is assigned to its nearest
     * centroid cell (argmin over an 8-row broadcast — a narrow map, no
     * driver collect, no shuffle beyond the final agg); each query
@@ -468,8 +495,7 @@ object Similarity {
     "q_ann_ivf",
     (s, dir) => {
       val e = vectors(s, dir)
-      val cents = seedCentroids(e)
-      val dists = e.crossJoin(broadcast(cents)).withColumn("dist", l2Col)
+      val dists = ivfDists(e)
       // one row per vector: lexicographic min of (dist, cell) — the
       // partial aggregate collapses the 8 candidate rows map-side
       val cells = dists
@@ -497,18 +523,11 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
     Some {
-      val l2 = s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        [(CAST(v.embedding[i] AS DOUBLE) - s.cent[i]) *
-         (CAST(v.embedding[i] AS DOUBLE) - s.cent[i])
-         for i in generate_series(1, 64)]), (acc, x) -> acc + x)"""
       s"""
       WITH $vectorsSql,
-      seeds AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cell,
-               [CAST(x AS DOUBLE) for x in embedding] AS cent
-        FROM embeddings WHERE vec_id % 59 = 0 ORDER BY vec_id LIMIT $IvfK),
+      $ivfSeedsSql,
       dists AS (
-        SELECT v.vec_id, v.embedding, v.nrm, s.cell, $l2 AS dist
+        SELECT v.vec_id, v.embedding, v.nrm, s.cell, $ivfL2Sql AS dist
         FROM vectors v CROSS JOIN seeds s),
       cells AS (
         SELECT vec_id, embedding, nrm, cell FROM (
@@ -1217,8 +1236,7 @@ object Similarity {
     "q_ann_ivf_pq",
     (s, dir) => {
       val e = vectors(s, dir)
-      val cents = seedCentroids(e)
-      val dists = e.crossJoin(broadcast(cents)).withColumn("dist", l2Col)
+      val dists = ivfDists(e)
       val cells = dists
         .groupBy(col("vec_id"))
         .agg(min(struct(col("dist"), col("cell"))).as("m"))
@@ -1252,21 +1270,14 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
     Some {
-      val l2 = s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        [(CAST(v.embedding[i] AS DOUBLE) - s.cent[i]) *
-         (CAST(v.embedding[i] AS DOUBLE) - s.cent[i])
-         for i in generate_series(1, 64)]), (acc, x) -> acc + x)"""
       val tmins = (0 until PqM).map(m =>
         s"min(CASE WHEN a.m = $m THEN t END) AS t$m").mkString(", ")
       val tsum = (0 until PqM).map(m => s"t$m").mkString(" + ")
       s"""
       WITH $pqCtesSql,
-      seeds AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cell,
-               [CAST(x AS DOUBLE) for x in embedding] AS cent
-        FROM embeddings WHERE vec_id % 59 = 0 ORDER BY vec_id LIMIT $IvfK),
+      $ivfSeedsSql,
       dists AS (
-        SELECT v.vec_id, s.cell, $l2 AS dist
+        SELECT v.vec_id, s.cell, $ivfL2Sql AS dist
         FROM embeddings v CROSS JOIN seeds s),
       cells AS (
         SELECT vec_id, cell FROM (

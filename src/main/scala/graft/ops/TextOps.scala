@@ -1286,15 +1286,20 @@ object TextOps {
     * Scale shape: narrow per-row scoring then one hash aggregation on
     * source — the decision stage of the quality pipeline that a
     * 100 TB curation run executes as its final filter pass.
+    *
+    * An empty document scores a hard 0.0 (dropped) on BOTH sides: the
+    * unguarded punct/chars is 0/0 — NULL in Spark but NaN in DuckDB,
+    * where NaN >= threshold counts as kept AND the decimal
+    * accumulator refuses NaN outright.
     */
   val qQualityEnsemble = QueryDef(
     "q_quality_ensemble",
     (s, dir) => {
-      val score =
+      val score = when(cChars === 0.0, lit(0.0)).otherwise(
         lit(0.3) * least(cToks / lit(100.0), lit(1.0)) +
           lit(0.25) * (lit(1.0) - cPunct / cChars) +
           lit(0.25) * least(cStops / cToks * 5.0, lit(1.0)) +
-          lit(0.2) * (cVocab / cToks)
+          lit(0.2) * (cVocab / cToks))
       Tables.t(s, dir, "documents")
         .select(col("source"), score.as("score"))
         .groupBy(col("source"))
@@ -1310,10 +1315,12 @@ object TextOps {
       WITH sig AS ($qualityRawSql),
       scored AS (
         SELECT source,
-          0.3 * least(toks / 100.0, 1.0) +
-          0.25 * (1.0 - punct / chars) +
-          0.25 * least(stops / toks * 5.0, 1.0) +
-          0.2 * (vocab / toks) AS score
+          CASE WHEN chars = 0 THEN 0.0 ELSE
+            0.3 * least(toks / 100.0, 1.0) +
+            0.25 * (1.0 - punct / chars) +
+            0.25 * least(stops / toks * 5.0, 1.0) +
+            0.2 * (vocab / toks)
+          END AS score
         FROM sig),
       agg AS (
         SELECT source, count(*) AS n_docs,

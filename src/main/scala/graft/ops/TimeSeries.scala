@@ -418,17 +418,6 @@ object TimeSeries {
       FROM e
       ORDER BY event_type, bucket_us"""))
 
-  /** Holt linear (double-exponential) smoothing, α=0.5 β=0.25: level
-    * AND trend per hourly bucket, plus the one-step-ahead forecast
-    * l+b — the trend-aware upgrade of q_ts_ewma for drifting series.
-    * Initialization l₁=x₁, b₁=0. Same cross-engine strategy as the
-    * EWMA: a sequential two-variable float fold, run ONCE per series
-    * as a typed flatMapGroups (O(B) per series of B buckets), mirrored
-    * in DuckDB by a list_reduce whose accumulator appends (level,
-    * trend) pairs — coefficients 0.5/0.25/0.75 are exact binary
-    * doubles and the fold order is identical, so every output bit
-    * matches. The recurrence uses only IEEE · and +, never pow/exp.
-    */
   /** The Holt fold as CTEs ending in `holt(event_type, bucket_us,
     * bucket_sum, level, trend, forecast)` — shared by q_ts_holt and
     * the backtest evaluation.
@@ -461,6 +450,17 @@ object TimeSeries {
             i -> lvls[i] + trends[i])) AS forecast
         FROM z)"""
 
+  /** Holt linear (double-exponential) smoothing, α=0.5 β=0.25: level
+    * AND trend per hourly bucket, plus the one-step-ahead forecast
+    * l+b — the trend-aware upgrade of q_ts_ewma for drifting series.
+    * Initialization l₁=x₁, b₁=0. Same cross-engine strategy as the
+    * EWMA: a sequential two-variable float fold, run ONCE per series
+    * as a typed flatMapGroups (O(B) per series of B buckets), mirrored
+    * in DuckDB by a list_reduce whose accumulator appends (level,
+    * trend) pairs — coefficients 0.5/0.25/0.75 are exact binary
+    * doubles and the fold order is identical, so every output bit
+    * matches. The recurrence uses only IEEE · and +, never pow/exp.
+    */
   val qHolt = QueryDef(
     "q_ts_holt",
     (s, dir) => {
@@ -501,13 +501,19 @@ object TimeSeries {
     * Determinism: per-row errors come from the same fold both engines
     * already agree on (q_ts_holt), then every accumulator is ALL
     * INTEGER (the q_ts_acf discipline): errors are floor-scaled to
-    * integer billionths — floor(err·1e9) is exact IEEE multiply +
+    * integer MICRO-units — floor(err·1e6) is exact IEEE multiply +
     * floor, bit-identical everywhere — and summed as BIGINTs. Neither
     * decimal casts nor round() survive here: both round a DOUBLE at a
     * decimal digit and the two engines disagree near .5 boundaries on
     * arbitrary fold-output mantissas (observed at digit 10 with the
     * decimal accumulator and again at digit 9 with round(x,9) across
-    * the two fixture scales). The final ratios are single IEEE
+    * the two fixture scales). The 1e6 scale (not 1e9) buys overflow
+    * headroom: the BIGINT accumulator holds ~9.2e12 of summed
+    * absolute error per series before wrapping — ten years of hourly
+    * buckets would need ~1e8 mean error to get there, vs ~1e5 at the
+    * finer scale. A constant series (sae_naive = 0) gets a NULL
+    * skill on BOTH sides — an unguarded 0/0 is NULL in Spark but NaN
+    * in DuckDB (the qAcf trap). The final ratios are single IEEE
     * divisions of exact integers.
     *
     * Scale shape: one lag window per series over hourly buckets (tiny
@@ -525,17 +531,18 @@ object TimeSeries {
         .filter(col("fprev").isNotNull)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(floor(abs(col("bucket_sum") - col("fprev")) * 1e9)
+          sum(floor(abs(col("bucket_sum") - col("fprev")) * 1e6)
             .cast("long")).as("sae_holt"),
-          sum(floor(abs(col("bucket_sum") - col("xprev")) * 1e9)
+          sum(floor(abs(col("bucket_sum") - col("xprev")) * 1e6)
             .cast("long")).as("sae_naive"))
         .select(col("event_type"), col("n"),
-          (col("sae_holt").cast("double") / 1e9 / col("n"))
+          (col("sae_holt").cast("double") / 1e6 / col("n"))
             .as("mae_holt"),
-          (col("sae_naive").cast("double") / 1e9 / col("n"))
+          (col("sae_naive").cast("double") / 1e6 / col("n"))
             .as("mae_naive"),
-          (lit(1.0) - col("sae_holt").cast("double") /
-            col("sae_naive").cast("double")).as("skill"))
+          when(col("sae_naive") > 0,
+            lit(1.0) - col("sae_holt").cast("double") /
+              col("sae_naive").cast("double")).as("skill"))
         .orderBy("event_type")
     },
     Some(s"""
@@ -549,17 +556,18 @@ object TimeSeries {
         FROM holt),
       agg AS (
         SELECT event_type, count(*) AS n,
-          CAST(sum(CAST(floor(abs(bucket_sum - fprev) * 1e9) AS BIGINT))
+          CAST(sum(CAST(floor(abs(bucket_sum - fprev) * 1e6) AS BIGINT))
             AS BIGINT) AS sae_holt,
-          CAST(sum(CAST(floor(abs(bucket_sum - xprev) * 1e9) AS BIGINT))
+          CAST(sum(CAST(floor(abs(bucket_sum - xprev) * 1e6) AS BIGINT))
             AS BIGINT) AS sae_naive
         FROM lagd WHERE fprev IS NOT NULL
         GROUP BY event_type)
       SELECT event_type, n,
-        CAST(sae_holt AS DOUBLE) / 1e9 / n AS mae_holt,
-        CAST(sae_naive AS DOUBLE) / 1e9 / n AS mae_naive,
-        1.0 - CAST(sae_holt AS DOUBLE) / CAST(sae_naive AS DOUBLE)
-          AS skill
+        CAST(sae_holt AS DOUBLE) / 1e6 / n AS mae_holt,
+        CAST(sae_naive AS DOUBLE) / 1e6 / n AS mae_naive,
+        CASE WHEN sae_naive > 0
+          THEN 1.0 - CAST(sae_holt AS DOUBLE) / CAST(sae_naive AS DOUBLE)
+        END AS skill
       FROM agg ORDER BY event_type"""))
 
   /** Hour-of-day seasonal decomposition: each hourly bucket scored

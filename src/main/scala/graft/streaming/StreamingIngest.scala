@@ -234,22 +234,33 @@ object StreamingIngest {
   final case class CorpusHit(doc_id: Long, corpus_doc: Long,
       bucket: String)
 
+  /** (bucket, doc_id) band rows for one document — the single
+    * definition of the bucket key both the corpus index and the
+    * stream side use, so they cannot drift apart and stop colliding.
+    */
+  private def bandRows(docId: Long, text: String): Seq[(String, Long)] =
+    graft.ops.Dedup.jvmMinHash(text) match {
+      case Some(sig) =>
+        graft.ops.Dedup.jvmBands(sig).toSeq
+          .map { case (b, v) => (s"$b:$v", docId) }
+      case None => Seq.empty
+    }
+
   /** The standing corpus as a band index: one (bucket, corpus_doc)
     * row per MinHash band — built ONCE from the frozen corpus with
     * the same jvm hash math as the batch operator, then reused by
-    * every micro-batch. At 100 TB this index lives bucket-partitioned
-    * on disk and the stream-static join co-locates on the bucket key.
+    * every micro-batch. The returned frame is cache()d: Spark
+    * re-executes the static side of a stream-static join per
+    * micro-batch, and without the persist that would re-hash the
+    * whole corpus every batch. At 100 TB this index lives
+    * bucket-partitioned on disk and the stream-static join co-locates
+    * on the bucket key.
     */
   def corpusBandIndex(docs: Dataset[DocRow]): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.flatMap { d =>
-      graft.ops.Dedup.jvmMinHash(d.text) match {
-        case Some(sig) =>
-          graft.ops.Dedup.jvmBands(sig).toSeq
-            .map { case (b, v) => (s"$b:$v", d.doc_id) }
-        case None => Seq.empty[(String, Long)]
-      }
-    }.toDF("bucket", "corpus_doc")
+    docs.flatMap(d => bandRows(d.doc_id, d.text))
+      .toDF("bucket", "corpus_doc")
+      .cache()
   }
 
   /** (g) Stream-vs-static incremental dedup: every arriving doc is
@@ -265,14 +276,8 @@ object StreamingIngest {
   def incrementalDedup(docs: Dataset[TimedDoc],
       corpusIndex: DataFrame): Dataset[CorpusHit] = {
     import docs.sparkSession.implicits._
-    docs.flatMap { d =>
-        graft.ops.Dedup.jvmMinHash(d.text) match {
-          case Some(sig) =>
-            graft.ops.Dedup.jvmBands(sig).toSeq
-              .map { case (b, v) => (s"$b:$v", d.doc_id) }
-          case None => Seq.empty[(String, Long)]
-        }
-      }.toDF("bucket", "doc_id")
+    docs.flatMap(d => bandRows(d.doc_id, d.text))
+      .toDF("bucket", "doc_id")
       .join(corpusIndex, "bucket")
       .select(col("doc_id"), col("corpus_doc"), col("bucket"))
       .as[CorpusHit]

@@ -764,13 +764,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     val rows = graft.ops.TimeSeries.qHoltBacktest.run(spark, dir).collect()
     assert(rows.nonEmpty, "every event_type series should score")
     rows.foreach { r =>
-      val (n, maeH, maeN, skill) =
-        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val (n, maeH, maeN) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
       assert(n >= 2)
       assert(maeH >= 0.0 && maeN >= 0.0)
-      // skill is exactly 1 - maeH/maeN (same integer accumulators)
-      assert(math.abs(skill - (1.0 - maeH / maeN)) < 1e-12)
-      assert(skill <= 1.0)
+      // a constant series (maeN == 0) gets NULL skill by design
+      assert(r.isNullAt(4) == (maeN == 0.0))
+      if (!r.isNullAt(4)) {
+        val skill = r.getDouble(4)
+        // skill is exactly 1 - maeH/maeN (same integer accumulators)
+        assert(math.abs(skill - (1.0 - maeH / maeN)) < 1e-12)
+        assert(skill <= 1.0)
+      }
     }
   }
 
