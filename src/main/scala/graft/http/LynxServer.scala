@@ -80,6 +80,34 @@ object Json {
       else "table"
     (n.get("namespace").asText(), n.get("query").asText(), fmt)
   }
+
+  /** {namespace, table, cluster_by?: [col,…]} for /admin/compact. */
+  def parseCompact(body: Array[Byte]): (String, String, Seq[String]) = {
+    val n = mapper.readTree(body)
+    require(n.hasNonNull("namespace") && n.hasNonNull("table"),
+      "missing required field")
+    val clusterBy: Seq[String] =
+      if (n.hasNonNull("cluster_by")) {
+        val arr = n.get("cluster_by")
+        require(arr.isArray, "cluster_by must be an array")
+        val it = arr.elements()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().asText()
+        b.result()
+      } else Nil
+    (n.get("namespace").asText(), n.get("table").asText(), clusterBy)
+  }
+
+  /** {namespace, table, before_day: "yyyy-MM-dd"} for /admin/expire. */
+  def parseExpire(body: Array[Byte]): (String, String, String) = {
+    val n = mapper.readTree(body)
+    require(n.hasNonNull("namespace") && n.hasNonNull("table") &&
+      n.hasNonNull("before_day"), "missing required field")
+    val day = n.get("before_day").asText()
+    require(day.matches("""\d{4}-\d{2}-\d{2}"""),
+      "before_day must be yyyy-MM-dd")
+    (n.get("namespace").asText(), n.get("table").asText(), day)
+  }
 }
 
 final class LynxServer(engine: LynxEngine, host: String, port: Int) {
@@ -189,6 +217,56 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
       case e: Exception =>
         System.err.println(e)
         respond(ex, 500)
+    }
+  })
+
+  // admin: rewrite a table's tier files (one per day, optionally
+  // clustered on tag columns for row-group pruning)
+  server.createContext("/api/v1/admin/compact", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "POST") respond(ex, 405)
+    else {
+      val parsed =
+        try Right(Json.parseCompact(ex.getRequestBody.readAllBytes()))
+        catch { case e: Exception => Left(e) }
+      parsed match {
+        case Left(e) =>
+          System.err.println(e)
+          respond(ex, 422)
+        case Right((ns, table, clusterBy)) =>
+          try {
+            engine.compact(ns, table, clusterBy)
+            respond(ex, 200)
+          } catch {
+            case e: Exception =>
+              System.err.println(e)
+              respond(ex, 500)
+          }
+      }
+    }
+  })
+
+  // admin: retention — age out day partitions older than before_day
+  // (exclusive); reports how many data files the manifest dropped
+  server.createContext("/api/v1/admin/expire", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "POST") respond(ex, 405)
+    else {
+      val parsed =
+        try Right(Json.parseExpire(ex.getRequestBody.readAllBytes()))
+        catch { case e: Exception => Left(e) }
+      parsed match {
+        case Left(e) =>
+          System.err.println(e)
+          respond(ex, 422)
+        case Right((ns, table, day)) =>
+          try {
+            val dropped = engine.expire(ns, table, day)
+            respond(ex, 200, s"""{"dropped_files":$dropped}""")
+          } catch {
+            case e: Exception =>
+              System.err.println(e)
+              respond(ex, 500)
+          }
+      }
     }
   })
 

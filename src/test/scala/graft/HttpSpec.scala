@@ -116,6 +116,44 @@ class HttpSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("admin compact and expire manage the tier over HTTP") {
+    val dir = Files.createTempDirectory("http-admin").toFile
+    val tierDir = Files.createTempDirectory("http-admin-tier").toFile
+    val tier = new graft.tier.ParquetTier(tierDir)
+    val engine = new LynxEngine(SparkFixture.spark, dir, 1024 * 1024,
+      Some(tier))
+    val server = new LynxServer(engine, "127.0.0.1", 0)
+    server.start()
+    try {
+      val port = server.boundPort
+      val dayUs = 86400L * 1000000L
+      // two sealed files on day 1, one on day 2
+      Seq(1L, 2L, dayUs + 1).zipWithIndex.foreach { case (ts, i) =>
+        post(port, "/api/v1/write",
+          s"""{"namespace":"ns","measurement":"cpu","value":"${i + 1}",""" +
+            s""""timestamp":$ts}""")
+        post(port, "/api/v1/admin/checkpoint", "")
+      }
+      assert(tier.dataFiles("ns", "cpu").size == 3)
+      val c = post(port, "/api/v1/admin/compact",
+        """{"namespace":"ns","table":"cpu"}""")
+      assert(c.statusCode() == 200)
+      assert(tier.dataFiles("ns", "cpu").size == 2, "one file per day")
+      val e = post(port, "/api/v1/admin/expire",
+        """{"namespace":"ns","table":"cpu","before_day":"1970-01-02"}""")
+      assert(e.statusCode() == 200)
+      assert(e.body() == """{"dropped_files":1}""")
+      val q = post(port, "/api/v1/query",
+        """{"namespace":"ns","query":"SELECT value FROM cpu","format":"json"}""")
+      assert(q.body() == """[{"value":"3"}]""",
+        "only the surviving day remains queryable")
+      // malformed day → 422, not a 500
+      val bad = post(port, "/api/v1/admin/expire",
+        """{"namespace":"ns","table":"cpu","before_day":"02-01-1970"}""")
+      assert(bad.statusCode() == 422)
+    } finally server.stop()
+  }
+
   test("unknown namespace → 404; bad SQL → 500 (main.rs:83-87)") {
     withServer { port =>
       val r404 = post(port, "/api/v1/query",
