@@ -138,6 +138,61 @@ class ConcurrencySpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("queries racing zero-grace retention expiry keep snapshot " +
+    "atomicity and never hit a deleted file") {
+    val dir = Files.createTempDirectory("expire-race-wal").toFile
+    val tierDir = Files.createTempDirectory("expire-race-tier").toFile
+    val dayUs = 86400L * 1000000L
+    // zero grace: once a day expires and its pins drain, the files
+    // go away physically — readers must never observe a partial state
+    val e = new LynxEngine(SparkFixture.spark, dir, 1024 * 1024,
+      Some(new ParquetTier(tierDir, trashGraceMs = 0)))
+    // 10 sealed days, value = day index + 1
+    (0 until 10).foreach { d =>
+      e.write(WriteRequest("ns", "cpu", (d + 1).toString, Map.empty,
+        d * dayUs + 1))
+      e.seal("ns", "cpu")
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      @volatile var expirerDone = false
+      val expirer = Future {
+        // walk the retention cutoff forward one day at a time
+        (1 to 9).foreach { d =>
+          e.expire("ns", "cpu", f"1970-01-${d + 1}%02d")
+          Thread.sleep(5)
+        }
+        expirerDone = true
+      }
+      val readers = (1 to 6).map(_ => Future {
+        var checks = 0
+        while (!expirerDone || checks == 0) {
+          // a snapshot must always be a SUFFIX of the days 1..10:
+          // count n ⇒ the n largest values, sum = 55 - (10-n)(11-n)/2
+          val r = e.query("ns",
+            "SELECT count(*) AS n, sum(CAST(value AS BIGINT)) AS s " +
+              "FROM cpu").get.rows.head
+          val n = r.getLong(0)
+          val s = if (r.isNullAt(1)) 0L else r.getLong(1)
+          val k = 10 - n
+          assert(s == 55 - k * (k + 1) / 2,
+            s"torn retention snapshot: n=$n s=$s")
+          checks += 1
+        }
+        checks
+      })
+      Await.result(expirer, 120.seconds)
+      val counts = Await.result(Future.sequence(readers), 120.seconds)
+      assert(counts.forall(_ > 0))
+      // end state: only the newest day remains
+      val fin = e.query("ns",
+        "SELECT count(*) AS n, min(CAST(value AS BIGINT)) AS v " +
+          "FROM cpu").get.rows.head
+      assert(fin.getLong(0) == 1 && fin.getLong(1) == 10)
+    } finally pool.shutdown()
+  }
+
   test("auto-seal spills the RAM tail to the tier at the threshold") {
     val dir = Files.createTempDirectory("autoseal-wal").toFile
     val tierDir = Files.createTempDirectory("autoseal-tier").toFile
