@@ -1135,6 +1135,52 @@ object TextOps {
       FROM c CROSS JOIN t
       ORDER BY n DESC, word LIMIT 50"""))
 
+  /** Vocabulary coverage / OOV rate: each document's share of tokens
+    * OUTSIDE the corpus-wide top-64 vocabulary — the
+    * tokenizer-coverage signal checked before committing a vocab to
+    * training (a high-OOV source wastes context on fragments). The
+    * induced vocabulary is deterministic (count-desc, word-asc ties).
+    *
+    * Scale shape: one heavy-hitter aggregation for the basis (64
+    * rows, broadcast back), then a narrow per-token membership probe
+    * and a per-doc count aggregation — no corpus-wide shuffle except
+    * the basis agg; the final rate is an exact integer ratio.
+    */
+  val qVocabCoverage = QueryDef(
+    "q_vocab_coverage",
+    (s, dir) => {
+      val words = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+      val basis = words.groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(64)
+        .select(col("word"), lit(1L).as("in_vocab"))
+      words.join(broadcast(basis), Seq("word"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_toks"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_toks")).as("oov_rate"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents),
+      ww AS (SELECT doc_id, word FROM w WHERE len(word) >= 1),
+      basis AS (
+        SELECT word FROM (
+          SELECT word, count(*) AS n FROM ww GROUP BY word
+          ORDER BY n DESC, word LIMIT 64)),
+      marked AS (
+        SELECT ww.doc_id,
+          CASE WHEN b.word IS NULL THEN 1 ELSE 0 END AS oov
+        FROM ww LEFT JOIN basis b ON ww.word = b.word)
+      SELECT doc_id, count(*) AS n_toks,
+        CAST(sum(oov) AS BIGINT) AS n_oov,
+        CAST(sum(oov) AS DOUBLE) / count(*) AS oov_rate
+      FROM marked GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Pairwise source term-frequency drift: L1 distance between the
     * sources' normalized frequencies over the corpus-wide top-32
     * vocabulary — the distribution-shift monitor for mixture design
@@ -1338,5 +1384,6 @@ object TextOps {
       qWinnow,
       qWinnowOverlap, qWinnowSpans, qWinnowContam, qContamination,
       qLengthHist,
-      qClassify, qVocabTopK, qSourceDrift, qDiversity, qQualityEnsemble)
+      qClassify, qVocabTopK, qSourceDrift, qDiversity, qQualityEnsemble,
+      qVocabCoverage)
 }

@@ -760,6 +760,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab coverage: exact integer OOV funnel over the top-64 basis") {
+    val rows = TextOps.qVocabCoverage.run(spark, dir).collect()
+    val docs = graft.ops.Tables.t(spark, dir, "documents").count()
+    assert(rows.length == docs, "every doc gets a coverage row")
+    rows.foreach { r =>
+      val (n, oov, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(oov >= 0 && oov <= n)
+      assert(rate == oov.toDouble / n)
+    }
+    // the top-64 basis covers everything iff the corpus vocabulary
+    // fits inside it; otherwise some OOV mass must remain, and the
+    // majority-frequency basis must still cover most tokens
+    val distinctWords = graft.ops.Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("w"))
+      .distinct().count()
+    val totalToks = rows.map(_.getLong(1)).sum
+    val totalOov = rows.map(_.getLong(2)).sum
+    assert((totalOov == 0) == (distinctWords <= 64),
+      s"OOV=$totalOov with $distinctWords distinct words")
+    assert(totalOov < totalToks / 2,
+      s"basis should cover the majority of tokens: $totalOov/$totalToks")
+  }
+
   test("holt backtest: consistent error funnel, naive baseline honest") {
     val rows = graft.ops.TimeSeries.qHoltBacktest.run(spark, dir).collect()
     assert(rows.nonEmpty, "every event_type series should score")

@@ -89,6 +89,13 @@ class PlanSpec extends AnyFunSuite {
       "probes/ADC table must broadcast-hash-join the candidate scan")
   }
 
+  test("vocab coverage broadcasts the induced basis to the token scan") {
+    val p = plan("q_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 64-row vocabulary must broadcast, never shuffle the tokens")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("semantic outlier broadcasts the label sums to the vector scan") {
     val p = plan("q_semantic_outlier")
     assert(p.contains("BroadcastHashJoin"),
