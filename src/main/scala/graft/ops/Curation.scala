@@ -745,8 +745,49 @@ object Curation {
           ' ')), 1, 15) AS BIGINT) AS chunk_hash
       FROM ks ORDER BY doc_id, chunk_idx"""))
 
+  /** Cluster-balanced sampling: √n per embedding cluster instead of
+    * proportional — the diversity-preserving draw (big clusters are
+    * redundant, tiny clusters carry the rare modes; √-allocation is
+    * the standard compromise between proportional and uniform).
+    * Selection within a cluster is the reservoir sampler's idiom:
+    * the quota-many smallest md5 keys, reproducible across engines
+    * and cluster sizes. One shuffle on the cluster key for the
+    * ranking window; quotas ride a broadcast join of the per-cluster
+    * counts — nothing corpus-wide moves.
+    */
+  val qSampleCluster = QueryDef(
+    "q_sample_cluster",
+    (s, dir) => {
+      val emb = Tables.t(s, dir, "embeddings")
+      val n = emb.groupBy("label").agg(count(lit(1)).as("n_label"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("k"), col("vec_id"))
+      emb.select(col("label"), col("vec_id"),
+          md5(col("vec_id").cast("string")).as("k"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .join(broadcast(n), "label")
+        .withColumn("quota", ceil(sqrt(col("n_label").cast("double"))))
+        .filter(col("rk") <= col("quota"))
+        .select(col("label").cast("long").as("label"), col("vec_id"),
+          col("rk"), col("n_label"), col("quota"))
+        .orderBy("label", "rk")
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT label, vec_id, md5(CAST(vec_id AS VARCHAR)) AS k,
+          row_number() OVER (PARTITION BY label
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        FROM embeddings),
+      n AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1)
+      SELECT CAST(ranked.label AS BIGINT) AS label, vec_id,
+        CAST(rk AS BIGINT) AS rk, n_label,
+        CAST(ceil(sqrt(CAST(n_label AS DOUBLE))) AS BIGINT) AS quota
+      FROM ranked JOIN n USING (label)
+      WHERE rk <= CAST(ceil(sqrt(CAST(n_label AS DOUBLE))) AS BIGINT)
+      ORDER BY label, rk"""))
+
   val all: Seq[QueryDef] =
     Seq(qPackSequences, qSampleStratified, qSampleReservoir, qDomainMix,
       qSplitTrain, qTemperatureMix, qTokenBudget, qCorpusShuffle,
-      qEpochMix, qSampleWeighted, qChunkSliding)
+      qEpochMix, qSampleWeighted, qChunkSliding, qSampleCluster)
 }

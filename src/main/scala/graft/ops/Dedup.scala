@@ -978,8 +978,115 @@ object Dedup {
       GROUP BY 1 ORDER BY doc_id"""
     })
 
+  /** Keep-latest-per-key (CDC / upsert compaction): collapse the
+    * events stream to the newest row per (user_id, event_type), the
+    * materialize step every mutable-table-over-log design runs before
+    * serving reads. One hash shuffle on the key, a per-key
+    * row_number, no joins — the shape that compacts a 100 TB
+    * changelog in a single exchange. `n_versions` reports the
+    * collapsed depth per key (update-frequency skew surfaces here).
+    */
+  val qLatest = QueryDef(
+    "q_dedup_latest",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+      val wr = w.orderBy(col("ts").desc, col("event_id").desc)
+      Tables.t(s, dir, "events")
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("n_versions", count(lit(1)).over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("latest_event_id"),
+          unix_micros(col("ts")).as("latest_us"),
+          col("value").as("latest_value"), col("n_versions"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""
+      WITH r AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS us, value,
+          row_number() OVER (PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) AS rn,
+          count(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+        FROM events)
+      SELECT user_id, event_type, event_id AS latest_event_id,
+        us AS latest_us, value AS latest_value,
+        CAST(n_versions AS BIGINT) AS n_versions
+      FROM r WHERE rn = 1 ORDER BY user_id, event_type"""))
+
+  /** Corpus-wide duplicated-chunk removal (the FineWeb "dedup lines
+    * across the whole dump" pass, at paragraph granularity): each
+    * document is cut into fixed 12-word chunks, a chunk is duplicated
+    * when its hash occurs in ≥2 distinct documents, and every
+    * duplicated chunk is dropped from every document (the cleaned
+    * text is fingerprinted, not shipped). Differs from q_dedup_lines
+    * (per-doc internal repetition) and q_dedup_exact (whole-doc): this
+    * is the cross-document partial-overlap scrub. Scale shape: chunk
+    * hashes are 8-byte keys, the duplicate set comes from one
+    * groupBy(hash) with map-side partial counts, and the verdict
+    * rejoins on the same hash key — no pairwise comparison anywhere.
+    */
+  val qParagraphs = QueryDef(
+    "q_dedup_paragraphs",
+    (s, dir) => {
+      val W = 12
+      val ch = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0L),
+            expr(s"(size(toks) + ${W - 1}) div $W - 1"))).as("i"),
+          col("toks"))
+        .select(col("doc_id"), col("i"),
+          concat_ws(" ",
+            slice(col("toks"), (col("i") * W + 1).cast("int"), lit(W)))
+            .as("chunk"))
+      val dup = ch.groupBy(md5(col("chunk")).as("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+      ch.join(dup.withColumnRenamed("h", "hh"),
+          md5(col("chunk")) === col("hh"), "left")
+        .select(col("doc_id"), col("i"), col("chunk"),
+          col("hh").isNotNull.as("is_dup"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+          md5(concat_ws(" ", transform(
+            sort_array(collect_list(when(!col("is_dup"),
+              struct(col("i"), col("chunk"))))),
+            x => x.getField("chunk")))).as("kept_sig"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          (col("n_dup_chunks").cast("double")
+            / col("n_chunks").cast("double")).as("removed_share"),
+          col("kept_sig"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      ch AS (
+        SELECT doc_id, i,
+          array_to_string(toks[CAST(i * 12 + 1 AS INT)
+                               : CAST(i * 12 + 12 AS INT)], ' ') AS chunk
+        FROM (SELECT doc_id, toks,
+                unnest(generate_series(0, (len(toks) + 11) // 12 - 1)) AS i
+              FROM toks)),
+      dup AS (
+        SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS nd
+        FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+      v AS (
+        SELECT ch.doc_id, ch.i, ch.chunk, dup.h IS NOT NULL AS is_dup
+        FROM ch LEFT JOIN dup ON md5(ch.chunk) = dup.h)
+      SELECT doc_id, count(*) AS n_chunks,
+        CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_chunks,
+        CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) AS removed_share,
+        md5(coalesce(string_agg(CASE WHEN NOT is_dup THEN chunk END,
+          ' ' ORDER BY i), '')) AS kept_sig
+      FROM v GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(qExact, qNgramJaccard, qMinHashLsh, qSimHash, qClusters,
       qLineDedup, qDupSpans, qSourceOverlap, qContainment, qEditDist,
-      qIncremental, qMinhashRecall)
+      qIncremental, qMinhashRecall, qLatest, qParagraphs)
 }

@@ -1529,6 +1529,35 @@ object Relational {
         FROM lineitem WHERE l_orderkey < 200)
       ORDER BY l_orderkey, l_linenumber, metric"""))
 
+  /** LATERAL correlated derived table (top-N-per-group as the SQL
+    * standard writes it): each customer's 2 highest-value orders via
+    * a LATERAL subquery with ORDER BY + LIMIT. Catalyst decorrelates
+    * this into the same ranked-window plan a hand-written row_number
+    * would produce — no per-customer re-execution — so the SQL-surface
+    * convenience costs nothing at scale.
+    */
+  val qLateralTopK = QueryDef(
+    "q_lateral_topk",
+    (s, dir) => {
+      Tables.views(s, dir)
+      s.sql("""
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c_custkey <= 200
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+    },
+    Some("""
+      SELECT c_custkey, o_orderkey, o_totalprice
+      FROM customer,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey = c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c_custkey <= 200
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qFilter, qPredicates,
     qJoin3, qJoin6, qSemi, qAnti, qOuter, qFullOuter, qSelfJoin, qCross,
@@ -1543,5 +1572,5 @@ object Relational {
     qScalarSubquery, qCorrelated, qInSubquery, qCte,
     qStringFuncs, qRegexHash, qDateFuncs, qDateBin, qMathFuncs,
     qConditional, qJson, qExplode, qArrayFuncs, qSequence, qStruct,
-    qMapFuncs, qPivot, qUnpivot)
+    qMapFuncs, qPivot, qUnpivot, qLateralTopK)
 }

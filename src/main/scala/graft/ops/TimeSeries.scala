@@ -1029,8 +1029,210 @@ object TimeSeries {
       FROM pick WHERE rn = 1
       ORDER BY event_type, b"""))
 
+  /** Time-weighted average (the monitoring `avg_over_time` on an
+    * irregular series): each sample's value holds until the user's
+    * next sample (step interpolation), so it is weighted by that hold
+    * duration in microseconds; the final sample has no successor and
+    * carries zero weight. Arithmetic discipline: the per-segment
+    * products value×Δt are IEEE doubles (bit-identical across
+    * engines), and the per-user sum runs as a time-ordered sequential
+    * fold (the qEwma/qSurprise idiom — a plain SUM would re-associate
+    * differently per engine), while the weight total is an exact
+    * BIGINT sum. One shuffle on user_id for the lead() window, then a
+    * per-user aggregate — no joins.
+    */
+  val qTwa = QueryDef(
+    "q_ts_twa",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .select(col("user_id"), col("us"), col("event_id"),
+          (col("next_us") - col("us")).as("dt_us"),
+          (col("value") * (col("next_us") - col("us")).cast("double"))
+            .as("wv"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("dt_us")).as("span_us"),
+          sort_array(collect_list(
+            struct(col("us"), col("event_id"), col("wv")))).as("segs"))
+        .select(col("user_id"), col("n_segments"), col("span_us"),
+          (aggregate(transform(col("segs"), x => x.getField("wv")),
+            lit(0.0), (acc, v) => acc + v)
+            / col("span_us").cast("double")).as("twa"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH pts AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+      seg AS (
+        SELECT user_id, us, event_id, value,
+          lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+            AS next_us
+        FROM pts),
+      s2 AS (
+        SELECT user_id, us, event_id, next_us - us AS dt_us,
+          value * CAST(next_us - us AS DOUBLE) AS wv
+        FROM seg WHERE next_us IS NOT NULL),
+      g AS (
+        SELECT user_id, count(*) AS n_segments,
+          sum(dt_us) AS span_us,
+          list(wv ORDER BY us, event_id) AS wvs
+        FROM s2 GROUP BY user_id)
+      SELECT user_id, n_segments, CAST(span_us AS BIGINT) AS span_us,
+        list_reduce(list_prepend(0.0, wvs), (acc, v) -> acc + v)
+          / CAST(span_us AS DOUBLE) AS twa
+      FROM g ORDER BY user_id"""))
+
+  /** Linear-interpolation gap fill — the companion to q_ts_gapfill's
+    * forward fill: missing days on the dense user×day grid are filled
+    * by interpolating between the previous and next OBSERVED day
+    * values, weighted by actual time distance (so a value adjacent to
+    * a long hole slopes across it instead of stair-stepping).
+    * Leading/trailing holes (no observation on one side) stay NULL —
+    * interpolation never extrapolates. Two window passes per user
+    * (one backward, one forward) on one user-key shuffle; the
+    * interpolation formula prev + (next−prev)·(Δt/Δspan) evaluates
+    * left-to-right in IEEE doubles on integer-exact microsecond
+    * deltas, so both engines agree bit-for-bit.
+    */
+  val qInterp = QueryDef(
+    "q_ts_interp",
+    (s, dir) => {
+      val clicks = Tables.t(s, dir, "events")
+        .filter(col("event_type") === "click" && col("user_id") < 5)
+      val daily = clicks
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(dsum(col("value")).as("day_value"))
+      val days = s.range(1).select(explode(sequence(
+        lit("2024-01-01").cast("timestamp"),
+        lit("2024-01-30").cast("timestamp"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      val users = clicks.select("user_id").distinct()
+      val wb = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obs = struct(unix_micros(col("day")).as("ous"),
+        col("day_value").as("ov"))
+      users.crossJoin(broadcast(days))
+        .join(daily, Seq("user_id", "day"), "left")
+        .withColumn("prev",
+          last(when(col("day_value").isNotNull, obs), ignoreNulls = true)
+            .over(wb))
+        .withColumn("next",
+          first(when(col("day_value").isNotNull, obs), ignoreNulls = true)
+            .over(wf))
+        .select(col("user_id"), col("day"), col("day_value"),
+          when(col("day_value").isNotNull, col("day_value"))
+            .when(col("prev").isNull || col("next").isNull, lit(null))
+            .otherwise(col("prev.ov") +
+              (col("next.ov") - col("prev.ov")) *
+                ((unix_micros(col("day")) - col("prev.ous")).cast("double")
+                  / (col("next.ous") - col("prev.ous")).cast("double")))
+            .as("interp_value"))
+        .orderBy("user_id", "day")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+          ${dsumSql("value")} AS day_value
+        FROM events WHERE event_type = 'click' AND user_id < 5
+        GROUP BY 1, 2),
+      users AS (SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'click' AND user_id < 5),
+      days AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                 TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS day),
+      grid AS (
+        SELECT u.user_id, d.day, daily.day_value,
+          last_value(CASE WHEN daily.day_value IS NOT NULL THEN
+              {'ous': epoch_us(d.day), 'ov': daily.day_value} END
+              IGNORE NULLS) OVER (
+            PARTITION BY u.user_id ORDER BY d.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+          first_value(CASE WHEN daily.day_value IS NOT NULL THEN
+              {'ous': epoch_us(d.day), 'ov': daily.day_value} END
+              IGNORE NULLS) OVER (
+            PARTITION BY u.user_id ORDER BY d.day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next
+        FROM users u CROSS JOIN days d
+        LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = d.day)
+      SELECT user_id, day, day_value,
+        CASE WHEN day_value IS NOT NULL THEN day_value
+             WHEN prev IS NULL OR next IS NULL THEN NULL
+             ELSE prev.ov + (next.ov - prev.ov) *
+               (CAST(epoch_us(day) - prev.ous AS DOUBLE)
+                 / CAST(next.ous - prev.ous AS DOUBLE)) END
+          AS interp_value
+      FROM grid ORDER BY user_id, day"""))
+
+  /** Nearest-in-time join (symmetric as-of): each purchase matched to
+    * the user's closest click within ±10 minutes by |Δt| (earlier
+    * right event_id breaks ties). The scale path is the same
+    * bucketize-and-equi-join used by q_ts_interval_join: time is
+    * bucketed by the tolerance, the click side is exploded to its
+    * bucket ±1 (any point within tolerance of a purchase lies in the
+    * purchase's bucket or a neighbor), the join is a plain (user,
+    * bucket) hash equi-join — never a per-user nested loop — and the
+    * exact |Δt| ≤ tol predicate plus an argmin row_number run as
+    * residual filters. ×3 row explosion on the smaller side buys a
+    * key-partitioned shuffle that survives any scale.
+    */
+  val qNearestJoin = QueryDef(
+    "q_ts_nearest_join",
+    (s, dir) => {
+      val tol = 600000000L // 10 minutes in µs
+      val ev = Tables.t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      // integer `div`, not floor(us / tol): the double quotient of a
+      // ~2^51 µs timestamp can round up across an exact bucket
+      // boundary, silently disagreeing with the oracle's exact `//`
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("b", expr(s"us div ${tol}L"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .withColumn("b", explode(array(expr(s"us div ${tol}L - 1"),
+          expr(s"us div ${tol}L"), expr(s"us div ${tol}L + 1"))))
+      val joined = purchases.alias("p")
+        .join(clicks.alias("c"), Seq("user_id", "b"))
+        .filter(abs(col("c.us") - col("p.us")) <= tol)
+        .select(col("user_id"), col("p.event_id").as("event_id"),
+          col("c.event_id").as("nearest_event_id"),
+          (col("c.us") - col("p.us")).as("dt_us"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(abs(col("dt_us")), col("nearest_event_id"))
+      joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("event_id")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        FROM events),
+      p AS (SELECT user_id, event_id, us, us // ${600000000L} AS b
+            FROM ev WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, event_id, us,
+              unnest([us // ${600000000L} - 1, us // ${600000000L},
+                      us // ${600000000L} + 1]) AS b
+            FROM ev WHERE event_type = 'click'),
+      j AS (
+        SELECT p.user_id, p.event_id, c.event_id AS nearest_event_id,
+          c.us - p.us AS dt_us
+        FROM p JOIN c ON p.user_id = c.user_id AND p.b = c.b
+        WHERE abs(c.us - p.us) <= ${600000000L}),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY event_id
+            ORDER BY abs(dt_us), nearest_event_id) AS rn
+        FROM j)
+      SELECT user_id, event_id, nearest_event_id, dt_us
+      FROM r WHERE rn = 1 ORDER BY event_id"""))
+
   val all: Seq[QueryDef] =
     Seq(qAsofJoin, qGapFill, qIntervalJoin, qSessionize, qOhlc, qFunnel,
       qRate, qEwma, qHolt, qAnomaly, qRetention, qSeasonal, qLttb,
-      qCusum, qAcf, qHoltBacktest)
+      qCusum, qAcf, qHoltBacktest, qTwa, qInterp, qNearestJoin)
 }
