@@ -644,4 +644,61 @@ object StreamingIngest {
             if (next.n == 0) 0L else next.maxTs - next.minTs)
       }
   }
+
+  /** A keyed change event (the CDC shape q_dedup_latest compacts). */
+  final case class KeyedEvent(user_id: Long, event_type: String,
+      event_id: Long, tsUs: Long, value: Double)
+
+  /** The current materialized row for one key. */
+  final case class LatestOut(user_id: Long, event_type: String,
+      latest_event_id: Long, latest_us: Long, latest_value: Double,
+      n_versions: Long)
+
+  // public like the other state shapes: the state encoder's generated
+  // code needs a visible constructor
+  final case class LatestState(eventId: Long, tsUs: Long,
+      value: Double, n: Long)
+
+  /** (k) Streaming keep-latest-per-key — the materialized-view twin
+    * of q_dedup_latest: state holds the newest (ts, event_id)-max row
+    * per key and every micro-batch re-emits the keys it touched with
+    * their current latest row + lifetime version count (Update-mode
+    * upsert semantics; a downstream sink overwrites by key). The last
+    * emission per key is spec-proven identical to the batch
+    * compaction however the stream is micro-batched. State is ONE
+    * fixed-size record per live key — the same cardinality as the
+    * compacted table itself, i.e. the product being maintained — so
+    * no TTL applies (evicting a key would forget its current value,
+    * not trim a cache; at 100 TB the state store backend, not a
+    * timeout, is the scaling knob).
+    */
+  def latest(events: Dataset[KeyedEvent]): Dataset[LatestOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[LatestState, LatestOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case ((uid, et), batch, state: GroupState[LatestState]) =>
+          val rows = batch.toSeq
+          if (rows.isEmpty) Iterator.empty
+          else {
+            // newest by (ts, event_id) — the batch tie-break exactly
+            val cand = rows.maxBy(e => (e.tsUs, e.event_id))
+            val prev = state.getOption
+            val next = prev match {
+              case Some(p) if p.tsUs > cand.tsUs ||
+                  (p.tsUs == cand.tsUs && p.eventId >= cand.event_id) =>
+                p.copy(n = p.n + rows.size)
+              case Some(p) =>
+                LatestState(cand.event_id, cand.tsUs, cand.value,
+                  p.n + rows.size)
+              case None =>
+                LatestState(cand.event_id, cand.tsUs, cand.value,
+                  rows.size.toLong)
+            }
+            state.update(next)
+            Iterator.single(LatestOut(uid, et, next.eventId, next.tsUs,
+              next.value, next.n))
+          }
+      }
+  }
 }

@@ -407,4 +407,42 @@ class PlanSpec extends AnyFunSuite {
     assert("""Exchange \(\d+\)""".r.findAllIn(p).size <= 1,
       "random projection must not shuffle the vectors")
   }
+
+  test("nearest-in-time join runs as a tolerance-bucket equi-join") {
+    val p = plan("q_ts_nearest_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "nearest join must bucket time, not nested-loop per user")
+  }
+
+  test("paragraph dedup: verdicts rejoin on the chunk-hash key only") {
+    val p = plan("q_dedup_paragraphs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "chunk verdicts must come from a hash equi-join")
+  }
+
+  test("changelog compaction is one key shuffle with no joins") {
+    val p = plan("q_dedup_latest")
+    assert(!p.contains("Join"), "keep-latest must not join")
+    // one exchange for the key window + the presentation sort's range
+    // exchange; nothing else may move data
+    assert("""Exchange \(\d+\)""".r.findAllIn(p).size <= 2,
+      "keep-latest must shuffle once on the dedup key")
+  }
+
+  test("cluster-balanced sampling broadcasts the per-cluster quotas") {
+    val p = plan("q_sample_cluster")
+    assert(p.contains("BroadcastHashJoin"),
+      "quota join must broadcast the tiny per-cluster counts")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("LATERAL top-k decorrelates to a ranked-window plan") {
+    val p = plan("q_lateral_topk")
+    assert(p.contains("WindowGroupLimit"),
+      "lateral LIMIT subquery must decorrelate, not re-execute per row")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -660,4 +660,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateOps == 0,
       "incremental dedup must be stateless — no state store operators")
   }
+
+  test("streaming keep-latest converges to the batch compaction " +
+    "however the stream is micro-batched") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.{KeyedEvent, LatestOut}
+    val dir = "/root/testdata/sf0.001"
+
+    val expected = graft.ops.Dedup.qLatest.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))))
+      .toMap
+
+    val events = graft.ops.Tables.t(spark, dir, "events")
+      .selectExpr("user_id", "event_type", "event_id",
+        "unix_micros(ts) AS us", "value")
+      .collect()
+      .map(r => KeyedEvent(r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+
+    def run(splits: Seq[Seq[KeyedEvent]], name: String)
+        : Map[(Long, String), (Long, Long, Double, Long)] = {
+      val mem = MemoryStream[KeyedEvent]
+      val q = StreamingIngest.latest(mem.toDS()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      splits.foreach { s => mem.addData(s); q.processAllAvailable() }
+      q.stop()
+      // n_versions grows monotonically per key, so the max-n row IS
+      // the final upsert for that key
+      spark.table(name).as[LatestOut].collect()
+        .groupBy(o => (o.user_id, o.event_type))
+        .map { case (k, os) =>
+          val last = os.maxBy(_.n_versions)
+          k -> ((last.latest_event_id, last.latest_us,
+            last.latest_value, last.n_versions))
+        }
+    }
+
+    assert(run(Seq(events.toSeq), "latest_one") == expected)
+    // adversarial split: newest rows arrive FIRST (state must refuse
+    // to regress), then a mid slice, then the rest
+    val byTs = events.sortBy(e => (-e.tsUs, -e.event_id)).toSeq
+    val n = byTs.length
+    assert(run(Seq(byTs.take(n / 3), byTs.slice(n / 3, 2 * n / 3),
+      byTs.drop(2 * n / 3)), "latest_rev") == expected)
+  }
 }
