@@ -110,7 +110,8 @@ object ScaleSmoke {
 
   private def generateIfMissing(spark: SparkSession, src: String,
       out: String): Unit = {
-    val done = new java.io.File(s"$out/_SMOKE_READY")
+    // v2: events replicated (not copied) — regenerate older corpora
+    val done = new java.io.File(s"$out/_SMOKE_READY_V2")
     if (done.isFile) return
     val r = explode(sequence(lit(0), lit(Replicas - 1)))
 
@@ -165,11 +166,22 @@ object ScaleSmoke {
         col("l_shipdate"))
     li.repartition(8).write.mode("overwrite")
       .parquet(s"$out/lineitem.parquet")
-    // dimension + events tables: byte-for-byte copies (events carries
-    // TIMESTAMP(NANOS) metadata a read+rewrite would alter — see
-    // Tables.t — so never round-trip it through a reader)
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "events")) {
+    // events replicate 10× as fresh user cohorts: ids shift per
+    // replica, timestamps stay — per-user event density is constant
+    // while the user population grows, which is how an event stream
+    // actually scales (more users, not denser users). Reading through
+    // Tables.t normalizes whatever timestamp physical type the driver
+    // generated (see its footer sniff), and this session writes
+    // timestamp[us] UTC, which t() passes through untouched.
+    val ev = ops.Tables.t(spark, src, "events")
+      .withColumn("r", r)
+      .select((col("event_id") + col("r") * IdStride).as("event_id"),
+        col("ts"), (col("user_id") + col("r") * IdStride).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    ev.repartition(8).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+    // dimension tables: byte-for-byte copies
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
       val dst = new java.io.File(s"$out/$t.parquet")
       if (!dst.exists())
         java.nio.file.Files.copy(
