@@ -232,8 +232,17 @@ class LynxEngine(
 
   /** Run `sql` against namespace `namespace`. None = unknown
     * namespace/table → HTTP 404 (reference lynx.rs:144-148).
+    *
+    * `asOfVersion` = time travel (engine extension): every referenced
+    * table reads exactly as its tier manifest `version` published it —
+    * buffered (unsealed) rows are excluded by definition, the result
+    * cache is bypassed, and a version that was never published for a
+    * referenced table (or whose data files GC already removed) fails
+    * with IllegalArgumentException rather than serving a partial scan
+    * (the [[graft.tier.ParquetTier.readAt]] contract, lifted to SQL).
     */
-  def query(namespace: String, sql: String): Option[QueryResult] = {
+  def query(namespace: String, sql: String,
+      asOfVersion: Option[Long] = None): Option[QueryResult] = {
     val parsed = LynxEngine.parse(spark, sql)
     // EXPLAIN <select> is allowed as an ops nicety (improvement over
     // the reference's SELECT-only surface): every gate below runs on
@@ -259,8 +268,10 @@ class LynxEngine(
     // reference lacks, SURVEY.md §4.1)
     val dayBounds =
       if (tables.size == 1) LynxEngine.dayBounds(plan) else None
-    val cacheable =
-      resultCacheEntries > 0 && !isExplain && !LynxEngine.cacheUnsafe(plan)
+    // as-of reads bypass the cache: they are rare ops reads over
+    // immutable manifests, not worth a key-shape extension
+    val cacheable = resultCacheEntries > 0 && !isExplain &&
+      asOfVersion.isEmpty && !LynxEngine.cacheUnsafe(plan)
     // buffer snapshot + pinned tier snapshots under the write lock:
     // atomic vs seal(), so rows are visible exactly once — and the
     // pins (not just the trash grace period) keep a concurrent
@@ -276,16 +287,29 @@ class LynxEngine(
     // already blocks in-process GC, and a foreign compactor owes the
     // trash grace period across the sub-millisecond gap.
     val (snapshot, pinned, tierHasNs, cacheKey) = writeLock.synchronized {
-      val mem = buffer.tables(namespace)
+      // a time-travel read sees ONLY what the pinned manifest version
+      // published: unsealed buffer rows are by definition newer
+      val mem =
+        if (asOfVersion.isDefined) None else buffer.tables(namespace)
       val (acq, hasNs) = tier match {
-        case None => (Map.empty[String, graft.tier.TierSnapshot], false)
+        case None =>
+          if (asOfVersion.isDefined)
+            throw new IllegalArgumentException(
+              "time travel requires a parquet tier")
+          (Map.empty[String, graft.tier.TierSnapshot], false)
         case Some(t) =>
           val present = t.tables(namespace)
           val acquired =
             scala.collection.mutable.Map.empty[String, graft.tier.TierSnapshot]
           try
-            for (name <- tables if present(name))
-              acquired(name) = t.snapshotPinned(namespace, name)
+            for (name <- tables if present(name)) asOfVersion match {
+              case None =>
+                acquired(name) = t.snapshotPinned(namespace, name)
+              case Some(v) =>
+                acquired(name) = t.snapshotPinnedAt(namespace, name, v)
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"version $v was never published for table $name"))
+            }
           catch {
             case e: Throwable =>
               acquired.values.foreach(t.release)
@@ -339,6 +363,13 @@ class LynxEngine(
     }
     try {
       if (snapshot.isEmpty && !tierHasNs) return None
+      // the readAt contract at the SQL layer: files superseded before
+      // this query pinned the version may be physically gone — fail
+      // whole, never serve a partial scan
+      for (v <- asOfVersion; (name, snap) <- tierSnaps)
+        if (!snap.files.forall(p => new File(p).isFile))
+          throw new IllegalArgumentException(
+            s"version $v of table $name is past the GC window")
 
       val session = spark.newSession()
       // no file-path relations for untrusted SQL (SELECT * FROM

@@ -15,8 +15,9 @@ import graft.engine.{LynxEngine, Sinks}
   * POST /api/v1/query, GET /health. JSON bodies match the reference's
   * serde shapes (testdata/write.json, testdata/query.json):
   * write = {namespace, measurement, value, metadata?, timestamp};
-  * query = {namespace, query, format?: "json"|"table"} (default
-  * table, reference main.rs:80).
+  * query = {namespace, query, format?: "json"|"table", version?: N}
+  * (default table, reference main.rs:80; `version` = time-travel read
+  * at a published tier manifest version, an engine extension).
   *
   * Jackson ships with Spark's classpath; only tree-model parsing is
   * used (no reflection databind).
@@ -72,13 +73,17 @@ object Json {
       n.get("timestamp").asLong())
   }
 
-  def parseQuery(body: Array[Byte]): (String, String, String) = {
+  def parseQuery(body: Array[Byte])
+      : (String, String, String, Option[Long]) = {
     val n = mapper.readTree(body)
     require(n.hasNonNull("namespace") && n.hasNonNull("query"),
       "missing required field")
     val fmt = if (n.hasNonNull("format")) n.get("format").asText()
       else "table"
-    (n.get("namespace").asText(), n.get("query").asText(), fmt)
+    // optional time travel: read at a published tier manifest version
+    val asOf = if (n.hasNonNull("version")) Some(n.get("version").asLong())
+      else None
+    (n.get("namespace").asText(), n.get("query").asText(), fmt, asOf)
   }
 
   /** {namespace, table, cluster_by?: [col,…]} for /admin/compact. */
@@ -187,9 +192,9 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
         case Left(e) =>
           System.err.println(e)
           respond(ex, 422)
-        case Right((ns, sql, fmt)) =>
+        case Right((ns, sql, fmt, asOf)) =>
           try {
-            engine.query(ns, sql) match {
+            engine.query(ns, sql, asOf) match {
               case Some(result) =>
                 respond(ex, 200, fmt match {
                   case "json" => Sinks.toJson(result)

@@ -1378,6 +1378,91 @@ object TextOps {
         sum_score / n_docs AS mean_score
       FROM agg ORDER BY source"""))
 
+  /** KMV (k-minimum-values) distinct-count sketch, evaluated against
+    * exact counts: per source (and for the whole corpus) keep the
+    * k=64 smallest 60-bit word hashes; the k-th smallest estimates
+    * the distinct vocabulary as (k−1)·2⁶⁰/h₍ₖ₎ — the mergeable
+    * constant-size cardinality sketch a 1000-executor profile pass
+    * ships instead of a corpus-wide distinct (union two sketches =
+    * merge-and-trim their value lists; HLL trades the same way). The
+    * sketch here is bit-deterministic — md5-derived hashes, integer
+    * kth — so BOTH engines compute the identical estimate and the
+    * identical relative error against the exact count; no tolerance
+    * band needed. Sources with < k distinct words report the exact
+    * count (the sketch IS the value set there, rel_err 0). Scale
+    * shape: one (source, word) distinct — the same shuffle the exact
+    * count needs — then a per-source k-smallest window; at real
+    * scale the window's sort is bounded by the distinct shuffle that
+    * already happened.
+    */
+  val qVocabKmv = QueryDef(
+    "q_vocab_kmv",
+    (s, dir) => {
+      val K = 64
+      val two60 = 1152921504606846976.0 // 2^60, exact in double
+      val perSrc = Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+        .distinct()
+      val dw = perSrc.unionAll(
+        perSrc.select(lit("__all__").as("source"), col("word")).distinct())
+      val hashed = dw.select(col("source"), col("word"),
+        conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long")
+          .as("h"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("word"))
+      val sk = hashed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+        .groupBy("source")
+        .agg(max(col("h")).as("kth_h"), count(lit(1)).as("k_used"))
+      val exact = dw.groupBy("source")
+        .agg(countDistinct(col("word")).as("n_exact"))
+      exact.join(sk, "source")
+        .select(col("source"), col("n_exact"), col("k_used"),
+          col("kth_h"),
+          when(col("k_used") < K, col("k_used").cast("double"))
+            .otherwise(lit((K - 1).toDouble) * two60
+              / col("kth_h").cast("double")).as("kmv_est"))
+        .withColumn("rel_err",
+          abs(col("kmv_est") - col("n_exact").cast("double"))
+            / col("n_exact").cast("double"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH perSrc AS (
+        SELECT DISTINCT source, word FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS word
+          FROM documents) WHERE len(word) >= 1),
+      dw AS (
+        SELECT source, word FROM perSrc
+        UNION ALL
+        SELECT DISTINCT '__all__' AS source, word FROM perSrc),
+      hashed AS (
+        SELECT source, word,
+          CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h
+        FROM dw),
+      ranked AS (
+        SELECT source, h,
+          row_number() OVER (PARTITION BY source ORDER BY h, word) AS rn
+        FROM hashed),
+      sk AS (
+        SELECT source, max(h) AS kth_h, count(*) AS k_used
+        FROM ranked WHERE rn <= 64 GROUP BY source),
+      exact AS (
+        SELECT source, count(DISTINCT word) AS n_exact FROM dw
+        GROUP BY source)
+      SELECT exact.source, n_exact, CAST(k_used AS BIGINT) AS k_used,
+        kth_h,
+        CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+             ELSE 63.0 * 1152921504606846976.0 / CAST(kth_h AS DOUBLE)
+        END AS kmv_est,
+        abs((CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+             ELSE 63.0 * 1152921504606846976.0 / CAST(kth_h AS DOUBLE)
+             END) - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+          AS rel_err
+      FROM exact JOIN sk ON exact.source = sk.source
+      ORDER BY exact.source"""))
+
   val all: Seq[QueryDef] =
     Seq(qTokens, qQuality, qQualityCalibrate, qGopherRules, qLangId,
       qFingerprint, qReadability, qTfIdf, qRepetition, qClean, qSurprise,
@@ -1385,5 +1470,5 @@ object TextOps {
       qWinnowOverlap, qWinnowSpans, qWinnowContam, qContamination,
       qLengthHist,
       qClassify, qVocabTopK, qSourceDrift, qDiversity, qQualityEnsemble,
-      qVocabCoverage)
+      qVocabCoverage, qVocabKmv)
 }

@@ -701,4 +701,59 @@ object StreamingIngest {
           }
       }
   }
+
+  /** A streamed document tagged with its source (mixture key). */
+  final case class SourcedDoc(source: String, doc_id: Long, text: String)
+
+  /** One Misra–Gries summary entry for a source, as of `n_seen`
+    * processed tokens: `mg_n` underestimates the true count by at
+    * most n_seen/k (the classic MG bound).
+    */
+  final case class HeavyHitter(source: String, word: String,
+      mg_n: Long, n_seen: Long)
+
+  final case class MgState(counts: Map[String, Long], seen: Long)
+
+  /** (l) Streaming heavy hitters per source — a Misra–Gries summary
+    * of at most k words per key, the constant-memory frequent-items
+    * primitive for an unbounded token stream (the streaming face of
+    * q_vocab_topk, which needs a corpus-wide aggregation). State is
+    * ≤ k counters per source — O(keys·k) total, independent of
+    * stream length — and every micro-batch re-emits the touched
+    * keys' current summaries (Update-mode upsert by (source, word)).
+    * The MG guarantees hold whatever the arrival order: any word
+    * with true frequency > n_seen/k is present in the summary, and
+    * each reported count undershoots its true count by at most
+    * n_seen/k (spec-asserted against exact batch counts across
+    * micro-batch splits). Within a batch, documents fold in doc_id
+    * order and tokens in text order, so a replayed stream produces
+    * byte-identical summaries.
+    */
+  def heavyHitters(docs: Dataset[SourcedDoc], k: Int = 8)
+      : Dataset[HeavyHitter] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[MgState, HeavyHitter](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (src, batch, state: GroupState[MgState]) =>
+          var m = state.getOption.map(_.counts)
+            .getOrElse(Map.empty[String, Long])
+          var seen = state.getOption.map(_.seen).getOrElse(0L)
+          batch.toSeq.sortBy(_.doc_id).foreach { d =>
+            d.text.split(" ").iterator.filter(_.nonEmpty).foreach { w =>
+              seen += 1
+              m.get(w) match {
+                case Some(c) => m = m.updated(w, c + 1)
+                case None if m.size < k => m = m.updated(w, 1L)
+                case None => // decrement-all: the MG eviction step
+                  m = m.iterator.map { case (kw, c) => kw -> (c - 1) }
+                    .filter(_._2 > 0).toMap
+              }
+            }
+          }
+          state.update(MgState(m, seen))
+          val s2 = seen
+          m.iterator.map { case (w, c) => HeavyHitter(src, w, c, s2) }
+      }
+  }
 }

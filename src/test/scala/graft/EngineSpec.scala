@@ -843,4 +843,34 @@ class EngineSpec extends AnyFunSuite {
       "SELECT count(*) AS c FROM cpu WHERE host = 'h07'").get
     assert(r.rows.head.getLong(0) == n / 40)
   }
+
+  test("time travel lifts to SQL: asOfVersion reads the old manifest, " +
+    "excludes buffered rows, and fails whole past the GC window") {
+    val spark = SparkFixture.spark
+    val tierDir = Files.createTempDirectory("travel-sql-tier").toFile
+    val tier = new ParquetTier(tierDir)
+    val e = newEngine(Some(tier))
+    e.write(WriteRequest("ns", "cpu", "1", Map.empty, 1L))
+    e.write(WriteRequest("ns", "cpu", "2", Map.empty, 2L))
+    e.seal("ns", "cpu") // manifest v1
+    e.write(WriteRequest("ns", "cpu", "3", Map.empty, 3L))
+    e.seal("ns", "cpu") // manifest v2
+    e.write(WriteRequest("ns", "cpu", "4", Map.empty, 4L)) // buffer only
+    def sum(asOf: Option[Long]): Long =
+      e.query("ns", "SELECT sum(CAST(value AS BIGINT)) AS s FROM cpu",
+        asOf).get.rows.head.getLong(0)
+    assert(sum(None) == 10L, "a current read sees tier + buffer")
+    assert(sum(Some(1L)) == 3L, "v1 sees only the first seal")
+    assert(sum(Some(2L)) == 6L,
+      "an as-of read must exclude rows buffered after the version")
+    val unknown = intercept[IllegalArgumentException](sum(Some(9L)))
+    assert(unknown.getMessage.contains("never published"))
+    // compaction supersedes v1's files; zero-grace GC deletes them —
+    // the SQL surface must then fail whole, not serve a partial scan
+    e.compact("ns", "cpu")
+    new ParquetTier(tierDir, trashGraceMs = 0).compact(spark, "ns", "cpu")
+    val gone = intercept[IllegalArgumentException](sum(Some(1L)))
+    assert(gone.getMessage.contains("GC window"))
+    assert(sum(None) == 10L, "current reads are untouched by history GC")
+  }
 }

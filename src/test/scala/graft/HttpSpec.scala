@@ -154,6 +154,36 @@ class HttpSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("query accepts a version field for time-travel reads") {
+    val dir = Files.createTempDirectory("http-travel").toFile
+    val tierDir = Files.createTempDirectory("http-travel-tier").toFile
+    val engine = new LynxEngine(SparkFixture.spark, dir, 1024 * 1024,
+      Some(new graft.tier.ParquetTier(tierDir)))
+    val server = new LynxServer(engine, "127.0.0.1", 0)
+    server.start()
+    try {
+      val port = server.boundPort
+      for (i <- 1 to 2) {
+        post(port, "/api/v1/write",
+          s"""{"namespace":"ns","measurement":"cpu","value":"$i",""" +
+            s""""timestamp":$i}""")
+        post(port, "/api/v1/admin/checkpoint", "") // manifest v$i
+      }
+      def q(body: String) = post(port, "/api/v1/query", body)
+      val v1 = q("""{"namespace":"ns","query":"SELECT value FROM cpu""" +
+        """ ORDER BY value","format":"json","version":1}""")
+      assert(v1.body() == """[{"value":"1"}]""",
+        "version 1 must see only the first checkpoint")
+      val now = q("""{"namespace":"ns","query":"SELECT value FROM cpu""" +
+        """ ORDER BY value","format":"json"}""")
+      assert(now.body() == """[{"value":"1"},{"value":"2"}]""")
+      // unpublished version → 500 (engine rejects, no partial scan)
+      val missing = q("""{"namespace":"ns","query":"SELECT value FROM""" +
+        """ cpu","format":"json","version":7}""")
+      assert(missing.statusCode() == 500)
+    } finally server.stop()
+  }
+
   test("unknown namespace → 404; bad SQL → 500 (main.rs:83-87)") {
     withServer { port =>
       val r404 = post(port, "/api/v1/query",
@@ -211,12 +241,13 @@ class HttpSpec extends AnyFunSuite {
     // dispatch-thread) server, the first would time out → 500.
     val latch = new CountDownLatch(2)
     val engine = new LynxEngine(SparkFixture.spark, dir, 1024 * 1024) {
-      override def query(ns: String, sql: String) = {
+      override def query(ns: String, sql: String,
+          asOf: Option[Long]) = {
         latch.countDown()
         if (!latch.await(10, TimeUnit.SECONDS))
           throw new IllegalStateException(
             "second request never started — handlers serialized")
-        super.query(ns, sql)
+        super.query(ns, sql, asOf)
       }
     }
     engine.write(graft.core.WriteRequest("ns", "t", "1", Map.empty, 1))

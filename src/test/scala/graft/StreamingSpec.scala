@@ -708,4 +708,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(run(Seq(byTs.take(n / 3), byTs.slice(n / 3, 2 * n / 3),
       byTs.drop(2 * n / 3)), "latest_rev") == expected)
   }
+
+  test("streaming Misra-Gries summaries honor the frequency and " +
+    "error bounds against exact counts, across micro-batch splits") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.{HeavyHitter, SourcedDoc}
+    val k = 8
+
+    val docs = graft.ops.Tables.t(spark, "/root/testdata/sf0.001",
+        "documents")
+      .select("source", "doc_id", "text").collect()
+      .map(r => SourcedDoc(r.getString(0), r.getLong(1), r.getString(2)))
+
+    // exact per-(source, word) truth and per-source token totals
+    val exact = docs.flatMap(d =>
+        d.text.split(" ").filter(_.nonEmpty).map(w => (d.source, w)))
+      .groupBy(identity).map { case (kw, g) => kw -> g.length.toLong }
+    val totals = exact.groupBy(_._1._1)
+      .map { case (s, m) => s -> m.values.sum }
+
+    def run(splits: Seq[Seq[SourcedDoc]], name: String)
+        : Map[String, Map[String, Long]] = {
+      val mem = MemoryStream[SourcedDoc]
+      val q = StreamingIngest.heavyHitters(mem.toDS(), k).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      splits.foreach { s => mem.addData(s); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[HeavyHitter].collect()
+        .groupBy(_.source)
+        .map { case (s, hs) =>
+          val lastSeen = hs.map(_.n_seen).max
+          s -> hs.filter(_.n_seen == lastSeen)
+            .map(h => h.word -> h.mg_n).toMap
+        }
+    }
+
+    for ((splits, name) <- Seq(
+        (Seq(docs.toSeq), "mg_one"),
+        (Seq(docs.take(100).toSeq, docs.slice(100, 350).toSeq,
+          docs.drop(350).toSeq), "mg_three"))) {
+      val got = run(splits, name)
+      totals.foreach { case (src, nTok) =>
+        val summary = got.getOrElse(src, Map.empty)
+        assert(summary.size <= k, s"$name/$src state exceeded k")
+        val bound = nTok / k
+        exact.foreach { case ((s, w), trueN) if s == src =>
+          // guarantee 1: every > n/k word survives in the summary
+          if (trueN > bound)
+            assert(summary.contains(w),
+              s"$name/$src lost heavy hitter '$w' ($trueN > $bound)")
+          // guarantee 2: reported counts undershoot by at most n/k
+          summary.get(w).foreach { est =>
+            assert(est <= trueN && trueN - est <= bound,
+              s"$name/$src '$w': est $est vs true $trueN (bound $bound)")
+          }
+        case _ => ()
+        }
+      }
+    }
+  }
 }
