@@ -230,5 +230,58 @@ object DataQuality {
       FROM dev JOIN mad m USING (source)
       GROUP BY dev.source ORDER BY dev.source"""))
 
-  val all: Seq[QueryDef] = Seq(qProfile, qChecks, qMad)
+  /** Winsorization (robust clipping): per-source p05/p95 fences on
+    * document length, values outside clamped to the fence — the
+    * outlier treatment that keeps a batch's summary statistics from
+    * being dragged by a handful of pathological rows before the batch
+    * is promoted (the alarm-only counterpart is q_dq_mad). Scale
+    * shape: one per-source percentile aggregation (tiny result,
+    * broadcast back) + a narrow clamp scan; the clipped mean goes
+    * through the exact decimal accumulator. Both engines interpolate
+    * percentiles of integers identically (the q_percentile-proven
+    * kernel), so the fences are bit-equal.
+    */
+  val qWinsorize = QueryDef(
+    "q_dq_winsorize",
+    (s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val fences = docs.groupBy("source").agg(
+        expr("percentile(n_chars, 0.05)").as("lo"),
+        expr("percentile(n_chars, 0.95)").as("hi"))
+      docs.join(broadcast(fences), "source")
+        .select(col("source"), col("n_chars"),
+          least(greatest(col("n_chars").cast("double"), col("lo")),
+            col("hi")).as("w"),
+          col("lo"), col("hi"))
+        .groupBy("source")
+        .agg(first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+          sum(when(col("n_chars").cast("double") < col("lo"), 1L)
+            .otherwise(0L)).as("n_clip_low"),
+          sum(when(col("n_chars").cast("double") > col("hi"), 1L)
+            .otherwise(0L)).as("n_clip_high"),
+          davg(col("w")).as("mean_winsorized"),
+          davg(col("n_chars").cast("double")).as("mean_raw"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH fences AS (
+        SELECT source,
+          quantile_cont(n_chars, 0.05) AS lo,
+          quantile_cont(n_chars, 0.95) AS hi
+        FROM documents GROUP BY source),
+      cl AS (
+        SELECT d.source, d.n_chars,
+          least(greatest(CAST(d.n_chars AS DOUBLE), f.lo), f.hi) AS w,
+          f.lo, f.hi
+        FROM documents d JOIN fences f USING (source))
+      SELECT source, first(lo) AS lo, first(hi) AS hi,
+        CAST(sum(CASE WHEN CAST(n_chars AS DOUBLE) < lo THEN 1 ELSE 0
+          END) AS BIGINT) AS n_clip_low,
+        CAST(sum(CASE WHEN CAST(n_chars AS DOUBLE) > hi THEN 1 ELSE 0
+          END) AS BIGINT) AS n_clip_high,
+        ${davgSql("w")} AS mean_winsorized,
+        ${davgSql("CAST(n_chars AS DOUBLE)")} AS mean_raw
+      FROM cl GROUP BY source ORDER BY source"""))
+
+  val all: Seq[QueryDef] = Seq(qProfile, qChecks, qMad, qWinsorize)
 }

@@ -1085,8 +1085,42 @@ object Dedup {
           ' ' ORDER BY i), '')) AS kept_sig
       FROM v GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Soft dedup (frequency down-weighting): instead of dropping
+    * duplicates, every copy of a duplicated document gets sampling
+    * weight 1/n_copies — the corpus-level token distribution then
+    * matches the fully-deduped one in expectation while keeping every
+    * source's provenance row intact (the SoftDeDup treatment; hard
+    * removal is q_dedup_exact). One groupBy on the content hash with
+    * map-side partial counts, verdicts re-joined on the same 8-byte
+    * key — identical scale shape to exact dedup, no pairwise work.
+    */
+  val qSoft = QueryDef(
+    "q_dedup_soft",
+    (s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      val counts = docs.groupBy("h").agg(
+        count(lit(1)).as("n_copies"), min(col("doc_id")).as("canon"))
+      docs.join(counts, "h")
+        .select(col("doc_id"), col("source"), col("h"), col("n_copies"),
+          (lit(1.0) / col("n_copies").cast("double")).as("weight"),
+          (col("doc_id") === col("canon")).as("is_canonical"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source, md5(text) AS h FROM documents),
+      c AS (
+        SELECT h, count(*) AS n_copies, min(doc_id) AS canon
+        FROM d GROUP BY h)
+      SELECT doc_id, source, d.h, n_copies,
+        1.0 / CAST(n_copies AS DOUBLE) AS weight,
+        doc_id = canon AS is_canonical
+      FROM d JOIN c ON d.h = c.h
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(qExact, qNgramJaccard, qMinHashLsh, qSimHash, qClusters,
       qLineDedup, qDupSpans, qSourceOverlap, qContainment, qEditDist,
-      qIncremental, qMinhashRecall, qLatest, qParagraphs)
+      qIncremental, qMinhashRecall, qLatest, qParagraphs, qSoft)
 }

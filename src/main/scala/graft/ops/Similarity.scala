@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import Parity.{dsum, dsumSql}
 
 import graft.functions.GraftFunctions
 
@@ -1399,9 +1400,90 @@ object Similarity {
       SELECT vec_id, label, cos, cos < 0.0 AS is_outlier
       FROM scored ORDER BY vec_id"""))
 
+  /** Embedding whitening (per-dimension standardization): subtract
+    * the corpus mean and divide by the corpus stddev, dimension-wise —
+    * the normalization retrieval pipelines apply before indexing so
+    * no dimension dominates the metric. Determinism is the
+    * q_embed_centroids discipline: elements quantize to 2²⁰-scaled
+    * integers first, so every moment is an EXACT integer sum (a
+    * decimal cast of a full-precision double square rounds at the
+    * 10th decimal place differently across engines — learned the hard
+    * way) and the mean/stddev/z-scores derive from identical doubles.
+    * Scale shape: one posexplode aggregation for the 64 per-dimension
+    * moments (tiny, broadcast back), then a narrow per-vector map;
+    * the reported norms fold in dimension order.
+    */
+  val qEmbedWhiten = QueryDef(
+    "q_embed_whiten",
+    (s, dir) => {
+      val Q = 1048576.0 // 2^20
+      val ex = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("i"),
+          round(col("xf").cast("double") * Q).cast("long").as("q"))
+      val n = count(lit(1)).cast("double")
+      val dims = ex.groupBy("i").agg(
+        (sum(col("q")).cast("double") / (n * Q)).as("mu"),
+        sqrt((sum(col("q") * col("q")).cast("double")
+          - sum(col("q")).cast("double") * sum(col("q")).cast("double")
+            / n) / (n - 1) / (Q * Q)).as("sd"))
+      ex.join(broadcast(dims), "i")
+        .select(col("vec_id"), col("i"),
+          ((col("q") / Q) * (col("q") / Q)).as("xx"),
+          (((col("q") / Q - col("mu")) / col("sd"))
+            * ((col("q") / Q - col("mu")) / col("sd"))).as("zz"))
+        .groupBy("vec_id")
+        .agg(
+          sort_array(collect_list(struct(col("i"), col("xx")))).as("rx"),
+          sort_array(collect_list(struct(col("i"), col("zz")))).as("rz"))
+        .select(col("vec_id"),
+          sqrt(aggregate(transform(col("rx"), e => e.getField("xx")),
+            lit(0.0), (a, v) => a + v)).as("norm_raw"),
+          sqrt(aggregate(transform(col("rz"), e => e.getField("zz")),
+            lit(0.0), (a, v) => a + v)).as("norm_white"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH ex AS (
+        SELECT vec_id, i - 1 AS i,
+          CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576.0)
+            AS BIGINT) AS q
+        FROM embeddings,
+          unnest(generate_series(1, len(embedding))) AS t(i)),
+      dims AS (
+        SELECT i,
+          CAST(sum(q) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1048576.0)
+            AS mu,
+          sqrt((CAST(sum(q * q) AS DOUBLE)
+            - CAST(sum(q) AS DOUBLE) * CAST(sum(q) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE))
+            / (CAST(count(*) AS DOUBLE) - 1)
+            / (1048576.0 * 1048576.0)) AS sd
+        FROM ex GROUP BY i),
+      z AS (
+        -- CAST forces DOUBLE division: a bare BIGINT / 1048576.0 is
+        -- DECIMAL division in DuckDB, not the double Spark computes
+        SELECT vec_id, ex.i,
+          (CAST(q AS DOUBLE) / 1048576.0) * (CAST(q AS DOUBLE)
+            / 1048576.0) AS xx,
+          ((CAST(q AS DOUBLE) / 1048576.0 - mu) / sd)
+            * ((CAST(q AS DOUBLE) / 1048576.0 - mu) / sd) AS zz
+        FROM ex JOIN dims ON ex.i = dims.i),
+      g AS (
+        SELECT vec_id,
+          list(xx ORDER BY i) AS rx, list(zz ORDER BY i) AS rz
+        FROM z GROUP BY vec_id)
+      SELECT vec_id,
+        sqrt(list_reduce(list_prepend(0.0, rx), (a, v) -> a + v))
+          AS norm_raw,
+        sqrt(list_reduce(list_prepend(0.0, rz), (a, v) -> a + v))
+          AS norm_white
+      FROM g ORDER BY vec_id"""))
+
   val all: Seq[QueryDef] =
     Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf,
       qEmbedCentroids, qEmbedPq, qAnnAdc, qEmbedRp, qEmbedQuantize,
       qSemanticDedup, qAnnRecall, qMatryoshka, qIvfRecall,
-      qSemanticOutlier, qAnnIvfPq)
+      qSemanticOutlier, qAnnIvfPq, qEmbedWhiten)
 }
