@@ -756,4 +756,52 @@ object StreamingIngest {
           m.iterator.map { case (w, c) => HeavyHitter(src, w, c, s2) }
       }
   }
+
+  /** A KMV cardinality estimate for one source as of the latest
+    * batch: `est` mirrors q_vocab_kmv's formula bit-for-bit.
+    */
+  final case class KmvEstimate(source: String, k_used: Long,
+      kth_h: Long, est: Double)
+
+  final case class KmvState(mins: Seq[Long])
+
+  /** (m) Streaming KMV distinct-count sketch per source — the
+    * streaming face of q_vocab_kmv: state is the k smallest 60-bit
+    * word hashes seen so far (a SORTED ≤ k vector — constant memory
+    * per key, like every sketch here), updated per micro-batch by
+    * merge-and-trim, which is exactly how two KMV sketches union at
+    * scale. Because the k-minimum SET of a multiset is
+    * order-independent, the final estimate is spec-proven EQUAL (not
+    * approximately equal) to the batch operator's, however the stream
+    * is micro-batched — the same convergence discipline as
+    * StreamingIngest.latest.
+    */
+  def kmv(docs: Dataset[SourcedDoc], k: Int = 64)
+      : Dataset[KmvEstimate] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .mapGroupsWithState[KmvState, KmvEstimate](
+        GroupStateTimeout.NoTimeout) {
+        case (src, batch, state: GroupState[KmvState]) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def h60(w: String): Long = {
+            md.reset()
+            val d = md.digest(w.getBytes("UTF-8"))
+            // first 15 hex chars = top 60 bits, matching the SQL
+            // conv(substring(md5(w), 1, 15), 16, 10) idiom
+            java.lang.Long.parseLong(
+              d.take(8).map(b => f"$b%02x").mkString.substring(0, 15), 16)
+          }
+          val incoming = batch.flatMap(d =>
+            d.text.split(" ").iterator.filter(_.nonEmpty).map(h60))
+          val merged = (state.getOption.map(_.mins).getOrElse(Seq.empty)
+            ++ incoming).distinct.sorted.take(k)
+          state.update(KmvState(merged))
+          val kth = merged.last
+          val est =
+            if (merged.size < k) merged.size.toDouble
+            else (k - 1).toDouble * 1152921504606846976.0 / kth.toDouble
+          KmvEstimate(src, merged.size.toLong, kth, est)
+      }
+  }
 }

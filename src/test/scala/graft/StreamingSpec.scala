@@ -709,6 +709,47 @@ class StreamingSpec extends AnyFunSuite {
       byTs.drop(2 * n / 3)), "latest_rev") == expected)
   }
 
+  test("streaming KMV sketch equals the batch estimate exactly, " +
+    "however the stream is micro-batched") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.{KmvEstimate, SourcedDoc}
+    val dir = "/root/testdata/sf0.001"
+
+    // batch truth: q_vocab_kmv's per-source rows (k_used, kth_h, est)
+    val expected = graft.ops.TextOps.qVocabKmv.run(spark, dir).collect()
+      .filter(_.getString(0) != "__all__")
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+
+    val docs = graft.ops.Tables.t(spark, dir, "documents")
+      .select("source", "doc_id", "text").collect()
+      .map(r => SourcedDoc(r.getString(0), r.getLong(1), r.getString(2)))
+
+    def run(splits: Seq[Seq[SourcedDoc]], name: String)
+        : Map[String, (Long, Long, Double)] = {
+      val mem = MemoryStream[SourcedDoc]
+      val q = StreamingIngest.kmv(mem.toDS()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      splits.foreach { s => mem.addData(s); q.processAllAvailable() }
+      q.stop()
+      // memory-sink rows append in batch order; last row per source
+      // is the final estimate
+      spark.table(name).as[KmvEstimate].collect()
+        .foldLeft(Map.empty[String, (Long, Long, Double)]) { (m, e) =>
+          m.updated(e.source, (e.k_used, e.kth_h, e.est))
+        }
+    }
+
+    assert(run(Seq(docs.toSeq), "kmv_one") == expected)
+    assert(run(Seq(docs.take(70).toSeq, docs.slice(70, 400).toSeq,
+      docs.drop(400).toSeq), "kmv_three") == expected,
+      "k-minimum sets are order-independent — estimates must be EQUAL")
+  }
+
   test("streaming Misra-Gries summaries honor the frequency and " +
     "error bounds against exact counts, across micro-batch splits") {
     val spark = SparkFixture.spark
