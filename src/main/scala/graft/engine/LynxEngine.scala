@@ -289,8 +289,8 @@ class LynxEngine(
     val (snapshot, pinned, tierHasNs, cacheKey) = writeLock.synchronized {
       // a time-travel read sees ONLY what the pinned manifest version
       // published: unsealed buffer rows are by definition newer
-      val mem =
-        if (asOfVersion.isDefined) None else buffer.tables(namespace)
+      val bufTables = buffer.tables(namespace)
+      val mem = if (asOfVersion.isDefined) None else bufTables
       val (acq, hasNs) = tier match {
         case None =>
           if (asOfVersion.isDefined)
@@ -302,13 +302,21 @@ class LynxEngine(
           val acquired =
             scala.collection.mutable.Map.empty[String, graft.tier.TierSnapshot]
           try
-            for (name <- tables if present(name)) asOfVersion match {
-              case None =>
+            for (name <- tables) asOfVersion match {
+              case None if present(name) =>
                 acquired(name) = t.snapshotPinned(namespace, name)
-              case Some(v) =>
+              case Some(v) if present(name) =>
                 acquired(name) = t.snapshotPinnedAt(namespace, name, v)
                   .getOrElse(throw new IllegalArgumentException(
                     s"version $v was never published for table $name"))
+              case Some(v)
+                  if bufTables.exists(_.contains(name)) =>
+                // the table exists (buffered, never sealed) — an
+                // as-of read must say "no such version", not 404 as
+                // if the table itself were unknown
+                throw new IllegalArgumentException(
+                  s"version $v was never published for table $name")
+              case _ => // fully unknown table → the 404 path below
             }
           catch {
             case e: Throwable =>

@@ -80,9 +80,16 @@ object Json {
       "missing required field")
     val fmt = if (n.hasNonNull("format")) n.get("format").asText()
       else "table"
-    // optional time travel: read at a published tier manifest version
-    val asOf = if (n.hasNonNull("version")) Some(n.get("version").asLong())
-      else None
+    // optional time travel: read at a published tier manifest
+    // version. Same discipline as parseWrite's timestamp: a
+    // non-integral version must 422, not coerce to 0 through asLong()
+    val asOf = if (!n.hasNonNull("version")) None else {
+      require(n.get("version").isIntegralNumber,
+        "version must be an integer manifest version")
+      require(n.get("version").bigIntegerValue().bitLength() <= 63,
+        "version out of i64 range")
+      Some(n.get("version").asLong())
+    }
     (n.get("namespace").asText(), n.get("query").asText(), fmt, asOf)
   }
 

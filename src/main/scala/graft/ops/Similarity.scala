@@ -1423,9 +1423,16 @@ object Similarity {
         .select(col("vec_id"), col("i"),
           round(col("xf").cast("double") * Q).cast("long").as("q"))
       val n = count(lit(1)).cast("double")
+      // q² sums into DECIMAL(38,0): a LongType sum overflows past
+      // ~8M vectors (ANSI Spark would throw, non-ANSI would wrap),
+      // while DuckDB's BIGINT sum silently promotes to HUGEINT —
+      // decimal keeps the Spark side exact at any corpus size and
+      // its →double cast correctly rounded like the oracle's
+      val sqq = sum((col("q") * col("q"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
       val dims = ex.groupBy("i").agg(
         (sum(col("q")).cast("double") / (n * Q)).as("mu"),
-        sqrt((sum(col("q") * col("q")).cast("double")
+        sqrt((sqq.cast("double")
           - sum(col("q")).cast("double") * sum(col("q")).cast("double")
             / n) / (n - 1) / (Q * Q)).as("sd"))
       ex.join(broadcast(dims), "i")
@@ -1452,10 +1459,13 @@ object Similarity {
         FROM embeddings,
           unnest(generate_series(1, len(embedding))) AS t(i)),
       dims AS (
+        -- sum(q*q) routes HUGEINT→VARCHAR→DOUBLE for the correctly
+        -- rounded parse matching Spark's decimal→double cast (the
+        -- dsumSql discipline)
         SELECT i,
           CAST(sum(q) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1048576.0)
             AS mu,
-          sqrt((CAST(sum(q * q) AS DOUBLE)
+          sqrt((CAST(CAST(sum(q * q) AS VARCHAR) AS DOUBLE)
             - CAST(sum(q) AS DOUBLE) * CAST(sum(q) AS DOUBLE)
               / CAST(count(*) AS DOUBLE))
             / (CAST(count(*) AS DOUBLE) - 1)

@@ -780,8 +780,8 @@ object StreamingIngest {
       : Dataset[KmvEstimate] = {
     import docs.sparkSession.implicits._
     docs.groupByKey(_.source)
-      .mapGroupsWithState[KmvState, KmvEstimate](
-        GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[KmvState, KmvEstimate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (src, batch, state: GroupState[KmvState]) =>
           val md = java.security.MessageDigest.getInstance("MD5")
           def h60(w: String): Long = {
@@ -796,12 +796,20 @@ object StreamingIngest {
             d.text.split(" ").iterator.filter(_.nonEmpty).map(h60))
           val merged = (state.getOption.map(_.mins).getOrElse(Seq.empty)
             ++ incoming).distinct.sorted.take(k)
-          state.update(KmvState(merged))
-          val kth = merged.last
-          val est =
-            if (merged.size < k) merged.size.toDouble
-            else (k - 1).toDouble * 1152921504606846976.0 / kth.toDouble
-          KmvEstimate(src, merged.size.toLong, kth, est)
+          // a batch of only empty/whitespace docs for a fresh key has
+          // no hashes: nothing to estimate yet — emit nothing rather
+          // than crash on merged.last (the batch twin's length filter
+          // simply omits such sources)
+          if (merged.isEmpty) Iterator.empty
+          else {
+            state.update(KmvState(merged))
+            val kth = merged.last
+            val est =
+              if (merged.size < k) merged.size.toDouble
+              else (k - 1).toDouble * 1152921504606846976.0 / kth.toDouble
+            Iterator.single(
+              KmvEstimate(src, merged.size.toLong, kth, est))
+          }
       }
   }
 }

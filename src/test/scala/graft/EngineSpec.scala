@@ -872,5 +872,14 @@ class EngineSpec extends AnyFunSuite {
     val gone = intercept[IllegalArgumentException](sum(Some(1L)))
     assert(gone.getMessage.contains("GC window"))
     assert(sum(None) == 10L, "current reads are untouched by history GC")
+    // a buffered-but-never-sealed table EXISTS: as-of must say "no
+    // such version", not 404 as if the table were unknown
+    e.write(WriteRequest("ns", "mem", "9", Map.empty, 9L))
+    assert(e.query("ns", "SELECT count(*) AS c FROM mem").isDefined)
+    val unsealed = intercept[IllegalArgumentException](
+      e.query("ns", "SELECT count(*) AS c FROM mem", Some(1L)))
+    assert(unsealed.getMessage.contains("never published"))
+    // a genuinely unknown table stays a 404, with or without as-of
+    assert(e.query("ns", "SELECT 1 FROM nosuch", Some(1L)).isEmpty)
   }
 }

@@ -181,6 +181,12 @@ class HttpSpec extends AnyFunSuite {
       val missing = q("""{"namespace":"ns","query":"SELECT value FROM""" +
         """ cpu","format":"json","version":7}""")
       assert(missing.statusCode() == 500)
+      // non-integral / out-of-range versions → 422, never a silent
+      // asLong() coercion to 0 (the parseWrite timestamp discipline)
+      for (bad <- Seq(""""abc"""", "1.7", "99999999999999999999"))
+        assert(q(s"""{"namespace":"ns","query":"SELECT value FROM""" +
+          s""" cpu","format":"json","version":$bad}""").statusCode()
+          == 422, s"version $bad must be rejected at parse time")
     } finally server.stop()
   }
 

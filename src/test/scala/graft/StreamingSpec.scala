@@ -748,6 +748,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(run(Seq(docs.take(70).toSeq, docs.slice(70, 400).toSeq,
       docs.drop(400).toSeq), "kmv_three") == expected,
       "k-minimum sets are order-independent — estimates must be EQUAL")
+
+    // a fresh source whose first batch is all-whitespace must not
+    // crash the query (no hashes yet → no estimate); its real tokens
+    // arriving later produce the normal estimate
+    val weird = Seq(
+      Seq(SourcedDoc("empty_src", 1L, "   "), docs.head),
+      Seq(SourcedDoc("empty_src", 2L, "late words arrive")))
+    val got = run(weird, "kmv_empty")
+    assert(got("empty_src")._1 == 3L,
+      "post-empty tokens must still be sketched")
   }
 
   test("streaming Misra-Gries summaries honor the frequency and " +
