@@ -1529,6 +1529,44 @@ object Relational {
         FROM lineitem WHERE l_orderkey < 200)
       ORDER BY l_orderkey, l_linenumber, metric"""))
 
+  /** Recursive CTE (SQL:1999 WITH RECURSIVE, new in Spark 4.x as the
+    * UnionLoop operator): an iterate-to-fixpoint computation — the
+    * SQL shape behind hierarchy walks, transitive closure, and graph
+    * reachability. Exercised here as Collatz chain lengths over the
+    * fixture's distinct document lengths: a deterministic, genuinely
+    * multi-level recursion (~140 iterations, far past the default
+    * 100-level limit, so the limit config is part of the surface
+    * under test). Each iteration is one narrow map over the frontier
+    * — rows leave the loop as soon as they hit 1, so the frontier
+    * only shrinks.
+    */
+  val qCteRecursive = QueryDef(
+    "q_cte_recursive",
+    (s, dir) => {
+      Tables.views(s, dir)
+      s.conf.set("spark.sql.cteRecursionLevelLimit", "400")
+      s.sql("""
+        WITH RECURSIVE c(n0, n, steps) AS (
+          SELECT DISTINCT n_chars, n_chars, CAST(0 AS BIGINT)
+          FROM documents
+          UNION ALL
+          SELECT n0, CASE WHEN n % 2 = 0 THEN n DIV 2
+                          ELSE 3 * n + 1 END, steps + 1
+          FROM c WHERE n > 1)
+        SELECT n0 AS n_chars, max(steps) AS collatz_steps
+        FROM c GROUP BY n0 ORDER BY n0""")
+    },
+    Some("""
+      WITH RECURSIVE c(n0, n, steps) AS (
+        SELECT DISTINCT n_chars, n_chars, CAST(0 AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT n0, CASE WHEN n % 2 = 0 THEN n // 2
+                        ELSE 3 * n + 1 END, steps + 1
+        FROM c WHERE n > 1)
+      SELECT n0 AS n_chars, max(steps) AS collatz_steps
+      FROM c GROUP BY n0 ORDER BY n0"""))
+
   /** LATERAL correlated derived table (top-N-per-group as the SQL
     * standard writes it): each customer's 2 highest-value orders via
     * a LATERAL subquery with ORDER BY + LIMIT. Catalyst decorrelates
@@ -1572,5 +1610,5 @@ object Relational {
     qScalarSubquery, qCorrelated, qInSubquery, qCte,
     qStringFuncs, qRegexHash, qDateFuncs, qDateBin, qMathFuncs,
     qConditional, qJson, qExplode, qArrayFuncs, qSequence, qStruct,
-    qMapFuncs, qPivot, qUnpivot, qLateralTopK)
+    qMapFuncs, qPivot, qUnpivot, qLateralTopK, qCteRecursive)
 }

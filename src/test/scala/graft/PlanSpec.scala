@@ -438,6 +438,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("recursive CTE plans as UnionLoop, not an unrolled union") {
+    val p = plan("q_cte_recursive")
+    assert(p.contains("UnionLoop"),
+      "WITH RECURSIVE must execute as the iterative loop operator")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("LATERAL top-k decorrelates to a ranked-window plan") {
     val p = plan("q_lateral_topk")
     assert(p.contains("WindowGroupLimit"),
