@@ -587,13 +587,23 @@ object TimeSeries {
     (s, dir) => {
       val withHod = hourly(s, dir)
         .withColumn("hod", expr(s"(bucket_us div ${3600000000L}) % 24"))
+      // moments as bucket_us-ordered folds, NOT decimal sums: the
+      // squared term is a full-precision double whose DECIMAL(28,10)
+      // cast rounds differently across engines at 1-ulp boundaries
+      // (surfaced at sf0.1 — invisible at sf0.01); the profile group
+      // is ≤ corpus-days rows, so the fold is cheap
+      val vals = transform(col("pts"), x => x.getField("bucket_sum"))
+      val s1 = aggregate(vals, lit(0.0), (a, v) => a + v)
+      val s2 = aggregate(vals, lit(0.0), (a, v) => a + v * v)
       val prof = withHod.groupBy(col("event_type").as("p_type"),
           col("hod").as("p_hod"))
         .agg(count(lit(1)).as("n_hod"),
-          (dsum(col("bucket_sum")) / count(lit(1))).as("hod_mean"),
-          ((dsum(col("bucket_sum") * col("bucket_sum")) -
-            dsum(col("bucket_sum")) * dsum(col("bucket_sum")) /
-              count(lit(1))) / (count(lit(1)) - 1)).as("hod_var"))
+          sort_array(collect_list(
+            struct(col("bucket_us"), col("bucket_sum")))).as("pts"))
+        .select(col("p_type"), col("p_hod"), col("n_hod"),
+          (s1 / col("n_hod")).as("hod_mean"),
+          ((s2 - s1 * s1 / col("n_hod")) / (col("n_hod") - 1))
+            .as("hod_var"))
       withHod
         .join(broadcast(prof),
           col("event_type") === col("p_type") && col("hod") === col("p_hod"))
@@ -615,14 +625,20 @@ object TimeSeries {
         SELECT event_type, bucket_us, bucket_sum,
           (bucket_us // 3600000000) % 24 AS hod
         FROM hourly),
-      prof AS (
+      prof0 AS (
         SELECT event_type AS p_type, hod AS p_hod,
           count(*) AS n_hod,
-          ${dsumSql("bucket_sum")} / count(*) AS hod_mean,
-          (${dsumSql("bucket_sum * bucket_sum")} -
-            ${dsumSql("bucket_sum")} * ${dsumSql("bucket_sum")} /
-              count(*)) / (count(*) - 1) AS hod_var
-        FROM hod GROUP BY 1, 2)
+          list(bucket_sum ORDER BY bucket_us) AS vals
+        FROM hod GROUP BY 1, 2),
+      prof AS (
+        SELECT p_type, p_hod, n_hod,
+          list_reduce(list_prepend(0.0, vals), (a, v) -> a + v)
+            / n_hod AS hod_mean,
+          (list_reduce(list_prepend(0.0, vals), (a, v) -> a + v * v)
+            - list_reduce(list_prepend(0.0, vals), (a, v) -> a + v)
+              * list_reduce(list_prepend(0.0, vals), (a, v) -> a + v)
+              / n_hod) / (n_hod - 1) AS hod_var
+        FROM prof0)
       SELECT event_type, bucket_us, bucket_sum, hod, n_hod, hod_mean,
         bucket_sum - hod_mean AS residual,
         CASE WHEN n_hod >= 2 AND hod_var > 0.0
