@@ -125,7 +125,10 @@ object ScaleSmoke {
               w => concat(w, lit("~"), col("r").cast("string")))))
           .as("text"),
         col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")))
+      // LONG like the driver fixture: length() is INT, and a schema
+      // that drifts from the driver's breaks type-sensitive queries
+      // (recursive CTE union types) on the smoke corpus only
+      .withColumn("n_chars", length(col("text")).cast("long"))
     docs.repartition(8).write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
 

@@ -1533,11 +1533,13 @@ object Relational {
     * UnionLoop operator): an iterate-to-fixpoint computation — the
     * SQL shape behind hierarchy walks, transitive closure, and graph
     * reachability. Exercised here as Collatz chain lengths over the
-    * fixture's distinct document lengths: a deterministic, genuinely
-    * multi-level recursion (~140 iterations, far past the default
-    * 100-level limit, so the limit config is part of the surface
-    * under test). Each iteration is one narrow map over the frontier
-    * — rows leave the loop as soon as they hit 1, so the frontier
+    * fixture's distinct document lengths, depth-capped at 40 in the
+    * WHERE (each level is one Spark job, so depth IS wall time — the
+    * bench keeps this lean; RecursionSpec separately proves a
+    * >100-level recursion past the default limit with the raised
+    * cteRecursionLevelLimit). Each iteration is one narrow map over
+    * the frontier
+    * — rows leave the loop as they hit 1 or the cap, so the frontier
     * only shrinks.
     */
   val qCteRecursive = QueryDef(
@@ -1547,12 +1549,13 @@ object Relational {
       s.conf.set("spark.sql.cteRecursionLevelLimit", "400")
       s.sql("""
         WITH RECURSIVE c(n0, n, steps) AS (
-          SELECT DISTINCT n_chars, n_chars, CAST(0 AS BIGINT)
+          SELECT DISTINCT CAST(n_chars AS BIGINT),
+                 CAST(n_chars AS BIGINT), CAST(0 AS BIGINT)
           FROM documents
           UNION ALL
           SELECT n0, CASE WHEN n % 2 = 0 THEN n DIV 2
                           ELSE 3 * n + 1 END, steps + 1
-          FROM c WHERE n > 1)
+          FROM c WHERE n > 1 AND steps < 40)
         SELECT n0 AS n_chars, max(steps) AS collatz_steps
         FROM c GROUP BY n0 ORDER BY n0""")
     },
@@ -1563,7 +1566,7 @@ object Relational {
         UNION ALL
         SELECT n0, CASE WHEN n % 2 = 0 THEN n // 2
                         ELSE 3 * n + 1 END, steps + 1
-        FROM c WHERE n > 1)
+        FROM c WHERE n > 1 AND steps < 40)
       SELECT n0 AS n_chars, max(steps) AS collatz_steps
       FROM c GROUP BY n0 ORDER BY n0"""))
 

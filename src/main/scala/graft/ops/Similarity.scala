@@ -1400,6 +1400,84 @@ object Similarity {
       SELECT vec_id, label, cos, cos < 0.0 AS is_outlier
       FROM scored ORDER BY vec_id"""))
 
+  /** Filtered vector search (metadata-constrained ANN) — the other
+    * half of every production vector-store query: top-k nearest
+    * among vectors satisfying a predicate (here label % 2 = 0). The
+    * filter applies to the CANDIDATE side inside the probed IVF
+    * cells — pre-filtering, not post-filtering a top-k that could
+    * come back short — so the result is the true filtered top-k of
+    * the probed cells at any selectivity. Same plan skeleton as
+    * q_ann_ivf plus one hash join against the (vec_id, label)
+    * metadata projection; no new shuffle shape.
+    */
+  val qAnnFiltered = QueryDef(
+    "q_ann_filtered",
+    (s, dir) => {
+      val e = vectors(s, dir)
+      val dists = ivfDists(e)
+      val labels = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val cells = dists
+        .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+        .agg(min(struct(col("dist"), col("cell"))).as("m"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("m.cell").as("cell"))
+        .join(labels, "vec_id")
+        .filter(col("label") % 2 === 0) // the metadata predicate
+      val wp = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist"), col("cell"))
+      val probes = dists.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), col("cell"), col("dist"))
+        .withColumn("pr", row_number().over(wp))
+        .filter(col("pr") <= NProbe)
+        .select("query_id", "q_emb", "q_nrm", "cell")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      cells.join(probes, Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("label"),
+          pairCos(GraftFunctions.dotp(col("q_emb"), col("embedding")),
+            col("q_nrm"), col("nrm")).as("cos"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("query_id", "rnk")
+    },
+    Some {
+      s"""
+      WITH $vectorsSql,
+      $ivfSeedsSql,
+      dists AS (
+        SELECT v.vec_id, v.embedding, v.nrm, s.cell, $ivfL2Sql AS dist
+        FROM vectors v CROSS JOIN seeds s),
+      cells AS (
+        SELECT c.vec_id, c.embedding, c.nrm, c.cell,
+          CAST(e2.label AS BIGINT) AS label
+        FROM (
+          SELECT vec_id, embedding, nrm, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY dist, cell) AS rn FROM dists)
+          WHERE rn = 1) c
+        JOIN embeddings e2 ON c.vec_id = e2.vec_id
+        WHERE e2.label % 2 = 0),
+      probes AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, cell
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, cell) AS pr FROM dists WHERE vec_id < 5)
+        WHERE pr <= $NProbe)
+      SELECT query_id, vec_id, label, cos, rnk FROM (
+        SELECT p.query_id, c.vec_id, c.label,
+          ${dotSql("p.q_emb", "c.embedding")} / (p.q_nrm * c.nrm) AS cos,
+          CAST(row_number() OVER (PARTITION BY p.query_id
+            ORDER BY ${dotSql("p.q_emb", "c.embedding")} /
+                       (p.q_nrm * c.nrm) DESC,
+                     c.vec_id) AS BIGINT) AS rnk
+        FROM cells c JOIN probes p USING (cell)
+        WHERE c.vec_id <> p.query_id)
+      WHERE rnk <= 3 ORDER BY query_id, rnk"""
+    })
+
   /** Embedding whitening (per-dimension standardization): subtract
     * the corpus mean and divide by the corpus stddev, dimension-wise —
     * the normalization retrieval pipelines apply before indexing so
@@ -1495,5 +1573,5 @@ object Similarity {
     Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf,
       qEmbedCentroids, qEmbedPq, qAnnAdc, qEmbedRp, qEmbedQuantize,
       qSemanticDedup, qAnnRecall, qMatryoshka, qIvfRecall,
-      qSemanticOutlier, qAnnIvfPq, qEmbedWhiten)
+      qSemanticOutlier, qAnnIvfPq, qEmbedWhiten, qAnnFiltered)
 }
