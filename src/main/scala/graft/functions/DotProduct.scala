@@ -82,6 +82,13 @@ object GraftFunctions {
         new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
         (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)))
     }
+    val nfc = FunctionIdentifier("graft_nfc")
+    if (!spark.sessionState.functionRegistry.functionExists(nfc)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        nfc,
+        new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+        (exprs: Seq[Expression]) => NfcNormalize(exprs.head))
+    }
     val mc = FunctionIdentifier("graft_might_contain")
     if (!spark.sessionState.functionRegistry.functionExists(mc)) {
       spark.sessionState.functionRegistry.registerFunction(
@@ -96,6 +103,9 @@ object GraftFunctions {
 
   /** Fused dot product column; requires register(spark) first. */
   def dotp(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Unicode NFC normalization column; requires register(spark) first. */
+  def nfc(s: Column): Column = call_function("graft_nfc", s)
 
   /** Bloom membership probe over a serialized
     * `org.apache.spark.util.sketch.BloomFilter` — the same expression

@@ -1463,6 +1463,54 @@ object TextOps {
       FROM exact JOIN sk ON exact.source = sk.source
       ORDER BY exact.source"""))
 
+  /** Unicode canonical normalization (NFC) — the text-pipeline step
+    * that makes "café" spelled with a combining accent hash equal to
+    * its precomposed spelling (without it, exact dedup splits and
+    * vocabulary double-counts). The fixture text is ASCII, so each
+    * document is suffixed with deterministic DECOMPOSED sequences
+    * (e + U+0301, A + U+030A); NFC composes them to é and Å,
+    * shrinking the char count by exactly 2 and changing the md5.
+    * Runs through [[graft.functions.NfcNormalize]] — a native
+    * codegen'd Catalyst expression wrapping the JDK's UAX #15
+    * reference implementation (Spark has no normalization builtin;
+    * a Scala UDF here would break whole-stage codegen on the hot
+    * text path) — against DuckDB's nfc_normalize.
+    */
+  val qTextNfc = QueryDef(
+    "q_text_nfc",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      // DECOMPOSED escapes (e+U+0301, A+U+030A, o+U+0308), matching
+      // the oracle's chr() construction — a precomposed literal here
+      // would make NFC a no-op and the test vacuous
+      val dirty = concat(col("text"),
+        lit(" cafe\u0301 A\u030angstro\u0308m"))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), dirty.as("dirty"))
+        .select(col("doc_id"),
+          length(col("dirty")).cast("long").as("pre_chars"),
+          length(graft.functions.GraftFunctions.nfc(col("dirty")))
+            .cast("long").as("post_chars"),
+          md5(graft.functions.GraftFunctions.nfc(col("dirty")))
+            .as("nfc_sig"),
+          (md5(col("dirty")) =!=
+            md5(graft.functions.GraftFunctions.nfc(col("dirty"))))
+            .as("changed"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH dirty AS (
+        SELECT doc_id,
+          text || ' cafe' || chr(769) || ' A' || chr(778) ||
+            'ngstro' || chr(776) || 'm' AS dirty
+        FROM documents)
+      SELECT doc_id,
+        CAST(length(dirty) AS BIGINT) AS pre_chars,
+        CAST(length(nfc_normalize(dirty)) AS BIGINT) AS post_chars,
+        md5(nfc_normalize(dirty)) AS nfc_sig,
+        md5(dirty) <> md5(nfc_normalize(dirty)) AS changed
+      FROM dirty ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(qTokens, qQuality, qQualityCalibrate, qGopherRules, qLangId,
       qFingerprint, qReadability, qTfIdf, qRepetition, qClean, qSurprise,
@@ -1470,5 +1518,5 @@ object TextOps {
       qWinnowOverlap, qWinnowSpans, qWinnowContam, qContamination,
       qLengthHist,
       qClassify, qVocabTopK, qSourceDrift, qDiversity, qQualityEnsemble,
-      qVocabCoverage, qVocabKmv)
+      qVocabCoverage, qVocabKmv, qTextNfc)
 }

@@ -438,6 +438,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("graft_nfc runs inside whole-stage codegen") {
+    val df = graft.ops.TextOps.qTextNfc.run(SparkFixture.spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("nfcnormalize"), "NFC kernel missing from plan")
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined,
+      "plan lost whole-stage codegen around the NFC expression")
+  }
+
   test("recursive CTE plans as UnionLoop, not an unrolled union") {
     val p = plan("q_cte_recursive")
     assert(p.contains("UnionLoop"),
