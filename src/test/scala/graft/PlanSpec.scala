@@ -438,6 +438,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("SQL join hints steer the physical strategy") {
+    val s = SparkFixture.spark
+    graft.ops.Tables.views(s, dir)
+    // orders⋈customer broadcasts by default at fixture scale; the
+    // MERGE hint must force a sort-merge join...
+    val merged = s.sql("""
+      SELECT /*+ MERGE(customer) */ count(*)
+      FROM orders JOIN customer ON o_custkey = c_custkey""")
+      .queryExecution.executedPlan.toString
+    assert(merged.contains("SortMergeJoin"),
+      "MERGE hint ignored — broadcast chosen anyway")
+    // ...and BROADCAST must override a disabled auto-threshold
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bcast = s.sql("""
+        SELECT /*+ BROADCAST(customer) */ count(*)
+        FROM orders JOIN customer ON o_custkey = c_custkey""")
+        .queryExecution.executedPlan.toString
+      assert(bcast.contains("BroadcastHashJoin"),
+        "BROADCAST hint ignored with auto-broadcast disabled")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("graft_nfc runs inside whole-stage codegen") {
     val df = graft.ops.TextOps.qTextNfc.run(SparkFixture.spark, dir)
     df.collect()
