@@ -283,5 +283,68 @@ object DataQuality {
         ${davgSql("CAST(n_chars AS DOUBLE)")} AS mean_raw
       FROM cl GROUP BY source ORDER BY source"""))
 
-  val all: Seq[QueryDef] = Seq(qProfile, qChecks, qMad, qWinsorize)
+  /** Benford first-digit conformance on l_extendedprice: observed
+    * first-significant-digit shares vs the exact Benford expectation,
+    * with the per-digit chi-square contribution. The expected shares
+    * log10(1 + 1/d) are nine compile-time double literals repeated
+    * verbatim in the oracle, so no runtime ln()/log10() (not
+    * bit-identical across engines) ever executes. The first digit is
+    * taken from the decimal rendering rather than floor(x/10^floor(
+    * log10 x)) for the same reason; both engines print the integer
+    * part of a double exactly. One scan-proportional aggregation on a
+    * 9-value key — map-side combine leaves 9 rows per partition.
+    */
+  val qBenford = QueryDef(
+    "q_dq_benford",
+    (s, dir) => {
+      // log10(1 + 1/d), d = 1..9 — precomputed, shared with the oracle
+      val exp = Seq(
+        0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+        0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+        0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+      val expected = exp.zipWithIndex.foldLeft(lit(0.0)) {
+        case (acc, (p, i)) =>
+          when(col("digit") === (i + 1).toString, lit(p)).otherwise(acc)
+      }
+      T(s, dir, "lineitem")
+        .select(regexp_extract(col("l_extendedprice").cast("string"),
+          "[1-9]", 0).as("digit"))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(
+          T(s, dir, "lineitem").agg(count(lit(1)).as("total"))))
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") / col("total")).as("share"),
+          expected.as("expected"))
+        .withColumn("chi2_term",
+          (col("share") - col("expected")) *
+            (col("share") - col("expected")) / col("expected"))
+        .orderBy("digit")
+    },
+    Some("""
+      WITH d AS (
+        SELECT regexp_extract(CAST(l_extendedprice AS VARCHAR),
+                 '[1-9]') AS digit
+        FROM lineitem),
+      counts AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+      total AS (SELECT count(*) AS total FROM lineitem),
+      scored AS (
+        SELECT digit, n, CAST(n AS DOUBLE) / total AS share,
+          CAST(CASE digit
+            WHEN '1' THEN 0.3010299956639812
+            WHEN '2' THEN 0.17609125905568124
+            WHEN '3' THEN 0.12493873660829992
+            WHEN '4' THEN 0.09691001300805642
+            WHEN '5' THEN 0.07918124604762482
+            WHEN '6' THEN 0.06694678963061322
+            WHEN '7' THEN 0.05799194697768673
+            WHEN '8' THEN 0.05115252244738129
+            WHEN '9' THEN 0.04575749056067514
+            ELSE 0.0 END AS DOUBLE) AS expected
+        FROM counts CROSS JOIN total)
+      SELECT digit, n, share, expected,
+        (share - expected) * (share - expected) / expected AS chi2_term
+      FROM scored ORDER BY digit"""))
+
+  val all: Seq[QueryDef] = Seq(qProfile, qChecks, qMad, qWinsorize, qBenford)
 }

@@ -1511,6 +1511,156 @@ object TextOps {
         md5(dirty) <> md5(nfc_normalize(dirty)) AS changed
       FROM dirty ORDER BY doc_id"""))
 
+  /** BM25 top-10 retrieval for a fixed 3-term query. The idf is the
+    * rational Robertson form `(N - df + 0.5)/(df + 0.5) + 1` WITHOUT
+    * the usual ln(): ln is not bit-identical across engines, and any
+    * monotone transform of idf preserves the per-term ranking, which
+    * is what the operator is for. tf saturation keeps k1=1.2, b=0.75.
+    *
+    * Plan shape (the 100 TB story): tokens are filtered to the query
+    * terms BEFORE the tf exchange, so the only corpus-wide shuffle
+    * carries matching tokens only (postings, not the corpus); df and
+    * the corpus stats are one-row/3-row broadcasts; dl joins tf on
+    * doc_id (both sides already hash-partitioned by doc_id at any
+    * scale). Per-term scores pivot to fixed columns so the final sum
+    * has one deterministic evaluation order on both engines.
+    */
+  val qBm25 = QueryDef(
+    "q_text_bm25",
+    (s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val dl = docs.select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl"))
+      val tf = docs
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(col("term").isin("spark", "window", "join"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
+      val avgdl = col("sum_dl").cast("double") / col("n_docs")
+      val idf = (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0)
+      val tscore = idf * (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+      tf.join(broadcast(dfT), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("term"), tscore.as("tscore"))
+        .groupBy(col("doc_id"))
+        .agg(
+          coalesce(max(when(col("term") === "spark", col("tscore"))),
+            lit(0.0)).as("s_spark"),
+          coalesce(max(when(col("term") === "window", col("tscore"))),
+            lit(0.0)).as("s_window"),
+          coalesce(max(when(col("term") === "join", col("tscore"))),
+            lit(0.0)).as("s_join"))
+        .select(col("doc_id"), col("s_spark"), col("s_window"),
+          col("s_join"),
+          (col("s_spark") + col("s_window") + col("s_join")).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+        WHERE term IN ('spark', 'window', 'join')
+        GROUP BY 1, 2),
+      dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      stats AS (SELECT count(*) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+          ((CAST(n_docs AS DOUBLE) - df + 0.5) /
+             (CAST(df AS DOUBLE) + 0.5) + 1.0)
+            * (CAST(tf AS DOUBLE) * 2.2)
+            / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl /
+                 (CAST(sum_dl AS DOUBLE) / n_docs))) AS tscore
+        FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN stats),
+      pivoted AS (
+        SELECT doc_id,
+          coalesce(max(CASE WHEN term = 'spark' THEN tscore END), 0.0)
+            AS s_spark,
+          coalesce(max(CASE WHEN term = 'window' THEN tscore END), 0.0)
+            AS s_window,
+          coalesce(max(CASE WHEN term = 'join' THEN tscore END), 0.0)
+            AS s_join
+        FROM scored GROUP BY doc_id)
+      SELECT doc_id, s_spark, s_window, s_join,
+        s_spark + s_window + s_join AS score
+      FROM pivoted
+      ORDER BY score DESC, doc_id LIMIT 10"""))
+
+  /** Top-20 collocations by pointwise mutual information over adjacent
+    * word pairs (min pair count 5). Rational PMI — the ratio
+    * p(xy)/(p(x)p(y)) without ln(), a monotone transform — written as
+    * one fixed left-associative expression so both engines evaluate
+    * the identical IEEE sequence. Plan: unigram and bigram counts are
+    * two map-side-combined aggregations; the pair↔unigram lookups are
+    * plain equi-joins on the word key (NOT broadcast — at 100 TB the
+    * vocabulary is itself large; AQE may still elect broadcast when
+    * the filtered pair set is small).
+    */
+  val qPmi = QueryDef(
+    "q_text_pmi",
+    (s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+        .select(split(col("text"), " ").as("toks"))
+      val uni = docs.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nUni = uni.agg(sum(col("c")).as("n_uni"))
+      val pairs = docs.filter(size(col("toks")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val bi = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c_xy"))
+      val nBi = pairs.agg(count(lit(1)).as("n_bi"))
+      val score = col("c_xy").cast("double") * col("n_uni") / col("c_x") *
+        col("n_uni") / col("c_y") / col("n_bi")
+      bi.filter(col("c_xy") >= 5)
+        .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+        .crossJoin(broadcast(nUni))
+        .crossJoin(broadcast(nBi))
+        .select(col("w1"), col("w2"), col("c_xy"), score.as("pmi_ratio"))
+        .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      uni AS (
+        SELECT w, count(*) AS c
+        FROM (SELECT unnest(toks) AS w FROM toks) GROUP BY 1),
+      n_uni AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+      pairs AS (
+        SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
+        FROM (SELECT unnest([toks[i] || ' ' || toks[i + 1]
+                             for i in generate_series(1, len(toks) - 1)])
+                AS g
+              FROM toks WHERE len(toks) >= 2)),
+      bi AS (SELECT w1, w2, count(*) AS c_xy FROM pairs GROUP BY 1, 2),
+      n_bi AS (SELECT count(*) AS n_bi FROM pairs)
+      SELECT w1, w2, c_xy,
+        CAST(c_xy AS DOUBLE) * n_uni / c_x * n_uni / c_y / n_bi
+          AS pmi_ratio
+      FROM bi
+      JOIN (SELECT w AS w1, c AS c_x FROM uni) USING (w1)
+      JOIN (SELECT w AS w2, c AS c_y FROM uni) USING (w2)
+      CROSS JOIN n_uni CROSS JOIN n_bi
+      WHERE c_xy >= 5
+      ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20"""))
+
   val all: Seq[QueryDef] =
     Seq(qTokens, qQuality, qQualityCalibrate, qGopherRules, qLangId,
       qFingerprint, qReadability, qTfIdf, qRepetition, qClean, qSurprise,
@@ -1518,5 +1668,5 @@ object TextOps {
       qWinnowOverlap, qWinnowSpans, qWinnowContam, qContamination,
       qLengthHist,
       qClassify, qVocabTopK, qSourceDrift, qDiversity, qQualityEnsemble,
-      qVocabCoverage, qVocabKmv, qTextNfc)
+      qVocabCoverage, qVocabKmv, qTextNfc, qBm25, qPmi)
 }

@@ -485,4 +485,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("bm25 shuffles postings only: term filter precedes the tf " +
+      "exchange; stats broadcast; top-10 fuses to TakeOrdered") {
+    val p = plan("q_text_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must fuse, not global-sort")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastExchange"), "df/corpus stats must broadcast")
+    // the isin() term filter must exist and sit in a Filter node (below
+    // the tf aggregation), so the shuffled tf input is the postings
+    // subset, not the whole tokenized corpus
+    assert(p.contains("IN (spark,window,join)") ||
+      p.contains("IN (spark, window, join)"),
+      "term filter missing from the physical plan")
+  }
+
+  test("pmi joins unigram counts by word key — hash join, no " +
+      "cartesian, and both count aggs combine map-side") {
+    val p = plan("q_text_pmi")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"), "pair/word counts must " +
+      "partial-aggregate map-side before the exchange")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("benford is one 9-key aggregation with map-side combine over " +
+      "a single-column pruned scan") {
+    val p = plan("q_dq_benford")
+    assert(p.contains("partial_count"))
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(!read.contains(","),
+      s"benford scan must read only l_extendedprice: $read")
+  }
 }
