@@ -1,0 +1,389 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relations derived from the TPC-H-ish fixtures —
+  * the operations a crawl-graph curation pipeline runs before training
+  * (rank-based quality seeding, co-occurrence structure, behavioral
+  * transition models). Extensions beyond the reference surface (the
+  * reference delegates SELECT-only SQL; it has no graph operators).
+  *
+  * Parity discipline: every iterative computation is ALL-INTEGER
+  * (BIGINT ranks in 1e-12 units, floor division) so cross-engine float
+  * summation order can never drift; see graft.ops.Parity and the
+  * q_ts_holt_backtest precedent. Probabilities are a single final
+  * int/int division — one IEEE op, identical on both engines.
+  */
+object GraphOps {
+  private def T(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  /** The nation-level trade graph: customer nation → supplier nation,
+    * weighted by lineitem count (a TPC-H Q7-shaped 6-way join). 25
+    * nodes at any scale factor — the graph CONTRACTS under aggregation
+    * while the edge-derivation join scales with lineitem, which is the
+    * realistic 100 TB shape: heavy scan, tiny iterated state.
+    */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val ord = T(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val cust = T(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val supp = T(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val nat = T(s, dir, "nation").select("n_nationkey", "n_name")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(nat.as("cn")),
+        cust("c_nationkey") === col("cn.n_nationkey"))
+      .join(broadcast(nat.as("sn")),
+        supp("s_nationkey") === col("sn.n_nationkey"))
+      .groupBy(col("cn.n_name").as("src"), col("sn.n_name").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  private val tradeEdgesSql = """
+    edges AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2)"""
+
+  /** Weighted PageRank over the trade graph, damping 0.85, 3 rounds,
+    * all-integer: ranks live in 1e-12 units (BIGINT), each edge carries
+    * floor(r_u * w / W_u), and damping is (85 * x) div 100 — exact and
+    * order-independent, so no float-summation drift between engines.
+    * Floor leakage means total mass decays slightly per round; that is
+    * the documented semantics (both engines leak identically).
+    * Overflow headroom: r ≤ 1e12 and w ≤ W ≤ |lineitem|, so r*w ≤
+    * 1e12·6e6 ≈ 6e18 < 2^63 even at sf 10.
+    */
+  val qPagerank = QueryDef(
+    "q_graph_pagerank",
+    (s, dir) => {
+      val edges = tradeEdges(s, dir)
+      val outw = edges.groupBy("src").agg(sum("w").as("wout"))
+      val e = edges.join(outw, "src")
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst"))).distinct()
+      val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+      val nb = nodes.crossJoin(broadcast(nn)).selectExpr(
+        "node",
+        "(15 * (1000000000000 div n_nodes)) div 100 AS base",
+        "1000000000000 div n_nodes AS r")
+      val ranked = (1 to 3).foldLeft(nb) { (r, _) =>
+        nb.select(col("node"), col("base")).as("nb")
+          .join(e.as("e"), col("e.dst") === col("nb.node"), "left")
+          .join(r.select(col("node"), col("r")).as("pr"),
+            col("pr.node") === col("e.src"), "left")
+          .groupBy(col("nb.node").as("node"), col("nb.base").as("base"))
+          .agg(coalesce(sum(expr("(pr.r * e.w) div e.wout")), lit(0L))
+            .as("contrib"))
+          .selectExpr("node", "base",
+            "CAST(base + (85 * contrib) div 100 AS BIGINT) AS r")
+      }
+      ranked.select(col("node").as("nation"), col("r").as("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("nation"))
+    },
+    Some(s"""
+      WITH $tradeEdgesSql,
+      outw AS (
+        SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY 1),
+      e AS (SELECT edges.src, dst, w, wout
+            FROM edges JOIN outw ON edges.src = outw.src),
+      nodes AS (SELECT src AS node FROM edges
+                UNION SELECT dst FROM edges),
+      nn AS (SELECT count(*) AS n_nodes FROM nodes),
+      nb AS (SELECT node,
+               (15 * (1000000000000 // n_nodes)) // 100 AS base,
+               1000000000000 // n_nodes AS r
+             FROM nodes CROSS JOIN nn),
+      it1 AS (
+        SELECT nb.node, nb.base,
+          CAST(nb.base +
+            (85 * COALESCE(sum((pr.r * e.w) // e.wout), 0)) // 100
+            AS BIGINT) AS r
+        FROM nb
+        LEFT JOIN e ON e.dst = nb.node
+        LEFT JOIN nb pr ON pr.node = e.src
+        GROUP BY 1, 2),
+      it2 AS (
+        SELECT nb.node, nb.base,
+          CAST(nb.base +
+            (85 * COALESCE(sum((pr.r * e.w) // e.wout), 0)) // 100
+            AS BIGINT) AS r
+        FROM nb
+        LEFT JOIN e ON e.dst = nb.node
+        LEFT JOIN it1 pr ON pr.node = e.src
+        GROUP BY 1, 2),
+      it3 AS (
+        SELECT nb.node, nb.base,
+          CAST(nb.base +
+            (85 * COALESCE(sum((pr.r * e.w) // e.wout), 0)) // 100
+            AS BIGINT) AS r
+        FROM nb
+        LEFT JOIN e ON e.dst = nb.node
+        LEFT JOIN it2 pr ON pr.node = e.src
+        GROUP BY 1, 2)
+      SELECT node AS nation, r AS rank_micro FROM it3
+      ORDER BY rank_micro DESC, nation"""))
+
+  /** Co-purchase edges: unordered part pairs that share an order.
+    * Pair generation is NATURALLY bounded — TPC-H orders hold ≤ 7
+    * lineitems, so the per-order self-join emits ≤ C(7,2) = 21 pairs
+    * per order, linear in input at any scale.
+    */
+  private def coPurchase(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    li.as("l1")
+      .join(li.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+      .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
+      .distinct()
+  }
+
+  private val coPurchaseSql = """
+    pairs AS (
+      SELECT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1
+      JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+       AND l1.l_partkey < l2.l_partkey
+      GROUP BY 1, 2)"""
+
+  /** Triangle count on the co-purchase graph with hub removal: nodes
+    * of degree > 64 are dropped before the wedge join (the standard
+    * scale guard — triangle counting is Θ(Σ deg²) and a single viral
+    * hub blows that up; removing the K hubs bounds per-node work at
+    * 64² while keeping >99% of nodes). All three legs are equi-joins
+    * on part keys — shuffle-partitioned, no cartesian anywhere.
+    */
+  val qTriangles = QueryDef(
+    "q_graph_triangles",
+    (s, dir) => {
+      val pairs = coPurchase(s, dir)
+      val deg = pairs.select(col("a").as("node"))
+        .unionAll(pairs.select(col("b")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val hubs = deg.filter(col("d") > 64).select("node")
+      val e = pairs
+        .join(hubs.as("h1"), col("a") === col("h1.node"), "left_anti")
+        .join(hubs.as("h2"), col("b") === col("h2.node"), "left_anti")
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e2.a") === col("e1.b"))
+        .join(e.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      tri
+        .crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(hubs.agg(count(lit(1)).as("n_hubs")))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges_kept")))
+        .select("n_edges", "n_hubs", "n_edges_kept", "n_triangles")
+    },
+    Some(s"""
+      WITH $coPurchaseSql,
+      deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT a AS node FROM pairs
+              UNION ALL SELECT b FROM pairs)
+        GROUP BY 1),
+      hubs AS (SELECT node FROM deg WHERE d > 64),
+      e AS (SELECT a, b FROM pairs
+            WHERE a NOT IN (SELECT node FROM hubs)
+              AND b NOT IN (SELECT node FROM hubs)),
+      tri AS (
+        SELECT count(*) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      SELECT (SELECT count(*) FROM pairs) AS n_edges,
+             (SELECT count(*) FROM hubs) AS n_hubs,
+             (SELECT count(*) FROM e) AS n_edges_kept,
+             n_triangles
+      FROM tri"""))
+
+  /** Degree histogram of the co-purchase graph — the sanity check run
+    * before any graph algorithm at scale (is there a hub? how heavy is
+    * the tail?). Two aggregations, both with map-side combine.
+    */
+  val qDegree = QueryDef(
+    "q_graph_degree",
+    (s, dir) => {
+      val pairs = coPurchase(s, dir)
+      pairs.select(col("a").as("node"))
+        .unionAll(pairs.select(col("b")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+        .groupBy(col("d").as("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    },
+    Some(s"""
+      WITH $coPurchaseSql,
+      deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT a AS node FROM pairs
+              UNION ALL SELECT b FROM pairs)
+        GROUP BY 1)
+      SELECT d AS degree, count(*) AS n_nodes
+      FROM deg GROUP BY 1 ORDER BY 1"""))
+
+  /** First-order Markov transition matrix over per-user event streams:
+    * count consecutive (event_type → next) pairs, row-normalize to
+    * probabilities. The lead() is partitioned by user — no global sort,
+    * and (ts, event_id) makes the order total, so both engines see the
+    * same successor under timestamp ties. The final probability is one
+    * int/int IEEE division — exact parity without decimal scaffolding.
+    */
+  val qMarkov = QueryDef(
+    "q_markov_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      T(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot",
+          sum("n").over(Window.partitionBy("src")))
+        .select(col("src"), col("dst"), col("n"),
+          (col("n").cast("double") / col("tot").cast("double")).as("p"))
+        .orderBy("src", "dst")
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+          lead(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events),
+      tr AS (
+        SELECT event_type AS src, next_type AS dst, count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2),
+      tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot
+              FROM tr GROUP BY 1)
+      SELECT tr.src, tr.dst, n,
+        CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+      FROM tr JOIN tot ON tr.src = tot.src
+      ORDER BY tr.src, tr.dst"""))
+
+  val all: Seq[QueryDef] = Seq(qPagerank, qTriangles, qDegree, qMarkov)
+}
+
+/** Physical-layout operators: where rows LIVE decides what a 100 TB
+  * scan costs. Z-order clustering (multi-dimensional file skipping)
+  * and rendezvous-hash sharding (minimal-movement resharding) — both
+  * pure narrow maps over the corpus, no shuffle until the final
+  * few-key statistics aggregation.
+  */
+object LayoutOps {
+  private def T(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  /** Bit-interleave expression shared verbatim (modulo the integer-
+    * division token) by Spark and the oracle: z = Σ_i x_i·4^i + y_i·2·4^i
+    * over the low 8 bits of x and y, written with div/mod arithmetic so
+    * no engine-specific bitwise operator appears.
+    */
+  private def zExpr(x: String, y: String, idiv: String): String =
+    (0 until 8).map { i =>
+      val p = 1L << i
+      s"((($x) $idiv $p) % 2) * ${1L << (2 * i)}" +
+        s" + ((($y) $idiv $p) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** Z-order layout audit: interleave (l_partkey, l_suppkey) low bytes,
+    * bucket by the top 6 z-bits (64 files of a notional rewrite) and
+    * report each bucket's min/max span in BOTH dimensions. Every bucket
+    * spans ≤ 32 of each axis — the property that lets a 2-predicate
+    * scan skip ~63/64 of files, where single-column sort only prunes
+    * one axis. The z computation is a narrow map; the only exchange is
+    * the 64-key final agg.
+    */
+  val qZorder = QueryDef(
+    "q_layout_zorder",
+    (s, dir) => {
+      T(s, dir, "lineitem")
+        .selectExpr("l_partkey % 256 AS x", "l_suppkey % 256 AS y")
+        .selectExpr("x", "y", s"(${zExpr("x", "y", "div")}) AS z")
+        .selectExpr("z div 1024 AS bucket", "x", "y")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+        .selectExpr("bucket", "n", "x_min", "x_max", "y_min", "y_max",
+          "x_max - x_min + 1 AS x_span", "y_max - y_min + 1 AS y_span")
+        .orderBy("bucket")
+    },
+    Some(s"""
+      WITH xy AS (
+        SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+      zz AS (SELECT x, y, (${zExpr("x", "y", "//")}) AS z FROM xy),
+      b AS (
+        SELECT z // 1024 AS bucket, count(*) AS n,
+          min(x) AS x_min, max(x) AS x_max,
+          min(y) AS y_min, max(y) AS y_max
+        FROM zz GROUP BY 1)
+      SELECT bucket, n, x_min, x_max, y_min, y_max,
+        x_max - x_min + 1 AS x_span, y_max - y_min + 1 AS y_span
+      FROM b ORDER BY bucket"""))
+
+  /** Rendezvous (highest-random-weight) sharding of the document
+    * corpus: each doc goes to argmax_s md5(doc_id:s) over 8 shards;
+    * adding a 9th moves exactly the docs whose new hash wins —
+    * E[moved] = 1/9, the minimal-movement property that makes corpus
+    * resharding at 100 TB a 1/9 rewrite instead of 8/9. Computed as 9
+    * hash columns + greatest() per row — zero shuffle until the 8-key
+    * count. The md5-hex comparison is lexicographic on both engines;
+    * ties are md5 collisions (ignored).
+    */
+  val qRendezvous = QueryDef(
+    "q_shard_rendezvous",
+    (s, dir) => {
+      val withH = (0 to 8).foldLeft(
+        T(s, dir, "documents").select("doc_id")) { (df, i) =>
+        df.withColumn(s"h$i",
+          md5(concat(col("doc_id").cast("string"), lit(s":s$i"))))
+      }
+      val g8 = greatest((0 to 7).map(i => col(s"h$i")): _*)
+      val shard8 = (1 to 7).foldLeft(
+        when(col("h0") === g8, "s0")) { (acc, i) =>
+        acc.when(col(s"h$i") === g8, s"s$i")
+      }
+      withH
+        .select(shard8.as("shard"),
+          (col("h8") > g8).cast("int").as("moved"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("moved").as("n_moved"))
+        .orderBy("shard")
+    },
+    Some {
+      val hs = (0 to 8).map(i =>
+        s"md5(CAST(doc_id AS VARCHAR) || ':s$i') AS h$i").mkString(",\n          ")
+      val g8 = "greatest(h0, h1, h2, h3, h4, h5, h6, h7)"
+      val cases = (0 to 7).map(i => s"WHEN h$i = g8 THEN 's$i'")
+        .mkString(" ")
+      s"""
+      WITH h AS (
+        SELECT doc_id,
+          $hs
+        FROM documents),
+      a AS (
+        SELECT doc_id, $g8 AS g8, h8,
+          h0, h1, h2, h3, h4, h5, h6, h7
+        FROM h),
+      b AS (
+        SELECT CASE $cases END AS shard,
+          CASE WHEN h8 > g8 THEN 1 ELSE 0 END AS moved
+        FROM a)
+      SELECT shard, count(*) AS n_docs,
+        CAST(sum(moved) AS BIGINT) AS n_moved
+      FROM b GROUP BY 1 ORDER BY 1"""
+    })
+
+  val all: Seq[QueryDef] = Seq(qZorder, qRendezvous)
+}

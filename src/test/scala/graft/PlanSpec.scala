@@ -510,6 +510,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("graph family: every candidate join is an equi-join — the only " +
+      "nested-loop rows are the 1-row stat crossJoins") {
+    // pagerank: the 6-way edge derivation broadcasts every dim; the
+    // 25-node iterated state never shuffles the fact table again
+    val pr = plan("q_graph_pagerank")
+    assert(!pr.contains("CartesianProduct"))
+    assert(pr.contains("BroadcastHashJoin"),
+      "nation/customer/supplier dims must broadcast in the edge join")
+    // triangles: pair-gen and both wedge legs are equi-joins; hub
+    // removal is an anti-join, not a filter-after-cross
+    val tri = plan("q_graph_triangles")
+    assert(!tri.contains("CartesianProduct"))
+    assert(tri.contains("LeftAnti"), "hub removal must be an anti-join")
+    val mk = plan("q_markov_transitions")
+    assert(!mk.contains("CartesianProduct") &&
+      !mk.contains("BroadcastNestedLoopJoin"))
+    assert(mk.contains("Window"), "successor must come from lead(), " +
+      "not a self-join")
+  }
+
+  test("layout family: z-order and rendezvous are narrow maps — no " +
+      "exchange before the few-key final aggregation") {
+    val z = plan("q_layout_zorder")
+    val zread = z.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(zread.count(_ == ',') == 1,
+      s"zorder must scan only (l_partkey, l_suppkey): $zread")
+    // formatted mode prints each node once in the tree and once as a
+    // "(n) Exchange" detail header — count the headers
+    assert("""\(\d+\) Exchange""".r.findAllIn(z).size <= 2,
+      "zorder: one agg exchange + one presentation sort only")
+    val r = plan("q_shard_rendezvous")
+    assert(!r.contains("Join"), "rendezvous must be per-row greatest()," +
+      " not an explode+shuffle argmax")
+    assert("""\(\d+\) Exchange""".r.findAllIn(r).size <= 2,
+      "rendezvous: one agg exchange + one presentation sort only")
+  }
+
   test("benford is one 9-key aggregation with map-side combine over " +
       "a single-column pruned scan") {
     val p = plan("q_dq_benford")
