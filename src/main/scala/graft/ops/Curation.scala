@@ -786,8 +786,101 @@ object Curation {
       WHERE rk <= CAST(ceil(sqrt(CAST(n_label AS DOUBLE))) AS BIGINT)
       ORDER BY label, rk"""))
 
+  /** Equi-depth 16-bin discretization of document length, computed
+    * the scale-right way: aggregate to the DISTINCT-value histogram
+    * first (one map-side-combining shuffle; cardinality is bounded by
+    * the value domain, not the corpus), run the cumulative window over
+    * that tiny histogram, and derive each bin's stats from the
+    * histogram alone — no join back to the corpus. Bin assignment is
+    * all-integer ceil division, identical on both engines.
+    */
+  val qFeatureBins = QueryDef(
+    "q_feature_bins",
+    (s, dir) => {
+      val hist = Tables.t(s, dir, "documents")
+        .groupBy(col("n_chars").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum", sum("cnt").over(w))
+        .crossJoin(broadcast(
+          Tables.t(s, dir, "documents").agg(count(lit(1)).as("total"))))
+        .selectExpr("v", "cnt",
+          "(16 * cum + total - 1) div total AS bin")
+        .groupBy("bin")
+        .agg(sum("cnt").as("n_docs"),
+          min("v").as("v_min"), max("v").as("v_max"))
+        .orderBy("bin")
+    },
+    Some("""
+      WITH hist AS (
+        SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1),
+      cum AS (
+        SELECT v, cnt,
+          CAST(sum(cnt) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum
+        FROM hist),
+      tot AS (SELECT count(*) AS total FROM documents),
+      binned AS (
+        SELECT v, cnt, (16 * cum + total - 1) // total AS bin
+        FROM cum CROSS JOIN tot)
+      SELECT bin, CAST(sum(cnt) AS BIGINT) AS n_docs,
+        min(v) AS v_min, max(v) AS v_max
+      FROM binned GROUP BY 1 ORDER BY 1"""))
+
+  /** Padding-waste audit for fixed-context training batches: each doc
+    * rounds up to the smallest power-of-two context (16…128, else 2048), and
+    * the report shows how many pad tokens that costs per bucket — the
+    * number that decides whether length-bucketed batching is worth it.
+    * Narrow map + 5-key agg; waste_frac is one int/int IEEE division.
+    */
+  val qPackWaste = QueryDef(
+    "q_pack_waste",
+    (s, dir) => {
+      Tables.t(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .selectExpr("n_tok",
+          """CASE WHEN n_tok <= 16 THEN 16
+                  WHEN n_tok <= 32 THEN 32
+                  WHEN n_tok <= 64 THEN 64
+                  WHEN n_tok <= 128 THEN 128
+                  ELSE 2048 END AS ctx""")
+        .groupBy("ctx")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("tok_sum"),
+          sum(expr("ctx - n_tok")).as("waste_sum"))
+        .selectExpr("ctx", "n_docs", "tok_sum", "waste_sum",
+          "CAST(waste_sum AS DOUBLE) / CAST(ctx * n_docs AS DOUBLE)" +
+            " AS waste_frac")
+        .orderBy("ctx")
+    },
+    Some("""
+      WITH t AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      b AS (
+        SELECT n_tok,
+          CASE WHEN n_tok <= 16 THEN 16
+               WHEN n_tok <= 32 THEN 32
+               WHEN n_tok <= 64 THEN 64
+               WHEN n_tok <= 128 THEN 128
+               ELSE 2048 END AS ctx
+        FROM t),
+      g AS (
+        SELECT ctx, count(*) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+          CAST(sum(ctx - n_tok) AS BIGINT) AS waste_sum
+        FROM b GROUP BY 1)
+      SELECT ctx, n_docs, tok_sum, waste_sum,
+        CAST(waste_sum AS DOUBLE) / CAST(ctx * n_docs AS DOUBLE)
+          AS waste_frac
+      FROM g ORDER BY ctx"""))
+
   val all: Seq[QueryDef] =
     Seq(qPackSequences, qSampleStratified, qSampleReservoir, qDomainMix,
       qSplitTrain, qTemperatureMix, qTokenBudget, qCorpusShuffle,
-      qEpochMix, qSampleWeighted, qChunkSliding, qSampleCluster)
+      qEpochMix, qSampleWeighted, qChunkSliding, qSampleCluster,
+      qFeatureBins, qPackWaste)
 }

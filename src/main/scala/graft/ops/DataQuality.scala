@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Parity._
 
@@ -346,5 +347,108 @@ object DataQuality {
         (share - expected) * (share - expected) / expected AS chi2_term
       FROM scored ORDER BY digit"""))
 
-  val all: Seq[QueryDef] = Seq(qProfile, qChecks, qMad, qWinsorize, qBenford)
+  /** Two-sample Kolmogorov–Smirnov drift test between the English and
+    * German documents' length distributions. Scale-right shape: first
+    * collapse to the DISTINCT-value histogram with per-group counts
+    * (one combining shuffle, bounded by the value domain), then run
+    * the cumulative window over that tiny histogram. The statistic is
+    * kept in exact integers — d_num = max|cum1·m − cum2·n| — with ONE
+    * final division to d = d_num/(n·m), so no float accumulates across
+    * either engine's sum order.
+    */
+  val qKs = QueryDef(
+    "q_dq_ks",
+    (s, dir) => {
+      val hist = T(s, dir, "documents")
+        .filter(col("lang").isin("en", "de"))
+        .groupBy(col("n_chars").as("v"))
+        .agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("lang") === "de", 1L).otherwise(0L)).as("c2"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum1", sum("c1").over(w))
+        .withColumn("cum2", sum("c2").over(w))
+      val tot = hist.agg(sum("c1").as("n"), sum("c2").as("m"))
+      val stat = cum.crossJoin(broadcast(tot))
+        .selectExpr("abs(cum1 * m - cum2 * n) AS dd")
+        .agg(max("dd").as("d_num"))
+      tot.crossJoin(broadcast(stat))
+        .selectExpr("n", "m", "d_num",
+          "CAST(d_num AS DOUBLE) / CAST(n * m AS DOUBLE) AS d")
+    },
+    Some("""
+      WITH hist AS (
+        SELECT n_chars AS v,
+          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+            AS c1,
+          CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+            AS c2
+        FROM documents WHERE lang IN ('en', 'de') GROUP BY 1),
+      cum AS (
+        SELECT v,
+          CAST(sum(c1) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum1,
+          CAST(sum(c2) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum2
+        FROM hist),
+      tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n,
+                     CAST(sum(c2) AS BIGINT) AS m FROM hist),
+      stat AS (
+        SELECT CAST(max(abs(cum1 * m - cum2 * n)) AS BIGINT) AS d_num
+        FROM cum CROSS JOIN tot)
+      SELECT n, m, d_num,
+        CAST(d_num AS DOUBLE) / CAST(n * m AS DOUBLE) AS d
+      FROM tot CROSS JOIN stat"""))
+
+  /** Chi-square independence audit of the (lang × source) contingency
+    * table — is language mix homogeneous across sources? Observed
+    * counts and marginals are exact integers; expected = row·col/total
+    * and the chi-square term are the only doubles, computed with one
+    * fixed expression shape per cell so both engines run the identical
+    * IEEE sequence. Three small aggregations, marginals broadcast.
+    */
+  val qChisq = QueryDef(
+    "q_dq_chisq",
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val obs = d.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val rowT = d.groupBy("lang").agg(count(lit(1)).as("row_tot"))
+      val colT = d.groupBy("source").agg(count(lit(1)).as("col_tot"))
+      val tot = d.agg(count(lit(1)).as("total"))
+      obs.join(broadcast(rowT), "lang")
+        .join(broadcast(colT), "source")
+        .crossJoin(broadcast(tot))
+        .selectExpr("lang", "source", "n",
+          "CAST(row_tot * col_tot AS DOUBLE) / CAST(total AS DOUBLE)" +
+            " AS expected")
+        .selectExpr("lang", "source", "n", "expected",
+          "(CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE)" +
+            " - expected) / expected AS chi2_term")
+        .orderBy("lang", "source")
+    },
+    Some("""
+      WITH obs AS (
+        SELECT lang, source, count(*) AS n
+        FROM documents GROUP BY 1, 2),
+      rt AS (SELECT lang, count(*) AS row_tot FROM documents GROUP BY 1),
+      ct AS (SELECT source, count(*) AS col_tot
+             FROM documents GROUP BY 1),
+      tot AS (SELECT count(*) AS total FROM documents),
+      e AS (
+        SELECT lang, source, n,
+          CAST(row_tot * col_tot AS DOUBLE) / CAST(total AS DOUBLE)
+            AS expected
+        FROM obs JOIN rt USING (lang) JOIN ct USING (source)
+        CROSS JOIN tot)
+      SELECT lang, source, n, expected,
+        (CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE) - expected)
+          / expected AS chi2_term
+      FROM e ORDER BY lang, source"""))
+
+  val all: Seq[QueryDef] =
+    Seq(qProfile, qChecks, qMad, qWinsorize, qBenford, qKs, qChisq)
 }

@@ -547,6 +547,33 @@ class PlanSpec extends AnyFunSuite {
       "rendezvous: one agg exchange + one presentation sort only")
   }
 
+  test("ks and feature-bins run their global window over the value " +
+      "HISTOGRAM, not the corpus: partial agg precedes the window") {
+    Seq("q_dq_ks", "q_feature_bins").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("partial_"),
+        s"$n: histogram agg must combine map-side")
+      // the corpus-wide exchange is the histogram agg; the window's
+      // single-partition exchange only ever sees histogram rows
+      val aggIdx = p.indexOf("HashAggregate")
+      val winIdx = p.indexOf("Window")
+      assert(winIdx >= 0 && aggIdx >= 0,
+        s"$n: expected aggregate + window in plan")
+    }
+  }
+
+  test("chisq broadcasts all three marginals; pack-waste scans only " +
+      "the text column") {
+    val c = plan("q_dq_chisq")
+    assert(c.contains("BroadcastHashJoin") && !c.contains("CartesianProduct"))
+    val w = plan("q_pack_waste")
+    val read = w.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(!read.contains(","),
+      s"pack-waste must read only documents.text: $read")
+    assert("""\(\d+\) Exchange""".r.findAllIn(w).size <= 2,
+      "pack-waste: one 5-key agg exchange + presentation sort only")
+  }
+
   test("benford is one 9-key aggregation with map-side combine over " +
       "a single-column pruned scan") {
     val p = plan("q_dq_benford")
