@@ -449,6 +449,44 @@ object StreamingIngest {
       }
   }
 
+  final case class MarkovEvent(userId: Long, tsUs: Long, eventId: Long,
+      eventType: String)
+  final case class MarkovLast(tsUs: Long, eventId: Long,
+      eventType: String)
+  final case class MarkovTransition(userId: Long, src: String,
+      dst: String, tsUs: Long)
+
+  /** Streaming twin of q_markov_transitions' pair extraction: emit one
+    * (src → dst) transition per consecutive event pair within a user's
+    * stream, across micro-batch boundaries. State is ONE MarkovLast
+    * record per user — bounded by the user population like the
+    * per-series smoothers, not by stream length. Same ordered-upstream
+    * contract as [[ewma]]: a user's events arrive in (ts, event_id)
+    * order across batches; within a batch any order is tolerated.
+    * Downstream, `groupBy(src, dst).count()` over the emitted pairs
+    * reproduces the batch operator's transition counts exactly
+    * (StreamingSpec proves split-invariance).
+    */
+  def markovTransitions(ev: Dataset[MarkovEvent])
+      : Dataset[MarkovTransition] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.userId)
+      .flatMapGroupsWithState[MarkovLast, MarkovTransition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (u, batch, state: GroupState[MarkovLast]) =>
+          var last = state.getOption
+          val out = batch.toSeq.sortBy(e => (e.tsUs, e.eventId))
+            .flatMap { e =>
+              val t = last.map(l =>
+                MarkovTransition(u, l.eventType, e.eventType, e.tsUs))
+              last = Some(MarkovLast(e.tsUs, e.eventId, e.eventType))
+              t
+            }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   final case class AnomalyOut(series: String, bucketUs: Long, x: Double,
       nHist: Long, mean: Double, z: Double, isAnomaly: Boolean)
   final case class AnomalyState(hist: List[Double])

@@ -159,6 +159,41 @@ class StreamingSpec extends AnyFunSuite {
       "ewma_three") == expected)
   }
 
+  test("streaming markov transitions are split-invariant and match " +
+    "the sequential per-user fold") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.{MarkovEvent, MarkovTransition}
+
+    val types = Vector("view", "click", "buy", "refund")
+    val evs = for (u <- 0L until 3L; i <- 0 until 20) yield
+      MarkovEvent(u, i.toLong * 1000000L, u * 100 + i,
+        types(((u + i) * 7 % 4).toInt))
+    // ground truth: consecutive pairs of each user's ordered stream
+    val expected = evs.groupBy(_.userId).flatMap { case (u, g) =>
+      val s = g.sortBy(e => (e.tsUs, e.eventId))
+      s.zip(s.tail).map(p =>
+        MarkovTransition(u, p._1.eventType, p._2.eventType, p._2.tsUs))
+    }.toSet
+
+    def run(splits: Seq[Seq[MarkovEvent]], name: String): Set[MarkovTransition] = {
+      val mem = MemoryStream[MarkovEvent]
+      val q = StreamingIngest.markovTransitions(mem.toDS()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      splits.foreach { s => mem.addData(s); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[MarkovTransition].collect().toSet
+    }
+
+    assert(run(Seq(evs), "markov_one") == expected)
+    // batch boundaries mid-user-stream: the state handoff must not
+    // drop or duplicate the boundary-straddling transition
+    assert(run(Seq(evs.take(17), evs.slice(17, 44), evs.drop(44)),
+      "markov_three") == expected)
+  }
+
   test("streaming cusum with the batch profile reproduces the batch " +
     "change-point rows bit-for-bit across micro-batch splits") {
     val spark = SparkFixture.spark
