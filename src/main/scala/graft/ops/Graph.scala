@@ -272,7 +272,109 @@ object GraphOps {
       FROM tr JOIN tot ON tr.src = tot.src
       ORDER BY tr.src, tr.dst"""))
 
-  val all: Seq[QueryDef] = Seq(qPagerank, qTriangles, qDegree, qMarkov)
+  /** Association rules over the co-purchase graph (market-basket
+    * A→B): support counted per order, min pair support 2, ranked by
+    * lift. Confidence and lift are each ONE division of exact integer
+    * products — `n_ab·N / (n_a·n_b)` multiplies in int64 first, so
+    * both engines perform the identical IEEE op and the lift ordering
+    * can't drift. Item supports join by part key (hash join, scales
+    * with the part dimension); the order count broadcasts.
+    */
+  val qAssocRules = QueryDef(
+    "q_assoc_rules",
+    (s, dir) => {
+      val items = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("item"))
+        .distinct()
+      val nOrders = items.select("o").distinct()
+        .agg(count(lit(1)).as("n_ord"))
+      val isup = items.groupBy("item").agg(count(lit(1)).as("n_i"))
+      val pairs = items.as("i1")
+        .join(items.as("i2"),
+          col("i1.o") === col("i2.o") &&
+            col("i1.item") < col("i2.item"))
+        .groupBy(col("i1.item").as("a"), col("i2.item").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      val rules = pairs.select(col("a").as("ante"), col("b").as("cons"),
+          col("n_ab"))
+        .unionAll(pairs.select(col("b").as("ante"),
+          col("a").as("cons"), col("n_ab")))
+      rules
+        .join(isup.select(col("item"), col("n_i").as("n_ante")),
+          col("ante") === col("item")).drop("item")
+        .join(isup.select(col("item"), col("n_i").as("n_cons")),
+          col("cons") === col("item")).drop("item")
+        .crossJoin(broadcast(nOrders))
+        .selectExpr("ante", "cons", "n_ab", "n_ante", "n_cons",
+          "CAST(n_ab AS DOUBLE) / CAST(n_ante AS DOUBLE) AS conf",
+          "CAST(n_ab * n_ord AS DOUBLE)" +
+            " / CAST(n_ante * n_cons AS DOUBLE) AS lift")
+        .orderBy(col("lift").desc, col("ante"), col("cons"))
+        .limit(20)
+    },
+    Some("""
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS item
+        FROM lineitem),
+      n_orders AS (
+        SELECT count(*) AS n_ord FROM (SELECT DISTINCT o FROM items)),
+      isup AS (SELECT item, count(*) AS n_i FROM items GROUP BY 1),
+      pairs AS (
+        SELECT i1.item AS a, i2.item AS b, count(*) AS n_ab
+        FROM items i1 JOIN items i2
+          ON i1.o = i2.o AND i1.item < i2.item
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      rules AS (
+        SELECT a AS ante, b AS cons, n_ab FROM pairs
+        UNION ALL SELECT b, a, n_ab FROM pairs)
+      SELECT ante, cons, n_ab,
+        sa.n_i AS n_ante, sc.n_i AS n_cons,
+        CAST(n_ab AS DOUBLE) / CAST(sa.n_i AS DOUBLE) AS conf,
+        CAST(n_ab * n_ord AS DOUBLE)
+          / CAST(sa.n_i * sc.n_i AS DOUBLE) AS lift
+      FROM rules
+      JOIN isup sa ON rules.ante = sa.item
+      JOIN isup sc ON rules.cons = sc.item
+      CROSS JOIN n_orders
+      ORDER BY lift DESC, ante, cons LIMIT 20"""))
+
+  /** Top event-type trigrams across per-user streams — the sequence
+    * patterns a behavioral model trains on. Two leads over the same
+    * (user, ts, event_id) window, one 125-key count: window state is
+    * two rows deep, the aggregation combines map-side, and the top-20
+    * fuses to TakeOrdered.
+    */
+  val qEventTrigrams = QueryDef(
+    "q_event_trigrams",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      T(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("t1"))
+        .withColumn("t2", lead("t1", 1).over(w))
+        .withColumn("t3", lead("t1", 2).over(w))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .groupBy("t1", "t2", "t3")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(20)
+    },
+    Some("""
+      WITH seq AS (
+        SELECT event_type AS t1,
+          lead(event_type, 1) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+          lead(event_type, 2) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS t3
+        FROM events)
+      SELECT t1, t2, t3, count(*) AS n
+      FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      GROUP BY 1, 2, 3
+      ORDER BY n DESC, t1, t2, t3 LIMIT 20"""))
+
+  val all: Seq[QueryDef] = Seq(qPagerank, qTriangles, qDegree, qMarkov,
+    qAssocRules, qEventTrigrams)
 }
 
 /** Physical-layout operators: where rows LIVE decides what a 100 TB

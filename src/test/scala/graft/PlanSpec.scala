@@ -528,6 +528,12 @@ class PlanSpec extends AnyFunSuite {
       !mk.contains("BroadcastNestedLoopJoin"))
     assert(mk.contains("Window"), "successor must come from lead(), " +
       "not a self-join")
+    val ar = plan("q_assoc_rules")
+    assert(!ar.contains("CartesianProduct"))
+    assert(ar.contains("TakeOrderedAndProject"),
+      "assoc-rules top-20 must fuse, not global-sort")
+    val tg = plan("q_event_trigrams")
+    assert(tg.contains("Window") && tg.contains("TakeOrderedAndProject"))
   }
 
   test("layout family: z-order and rendezvous are narrow maps — no " +
