@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Curation, DataQuality, Dedup, GraphOps, LayoutOps,
-  Multimodal, QueryDef, Relational, Similarity, Tables, TextOps,
-  TimeSeries, TpcH}
+import graft.ops.{BpeOps, Curation, DataQuality, Dedup, GraphOps,
+  LayoutOps, Multimodal, QueryDef, Relational, Similarity, Tables,
+  TextOps, TimeSeries, TpcH}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,8 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     Relational.all ++ TpcH.all ++ TextOps.all ++ Dedup.all ++
       Similarity.all ++ Multimodal.all ++ TimeSeries.all ++
-      Curation.all ++ DataQuality.all ++ GraphOps.all ++ LayoutOps.all
+      Curation.all ++ DataQuality.all ++ GraphOps.all ++ LayoutOps.all ++
+      BpeOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
