@@ -127,5 +127,72 @@ object BpeOps {
       UNION ALL SELECT 3 AS step_no, a, b, cnt FROM top3
       ORDER BY step_no"""))
 
-  val all: Seq[QueryDef] = Seq(qBpeMerges)
+  /** Apply the learned merges: tokenize the corpus with the trained
+    * BPE by DICTIONARY JOIN — the per-word segmented length comes from
+    * the post-merge symbol table (vocabulary-bounded), and the corpus
+    * is touched exactly once, as an exploded word stream hash-joined
+    * to that dictionary. This is how a 100 TB corpus actually gets
+    * tokenized: train on the vocab, apply by lookup, never re-run the
+    * merge machinery per document. Output: per-source whitespace-word
+    * count, BPE token count, character count, and chars-per-token
+    * (one int/int division).
+    */
+  val qBpeEncode = QueryDef(
+    "q_bpe_encode",
+    (s, dir) => {
+      val words = Tables.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      val s0 = words
+        .withColumn("pos",
+          explode(sequence(lit(1), length(col("word")))))
+        .selectExpr("word", "n", "pos", "substr(word, pos, 1) AS sym")
+      val (s1, _) = step(s0)
+      val (s2, _) = step(s1)
+      val (s3, _) = step(s2)
+      val wlen = s3.groupBy("word").agg(count(lit(1)).as("bpe_tok"))
+      Tables.t(s, dir, "documents")
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(wlen, "word")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum("bpe_tok").as("bpe_tokens"),
+          sum(length(col("word")).cast("long")).as("n_chars"))
+        .selectExpr("source", "n_words", "bpe_tokens", "n_chars",
+          "CAST(n_chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE)" +
+            " AS chars_per_tok")
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH w0 AS (
+        SELECT word, count(*) AS n FROM (
+          SELECT unnest(string_split(text, ' ')) AS word
+          FROM documents)
+        WHERE len(word) > 0 GROUP BY 1),
+      sx0 AS (
+        SELECT word, n, unnest(range(1, len(word) + 1)) AS pos
+        FROM w0),
+      s0 AS (
+        SELECT word, n, pos, substr(word, pos, 1) AS sym FROM sx0),
+      ${stepSql(1, "s0")},
+      ${stepSql(2, "s1")},
+      ${stepSql(3, "s2")},
+      wlen AS (SELECT word, count(*) AS bpe_tok FROM s3 GROUP BY 1),
+      dw AS (
+        SELECT source, word FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS word
+          FROM documents)
+        WHERE len(word) > 0)
+      SELECT source, count(*) AS n_words,
+        CAST(sum(bpe_tok) AS BIGINT) AS bpe_tokens,
+        CAST(sum(len(word)) AS BIGINT) AS n_chars,
+        CAST(sum(len(word)) AS DOUBLE) / CAST(sum(bpe_tok) AS DOUBLE)
+          AS chars_per_tok
+      FROM dw JOIN wlen USING (word)
+      GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(qBpeMerges, qBpeEncode)
 }

@@ -580,6 +580,24 @@ class PlanSpec extends AnyFunSuite {
       "pack-waste: one 5-key agg exchange + presentation sort only")
   }
 
+  test("bpe family: every window partitions by word (no global " +
+      "single-partition window), argmax pair is a 1-row broadcast") {
+    Seq("q_bpe_merges", "q_bpe_encode").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n: cartesian")
+      // the per-round merge pick crosses against a 1-row broadcast —
+      // any other nested loop would be a degraded vocab join
+      assert(p.contains("BroadcastExchange"),
+        s"$n: merge argmax must broadcast")
+      // every window spec must partition by word — a global window
+      // would funnel the symbol table through one task
+      val specs = "windowspecdefinition\\(\\w+".r.findAllIn(p).toSeq
+      assert(specs.nonEmpty &&
+        specs.forall(_ == "windowspecdefinition(word"),
+        s"$n: non-word-partitioned window in ${specs.distinct}")
+    }
+  }
+
   test("benford is one 9-key aggregation with map-side combine over " +
       "a single-column pruned scan") {
     val p = plan("q_dq_benford")
