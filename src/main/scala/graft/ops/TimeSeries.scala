@@ -1247,8 +1247,49 @@ object TimeSeries {
       SELECT user_id, event_id, nearest_event_id, dt_us
       FROM r WHERE rn = 1 ORDER BY event_id"""))
 
+  /** The same purchase←view attribution through the CUSTOM as-of join
+    * operator ([[graft.plans.AsofJoinExec]]: LogicalPlan + Strategy +
+    * streaming-merge SparkPlan, the brief's option (c)), checked
+    * against DuckDB's native ASOF LEFT JOIN. The right side dedups to
+    * one row per (user, ts) first so `<=`-tie behavior is identical by
+    * construction on both engines. One exchange per side (hash on
+    * user), one sort per side, one O(1)-state merge pass — no window
+    * materialization at all.
+    */
+  val qAsofNative = QueryDef(
+    "q_ts_asof_native",
+    (s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("v_user"),
+          unix_micros(col("ts")).as("v_us"))
+        .agg(max("event_id").as("view_event_id"))
+      graft.plans.GraftAsof
+        .asofJoin(purchases, views, "user_id", "v_user", "p_us", "v_us")
+        .select(col("event_id"), col("user_id"), col("view_event_id"),
+          (col("p_us") - col("v_us")).as("lag_us"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS p_us
+        FROM events WHERE event_type = 'purchase'),
+      v AS (
+        SELECT user_id AS v_user, CAST(epoch_us(ts) AS BIGINT) AS v_us,
+          max(event_id) AS view_event_id
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, v.view_event_id,
+        p.p_us - v.v_us AS lag_us
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.v_user AND v.v_us <= p.p_us
+      ORDER BY p.event_id"""))
+
   val all: Seq[QueryDef] =
     Seq(qAsofJoin, qGapFill, qIntervalJoin, qSessionize, qOhlc, qFunnel,
       qRate, qEwma, qHolt, qAnomaly, qRetention, qSeasonal, qLttb,
-      qCusum, qAcf, qHoltBacktest, qTwa, qInterp, qNearestJoin)
+      qCusum, qAcf, qHoltBacktest, qTwa, qInterp, qNearestJoin,
+      qAsofNative)
 }
