@@ -36,5 +36,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst
         .expressions.BloomFilterMightContain(exprs(0), exprs(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.functions.DotProductRewrite)
   }
 }

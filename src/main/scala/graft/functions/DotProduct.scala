@@ -37,6 +37,10 @@ case class DotProduct(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
 
+  // a null ELEMENT nulls the whole product, exactly like the
+  // aggregate(zip_with(...)) HOF formulation — required for the
+  // DotProductRewrite rule to be semantics-preserving on the common
+  // parquet schema (array elements nullable by default)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -44,6 +48,7 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -59,6 +64,9 @@ case class DotProduct(left: Expression, right: Expression)
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $acc = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) {
+            ${ev.isNull} = true; break;
+          }
           $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
         }
         ${ev.value} = $acc;
