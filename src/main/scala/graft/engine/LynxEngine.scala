@@ -383,6 +383,11 @@ class LynxEngine(
       // no file-path relations for untrusted SQL (SELECT * FROM
       // parquet.`/path` would read arbitrary host files)
       session.conf.set("spark.sql.runSQLOnFiles", "false")
+      // per-query sessions get a fresh function registry; re-register
+      // the native graft functions so the SQL surface always has them
+      // (sessions built with GraftExtensions inherit them anyway —
+      // this covers engines hosted on a plain session)
+      graft.functions.GraftFunctions.register(session)
       val inMem = snapshot.getOrElse(
         TreeMap.empty[String, TreeMap[String, MeasurementsView]])
       for (t <- tables) {

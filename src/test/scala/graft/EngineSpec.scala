@@ -65,6 +65,14 @@ class EngineSpec extends AnyFunSuite {
     assert(rows(1) == Seq("2", null, "eu", "18446744073709551615"))
   }
 
+  test("native graft functions are always callable through the " +
+    "engine SQL surface (per-query sessions self-register)") {
+    val e = newEngine()
+    e.write(WriteRequest("ns", "m", "abc", Map.empty, 1))
+    val r = e.query("ns", "SELECT graft_nfc(value) AS v FROM m").get
+    assert(r.rows.head.getString(0) == "abc")
+  }
+
   test("numeric analytics via CAST on the string value column") {
     val e = newEngine()
     (1 to 10).foreach(i =>
