@@ -1287,9 +1287,53 @@ object TimeSeries {
         ON p.user_id = v.v_user AND v.v_us <= p.p_us
       ORDER BY p.event_id"""))
 
+  /** The custom operator's bounded-lookback path: views older than 1
+    * hour don't attribute. The operator checks tolerance against the
+    * LATEST eligible row only (an older row is farther away, so it
+    * can never be in tolerance when the latest is not), which is
+    * exactly a post-filtered ASOF — the DuckDB oracle states it that
+    * way.
+    */
+  val qAsofTolerance = QueryDef(
+    "q_ts_asof_tolerance",
+    (s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("v_user"),
+          unix_micros(col("ts")).as("v_us"))
+        .agg(max("event_id").as("view_event_id"))
+      graft.plans.GraftAsof
+        .asofJoin(purchases, views, "user_id", "v_user", "p_us", "v_us",
+          toleranceUs = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("view_event_id"),
+          (col("p_us") - col("v_us")).as("lag_us"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS p_us
+        FROM events WHERE event_type = 'purchase'),
+      v AS (
+        SELECT user_id AS v_user, CAST(epoch_us(ts) AS BIGINT) AS v_us,
+          max(event_id) AS view_event_id
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      j AS (
+        SELECT p.event_id, p.user_id, v.view_event_id,
+          p.p_us - v.v_us AS lag_us
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.v_user AND v.v_us <= p.p_us)
+      SELECT event_id, user_id,
+        CASE WHEN lag_us <= 3600000000 THEN view_event_id END
+          AS view_event_id,
+        CASE WHEN lag_us <= 3600000000 THEN lag_us END AS lag_us
+      FROM j ORDER BY event_id"""))
+
   val all: Seq[QueryDef] =
     Seq(qAsofJoin, qGapFill, qIntervalJoin, qSessionize, qOhlc, qFunnel,
       qRate, qEwma, qHolt, qAnomaly, qRetention, qSeasonal, qLttb,
       qCusum, qAcf, qHoltBacktest, qTwa, qInterp, qNearestJoin,
-      qAsofNative)
+      qAsofNative, qAsofTolerance)
 }
