@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The custom as-of join operator (AsofJoin logical node + strategy +
@@ -95,6 +97,46 @@ class AsofSpec extends AnyFunSuite {
       org.apache.spark.sql.SparkSession.setActiveSession(base)
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
     }
+  }
+
+  test("the custom as-of operator composes with Structured Streaming " +
+    "via foreachBatch: stream-vs-static attribution equals batch") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // static right side: (user, view time, view id)
+    val views = Seq((1L, 100L, 900L), (1L, 250L, 901L), (2L, 50L, 902L))
+      .toDF("v_user", "v_us", "view_event_id")
+    // purchases (event_id, user_id, p_us) arriving over three batches
+    val ps = Seq((1L, 1L, 120L), (2L, 1L, 260L), (3L, 2L, 40L),
+      (4L, 2L, 70L), (5L, 3L, 10L))
+
+    val expected = graft.plans.GraftAsof.asofJoin(
+      ps.toDF("event_id", "user_id", "p_us"), views,
+      "user_id", "v_user", "p_us", "v_us")
+      .select("event_id", "view_event_id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    val got = scala.collection.concurrent.TrieMap[Long, Long]()
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = mem.toDS().toDF("event_id", "user_id", "p_us").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.plans.GraftAsof.asofJoin(
+          batch, views, "user_id", "v_user", "p_us", "v_us")
+          .select("event_id", "view_event_id").collect()
+          .foreach(r => got.put(r.getLong(0),
+            if (r.isNullAt(1)) -1L else r.getLong(1)))
+      }
+      .start()
+    Seq(ps.take(2), ps.slice(2, 4), ps.drop(4)).foreach { s =>
+      mem.addData(s)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(got.toMap == expected)
   }
 
   test("custom operator reproduces the composed window formulation " +
