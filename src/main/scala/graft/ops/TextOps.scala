@@ -1661,6 +1661,73 @@ object TextOps {
       WHERE c_xy >= 5
       ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20"""))
 
+  /** Language-ID evaluation: the confusion matrix of the n-gram
+    * classifier's predictions against the labeled lang column, with
+    * per-cell recall share — the quality report run before trusting a
+    * cheap classifier to route a 100 TB corpus. Reuses q_text_langid's
+    * exact scoring; one narrow map + a ≤30-cell aggregation, the
+    * recall share one int/int division.
+    */
+  val qLangIdConfusion = QueryDef(
+    "q_langid_confusion",
+    (s, dir) => {
+      def hits(re: String) =
+        size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
+      val en = hits("\\b(the|and|of|is|it)\\b")
+      val de = hits("\\b(der|die|das|und|ist)\\b")
+      val es = hits("\\b(el|los|las|es|una)\\b")
+      val fr = hits("\\b(le|les|est|une|dans)\\b")
+      val zh = hits("[\\x{4e00}-\\x{9fff}]")
+      val best = greatest(en, de, es, fr, zh)
+      val scored = Tables.t(s, dir, "documents")
+        .select(col("lang").as("lang_meta"),
+          when(best === 0, "und")
+            .when(best === zh, "zh").when(best === en, "en")
+            .when(best === de, "de").when(best === es, "es")
+            .otherwise("fr").as("lang_pred"))
+      val conf = scored.groupBy("lang_meta", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+      conf
+        .withColumn("row_tot", sum("n").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang_meta")))
+        .select(col("lang_meta"), col("lang_pred"), col("n"),
+          (col("n").cast("double") / col("row_tot").cast("double"))
+            .as("recall_share"))
+        .orderBy("lang_meta", "lang_pred")
+    },
+    Some("""
+      WITH lscored AS (
+        SELECT lang AS lang_meta,
+          CASE WHEN best = 0 THEN 'und'
+               WHEN best = zh_hits THEN 'zh'
+               WHEN best = en_hits THEN 'en'
+               WHEN best = de_hits THEN 'de'
+               WHEN best = es_hits THEN 'es'
+               ELSE 'fr' END AS lang_pred
+        FROM (
+          SELECT *, greatest(en_hits, de_hits, es_hits, fr_hits,
+              zh_hits) AS best
+          FROM (
+            SELECT lang,
+              CAST(len(regexp_extract_all(text,
+                '\b(the|and|of|is|it)\b')) AS BIGINT) AS en_hits,
+              CAST(len(regexp_extract_all(text,
+                '\b(der|die|das|und|ist)\b')) AS BIGINT) AS de_hits,
+              CAST(len(regexp_extract_all(text,
+                '\b(el|los|las|es|una)\b')) AS BIGINT) AS es_hits,
+              CAST(len(regexp_extract_all(text,
+                '\b(le|les|est|une|dans)\b')) AS BIGINT) AS fr_hits,
+              CAST(len(regexp_extract_all(text,
+                '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS zh_hits
+            FROM documents))),
+      conf AS (
+        SELECT lang_meta, lang_pred, count(*) AS n
+        FROM lscored GROUP BY 1, 2)
+      SELECT lang_meta, lang_pred, n,
+        CAST(n AS DOUBLE) / CAST(CAST(sum(n) OVER (
+          PARTITION BY lang_meta) AS BIGINT) AS DOUBLE) AS recall_share
+      FROM conf ORDER BY lang_meta, lang_pred"""))
+
   val all: Seq[QueryDef] =
     Seq(qTokens, qQuality, qQualityCalibrate, qGopherRules, qLangId,
       qFingerprint, qReadability, qTfIdf, qRepetition, qClean, qSurprise,
@@ -1668,5 +1735,6 @@ object TextOps {
       qWinnowOverlap, qWinnowSpans, qWinnowContam, qContamination,
       qLengthHist,
       qClassify, qVocabTopK, qSourceDrift, qDiversity, qQualityEnsemble,
-      qVocabCoverage, qVocabKmv, qTextNfc, qBm25, qPmi)
+      qVocabCoverage, qVocabKmv, qTextNfc, qBm25, qPmi,
+      qLangIdConfusion)
 }

@@ -1331,9 +1331,70 @@ object TimeSeries {
         CASE WHEN lag_us <= 3600000000 THEN lag_us END AS lag_us
       FROM j ORDER BY event_id"""))
 
+  /** Linear multi-touch attribution: every view in the hour before a
+    * purchase shares the credit equally (1/n per touch). Candidate
+    * pairs come from the same 2-bucket time-bucket equi-join as
+    * q_ts_interval_join — never a per-user cross join — and the
+    * fractional credits sum through the exact-decimal path (each 1/n
+    * is computed by the identical IEEE division on both engines, then
+    * summed order-independently).
+    */
+  val qAttrLinear = QueryDef(
+    "q_attr_linear",
+    (s, dir) => {
+      val winUs = 3600000000L // 1 hour lookback
+      val ev = Tables.t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("us").as("p_us"))
+        .withColumn("bucket", explode(array(
+          expr(s"p_us DIV $winUs"), expr(s"p_us DIV $winUs - 1"))))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_event_id"), col("user_id"),
+          col("us").as("v_us"))
+        .withColumn("bucket", expr(s"v_us DIV $winUs"))
+      val pairs = p.join(v, Seq("user_id", "bucket"))
+        .filter(col("v_us") >= col("p_us") - winUs &&
+          col("v_us") <= col("p_us"))
+        .select("p_id", "view_event_id")
+      val n = pairs.groupBy("p_id").agg(count(lit(1)).as("n_touch"))
+      pairs.join(n, "p_id")
+        .withColumn("credit",
+          lit(1.0).cast("double") / col("n_touch").cast("double"))
+        .groupBy("view_event_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          dsum(col("credit")).as("credit"))
+        .orderBy(col("credit").desc, col("view_event_id"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT event_id AS p_id, user_id,
+          CAST(epoch_us(ts) AS BIGINT) AS p_us
+        FROM events WHERE event_type = 'purchase'),
+      v AS (
+        SELECT event_id AS view_event_id, user_id,
+          CAST(epoch_us(ts) AS BIGINT) AS v_us
+        FROM events WHERE event_type = 'view'),
+      pairs AS (
+        SELECT p_id, view_event_id
+        FROM p JOIN v ON p.user_id = v.user_id
+         AND v.v_us >= p.p_us - 3600000000
+         AND v.v_us <= p.p_us),
+      n AS (SELECT p_id, count(*) AS n_touch FROM pairs GROUP BY 1),
+      c AS (
+        SELECT view_event_id,
+          CAST(1 AS DOUBLE) / CAST(n_touch AS DOUBLE) AS credit
+        FROM pairs JOIN n USING (p_id))
+      SELECT view_event_id, count(*) AS n_purchases,
+        ${dsumSql("credit")} AS credit
+      FROM c GROUP BY 1
+      ORDER BY credit DESC, view_event_id LIMIT 20"""))
+
   val all: Seq[QueryDef] =
     Seq(qAsofJoin, qGapFill, qIntervalJoin, qSessionize, qOhlc, qFunnel,
       qRate, qEwma, qHolt, qAnomaly, qRetention, qSeasonal, qLttb,
       qCusum, qAcf, qHoltBacktest, qTwa, qInterp, qNearestJoin,
-      qAsofNative, qAsofTolerance)
+      qAsofNative, qAsofTolerance, qAttrLinear)
 }
