@@ -1661,6 +1661,78 @@ object TextOps {
       WHERE c_xy >= 5
       ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20"""))
 
+  /** Count-Min-Sketch term-frequency estimation (3 rows × 1024
+    * buckets, md5-derived) with its overestimate audited against the
+    * exact counts for five probe words. The sketch build is the
+    * 100 TB shape: the corpus token stream aggregates into ≤ 3·1024
+    * cells with map-side combine (the shuffle carries cells, not
+    * tokens), probes are a broadcast 15-row lookup, and CMS's
+    * one-sided error (est ≥ exact, always) is visible in the
+    * `over_by` column. Hashing is the repo's md5-60-bit idiom,
+    * bit-identical in both engines.
+    */
+  val qSketchCms = QueryDef(
+    "q_sketch_cms",
+    (s, dir) => {
+      import s.implicits._
+      val B = 1024L
+      val probes = Seq("spark", "window", "join", "data", "the")
+      def bucket(word: org.apache.spark.sql.Column,
+          r: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(word, lit(":r"), r)), 1, 15), 16, 10)
+          .cast("long") % B
+      val toks = Tables.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val cells = toks
+        .withColumn("r", explode(array(lit(0), lit(1), lit(2))))
+        .select(col("r"), bucket(col("word"), col("r")).as("bucket"))
+        .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+      val pr = probes.toDF("word")
+        .withColumn("r", explode(array(lit(0), lit(1), lit(2))))
+        .select(col("word"), col("r"),
+          bucket(col("word"), col("r")).as("bucket"))
+      val est = pr.join(cells, Seq("r", "bucket"))
+        .groupBy("word").agg(min("c").as("cms_est"))
+      val exact = toks.filter(col("word").isin(probes: _*))
+        .groupBy("word").agg(count(lit(1)).as("n_exact"))
+      est.join(exact, Seq("word"), "left")
+        .select(col("word"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          col("cms_est"),
+          (col("cms_est") - coalesce(col("n_exact"), lit(0L)))
+            .as("over_by"))
+        .orderBy("word")
+    },
+    Some("""
+      WITH tf AS (
+        SELECT word FROM (
+          SELECT unnest(string_split(text, ' ')) AS word
+          FROM documents)
+        WHERE len(word) > 0),
+      rws AS (
+        SELECT r, CAST('0x' || substr(md5(word || ':r' ||
+            CAST(r AS VARCHAR)), 1, 15) AS BIGINT) % 1024 AS bucket
+        FROM tf CROSS JOIN (SELECT unnest(range(0, 3)) AS r)),
+      cells AS (SELECT r, bucket, count(*) AS c FROM rws GROUP BY 1, 2),
+      probes AS (SELECT unnest(
+        ['spark', 'window', 'join', 'data', 'the']) AS word),
+      pr AS (
+        SELECT word, r, CAST('0x' || substr(md5(word || ':r' ||
+            CAST(r AS VARCHAR)), 1, 15) AS BIGINT) % 1024 AS bucket
+        FROM probes CROSS JOIN (SELECT unnest(range(0, 3)) AS r)),
+      est AS (
+        SELECT word, CAST(min(c) AS BIGINT) AS cms_est
+        FROM pr JOIN cells USING (r, bucket) GROUP BY 1),
+      exact AS (
+        SELECT word, count(*) AS n_exact FROM tf
+        WHERE word IN ('spark', 'window', 'join', 'data', 'the')
+        GROUP BY 1)
+      SELECT est.word, COALESCE(n_exact, 0) AS n_exact, cms_est,
+        cms_est - COALESCE(n_exact, 0) AS over_by
+      FROM est LEFT JOIN exact ON est.word = exact.word
+      ORDER BY est.word"""))
+
   /** Language-ID evaluation: the confusion matrix of the n-gram
     * classifier's predictions against the labeled lang column, with
     * per-cell recall share — the quality report run before trusting a
@@ -1736,5 +1808,5 @@ object TextOps {
       qLengthHist,
       qClassify, qVocabTopK, qSourceDrift, qDiversity, qQualityEnsemble,
       qVocabCoverage, qVocabKmv, qTextNfc, qBm25, qPmi,
-      qLangIdConfusion)
+      qLangIdConfusion, qSketchCms)
 }

@@ -25,6 +25,25 @@ class SketchSpec extends AnyFunSuite {
       expr("approx_percentile(l_quantity, 0.5)").as("approx_med"))
     .collect()
 
+  test("count-min sketch never underestimates, and stays tight at " +
+    "3x1024 cells on the fixture vocabulary") {
+    val rows = SparkEntry.queries("q_sketch_cms")(
+      SparkFixture.spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(r.fieldIndex("n_exact"))
+      val est = r.getLong(r.fieldIndex("cms_est"))
+      assert(est >= exact, s"CMS underestimated: $r")
+    }
+    // the epsilon bound: over_by <= e/width * total stream length is
+    // loose; assert the practical one — within 2x of exact for words
+    // that actually occur
+    rows.filter(_.getLong(1) > 100).foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) * 2,
+        s"CMS overestimate implausibly large: $r")
+    }
+  }
+
   test("approx_count_distinct lands within 5% of the exact count") {
     val exact = Relational.qCountDistinct.run(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
