@@ -850,4 +850,26 @@ object StreamingIngest {
           }
       }
   }
+
+  /** Streaming Count-Min-Sketch cell builder over a token stream.
+    * CMS cells are ADDITIVE, so the streaming form is nothing more
+    * than a bounded-key (rows × buckets ≤ 3·1024) streaming
+    * aggregation — run it with Complete output mode and the sink
+    * always holds the exact sketch of everything ingested so far,
+    * bit-equal to the batch build over the same tokens (CmsSpec
+    * proves split-invariance). Same md5-60-bit hashing as the batch
+    * q_sketch_cms, so a batch-built sketch and a stream-built sketch
+    * are interchangeable.
+    */
+  def cms(words: Dataset[String], rows: Int = 3,
+      buckets: Long = 1024L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    words.toDF("word")
+      .filter(length(col("word")) > 0)
+      .withColumn("r", explode(array((0 until rows).map(lit): _*)))
+      .select(col("r"),
+        (conv(substring(md5(concat(col("word"), lit(":r"), col("r"))),
+          1, 15), 16, 10).cast("long") % buckets).as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+  }
 }

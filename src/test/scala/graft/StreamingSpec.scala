@@ -159,6 +159,29 @@ class StreamingSpec extends AnyFunSuite {
       "ewma_three") == expected)
   }
 
+  test("streaming CMS cells in Complete mode equal the batch sketch " +
+    "regardless of micro-batching (cells are additive)") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val words = (0 until 300).map(i => s"w${i % 17}")
+    val batch = StreamingIngest.cms(words.toDS())
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+
+    val mem = MemoryStream[String]
+    val q = StreamingIngest.cms(mem.toDS()).writeStream
+      .format("memory").queryName("cms_cells")
+      .outputMode(OutputMode.Complete).start()
+    Seq(words.take(100), words.slice(100, 250), words.drop(250))
+      .foreach { s => mem.addData(s); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("cms_cells")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed == batch)
+  }
+
   test("streaming markov transitions are split-invariant and match " +
     "the sequential per-user fold") {
     val spark = SparkFixture.spark
