@@ -1392,9 +1392,72 @@ object TimeSeries {
       FROM c GROUP BY 1
       ORDER BY credit DESC, view_event_id LIMIT 20"""))
 
+  /** Time-decay attribution: a view's credit halves every 30 minutes
+    * of lag (1/2^k with k = lag div halflife, k capped at 30). Every
+    * weight is an exact power of two — computed by integer shift, not
+    * pow(), so there is no cross-engine libm drift ANYWHERE in the
+    * query — and the weighted sums go through the exact-decimal path.
+    * Same 2-bucket interval equi-join as q_attr_linear, 4 h window.
+    */
+  val qAttrDecay = QueryDef(
+    "q_attr_decay",
+    (s, dir) => {
+      val winUs = 14400000000L // 4 hour lookback
+      val halfUs = 1800000000L // 30 min half-life
+      val ev = Tables.t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("us").as("p_us"))
+        .withColumn("bucket", explode(array(
+          expr(s"p_us DIV $winUs"), expr(s"p_us DIV $winUs - 1"))))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_event_id"), col("user_id"),
+          col("us").as("v_us"))
+        .withColumn("bucket", expr(s"v_us DIV $winUs"))
+      p.join(v, Seq("user_id", "bucket"))
+        .filter(col("v_us") >= col("p_us") - winUs &&
+          col("v_us") <= col("p_us"))
+        .withColumn("k",
+          least(expr(s"(p_us - v_us) DIV $halfUs"), lit(30L)))
+        .withColumn("wgt",
+          lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(k AS INT))").cast("double"))
+        .groupBy("view_event_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          dsum(col("wgt")).as("credit"))
+        .orderBy(col("credit").desc, col("view_event_id"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT event_id AS p_id, user_id,
+          CAST(epoch_us(ts) AS BIGINT) AS p_us
+        FROM events WHERE event_type = 'purchase'),
+      v AS (
+        SELECT event_id AS view_event_id, user_id,
+          CAST(epoch_us(ts) AS BIGINT) AS v_us
+        FROM events WHERE event_type = 'view'),
+      pairs AS (
+        SELECT view_event_id,
+          least((p_us - v_us) // 1800000000, 30) AS k
+        FROM p JOIN v ON p.user_id = v.user_id
+         AND v.v_us >= p.p_us - 14400000000
+         AND v.v_us <= p.p_us),
+      c AS (
+        SELECT view_event_id,
+          CAST(1 AS DOUBLE) /
+            CAST(CAST(1 AS BIGINT) << CAST(k AS INTEGER) AS DOUBLE)
+            AS wgt
+        FROM pairs)
+      SELECT view_event_id, count(*) AS n_purchases,
+        ${dsumSql("wgt")} AS credit
+      FROM c GROUP BY 1
+      ORDER BY credit DESC, view_event_id LIMIT 20"""))
+
   val all: Seq[QueryDef] =
     Seq(qAsofJoin, qGapFill, qIntervalJoin, qSessionize, qOhlc, qFunnel,
       qRate, qEwma, qHolt, qAnomaly, qRetention, qSeasonal, qLttb,
       qCusum, qAcf, qHoltBacktest, qTwa, qInterp, qNearestJoin,
-      qAsofNative, qAsofTolerance, qAttrLinear)
+      qAsofNative, qAsofTolerance, qAttrLinear, qAttrDecay)
 }
