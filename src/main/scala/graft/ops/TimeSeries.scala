@@ -1455,9 +1455,50 @@ object TimeSeries {
       FROM c GROUP BY 1
       ORDER BY credit DESC, view_event_id LIMIT 20"""))
 
+  /** Rolling 7-day distinct active users per window-end day — the
+    * standard WAU metric, in its at-scale formulation: collapse to
+    * distinct (user, day) FIRST (one combining shuffle; the explode
+    * then works on user-days, not raw events), fan each user-day out
+    * to the ≤7 windows it supports, and count distinct users per
+    * window end. Only full windows report (ends ≥ min_day + 6). All
+    * integer day arithmetic — no date-function drift.
+    */
+  val qRollingDau = QueryDef(
+    "q_ts_rolling_dau",
+    (s, dir) => {
+      val dayUs = 86400000000L
+      val ud = Tables.t(s, dir, "events")
+        .select(col("user_id"),
+          expr(s"unix_micros(ts) DIV $dayUs").as("day"))
+        .distinct()
+      val bounds = ud.agg(min("day").as("min_day"), max("day").as("max_day"))
+      ud.withColumn("i", explode(sequence(lit(0L), lit(6L))))
+        .withColumn("d", col("day") + col("i"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("d") >= col("min_day") + 6 &&
+          col("d") <= col("max_day"))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy("d")
+    },
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id,
+          CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events),
+      bounds AS (
+        SELECT min(day) AS min_day, max(day) AS max_day FROM ud),
+      fan AS (
+        SELECT user_id, day + i AS d
+        FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS i))
+      SELECT d, count(DISTINCT user_id) AS wau
+      FROM fan CROSS JOIN bounds
+      WHERE d >= min_day + 6 AND d <= max_day
+      GROUP BY d ORDER BY d"""))
+
   val all: Seq[QueryDef] =
     Seq(qAsofJoin, qGapFill, qIntervalJoin, qSessionize, qOhlc, qFunnel,
       qRate, qEwma, qHolt, qAnomaly, qRetention, qSeasonal, qLttb,
       qCusum, qAcf, qHoltBacktest, qTwa, qInterp, qNearestJoin,
-      qAsofNative, qAsofTolerance, qAttrLinear, qAttrDecay)
+      qAsofNative, qAsofTolerance, qAttrLinear, qAttrDecay, qRollingDau)
 }
