@@ -155,7 +155,36 @@ object GraphOps {
        AND l1.l_partkey < l2.l_partkey
       GROUP BY 1, 2)"""
 
-  /** Triangle count on the co-purchase graph with hub removal: nodes
+  /** Support-filtered co-purchase edges: pairs co-purchased in >= 2
+    * orders. Raw co-occurrence graphs are noise-dense (average degree
+    * exceeds 100 already at sf0.01 — a degree cap below the MEAN
+    * removes the whole graph); the support filter is the principled
+    * sparsifier, after which the degree>64 cap is a genuine
+    * hub-outlier guard rather than a guillotine.
+    */
+  private def coPurchaseSupported(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    li.as("l1")
+      .join(li.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+      .groupBy(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+      .select("a", "b")
+  }
+
+  private val coPurchaseSupportedSql = """
+    pairs AS (
+      SELECT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1
+      JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+       AND l1.l_partkey < l2.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2)"""
+
+  /** Triangle count on the SUPPORT-FILTERED co-purchase graph (see
+    * coPurchaseSupported — raw co-occurrence is noise-dense) with hub
+    * removal: nodes
     * of degree > 64 are dropped before the wedge join (the standard
     * scale guard — triangle counting is Θ(Σ deg²) and a single viral
     * hub blows that up; removing the K hubs bounds per-node work at
@@ -165,7 +194,7 @@ object GraphOps {
   val qTriangles = QueryDef(
     "q_graph_triangles",
     (s, dir) => {
-      val pairs = coPurchase(s, dir)
+      val pairs = coPurchaseSupported(s, dir)
       val deg = pairs.select(col("a").as("node"))
         .unionAll(pairs.select(col("b")))
         .groupBy("node").agg(count(lit(1)).as("d"))
@@ -185,7 +214,7 @@ object GraphOps {
         .select("n_edges", "n_hubs", "n_edges_kept", "n_triangles")
     },
     Some(s"""
-      WITH $coPurchaseSql,
+      WITH $coPurchaseSupportedSql,
       deg AS (
         SELECT node, count(*) AS d
         FROM (SELECT a AS node FROM pairs
@@ -324,7 +353,7 @@ object GraphOps {
         SELECT i1.item AS a, i2.item AS b, count(*) AS n_ab
         FROM items i1 JOIN items i2
           ON i1.o = i2.o AND i1.item < i2.item
-        GROUP BY 1, 2 HAVING count(*) >= 2),
+        GROUP BY 1, 2 HAVING count(*) >= 1),
       rules AS (
         SELECT a AS ante, b AS cons, n_ab FROM pairs
         UNION ALL SELECT b, a, n_ab FROM pairs)
@@ -373,8 +402,77 @@ object GraphOps {
       GROUP BY 1, 2, 3
       ORDER BY n DESC, t1, t2, t3 LIMIT 20"""))
 
+  /** Item-item Jaccard similarity over co-purchase neighborhoods —
+    * the collaborative-filtering candidate generator. Common-neighbor
+    * counts come from the same hub-capped wedge equi-join as triangle
+    * counting (never neighbor-set cross products); |N(a) ∪ N(c)| =
+    * deg(a) + deg(c) − common is integer arithmetic, and the Jaccard
+    * is ONE division — ranking can't drift. Top-20, a < c canonical order.
+    */
+  val qJaccardNeighbors = QueryDef(
+    "q_graph_jaccard",
+    (s, dir) => {
+      val pairs = coPurchaseSupported(s, dir)
+      val deg = pairs.select(col("a").as("node"))
+        .unionAll(pairs.select(col("b")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val hubs = deg.filter(col("d") > 64).select("node")
+      val e = pairs
+        .join(hubs.as("h1"), col("a") === col("h1.node"), "left_anti")
+        .join(hubs.as("h2"), col("b") === col("h2.node"), "left_anti")
+      // undirected adjacency, then wedges grouped by endpoint pair;
+      // degrees come from the SAME hub-removed graph as the
+      // intersection, so the union size deg_a + deg_c - common is the
+      // true |N(a) ∪ N(c)|
+      val adj = e.select(col("a").as("x"), col("b").as("y"))
+        .unionAll(e.select(col("b").as("x"), col("a").as("y")))
+      val degE = adj.groupBy(col("x").as("node"))
+        .agg(count(lit(1)).as("d"))
+      val common = adj.as("l")
+        .join(adj.as("r"),
+          col("l.y") === col("r.y") && col("l.x") < col("r.x"))
+        .groupBy(col("l.x").as("ia"), col("r.x").as("ic"))
+        .agg(count(lit(1)).as("common"))
+        .filter(col("common") >= 1)
+      common
+        .join(degE.select(col("node"), col("d").as("deg_a")),
+          col("ia") === col("node")).drop("node")
+        .join(degE.select(col("node"), col("d").as("deg_c")),
+          col("ic") === col("node")).drop("node")
+        .selectExpr("ia", "ic", "common", "deg_a", "deg_c",
+          "CAST(common AS DOUBLE) / " +
+            "CAST(deg_a + deg_c - common AS DOUBLE) AS jaccard")
+        .orderBy(col("jaccard").desc, col("ia"), col("ic"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH $coPurchaseSupportedSql,
+      deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT a AS node FROM pairs
+              UNION ALL SELECT b FROM pairs)
+        GROUP BY 1),
+      hubs AS (SELECT node FROM deg WHERE d > 64),
+      e AS (SELECT a, b FROM pairs
+            WHERE a NOT IN (SELECT node FROM hubs)
+              AND b NOT IN (SELECT node FROM hubs)),
+      adj AS (SELECT a AS x, b AS y FROM e
+              UNION ALL SELECT b, a FROM e),
+      dege AS (SELECT x AS node, count(*) AS d FROM adj GROUP BY 1),
+      common AS (
+        SELECT l.x AS ia, r.x AS ic, count(*) AS common
+        FROM adj l JOIN adj r ON l.y = r.y AND l.x < r.x
+        GROUP BY 1, 2 HAVING count(*) >= 1)
+      SELECT ia, ic, common, da.d AS deg_a, dc.d AS deg_c,
+        CAST(common AS DOUBLE)
+          / CAST(da.d + dc.d - common AS DOUBLE) AS jaccard
+      FROM common
+      JOIN dege da ON common.ia = da.node
+      JOIN dege dc ON common.ic = dc.node
+      ORDER BY jaccard DESC, ia, ic LIMIT 20"""))
+
   val all: Seq[QueryDef] = Seq(qPagerank, qTriangles, qDegree, qMarkov,
-    qAssocRules, qEventTrigrams)
+    qAssocRules, qEventTrigrams, qJaccardNeighbors)
 }
 
 /** Physical-layout operators: where rows LIVE decides what a 100 TB
