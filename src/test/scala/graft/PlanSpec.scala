@@ -532,6 +532,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!ar.contains("CartesianProduct"))
     assert(ar.contains("TakeOrderedAndProject"),
       "assoc-rules top-20 must fuse, not global-sort")
+    // jaccard: the wedge join and both degree joins are equi-joins
+    val jc = plan("q_graph_jaccard")
+    assert(!jc.contains("CartesianProduct") &&
+      !jc.contains("BroadcastNestedLoopJoin"))
+    assert(jc.contains("TakeOrderedAndProject"))
     val tg = plan("q_event_trigrams")
     assert(tg.contains("Window") && tg.contains("TakeOrderedAndProject"))
   }
