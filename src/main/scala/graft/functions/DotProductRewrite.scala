@@ -74,7 +74,11 @@ object DotProductRewrite extends Rule[LogicalPlan] {
           if sameVar(x, xv) && sameVar(y, yv) &&
             sameVar(accE, accV) && sameVar(vE, vV) &&
             sameVar(fin, finV) && isZeroDouble(zero) &&
-            floatArray(l) && floatArray(r) =>
+            floatArray(l) && floatArray(r) &&
+            // the rewrite duplicates l and r into Size(l), Size(r) and
+            // the fallback branch — only safe when re-evaluation is
+            // consistent
+            l.deterministic && r.deterministic =>
         If(EqualTo(Size(l, legacySizeOfNull = false),
           Size(r, legacySizeOfNull = false)), DotProduct(l, r), agg)
     } }

@@ -59,8 +59,13 @@ object GraphOps {
     * order-independent, so no float-summation drift between engines.
     * Floor leakage means total mass decays slightly per round; that is
     * the documented semantics (both engines leak identically).
-    * Overflow headroom: r ≤ 1e12 and w ≤ W ≤ |lineitem|, so r*w ≤
-    * 1e12·6e6 ≈ 6e18 < 2^63 even at sf 10.
+    * Overflow headroom: the per-edge contribution floor(r·w/W) is
+    * computed via the exact identity (r div W)·w + ((r mod W)·w) div W
+    * — never materializing r·w. Since w ≤ W, the first term is ≤ r ≤
+    * 1e12; the second multiplies (r mod W) < W by w, bounded by W² ≤
+    * |lineitem|² ≈ 3.6e15 at sf 10 — both far under 2^63 even with
+    * ALL lineitems concentrated on one nation-pair edge (the case a
+    * naive r·w would overflow at ~6e19).
     */
   val qPagerank = QueryDef(
     "q_graph_pagerank",
@@ -81,8 +86,9 @@ object GraphOps {
           .join(r.select(col("node"), col("r")).as("pr"),
             col("pr.node") === col("e.src"), "left")
           .groupBy(col("nb.node").as("node"), col("nb.base").as("base"))
-          .agg(coalesce(sum(expr("(pr.r * e.w) div e.wout")), lit(0L))
-            .as("contrib"))
+          .agg(coalesce(sum(expr(
+            "(pr.r div e.wout) * e.w + ((pr.r % e.wout) * e.w) div e.wout")),
+            lit(0L)).as("contrib"))
           .selectExpr("node", "base",
             "CAST(base + (85 * contrib) div 100 AS BIGINT) AS r")
       }
@@ -105,7 +111,7 @@ object GraphOps {
       it1 AS (
         SELECT nb.node, nb.base,
           CAST(nb.base +
-            (85 * COALESCE(sum((pr.r * e.w) // e.wout), 0)) // 100
+            (85 * COALESCE(sum((pr.r // e.wout) * e.w + ((pr.r % e.wout) * e.w) // e.wout), 0)) // 100
             AS BIGINT) AS r
         FROM nb
         LEFT JOIN e ON e.dst = nb.node
@@ -114,7 +120,7 @@ object GraphOps {
       it2 AS (
         SELECT nb.node, nb.base,
           CAST(nb.base +
-            (85 * COALESCE(sum((pr.r * e.w) // e.wout), 0)) // 100
+            (85 * COALESCE(sum((pr.r // e.wout) * e.w + ((pr.r % e.wout) * e.w) // e.wout), 0)) // 100
             AS BIGINT) AS r
         FROM nb
         LEFT JOIN e ON e.dst = nb.node
@@ -123,7 +129,7 @@ object GraphOps {
       it3 AS (
         SELECT nb.node, nb.base,
           CAST(nb.base +
-            (85 * COALESCE(sum((pr.r * e.w) // e.wout), 0)) // 100
+            (85 * COALESCE(sum((pr.r // e.wout) * e.w + ((pr.r % e.wout) * e.w) // e.wout), 0)) // 100
             AS BIGINT) AS r
         FROM nb
         LEFT JOIN e ON e.dst = nb.node
@@ -353,7 +359,7 @@ object GraphOps {
         SELECT i1.item AS a, i2.item AS b, count(*) AS n_ab
         FROM items i1 JOIN items i2
           ON i1.o = i2.o AND i1.item < i2.item
-        GROUP BY 1, 2 HAVING count(*) >= 1),
+        GROUP BY 1, 2 HAVING count(*) >= 2),
       rules AS (
         SELECT a AS ante, b AS cons, n_ab FROM pairs
         UNION ALL SELECT b, a, n_ab FROM pairs)

@@ -1309,8 +1309,8 @@ object TextOps {
               FROM documents)
         GROUP BY doc_id, w),
       agg AS (
-        SELECT doc_id, sum(c) AS n_toks, count(*) AS vocab,
-          sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks, count(*) AS vocab,
+          CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
           sum(c * (c - 1)) AS s2, sum(c * c) AS ss
         FROM wc GROUP BY doc_id)
       SELECT doc_id, n_toks, vocab, hapax,
@@ -1370,7 +1370,7 @@ object TextOps {
         FROM sig),
       agg AS (
         SELECT source, count(*) AS n_docs,
-          sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS n_kept,
+          CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
           ${Parity.dsumSql("score")} AS sum_score
         FROM scored GROUP BY source)
       SELECT source, n_docs, n_kept,
@@ -1668,8 +1668,12 @@ object TextOps {
     * cells with map-side combine (the shuffle carries cells, not
     * tokens), probes are a broadcast 15-row lookup, and CMS's
     * one-sided error (est ≥ exact, always) is visible in the
-    * `over_by` column. Hashing is the repo's md5-60-bit idiom,
-    * bit-identical in both engines.
+    * `over_by` column. The three row-buckets are disjoint
+    * 10-hex-char (40-bit) slices of ONE md5(word) digest — one hash
+    * per DISTINCT word (the token stream pre-aggregates to word
+    * counts first), not three per token; the ×3 row fan-out happens
+    * on the word dictionary after aggregation, never on the corpus.
+    * Bit-identical in both engines.
     */
   val qSketchCms = QueryDef(
     "q_sketch_cms",
@@ -1677,21 +1681,24 @@ object TextOps {
       import s.implicits._
       val B = 1024L
       val probes = Seq("spark", "window", "join", "data", "the")
-      def bucket(word: org.apache.spark.sql.Column,
+      def bucket(digest: org.apache.spark.sql.Column,
           r: org.apache.spark.sql.Column) =
-        conv(substring(md5(concat(word, lit(":r"), r)), 1, 15), 16, 10)
+        conv(digest.substr(lit(1) + lit(10) * r, lit(10)), 16, 10)
           .cast("long") % B
       val toks = Tables.t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) > 0)
-      val cells = toks
+      val wc = toks.groupBy("word").agg(count(lit(1)).as("c"))
+        .withColumn("d", md5(col("word")))
+      val cells = wc
         .withColumn("r", explode(array(lit(0), lit(1), lit(2))))
-        .select(col("r"), bucket(col("word"), col("r")).as("bucket"))
-        .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+        .select(col("r"), bucket(col("d"), col("r")).as("bucket"),
+          col("c"))
+        .groupBy("r", "bucket").agg(sum("c").as("c"))
       val pr = probes.toDF("word")
         .withColumn("r", explode(array(lit(0), lit(1), lit(2))))
         .select(col("word"), col("r"),
-          bucket(col("word"), col("r")).as("bucket"))
+          bucket(md5(col("word")), col("r")).as("bucket"))
       val est = pr.join(cells, Seq("r", "bucket"))
         .groupBy("word").agg(min("c").as("cms_est"))
       val exact = toks.filter(col("word").isin(probes: _*))
@@ -1710,16 +1717,22 @@ object TextOps {
           SELECT unnest(string_split(text, ' ')) AS word
           FROM documents)
         WHERE len(word) > 0),
-      rws AS (
-        SELECT r, CAST('0x' || substr(md5(word || ':r' ||
-            CAST(r AS VARCHAR)), 1, 15) AS BIGINT) % 1024 AS bucket
-        FROM tf CROSS JOIN (SELECT unnest(range(0, 3)) AS r)),
-      cells AS (SELECT r, bucket, count(*) AS c FROM rws GROUP BY 1, 2),
+      wc AS (
+        SELECT word, count(*) AS c, md5(word) AS d
+        FROM tf GROUP BY 1),
+      cells AS (
+        SELECT r,
+          CAST('0x' || substr(d, CAST(1 + 10 * r AS BIGINT), 10)
+            AS BIGINT) % 1024 AS bucket,
+          CAST(sum(c) AS BIGINT) AS c
+        FROM wc CROSS JOIN (SELECT unnest(range(0, 3)) AS r)
+        GROUP BY 1, 2),
       probes AS (SELECT unnest(
         ['spark', 'window', 'join', 'data', 'the']) AS word),
       pr AS (
-        SELECT word, r, CAST('0x' || substr(md5(word || ':r' ||
-            CAST(r AS VARCHAR)), 1, 15) AS BIGINT) % 1024 AS bucket
+        SELECT word, r,
+          CAST('0x' || substr(md5(word), CAST(1 + 10 * r AS BIGINT), 10)
+            AS BIGINT) % 1024 AS bucket
         FROM probes CROSS JOIN (SELECT unnest(range(0, 3)) AS r)),
       est AS (
         SELECT word, CAST(min(c) AS BIGINT) AS cms_est

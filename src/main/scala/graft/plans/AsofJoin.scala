@@ -127,8 +127,13 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
                   rtvAny.asInstanceOf[Long] <= ltv) {
                 val r = rBuf.next()
                 candTime = rtvAny.asInstanceOf[Long]
-                candKey = rkv
                 cand = r.copy()
+                // re-derive the key from the COPIED row: rkv may point
+                // into the sorter's reused record buffer (UTF8String
+                // etc.), which later rBuf.next() calls clobber once the
+                // sort spills; eval on the copy is backed by stable
+                // memory
+                candKey = rkB.eval(cand)
               } else advancing = false
             }
           }
