@@ -36,19 +36,31 @@ object IngestBench {
     // warm-up
     (0 until 1000).foreach(i =>
       engine.write(WriteRequest("warm", "w", i.toString, tags, i.toLong)))
+    // LYNX_BATCH_SIZE > 1 benches the batch write path (one WAL
+    // flush per batch — the HTTP JSON-array body shape)
+    val batchSize = sys.env.get("LYNX_BATCH_SIZE").map(_.toInt)
+      .getOrElse(1)
     val t0 = System.nanoTime()
     var i = 0
     while (i < n) {
-      engine.write(WriteRequest("bench", "cpu", i.toString, tags,
-        i.toLong * 1000L))
-      i += 1
+      if (batchSize <= 1) {
+        engine.write(WriteRequest("bench", "cpu", i.toString, tags,
+          i.toLong * 1000L))
+        i += 1
+      } else {
+        val end = math.min(i + batchSize, n)
+        engine.writeBatch((i until end).map(j =>
+          WriteRequest("bench", "cpu", j.toString, tags,
+            j.toLong * 1000L)))
+        i = end
+      }
     }
     val secs = (System.nanoTime() - t0) / 1e9
     // sanity: everything queryable
     val rows = engine.query("bench", "SELECT count(*) AS n FROM cpu")
       .get.rows.head.getLong(0)
     require(rows == n, s"lost writes: $rows != $n")
-    println(f"""{"metric":"ingest_writes_per_sec","value":${n / secs}%.0f,"unit":"writes/sec","n":$n,"wal_segments":${engine.wal.activeSegmentId + 1},"group_commit_ms":$groupCommitMs}""")
+    println(f"""{"metric":"ingest_writes_per_sec","value":${n / secs}%.0f,"unit":"writes/sec","n":$n,"wal_segments":${engine.wal.activeSegmentId + 1},"group_commit_ms":$groupCommitMs,"batch_size":$batchSize}""")
     engine.wal.close()
     spark.stop()
   }

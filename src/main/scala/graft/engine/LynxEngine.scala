@@ -113,6 +113,33 @@ class LynxEngine(
         bufferedPerTable.remove((ns, t))
       }
 
+  /** Batch ingest: validate EVERY request up-front (any invalid row
+    * rejects the whole batch before a single side effect — no partial
+    * batches to reconcile), then append all to the WAL with one
+    * flush/fsync (Wal.writeAll — the group-commit rung: N records,
+    * one durability round-trip) and buffer them. Auto-seal runs once
+    * per affected table at the end, not per row.
+    */
+  def writeBatch(ws: Seq[WriteRequest]): Unit = writeLock.synchronized {
+    ws.foreach { w =>
+      w.metadata.keys.foreach(k => require(
+        k != "timestamp" && k != "value" && !k.startsWith("__lynx"),
+        s"reserved tag key: $k"))
+    }
+    wal.writeAll(ws) // WAL-first invariant, batch-wide
+    ws.foreach(buffer.insert)
+    if (tier.isDefined && maxBufferedRows != Int.MaxValue) {
+      ws.groupBy(w => (w.namespace, w.measurement)).foreach {
+        case (key, rows) =>
+          val n = bufferedPerTable.getOrElse(key, 0) + rows.size
+          if (n >= maxBufferedRows) {
+            seal(key._1, key._2)
+            bufferedPerTable.remove(key)
+          } else bufferedPerTable.update(key, n)
+      }
+    }
+  }
+
   def write(w: WriteRequest): Unit = writeLock.synchronized {
     // tag keys may not shadow the fixed engine columns or the reserved
     // `__lynx` namespace (the tier's partition column): a tag named

@@ -25,8 +25,27 @@ import graft.engine.{LynxEngine, Sinks}
 object Json {
   private val mapper = new ObjectMapper
 
-  def parseWrite(body: Array[Byte]): WriteRequest = {
+  def parseWrite(body: Array[Byte]): WriteRequest =
+    parseWriteNode(mapper.readTree(body))
+
+  /** Batch form: a JSON array of write objects is N writes (one WAL
+    * group commit engine-side); a single object is the reference's
+    * one-request shape. Any invalid element rejects the whole batch —
+    * the caller never has to reconcile a partially applied body.
+    */
+  def parseWriteBatch(body: Array[Byte]): Seq[WriteRequest] = {
     val n = mapper.readTree(body)
+    if (!n.isArray) Seq(parseWriteNode(n))
+    else {
+      val it = n.elements()
+      val b = Seq.newBuilder[WriteRequest]
+      while (it.hasNext) b += parseWriteNode(it.next())
+      b.result()
+    }
+  }
+
+  private def parseWriteNode(
+      n: com.fasterxml.jackson.databind.JsonNode): WriteRequest = {
     require(n.hasNonNull("namespace") && n.hasNonNull("measurement") &&
       n.hasNonNull("value") && n.hasNonNull("timestamp"),
       "missing required field")
@@ -170,15 +189,24 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
     if (ex.getRequestMethod != "POST") respond(ex, 405)
     else {
       val parsed =
-        try Right(Json.parseWrite(ex.getRequestBody.readAllBytes()))
+        try Right(Json.parseWriteBatch(ex.getRequestBody.readAllBytes()))
         catch { case e: Exception => Left(e) }
       parsed match {
         case Left(e) =>
           System.err.println(e)
           respond(ex, 422)
-        case Right(w) =>
+        case Right(Seq(w)) =>
           try {
             engine.write(w)
+            respond(ex, 200)
+          } catch {
+            case e: Exception =>
+              System.err.println(e)
+              respond(ex, 500)
+          }
+        case Right(ws) =>
+          try {
+            engine.writeBatch(ws)
             respond(ex, 200)
           } catch {
             case e: Exception =>

@@ -90,40 +90,102 @@ object StreamingIngest {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n"))
 
+  /** Content hash of a stream row. Length-prefixed fields: no
+    * separator-collision between e.g. ("a","b c") and ("a b","c")
+    * for arbitrary document content.
+    */
+  private def contentHash(r: StreamRow): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq(r.namespace, r.measurement, r.value).foreach { f =>
+      val b = f.getBytes("UTF-8")
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length)
+        .array())
+      md.update(b)
+    }
+    java.util.Base64.getEncoder.encodeToString(md.digest())
+  }
+
+  /** A content-hashed stream row with its event-time projection —
+    * the internal shape of the TTL-bounded dedup path.
+    */
+  final case class HashedRow(key: String, ts: Timestamp,
+      row: StreamRow)
+
   /** (d) Streaming exact dedup: drop rows whose content hash was
     * already seen, keeping state per hash via flatMapGroupsWithState —
     * the streaming counterpart of q_dedup_exact for a training-data
-    * ingest pipeline. State is one empty record per distinct hash; at
-    * 100 TB attach a state-store TTL / rocksdb backend via config
-    * rather than code changes.
+    * ingest pipeline. State is one empty record per distinct hash.
+    *
+    * With the default `stateTtl = ""` the dedup is EXACT over the
+    * stream's whole lifetime — and state is O(all-time distinct
+    * hashes), acceptable only for bounded runs. For a forever-running
+    * 100 TB ingest pass `stateTtl` (e.g. "7 days"): every hash key
+    * then carries an event-time TTL enforced against the watermark,
+    * refreshed on traffic, and idle keys are evicted — state becomes
+    * O(hashes active within the TTL window), the same bounded-state
+    * design as [[nearDupCandidates]]. The documented trade of any
+    * windowed dedup applies: a duplicate arriving AFTER its
+    * original's key expired is re-emitted (spec-asserted both ways —
+    * dups inside the window are dropped, a post-expiry replay
+    * surfaces again, which also proves the eviction really happened).
+    * Event-time (not processing-time) timeout keeps replays/backfills
+    * identical to live runs.
     */
-  def dedupExact(rows: Dataset[StreamRow]): Dataset[StreamRow] = {
+  def dedupExact(rows: Dataset[StreamRow], stateTtl: String = "",
+      watermarkDelay: String = "10 seconds"): Dataset[StreamRow] = {
     import rows.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    rows
-      .groupByKey(r => {
-        // length-prefixed fields: no separator-collision between e.g.
-        // ("a","b c") and ("a b","c") for arbitrary document content
-        val md = java.security.MessageDigest.getInstance("MD5")
-        Seq(r.namespace, r.measurement, r.value).foreach { f =>
-          val b = f.getBytes("UTF-8")
-          md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length)
-            .array())
-          md.update(b)
+    if (stateTtl.isEmpty) {
+      rows
+        .groupByKey(contentHash)
+        .flatMapGroupsWithState[Boolean, StreamRow](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          case (_, batch, state: GroupState[Boolean]) =>
+            if (state.exists) Iterator.empty // hash already emitted
+            else {
+              state.update(true)
+              // deterministic pick of the batch's first row
+              batch.toSeq.sortBy(r => (r.timestampUs, r.value))
+                .headOption.iterator
+            }
         }
-        java.util.Base64.getEncoder.encodeToString(md.digest())
-      })
-      .flatMapGroupsWithState[Boolean, StreamRow](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, batch, state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty // hash already emitted
-          else {
-            state.update(true)
-            // deterministic pick of the batch's first row
-            batch.toSeq.sortBy(r => (r.timestampUs, r.value))
-              .headOption.iterator
-          }
-      }
+    } else {
+      rows
+        .map(r => HashedRow(contentHash(r),
+          new Timestamp(r.timestampUs / 1000L), r))
+        .withWatermark("ts", watermarkDelay)
+        .groupByKey(_.key)
+        .flatMapGroupsWithState[Boolean, StreamRow](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          case (_, batch, state: GroupState[Boolean]) =>
+            if (state.hasTimedOut) {
+              // idle past TTL: evict — a later duplicate re-emits
+              state.remove()
+              Iterator.empty
+            } else {
+              val rowsSeq = batch.toSeq
+              var maxEvtMs = Long.MinValue
+              rowsSeq.foreach { h =>
+                if (h.ts.getTime > maxEvtMs) maxEvtMs = h.ts.getTime
+              }
+              val out =
+                if (state.exists) Iterator.empty
+                else {
+                  state.update(true)
+                  rowsSeq.map(_.row)
+                    .sortBy(r => (r.timestampUs, r.value))
+                    .headOption.iterator
+                }
+              // refresh the TTL on traffic (sliding expiry), but never
+              // at-or-below the watermark (late data can put maxEvt
+              // behind it, which Spark rejects)
+              state.setTimeoutTimestamp(
+                math.max(maxEvtMs, state.getCurrentWatermarkMs + 1),
+                stateTtl)
+              out
+            }
+        }
+    }
   }
 
   /** A streamed document (the training-data ingest shape). */

@@ -180,6 +180,26 @@ final class Wal(directory: File, startSegmentId: Long,
       flush() // reentrant: already holds the lock
   }
 
+  /** Append a whole batch with ONE flush (and one fsync when
+    * configured) at the end — the group-commit rung exercised
+    * explicitly: N records cost the same durability round-trip as
+    * one. Rotation is still checked per record so segment bounds
+    * hold. Under timer-driven group commit the batch only buffers,
+    * exactly like write().
+    */
+  def writeAll(ws: Seq[WriteRequest]): Unit = synchronized {
+    ws.foreach { w =>
+      if (active.size > maxSegmentSize) rotate()
+      active.write(WalCodec.encode(w), flushNow = false)
+    }
+    if (groupCommitMillis <= 0) {
+      if (fsyncOnFlush) active.sync() else active.flush()
+    } else if (System.nanoTime() - lastFlushNanos >=
+        groupCommitMillis * 1000000L) {
+      flush()
+    }
+  }
+
   /** Force buffered records to the OS now (and to the device when
     * `fsyncOnFlush`), regardless of the group commit deadline. Callers
     * that need a record durable *before* a dependent action (the seal

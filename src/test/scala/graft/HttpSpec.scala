@@ -95,6 +95,45 @@ class HttpSpec extends AnyFunSuite {
     }
   }
 
+  test("a JSON-array body batch-writes N rows in one request " +
+    "(one WAL group commit), atomically rejecting invalid batches") {
+    withServer { port =>
+      val w = post(port, "/api/v1/write",
+        """[{"namespace": "my_org", "measurement": "batch_m",
+          |  "value": "1", "timestamp": 1728755631000000},
+          | {"namespace": "my_org", "measurement": "batch_m",
+          |  "value": "2", "timestamp": 1728755632000000},
+          | {"namespace": "my_org", "measurement": "batch_m",
+          |  "value": "3", "metadata": {"k": "v"},
+          |  "timestamp": 1728755633000000}]""".stripMargin)
+      assert(w.statusCode() == 200)
+
+      val q = post(port, "/api/v1/query",
+        """{"namespace": "my_org",
+          |"query": "SELECT value FROM batch_m ORDER BY value",
+          |"format": "json"}""".stripMargin)
+      assert(q.statusCode() == 200)
+      assert(q.body() ==
+        """[{"value":"1"},{"value":"2"},{"value":"3"}]""")
+
+      // one bad element (reserved tag key) → 422, NO rows written
+      val bad = post(port, "/api/v1/write",
+        """[{"namespace": "my_org", "measurement": "batch_bad",
+          |  "value": "1", "timestamp": 1728755631000000},
+          | {"namespace": "my_org", "measurement": "batch_bad",
+          |  "value": "2", "metadata": {"timestamp": "shadow"},
+          |  "timestamp": 1728755632000000}]""".stripMargin)
+      assert(bad.statusCode() == 422)
+      val q2 = post(port, "/api/v1/query",
+        """{"namespace": "my_org",
+          |"query": "SELECT value FROM batch_bad",
+          |"format": "json"}""".stripMargin)
+      // table never registered (no partial data): non-200 lookup
+      assert(q2.statusCode() != 200,
+        s"batch_bad must not exist, got ${q2.body()}")
+    }
+  }
+
   test("admin checkpoint flushes the buffer through the tier") {
     val dir = Files.createTempDirectory("http-ckpt").toFile
     val tierDir = Files.createTempDirectory("http-ckpt-tier").toFile

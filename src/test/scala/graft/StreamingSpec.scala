@@ -121,6 +121,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(vals == Seq("alpha", "beta", "gamma"))
   }
 
+  test("TTL-bounded exact dedup drops in-window dups, re-emits after " +
+    "expiry, and keeps state bounded under key churn") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val hourUs = 3600L * 1000000L
+    val t0 = 1700000000000000L
+    val mem = MemoryStream[StreamRow]
+    val deduped = StreamingIngest.dedupExact(mem.toDS(),
+      stateTtl = "1 minute", watermarkDelay = "0 seconds")
+    val q = deduped.writeStream.format("memory").queryName("dedup_ttl")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .start()
+
+    def stateRows(): Long =
+      q.lastProgress.stateOperators.apply(0).numRowsTotal
+
+    // batch 1: alpha + an in-batch dup → one emit, one state key
+    mem.addData(Seq(
+      StreamRow("ns", "docs", "alpha", Map.empty, t0),
+      StreamRow("ns", "docs", "alpha", Map.empty, t0 + 1L)))
+    q.processAllAvailable()
+    // batch 2 (still inside the TTL window): cross-batch dup dropped
+    mem.addData(Seq(
+      StreamRow("ns", "docs", "alpha", Map.empty, t0 + 2L)))
+    q.processAllAvailable()
+    // churn: 5 batches of distinct content, each an event-hour later —
+    // every earlier batch's keys are idle past the 1-minute TTL once
+    // the watermark advances, so state must stay O(one batch's keys)
+    mem.addData((0 until 8).map(i =>
+      StreamRow("ns", "docs", s"churn_0_$i", Map.empty, t0 + hourUs)))
+    q.processAllAvailable()
+    val afterFirstChurn = stateRows()
+    (1 to 4).foreach { b =>
+      mem.addData((0 until 8).map(i =>
+        StreamRow("ns", "docs", s"churn_${b}_$i", Map.empty,
+          t0 + (b + 1) * hourUs)))
+      q.processAllAvailable()
+    }
+    val afterChurn = stateRows()
+    assert(afterChurn <= 2 * afterFirstChurn,
+      s"dedup state must stay bounded by the active TTL window " +
+        s"($afterChurn rows after churn vs $afterFirstChurn — " +
+        "event-time eviction is not firing)")
+    // alpha's key expired hours ago (event time): the replay re-emits
+    // — the documented windowed-dedup trade, and the proof of eviction
+    mem.addData(Seq(
+      StreamRow("ns", "docs", "alpha", Map.empty, t0 + 7 * hourUs)))
+    q.processAllAvailable()
+    q.stop()
+    val alphas = spark.sql(
+      "SELECT timestampUs FROM dedup_ttl WHERE value = 'alpha'")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(alphas == Seq(t0, t0 + 7 * hourUs),
+      s"expected the first alpha and the post-expiry replay, got $alphas")
+  }
+
   test("streaming ewma is bit-identical to the sequential fold, " +
     "however the stream is micro-batched") {
     val spark = SparkFixture.spark
