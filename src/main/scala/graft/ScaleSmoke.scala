@@ -110,8 +110,9 @@ object ScaleSmoke {
 
   private def generateIfMissing(spark: SparkSession, src: String,
       out: String): Unit = {
-    // v2: events replicated (not copied) — regenerate older corpora
-    val done = new java.io.File(s"$out/_SMOKE_READY_V2")
+    // v3: part keys replicate with the fact stride (graph smokes grow
+    // instead of densify) — regenerate older corpora
+    val done = new java.io.File(s"$out/_SMOKE_READY_V3")
     if (done.isFile) return
     val r = explode(sequence(lit(0), lit(Replicas - 1)))
 
@@ -160,10 +161,18 @@ object ScaleSmoke {
         col("o_orderdate"), col("o_orderpriority"))
     ords.repartition(8).write.mode("overwrite")
       .parquet(s"$out/orders.parquet")
+    // part keys shift with the SAME replica stride as order keys (and
+    // the part dimension replicates below to match): real 10× growth
+    // adds parts AND orders. Keeping l_partkey fixed would sum pair
+    // supports across replicas — a 10× DENSER co-purchase graph, not a
+    // bigger one — which blows every degree past the hub caps and
+    // degenerates the graph-family smokes (round-7 q_graph_jaccard
+    // measured the guard, not the operator).
     val li = spark.read.parquet(s"$src/lineitem.parquet")
       .withColumn("r", r)
       .select((col("l_orderkey") + col("r") * IdStride).as("l_orderkey"),
-        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        (col("l_partkey") + col("r") * IdStride).as("l_partkey"),
+        col("l_suppkey"), col("l_linenumber"),
         col("l_quantity"), col("l_extendedprice"), col("l_discount"),
         col("l_tax"), col("l_returnflag"), col("l_linestatus"),
         col("l_shipdate"))
@@ -183,8 +192,21 @@ object ScaleSmoke {
         col("event_type"), col("value"), col("props"))
     ev.repartition(8).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
-    // dimension tables: byte-for-byte copies
-    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
+    // part replicates with l_partkey's stride so every lineitem keeps
+    // its part parent (names get a replica suffix: distinct catalog
+    // entries, not 10 aliases of one part)
+    val parts = spark.read.parquet(s"$src/part.parquet")
+      .withColumn("r", r)
+      .select((col("p_partkey") + col("r") * IdStride).as("p_partkey"),
+        when(col("r") === 0, col("p_name"))
+          .otherwise(concat(col("p_name"), lit("~"),
+            col("r").cast("string"))).as("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+    parts.repartition(4).write.mode("overwrite")
+      .parquet(s"$out/part.parquet")
+    // remaining dimension tables: byte-for-byte copies
+    for (t <- Seq("region", "nation", "customer", "supplier")) {
       val dst = new java.io.File(s"$out/$t.parquet")
       if (!dst.exists())
         java.nio.file.Files.copy(
