@@ -34,7 +34,7 @@ object Bench {
     // local[32] numbers are ±50% noisy (GC, codegen compilation,
     // co-scheduled load); min-of-3 also absorbs the one-time Janino
     // compile of wide generated methods into rep 1
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val baseReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // 1-min system load average, sampled around each query: a
     // co-scheduled process on the driver box shows up as load >> this
     // JVM's own parallelism, making a spiked number machine-
@@ -44,6 +44,13 @@ object Bench {
         .getSystemLoadAverage
       catch { case _: Throwable => -1.0 }
     val loadStart = loadavg()
+    // loadStart samples AMBIENT load (Spark hasn't worked yet): a
+    // loaded box gets extra reps per query so the reported min has
+    // more chances to land in a quiet slice — a co-scheduled burst
+    // can then no longer manufacture a 10× phantom regression (round
+    // 7's q_sketch_cms read 16.2 s in a load-10 window vs 1.6 s
+    // clean). `min_of` in the output records the rep count used.
+    val reps = if (loadStart > 2.0) baseReps + 2 else baseReps
     var loadMax = loadStart
     val qLoad = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -82,7 +89,7 @@ object Bench {
     val loadJson =
       s""""cpus":${Runtime.getRuntime.availableProcessors},""" +
       s""""load":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}""" +
-      s""","max":${fmt(loadMax)}}"""
+      s""","max":${fmt(loadMax)}},"min_of":$reps"""
     def line(qs: String, truncated: Boolean): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$loadJson""" +
         (if (truncated) s""","queries_truncated":true,"queries_file":"$OutFile"""" else "") + "}"
