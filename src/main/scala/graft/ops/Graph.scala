@@ -477,8 +477,75 @@ object GraphOps {
       JOIN dege dc ON common.ic = dc.node
       ORDER BY jaccard DESC, ia, ic LIMIT 20"""))
 
+  /** Community detection by synchronous min-label propagation over
+    * the support-filtered co-purchase graph: every node starts
+    * labeled with its own id; each of 3 rounds relabels to the
+    * minimum of its own and its neighbors' labels (the deterministic
+    * core of label-propagation community detection — min tie-break
+    * instead of random choice, so both engines converge identically;
+    * after k rounds labels equal the min node id within k hops, i.e.
+    * bounded-diameter connected components, the product-substitution
+    * clusters a recommender curates against). Per round: ONE
+    * equi-join of the label table to the edge list + a min
+    * aggregation — linear in edges, shuffle on node keys, iterated
+    * state is one (node, label) row per node. Reported as the top-20
+    * communities by size.
+    */
+  val qCommunities = QueryDef(
+    "q_graph_communities",
+    (s, dir) => {
+      val pairs = coPurchaseSupported(s, dir)
+      val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(pairs.select(col("b").as("u"), col("a").as("v")))
+      val nodes = edges.select(col("u").as("node")).distinct()
+      // self-loops fold "min of own and neighbors" into ONE join per
+      // round, so each round references the label table exactly once
+      // — without this the unrolled lineage doubles per round (the
+      // label frame would sit on both sides of a left join) and 3
+      // rounds re-derive the edge join 2^3 times
+      val withSelf = edges.unionAll(
+        nodes.select(col("node").as("u"), col("node").as("v")))
+      val init = nodes.select(col("node"), col("node").as("lab"))
+      val labeled = (1 to 3).foldLeft(init) { (labs, _) =>
+        withSelf
+          .join(labs.select(col("node").as("vn"), col("lab")),
+            col("v") === col("vn"))
+          .groupBy(col("u").as("node")).agg(min(col("lab")).as("lab"))
+      }
+      labeled.groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("community"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH $coPurchaseSupportedSql,
+      edges AS (SELECT a AS u, b AS v FROM pairs
+                UNION ALL SELECT b, a FROM pairs),
+      l0 AS (SELECT DISTINCT u AS node, u AS lab FROM edges),
+      l1 AS (SELECT n.node,
+               least(n.lab, COALESCE(min(ln.lab), n.lab)) AS lab
+             FROM l0 n
+             LEFT JOIN edges e ON e.u = n.node
+             LEFT JOIN l0 ln ON ln.node = e.v
+             GROUP BY n.node, n.lab),
+      l2 AS (SELECT n.node,
+               least(n.lab, COALESCE(min(ln.lab), n.lab)) AS lab
+             FROM l1 n
+             LEFT JOIN edges e ON e.u = n.node
+             LEFT JOIN l1 ln ON ln.node = e.v
+             GROUP BY n.node, n.lab),
+      l3 AS (SELECT n.node,
+               least(n.lab, COALESCE(min(ln.lab), n.lab)) AS lab
+             FROM l2 n
+             LEFT JOIN edges e ON e.u = n.node
+             LEFT JOIN l2 ln ON ln.node = e.v
+             GROUP BY n.node, n.lab)
+      SELECT lab AS community, count(*) AS n_nodes
+      FROM l3 GROUP BY 1
+      ORDER BY n_nodes DESC, community LIMIT 20"""))
+
   val all: Seq[QueryDef] = Seq(qPagerank, qTriangles, qDegree, qMarkov,
-    qAssocRules, qEventTrigrams, qJaccardNeighbors)
+    qAssocRules, qEventTrigrams, qJaccardNeighbors, qCommunities)
 }
 
 /** Physical-layout operators: where rows LIVE decides what a 100 TB

@@ -1569,9 +1569,78 @@ object Similarity {
           AS norm_white
       FROM g ORDER BY vec_id"""))
 
+  /** Contrastive training-pair mining: for every anchor vector, its
+    * best POSITIVE (highest-cosine LSH candidate in [0.3, 0.98) —
+    * similar but not a duplicate) and its hardest NEGATIVE (the
+    * highest-cosine candidate still below 0.15 — the close-but-wrong
+    * example that makes a contrastive loss learn). Anchors lacking
+    * either side drop out. This is the (anchor, positive, hard
+    * negative) triplet feed an embedding-model trainer consumes, and
+    * it reuses the banded-LSH candidate generator end to end — no
+    * all-pairs join anywhere; negatives come from band collisions,
+    * which is exactly the "hard" pool (random negatives would be
+    * trivially far). Per-anchor argmax is one window over the
+    * symmetrized candidate set, tie-broken by id, so both engines
+    * pick identical rows; cosines are bit-identical by the existing
+    * dot/norm machinery.
+    */
+  val qContrastivePairs = QueryDef(
+    "q_pairs_contrastive",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = vectors(s, dir)
+      val scored = lshCandidates(s, dir)
+        .join(e.toDF("id_a", "emb_a", "nrm_a"), "id_a")
+        .join(e.toDF("id_b", "emb_b", "nrm_b"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          pairCos(GraftFunctions.dotp(col("emb_a"), col("emb_b")),
+            col("nrm_a"), col("nrm_b")).as("cos"))
+      val sym = scored
+        .select(col("id_a").as("anchor"), col("id_b").as("other"),
+          col("cos"))
+        .unionAll(scored.select(col("id_b").as("anchor"),
+          col("id_a").as("other"), col("cos")))
+      val w = Window.partitionBy("anchor")
+        .orderBy(col("cos").desc, col("other"))
+      val pos = sym.filter(col("cos") >= 0.3 && col("cos") < 0.98)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("anchor"), col("other").as("pos_id"),
+          col("cos").as("pos_cos"))
+      val neg = sym.filter(col("cos") >= 0.0 && col("cos") < 0.15)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("anchor"), col("other").as("neg_id"),
+          col("cos").as("neg_cos"))
+      pos.join(neg, "anchor").orderBy("anchor")
+    },
+    Some(s"""
+      WITH $lshCandWithSql,
+      scored AS (
+        SELECT cand.id_a, cand.id_b,
+          ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+            AS cos
+        FROM cand
+        JOIN vectors a ON a.vec_id = cand.id_a
+        JOIN vectors b ON b.vec_id = cand.id_b),
+      sym AS (SELECT id_a AS anchor, id_b AS other, cos FROM scored
+              UNION ALL SELECT id_b, id_a, cos FROM scored),
+      pos AS (SELECT anchor, other AS pos_id, cos AS pos_cos FROM (
+                SELECT anchor, other, cos, row_number() OVER (
+                  PARTITION BY anchor ORDER BY cos DESC, other) AS rn
+                FROM sym WHERE cos >= 0.3 AND cos < 0.98)
+              WHERE rn = 1),
+      neg AS (SELECT anchor, other AS neg_id, cos AS neg_cos FROM (
+                SELECT anchor, other, cos, row_number() OVER (
+                  PARTITION BY anchor ORDER BY cos DESC, other) AS rn
+                FROM sym WHERE cos >= 0.0 AND cos < 0.15)
+              WHERE rn = 1)
+      SELECT pos.anchor AS anchor, pos_id, pos_cos, neg_id, neg_cos
+      FROM pos JOIN neg ON pos.anchor = neg.anchor
+      ORDER BY pos.anchor"""))
+
   val all: Seq[QueryDef] =
     Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf,
       qEmbedCentroids, qEmbedPq, qAnnAdc, qEmbedRp, qEmbedQuantize,
       qSemanticDedup, qAnnRecall, qMatryoshka, qIvfRecall,
-      qSemanticOutlier, qAnnIvfPq, qEmbedWhiten, qAnnFiltered)
+      qSemanticOutlier, qAnnIvfPq, qEmbedWhiten, qAnnFiltered,
+      qContrastivePairs)
 }

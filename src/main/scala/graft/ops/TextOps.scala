@@ -1813,6 +1813,146 @@ object TextOps {
           PARTITION BY lang_meta) AS BIGINT) AS DOUBLE) AS recall_share
       FROM conf ORDER BY lang_meta, lang_pred"""))
 
+  /** Rare-word-density quality signal: every vocabulary word gets a
+    * corpus frequency rank (dense_rank by count desc — rank 1 = the
+    * most common word), and each document scores the mean rank of
+    * its token stream. High mean rank = rare-word-dense documents
+    * (jargon, tails, noise) — the cheap lexical-rarity signal a
+    * curation pass uses next to stopword ratios. Exact cross-engine:
+    * ranks are integers from a totally ordered window, the per-doc
+    * sum is BIGINT, and the mean is one final IEEE division.
+    *
+    * Scale shape: the rank window sorts the VOCABULARY dictionary
+    * (post-aggregation, orders of magnitude smaller than the corpus),
+    * never the token stream; the stream itself only hash-joins to the
+    * ranked dictionary and aggregates per doc with map-side combine.
+    */
+  val qRarity = QueryDef(
+    "q_text_rarity",
+    (s, dir) => {
+      val toks = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val ranked = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        .withColumn("rnk", dense_rank().over(
+          Window.orderBy(col("c").desc, col("w"))))
+        .select("w", "rnk")
+      toks.join(ranked, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(col("rnk")).cast("long").as("sum_rank"))
+        .select(col("doc_id"), col("n_toks"), col("sum_rank"),
+          (col("sum_rank").cast("double") / col("n_toks"))
+            .as("mean_rank"))
+        .orderBy(col("mean_rank").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        WHERE len(w) > 0),
+      ranked AS (
+        SELECT w, dense_rank() OVER (ORDER BY count(*) DESC, w) AS rnk
+        FROM toks GROUP BY w),
+      agg AS (
+        SELECT doc_id, count(*) AS n_toks,
+          CAST(sum(rnk) AS BIGINT) AS sum_rank
+        FROM toks JOIN ranked USING (w)
+        GROUP BY 1)
+      SELECT doc_id, n_toks, sum_rank,
+        CAST(sum_rank AS DOUBLE) / n_toks AS mean_rank
+      FROM agg ORDER BY mean_rank DESC, doc_id LIMIT 20"""))
+
+  /** Zipf audit over the top-20 vocabulary: under Zipf's law the
+    * product count·rank is roughly constant, so `zipf_mass = c·r`
+    * and its ratio to the top word's count make power-law deviation
+    * visible without a single logarithm (log() is not bit-portable
+    * across engines; the integer product and ONE final division
+    * are). The corpus-health check a tokenizer-training pass runs
+    * before trusting its frequency table. Rank is a row_number over
+    * the totally ordered dictionary; everything before the final
+    * division is exact integer arithmetic.
+    */
+  val qVocabZipf = QueryDef(
+    "q_vocab_zipf",
+    (s, dir) => {
+      val wc = Tables.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val top = wc.withColumn("rnk", row_number().over(
+          Window.orderBy(col("c").desc, col("w"))))
+        .filter(col("rnk") <= 20)
+      top.crossJoin(broadcast(wc.agg(max("c").as("c1"))))
+        .select(col("rnk"), col("w"), col("c"),
+          (col("c") * col("rnk")).as("zipf_mass"),
+          ((col("c") * col("rnk")).cast("double") /
+            col("c1").cast("double")).as("mass_ratio"))
+        .orderBy("rnk")
+    },
+    Some("""
+      WITH wc AS (
+        SELECT w, count(*) AS c FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      top AS (
+        SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rnk
+        FROM wc QUALIFY rnk <= 20),
+      c1 AS (SELECT max(c) AS c1 FROM wc)
+      SELECT rnk, w, c, c * rnk AS zipf_mass,
+        CAST(c * rnk AS DOUBLE) / CAST(c1 AS DOUBLE) AS mass_ratio
+      FROM top CROSS JOIN c1
+      ORDER BY rnk"""))
+
+  /** PII detection counts per source: emails, IPv4s, phone-shaped
+    * and long-digit-run (card/ID-shaped) matches, plus how many
+    * documents carry any — the scrub-audit a training pipeline runs
+    * before release. The patterns live in [[Pii]] and the SAME
+    * pattern strings are interpolated into both engines, restricted
+    * to the regex subset Java and RE2 interpret identically
+    * (character classes, bounded repetition, \b). This corpus is
+    * synthetic word-salad, so every count is legitimately zero here;
+    * PiiSpec proves detection and redaction positively on fixture
+    * strings through the same published patterns.
+    */
+  val qPii = QueryDef(
+    "q_text_pii",
+    (s, dir) => {
+      def cnt(p: String) =
+        size(regexp_extract_all(col("text"), lit(p), lit(0)))
+      val per = Tables.t(s, dir, "documents")
+        .select(col("source"),
+          cnt(Pii.Email).as("e"), cnt(Pii.Ipv4).as("i"),
+          cnt(Pii.Phone).as("p"), cnt(Pii.LongDigits).as("d"))
+      per.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("e").cast("long").as("emails"),
+          sum("i").cast("long").as("ipv4s"),
+          sum("p").cast("long").as("phones"),
+          sum("d").cast("long").as("long_ids"),
+          sum(when(col("e") + col("i") + col("p") + col("d") > 0, 1L)
+            .otherwise(0L)).cast("long").as("docs_with_pii"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH per AS (
+        SELECT source,
+          len(regexp_extract_all(text, '${Pii.Email}')) AS e,
+          len(regexp_extract_all(text, '${Pii.Ipv4}')) AS i,
+          len(regexp_extract_all(text, '${Pii.Phone}')) AS p,
+          len(regexp_extract_all(text, '${Pii.LongDigits}')) AS d
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(e) AS BIGINT) AS emails,
+        CAST(sum(i) AS BIGINT) AS ipv4s,
+        CAST(sum(p) AS BIGINT) AS phones,
+        CAST(sum(d) AS BIGINT) AS long_ids,
+        CAST(sum(CASE WHEN e + i + p + d > 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS docs_with_pii
+      FROM per GROUP BY source ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(qTokens, qQuality, qQualityCalibrate, qGopherRules, qLangId,
       qFingerprint, qReadability, qTfIdf, qRepetition, qClean, qSurprise,
@@ -1821,5 +1961,30 @@ object TextOps {
       qLengthHist,
       qClassify, qVocabTopK, qSourceDrift, qDiversity, qQualityEnsemble,
       qVocabCoverage, qVocabKmv, qTextNfc, qBm25, qPmi,
-      qLangIdConfusion, qSketchCms)
+      qLangIdConfusion, qSketchCms, qRarity, qVocabZipf, qPii)
+}
+
+/** PII patterns + redaction, shared between q_text_pii's oracle-
+  * checked counts and the positive-detection spec. Patterns stay in
+  * the regex subset Java (Spark) and RE2 (DuckDB) interpret
+  * identically: character classes, bounded repetition, alternation,
+  * \b word boundaries — no lookaround, no backreferences.
+  */
+object Pii {
+  val Email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val Ipv4 = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+  val Phone = """\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"""
+  val LongDigits = """\b[0-9]{13,16}\b"""
+  val All: Seq[(String, String)] = Seq(
+    "email" -> Email, "ipv4" -> Ipv4, "phone" -> Phone,
+    "long_digits" -> LongDigits)
+
+  /** Replace every PII match with a class tag — the scrub transform
+    * itself (order matters: the more specific patterns run first so
+    * an IPv4 inside a URL-ish token isn't half-eaten by LongDigits).
+    */
+  def redact(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    All.foldLeft(c) { case (acc, (name, p)) =>
+      regexp_replace(acc, p, s"[$name]")
+    }
 }
