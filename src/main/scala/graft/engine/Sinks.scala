@@ -103,6 +103,28 @@ object Sinks {
     sb.toString
   }
 
+  /** RFC 4180 CSV (extension; the reference has json/table only):
+    * header row, CRLF line ends, fields quoted only when they contain
+    * a comma, quote, CR or LF; embedded quotes double. Timestamps
+    * render like the other sinks (ISO micros, no zone); nulls are
+    * empty fields.
+    */
+  def toCsv(result: QueryResult): String = {
+    def field(s: String): String =
+      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    val sb = new StringBuilder
+    sb.append(result.schema.fields.map(f => field(f.name))
+      .mkString(",")).append("\r\n")
+    result.rows.foreach { r =>
+      sb.append((0 until r.length)
+        .map(i => field(formatCell(r.get(i)))).mkString(","))
+        .append("\r\n")
+    }
+    sb.toString
+  }
+
   def jsonString(s: String): String = {
     val sb = new StringBuilder("\"")
     s.foreach {

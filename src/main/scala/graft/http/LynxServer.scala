@@ -15,7 +15,7 @@ import graft.engine.{LynxEngine, Sinks}
   * POST /api/v1/query, GET /health. JSON bodies match the reference's
   * serde shapes (testdata/write.json, testdata/query.json):
   * write = {namespace, measurement, value, metadata?, timestamp};
-  * query = {namespace, query, format?: "json"|"table", version?: N}
+  * query = {namespace, query, format?: "csv"|"json"|"table", version?: N}
   * (default table, reference main.rs:80; `version` = time-travel read
   * at a published tier manifest version, an engine extension).
   *
@@ -233,6 +233,7 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
               case Some(result) =>
                 respond(ex, 200, fmt match {
                   case "json" => Sinks.toJson(result)
+                  case "csv" => Sinks.toCsv(result)
                   case _ => Sinks.toTable(result)
                 })
               case None => respond(ex, 404)

@@ -878,9 +878,90 @@ object Curation {
           AS waste_frac
       FROM g ORDER BY ctx"""))
 
+  /** DSIR-style target-affinity scoring (data selection via
+    * importance resampling, Xie et al. 2023, arXiv:2302.03169 —
+    * hashed-n-gram importance weights ranking raw documents by how
+    * target-like they are): the target distribution here is the
+    * corpus's English slice, features are unigrams, and each word
+    * carries the add-one-smoothed frequency-ratio weight
+    *   w(word) = ((t_w+1)·(N_r+V)) / ((r_w+1)·(N_t+V))
+    * (t_w/r_w = target/raw counts, N_t/N_r = totals, V = vocab). A
+    * document's affinity is the token-count-weighted MEAN weight of
+    * its words; the top-20 most target-like documents are reported —
+    * the selection head of an importance-resampling pass.
+    *
+    * DSIR proper scores log-ratios; log() is not bit-portable across
+    * engines, and since log is monotone the linear ratio induces the
+    * same per-word ordering — the mean-of-ratios variant keeps the
+    * selection spirit with exact cross-engine arithmetic: integer
+    * products (headroom: tokens ~2.5e8 at sf10 → products ≤ ~6e16 <
+    * 2^63), ONE IEEE division per vocabulary word, and an
+    * order-independent exact-decimal sum per document.
+    *
+    * Scale shape: two word-count aggregations (map-side combined),
+    * a broadcast of 4 scalar totals, one hash join of the token
+    * stream to the weighted dictionary, one per-doc aggregation —
+    * every shuffle is on word or doc_id keys.
+    */
+  val qTargetAffinity = QueryDef(
+    "q_curation_affinity",
+    (s, dir) => {
+      val toks = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val raw = toks.groupBy("w").agg(count(lit(1)).as("r_w"))
+      val tgt = toks.filter(col("lang") === "en")
+        .groupBy("w").agg(count(lit(1)).as("t_w"))
+      val dict = raw.join(tgt, Seq("w"), "left")
+        .select(col("w"), col("r_w"),
+          coalesce(col("t_w"), lit(0L)).as("t_w"))
+      val totals = dict.agg(
+        sum("r_w").cast("long").as("n_r"),
+        sum("t_w").cast("long").as("n_t"),
+        count(lit(1)).as("v"))
+      val weighted = dict.crossJoin(broadcast(totals))
+        .select(col("w"),
+          (((col("t_w") + 1) * (col("n_r") + col("v"))).cast("double") /
+            ((col("r_w") + 1) * (col("n_t") + col("v"))).cast("double"))
+            .as("wt"))
+      toks.join(weighted, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          (Parity.dsum(col("wt")) / count(lit(1))).as("affinity"))
+        .orderBy(col("affinity").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang, w FROM (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        WHERE len(w) > 0),
+      raw AS (SELECT w, count(*) AS r_w FROM toks GROUP BY w),
+      tgt AS (SELECT w, count(*) AS t_w FROM toks
+              WHERE lang = 'en' GROUP BY w),
+      dict AS (
+        SELECT raw.w, r_w, COALESCE(t_w, 0) AS t_w
+        FROM raw LEFT JOIN tgt ON raw.w = tgt.w),
+      totals AS (
+        SELECT CAST(sum(r_w) AS BIGINT) AS n_r,
+          CAST(sum(t_w) AS BIGINT) AS n_t, count(*) AS v
+        FROM dict),
+      weighted AS (
+        SELECT w,
+          CAST((t_w + 1) * (n_r + v) AS DOUBLE) /
+            CAST((r_w + 1) * (n_t + v) AS DOUBLE) AS wt
+        FROM dict CROSS JOIN totals)
+      SELECT doc_id, count(*) AS n_toks,
+        ${Parity.dsumSql("wt")} / count(*) AS affinity
+      FROM toks JOIN weighted USING (w)
+      GROUP BY doc_id
+      ORDER BY affinity DESC, doc_id LIMIT 20"""))
+
   val all: Seq[QueryDef] =
     Seq(qPackSequences, qSampleStratified, qSampleReservoir, qDomainMix,
       qSplitTrain, qTemperatureMix, qTokenBudget, qCorpusShuffle,
       qEpochMix, qSampleWeighted, qChunkSliding, qSampleCluster,
-      qFeatureBins, qPackWaste)
+      qFeatureBins, qPackWaste, qTargetAffinity)
 }

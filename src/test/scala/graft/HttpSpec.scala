@@ -95,6 +95,26 @@ class HttpSpec extends AnyFunSuite {
     }
   }
 
+  test("format=csv returns an RFC 4180 body") {
+    withServer { port =>
+      post(port, "/api/v1/write",
+        """{"namespace": "csv_ns", "measurement": "m", "value": "a,b",
+          |"timestamp": 1}""".stripMargin)
+      post(port, "/api/v1/write",
+        """{"namespace": "csv_ns", "measurement": "m", "value": "plain",
+          |"timestamp": 2}""".stripMargin)
+      val q = post(port, "/api/v1/query",
+        """{"namespace": "csv_ns",
+          |"query": "SELECT timestamp, value FROM m ORDER BY timestamp",
+          |"format": "csv"}""".stripMargin)
+      assert(q.statusCode() == 200)
+      assert(q.body() ==
+        "timestamp,value\r\n" +
+        "1970-01-01T00:00:00.000001,\"a,b\"\r\n" +
+        "1970-01-01T00:00:00.000002,plain\r\n")
+    }
+  }
+
   test("a JSON-array body batch-writes N rows in one request " +
     "(one WAL group commit), atomically rejecting invalid batches") {
     withServer { port =>

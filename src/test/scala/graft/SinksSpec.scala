@@ -56,6 +56,19 @@ class SinksSpec extends AnyFunSuite {
       """{"timestamp":"1970-01-01T00:00:00.000002","value":"plain","host":"h1"}]""")
   }
 
+  test("CSV sink is RFC 4180: CRLF rows, minimal quoting, doubled " +
+    "embedded quotes, empty null fields") {
+    val result = QueryResult(schema, Seq(
+      Row(ts(1), "a,b", null),
+      Row(ts(2), "say \"hi\"\nok", "h1"),
+      Row(ts(0), "plain", "h2")))
+    assert(Sinks.toCsv(result) ==
+      "timestamp,value,host\r\n" +
+      "1970-01-01T00:00:00.000001,\"a,b\",\r\n" +
+      "1970-01-01T00:00:00.000002,\"say \"\"hi\"\"\nok\",h1\r\n" +
+      "1970-01-01T00:00:00,plain,h2\r\n")
+  }
+
   test("JSON sink renders numerics and booleans bare") {
     val s2 = StructType(Seq(
       StructField("n", LongType), StructField("d", DoubleType),
