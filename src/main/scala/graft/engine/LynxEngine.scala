@@ -257,6 +257,16 @@ class LynxEngine(
       tier.map(_.expire(namespace, table, beforeDay)).getOrElse(0)
     }
 
+  /** Published tier manifest versions for a table, oldest first, with
+    * file counts — the discovery call behind `version:`-pinned
+    * (time-travel) queries. Empty without a tier or before the first
+    * seal. Read-only: no write lock (manifest publishes are atomic
+    * renames, so a concurrent seal yields either the old or the new
+    * list, never a torn one).
+    */
+  def tierVersions(namespace: String, table: String): Seq[(Long, Int)] =
+    tier.map(_.versions(namespace, table)).getOrElse(Nil)
+
   /** Run `sql` against namespace `namespace`. None = unknown
     * namespace/table → HTTP 404 (reference lynx.rs:144-148).
     *

@@ -286,6 +286,34 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
     }
   })
 
+  // admin: list a table's published manifest versions (oldest first)
+  // with file counts — how a client discovers the `version` values the
+  // query endpoint's time-travel parameter accepts
+  server.createContext("/api/v1/admin/versions", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "POST") respond(ex, 405)
+    else {
+      val parsed =
+        try Right(Json.parseCompact(ex.getRequestBody.readAllBytes()))
+        catch { case e: Exception => Left(e) }
+      parsed match {
+        case Left(e) =>
+          System.err.println(e)
+          respond(ex, 422)
+        case Right((ns, table, _)) =>
+          try {
+            val vs = engine.tierVersions(ns, table)
+              .map { case (v, n) => s"""{"version":$v,"files":$n}""" }
+              .mkString("[", ",", "]")
+            respond(ex, 200, vs)
+          } catch {
+            case e: Exception =>
+              System.err.println(e)
+              respond(ex, 500)
+          }
+      }
+    }
+  })
+
   // admin: retention — age out day partitions older than before_day
   // (exclusive); reports how many data files the manifest dropped
   server.createContext("/api/v1/admin/expire", (ex: HttpExchange) => {

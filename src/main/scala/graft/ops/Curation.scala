@@ -959,9 +959,83 @@ object Curation {
       GROUP BY doc_id
       ORDER BY affinity DESC, doc_id LIMIT 20"""))
 
+  /** Pareto-skyline document selection: the docs not STRICTLY
+    * dominated on (length, lexical diversity) — no other doc is both
+    * longer AND more type-diverse. Multi-objective curation keeps the
+    * frontier instead of collapsing signals into one weighted score
+    * (the weights are always wrong for somebody); the skyline is the
+    * defensible "best at every trade-off" slice.
+    *
+    * The dominance test is a window — max(ttr) over documents with
+    * token count >= mine+1 (a RANGE frame, so ties in length never
+    * dominate each other); a doc survives iff that max is NULL or
+    * not above its own ttr. max() is order-independent so the
+    * frontier is bit-stable; ttr is one IEEE division of exact
+    * integer counts.
+    *
+    * A global single-partition window over every document would be
+    * the 100 TB bottleneck, so the Spark plan prunes first with the
+    * DISTRIBUTIVE half of the skyline: bucket docs by length
+    * (n_toks div 64), take each bucket's max ttr (a hash
+    * aggregation), suffix-max those ~thousands of bucket rows (the
+    * only tiny window), and drop every doc beaten by a strictly
+    * longer bucket's max — provably dominated. Only the surviving
+    * frontier superset (near-frontier docs) enters the exact global
+    * window. The prune never changes the answer, so the oracle keeps
+    * the direct one-window form.
+    */
+  val qSkyline = QueryDef(
+    "q_curation_skyline",
+    (s, dir) => {
+      val sig = Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          countDistinct(col("w")).as("vocab"))
+        .select(col("doc_id"), col("n_toks"), col("vocab"),
+          (col("vocab").cast("double") / col("n_toks")).as("ttr"))
+        .withColumn("bkt", expr("n_toks div 64"))
+      val bmax = sig.groupBy("bkt").agg(max("ttr").as("bmax"))
+      val wb = Window.orderBy(col("bkt"))
+        .rangeBetween(1L, Window.unboundedFollowing)
+      val bsuf = bmax
+        .withColumn("suf", max(col("bmax")).over(wb))
+        .select("bkt", "suf")
+      val pruned = sig.join(broadcast(bsuf), Seq("bkt"), "left")
+        .filter(col("suf").isNull || col("suf") <= col("ttr"))
+      val w = Window.orderBy(col("n_toks"))
+        .rangeBetween(1L, Window.unboundedFollowing)
+      pruned.withColumn("best_longer", max(col("ttr")).over(w))
+        .filter(col("best_longer").isNull ||
+          col("best_longer") <= col("ttr"))
+        .select("doc_id", "n_toks", "vocab", "ttr")
+        .orderBy(col("n_toks").desc, col("doc_id"))
+    },
+    Some("""
+      WITH sig AS (
+        SELECT doc_id, count(*) AS n_toks,
+          count(DISTINCT w) AS vocab,
+          CAST(count(DISTINCT w) AS DOUBLE) / count(*) AS ttr
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE len(w) > 0
+        GROUP BY doc_id),
+      flagged AS (
+        SELECT doc_id, n_toks, vocab, ttr,
+          max(ttr) OVER (ORDER BY n_toks
+            RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+            AS best_longer
+        FROM sig)
+      SELECT doc_id, n_toks, vocab, ttr
+      FROM flagged
+      WHERE best_longer IS NULL OR best_longer <= ttr
+      ORDER BY n_toks DESC, doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(qPackSequences, qSampleStratified, qSampleReservoir, qDomainMix,
       qSplitTrain, qTemperatureMix, qTokenBudget, qCorpusShuffle,
       qEpochMix, qSampleWeighted, qChunkSliding, qSampleCluster,
-      qFeatureBins, qPackWaste, qTargetAffinity)
+      qFeatureBins, qPackWaste, qTargetAffinity, qSkyline)
 }

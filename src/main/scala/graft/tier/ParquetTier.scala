@@ -135,6 +135,14 @@ final class ParquetTier(root: File,
   def fileCount(ns: String, table: String): Int =
     readManifest(ns, table).map(_.size).getOrElse(0)
 
+  /** Every published manifest version with its file count, oldest
+    * first — the discovery call behind time-travel reads (a client
+    * lists versions here, then queries with `version: N`).
+    */
+  def versions(ns: String, table: String): Seq[(Long, Int)] =
+    versioned(ParquetTier.ManifestName, ns, table)
+      .map { case (v, f) => (v, readList(f).size) }
+
   /** Manifest files in EXCESS of compaction's floor of one file per
     * day partition. This is what the auto-compaction trigger must
     * threshold on: total file count never drops below the number of

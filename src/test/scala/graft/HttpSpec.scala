@@ -246,6 +246,16 @@ class HttpSpec extends AnyFunSuite {
         assert(q(s"""{"namespace":"ns","query":"SELECT value FROM""" +
           s""" cpu","format":"json","version":$bad}""").statusCode()
           == 422, s"version $bad must be rejected at parse time")
+      // version discovery: both published manifests, oldest first
+      val vs = post(port, "/api/v1/admin/versions",
+        """{"namespace":"ns","table":"cpu"}""")
+      assert(vs.statusCode() == 200)
+      assert(vs.body() ==
+        """[{"version":1,"files":1},{"version":2,"files":2}]""")
+      // unknown table → empty list, not an error
+      val none = post(port, "/api/v1/admin/versions",
+        """{"namespace":"ns","table":"nope"}""")
+      assert(none.body() == "[]")
     } finally server.stop()
   }
 
