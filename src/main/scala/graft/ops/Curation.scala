@@ -974,15 +974,17 @@ object Curation {
     * integer counts.
     *
     * A global single-partition window over every document would be
-    * the 100 TB bottleneck, so the Spark plan prunes first with the
-    * DISTRIBUTIVE half of the skyline: bucket docs by length
-    * (n_toks div 64), take each bucket's max ttr (a hash
-    * aggregation), suffix-max those ~thousands of bucket rows (the
-    * only tiny window), and drop every doc beaten by a strictly
-    * longer bucket's max — provably dominated. Only the surviving
-    * frontier superset (near-frontier docs) enters the exact global
-    * window. The prune never changes the answer, so the oracle keeps
-    * the direct one-window form.
+    * the 100 TB bottleneck, so the Spark plan DECOMPOSES the
+    * dominance max by length bucket (n_toks div 8 — narrow buckets keep the per-bucket window partitions small and the window parallelism high even on a narrow length distribution): a doc's
+    * strictly-longer competitors are exactly (a) same-bucket docs
+    * with greater n_toks — a window PARTITIONED by bucket, fully
+    * distributed — plus (b) every doc in a strictly later bucket
+    * (all necessarily longer), summarized by the suffix-max of
+    * per-bucket maxes — a window over only ~thousands of bucket
+    * rows, then a broadcast join back. greatest() of the two halves
+    * is EXACTLY the global frame's max, so this is a lossless
+    * re-association, not an approximation; the oracle keeps the
+    * direct one-window form and the results agree bit-for-bit.
     */
   val qSkyline = QueryDef(
     "q_curation_skyline",
@@ -996,18 +998,20 @@ object Curation {
           countDistinct(col("w")).as("vocab"))
         .select(col("doc_id"), col("n_toks"), col("vocab"),
           (col("vocab").cast("double") / col("n_toks")).as("ttr"))
-        .withColumn("bkt", expr("n_toks div 64"))
-      val bmax = sig.groupBy("bkt").agg(max("ttr").as("bmax"))
+        .withColumn("bkt", expr("n_toks div 8"))
       val wb = Window.orderBy(col("bkt"))
         .rangeBetween(1L, Window.unboundedFollowing)
-      val bsuf = bmax
+      val bsuf = sig.groupBy("bkt").agg(max("ttr").as("bmax"))
         .withColumn("suf", max(col("bmax")).over(wb))
         .select("bkt", "suf")
-      val pruned = sig.join(broadcast(bsuf), Seq("bkt"), "left")
-        .filter(col("suf").isNull || col("suf") <= col("ttr"))
-      val w = Window.orderBy(col("n_toks"))
+      val wIn = Window.partitionBy("bkt").orderBy(col("n_toks"))
         .rangeBetween(1L, Window.unboundedFollowing)
-      pruned.withColumn("best_longer", max(col("ttr")).over(w))
+      sig.join(broadcast(bsuf), Seq("bkt"), "left")
+        .withColumn("in_longer", max(col("ttr")).over(wIn))
+        // greatest() skips nulls in both engines; null only when BOTH
+        // halves are empty = no strictly longer doc exists at all
+        .withColumn("best_longer",
+          greatest(col("in_longer"), col("suf")))
         .filter(col("best_longer").isNull ||
           col("best_longer") <= col("ttr"))
         .select("doc_id", "n_toks", "vocab", "ttr")

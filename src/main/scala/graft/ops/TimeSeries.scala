@@ -1496,9 +1496,47 @@ object TimeSeries {
       WHERE d >= min_day + 6 AND d <= max_day
       GROUP BY d ORDER BY d"""))
 
+  /** The native whole-operator twin of q_ts_interval_join
+    * (plans/IntervalJoin.scala): clicks are the probe points, errors
+    * carry [err_us, err_us + 10 min) intervals, and the custom
+    * IntervalJoinExec sweeps each user's sorted streams with an
+    * active-interval buffer — per-key state is the concurrent-overlap
+    * degree, and there's no bucket-granularity knob and no ×2
+    * interval explosion. Identical oracle as the composed query, so
+    * the two formulations are proven to agree bit-for-bit.
+    */
+  val qIntervalNative = QueryDef(
+    "q_ts_interval_native",
+    (s, dir) => {
+      val winUs = 600000000L // 10 minutes
+      val ev = Tables.t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("us").as("click_us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"),
+          col("user_id").as("e_user"), col("us").as("err_us"),
+          (col("us") + winUs).as("err_end"))
+      graft.plans.GraftInterval
+        .intervalJoin(clicks, errors,
+          "c_user", "e_user", "click_us", "err_us", "err_end")
+        .groupBy(col("err_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+        .orderBy("err_id")
+    },
+    Some("""
+      SELECT e.event_id AS err_id, count(*) AS n_clicks
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = e.user_id
+       AND epoch_us(c.ts) >= epoch_us(e.ts)
+       AND epoch_us(c.ts) < epoch_us(e.ts) + 600000000
+      GROUP BY 1 ORDER BY err_id"""))
+
   val all: Seq[QueryDef] =
     Seq(qAsofJoin, qGapFill, qIntervalJoin, qSessionize, qOhlc, qFunnel,
       qRate, qEwma, qHolt, qAnomaly, qRetention, qSeasonal, qLttb,
       qCusum, qAcf, qHoltBacktest, qTwa, qInterp, qNearestJoin,
-      qAsofNative, qAsofTolerance, qAttrLinear, qAttrDecay, qRollingDau)
+      qAsofNative, qAsofTolerance, qAttrLinear, qAttrDecay, qRollingDau,
+      qIntervalNative)
 }
