@@ -611,4 +611,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!read.contains(","),
       s"benford scan must read only l_extendedprice: $read")
   }
+
+  test("communities and contrastive pairs: equi-joins only, no " +
+      "all-pairs fallback") {
+    for (n <- Seq("q_graph_communities", "q_pairs_contrastive")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$n must stay on hash/sort-merge equi-joins")
+    }
+  }
+
+  test("skyline's doc-level dominance window is bucket-partitioned — " +
+      "only the tiny bucket-suffix window is global") {
+    val p = plan("q_curation_skyline")
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition("))
+      .map(_.trim.split("windowspecdefinition\\(")(1)
+        .split(",")(0)).toSeq
+    // exactly two windows: the per-bucket doc window (partitioned by
+    // bkt) and the bucket-suffix window (ordered by bkt, global over
+    // ~thousands of bucket rows)
+    assert(specs.exists(_.startsWith("bkt")),
+      s"doc-level window must partition by bkt: $specs")
+  }
+
+  test("native interval join plans the custom sweep operator with " +
+      "key-clustered exchanges") {
+    val df = SparkEntry.queries("q_ts_interval_native")(
+      SparkFixture.spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("IntervalJoin "),
+      "the custom IntervalJoinExec must plan")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
