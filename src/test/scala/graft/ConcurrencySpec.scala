@@ -201,6 +201,43 @@ class ConcurrencySpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("concurrent batch and single writes interleave atomically and " +
+    "replay completely") {
+    val dir = Files.createTempDirectory("conc-batch").toFile
+    val e = new LynxEngine(SparkFixture.spark, dir, 1024 * 1024)
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (0 until 8).map { t =>
+        Future {
+          (0 until 20).foreach { i =>
+            val base = t * 1000 + i * 10
+            if (t % 2 == 0)
+              e.writeBatch((0 until 5).map(j =>
+                WriteRequest("ns", "m", s"b_${base + j}", Map.empty,
+                  (base + j).toLong)))
+            else
+              e.write(WriteRequest("ns", "m", s"s_$base", Map.empty,
+                base.toLong))
+          }
+        }
+      }
+      Await.result(Future.sequence(futures), 120.seconds)
+      // 4 batch threads × 20 × 5 + 4 single threads × 20
+      val want = 4 * 20 * 5 + 4 * 20
+      val live = e.query("ns", "SELECT count(*) AS n FROM m").get
+        .rows.head.getLong(0)
+      assert(live == want, s"live rows $live != $want")
+      // every batched row is WAL-durable: a fresh engine replays all
+      e.wal.close()
+      val e2 = new LynxEngine(SparkFixture.spark, dir, 1024 * 1024)
+      val replayed = e2.query("ns", "SELECT count(*) AS n FROM m").get
+        .rows.head.getLong(0)
+      assert(replayed == want, s"replayed rows $replayed != $want")
+      e2.wal.close()
+    } finally pool.shutdown()
+  }
+
   test("auto-seal spills the RAM tail to the tier at the threshold") {
     val dir = Files.createTempDirectory("autoseal-wal").toFile
     val tierDir = Files.createTempDirectory("autoseal-tier").toFile
