@@ -179,6 +179,46 @@ class StreamingSpec extends AnyFunSuite {
       s"expected the first alpha and the post-expiry replay, got $alphas")
   }
 
+  test("exact dedup runs on the RocksDB state store provider — the " +
+    "spill-to-disk state backend a forever-running ingest configures") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamRow]
+      val q = StreamingIngest.dedupExact(mem.toDS())
+        .writeStream.format("memory").queryName("dedup_rocks")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .start()
+      mem.addData(Seq(
+        StreamRow("ns", "docs", "alpha", Map.empty, 1L),
+        StreamRow("ns", "docs", "beta", Map.empty, 2L)))
+      q.processAllAvailable()
+      mem.addData(Seq(
+        StreamRow("ns", "docs", "alpha", Map.empty, 3L), // dup
+        StreamRow("ns", "docs", "gamma", Map.empty, 4L)))
+      q.processAllAvailable()
+      // the state store really is RocksDB, not the default HDFS map
+      val providers = q.lastProgress.stateOperators
+        .map(_.customMetrics.keySet())
+      assert(providers.exists(_.toString.contains("rocksdb")),
+        s"expected rocksdb custom metrics, got $providers")
+      q.stop()
+      val vals = spark.sql("SELECT value FROM dedup_rocks")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(vals == Seq("alpha", "beta", "gamma"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming ewma is bit-identical to the sequential fold, " +
     "however the stream is micro-batched") {
     val spark = SparkFixture.spark
