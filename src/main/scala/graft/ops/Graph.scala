@@ -544,8 +544,71 @@ object GraphOps {
       FROM l3 GROUP BY 1
       ORDER BY n_nodes DESC, community LIMIT 20"""))
 
+  /** Sequence-novelty scoring: flag users whose event streams walk
+    * RARE transitions — the behavioral-anomaly screen a pipeline runs
+    * over interaction logs (bots and broken clients take paths the
+    * population doesn't). A transition instance is rare when its
+    * global count is under 0.1% of all transitions, tested as the
+    * exact integer comparison n·1000 < total (no float threshold to
+    * drift; headroom: events·1000 ≈ 1e15 at 100 TB, far under 2^63).
+    * Per user: step count, rare-step count, and the rare share (one
+    * final division); ≥5-step users only, top-20 by share.
+    *
+    * Scale shape: one lead() window per user partition, a ≤|types|²
+    * transition-count aggregation that BROADCASTS back to the step
+    * stream, and a per-user aggregation — all shuffles on user or
+    * (src, dst) keys.
+    */
+  val qSeqNovelty = QueryDef(
+    "q_seq_novelty",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val steps = T(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("dst", lead("event_type", 1).over(w))
+        .filter(col("dst").isNotNull)
+        .select(col("user_id"), col("event_type").as("src"), col("dst"))
+      val g = steps.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      val tot = g.agg(sum("n").cast("long").as("tot"))
+      steps.join(broadcast(g), Seq("src", "dst"))
+        .crossJoin(broadcast(tot))
+        .withColumn("rare",
+          when(col("n") * 1000L < col("tot"), 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_steps"),
+          sum("rare").cast("long").as("n_rare"))
+        .filter(col("n_steps") >= 5)
+        .select(col("user_id"), col("n_steps"), col("n_rare"),
+          (col("n_rare").cast("double") / col("n_steps"))
+            .as("rare_share"))
+        .orderBy(col("rare_share").desc, col("user_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type AS src,
+          lead(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events),
+      steps AS (SELECT user_id, src, dst FROM seq
+                WHERE dst IS NOT NULL),
+      g AS (SELECT src, dst, count(*) AS n FROM steps GROUP BY 1, 2),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g),
+      agg AS (
+        SELECT user_id, count(*) AS n_steps,
+          CAST(sum(CASE WHEN n * 1000 < tot THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rare
+        FROM steps JOIN g USING (src, dst) CROSS JOIN tot
+        GROUP BY 1)
+      SELECT user_id, n_steps, n_rare,
+        CAST(n_rare AS DOUBLE) / n_steps AS rare_share
+      FROM agg WHERE n_steps >= 5
+      ORDER BY rare_share DESC, user_id LIMIT 20"""))
+
   val all: Seq[QueryDef] = Seq(qPagerank, qTriangles, qDegree, qMarkov,
-    qAssocRules, qEventTrigrams, qJaccardNeighbors, qCommunities)
+    qAssocRules, qEventTrigrams, qJaccardNeighbors, qCommunities,
+    qSeqNovelty)
 }
 
 /** Physical-layout operators: where rows LIVE decides what a 100 TB
