@@ -1595,22 +1595,38 @@ object Similarity {
         .select(col("id_a"), col("id_b"),
           pairCos(GraftFunctions.dotp(col("emb_a"), col("emb_b")),
             col("nrm_a"), col("nrm_b")).as("cos"))
+      // symmetrize with ONE explode, not a self-union: a union would
+      // reference `scored` twice and duplicate the whole LSH
+      // candidate-generation lineage in the plan (2× the dominant
+      // cost); the explode emits both directions in a single pass
       val sym = scored
-        .select(col("id_a").as("anchor"), col("id_b").as("other"),
-          col("cos"))
-        .unionAll(scored.select(col("id_b").as("anchor"),
-          col("id_a").as("other"), col("cos")))
-      val w = Window.partitionBy("anchor")
+        .select(explode(array(
+          struct(col("id_a").as("anchor"), col("id_b").as("other"),
+            col("cos")),
+          struct(col("id_b").as("anchor"), col("id_a").as("other"),
+            col("cos")))).as("e"))
+        .select(col("e.anchor").as("anchor"),
+          col("e.other").as("other"), col("e.cos").as("cos"))
+      // one banded window pass instead of two filtered branches (a
+      // pos/neg branch pair would re-traverse sym — and with it the
+      // candidate generation — twice): band each row, take the
+      // per-(anchor, band) argmax, pivot the two winners onto one row
+      val banded = sym.withColumn("band",
+          when(col("cos") >= 0.3 && col("cos") < 0.98, "pos")
+            .when(col("cos") >= 0.0 && col("cos") < 0.15, "neg"))
+        .filter(col("band").isNotNull)
+      val w = Window.partitionBy("anchor", "band")
         .orderBy(col("cos").desc, col("other"))
-      val pos = sym.filter(col("cos") >= 0.3 && col("cos") < 0.98)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("anchor"), col("other").as("pos_id"),
-          col("cos").as("pos_cos"))
-      val neg = sym.filter(col("cos") >= 0.0 && col("cos") < 0.15)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("anchor"), col("other").as("neg_id"),
-          col("cos").as("neg_cos"))
-      pos.join(neg, "anchor").orderBy("anchor")
+      banded.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("anchor")
+        .agg(
+          max(when(col("band") === "pos", col("other"))).as("pos_id"),
+          max(when(col("band") === "pos", col("cos"))).as("pos_cos"),
+          max(when(col("band") === "neg", col("other"))).as("neg_id"),
+          max(when(col("band") === "neg", col("cos"))).as("neg_cos"))
+        .filter(col("pos_id").isNotNull && col("neg_id").isNotNull)
+        .orderBy("anchor")
     },
     Some(s"""
       WITH $lshCandWithSql,
