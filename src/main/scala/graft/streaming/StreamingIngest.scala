@@ -549,6 +549,53 @@ object StreamingIngest {
       }
   }
 
+  final case class NoveltyFlag(userId: Long, src: String, dst: String,
+      tsUs: Long, n: Long, rare: Boolean)
+
+  /** The frozen transition dictionary a batch pass trains for
+    * [[seqNovelty]]: global (src, dst) counts over a static event
+    * frame (same extraction as q_markov_transitions) plus the total,
+    * cache()d because a stream-static join re-executes the static
+    * side per micro-batch. At 100 TB the dictionary is ≤ |event
+    * types|² rows — it broadcasts.
+    */
+  def transitionDict(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    val g = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("dst", lead("event_type", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    g.crossJoin(broadcast(g.agg(sum("n").cast("long").as("tot"))))
+      .cache()
+  }
+
+  /** Real-time rare-transition flagging — the streaming face of
+    * q_seq_novelty: transitions come from [[markovTransitions]]'s
+    * one-record-per-user state, and each is scored against the
+    * FROZEN batch-trained [[transitionDict]] by the same exact
+    * integer rule (rare ⇔ n·1000 < total; a transition the training
+    * corpus never saw scores n = 0, maximally rare). Model trains
+    * batch-side, scoring adds no state beyond the per-user last-event
+    * record — the broadcast stream-static join is how a behavioral
+    * anomaly screen actually deploys.
+    */
+  def seqNovelty(ev: Dataset[MarkovEvent], dict: DataFrame)
+      : Dataset[NoveltyFlag] = {
+    import ev.sparkSession.implicits._
+    markovTransitions(ev).toDF()
+      .join(broadcast(dict), Seq("src", "dst"), "left")
+      .select(col("userId"), col("src"), col("dst"), col("tsUs"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        (coalesce(col("n"), lit(0L)) * 1000L <
+          coalesce(col("tot"),
+            lit(Long.MaxValue))).as("rare"))
+      .as[NoveltyFlag]
+  }
+
   final case class AnomalyOut(series: String, bucketUs: Long, x: Double,
       nHist: Long, mean: Double, z: Double, isAnomaly: Boolean)
   final case class AnomalyState(hist: List[Double])

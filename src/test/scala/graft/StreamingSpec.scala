@@ -315,6 +315,59 @@ class StreamingSpec extends AnyFunSuite {
       "markov_three") == expected)
   }
 
+  test("streaming seq-novelty flags transitions against the frozen " +
+    "batch dictionary, split-invariantly, unseen paths maximally rare") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.{MarkovEvent, NoveltyFlag}
+
+    // train the dictionary on a skewed static corpus: 1000 view→click
+    // transitions + ONE buy→refund (total 1001, so the 0.1% rule —
+    // n·1000 < tot — marks exactly the singleton rare)
+    val trainRows = (0L until 2002L).map { i =>
+      val (a, b) = if (i < 2000) ("view", "click") else ("buy", "refund")
+      (i / 2, new java.sql.Timestamp(i * 1000), i, if (i % 2 == 0) a else b)
+    }
+    val train = trainRows
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val dict = StreamingIngest.transitionDict(train)
+
+    val evs = Seq(
+      MarkovEvent(1L, 1000000L, 1L, "view"),
+      MarkovEvent(1L, 2000000L, 2L, "click"),   // common transition
+      MarkovEvent(1L, 3000000L, 3L, "buy"),
+      MarkovEvent(1L, 4000000L, 4L, "refund"),  // rare (n=1 of 1001)
+      MarkovEvent(1L, 5000000L, 5L, "view"),    // refund→view unseen
+      MarkovEvent(2L, 1000000L, 6L, "view"),
+      MarkovEvent(2L, 2000000L, 7L, "click"))
+
+    def run(splits: Seq[Seq[MarkovEvent]], name: String)
+        : Set[NoveltyFlag] = {
+      val mem = MemoryStream[MarkovEvent]
+      val q = StreamingIngest.seqNovelty(mem.toDS(), dict).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      splits.foreach { s => mem.addData(s); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[NoveltyFlag].collect().toSet
+    }
+
+    val one = run(Seq(evs), "novelty_one")
+    def flag(u: Long, src: String, dst: String) =
+      one.find(f => f.userId == u && f.src == src && f.dst == dst).get
+    assert(!flag(1L, "view", "click").rare, "dominant path not rare")
+    assert(!flag(2L, "view", "click").rare)
+    assert(flag(1L, "buy", "refund").rare, "tail path rare")
+    assert(flag(1L, "click", "buy").rare, "unseen path rare")
+    assert(flag(1L, "click", "buy").n == 0L)
+    assert(flag(1L, "refund", "view").rare && "view" == flag(1L,
+      "refund", "view").dst)
+    // split boundaries mid-stream change nothing
+    assert(run(Seq(evs.take(3), evs.slice(3, 5), evs.drop(5)),
+      "novelty_split") == one)
+  }
+
   test("streaming cusum with the batch profile reproduces the batch " +
     "change-point rows bit-for-bit across micro-batch splits") {
     val spark = SparkFixture.spark
