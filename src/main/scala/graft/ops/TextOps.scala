@@ -1953,6 +1953,129 @@ object TextOps {
           AS BIGINT) AS docs_with_pii
       FROM per GROUP BY source ORDER BY source"""))
 
+  /** KMV sketch SET OPERATIONS: estimate the vocabulary Jaccard of
+    * every source pair from per-source k=64 minimum-hash sketches —
+    * union two sketches = merge-and-trim to the 64 smallest, and the
+    * Jaccard estimate is the fraction of the union sketch present in
+    * both — then audit against the exact distinct-word Jaccard. This
+    * is the profile pass a 1000-executor run ships instead of
+    * pairwise distinct-set intersections: constant-size mergeable
+    * state per source, pairs compared sketch-to-sketch. md5-derived
+    * 60-bit hashes and integer ranks make the estimate — and its
+    * error column — bit-identical in both engines. At fixture vocab
+    * (< k distinct words) the sketch IS the word set and est ==
+    * exact; at real scale the estimator's error becomes visible in
+    * abs_err while staying deterministic.
+    */
+  val qVocabKmvJaccard = QueryDef(
+    "q_vocab_kmv_jaccard",
+    (s, dir) => {
+      val wh = Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("source"), col("w"),
+          conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+            .as("h"))
+        .distinct()
+      val sk = wh
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy("h")))
+        .filter(col("rk") <= 64)
+        .select(col("source"), col("h"))
+      val srcs = wh.select("source").distinct()
+      val pairs = srcs.select(col("source").as("s1"))
+        .join(srcs.select(col("source").as("s2")), col("s1") < col("s2"))
+      val sides = pairs
+        .join(sk.withColumnRenamed("source", "s1"), Seq("s1"))
+        .select(col("s1"), col("s2"), col("h"), lit(1L).as("ina"),
+          lit(0L).as("inb"))
+        .unionAll(pairs
+          .join(sk.withColumnRenamed("source", "s2"), Seq("s2"))
+          .select(col("s1"), col("s2"), col("h"), lit(0L).as("ina"),
+            lit(1L).as("inb")))
+      val unionSk = sides.groupBy("s1", "s2", "h")
+        .agg(max("ina").as("ina"), max("inb").as("inb"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("s1", "s2").orderBy("h")))
+        .filter(col("rk") <= 64)
+      val est = unionSk.groupBy("s1", "s2")
+        .agg(count(lit(1)).as("n_union_sk"),
+          sum(col("ina") * col("inb")).cast("long").as("n_both"))
+        .select(col("s1"), col("s2"),
+          (col("n_both").cast("double") / col("n_union_sk"))
+            .as("est_jaccard"))
+      val sizes = wh.groupBy("source").agg(count(lit(1)).as("nv"))
+      val inter = wh.select(col("source").as("s1"), col("w"))
+        .join(wh.select(col("source").as("s2"), col("w")), Seq("w"))
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("n_ab"))
+      val exact = inter
+        .join(broadcast(sizes.select(col("source").as("s1"),
+          col("nv").as("na"))), Seq("s1"))
+        .join(broadcast(sizes.select(col("source").as("s2"),
+          col("nv").as("nb"))), Seq("s2"))
+        .select(col("s1"), col("s2"),
+          (col("n_ab").cast("double") /
+            (col("na") + col("nb") - col("n_ab"))).as("exact_jaccard"))
+      est.join(exact, Seq("s1", "s2"))
+        .select(col("s1"), col("s2"), col("est_jaccard"),
+          col("exact_jaccard"),
+          abs(col("est_jaccard") - col("exact_jaccard")).as("abs_err"))
+        .orderBy(col("est_jaccard").desc, col("s1"), col("s2"))
+        .limit(20)
+    },
+    Some("""
+      WITH wh AS (
+        SELECT DISTINCT source, w,
+          CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE len(w) > 0),
+      sk AS (
+        SELECT source, h FROM (
+          SELECT source, h, row_number() OVER (
+            PARTITION BY source ORDER BY h) AS rk
+          FROM wh) WHERE rk <= 64),
+      srcs AS (SELECT DISTINCT source FROM wh),
+      prs AS (
+        SELECT a.source AS s1, b.source AS s2
+        FROM srcs a JOIN srcs b ON a.source < b.source),
+      sides AS (
+        SELECT s1, s2, h, 1 AS ina, 0 AS inb
+        FROM prs JOIN sk ON sk.source = prs.s1
+        UNION ALL
+        SELECT s1, s2, h, 0, 1
+        FROM prs JOIN sk ON sk.source = prs.s2),
+      u AS (
+        SELECT s1, s2, h, max(ina) AS ina, max(inb) AS inb
+        FROM sides GROUP BY 1, 2, 3),
+      usk AS (
+        SELECT * FROM (
+          SELECT s1, s2, ina, inb, row_number() OVER (
+            PARTITION BY s1, s2 ORDER BY h) AS rk
+          FROM u) WHERE rk <= 64),
+      est AS (
+        SELECT s1, s2,
+          CAST(CAST(sum(ina * inb) AS BIGINT) AS DOUBLE) / count(*)
+            AS est_jaccard
+        FROM usk GROUP BY 1, 2),
+      sizes AS (SELECT source, count(*) AS nv FROM wh GROUP BY 1),
+      inter AS (
+        SELECT a.source AS s1, b.source AS s2, count(*) AS n_ab
+        FROM wh a JOIN wh b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2),
+      ex AS (
+        SELECT s1, s2,
+          CAST(n_ab AS DOUBLE) / (na.nv + nb.nv - n_ab)
+            AS exact_jaccard
+        FROM inter
+        JOIN sizes na ON na.source = s1
+        JOIN sizes nb ON nb.source = s2)
+      SELECT est.s1, est.s2, est_jaccard, exact_jaccard,
+        abs(est_jaccard - exact_jaccard) AS abs_err
+      FROM est JOIN ex ON est.s1 = ex.s1 AND est.s2 = ex.s2
+      ORDER BY est_jaccard DESC, est.s1, est.s2 LIMIT 20"""))
+
   val all: Seq[QueryDef] =
     Seq(qTokens, qQuality, qQualityCalibrate, qGopherRules, qLangId,
       qFingerprint, qReadability, qTfIdf, qRepetition, qClean, qSurprise,
@@ -1961,7 +2084,8 @@ object TextOps {
       qLengthHist,
       qClassify, qVocabTopK, qSourceDrift, qDiversity, qQualityEnsemble,
       qVocabCoverage, qVocabKmv, qTextNfc, qBm25, qPmi,
-      qLangIdConfusion, qSketchCms, qRarity, qVocabZipf, qPii)
+      qLangIdConfusion, qSketchCms, qRarity, qVocabZipf, qPii,
+      qVocabKmvJaccard)
 }
 
 /** PII patterns + redaction, shared between q_text_pii's oracle-
