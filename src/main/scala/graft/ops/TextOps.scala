@@ -1982,9 +1982,13 @@ object TextOps {
           Window.partitionBy("source").orderBy("h")))
         .filter(col("rk") <= 64)
         .select(col("source"), col("h"))
+      // explicit Cross of the ~|sources| dim with itself, filtered to
+      // ordered pairs — the bounded-broadcast shape, not a degraded
+      // equi-join
       val srcs = wh.select("source").distinct()
       val pairs = srcs.select(col("source").as("s1"))
-        .join(srcs.select(col("source").as("s2")), col("s1") < col("s2"))
+        .crossJoin(srcs.select(col("source").as("s2")))
+        .filter(col("s1") < col("s2"))
       val sides = pairs
         .join(sk.withColumnRenamed("source", "s1"), Seq("s1"))
         .select(col("s1"), col("s2"), col("h"), lit(1L).as("ina"),
