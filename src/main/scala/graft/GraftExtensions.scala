@@ -8,11 +8,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression,
 /** Declarative library entry point: a session built with
   * `spark.sql.extensions=graft.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`) gets the native graft
-  * expressions as SQL functions AND the custom as-of join strategy —
-  * no imperative register calls. The imperative paths
-  * ([[graft.functions.GraftFunctions.register]],
-  * [[graft.plans.GraftAsof.ensureRegistered]]) stay for sessions
-  * created without extensions; both are idempotent with this.
+  * expressions as SQL functions AND the custom join strategies
+  * (as-of + interval sweep) — no imperative register calls. The
+  * imperative paths ([[graft.functions.GraftFunctions.register]],
+  * [[graft.plans.GraftAsof.ensureRegistered]],
+  * [[graft.plans.GraftInterval.ensureRegistered]]) stay for sessions
+  * created without extensions; all are idempotent with this.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -36,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst
         .expressions.BloomFilterMightContain(exprs(0), exprs(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
     ext.injectOptimizerRule(_ => graft.functions.DotProductRewrite)
   }
 }

@@ -93,6 +93,17 @@ class AsofSpec extends AnyFunSuite {
       val df = org.apache.spark.sql.GraftSqlBridge.ofRows(s2, node)
       assert(df.queryExecution.executedPlan.toString.contains("AsofJoin"))
       assert(df.select("v").head.getInt(0) == 7)
+      // the interval strategy is injected too
+      val ri = Seq(("a", 5L, 20L, 9)).toDF("rk", "rs", "re", "v")
+      val inode = graft.plans.IntervalJoin(
+        l.queryExecution.analyzed, ri.queryExecution.analyzed,
+        att(l, "k"), att(ri, "rk"), att(l, "t"), att(ri, "rs"),
+        att(ri, "re"))
+      val idf = org.apache.spark.sql.GraftSqlBridge.ofRows(s2, inode)
+      assert(idf.queryExecution.executedPlan.toString
+        .contains("IntervalJoin"))
+      assert(idf.select("v").head.getInt(0) == 9)
+      assert(s2.experimental.extraStrategies.isEmpty)
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(base)
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
