@@ -1037,9 +1037,76 @@ object Curation {
       WHERE best_longer IS NULL OR best_longer <= ttr
       ORDER BY n_toks DESC, doc_id"""))
 
+  /** Quota sampling to a target language distribution: the mixing
+    * recipe says "the training slice is 40% en / 20% de / 20% es /
+    * 10% fr / 10% zh"; the budget is ⌊corpus/5⌋ docs; each stratum's
+    * quota is budget·share in EXACT integer arithmetic
+    * (budget·pct div 100 — no float share to round differently), and
+    * selection within a stratum is by md5 rank (reproducible across
+    * runs, engines, and cluster sizes — audit-grade sampling). A
+    * stratum smaller than its quota under-fills (kept = min(avail,
+    * quota)) and the shortfall is REPORTED, not silently
+    * redistributed. Output: one audit row per language.
+    *
+    * Scale shape: one count per stratum, a broadcast of 5 quota
+    * rows, one rank window per stratum partition (the same sharding
+    * argument as q_pack_sequences applies when strata outgrow a
+    * partition), one final 5-row aggregation.
+    */
+  val qQuotaSample = QueryDef(
+    "q_sample_quota",
+    (s, dir) => {
+      val pct: Seq[(String, Long)] =
+        Seq("en" -> 40L, "de" -> 20L, "es" -> 20L, "fr" -> 10L,
+          "zh" -> 10L)
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+      val budget = Tables.rowCount(s, dir, "documents") / 5
+      val pctCol = pct.tail.foldLeft(
+        when(col("lang") === pct.head._1, pct.head._2)) {
+        case (acc, (l, p)) => acc.when(col("lang") === l, p)
+      }.otherwise(0L)
+      val ranked = docs
+        .withColumn("qpct", pctCol)
+        // integer div — Column./ would widen to DOUBLE and round
+        // differently from the oracle's // at exact multiples
+        .withColumn("quota", expr(s"qpct * $budget div 100"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(
+            md5(col("doc_id").cast("string")), col("doc_id"))))
+      ranked.groupBy("lang")
+        .agg(count(lit(1)).as("n_avail"),
+          max("quota").cast("long").as("quota"),
+          sum(when(col("rk") <= col("quota"), 1L).otherwise(0L))
+            .cast("long").as("n_kept"))
+        .select(col("lang"), col("n_avail"), col("quota"),
+          col("n_kept"),
+          (col("quota") - col("n_kept")).as("shortfall"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH budget AS (
+        SELECT count(*) // 5 AS b FROM documents),
+      ranked AS (
+        SELECT lang,
+          CAST((CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 20
+                WHEN 'es' THEN 20 WHEN 'fr' THEN 10 WHEN 'zh' THEN 10
+                ELSE 0 END) * b // 100 AS BIGINT) AS quota,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents CROSS JOIN budget)
+      SELECT lang, count(*) AS n_avail,
+        CAST(max(quota) AS BIGINT) AS quota,
+        CAST(sum(CASE WHEN rk <= quota THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        CAST(max(quota) AS BIGINT) -
+          CAST(sum(CASE WHEN rk <= quota THEN 1 ELSE 0 END) AS BIGINT)
+          AS shortfall
+      FROM ranked GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[QueryDef] =
     Seq(qPackSequences, qSampleStratified, qSampleReservoir, qDomainMix,
       qSplitTrain, qTemperatureMix, qTokenBudget, qCorpusShuffle,
       qEpochMix, qSampleWeighted, qChunkSliding, qSampleCluster,
-      qFeatureBins, qPackWaste, qTargetAffinity, qSkyline)
+      qFeatureBins, qPackWaste, qTargetAffinity, qSkyline, qQuotaSample)
 }

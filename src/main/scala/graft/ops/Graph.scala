@@ -606,9 +606,72 @@ object GraphOps {
       FROM agg WHERE n_steps >= 5
       ORDER BY rare_share DESC, user_id LIMIT 20"""))
 
+  /** k-core decomposition (k = 2, three peeling rounds) over the
+    * support-filtered co-purchase graph: repeatedly drop nodes with
+    * degree < 2 (k chosen so the core survives the support filter's
+    * sparsification at every fixture scale — k=3 empties at sf0.1) — the standard densest-substructure screen (a
+    * product's 2-core membership separates items with a real
+    * co-purchase neighborhood from ones riding a few noisy baskets).
+    * Each round is one degree aggregation + two semi-joins filtering
+    * edges to surviving endpoints — all equi-joins on part keys,
+    * deterministic, no randomness to drift. Three rounds bound the
+    * unrolled plan; a production run iterates to fixpoint with
+    * checkpointing between rounds. Output: the top-20 2-core nodes
+    * by final degree, with the surviving core size on every row.
+    */
+  val qKcore = QueryDef(
+    "q_graph_kcore",
+    (s, dir) => {
+      val pairs = coPurchaseSupported(s, dir)
+      val e0 = pairs.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(pairs.select(col("b").as("u"), col("a").as("v")))
+      // each peel references the edge list ONCE: endpoint degrees
+      // come from two count windows on the symmetrized list (degree(x)
+      // = rows with x in that column), not a degree-table + two
+      // semi-joins — that form references e three times per round and
+      // re-derives the co-purchase join 3^rounds times when unrolled
+      // (measured 4× the wall at sf0.1)
+      def peel(e: DataFrame): DataFrame =
+        e.withColumn("du",
+            count(lit(1)).over(Window.partitionBy("u")))
+          .withColumn("dv",
+            count(lit(1)).over(Window.partitionBy("v")))
+          .filter(col("du") >= 2 && col("dv") >= 2)
+          .select("u", "v")
+      val e3 = peel(peel(peel(e0)))
+      val deg = e3.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("degree"))
+      val n3 = deg.agg(count(lit(1)).as("core_nodes"))
+      deg.crossJoin(broadcast(n3))
+        .orderBy(col("degree").desc, col("node"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH $coPurchaseSupportedSql,
+      e0 AS (SELECT a AS u, b AS v FROM pairs
+             UNION ALL SELECT b, a FROM pairs),
+      k1 AS (SELECT u FROM e0 GROUP BY u HAVING count(*) >= 2),
+      e1 AS (SELECT e0.u, e0.v FROM e0
+             WHERE e0.u IN (SELECT u FROM k1)
+               AND e0.v IN (SELECT u FROM k1)),
+      k2 AS (SELECT u FROM e1 GROUP BY u HAVING count(*) >= 2),
+      e2 AS (SELECT e1.u, e1.v FROM e1
+             WHERE e1.u IN (SELECT u FROM k2)
+               AND e1.v IN (SELECT u FROM k2)),
+      k3 AS (SELECT u FROM e2 GROUP BY u HAVING count(*) >= 2),
+      e3 AS (SELECT e2.u, e2.v FROM e2
+             WHERE e2.u IN (SELECT u FROM k3)
+               AND e2.v IN (SELECT u FROM k3)),
+      deg AS (SELECT u AS node, count(*) AS degree
+              FROM e3 GROUP BY 1),
+      n3 AS (SELECT count(*) AS core_nodes FROM deg)
+      SELECT node, degree, core_nodes
+      FROM deg CROSS JOIN n3
+      ORDER BY degree DESC, node LIMIT 20"""))
+
   val all: Seq[QueryDef] = Seq(qPagerank, qTriangles, qDegree, qMarkov,
     qAssocRules, qEventTrigrams, qJaccardNeighbors, qCommunities,
-    qSeqNovelty)
+    qSeqNovelty, qKcore)
 }
 
 /** Physical-layout operators: where rows LIVE decides what a 100 TB
