@@ -748,27 +748,11 @@ object Multimodal {
     * hashes is the scale path for ≤k-bit variants, exactly as SimHash
     * does for text). One shuffle on the uniform 16-bit hash.
     */
-  val qImageHash = QueryDef(
-    "q_multimodal_imagehash",
-    (s, dir) => {
-      import s.implicits._
-      val media = Tables.t(s, dir, "documents").select("doc_id", "text")
-        .as[(Long, String)]
-        .map { case (id, text) => synthesizePng(id, text.getBytes("UTF-8")) }
-      val hashed = media.mapPartitions { it =>
-        it.map { m =>
-          val (w, h, px) = decodeGray(m.content)
-          (m.doc_id, w.toLong, h.toLong, aHash16(w, h, px))
-        }
-      }.toDF("doc_id", "w", "h", "ahash")
-      val buckets = hashed.groupBy(col("ahash"))
-        .agg(count(lit(1)).as("bucket_n"))
-      hashed.join(buckets, "ahash")
-        .select("doc_id", "w", "h", "ahash", "bucket_n")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH b AS (
+  /** DuckDB twin of [[aHashed]] as a WITH-clause prefix ending in the
+    * `hs` CTE (doc_id, w, h, ahash) — the pure-SQL replica of the
+    * synthetic-PNG decode + 4×4 block-mean aHash.
+    */
+  private val aHashWithSql: String = """b AS (
         SELECT doc_id, hex(encode(text)) AS h,
                CAST(octet_length(encode(text)) AS BIGINT) AS n
         FROM documents),
@@ -800,11 +784,86 @@ object Multimodal {
             THEN CAST(1 AS BIGINT) << CAST(blk AS INT) ELSE 0 END), 0)
             AS BIGINT) AS ahash
         FROM bs JOIN tot ON bs.doc_id = tot.doc_id
-        GROUP BY bs.doc_id),
+        GROUP BY bs.doc_id)"""
+
+  /** The decoded-and-hashed image frame (doc_id, w, h, ahash) shared
+    * by the bucket audit and the banded hamming pair join.
+    */
+  private def aHashed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.t(s, dir, "documents").select("doc_id", "text")
+      .as[(Long, String)]
+      .map { case (id, text) => synthesizePng(id, text.getBytes("UTF-8")) }
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, px) = decodeGray(m.content)
+        (m.doc_id, w.toLong, h.toLong, aHash16(w, h, px))
+      }
+    }.toDF("doc_id", "w", "h", "ahash")
+  }
+
+  val qImageHash = QueryDef(
+    "q_multimodal_imagehash",
+    (s, dir) => {
+      val hashed = aHashed(s, dir)
+      val buckets = hashed.groupBy(col("ahash"))
+        .agg(count(lit(1)).as("bucket_n"))
+      hashed.join(buckets, "ahash")
+        .select("doc_id", "w", "h", "ahash", "bucket_n")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $aHashWithSql,
       bk AS (SELECT ahash, count(*) AS bucket_n FROM hs GROUP BY ahash)
       SELECT doc_id, w, h, hs.ahash, bucket_n
       FROM hs JOIN bk ON hs.ahash = bk.ahash
       ORDER BY doc_id"""))
+
+  /** Image near-dup PAIRS by banded hamming join — the image-side
+    * LSH: the 16-bit aHash splits into four 4-bit bands, images
+    * colliding in any band become candidates (pigeonhole: hamming ≤ 3
+    * forces at least one identical band, so recall at the ≤3-bit
+    * radius is total), and bit_count(XOR) verifies the exact hamming
+    * distance. The same band-bucket equi-join discipline as text
+    * SimHash/MinHash — never an all-pairs image comparison. Output:
+    * the 20 closest distinct pairs.
+    */
+  val qImagePairs = QueryDef(
+    "q_multimodal_image_pairs",
+    (s, dir) => {
+      val hs = aHashed(s, dir).select("doc_id", "ahash")
+      val bands = hs.select(col("doc_id"), col("ahash"),
+        explode(array((0 until 4).map(i =>
+          shiftright(col("ahash"), 4 * i).bitwiseAND(lit(15L)) * 4 + i)
+          : _*)).as("bv"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("x.ahash").as("ha"),
+          col("y.doc_id").as("b"), col("y.ahash").as("hb"))
+        .distinct()
+      cand.select(col("a"), col("b"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
+            .as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy(col("hamming"), col("a"), col("b"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH $aHashWithSql,
+      bands AS (
+        SELECT doc_id, ahash,
+          ((ahash >> CAST(4 * i AS INT)) & 15) * 4 + i AS bv
+        FROM hs CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, x.ahash AS ha,
+          y.doc_id AS b, y.ahash AS hb
+        FROM bands x JOIN bands y
+          ON x.bv = y.bv AND x.doc_id < y.doc_id)
+      SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(ha, hb)) <= 3
+      ORDER BY hamming, a, b LIMIT 20"""))
 
   /** One resized block: grid cell coordinates, pixel count, mean. */
   final case class ResizeBlock(doc_id: Long, bx: Long, by: Long,
@@ -882,5 +941,5 @@ object Multimodal {
 
   val all: Seq[QueryDef] =
     Seq(qMeta, qDecode, qPixels, qFrames, qAudio, qAudioEnergy,
-      qAudioResample, qImageHash, qResize)
+      qAudioResample, qImageHash, qResize, qImagePairs)
 }
