@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops.{BpeOps, Curation, DataQuality, Dedup, GraphOps,
-  LayoutOps, Multimodal, QueryDef, Relational, Similarity, Tables,
-  TextOps, TimeSeries, TpcH}
+  LayoutOps, Multimodal, QueryDef, Relational, Similarity, SkewOps,
+  Tables, TextOps, TimeSeries, TpcH}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,7 @@ object SparkEntry {
     Relational.all ++ TpcH.all ++ TextOps.all ++ Dedup.all ++
       Similarity.all ++ Multimodal.all ++ TimeSeries.all ++
       Curation.all ++ DataQuality.all ++ GraphOps.all ++ LayoutOps.all ++
-      BpeOps.all
+      BpeOps.all ++ SkewOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -669,9 +669,80 @@ object GraphOps {
       FROM deg CROSS JOIN n3
       ORDER BY degree DESC, node LIMIT 20"""))
 
+  /** BFS hop-distance histogram from the graph's minimum-key node
+    * over the support-filtered co-purchase graph, exact to 4 hops —
+    * the reachability/radius probe (how much of the catalogue is
+    * within k recommendation steps of a seed product?).
+    *
+    * Implemented as 4 rounds of Bellman-Ford relaxation in the same
+    * single-reference shape as [[qCommunities]]: the edge list is
+    * augmented with self-loops so each round is ONE equi-join of the
+    * distance table against the (static, reusable) edge frame —
+    * d'(u) = min over edges (u,v) of d(v) + [u ≠ v] — keeping the
+    * unrolled lineage linear in rounds instead of 2^rounds. All
+    * arithmetic is integer (unreached = sentinel 1e6, headroom
+    * 1e6+4 ≪ 2^63); the seed is the min node key, joined in as a
+    * broadcast 1-row aggregate rather than a driver collect.
+    * Frontier-only optimizations don't change the plan shape: each
+    * round shuffles on the node key, exactly what a Pregel step does.
+    */
+  val qBfs = QueryDef(
+    "q_graph_bfs",
+    (s, dir) => {
+      val Unreached = 1000000L
+      val pairs = coPurchaseSupported(s, dir)
+      val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(pairs.select(col("b").as("u"), col("a").as("v")))
+      val nodes = edges.select(col("u").as("node")).distinct()
+      val withSelf = edges.unionAll(
+        nodes.select(col("node").as("u"), col("node").as("v")))
+      val seed = nodes.agg(min(col("node")).as("seed"))
+      val init = nodes.join(broadcast(seed))
+        .select(col("node"),
+          when(col("node") === col("seed"), 0L).otherwise(Unreached)
+            .as("dist"))
+      val relaxed = (1 to 4).foldLeft(init) { (d, _) =>
+        withSelf
+          .join(d.select(col("node").as("vn"), col("dist")),
+            col("v") === col("vn"))
+          .groupBy(col("u").as("node"))
+          .agg(min(col("dist") +
+            when(col("u") === col("vn"), 0L).otherwise(1L)).as("dist"))
+      }
+      relaxed.filter(col("dist") <= 4)
+        .groupBy(col("dist").as("hops"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("hops")
+    },
+    Some(s"""
+      WITH $coPurchaseSupportedSql,
+      edges AS (SELECT a AS u, b AS v FROM pairs
+                UNION ALL SELECT b, a FROM pairs),
+      nodes AS (SELECT DISTINCT u AS node FROM edges),
+      ws AS (SELECT u, v FROM edges
+             UNION ALL SELECT node, node FROM nodes),
+      d0 AS (SELECT node,
+               CASE WHEN node = (SELECT min(node) FROM nodes)
+                    THEN 0 ELSE 1000000 END AS dist
+             FROM nodes),
+      d1 AS (SELECT w.u AS node,
+               min(d.dist + CASE WHEN w.u = w.v THEN 0 ELSE 1 END) AS dist
+             FROM ws w JOIN d0 d ON d.node = w.v GROUP BY w.u),
+      d2 AS (SELECT w.u AS node,
+               min(d.dist + CASE WHEN w.u = w.v THEN 0 ELSE 1 END) AS dist
+             FROM ws w JOIN d1 d ON d.node = w.v GROUP BY w.u),
+      d3 AS (SELECT w.u AS node,
+               min(d.dist + CASE WHEN w.u = w.v THEN 0 ELSE 1 END) AS dist
+             FROM ws w JOIN d2 d ON d.node = w.v GROUP BY w.u),
+      d4 AS (SELECT w.u AS node,
+               min(d.dist + CASE WHEN w.u = w.v THEN 0 ELSE 1 END) AS dist
+             FROM ws w JOIN d3 d ON d.node = w.v GROUP BY w.u)
+      SELECT CAST(dist AS BIGINT) AS hops, count(*) AS n_nodes
+      FROM d4 WHERE dist <= 4 GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(qPagerank, qTriangles, qDegree, qMarkov,
     qAssocRules, qEventTrigrams, qJaccardNeighbors, qCommunities,
-    qSeqNovelty, qKcore)
+    qSeqNovelty, qKcore, qBfs)
 }
 
 /** Physical-layout operators: where rows LIVE decides what a 100 TB

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque `binary` columns
@@ -697,6 +698,133 @@ object Multimodal {
         a.active_frames
       FROM agg a ORDER BY a.doc_id"""))
 
+  final case class FrameEnergy(doc_id: Long, frame: Long, e: Long)
+
+  /** Per-frame energy rows from the REAL WAV round-trip — the
+    * codec-side half of [[qAudioVad]]: only the decode lives in
+    * mapPartitions; the segmentation itself is declarative window
+    * SQL so Catalyst owns the shuffle.
+    */
+  def frameEnergyRows(media: Dataset[MediaRecord],
+      frameLen: Int = 64): Dataset[FrameEnergy] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val s = decodePcm(m.content)
+        val nf = s.length / frameLen
+        (0 until nf).map { f =>
+          var e = 0L
+          var i = f * frameLen
+          val end = i + frameLen
+          while (i < end) { e += s(i).toLong * s(i); i += 1 }
+          FrameEnergy(m.doc_id, f.toLong, e)
+        }
+      }
+    }
+  }
+
+  /** Voice-activity segmentation: contiguous runs of above-threshold
+    * 64-sample frames become speech segments (classic gaps-and-
+    * islands over the frame-energy stream), reporting per doc the
+    * segment count, active-frame total, the longest segment's length
+    * and start frame (earliest on ties), and the speech ratio — the
+    * silence-trim / utterance-split primitive an audio curation
+    * pipeline runs before transcription. Builds on [[qAudioEnergy]]'s
+    * integer-exact energies (the threshold compare, run lengths and
+    * frame indices are all integers; the one division is final).
+    *
+    * Scale shape: decode is per-row in mapPartitions (no state), then
+    * ONE doc-keyed window pass marks segment starts and a prefix sum
+    * numbers them — the same single shuffle the sessionize operator
+    * uses; segments-per-doc is bounded by frames-per-doc, never
+    * materializing cross-doc state.
+    */
+  val qAudioVad = QueryDef(
+    "q_multimodal_audio_vad",
+    (s, dir) => {
+      import s.implicits._
+      val Thresh = 100000000L
+      val fr = frameEnergyRows(audioMedia(s, dir)).toDF()
+      val w = Window.partitionBy("doc_id").orderBy("frame")
+      val marked = fr
+        .withColumn("active", (col("e") > Thresh).cast("int"))
+        .withColumn("new_seg",
+          when(col("active") === 1 &&
+            coalesce(lag(col("active"), 1).over(w), lit(0)) === 0, 1)
+            .otherwise(0))
+        .withColumn("seg_id",
+          sum(col("new_seg")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      val segs = marked.filter(col("active") === 1)
+        .groupBy(col("doc_id"), col("seg_id"))
+        .agg(count(lit(1)).as("seg_len"), min(col("frame")).as("seg_start"))
+      val perDoc = marked.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("active").cast("long")).as("active_frames"))
+      val longest = segs.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segments"),
+          max(col("seg_len")).as("longest_len"))
+      val longestStart = segs.join(longest, "doc_id")
+        .filter(col("seg_len") === col("longest_len"))
+        .groupBy("doc_id").agg(min(col("seg_start")).as("longest_start"))
+      perDoc
+        .join(longest, Seq("doc_id"), "left")
+        .join(longestStart, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("active_frames"), lit(0L)).as("active_frames"),
+          col("longest_len"), col("longest_start"),
+          (col("active_frames").cast("double") /
+            col("n_frames").cast("double")).as("speech_ratio"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $PcmSampSql,
+      fr AS (
+        SELECT doc_id, CAST(i // 64 AS BIGINT) AS frame,
+          CAST(sum(s * s) AS BIGINT) AS e
+        FROM samp WHERE i // 64 < n // 64
+        GROUP BY doc_id, i // 64),
+      marked AS (
+        SELECT doc_id, frame,
+          CASE WHEN e > 100000000 THEN 1 ELSE 0 END AS active,
+          CASE WHEN e > 100000000 AND COALESCE(
+              lag(CASE WHEN e > 100000000 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY frame), 0) = 0
+            THEN 1 ELSE 0 END AS new_seg
+        FROM fr),
+      numbered AS (
+        SELECT *, sum(new_seg) OVER (PARTITION BY doc_id ORDER BY frame
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+        FROM marked),
+      segs AS (
+        SELECT doc_id, seg_id, count(*) AS seg_len,
+          min(frame) AS seg_start
+        FROM numbered WHERE active = 1 GROUP BY doc_id, seg_id),
+      per_doc AS (
+        SELECT doc_id, count(*) AS n_frames,
+          CAST(sum(active) AS BIGINT) AS active_frames
+        FROM numbered GROUP BY doc_id),
+      longest AS (
+        SELECT doc_id, count(*) AS n_segments,
+          max(seg_len) AS longest_len
+        FROM segs GROUP BY doc_id),
+      ls AS (
+        SELECT segs.doc_id, min(seg_start) AS longest_start
+        FROM segs JOIN longest ON segs.doc_id = longest.doc_id
+          AND segs.seg_len = longest.longest_len
+        GROUP BY segs.doc_id)
+      SELECT p.doc_id, p.n_frames,
+        COALESCE(longest.n_segments, 0) AS n_segments,
+        COALESCE(p.active_frames, 0) AS active_frames,
+        longest.longest_len, ls.longest_start,
+        CAST(p.active_frames AS DOUBLE) / CAST(p.n_frames AS DOUBLE)
+          AS speech_ratio
+      FROM per_doc p
+      LEFT JOIN longest ON p.doc_id = longest.doc_id
+      LEFT JOIN ls ON p.doc_id = ls.doc_id
+      ORDER BY p.doc_id"""))
+
   final case class AHash(doc_id: Long, w: Long, h: Long, ahash: Long,
       bucket_n: Long)
 
@@ -941,5 +1069,5 @@ object Multimodal {
 
   val all: Seq[QueryDef] =
     Seq(qMeta, qDecode, qPixels, qFrames, qAudio, qAudioEnergy,
-      qAudioResample, qImageHash, qResize, qImagePairs)
+      qAudioResample, qAudioVad, qImageHash, qResize, qImagePairs)
 }

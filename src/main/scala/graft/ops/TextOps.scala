@@ -1463,6 +1463,112 @@ object TextOps {
       FROM exact JOIN sk ON exact.source = sk.source
       ORDER BY exact.source"""))
 
+  /** HyperLogLog distinct-vocabulary sketch (Flajolet et al. 2007),
+    * evaluated against exact counts — the OTHER industry-standard
+    * cardinality sketch next to [[qVocabKmv]]'s KMV, and the one with
+    * the cheaper merge: a union of two sketches is an elementwise
+    * register MAX, so a 1000-executor profile pass ships 64 bytes per
+    * (source, column) and the driver folds them associatively.
+    *
+    * Bit-determinism across engines: the word's 60-bit md5 value
+    * splits into a 6-bit register index (top bits) and a 54-bit
+    * remainder whose leading-zero rank is computed as
+    * `55 - length(bin(rem))` — both engines' `bin()` render integers
+    * without leading zeros, so the expression is shared verbatim. The
+    * register sum Σ 2^-M_j is scaled by 2^55 into an EXACT BIGINT
+    * (max 64·2^55 = 2^61 < 2^63), so the one double division in the
+    * estimate is the only float op — identical IEEE result everywhere.
+    * The raw estimate is reported log-free (production applies
+    * linear counting below 2.5·m, which needs ln(); at vocabulary
+    * cardinalities every register is occupied and raw HLL is the
+    * estimator in force — n_empty is emitted so the regime is
+    * auditable).
+    *
+    * Scale shape: the same one (source, word) distinct shuffle the
+    * exact count needs, then a 64-key-per-source register fold —
+    * sketch size is constant in corpus size by construction.
+    */
+  val qVocabHll = QueryDef(
+    "q_vocab_hll",
+    (s, dir) => {
+      val two54 = 36028797018963968L // 2^54
+      val two55 = 72057594037927936L // 2^55
+      val perSrc = Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+        .distinct()
+      val dw = perSrc.unionAll(
+        perSrc.select(lit("__all__").as("source"), col("word")).distinct())
+      val hashed = dw.select(col("source"),
+        conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long")
+          .as("h"))
+      val ranked = hashed.select(col("source"),
+        expr(s"h div $two54").as("bucket"),
+        (col("h") % two54).as("rem"))
+        .select(col("source"), col("bucket"),
+          when(col("rem") === 0, lit(55L))
+            .otherwise(lit(55L) - length(bin(col("rem"))).cast("long"))
+            .as("rank"))
+      val regs = ranked.groupBy("source", "bucket")
+        .agg(max(col("rank")).as("m"))
+      val sums = regs.groupBy("source")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(expr("CAST(1 AS BIGINT) << (55 - m)")).as("s_present"))
+        .select(col("source"), col("n_buckets"),
+          (col("s_present") +
+            (lit(64L) - col("n_buckets")) * two55).as("s_total"))
+      val exact = dw.groupBy("source")
+        .agg(countDistinct(col("word")).as("n_exact"))
+      exact.join(sums, "source")
+        .select(col("source"), col("n_exact"),
+          (lit(64L) - col("n_buckets")).as("n_empty"),
+          (lit(0.709).cast("double") * lit(4096.0) *
+            lit(36028797018963968.0) / col("s_total").cast("double"))
+            .as("hll_est"))
+        .withColumn("rel_err",
+          abs(col("hll_est") - col("n_exact").cast("double"))
+            / col("n_exact").cast("double"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH perSrc AS (
+        SELECT DISTINCT source, word FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS word
+          FROM documents) WHERE len(word) >= 1),
+      dw AS (
+        SELECT source, word FROM perSrc
+        UNION ALL
+        SELECT DISTINCT '__all__' AS source, word FROM perSrc),
+      hashed AS (
+        SELECT source,
+          CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h
+        FROM dw),
+      ranked AS (
+        SELECT source, h // 36028797018963968 AS bucket,
+          CASE WHEN h % 36028797018963968 = 0 THEN 55
+               ELSE 55 - length(bin(h % 36028797018963968)) END AS rank
+        FROM hashed),
+      regs AS (
+        SELECT source, bucket, max(rank) AS m
+        FROM ranked GROUP BY source, bucket),
+      sums AS (
+        SELECT source, count(*) AS n_buckets,
+          sum(1::BIGINT << (55 - m)) +
+            (64 - count(*)) * 72057594037927936 AS s_total
+        FROM regs GROUP BY source),
+      exact AS (
+        SELECT source, count(DISTINCT word) AS n_exact FROM dw
+        GROUP BY source)
+      SELECT exact.source, n_exact,
+        CAST(64 - n_buckets AS BIGINT) AS n_empty,
+        CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0
+          / CAST(s_total AS DOUBLE) AS hll_est,
+        abs(CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0
+          / CAST(s_total AS DOUBLE) - CAST(n_exact AS DOUBLE))
+          / CAST(n_exact AS DOUBLE) AS rel_err
+      FROM exact JOIN sums ON exact.source = sums.source
+      ORDER BY exact.source"""))
+
   /** Unicode canonical normalization (NFC) — the text-pipeline step
     * that makes "café" spelled with a combining accent hash equal to
     * its precomposed spelling (without it, exact dedup splits and
@@ -2087,7 +2193,7 @@ object TextOps {
       qWinnowOverlap, qWinnowSpans, qWinnowContam, qContamination,
       qLengthHist,
       qClassify, qVocabTopK, qSourceDrift, qDiversity, qQualityEnsemble,
-      qVocabCoverage, qVocabKmv, qTextNfc, qBm25, qPmi,
+      qVocabCoverage, qVocabKmv, qVocabHll, qTextNfc, qBm25, qPmi,
       qLangIdConfusion, qSketchCms, qRarity, qVocabZipf, qPii,
       qVocabKmvJaccard)
 }

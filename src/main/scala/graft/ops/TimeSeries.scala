@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Parity._
@@ -250,6 +251,84 @@ object TimeSeries {
         max(value) AS high, min(value) AS low,
         min(CASE WHEN rd = 1 THEN value END) AS close
       FROM ev GROUP BY event_type, bucket_us
+      ORDER BY event_type, bucket_us"""))
+
+  /** M4 downsampling (Jugel et al., VLDB 2014): per (series, pixel
+    * bucket) keep the first, last, min and max points WITH their
+    * timestamps — the four rows that make a line rendering of the
+    * bucket pixel-identical to the full-resolution plot, where a
+    * plain avg/minmax rollup visibly distorts extrema. The
+    * visualization-serving twin of [[qOhlc]] (OHLC keeps values
+    * only; M4's contract is point pairs). 15-minute buckets.
+    *
+    * Determinism: min/max points tie-break to the EARLIEST
+    * (ts, event_id) attaining the extreme via a row_number per
+    * bucket ordered by (value, ts, event_id) — values pass through
+    * unaggregated, no float summation anywhere. Scale shape: four
+    * row_number windows over the same (series, bucket) partition —
+    * ONE shuffle, the windows sort once and reuse the order — then
+    * a per-bucket aggregation; output is 4 points per pixel
+    * regardless of input rows, the property that makes dashboard
+    * serving over a 100 TB series store constant-cost.
+    */
+  val qM4 = QueryDef(
+    "q_ts_m4",
+    (s, dir) => {
+      val BucketUs = 900000000L // 15 min
+      val ev = Tables.t(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("value"))
+        .withColumn("bucket_us",
+          expr(s"us div $BucketUs") * BucketUs)
+      def w(cols: Column*) = Window
+        .partitionBy(col("event_type"), col("bucket_us")).orderBy(cols: _*)
+      ev.withColumn("ra", row_number().over(w(col("us"), col("event_id"))))
+        .withColumn("rd",
+          row_number().over(w(col("us").desc, col("event_id").desc)))
+        .withColumn("rv",
+          row_number().over(w(col("value"), col("us"), col("event_id"))))
+        .withColumn("rx",
+          row_number().over(
+            w(col("value").desc, col("us"), col("event_id"))))
+        .groupBy(col("event_type"), col("bucket_us"))
+        .agg(count(lit(1)).as("n"),
+          min(when(col("ra") === 1, col("us"))).as("t_first"),
+          min(when(col("ra") === 1, col("value"))).as("v_first"),
+          min(when(col("rv") === 1, col("us"))).as("t_min"),
+          min(col("value")).as("v_min"),
+          min(when(col("rx") === 1, col("us"))).as("t_max"),
+          max(col("value")).as("v_max"),
+          min(when(col("rd") === 1, col("us"))).as("t_last"),
+          min(when(col("rd") === 1, col("value"))).as("v_last"))
+        .orderBy("event_type", "bucket_us")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, epoch_us(ts) AS us, event_id, value,
+          (epoch_us(ts) // 900000000) * 900000000 AS bucket_us
+        FROM events),
+      rn AS (
+        SELECT *,
+          row_number() OVER (PARTITION BY event_type, bucket_us
+            ORDER BY us, event_id) AS ra,
+          row_number() OVER (PARTITION BY event_type, bucket_us
+            ORDER BY us DESC, event_id DESC) AS rd,
+          row_number() OVER (PARTITION BY event_type, bucket_us
+            ORDER BY value, us, event_id) AS rv,
+          row_number() OVER (PARTITION BY event_type, bucket_us
+            ORDER BY value DESC, us, event_id) AS rx
+        FROM ev)
+      SELECT event_type, CAST(bucket_us AS BIGINT) AS bucket_us,
+        count(*) AS n,
+        CAST(min(CASE WHEN ra = 1 THEN us END) AS BIGINT) AS t_first,
+        min(CASE WHEN ra = 1 THEN value END) AS v_first,
+        CAST(min(CASE WHEN rv = 1 THEN us END) AS BIGINT) AS t_min,
+        min(value) AS v_min,
+        CAST(min(CASE WHEN rx = 1 THEN us END) AS BIGINT) AS t_max,
+        max(value) AS v_max,
+        CAST(min(CASE WHEN rd = 1 THEN us END) AS BIGINT) AS t_last,
+        min(CASE WHEN rd = 1 THEN value END) AS v_last
+      FROM rn GROUP BY event_type, bucket_us
       ORDER BY event_type, bucket_us"""))
 
   /** Ordered funnel: per user, the first 'view', the first 'click'
@@ -1534,7 +1613,8 @@ object TimeSeries {
       GROUP BY 1 ORDER BY err_id"""))
 
   val all: Seq[QueryDef] =
-    Seq(qAsofJoin, qGapFill, qIntervalJoin, qSessionize, qOhlc, qFunnel,
+    Seq(qAsofJoin, qGapFill, qIntervalJoin, qSessionize, qOhlc, qM4,
+      qFunnel,
       qRate, qEwma, qHolt, qAnomaly, qRetention, qSeasonal, qLttb,
       qCusum, qAcf, qHoltBacktest, qTwa, qInterp, qNearestJoin,
       qAsofNative, qAsofTolerance, qAttrLinear, qAttrDecay, qRollingDau,

@@ -636,6 +636,30 @@ class PlanSpec extends AnyFunSuite {
       s"doc-level window must partition by bkt: $specs")
   }
 
+  test("m4 windows share one bucket-keyed exchange and the bucket agg " +
+      "reuses it") {
+    val p = plan("q_ts_m4")
+    // four row_number windows + the per-bucket aggregate all hash on
+    // (event_type, bucket_us): one data exchange plus the
+    // presentation sort's range exchange — anything more means a
+    // window stopped sharing the partitioning
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).size
+    assert(exchanges <= 2, s"m4 should shuffle once + sort, saw $exchanges")
+    assert(!p.contains("Join"), "m4 must not join")
+  }
+
+  test("hll registers fold map-side; bfs and vad stay on equi-joins") {
+    val ph = plan("q_vocab_hll")
+    assert(ph.contains("partial_"), "hll register fold must combine map-side")
+    assert(!ph.contains("CartesianProduct"))
+    for (n <- Seq("q_graph_bfs", "q_multimodal_audio_vad",
+        "q_join_salted")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"),
+        s"$n must not plan a cartesian product")
+    }
+  }
+
   test("native interval join plans the custom sweep operator with " +
       "key-clustered exchanges") {
     val df = SparkEntry.queries("q_ts_interval_native")(
