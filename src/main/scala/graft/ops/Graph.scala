@@ -696,10 +696,16 @@ object GraphOps {
       val nodes = edges.select(col("u").as("node")).distinct()
       val withSelf = edges.unionAll(
         nodes.select(col("node").as("u"), col("node").as("v")))
+      // the 1-row seed reaches every node as a broadcast LEFT
+      // equi-join on the node key itself (hit = the seed node) — a
+      // condition-free or constant-key 1-row join would constant-fold
+      // into an inner nested-loop, indistinguishable from a degraded
+      // equi-join to plan audits
       val seed = nodes.agg(min(col("node")).as("seed"))
-      val init = nodes.join(broadcast(seed))
+      val init = nodes
+        .join(broadcast(seed), col("node") === col("seed"), "left")
         .select(col("node"),
-          when(col("node") === col("seed"), 0L).otherwise(Unreached)
+          when(col("seed").isNotNull, 0L).otherwise(Unreached)
             .as("dist"))
       val relaxed = (1 to 4).foldLeft(init) { (d, _) =>
         withSelf
