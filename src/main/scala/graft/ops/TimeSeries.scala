@@ -262,14 +262,19 @@ object TimeSeries {
     * only; M4's contract is point pairs). 15-minute buckets.
     *
     * Determinism: min/max points tie-break to the EARLIEST
-    * (ts, event_id) attaining the extreme via a row_number per
-    * bucket ordered by (value, ts, event_id) — values pass through
-    * unaggregated, no float summation anywhere. Scale shape: four
-    * row_number windows over the same (series, bucket) partition —
-    * ONE shuffle, the windows sort once and reuse the order — then
-    * a per-bucket aggregation; output is 4 points per pixel
+    * (ts, event_id) attaining the extreme — encoded directly in the
+    * aggregation by taking min/max over STRUCTS whose lexicographic
+    * order is exactly the wanted tie-break (for the max point the
+    * timestamp enters negated so value-ties resolve to the earliest
+    * occurrence). Values pass through unaggregated — no float
+    * summation anywhere. Scale shape: ONE pure hash aggregation with
+    * map-side partials — no window, no per-partition sort — because
+    * each extreme point is an associative struct-min/-max; that also
+    * makes the operator incrementally mergeable, which is what the
+    * streaming twin relies on. Output is 4 points per pixel
     * regardless of input rows, the property that makes dashboard
-    * serving over a 100 TB series store constant-cost.
+    * serving over a 100 TB series store constant-cost (see the 10×
+    * smoke: wall-flat with constant output rows).
     */
   val qM4 = QueryDef(
     "q_ts_m4",
@@ -280,26 +285,18 @@ object TimeSeries {
           col("event_id"), col("value"))
         .withColumn("bucket_us",
           expr(s"us div $BucketUs") * BucketUs)
-      def w(cols: Column*) = Window
-        .partitionBy(col("event_type"), col("bucket_us")).orderBy(cols: _*)
-      ev.withColumn("ra", row_number().over(w(col("us"), col("event_id"))))
-        .withColumn("rd",
-          row_number().over(w(col("us").desc, col("event_id").desc)))
-        .withColumn("rv",
-          row_number().over(w(col("value"), col("us"), col("event_id"))))
-        .withColumn("rx",
-          row_number().over(
-            w(col("value").desc, col("us"), col("event_id"))))
-        .groupBy(col("event_type"), col("bucket_us"))
+      ev.groupBy(col("event_type"), col("bucket_us"))
         .agg(count(lit(1)).as("n"),
-          min(when(col("ra") === 1, col("us"))).as("t_first"),
-          min(when(col("ra") === 1, col("value"))).as("v_first"),
-          min(when(col("rv") === 1, col("us"))).as("t_min"),
-          min(col("value")).as("v_min"),
-          min(when(col("rx") === 1, col("us"))).as("t_max"),
-          max(col("value")).as("v_max"),
-          min(when(col("rd") === 1, col("us"))).as("t_last"),
-          min(when(col("rd") === 1, col("value"))).as("v_last"))
+          min(struct(col("us"), col("event_id"), col("value"))).as("pf"),
+          max(struct(col("us"), col("event_id"), col("value"))).as("pl"),
+          min(struct(col("value"), col("us"), col("event_id"))).as("pn"),
+          max(struct(col("value"), (-col("us")).as("nus"),
+            (-col("event_id")).as("nid"))).as("px"))
+        .select(col("event_type"), col("bucket_us"), col("n"),
+          col("pf.us").as("t_first"), col("pf.value").as("v_first"),
+          col("pn.us").as("t_min"), col("pn.value").as("v_min"),
+          (-col("px.nus")).as("t_max"), col("px.value").as("v_max"),
+          col("pl.us").as("t_last"), col("pl.value").as("v_last"))
         .orderBy("event_type", "bucket_us")
     },
     Some("""

@@ -966,19 +966,63 @@ object StreamingIngest {
     * aggregation — run it with Complete output mode and the sink
     * always holds the exact sketch of everything ingested so far,
     * bit-equal to the batch build over the same tokens (CmsSpec
-    * proves split-invariance). Same md5-60-bit hashing as the batch
-    * q_sketch_cms, so a batch-built sketch and a stream-built sketch
-    * are interchangeable.
+    * proves split-invariance). Same single-md5 digest-slice bucketing
+    * as the batch q_sketch_cms (row r's bucket = hex chars
+    * [1+10r, 10+10r) of ONE md5(word), mod buckets), so a
+    * batch-built sketch and a stream-built sketch are
+    * interchangeable cell-for-cell.
     */
   def cms(words: Dataset[String], rows: Int = 3,
       buckets: Long = 1024L): DataFrame = {
     import org.apache.spark.sql.functions._
+    require(rows * 10 <= 32, "md5 has 32 hex chars: at most 3 x 10-char slices")
     words.toDF("word")
       .filter(length(col("word")) > 0)
+      .withColumn("d", md5(col("word")))
       .withColumn("r", explode(array((0 until rows).map(lit): _*)))
       .select(col("r"),
-        (conv(substring(md5(concat(col("word"), lit(":r"), col("r"))),
-          1, 15), 16, 10).cast("long") % buckets).as("bucket"))
+        (conv(col("d").substr(lit(1) + lit(10) * col("r"), lit(10)),
+          16, 10).cast("long") % buckets).as("bucket"))
       .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+  }
+
+  final case class M4Event(series: String, tsUs: Long, eventId: Long,
+      x: Double)
+
+  /** q_ts_m4 as a watermarked tumbling-window aggregation — possible
+    * PRECISELY because the batch operator's extreme points are
+    * associative struct-min/-max (not windows): each micro-batch
+    * folds its rows into the four per-bucket extreme structs and the
+    * state-store merge across batches is the same struct comparison,
+    * so the converged result is bit-equal to batch M4 over the same
+    * events no matter how the stream is micro-batched (StreamingSpec
+    * asserts it under adversarial splits). Spark's tumbling windows
+    * are epoch-aligned, matching the batch `us div bucket` bucketing
+    * exactly. State per key is 4 structs + a count — constant — and
+    * the watermark expires closed pixels; this is the live-dashboard
+    * serving path next to the batch backfill.
+    */
+  def m4(events: Dataset[M4Event], watermark: String = "1 minute",
+      bucketWidth: String = "15 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events.toDF()
+      .withColumn("eventTime", timestamp_micros(col("tsUs")))
+      .withWatermark("eventTime", watermark)
+      .groupBy(col("series"), window(col("eventTime"), bucketWidth))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("tsUs").as("us"), col("eventId").as("event_id"),
+          col("x").as("value"))).as("pf"),
+        max(struct(col("tsUs").as("us"), col("eventId").as("event_id"),
+          col("x").as("value"))).as("pl"),
+        min(struct(col("x").as("value"), col("tsUs").as("us"),
+          col("eventId").as("event_id"))).as("pn"),
+        max(struct(col("x").as("value"), (-col("tsUs")).as("nus"),
+          (-col("eventId")).as("nid"))).as("px"))
+      .select(col("series"),
+        unix_micros(col("window.start")).as("bucket_us"), col("n"),
+        col("pf.us").as("t_first"), col("pf.value").as("v_first"),
+        col("pn.us").as("t_min"), col("pn.value").as("v_min"),
+        (-col("px.nus")).as("t_max"), col("px.value").as("v_max"),
+        col("pl.us").as("t_last"), col("pl.value").as("v_last"))
   }
 }

@@ -636,16 +636,17 @@ class PlanSpec extends AnyFunSuite {
       s"doc-level window must partition by bkt: $specs")
   }
 
-  test("m4 windows share one bucket-keyed exchange and the bucket agg " +
-      "reuses it") {
+  test("m4 is one pure hash aggregation — struct-ordered extreme " +
+      "points, no window, no sort before the shuffle") {
     val p = plan("q_ts_m4")
-    // four row_number windows + the per-bucket aggregate all hash on
-    // (event_type, bucket_us): one data exchange plus the
-    // presentation sort's range exchange — anything more means a
-    // window stopped sharing the partitioning
+    // all four extreme points are associative struct-min/max, so the
+    // whole operator is partial+final HashAggregate over one bucket
+    // exchange (plus the presentation sort's range exchange)
+    assert(!p.contains("Window"), "m4 must not plan a window")
+    assert(!p.contains("Join"), "m4 must not join")
+    assert(p.contains("partial_"), "m4 must combine map-side")
     val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).size
     assert(exchanges <= 2, s"m4 should shuffle once + sort, saw $exchanges")
-    assert(!p.contains("Join"), "m4 must not join")
   }
 
   test("hll registers fold map-side; bfs and vad stay on equi-joins") {

@@ -280,6 +280,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming m4 converges to the batch extreme points exactly, " +
+    "however micro-batched") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("q_ts_m4")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq).toMap
+
+    val evs = graft.ops.Tables.t(spark, dir, "events")
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("us"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect()
+      .map(r => StreamingIngest.M4Event(r.getString(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3)))
+    // adversarial splits: a 1-row head, a big middle, a tail — and
+    // NOT time-ordered within batches (input order must not matter)
+    val mem = MemoryStream[StreamingIngest.M4Event]
+    val q = StreamingIngest.m4(mem.toDS()).writeStream
+      .format("memory").queryName("m4_stream")
+      .outputMode(OutputMode.Complete).start()
+    Seq(evs.take(1), evs.slice(1, evs.length / 2).reverse,
+      evs.drop(evs.length / 2))
+      .foreach { s => mem.addData(s.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("m4_stream")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming markov transitions are split-invariant and match " +
     "the sequential per-user fold") {
     val spark = SparkFixture.spark
