@@ -1579,9 +1579,10 @@ object Similarity {
     * it reuses the banded-LSH candidate generator end to end — no
     * all-pairs join anywhere; negatives come from band collisions,
     * which is exactly the "hard" pool (random negatives would be
-    * trivially far). Per-anchor argmax is one window over the
-    * symmetrized candidate set, tie-broken by id, so both engines
-    * pick identical rows; cosines are bit-identical by the existing
+    * trivially far). Both per-anchor argmaxes fold in ONE hash
+    * aggregation as struct-maxes ordered (cos desc, id asc) — no
+    * window, no sort of the candidate set — so both engines pick
+    * identical rows; cosines are bit-identical by the existing
     * dot/norm machinery.
     */
   val qContrastivePairs = QueryDef(
@@ -1607,24 +1608,26 @@ object Similarity {
             col("cos")))).as("e"))
         .select(col("e.anchor").as("anchor"),
           col("e.other").as("other"), col("e.cos").as("cos"))
-      // one banded window pass instead of two filtered branches (a
-      // pos/neg branch pair would re-traverse sym — and with it the
-      // candidate generation — twice): band each row, take the
-      // per-(anchor, band) argmax, pivot the two winners onto one row
+      // both per-anchor argmaxes in ONE hash aggregation (no window,
+      // no sort): each band's winner is an associative struct-max
+      // ordered (cos desc, other asc) — the other id enters negated
+      // so cos-ties resolve to the smallest id, the same tie-break
+      // the oracle's row_number uses. A window formulation would
+      // sort the whole symmetric candidate set; max() folds it
+      // map-side.
       val banded = sym.withColumn("band",
           when(col("cos") >= 0.3 && col("cos") < 0.98, "pos")
             .when(col("cos") >= 0.0 && col("cos") < 0.15, "neg"))
         .filter(col("band").isNotNull)
-      val w = Window.partitionBy("anchor", "band")
-        .orderBy(col("cos").desc, col("other"))
-      banded.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .groupBy("anchor")
+      banded.groupBy("anchor")
         .agg(
-          max(when(col("band") === "pos", col("other"))).as("pos_id"),
-          max(when(col("band") === "pos", col("cos"))).as("pos_cos"),
-          max(when(col("band") === "neg", col("other"))).as("neg_id"),
-          max(when(col("band") === "neg", col("cos"))).as("neg_cos"))
+          max(when(col("band") === "pos",
+            struct(col("cos"), (-col("other")).as("nid")))).as("p"),
+          max(when(col("band") === "neg",
+            struct(col("cos"), (-col("other")).as("nid")))).as("ng"))
+        .select(col("anchor"),
+          (-col("p.nid")).as("pos_id"), col("p.cos").as("pos_cos"),
+          (-col("ng.nid")).as("neg_id"), col("ng.cos").as("neg_cos"))
         .filter(col("pos_id").isNotNull && col("neg_id").isNotNull)
         .orderBy("anchor")
     },
