@@ -1572,6 +1572,185 @@ object TimeSeries {
       WHERE d >= min_day + 6 AND d <= max_day
       GROUP BY d ORDER BY d"""))
 
+  /** Rolling 7-day distinct users via MERGED DAILY HLL SKETCHES,
+    * evaluated against the exact fan-out ([[qRollingDau]]) — the
+    * query that shows WHY a 100 TB pipeline keeps per-day sketch
+    * registers instead of user-day rows: the trailing-window merge
+    * is an elementwise register max over 7×64 tiny rows per report
+    * day, while the exact path ships every user-day 7×. Same
+    * bit-deterministic HLL construction as q_vocab_hll (md5-derived
+    * 6-bit bucket + 54-bit leading-zero rank, register sum scaled to
+    * an exact BIGINT, one final double division); the merge itself
+    * is the 7-day fan-out of each daily register followed by max —
+    * associativity of register max IS the mergeability property
+    * under test, and rel_err against the exact count is emitted per
+    * day. Scale shape: one (user, day) distinct — which the exact
+    * count needs anyway — then everything downstream is
+    * days×64-sized, independent of corpus size.
+    */
+  val qRollingHll = QueryDef(
+    "q_ts_rolling_hll",
+    (s, dir) => {
+      val dayUs = 86400000000L
+      val two54 = 36028797018963968L
+      val two55 = 72057594037927936L
+      val ud = Tables.t(s, dir, "events")
+        .select(col("user_id"),
+          expr(s"unix_micros(ts) DIV $dayUs").as("day"))
+        .distinct()
+      val bounds = ud.agg(min("day").as("min_day"), max("day").as("max_day"))
+      val regs = ud
+        .select(col("day"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 15),
+            16, 10).cast("long").as("h"))
+        .select(col("day"), expr(s"h div $two54").as("bucket"),
+          (col("h") % two54).as("rem"))
+        .select(col("day"), col("bucket"),
+          when(col("rem") === 0, lit(55L))
+            .otherwise(lit(55L) - length(bin(col("rem"))).cast("long"))
+            .as("rank"))
+        .groupBy("day", "bucket").agg(max(col("rank")).as("m"))
+      val merged = regs
+        .withColumn("i", explode(sequence(lit(0L), lit(6L))))
+        .withColumn("d", col("day") + col("i"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("d") >= col("min_day") + 6 &&
+          col("d") <= col("max_day"))
+        .groupBy(col("d"), col("bucket")).agg(max(col("m")).as("mm"))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(expr("CAST(1 AS BIGINT) << (55 - mm)")).as("s_present"))
+        .select(col("d"),
+          (col("s_present") +
+            (lit(64L) - col("n_buckets")) * two55).as("s_total"))
+      val exact = ud.withColumn("i", explode(sequence(lit(0L), lit(6L))))
+        .withColumn("d", col("day") + col("i"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("d") >= col("min_day") + 6 &&
+          col("d") <= col("max_day"))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      exact.join(merged, "d")
+        .select(col("d"), col("wau"),
+          (lit(0.709).cast("double") * lit(4096.0) *
+            lit(36028797018963968.0) / col("s_total").cast("double"))
+            .as("hll_est"))
+        .withColumn("rel_err",
+          abs(col("hll_est") - col("wau").cast("double"))
+            / col("wau").cast("double"))
+        .orderBy("d")
+    },
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id,
+          CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events),
+      bounds AS (
+        SELECT min(day) AS min_day, max(day) AS max_day FROM ud),
+      regs AS (
+        SELECT day, h // 36028797018963968 AS bucket,
+          max(CASE WHEN h % 36028797018963968 = 0 THEN 55
+              ELSE 55 - length(bin(h % 36028797018963968)) END) AS m
+        FROM (
+          SELECT day,
+            CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+          FROM ud)
+        GROUP BY day, bucket),
+      merged AS (
+        SELECT d, bucket, max(m) AS mm FROM (
+          SELECT day + i AS d, bucket, m
+          FROM regs CROSS JOIN (SELECT unnest(range(0, 7)) AS i))
+        CROSS JOIN bounds
+        WHERE d >= min_day + 6 AND d <= max_day
+        GROUP BY d, bucket),
+      sums AS (
+        SELECT d,
+          sum(1::BIGINT << (55 - mm)) +
+            (64 - count(*)) * 72057594037927936 AS s_total
+        FROM merged GROUP BY d),
+      exact AS (
+        SELECT d, count(DISTINCT user_id) AS wau FROM (
+          SELECT user_id, day + i AS d
+          FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS i))
+        CROSS JOIN bounds
+        WHERE d >= min_day + 6 AND d <= max_day
+        GROUP BY d)
+      SELECT exact.d, wau,
+        CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0
+          / CAST(s_total AS DOUBLE) AS hll_est,
+        abs(CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0
+          / CAST(s_total AS DOUBLE) - CAST(wau AS DOUBLE))
+          / CAST(wau AS DOUBLE) AS rel_err
+      FROM exact JOIN sums ON exact.d = sums.d
+      ORDER BY exact.d"""))
+
+  /** SCD2 reconstruction: collapse each user's event stream into
+    * state VALIDITY INTERVALS — consecutive same-type events merge
+    * into one run, each run becomes a row with [valid_from, valid_to)
+    * micros where valid_to is the next run's start (NULL on the
+    * still-open last run) — the changelog→dimension-table transform
+    * every lakehouse ingest of CDC data performs (Kimball type-2
+    * history from an event log). Gaps-and-islands with integer
+    * arithmetic only: one lag() to mark run starts, one prefix sum to
+    * number runs, one lead() to close intervals — three passes over
+    * the SAME user-keyed partitioning, a single shuffle.
+    */
+  val qScd2 = QueryDef(
+    "q_ts_scd2",
+    (s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("state"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val runs = ev
+        .withColumn("new_run",
+          when(lag(col("state"), 1).over(w).isNull ||
+            lag(col("state"), 1).over(w) =!= col("state"), 1)
+            .otherwise(0))
+        .withColumn("run_id",
+          sum(col("new_run")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("run_id"))
+        .agg(min(col("state")).as("state"),
+          min(col("us")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+      val wu = Window.partitionBy("user_id").orderBy("valid_from")
+      runs
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wu))
+        .select(col("user_id"), col("run_id"), col("state"),
+          col("valid_from"), col("valid_to"), col("n_events"))
+        .orderBy("user_id", "run_id")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type AS state,
+          CAST(epoch_us(ts) AS BIGINT) AS us, event_id
+        FROM events),
+      marked AS (
+        SELECT *, CASE WHEN lag(state) OVER w IS NULL
+                        OR lag(state) OVER w <> state
+                  THEN 1 ELSE 0 END AS new_run
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      runs AS (
+        SELECT user_id,
+          CAST(sum(new_run) OVER (PARTITION BY user_id
+            ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS run_id,
+          state, us
+        FROM marked),
+      grouped AS (
+        SELECT user_id, run_id, min(state) AS state,
+          min(us) AS valid_from, count(*) AS n_events
+        FROM runs GROUP BY user_id, run_id)
+      SELECT user_id, run_id, state, valid_from,
+        lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+          AS valid_to,
+        n_events
+      FROM grouped ORDER BY user_id, run_id"""))
+
   /** The native whole-operator twin of q_ts_interval_join
     * (plans/IntervalJoin.scala): clicks are the probe points, errors
     * carry [err_us, err_us + 10 min) intervals, and the custom
@@ -1615,5 +1794,5 @@ object TimeSeries {
       qRate, qEwma, qHolt, qAnomaly, qRetention, qSeasonal, qLttb,
       qCusum, qAcf, qHoltBacktest, qTwa, qInterp, qNearestJoin,
       qAsofNative, qAsofTolerance, qAttrLinear, qAttrDecay, qRollingDau,
-      qIntervalNative)
+      qIntervalNative, qRollingHll, qScd2)
 }
