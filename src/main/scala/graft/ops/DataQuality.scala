@@ -449,6 +449,81 @@ object DataQuality {
           / expected AS chi2_term
       FROM e ORDER BY lang, source"""))
 
+  /** k-anonymity audit over quasi-identifiers — the privacy gate a
+    * training-data release runs next to PII redaction: every
+    * (nation, market-segment, account-balance-band) equivalence
+    * class with fewer than k=5 members makes its customers
+    * re-identifiable by those attributes alone. Reports, per
+    * quasi-identifier class: its size, whether it violates k, and
+    * the corpus-level cost of enforcement — rows needing suppression
+    * and the violating-class count — as one corpus '__classes__' row
+    * plus a per-nation breakdown of the violations. The balance band
+    * is floor(acctbal/1000): the IEEE division and floor are
+    * bit-identical in both engines (a bare double->BIGINT cast would
+    * NOT be — Spark truncates where DuckDB rounds).
+    * Scale shape: one hash aggregation on the quasi-identifier key
+    * plus the grouping-sets rollup — exactly a groupBy at any SF.
+    */
+  val qKanon = QueryDef(
+    "q_dq_kanon",
+    (s, dir) => {
+      val K = 5
+      val cls = Tables.t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).as("bal_band"))
+      cls.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("class_size"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("bal_band"),
+          col("class_size"),
+          (col("class_size") < K).as("violates_k"))
+        .groupBy(lit("__classes__").as("section"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("violates_k"), 1L).otherwise(0L))
+            .as("n_violating"),
+          sum(when(col("violates_k"), col("class_size"))
+            .otherwise(0L)).as("rows_to_suppress"),
+          min(col("class_size")).as("min_class"),
+          max(col("class_size")).as("max_class"))
+        .unionAll(
+          cls.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+            .agg(count(lit(1)).as("class_size"))
+            .filter(col("class_size") < K)
+            .groupBy(col("c_nationkey").cast("string").as("section"))
+            .agg(count(lit(1)).as("n_classes"),
+              sum(lit(1L)).as("n_violating"),
+              sum(col("class_size")).as("rows_to_suppress"),
+              min(col("class_size")).as("min_class"),
+              max(col("class_size")).as("max_class")))
+        .orderBy("section")
+    },
+    Some("""
+      WITH cls AS (
+        SELECT c_nationkey, c_mktsegment,
+          CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+        FROM customer),
+      sizes AS (
+        SELECT c_nationkey, c_mktsegment, bal_band,
+          count(*) AS class_size
+        FROM cls GROUP BY 1, 2, 3)
+      SELECT '__classes__' AS section,
+        count(*) AS n_classes,
+        CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_violating,
+        CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+          AS BIGINT) AS rows_to_suppress,
+        min(class_size) AS min_class, max(class_size) AS max_class
+      FROM sizes
+      UNION ALL
+      SELECT CAST(c_nationkey AS VARCHAR) AS section,
+        count(*) AS n_classes,
+        CAST(count(*) AS BIGINT) AS n_violating,
+        CAST(sum(class_size) AS BIGINT) AS rows_to_suppress,
+        min(class_size) AS min_class, max(class_size) AS max_class
+      FROM sizes WHERE class_size < 5
+      GROUP BY c_nationkey
+      ORDER BY section"""))
+
   val all: Seq[QueryDef] =
-    Seq(qProfile, qChecks, qMad, qWinsorize, qBenford, qKs, qChisq)
+    Seq(qProfile, qChecks, qMad, qWinsorize, qBenford, qKs, qChisq,
+      qKanon)
 }
