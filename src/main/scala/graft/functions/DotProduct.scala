@@ -37,6 +37,23 @@ case class DotProduct(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
 
+  private def elementsNullable: Boolean = Seq(left, right).exists(
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    })
+
+  // a null ELEMENT nulls the whole product even when both ARRAYS are
+  // known non-null, so nullability must include containsNull — the
+  // BinaryExpression default (children only) would let constraint
+  // propagation mark the result non-nullable, miscompiling downstream
+  // consumers AND handing codegen a constant-false isNull slot that
+  // the element check then tries to assign (janino: "isNull_x is not
+  // an rvalue", which silently knocked the whole stage out of codegen
+  // on exactly the hot embedding plans this kernel exists for)
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
+
   // a null ELEMENT nulls the whole product, exactly like the
   // aggregate(zip_with(...)) HOF formulation — required for the
   // DotProductRewrite rule to be semantics-preserving on the common
@@ -60,13 +77,21 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // only emit the element-null branch when elements CAN be null:
+      // for containsNull=false inputs `ev.isNull` is the constant
+      // `false` and an assignment to it would not compile — and the
+      // branch-free loop is also the faster kernel
+      val elemCheck =
+        if (elementsNullable)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+                ${ev.isNull} = true; break;
+              }"""
+        else ""
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $acc = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          if ($a.isNullAt($i) || $b.isNullAt($i)) {
-            ${ev.isNull} = true; break;
-          }
+          $elemCheck
           $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
         }
         ${ev.value} = $acc;

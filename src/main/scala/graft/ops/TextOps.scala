@@ -1378,6 +1378,75 @@ object TextOps {
         sum_score / n_docs AS mean_score
       FROM agg ORDER BY source"""))
 
+  /** Quality-threshold operating curve: for every cut t ∈
+    * {0.1 … 0.9}, how many documents and how many tokens survive —
+    * the curve a curation run publishes so the "keep the top X% by
+    * quality" decision is made from data instead of a guessed
+    * threshold (the companion to [[qQualityCalibrate]]'s per-source
+    * percentiles and [[qQualityEnsemble]]'s fixed-cut funnel). Same
+    * guarded linear ensemble score; thresholds are k/10 computed as
+    * the identical double division in both engines, and since both
+    * engines score identically, the >= comparisons agree exactly.
+    * Scale shape: ONE narrow scoring pass, a ×9 explode of
+    * (score, toks) pairs — 16 bytes per row per threshold, not the
+    * text — and a 9-key aggregation with map-side partials.
+    */
+  val qQualityCurve = QueryDef(
+    "q_quality_curve",
+    (s, dir) => {
+      val score = when(cChars === 0.0, lit(0.0)).otherwise(
+        lit(0.3) * least(cToks / lit(100.0), lit(1.0)) +
+          lit(0.25) * (lit(1.0) - cPunct / cChars) +
+          lit(0.25) * least(cStops / cToks * 5.0, lit(1.0)) +
+          lit(0.2) * (cVocab / cToks))
+      Tables.t(s, dir, "documents")
+        .select(score.as("score"), cToks.cast("long").as("toks"))
+        .withColumn("k", explode(sequence(lit(1), lit(9))))
+        .withColumn("t", col("k").cast("double") / lit(10.0))
+        .groupBy("k", "t")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") >= col("t"), 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(col("toks")).as("toks_total"),
+          sum(when(col("score") >= col("t"), col("toks"))
+            .otherwise(0L)).as("toks_kept"))
+        .select(col("k"), col("t"),
+          col("n_kept"),
+          (col("n_kept").cast("double") / col("n_docs"))
+            .as("keep_rate"),
+          col("toks_kept"),
+          (col("toks_kept").cast("double") / col("toks_total"))
+            .as("token_share"))
+        .orderBy("k")
+    },
+    Some(s"""
+      WITH sig AS ($qualityRawSql),
+      scored AS (
+        SELECT CASE WHEN chars = 0 THEN 0.0 ELSE
+            0.3 * least(toks / 100.0, 1.0) +
+            0.25 * (1.0 - punct / chars) +
+            0.25 * least(stops / toks * 5.0, 1.0) +
+            0.2 * (vocab / toks)
+          END AS score,
+          CAST(toks AS BIGINT) AS toks
+        FROM sig),
+      fan AS (
+        SELECT score, toks, i AS k, CAST(i AS DOUBLE) / 10.0 AS t
+        FROM scored CROSS JOIN (SELECT unnest(range(1, 10)) AS i)),
+      agg AS (
+        SELECT k, t, count(*) AS n_docs,
+          CAST(sum(CASE WHEN score >= t THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_kept,
+          CAST(sum(toks) AS BIGINT) AS toks_total,
+          CAST(sum(CASE WHEN score >= t THEN toks ELSE 0 END) AS BIGINT)
+            AS toks_kept
+        FROM fan GROUP BY k, t)
+      SELECT CAST(k AS INT) AS k, t, n_kept,
+        CAST(n_kept AS DOUBLE) / n_docs AS keep_rate,
+        toks_kept,
+        CAST(toks_kept AS DOUBLE) / toks_total AS token_share
+      FROM agg ORDER BY k"""))
+
   /** KMV (k-minimum-values) distinct-count sketch, evaluated against
     * exact counts: per source (and for the whole corpus) keep the
     * k=64 smallest 60-bit word hashes; the k-th smallest estimates
@@ -2193,6 +2262,7 @@ object TextOps {
       qWinnowOverlap, qWinnowSpans, qWinnowContam, qContamination,
       qLengthHist,
       qClassify, qVocabTopK, qSourceDrift, qDiversity, qQualityEnsemble,
+      qQualityCurve,
       qVocabCoverage, qVocabKmv, qVocabHll, qTextNfc, qBm25, qPmi,
       qLangIdConfusion, qSketchCms, qRarity, qVocabZipf, qPii,
       qVocabKmvJaccard)
