@@ -64,4 +64,42 @@ class RewriteSpec extends AnyFunSuite {
     assert(!p.contains("dotproduct"),
       "float-product form must be left alone")
   }
+
+  test("graft_dot codegen compiles with NON-NULLABLE inputs (the " +
+      "constraint-propagation shape that used to throw 'isNull is " +
+      "not an rvalue' and knock stages out of codegen)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+    // containsNull=false + non-nullable refs: ev.isNull is constant
+    // false, so any generated assignment to it fails janino compile
+    val tight = ArrayType(FloatType, containsNull = false)
+    val dotTight = graft.functions.DotProduct(
+      BoundReference(0, tight, nullable = false),
+      BoundReference(1, tight, nullable = false))
+    assert(!dotTight.nullable)
+    val projTight = GenerateUnsafeProjection.generate(Seq(dotTight))
+    val row = InternalRow(
+      ArrayData.toArrayData(Array(1.0f, 2.0f)),
+      ArrayData.toArrayData(Array(3.0f, 4.0f)))
+    assert(projTight(row).getDouble(0) === 11.0)
+
+    // containsNull=true with non-nullable arrays must stay NULLABLE
+    // (a null element nulls the product even when the arrays can't
+    // be null) and must compile + return null
+    val loose = ArrayType(FloatType, containsNull = true)
+    val dotLoose = graft.functions.DotProduct(
+      BoundReference(0, loose, nullable = false),
+      BoundReference(1, loose, nullable = false))
+    assert(dotLoose.nullable)
+    val projLoose = GenerateUnsafeProjection.generate(Seq(dotLoose))
+    val rowNull = InternalRow(
+      ArrayData.toArrayData(Array[java.lang.Float](1.0f, null)),
+      ArrayData.toArrayData(Array[java.lang.Float](3.0f, 4.0f)))
+    assert(projLoose(rowNull).isNullAt(0))
+    assert(projLoose(row).getDouble(0) === 11.0)
+  }
 }
