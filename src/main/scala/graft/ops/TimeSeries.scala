@@ -1751,6 +1751,91 @@ object TimeSeries {
         n_events
       FROM grouped ORDER BY user_id, run_id"""))
 
+  /** Per-series least-squares TREND: slope (value units per day) and
+    * r² of value-vs-time — the regression complement to the
+    * smoothing family (EWMA/Holt react to level; the fitted slope is
+    * the drift monitor a metrics pipeline alarms on). All five
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT
+    * BIGINT sums — x is the day index (≤ ~2·10⁴), y is the value in
+    * floor-cents (an explicit floor: a bare double→BIGINT cast
+    * truncates in Spark but rounds in DuckDB) — so every sum is
+    * ≤ ~10¹⁵ ≪ 2⁵³ and converts to double EXACTLY; the closed-form
+    * slope/r² arithmetic is then the identical IEEE sequence in both
+    * engines. Headroom note: BIGINT sums hold to ~10⁹ rows/series at
+    * cent precision; past that the same statistics go through
+    * DECIMAL(38) unchanged. Scale shape: ONE hash aggregation with
+    * map-side partials — sufficient statistics are the textbook
+    * mergeable form (this is also what makes the op
+    * streaming-expressible).
+    */
+  val qTrend = QueryDef(
+    "q_ts_trend",
+    (s, dir) => {
+      val dayUs = 86400000000L
+      val st = Tables.t(s, dir, "events")
+        .select(col("event_type"),
+          expr(s"unix_micros(ts) DIV $dayUs").as("x"),
+          floor(col("value") * 100.0).as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double")
+      val sy = col("sy").cast("double")
+      val sxy = col("sxy").cast("double")
+      val sxx = col("sxx").cast("double")
+      val syy = col("syy").cast("double")
+      val cov = n * sxy - sx * sy
+      val varx = n * sxx - sx * sx
+      val vary = n * syy - sy * sy
+      st.select(col("event_type"), col("n"),
+          when(varx === 0.0, lit(null).cast("double"))
+            .otherwise(cov / varx / lit(100.0)).as("slope_per_day"),
+          when(varx * vary === 0.0, lit(null).cast("double"))
+            .otherwise(cov * cov / (varx * vary)).as("r2"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH st AS (
+        SELECT event_type, count(*) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * y) AS BIGINT) AS sxy,
+          CAST(sum(x * x) AS BIGINT) AS sxx,
+          CAST(sum(y * y) AS BIGINT) AS syy
+        FROM (
+          SELECT event_type,
+            CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS x,
+            CAST(floor(value * 100.0) AS BIGINT) AS y
+          FROM events)
+        GROUP BY event_type)
+      SELECT event_type, n,
+        CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+          THEN NULL ELSE
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0
+          END AS slope_per_day,
+        CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0.0
+          THEN NULL ELSE
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+          END AS r2
+      FROM st ORDER BY event_type"""))
+
   /** The native whole-operator twin of q_ts_interval_join
     * (plans/IntervalJoin.scala): clicks are the probe points, errors
     * carry [err_us, err_us + 10 min) intervals, and the custom
@@ -1794,5 +1879,5 @@ object TimeSeries {
       qRate, qEwma, qHolt, qAnomaly, qRetention, qSeasonal, qLttb,
       qCusum, qAcf, qHoltBacktest, qTwa, qInterp, qNearestJoin,
       qAsofNative, qAsofTolerance, qAttrLinear, qAttrDecay, qRollingDau,
-      qIntervalNative, qRollingHll, qScd2)
+      qIntervalNative, qRollingHll, qScd2, qTrend)
 }

@@ -1025,4 +1025,38 @@ object StreamingIngest {
         (-col("px.nus")).as("t_max"), col("px.value").as("v_max"),
         col("pl.us").as("t_last"), col("pl.value").as("v_last"))
   }
+
+  /** q_ts_trend as a streaming aggregation: the five regression
+    * sufficient statistics are plain BIGINT sums — the textbook
+    * mergeable form — so a Complete-mode aggregation's converged
+    * slope/r² are bit-equal to the batch fit over the same events
+    * however the stream is micro-batched (StreamingSpec asserts it).
+    * Same floor-cents y and day-index x as the batch operator.
+    */
+  def trend(events: Dataset[M4Event]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val st = events.toDF()
+      .select(col("series"), expr("tsUs div 86400000000").as("dx"),
+        floor(col("x") * 100.0).as("y"))
+      .groupBy("series")
+      .agg(count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("dx") * col("y")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val syy = col("syy").cast("double")
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    st.select(col("series"), col("n"),
+      when(varx === 0.0, lit(null).cast("double"))
+        .otherwise(cov / varx / lit(100.0)).as("slope_per_day"),
+      when(varx * vary === 0.0, lit(null).cast("double"))
+        .otherwise(cov * cov / (varx * vary)).as("r2"))
+  }
 }

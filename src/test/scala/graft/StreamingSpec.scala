@@ -313,6 +313,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming trend's sufficient statistics merge to the batch " +
+    "slope and r2 exactly, however micro-batched") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("q_ts_trend")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+
+    val evs = graft.ops.Tables.t(spark, dir, "events")
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("us"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect()
+      .map(r => StreamingIngest.M4Event(r.getString(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3)))
+    val mem = MemoryStream[StreamingIngest.M4Event]
+    val q = StreamingIngest.trend(mem.toDS()).writeStream
+      .format("memory").queryName("trend_stream")
+      .outputMode(OutputMode.Complete).start()
+    Seq(evs.take(7), evs.slice(7, 2 * evs.length / 3).reverse,
+      evs.drop(2 * evs.length / 3))
+      .foreach { s => mem.addData(s.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("trend_stream")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming markov transitions are split-invariant and match " +
     "the sequential per-user fold") {
     val spark = SparkFixture.spark
