@@ -210,30 +210,32 @@ object TimeSeries {
 
   /** OHLC downsample: per (event_type, hour) candlestick — open =
     * value at the first event of the bucket, close at the last,
-    * high/low the extremes. First/last are picked by a row_number
-    * over (ts, event_id) so ties are deterministic; values pass
-    * through un-aggregated (no float summation), so both engines
-    * emit identical doubles. Single shuffle on the bucket key.
+    * high/low the extremes. Open/close are the values of the
+    * struct-MIN/MAX over (ts, event_id, value) — associative, so the
+    * whole candlestick is ONE pure hash aggregation with map-side
+    * partials (the row_number formulation this replaced sorted every
+    * bucket partition first); ties are deterministic because
+    * event_id is unique, and values pass through un-aggregated (no
+    * float summation), so both engines emit identical doubles.
     */
   val qOhlc = QueryDef(
     "q_ts_ohlc",
     (s, dir) => {
-      val ev = Tables.t(s, dir, "events")
+      Tables.t(s, dir, "events")
         .select(col("event_type"),
           unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"),
-          col("ts"), col("event_id"), col("value"))
-      val wa = Window.partitionBy(col("event_type"), col("bucket_us"))
-        .orderBy(col("ts"), col("event_id"))
-      val wd = Window.partitionBy(col("event_type"), col("bucket_us"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      ev.withColumn("ra", row_number().over(wa))
-        .withColumn("rd", row_number().over(wd))
+          unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
         .groupBy(col("event_type"), col("bucket_us"))
         .agg(count(lit(1)).as("n"),
-          min(when(col("ra") === 1, col("value"))).as("open"),
+          min(struct(col("us"), col("event_id"), col("value")))
+            .as("pf"),
           max(col("value")).as("high"),
           min(col("value")).as("low"),
-          min(when(col("rd") === 1, col("value"))).as("close"))
+          max(struct(col("us"), col("event_id"), col("value")))
+            .as("pl"))
+        .select(col("event_type"), col("bucket_us"), col("n"),
+          col("pf.value").as("open"), col("high"), col("low"),
+          col("pl.value").as("close"))
         .orderBy("event_type", "bucket_us")
     },
     Some("""
