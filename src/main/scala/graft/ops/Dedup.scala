@@ -981,25 +981,27 @@ object Dedup {
   /** Keep-latest-per-key (CDC / upsert compaction): collapse the
     * events stream to the newest row per (user_id, event_type), the
     * materialize step every mutable-table-over-log design runs before
-    * serving reads. One hash shuffle on the key, a per-key
-    * row_number, no joins — the shape that compacts a 100 TB
-    * changelog in a single exchange. `n_versions` reports the
+    * serving reads. The newest row per key is the struct-MAX over
+    * (ts, event_id, payload) — associative, so the whole compaction
+    * is ONE pure hash aggregation with map-side partials (the
+    * row_number form this replaced sorted every key partition; at
+    * changelog scale the map-side combine also collapses most
+    * versions before the exchange). `n_versions` reports the
     * collapsed depth per key (update-frequency skew surfaces here).
     */
   val qLatest = QueryDef(
     "q_dedup_latest",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"), col("event_type"))
-      val wr = w.orderBy(col("ts").desc, col("event_id").desc)
       Tables.t(s, dir, "events")
-        .withColumn("rn", row_number().over(wr))
-        .withColumn("n_versions", count(lit(1)).over(w))
-        .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"),
-          col("event_id").as("latest_event_id"),
-          unix_micros(col("ts")).as("latest_us"),
-          col("value").as("latest_value"), col("n_versions"))
+          unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_versions"),
+          max(struct(col("us"), col("event_id"), col("value"))).as("p"))
+        .select(col("user_id"), col("event_type"),
+          col("p.event_id").as("latest_event_id"),
+          col("p.us").as("latest_us"),
+          col("p.value").as("latest_value"), col("n_versions"))
         .orderBy("user_id", "event_type")
     },
     Some("""

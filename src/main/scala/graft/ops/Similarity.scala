@@ -218,16 +218,18 @@ object Similarity {
           bucketCol(col("embedding"), nBits).as("bucket"))
       val a = e.toDF("vec_id", "emb_a", "nrm_a", "bucket")
       val b = e.toDF("nbr_id", "emb_b", "nrm_b", "bucket")
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("nbr_id"))
+      // per-vector argmax as a struct-max (cos desc, nbr_id asc via
+      // negation) — one hash aggregation, no sort of the bucket
+      // candidate set
       a.join(b, Seq("bucket"))
         .filter(col("vec_id") =!= col("nbr_id"))
         .select(col("vec_id"), col("bucket"), col("nbr_id"),
           pairCos(GraftFunctions.dotp(col("emb_a"), col("emb_b")),
             col("nrm_a"), col("nrm_b")).as("cos"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .select("vec_id", "bucket", "nbr_id", "cos")
+        .groupBy("vec_id", "bucket")
+        .agg(max(struct(col("cos"), (-col("nbr_id")).as("nnbr"))).as("p"))
+        .select(col("vec_id"), col("bucket"),
+          (-col("p.nnbr")).as("nbr_id"), col("p.cos").as("cos"))
         .orderBy("vec_id")
     },
     Some(s"""

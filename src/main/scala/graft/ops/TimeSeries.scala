@@ -1297,10 +1297,14 @@ object TimeSeries {
         .select(col("user_id"), col("p.event_id").as("event_id"),
           col("c.event_id").as("nearest_event_id"),
           (col("c.us") - col("p.us")).as("dt_us"))
-      val w = Window.partitionBy(col("event_id"))
-        .orderBy(abs(col("dt_us")), col("nearest_event_id"))
-      joined.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
+      // nearest = struct-min over (|dt|, nearest_id) — one hash
+      // aggregation instead of sorting each probe's candidate set
+      joined.groupBy("user_id", "event_id")
+        .agg(min(struct(abs(col("dt_us")).as("adt"),
+          col("nearest_event_id"), col("dt_us"))).as("p"))
+        .select(col("user_id"), col("event_id"),
+          col("p.nearest_event_id").as("nearest_event_id"),
+          col("p.dt_us").as("dt_us"))
         .orderBy("event_id")
     },
     Some(s"""
