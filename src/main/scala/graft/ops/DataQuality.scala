@@ -523,7 +523,66 @@ object DataQuality {
       GROUP BY c_nationkey
       ORDER BY section"""))
 
+  /** Join-key SKEW diagnostic — the measurement that decides between
+    * a plain shuffle join, AQE skew splitting, and an explicit salt
+    * (ops/Skew.scala): for each candidate join/grouping key, the
+    * distinct-key count, the hottest key's row count and share, and
+    * the Simpson concentration Σcᵢ(cᵢ−1)/(N(N−1)) — the probability
+    * two random rows collide on the key, an exact-rational
+    * alternative to entropy (no log() to drift cross-engine). The
+    * hottest key's share IS the lower bound on straggler-task skew
+    * in a shuffle on that key. Scale shape: one count-per-key
+    * aggregation per audited key (map-side combined), then a
+    * constant-size rollup; the hottest key resolves as a struct-max,
+    * never a sort.
+    */
+  val qSkewKeys = QueryDef(
+    "q_dq_skew",
+    (s, dir) => {
+      def audit(table: String, key: String): DataFrame =
+        T(s, dir, table)
+          .groupBy(col(key).cast("string").as("k"))
+          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(col("c")).as("n_rows"),
+            max(struct(col("c"), col("k"))).as("top"),
+            sum(col("c") * (col("c") - 1)).as("coll"))
+          .select(lit(s"$table.$key").as("audited_key"),
+            col("n_rows"), col("n_keys"),
+            col("top.k").as("top_key"), col("top.c").as("top_count"),
+            (col("top.c").cast("double") / col("n_rows"))
+              .as("top_share"),
+            (col("coll").cast("double") /
+              (col("n_rows") * (col("n_rows") - 1)))
+              .as("simpson"))
+      audit("lineitem", "l_suppkey")
+        .unionAll(audit("lineitem", "l_partkey"))
+        .unionAll(audit("orders", "o_custkey"))
+        .unionAll(audit("events", "user_id"))
+        .unionAll(audit("events", "event_type"))
+        .orderBy("audited_key")
+    },
+    Some {
+      def auditSql(table: String, key: String): String = s"""
+        SELECT '$table.$key' AS audited_key,
+          CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+          max(struct_pack(c := c, k := k)).k AS top_key,
+          max(struct_pack(c := c, k := k)).c AS top_count,
+          CAST(max(struct_pack(c := c, k := k)).c AS DOUBLE)
+            / CAST(sum(c) AS BIGINT) AS top_share,
+          CAST(sum(c * (c - 1)) AS DOUBLE)
+            / (CAST(sum(c) AS BIGINT) * (CAST(sum(c) AS BIGINT) - 1))
+            AS simpson
+        FROM (SELECT CAST($key AS VARCHAR) AS k, count(*) AS c
+              FROM $table GROUP BY 1)"""
+      Seq(("lineitem", "l_suppkey"), ("lineitem", "l_partkey"),
+        ("orders", "o_custkey"), ("events", "user_id"),
+        ("events", "event_type"))
+        .map((auditSql _).tupled)
+        .mkString("", " UNION ALL ", " ORDER BY audited_key")
+    })
+
   val all: Seq[QueryDef] =
     Seq(qProfile, qChecks, qMad, qWinsorize, qBenford, qKs, qChisq,
-      qKanon)
+      qKanon, qSkewKeys)
 }
