@@ -1026,6 +1026,37 @@ object StreamingIngest {
         col("pl.us").as("t_last"), col("pl.value").as("v_last"))
   }
 
+  /** Streaming HyperLogLog register builder over a (source, text)
+    * document stream: each register is max(rank) per (source, bucket)
+    * — register max is associative AND idempotent, so a Complete-mode
+    * aggregation's sink always holds exactly the registers the batch
+    * q_vocab_hll would build over everything ingested so far (the
+    * estimate is a stateless fold over ≤64 register rows per source,
+    * done by the reader; StreamingSpec computes it from the sink and
+    * asserts bit-equality with the batch estimates). Same md5 bucket/
+    * rank derivation as the batch operator, shared verbatim. State is
+    * ≤ 64 rows × sources — the constant-size profile sketch, live.
+    */
+  def hllRegisters(docs: Dataset[SourcedDoc]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val two54 = 36028797018963968L
+    docs.toDF()
+      .select(col("source"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .select(col("source"),
+        conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long")
+          .as("h"))
+      .select(col("source"), expr(s"h div $two54").as("bucket"),
+        (col("h") % two54).as("rem"))
+      .select(col("source"), col("bucket"),
+        when(col("rem") === 0, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("rem"))).cast("long"))
+          .as("rank"))
+      .groupBy("source", "bucket")
+      .agg(max(col("rank")).as("m"))
+  }
+
   /** q_ts_trend as a streaming aggregation: the five regression
     * sufficient statistics are plain BIGINT sums — the textbook
     * mergeable form — so a Complete-mode aggregation's converged

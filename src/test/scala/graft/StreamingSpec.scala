@@ -984,6 +984,42 @@ class StreamingSpec extends AnyFunSuite {
       byTs.drop(2 * n / 3)), "latest_rev") == expected)
   }
 
+  test("streaming HLL registers equal the batch sketch exactly — " +
+    "register max is associative and idempotent, so no distinct and " +
+    "no ordering is needed") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.SourcedDoc
+    val dir = "/root/testdata/sf0.001"
+
+    val expected = graft.ops.TextOps.qVocabHll.run(spark, dir).collect()
+      .filter(_.getString(0) != "__all__")
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+
+    val docs = graft.ops.Tables.t(spark, dir, "documents")
+      .select("source", "doc_id", "text").collect()
+      .map(r => SourcedDoc(r.getString(0), r.getLong(1), r.getString(2)))
+    val mem = MemoryStream[SourcedDoc]
+    val q = StreamingIngest.hllRegisters(mem.toDS()).writeStream
+      .format("memory").queryName("hll_regs")
+      .outputMode(OutputMode.Complete).start()
+    Seq(docs.take(50), docs.slice(50, 300).reverse, docs.drop(300))
+      .foreach { s => mem.addData(s.toSeq); q.processAllAvailable() }
+    q.stop()
+    // the estimate is a stateless fold over <= 64 register rows per
+    // source — the same arithmetic as the batch query, so bit-equal
+    val regs = spark.table("hll_regs").collect()
+      .groupBy(_.getString(0))
+    val streamed = regs.map { case (src, rows) =>
+      val present = rows.map(r => r.getLong(2))
+      val s = present.map(m => 1L << (55 - m)).sum +
+        (64L - present.length) * 72057594037927936L
+      src -> (0.709 * 4096.0 * 36028797018963968.0 / s.toDouble)
+    }
+    assert(streamed == expected)
+  }
+
   test("streaming KMV sketch equals the batch estimate exactly, " +
     "however the stream is micro-batched") {
     val spark = SparkFixture.spark
