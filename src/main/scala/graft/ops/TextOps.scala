@@ -1378,6 +1378,79 @@ object TextOps {
         sum_score / n_docs AS mean_score
       FROM agg ORDER BY source"""))
 
+  /** Boilerplate keyphrase mining: stopword-delimited word runs
+    * (RAKE's candidate-phrase step — consecutive non-stopwords form
+    * a phrase) counted corpus-wide, top-20 repeated multi-word
+    * phrases with document spread — the boilerplate/template
+    * detector a web-corpus curation pass runs before dedup (nav
+    * bars, cookie banners and license blurbs surface here long
+    * before full-document near-dup does). Integer-only scoring (no
+    * float sums to drift); phrase assembly is gaps-and-islands over
+    * word positions with ONE doc-keyed window, then ordered
+    * reassembly — array_sort(collect_list(struct(pos, word))) on the
+    * Spark side mirroring string_agg(word ORDER BY pos) in DuckDB.
+    * Scale shape: one window pass + two hash aggregations; the
+    * phrase shuffle carries (phrase, doc) pairs, pruned by len ≥ 2
+    * before the exchange.
+    */
+  val qKeyphrases = QueryDef(
+    "q_text_keyphrases",
+    (s, dir) => {
+      val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it",
+        "for", "on")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val words = Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .filter(length(col("word")) >= 1)
+        .withColumn("is_stop",
+          col("word").isin(stops: _*).cast("int"))
+      val islands = words
+        .withColumn("island",
+          sum(col("is_stop")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("is_stop") === 0)
+      val phrases = islands
+        .groupBy(col("doc_id"), col("island"))
+        .agg(count(lit(1)).as("len"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(pos, word)))," +
+              " x -> x.word)"), " ").as("phrase"))
+        .filter(col("len") >= 2)
+      phrases.groupBy("phrase")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("len")).as("n_words"))
+        .orderBy(col("n_occurrences").desc, col("phrase"))
+        .limit(20)
+    },
+    Some("""
+      WITH words AS (
+        SELECT doc_id, i AS pos, w AS word,
+          CASE WHEN w IN ('the','a','of','and','to','in','is','it',
+            'for','on') THEN 1 ELSE 0 END AS is_stop
+        FROM (
+          SELECT doc_id,
+            unnest(string_split(text, ' ')) AS w,
+            generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+          FROM documents)
+        WHERE len(w) >= 1),
+      islands AS (
+        SELECT *, sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM words),
+      phrases AS (
+        SELECT doc_id, island, count(*) AS len,
+          string_agg(word, ' ' ORDER BY pos) AS phrase
+        FROM islands WHERE is_stop = 0
+        GROUP BY doc_id, island
+        HAVING count(*) >= 2)
+      SELECT phrase, count(*) AS n_occurrences,
+        count(DISTINCT doc_id) AS n_docs,
+        CAST(min(len) AS BIGINT) AS n_words
+      FROM phrases GROUP BY phrase
+      ORDER BY n_occurrences DESC, phrase LIMIT 20"""))
+
   /** Quality-threshold operating curve: for every cut t ∈
     * {0.1 … 0.9}, how many documents and how many tokens survive —
     * the curve a curation run publishes so the "keep the top X% by
@@ -2262,7 +2335,7 @@ object TextOps {
       qWinnowOverlap, qWinnowSpans, qWinnowContam, qContamination,
       qLengthHist,
       qClassify, qVocabTopK, qSourceDrift, qDiversity, qQualityEnsemble,
-      qQualityCurve,
+      qQualityCurve, qKeyphrases,
       qVocabCoverage, qVocabKmv, qVocabHll, qTextNfc, qBm25, qPmi,
       qLangIdConfusion, qSketchCms, qRarity, qVocabZipf, qPii,
       qVocabKmvJaccard)
