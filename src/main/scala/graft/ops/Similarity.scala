@@ -1220,6 +1220,108 @@ object Similarity {
         ON t.query_id = i.query_id AND t.vec_id = i.vec_id
       GROUP BY t.query_id ORDER BY t.query_id"""))
 
+  /** IVF nprobe→recall TUNING CURVE: recall@3 against the brute-force
+    * truth for nprobe ∈ {1, 2, 4, 8} of the 8 IVF cells — the
+    * operating curve that decides the scan-fraction/recall trade
+    * BEFORE a 100 TB index is frozen (every vector-search deployment
+    * publishes exactly this plot). Candidates are scored ONCE with
+    * their probe rank attached; the four sweep settings come from a
+    * 4-value explode FILTERED on that rank — the expensive cosine
+    * work is never repeated per setting, and each vector lives in
+    * exactly one cell so no dedup is needed. Recall is exact-integer
+    * hits / truths per setting; monotonicity in nprobe is structural
+    * (probe sets are nested).
+    */
+  val qIvfSweep = QueryDef(
+    "q_ann_ivf_sweep",
+    (s, dir) => {
+      val e = vectors(s, dir)
+      val dists = ivfDists(e)
+      val cells = dists
+        .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+        .agg(min(struct(col("dist"), col("cell"))).as("m"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("m.cell").as("cell"))
+      val wp = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist"), col("cell"))
+      val probes = dists.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), col("cell"), col("dist"))
+        .withColumn("pr", row_number().over(wp))
+        .filter(col("pr") <= 8)
+        .select("query_id", "q_emb", "q_nrm", "cell", "pr")
+      val scored = cells.join(probes, Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("pr"),
+          pairCos(GraftFunctions.dotp(col("q_emb"), col("embedding")),
+            col("q_nrm"), col("nrm")).as("cos"))
+      val sweep = array(lit(1), lit(2), lit(4), lit(8))
+      val w = Window.partitionBy(col("nprobe"), col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val top = scored
+        .withColumn("nprobe", explode(sweep))
+        .filter(col("pr") <= col("nprobe"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("nprobe"), col("query_id"), col("vec_id"),
+          lit(1L).as("hit"))
+      val truth = qAnnTopK.run(s, dir).filter(col("rnk") <= 3)
+        .select(col("query_id"), col("vec_id"))
+        .withColumn("nprobe", explode(sweep))
+      truth.join(top, Seq("nprobe", "query_id", "vec_id"), "left")
+        .groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_true"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .select(col("nprobe"), col("n_true"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_true")).as("recall"))
+        .orderBy("nprobe")
+    },
+    Some {
+      s"""
+      WITH $vectorsSql,
+      $ivfSeedsSql,
+      dists AS (
+        SELECT v.vec_id, v.embedding, v.nrm, s.cell, $ivfL2Sql AS dist
+        FROM vectors v CROSS JOIN seeds s),
+      cells AS (
+        SELECT vec_id, embedding, nrm, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, cell) AS rn FROM dists)
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm,
+          cell, pr
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, cell) AS pr FROM dists WHERE vec_id < 5)
+        WHERE pr <= 8),
+      scored AS (
+        SELECT p.query_id, c.vec_id, p.pr,
+          ${dotSql("p.q_emb", "c.embedding")} / (p.q_nrm * c.nrm) AS cos
+        FROM cells c JOIN probes p USING (cell)
+        WHERE c.vec_id <> p.query_id),
+      sweep AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+      top AS (
+        SELECT nprobe, query_id, vec_id, 1 AS hit FROM (
+          SELECT w.nprobe, s.query_id, s.vec_id,
+            row_number() OVER (PARTITION BY w.nprobe, s.query_id
+              ORDER BY s.cos DESC, s.vec_id) AS rnk
+          FROM scored s CROSS JOIN sweep w
+          WHERE s.pr <= w.nprobe)
+        WHERE rnk <= 3),
+      truth0 AS (${qAnnTopK.oracle.get}),
+      truth AS (
+        SELECT w.nprobe, t.query_id, t.vec_id
+        FROM truth0 t CROSS JOIN sweep w WHERE t.rnk <= 3)
+      SELECT CAST(t.nprobe AS INT) AS nprobe, count(*) AS n_true,
+        CAST(coalesce(sum(p.hit), 0) AS BIGINT) AS n_hit,
+        CAST(coalesce(sum(p.hit), 0) AS DOUBLE) / count(*) AS recall
+      FROM truth t LEFT JOIN top p
+        ON t.nprobe = p.nprobe AND t.query_id = p.query_id
+          AND t.vec_id = p.vec_id
+      GROUP BY t.nprobe ORDER BY t.nprobe"""
+    })
+
   /** IVF-PQ search (Jégou et al., "Product Quantization for Nearest
     * Neighbor Search", TPAMI'11): the production ANN shape — IVF cell
     * probing restricts the candidate set (nprobe=3 of 8 cells), then
@@ -1661,7 +1763,7 @@ object Similarity {
   val all: Seq[QueryDef] =
     Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf,
       qEmbedCentroids, qEmbedPq, qAnnAdc, qEmbedRp, qEmbedQuantize,
-      qSemanticDedup, qAnnRecall, qMatryoshka, qIvfRecall,
+      qSemanticDedup, qAnnRecall, qMatryoshka, qIvfRecall, qIvfSweep,
       qSemanticOutlier, qAnnIvfPq, qEmbedWhiten, qAnnFiltered,
       qContrastivePairs)
 }

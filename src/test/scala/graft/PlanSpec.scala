@@ -649,6 +649,17 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"m4 should shuffle once + sort, saw $exchanges")
   }
 
+  test("argmax family plans as pure hash aggregation — no window, " +
+      "no per-partition sort") {
+    for (n <- Seq("q_dedup_latest", "q_ts_ohlc", "q_ann_lsh",
+        "q_ts_nearest_join", "q_ts_trend")) {
+      val p = plan(n)
+      assert(!p.contains("Window"),
+        s"$n must resolve its extreme rows by struct-min/max, not a window")
+      assert(p.contains("partial_"), s"$n must combine map-side")
+    }
+  }
+
   test("hll registers fold map-side; bfs and vad stay on equi-joins") {
     val ph = plan("q_vocab_hll")
     assert(ph.contains("partial_"), "hll register fold must combine map-side")
