@@ -582,7 +582,73 @@ object DataQuality {
         .mkString("", " UNION ALL ", " ORDER BY audited_key")
     })
 
+  /** A/B experiment readout: users hash-split into two arms (md5
+    * parity — the same deterministic assignment q_split_train uses,
+    * so allocation is reproducible across engines, re-scrapes and
+    * cluster sizes), purchase values compared arm-to-arm with the
+    * Welch t statistic. Means/variances come from exact DECIMAL sums
+    * (the Parity discipline); the t arithmetic is then the identical
+    * IEEE sequence in both engines — sqrt is correctly rounded by
+    * spec, unlike exp/pow, which is why the readout stops at the
+    * statistic instead of a p-value (the caller compares t to the
+    * critical value, the standard large-n practice anyway). Scale
+    * shape: one narrow map + a 2-key aggregation — the readout costs
+    * one scan no matter how many units the experiment has.
+    */
+  val qAbLift = QueryDef(
+    "q_dq_ab_lift",
+    (s, dir) => {
+      val ev = T(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(
+          when(substring(md5(col("user_id").cast("string")), 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"), "A")
+            .otherwise("B").as("arm"),
+          col("value"))
+      val st = ev.groupBy("arm")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("s"),
+          dsum(col("value") * col("value")).as("ss"))
+        .select(col("arm"), col("n"),
+          (col("s") / col("n")).as("mean"),
+          ((col("ss") - col("s") * col("s") / col("n"))
+            / (col("n") - 1)).as("variance"))
+      val a = st.filter(col("arm") === "A")
+        .select(col("n").as("n_a"), col("mean").as("mean_a"),
+          col("variance").as("var_a"))
+      val b = st.filter(col("arm") === "B")
+        .select(col("n").as("n_b"), col("mean").as("mean_b"),
+          col("variance").as("var_b"))
+      a.crossJoin(broadcast(b))
+        .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+          (col("mean_b") - col("mean_a")).as("lift"),
+          ((col("mean_b") - col("mean_a")) /
+            sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
+            .as("t_welch"))
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+            IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B'
+          END AS arm, value
+        FROM events WHERE event_type = 'purchase'),
+      st AS (
+        SELECT arm, count(*) AS n,
+          ${dsumSql("value")} AS s,
+          ${dsumSql("value * value")} AS ss
+        FROM ev GROUP BY arm),
+      m AS (
+        SELECT arm, n, s / n AS mean,
+          (ss - s * s / n) / (n - 1) AS variance
+        FROM st)
+      SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+        b.mean - a.mean AS lift,
+        (b.mean - a.mean) /
+          sqrt(a.variance / a.n + b.variance / b.n) AS t_welch
+      FROM m a CROSS JOIN m b
+      WHERE a.arm = 'A' AND b.arm = 'B'"""))
+
   val all: Seq[QueryDef] =
     Seq(qProfile, qChecks, qMad, qWinsorize, qBenford, qKs, qChisq,
-      qKanon, qSkewKeys)
+      qKanon, qSkewKeys, qAbLift)
 }
