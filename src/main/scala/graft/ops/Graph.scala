@@ -746,9 +746,80 @@ object GraphOps {
       SELECT CAST(dist AS BIGINT) AS hops, count(*) AS n_nodes
       FROM d4 WHERE dist <= 4 GROUP BY 1 ORDER BY 1"""))
 
+  /** Degree ASSORTATIVITY of the co-purchase graph (Newman 2002): the
+    * Pearson correlation of endpoint degrees over all directed edges
+    * — positive means hubs buy with hubs (a popularity core),
+    * negative means hubs fan out to the tail; the one-number shape
+    * summary that tells a recommender-graph pipeline whether
+    * neighborhood sampling will be hub-dominated. Exactly the
+    * [[graft.ops.TimeSeries.qTrend]] discipline on graph data: five
+    * exact BIGINT sufficient statistics over (deg_u, deg_v) pairs
+    * (degrees ≤ the 60k fixture node count; every sum ≪ 2⁵³, so the
+    * double conversion is exact and the final Pearson arithmetic is
+    * the identical IEEE sequence in both engines). Scale shape: one
+    * degree aggregation, two broadcast-friendly equi-joins to attach
+    * endpoint degrees, one global 6-sum rollup.
+    */
+  val qAssortativity = QueryDef(
+    "q_graph_assortativity",
+    (s, dir) => {
+      val pairs = coPurchaseSupported(s, dir)
+      val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(pairs.select(col("b").as("u"), col("a").as("v")))
+      val deg = edges.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("d"))
+      val xy = edges
+        .join(deg.select(col("node").as("un"), col("d").as("x")),
+          col("u") === col("un"))
+        .join(deg.select(col("node").as("vn"), col("d").as("y")),
+          col("v") === col("vn"))
+        .select(col("x"), col("y"))
+      val st = xy.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double")
+      val sy = col("sy").cast("double")
+      val sxy = col("sxy").cast("double")
+      val sxx = col("sxx").cast("double")
+      val syy = col("syy").cast("double")
+      st.select(col("n").as("n_edges"),
+        ((n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+          .as("assortativity"))
+    },
+    Some(s"""
+      WITH $coPurchaseSupportedSql,
+      edges AS (SELECT a AS u, b AS v FROM pairs
+                UNION ALL SELECT b, a FROM pairs),
+      deg AS (SELECT u AS node, count(*) AS d FROM edges GROUP BY 1),
+      xy AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM edges e
+        JOIN deg du ON e.u = du.node
+        JOIN deg dv ON e.v = dv.node),
+      st AS (
+        SELECT count(*) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * y) AS BIGINT) AS sxy,
+          CAST(sum(x * x) AS BIGINT) AS sxx,
+          CAST(sum(y * y) AS BIGINT) AS syy
+        FROM xy)
+      SELECT n AS n_edges,
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+          AS assortativity
+      FROM st"""))
+
   val all: Seq[QueryDef] = Seq(qPagerank, qTriangles, qDegree, qMarkov,
     qAssocRules, qEventTrigrams, qJaccardNeighbors, qCommunities,
-    qSeqNovelty, qKcore, qBfs)
+    qSeqNovelty, qKcore, qBfs, qAssortativity)
 }
 
 /** Physical-layout operators: where rows LIVE decides what a 100 TB
