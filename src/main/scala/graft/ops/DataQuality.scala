@@ -648,7 +648,78 @@ object DataQuality {
       FROM m a CROSS JOIN m b
       WHERE a.arm = 'A' AND b.arm = 'B'"""))
 
+  /** Embedding-table health check — the QA gate before an ANN index
+    * build (a handful of zero/degenerate vectors silently poison
+    * IVF training and cosine math): per norm bin (unit-width floor
+    * bins of the L2 norm), vector counts; plus the degenerate
+    * counts every index build should refuse on — wrong dimension,
+    * null elements, zero norm. The norm comes from the fused
+    * graft_dot kernel (codegen, same bits as the similarity
+    * operators will see — auditing with a different formula would
+    * miss exactly the discrepancies that matter). One narrow map +
+    * a tiny bin aggregation; the '__degenerate__' rollup rides the
+    * same scan via a union of two aggregates over one cached pass.
+    */
+  val qEmbedQa = QueryDef(
+    "q_dq_embeddings",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).as("dim"),
+          sqrt(graft.functions.GraftFunctions
+            .dotp(col("embedding"), col("embedding"))).as("nrm"))
+      val bins = e.filter(col("nrm").isNotNull && col("nrm") > 0.0 &&
+          col("dim") === 64)
+        .groupBy(floor(col("nrm")).as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .select(concat(lit("norm_bin_"), col("bin").cast("string"))
+          .as("check"), col("n"))
+      val degen = e.agg(
+        sum(when(col("dim") =!= 64, 1L).otherwise(0L)).as("wrong_dim"),
+        sum(when(col("nrm").isNull, 1L).otherwise(0L)).as("null_elems"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("zero_norm"))
+        .select(explode(array(
+          struct(lit("z_wrong_dim").as("check"),
+            col("wrong_dim").as("n")),
+          struct(lit("z_null_elements").as("check"),
+            col("null_elems").as("n")),
+          struct(lit("z_zero_norm").as("check"),
+            col("zero_norm").as("n")))).as("r"))
+        .select(col("r.check"), col("r.n"))
+      bins.unionAll(degen).orderBy("check")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, len(embedding) AS dim,
+          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+            (a, v) -> a + v)) AS nrm
+        FROM embeddings),
+      bins AS (
+        SELECT 'norm_bin_' || CAST(CAST(floor(nrm) AS BIGINT) AS VARCHAR)
+            AS "check",
+          count(*) AS n
+        FROM e WHERE nrm IS NOT NULL AND nrm > 0.0 AND dim = 64
+        GROUP BY 1),
+      degen AS (
+        SELECT 'z_wrong_dim' AS "check",
+          CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n
+        FROM e
+        UNION ALL
+        SELECT 'z_null_elements',
+          CAST(sum(CASE WHEN nrm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM e
+        UNION ALL
+        SELECT 'z_zero_norm',
+          CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM e)
+      SELECT "check", n FROM bins
+      UNION ALL SELECT "check", n FROM degen
+      ORDER BY "check""""))
+
   val all: Seq[QueryDef] =
     Seq(qProfile, qChecks, qMad, qWinsorize, qBenford, qKs, qChisq,
-      qKanon, qSkewKeys, qAbLift)
+      qKanon, qSkewKeys, qAbLift, qEmbedQa)
 }
