@@ -660,6 +660,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("round-8 aggregation family: map-side partials everywhere, " +
+      "no cartesian anywhere") {
+    for (n <- Seq("q_quality_curve", "q_dq_kanon", "q_dq_skew",
+        "q_dq_ab_lift", "q_dq_embeddings", "q_ts_rolling_hll",
+        "q_graph_assortativity", "q_text_keyphrases",
+        "q_ann_ivf_sweep", "q_ts_scd2")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"),
+        s"$n must not plan a cartesian product")
+      assert(p.contains("partial_"), s"$n must combine map-side")
+    }
+  }
+
   test("hll registers fold map-side; bfs and vad stay on equi-joins") {
     val ph = plan("q_vocab_hll")
     assert(ph.contains("partial_"), "hll register fold must combine map-side")
