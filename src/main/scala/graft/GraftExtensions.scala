@@ -36,6 +36,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .BloomFilterMightContain].getName, "graft_might_contain"),
       (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst
         .expressions.BloomFilterMightContain(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll"),
+      new ExpressionInfo(
+        classOf[graft.functions.HllSketch].getName, "graft_hll"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.HllSketch(exprs.head).toAggregateExpression()))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
     ext.injectOptimizerRule(_ => graft.functions.DotProductRewrite)

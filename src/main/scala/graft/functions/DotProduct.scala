@@ -122,6 +122,14 @@ object GraftFunctions {
         new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
         (exprs: Seq[Expression]) => NfcNormalize(exprs.head))
     }
+    val hll = FunctionIdentifier("graft_hll")
+    if (!spark.sessionState.functionRegistry.functionExists(hll)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        hll,
+        new ExpressionInfo(classOf[HllSketch].getName, "graft_hll"),
+        (exprs: Seq[Expression]) =>
+          HllSketch(exprs.head).toAggregateExpression())
+    }
     val mc = FunctionIdentifier("graft_might_contain")
     if (!spark.sessionState.functionRegistry.functionExists(mc)) {
       spark.sessionState.functionRegistry.registerFunction(
@@ -139,6 +147,11 @@ object GraftFunctions {
 
   /** Unicode NFC normalization column; requires register(spark) first. */
   def nfc(s: Column): Column = call_function("graft_nfc", s)
+
+  /** Native HLL distinct-count estimate aggregate; requires
+    * register(spark) first. Idempotent — no upstream distinct needed.
+    */
+  def hll(c: Column): Column = call_function("graft_hll", c)
 
   /** Bloom membership probe over a serialized
     * `org.apache.spark.util.sketch.BloomFilter` — the same expression

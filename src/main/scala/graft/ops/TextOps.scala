@@ -1621,10 +1621,15 @@ object TextOps {
     * (max 64·2^55 = 2^61 < 2^63), so the one double division in the
     * estimate is the only float op — identical IEEE result everywhere.
     * The raw estimate is reported log-free (production applies
-    * linear counting below 2.5·m, which needs ln(); at vocabulary
-    * cardinalities every register is occupied and raw HLL is the
-    * estimator in force — n_empty is emitted so the regime is
-    * auditable).
+    * linear counting below 2.5·m, which needs ln() — deliberately
+    * omitted because ln is not correctly-rounded-by-spec across
+    * engines). NOTE the fixture regime: the synthetic corpus has a
+    * ~31-word vocabulary, far inside the linear-counting range, so
+    * the raw estimate legitimately over-reads here (rel_err ~1.0 —
+    * n_empty is emitted precisely so the regime is auditable);
+    * [[graft.ops.TimeSeries.qRollingHll]] exercises the same sketch
+    * at real cardinality where rel_err lands on the theoretical
+    * 1.04/√64.
     *
     * Scale shape: the same one (source, word) distinct shuffle the
     * exact count needs, then a 64-key-per-source register fold —
@@ -1633,8 +1638,8 @@ object TextOps {
   val qVocabHll = QueryDef(
     "q_vocab_hll",
     (s, dir) => {
-      val two54 = 36028797018963968L // 2^54
-      val two55 = 72057594037927936L // 2^55
+      val two54 = 18014398509481984L // 2^54
+      val two55 = 36028797018963968L // 2^55
       val perSrc = Tables.t(s, dir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) >= 1)
@@ -1686,9 +1691,9 @@ object TextOps {
           CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h
         FROM dw),
       ranked AS (
-        SELECT source, h // 36028797018963968 AS bucket,
-          CASE WHEN h % 36028797018963968 = 0 THEN 55
-               ELSE 55 - length(bin(h % 36028797018963968)) END AS rank
+        SELECT source, h // 18014398509481984 AS bucket,
+          CASE WHEN h % 18014398509481984 = 0 THEN 55
+               ELSE 55 - length(bin(h % 18014398509481984)) END AS rank
         FROM hashed),
       regs AS (
         SELECT source, bucket, max(rank) AS m
@@ -1696,13 +1701,81 @@ object TextOps {
       sums AS (
         SELECT source, count(*) AS n_buckets,
           sum(1::BIGINT << (55 - m)) +
-            (64 - count(*)) * 72057594037927936 AS s_total
+            (64 - count(*)) * 36028797018963968 AS s_total
         FROM regs GROUP BY source),
       exact AS (
         SELECT source, count(DISTINCT word) AS n_exact FROM dw
         GROUP BY source)
       SELECT exact.source, n_exact,
         CAST(64 - n_buckets AS BIGINT) AS n_empty,
+        CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0
+          / CAST(s_total AS DOUBLE) AS hll_est,
+        abs(CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0
+          / CAST(s_total AS DOUBLE) - CAST(n_exact AS DOUBLE))
+          / CAST(n_exact AS DOUBLE) AS rel_err
+      FROM exact JOIN sums ON exact.source = sums.source
+      ORDER BY exact.source"""))
+
+  /** [[qVocabHll]] through the NATIVE `graft_hll` aggregate
+    * (functions/HllSketch.scala — a TypedImperativeAggregate with a
+    * 64-byte register buffer, O(1) update, merge = elementwise max):
+    * where the SQL-composed formulation shuffles a distinct + register
+    * rows, the native aggregate ships 64 BYTES per (source, partition)
+    * through the exchange and — because register max is idempotent —
+    * consumes the RAW token stream with no distinct at all. Same hash
+    * contract, so the estimate it emits is bit-equal to the composed
+    * query's (both check against the same oracle arithmetic); the
+    * exact count for rel_err is the only distinct left in the plan.
+    * This is the plan you actually run at 100 TB: sketch-aggregate
+    * the stream, never materialize per-word rows past the map side.
+    */
+  val qVocabHllNative = QueryDef(
+    "q_vocab_hll_native",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val words = Tables.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+      val dw = words.unionAll(
+        words.select(lit("__all__").as("source"), col("word")))
+      val est = dw.groupBy("source")
+        .agg(graft.functions.GraftFunctions.hll(col("word"))
+          .as("hll_est"))
+      val exact = dw.groupBy("source")
+        .agg(countDistinct(col("word")).as("n_exact"))
+      exact.join(est, "source")
+        .select(col("source"), col("n_exact"), col("hll_est"),
+          (abs(col("hll_est") - col("n_exact").cast("double"))
+            / col("n_exact").cast("double")).as("rel_err"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH words AS (
+        SELECT source, word FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS word
+          FROM documents) WHERE len(word) >= 1),
+      dw AS (
+        SELECT source, word FROM words
+        UNION ALL
+        SELECT '__all__' AS source, word FROM words),
+      hashed AS (
+        SELECT source,
+          CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h
+        FROM dw),
+      regs AS (
+        SELECT source, h // 18014398509481984 AS bucket,
+          max(CASE WHEN h % 18014398509481984 = 0 THEN 55
+              ELSE 55 - length(bin(h % 18014398509481984)) END) AS m
+        FROM hashed GROUP BY source, bucket),
+      sums AS (
+        SELECT source,
+          sum(1::BIGINT << (55 - m)) +
+            (64 - count(*)) * 36028797018963968 AS s_total
+        FROM regs GROUP BY source),
+      exact AS (
+        SELECT source, count(DISTINCT word) AS n_exact FROM dw
+        GROUP BY source)
+      SELECT exact.source, n_exact,
         CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0
           / CAST(s_total AS DOUBLE) AS hll_est,
         abs(CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0
@@ -2336,7 +2409,7 @@ object TextOps {
       qLengthHist,
       qClassify, qVocabTopK, qSourceDrift, qDiversity, qQualityEnsemble,
       qQualityCurve, qKeyphrases,
-      qVocabCoverage, qVocabKmv, qVocabHll, qTextNfc, qBm25, qPmi,
+      qVocabCoverage, qVocabKmv, qVocabHll, qVocabHllNative, qTextNfc, qBm25, qPmi,
       qLangIdConfusion, qSketchCms, qRarity, qVocabZipf, qPii,
       qVocabKmvJaccard)
 }

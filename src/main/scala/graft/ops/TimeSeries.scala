@@ -1598,8 +1598,8 @@ object TimeSeries {
     "q_ts_rolling_hll",
     (s, dir) => {
       val dayUs = 86400000000L
-      val two54 = 36028797018963968L
-      val two55 = 72057594037927936L
+      val two54 = 18014398509481984L
+      val two55 = 36028797018963968L
       val ud = Tables.t(s, dir, "events")
         .select(col("user_id"),
           expr(s"unix_micros(ts) DIV $dayUs").as("day"))
@@ -1654,9 +1654,9 @@ object TimeSeries {
       bounds AS (
         SELECT min(day) AS min_day, max(day) AS max_day FROM ud),
       regs AS (
-        SELECT day, h // 36028797018963968 AS bucket,
-          max(CASE WHEN h % 36028797018963968 = 0 THEN 55
-              ELSE 55 - length(bin(h % 36028797018963968)) END) AS m
+        SELECT day, h // 18014398509481984 AS bucket,
+          max(CASE WHEN h % 18014398509481984 = 0 THEN 55
+              ELSE 55 - length(bin(h % 18014398509481984)) END) AS m
         FROM (
           SELECT day,
             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
@@ -1673,7 +1673,7 @@ object TimeSeries {
       sums AS (
         SELECT d,
           sum(1::BIGINT << (55 - mm)) +
-            (64 - count(*)) * 72057594037927936 AS s_total
+            (64 - count(*)) * 36028797018963968 AS s_total
         FROM merged GROUP BY d),
       exact AS (
         SELECT d, count(DISTINCT user_id) AS wau FROM (

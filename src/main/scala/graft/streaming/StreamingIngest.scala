@@ -1039,7 +1039,7 @@ object StreamingIngest {
     */
   def hllRegisters(docs: Dataset[SourcedDoc]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val two54 = 36028797018963968L
+    val two54 = 18014398509481984L
     docs.toDF()
       .select(col("source"),
         explode(split(col("text"), " ")).as("word"))

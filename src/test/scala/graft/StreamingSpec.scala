@@ -1014,7 +1014,7 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = regs.map { case (src, rows) =>
       val present = rows.map(r => r.getLong(2))
       val s = present.map(m => 1L << (55 - m)).sum +
-        (64L - present.length) * 72057594037927936L
+        (64L - present.length) * 36028797018963968L
       src -> (0.709 * 4096.0 * 36028797018963968.0 / s.toDouble)
     }
     assert(streamed == expected)
