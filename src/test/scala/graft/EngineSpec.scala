@@ -71,6 +71,18 @@ class EngineSpec extends AnyFunSuite {
     e.write(WriteRequest("ns", "m", "abc", Map.empty, 1))
     val r = e.query("ns", "SELECT graft_nfc(value) AS v FROM m").get
     assert(r.rows.head.getString(0) == "abc")
+    // the native HLL aggregate rides the same registration: 3 rows,
+    // 2 distinct values — estimate must be the m=64 raw fold over 2
+    // occupied registers and must not need a distinct upstream
+    e.write(WriteRequest("ns", "m", "abc", Map.empty, 2))
+    e.write(WriteRequest("ns", "m", "xyz", Map.empty, 3))
+    val h = e.query("ns", "SELECT graft_hll(value) AS est FROM m").get
+    val est = h.rows.head.getDouble(0)
+    assert(est > 0.0 && est < 200.0, s"degenerate estimate $est")
+    val h1 = e.query("ns",
+      "SELECT graft_hll(value) AS est FROM (SELECT DISTINCT value FROM m)")
+      .get.rows.head.getDouble(0)
+    assert(h1 == est, "register max must be idempotent under duplicates")
   }
 
   test("numeric analytics via CAST on the string value column") {
