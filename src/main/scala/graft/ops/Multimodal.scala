@@ -993,6 +993,72 @@ object Multimodal {
       WHERE bit_count(xor(ha, hb)) <= 3
       ORDER BY hamming, a, b LIMIT 20"""))
 
+  /** Image near-dup CLUSTERS: connected components over the
+    * banded-hamming pair graph ([[qImagePairs]] is the pair view;
+    * pairs alone over-delete when duplicates chain A≈B≈C) — the
+    * image-side twin of q_dedup_clusters, sharing
+    * [[graft.ops.Dedup.connectedComponents]]'s large-star/small-star
+    * machinery (O(log n) rounds, convergence certificate) verbatim:
+    * one CC implementation, two modalities. Every doc gets a row;
+    * singletons are their own cluster; the canonical is the min id —
+    * the keep-decision input for an image-dedup pass. Oracle: the
+    * same recursive-CTE closure as the text clusters, over the image
+    * pair CTEs.
+    */
+  val qImageClusters = QueryDef(
+    "q_multimodal_image_clusters",
+    (s, dir) => {
+      val hs = aHashed(s, dir).select("doc_id", "ahash")
+      val bands = hs.select(col("doc_id"), col("ahash"),
+        explode(array((0 until 4).map(i =>
+          shiftright(col("ahash"), 4 * i).bitwiseAND(lit(15L)) * 4 + i)
+          : _*)).as("bv"))
+      val pairs = bands.as("x").join(bands.as("y"),
+          col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("x.ahash").as("ha"),
+          col("y.doc_id").as("b"), col("y.ahash").as("hb"))
+        .distinct()
+        .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+        .select(col("a").as("doc_a"), col("b").as("doc_b"))
+      val labels = Dedup.connectedComponents(pairs)
+      val lab = hs.select(col("doc_id"))
+        .join(labels.toDF("doc_id", "l"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("l"), col("doc_id")).as("cluster"))
+      val sz = lab.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      lab.join(sz, "cluster")
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          (col("doc_id") === col("cluster")).as("is_canonical"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $aHashWithSql,
+      bands AS (
+        SELECT doc_id, ahash,
+          ((ahash >> CAST(4 * i AS INT)) & 15) * 4 + i AS bv
+        FROM hs CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, x.ahash AS ha,
+          y.doc_id AS b, y.ahash AS hb
+        FROM bands x JOIN bands y
+          ON x.bv = y.bv AND x.doc_id < y.doc_id),
+      pairs AS (
+        SELECT a, b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+      edges AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION ALL SELECT b, a FROM pairs),
+      cc AS (
+        SELECT doc_id AS v, doc_id AS l FROM hs
+        UNION
+        SELECT e.v, cc.l FROM edges e JOIN cc ON cc.v = e.u),
+      lab AS (SELECT v AS doc_id, min(l) AS cluster FROM cc GROUP BY v),
+      sz AS (SELECT cluster, count(*) AS cluster_size FROM lab
+             GROUP BY cluster)
+      SELECT doc_id, cluster, cluster_size,
+        doc_id = cluster AS is_canonical
+      FROM lab JOIN sz USING (cluster) ORDER BY doc_id"""))
+
   /** One resized block: grid cell coordinates, pixel count, mean. */
   final case class ResizeBlock(doc_id: Long, bx: Long, by: Long,
       n_px: Long, block_mean: Double)
@@ -1069,5 +1135,6 @@ object Multimodal {
 
   val all: Seq[QueryDef] =
     Seq(qMeta, qDecode, qPixels, qFrames, qAudio, qAudioEnergy,
-      qAudioResample, qAudioVad, qImageHash, qResize, qImagePairs)
+      qAudioResample, qAudioVad, qImageHash, qResize, qImagePairs,
+      qImageClusters)
 }
