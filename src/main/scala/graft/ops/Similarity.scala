@@ -96,7 +96,12 @@ object Similarity {
       val q = e.filter(col("vec_id") < 5).toDF("query_id", "q_emb", "q_nrm")
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("vec_id"))
-      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      // an explicit Cross against the bounded 5-row broadcast (the
+      // documented brute-force-baseline shape): a `=!=` join condition
+      // would plan the SAME nested loop but print as Inner, which plan
+      // audits can't tell apart from a degraded equi-join
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
           pairCos(GraftFunctions.dotp(col("q_emb"), col("embedding")),
             col("q_nrm"), col("nrm")).as("cos"))
