@@ -31,6 +31,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("orc source round-trips the customer table bit-for-bit") {
+    val src = graft.ops.Tables.t(spark, dir, "customer")
+    val out = Files.createTempDirectory("orc-src").toFile.getPath + "/c"
+    src.write.orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema == src.schema)
+    val a = src.collect().map(_.toSeq).sortBy(_.toString)
+    val b = back.collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.sameElements(b))
+    // predicate pushdown reaches the ORC scan like it does parquet
+    val p = spark.read.orc(out).filter("c_nationkey = 3")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters:") && p.contains("c_nationkey"),
+      s"ORC scan must push the filter:\n$p")
+  }
+
   test("json-lines source round-trips the supplier table") {
     val src = graft.ops.Tables.t(spark, dir, "supplier")
     val out = Files.createTempDirectory("json-src").toFile.getPath + "/s"
