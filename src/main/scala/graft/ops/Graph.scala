@@ -932,5 +932,130 @@ object LayoutOps {
       FROM b GROUP BY 1 ORDER BY 1"""
     })
 
-  val all: Seq[QueryDef] = Seq(qZorder, qRendezvous)
+  /** One Hilbert decode level, shared verbatim by Spark and the oracle
+    * (modulo the integer-division token): extract the level bit of each
+    * axis, accumulate the quadrant rank, then REFLECT+SWAP into the
+    * sub-quadrant frame. Unlike the textbook C (Wikipedia's xy2d),
+    * coordinates are masked to the sub-cell FIRST (`x % s`) so the
+    * reflection `s-1-xl` never goes negative — SQL `%` on negatives is
+    * engine-defined, so the classic in-place form would not be
+    * cross-engine safe.
+    */
+  private def hilbertLevel(s: Long, idiv: String): String = {
+    val rx = s"((x $idiv $s) % 2)"
+    val ry = s"((y $idiv $s) % 2)"
+    s"""d + $s * $s * (CASE WHEN $rx = 0 THEN $ry ELSE 3 - $ry END) AS d,
+        CASE WHEN $ry = 1 THEN x % $s
+             WHEN $rx = 1 THEN ${s - 1} - (y % $s)
+             ELSE y % $s END AS x,
+        CASE WHEN $ry = 1 THEN y % $s
+             WHEN $rx = 1 THEN ${s - 1} - (x % $s)
+             ELSE x % $s END AS y"""
+  }
+
+  /** Hilbert-curve layout audit — the same 64-file bucketing experiment
+    * as q_layout_zorder, on the Hilbert index instead of the Z index.
+    * Hilbert has no Z-curve "seam jumps" (consecutive d are always
+    * 4-adjacent cells), so bucket bounding boxes are tighter: the worst
+    * bucket's x_span+y_span is strictly below Z-order's on the same
+    * data — the property that decides how much a 2-predicate scan can
+    * skip after a layout rewrite of a 100 TB table. The 8-level decode
+    * is a narrow per-row map (stays in whole-stage codegen; integer
+    * CASE arithmetic only); the single exchange is the 64-key agg.
+    */
+  val qHilbert = QueryDef(
+    "q_layout_hilbert",
+    (s, dir) => {
+      val base = T(s, dir, "lineitem")
+        .selectExpr("l_partkey % 256 AS x0", "l_suppkey % 256 AS y0")
+        .selectExpr("x0", "y0", "CAST(0 AS BIGINT) AS d",
+          "x0 AS x", "y0 AS y")
+      val decoded = (7 to 0 by -1).foldLeft(base) { (df, lvl) =>
+        val exprs = "x0" +: "y0" +:
+          hilbertLevel(1L << lvl, "div").split(",\n").toIndexedSeq
+        df.selectExpr(exprs: _*)
+      }
+      decoded
+        .selectExpr("d div 1024 AS bucket", "x0 AS x", "y0 AS y")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+        .selectExpr("bucket", "n", "x_min", "x_max", "y_min", "y_max",
+          "x_max - x_min + 1 AS x_span", "y_max - y_min + 1 AS y_span")
+        .orderBy("bucket")
+    },
+    Some {
+      val levels = (7 to 0 by -1).zipWithIndex.map { case (lvl, i) =>
+        s"""l${i + 1} AS (SELECT x0, y0,
+            ${hilbertLevel(1L << lvl, "//")}
+            FROM l$i)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH l0 AS (
+        SELECT l_partkey % 256 AS x0, l_suppkey % 256 AS y0,
+          CAST(0 AS BIGINT) AS d,
+          l_partkey % 256 AS x, l_suppkey % 256 AS y
+        FROM lineitem),
+      $levels,
+      b AS (
+        SELECT d // 1024 AS bucket, count(*) AS n,
+          min(x0) AS x_min, max(x0) AS x_max,
+          min(y0) AS y_min, max(y0) AS y_max
+        FROM l8 GROUP BY 1)
+      SELECT bucket, n, x_min, x_max, y_min, y_max,
+        x_max - x_min + 1 AS x_span, y_max - y_min + 1 AS y_span
+      FROM b ORDER BY bucket"""
+    })
+
+  /** Small-file compaction planner: the maintenance pass every
+    * day-partitioned 100 TB table needs — thousands of tiny
+    * per-(partition, day) files bin-packed into target-size rewrite
+    * groups WITHOUT breaking day ordering (contiguous packing keeps
+    * min/max day stats tight, so partition pruning still works after
+    * the rewrite). File inventory is simulated from `events` as one
+    * (event_type, day) "file" with its byte size; bin id is the
+    * start-offset rule `(cumsum - bytes) div target` — pure
+    * window-cumsum + arithmetic, no iteration, no driver loop. Two
+    * exchanges total (day-level agg, then the per-type window); output
+    * is one row per planned rewrite task.
+    */
+  val qCompaction = QueryDef(
+    "q_layout_compaction",
+    (s, dir) => {
+      val target = 32768L
+      val w = Window.partitionBy("event_type").orderBy("day")
+      T(s, dir, "events")
+        .selectExpr("event_type", "CAST(ts AS DATE) AS day",
+          "64 + length(props) AS bytes")
+        .groupBy("event_type", "day")
+        .agg(sum("bytes").as("bytes"), count(lit(1)).as("n_rows"))
+        .withColumn("cum", sum("bytes").over(w))
+        .selectExpr("event_type", "day", "bytes", "n_rows",
+          s"(cum - bytes) div $target AS bin")
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n_files"), sum("bytes").as("total_bytes"),
+          sum("n_rows").as("total_rows"),
+          min("day").as("day_min"), max("day").as("day_max"))
+        .orderBy("event_type", "bin")
+    },
+    Some("""
+      WITH files AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(sum(64 + length(props)) AS BIGINT) AS bytes,
+          count(*) AS n_rows
+        FROM events GROUP BY 1, 2),
+      binned AS (
+        SELECT event_type, day, bytes, n_rows,
+          CAST((sum(bytes) OVER (PARTITION BY event_type ORDER BY day
+             ROWS UNBOUNDED PRECEDING) - bytes) // 32768 AS BIGINT) AS bin
+        FROM files)
+      SELECT event_type, bin, count(*) AS n_files,
+        CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        CAST(sum(n_rows) AS BIGINT) AS total_rows,
+        min(day) AS day_min, max(day) AS day_max
+      FROM binned GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val all: Seq[QueryDef] =
+    Seq(qZorder, qRendezvous, qHilbert, qCompaction)
 }

@@ -1765,10 +1765,212 @@ object Similarity {
       FROM pos JOIN neg ON pos.anchor = neg.anchor
       ORDER BY pos.anchor"""))
 
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick 5 of the top-12 candidates per query,
+    * trading relevance against redundancy — score(c) = 0.7·cos(q,c) −
+    * 0.3·max_{s∈S} cos(c,s). THE standard diversification pass between
+    * ANN retrieval and a context window: near-duplicate hits waste
+    * prompt tokens, and plain top-k returns near-duplicates precisely
+    * when the corpus has them.
+    *
+    * The greedy loop runs over the BOUNDED candidate pool (12/query),
+    * never the corpus: candidate generation is the ANN stage
+    * (q_ann_lsh/ivf at scale; brute-force here for oracle truth), so
+    * each of the 4 selection rounds is a candidates-sized hash
+    * aggregation — argmax as a struct-max (score, then lowest id on
+    * ties), the M4/OHLC pattern — plus one equi-join against the ≤5-row
+    * selected set. No window over the corpus, no driver collect; the
+    * unrolled plan is 4 tiny joins deep.
+    *
+    * Determinism: rel/sim are the shared left-to-right dot fold;
+    * 0.7·rel − 0.3·msim is the same IEEE mul/sub sequence on both
+    * engines; max(sim) is order-independent.
+    */
+  val qAnnMmr = QueryDef(
+    "q_ann_mmr",
+    (s, dir) => {
+      val e = vectors(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+        .toDF("qid", "q_emb", "q_nrm")
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("rel").desc, col("cid"))
+      val cand = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"), col("embedding"),
+          col("nrm"),
+          pairCos(GraftFunctions.dotp(col("q_emb"), col("embedding")),
+            col("q_nrm"), col("nrm")).as("rel"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 12)
+        .select("qid", "cid", "embedding", "nrm", "rel")
+      val sims = cand.select(col("qid"), col("cid").as("a"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        .join(cand.select(col("qid"), col("cid").as("b"),
+          col("embedding").as("eb"), col("nrm").as("nb")), Seq("qid"))
+        .filter(col("a") =!= col("b"))
+        .select(col("qid"), col("a"), col("b"),
+          pairCos(GraftFunctions.dotp(col("ea"), col("eb")),
+            col("na"), col("nb")).as("sim"))
+      var selected = cand.groupBy("qid")
+        .agg(max(struct(col("rel"), (-col("cid")).as("nc"),
+          col("cid").as("cid"))).as("m"))
+        .select(col("qid"), col("m.cid").as("cid"),
+          lit(1L).as("pick"), col("m.rel").as("mmr"))
+      for (i <- 2 to 5) {
+        val msim = sims
+          .join(selected.select(col("qid"), col("cid").as("b")),
+            Seq("qid", "b"))
+          .groupBy(col("qid"), col("a")).agg(max(col("sim")).as("msim"))
+          .select(col("qid").as("mqid"), col("a"), col("msim"))
+        val next = cand
+          .join(selected.select("qid", "cid"), Seq("qid", "cid"),
+            "left_anti")
+          .join(msim, col("qid") === col("mqid") &&
+            col("cid") === col("a"))
+          .select(col("qid"), col("cid"),
+            (lit(0.7) * col("rel") - lit(0.3) * col("msim")).as("score"))
+          .groupBy(col("qid"))
+          .agg(max(struct(col("score"), (-col("cid")).as("nc"),
+            col("cid").as("cid"))).as("m"))
+          .select(col("qid"), col("m.cid").as("cid"),
+            lit(i.toLong).as("pick"), col("m.score").as("mmr"))
+        selected = selected.unionByName(next)
+      }
+      selected.orderBy("qid", "pick")
+    },
+    Some {
+      val steps = (2 to 5).map { k =>
+        s"""m$k AS (
+        SELECT s.qid, s.a, max(s.sim) AS msim
+        FROM sims s JOIN sel${k - 1} p ON s.qid = p.qid AND s.b = p.cid
+        GROUP BY s.qid, s.a),
+      s$k AS (
+        SELECT qid, cid, CAST($k AS BIGINT) AS pick, score AS mmr FROM (
+          SELECT c.qid, c.cid,
+            0.7 * c.rel - 0.3 * m.msim AS score,
+            row_number() OVER (PARTITION BY c.qid
+              ORDER BY 0.7 * c.rel - 0.3 * m.msim DESC, c.cid) AS rn
+          FROM cand c JOIN m$k m ON m.qid = c.qid AND m.a = c.cid
+          WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} x
+                            WHERE x.qid = c.qid AND x.cid = c.cid))
+        WHERE rn = 1),
+      sel$k AS (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM s$k)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $vectorsSql,
+      q AS (SELECT vec_id AS qid, embedding AS q_emb, nrm AS q_nrm
+            FROM vectors WHERE vec_id < 3),
+      cand AS (
+        SELECT qid, cid, embedding, nrm, rel FROM (
+          SELECT q.qid, e.vec_id AS cid, e.embedding, e.nrm,
+            ${dotSql("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm)
+              AS rel,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY ${dotSql("q.q_emb", "e.embedding")} /
+                         (q.q_nrm * e.nrm) DESC, e.vec_id) AS rn
+          FROM q JOIN vectors e ON e.vec_id <> q.qid)
+        WHERE rn <= 12),
+      sims AS (
+        SELECT a.qid, a.cid AS a, b.cid AS b,
+          ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+            AS sim
+        FROM cand a JOIN cand b
+          ON a.qid = b.qid AND a.cid <> b.cid),
+      sel1 AS (
+        SELECT qid, cid, CAST(1 AS BIGINT) AS pick, rel AS mmr FROM (
+          SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid
+            ORDER BY rel DESC, cid) AS rn FROM cand)
+        WHERE rn = 1),
+      $steps
+      SELECT qid, cid, pick, mmr FROM sel5 ORDER BY qid, pick"""
+    })
+
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-point traversal,
+    * 2-approximation of the optimal cover): 8 maximally-spread
+    * vectors plus the coverage radius at each pick — the
+    * diversity-sampling primitive for seeding labeling budgets,
+    * eval-set selection, and coverage-targeted curation (where the
+    * PPS/stratified samplers in Curation target frequency, this
+    * targets geometry).
+    *
+    * Squared L2 via dot products only (|a|² + |b|² − 2·a·b): no sqrt,
+    * no division, so no NaN edge and every distance is the same IEEE
+    * op sequence in both engines. Each of the 8 rounds is one
+    * broadcast nested-loop against the ≤8-row center set, a (vec_id)
+    * hash-agg min, and a 1-row global struct-argmax — scan-linear per
+    * round, no window over the corpus, no driver collect (the 1-row
+    * argmax stays a DataFrame, the BPE-loop pattern). The unrolled
+    * lazy plan re-derives round i−1 inside round i — k²·N/2 distance
+    * evals total at k=8; a 100 TB run would checkpoint the center set
+    * per round instead.
+    */
+  val qKcenter = QueryDef(
+    "q_sample_kcenter",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val e = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          GraftFunctions.dotp(col("embedding"), col("embedding"))
+            .as("n2"))
+      def argmax(df: DataFrame, v: Column): DataFrame = df
+        .groupBy()
+        .agg(max(struct(v.as("v"), (-col("vec_id")).as("ni"),
+          col("vec_id").as("vec_id"))).as("m"))
+        .select(col("m.vec_id").as("vec_id"), col("m.v").as("v"))
+      var centers = argmax(e, col("n2"))
+        .join(e, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("n2"),
+          lit(1L).as("pick"), lit(null).cast("double").as("dist"))
+      for (i <- 2 to 8) {
+        val c = centers.select(col("embedding").as("c_emb"),
+          col("n2").as("c_n2"))
+        val mind = e.crossJoin(broadcast(c))
+          .select(col("vec_id"),
+            (col("n2") + col("c_n2") - lit(2.0) *
+              GraftFunctions.dotp(col("embedding"), col("c_emb")))
+              .as("d2"))
+          .groupBy("vec_id").agg(min(col("d2")).as("mind"))
+        val next = argmax(mind, col("mind"))
+          .join(e, "vec_id")
+          .select(col("vec_id"), col("embedding"), col("n2"),
+            lit(i.toLong).as("pick"), col("v").as("dist"))
+        centers = centers.unionByName(next)
+      }
+      centers.select("pick", "vec_id", "dist").orderBy("pick")
+    },
+    Some {
+      val d2 = s"v.n2 + c.n2 - 2 * ${dotSql("v.embedding", "c.embedding")}"
+      val steps = (2 to 8).map { i =>
+        s"""m$i AS (
+        SELECT v.vec_id, min($d2) AS mind
+        FROM vectors2 v, cen${i - 1} c GROUP BY v.vec_id),
+      c$i AS (
+        SELECT v.vec_id, v.embedding, v.n2,
+          CAST($i AS BIGINT) AS pick, m.mind AS dist
+        FROM (SELECT vec_id, mind, row_number() OVER
+                (ORDER BY mind DESC, vec_id) AS rn FROM m$i) m
+        JOIN vectors2 v ON v.vec_id = m.vec_id WHERE m.rn = 1),
+      cen$i AS (SELECT * FROM cen${i - 1} UNION ALL SELECT * FROM c$i)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH vectors2 AS (
+        SELECT vec_id, embedding,
+          ${dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+      c1 AS (
+        SELECT vec_id, embedding, n2, CAST(1 AS BIGINT) AS pick,
+          CAST(NULL AS DOUBLE) AS dist
+        FROM (SELECT *, row_number() OVER (ORDER BY n2 DESC, vec_id)
+                AS rn FROM vectors2)
+        WHERE rn = 1),
+      cen1 AS (SELECT * FROM c1),
+      $steps
+      SELECT pick, vec_id, dist FROM cen8 ORDER BY pick"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf,
       qEmbedCentroids, qEmbedPq, qAnnAdc, qEmbedRp, qEmbedQuantize,
       qSemanticDedup, qAnnRecall, qMatryoshka, qIvfRecall, qIvfSweep,
       qSemanticOutlier, qAnnIvfPq, qEmbedWhiten, qAnnFiltered,
-      qContrastivePairs)
+      qContrastivePairs, qAnnMmr, qKcenter)
 }
