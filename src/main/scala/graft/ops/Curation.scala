@@ -959,6 +959,106 @@ object Curation {
       GROUP BY doc_id
       ORDER BY affinity DESC, doc_id LIMIT 20"""))
 
+  /** Hashed-feature importance resampling (the DSIR shape: Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every document by how much its hashed
+    * word-bigram distribution looks like a target slice (here
+    * `lang = 'en'`) relative to the raw corpus, then keep the top
+    * scorers. Unlike q_curation_affinity — whose weight table is the
+    * full VOCABULARY (its join key cardinality grows with the corpus
+    * and the weight join is a real shuffle) — DSIR hashes every
+    * bigram into a FIXED [[DsirBuckets]]-bucket feature space, so the
+    * weight table is 128 rows at any corpus size: it broadcasts, the
+    * corpus-side pass is one narrow map plus a broadcast-hash lookup,
+    * and nothing in the plan grows with vocabulary. That fixed
+    * dimensionality is the entire reason DSIR scales to 100 TB.
+    *
+    * Weights are Laplace-smoothed probability ratios summed directly
+    * ((t_b+1)(R+B) / ((r_b+1)(T+B))), not log-ratios — ln() is not
+    * bit-identical across engines while IEEE multiply/divide of
+    * exactly-represented integers is. Counts are cast to DOUBLE
+    * before multiplying: bucket counts stay < 2^53 through ~10^15
+    * bigrams (a 100 TB corpus), where the BIGINT product
+    * (t_b+1)·(R+B) would overflow 2^63 around 10^9·10^14 ≈ 10^23.
+    * Per-doc summation is an exact decimal sum (Parity.dsum), so
+    * the score is order-independent.
+    */
+  private val DsirBuckets = 128L
+
+  val qDsir = QueryDef(
+    "q_curation_dsir",
+    (s, dir) => {
+      val B = DsirBuckets
+      val toks = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val bg = toks
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1), size(col("toks")) - 1)).as("i"),
+          col("toks"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(concat_ws(" ",
+              element_at(col("toks"), col("i")),
+              element_at(col("toks"), col("i") + 1))), 1, 10), 16, 10)
+            .cast("long") % B).as("bucket"))
+      val raw = bg.groupBy("bucket").agg(count(lit(1)).as("r_b"))
+      val tgt = bg.filter(col("lang") === "en")
+        .groupBy("bucket").agg(count(lit(1)).as("t_b"))
+      val dict = raw.join(tgt, Seq("bucket"), "left")
+        .select(col("bucket"), col("r_b"),
+          coalesce(col("t_b"), lit(0L)).as("t_b"))
+      val totals = dict.agg(
+        sum("r_b").cast("long").as("n_r"),
+        sum("t_b").cast("long").as("n_t"))
+      val weighted = dict.crossJoin(broadcast(totals))
+        .select(col("bucket"),
+          ((col("t_b") + 1).cast("double") *
+            (col("n_r") + B).cast("double") /
+            ((col("r_b") + 1).cast("double") *
+              (col("n_t") + B).cast("double"))).as("wt"))
+      bg.join(broadcast(weighted), "bucket")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (Parity.dsum(col("wt")) / count(lit(1))).as("dsir"))
+        .orderBy(col("dsir").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      bg AS (
+        SELECT doc_id, lang,
+          CAST('0x' || substr(md5(toks[CAST(i AS INT)] || ' ' ||
+              toks[CAST(i AS INT) + 1]), 1, 10) AS BIGINT)
+            % $DsirBuckets AS bucket
+        FROM (SELECT doc_id, lang, toks,
+                unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM toks)),
+      raw AS (SELECT bucket, count(*) AS r_b FROM bg GROUP BY 1),
+      tgt AS (SELECT bucket, count(*) AS t_b FROM bg
+              WHERE lang = 'en' GROUP BY 1),
+      dict AS (
+        SELECT raw.bucket, r_b, COALESCE(t_b, 0) AS t_b
+        FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket),
+      totals AS (
+        SELECT CAST(sum(r_b) AS BIGINT) AS n_r,
+          CAST(sum(t_b) AS BIGINT) AS n_t
+        FROM dict),
+      weighted AS (
+        SELECT bucket,
+          CAST(t_b + 1 AS DOUBLE) * CAST(n_r + $DsirBuckets AS DOUBLE) /
+            (CAST(r_b + 1 AS DOUBLE) *
+             CAST(n_t + $DsirBuckets AS DOUBLE)) AS wt
+        FROM dict CROSS JOIN totals)
+      SELECT doc_id, count(*) AS n_bigrams,
+        ${Parity.dsumSql("wt")} / count(*) AS dsir
+      FROM bg JOIN weighted USING (bucket)
+      GROUP BY doc_id
+      ORDER BY dsir DESC, doc_id LIMIT 20"""))
+
   /** Pareto-skyline document selection: the docs not STRICTLY
     * dominated on (length, lexical diversity) — no other doc is both
     * longer AND more type-diverse. Multi-objective curation keeps the
@@ -1108,5 +1208,6 @@ object Curation {
     Seq(qPackSequences, qSampleStratified, qSampleReservoir, qDomainMix,
       qSplitTrain, qTemperatureMix, qTokenBudget, qCorpusShuffle,
       qEpochMix, qSampleWeighted, qChunkSliding, qSampleCluster,
-      qFeatureBins, qPackWaste, qTargetAffinity, qSkyline, qQuotaSample)
+      qFeatureBins, qPackWaste, qTargetAffinity, qSkyline, qQuotaSample,
+      qDsir)
 }

@@ -429,6 +429,88 @@ object Similarity {
           ON bf.id_a = cand.id_a AND bf.id_b = cand.id_b)
       GROUP BY band ORDER BY band"""))
 
+  /** Retrieval ranking quality of the production LSH path: for each
+    * query vector, the rank of the first same-`label` neighbor inside
+    * the bucketed top-10 and its reciprocal (the per-query term of
+    * MRR — the ranking metric reported alongside recall before
+    * trusting an ANN index for retrieval). Label match is the graded
+    * relevance the fixture supports; 1/rank for rank ∈ 1..10 is an
+    * exact IEEE division, so no cross-engine log-discount drift (the
+    * reason this is MRR and not NDCG's log2 discount).
+    *
+    * Scale shape: identical to q_ann_lsh — a narrow signature map, a
+    * bucket equi-join whose occupancy is held constant by the derived
+    * bit width, and a per-query top-10 window over same-bucket
+    * candidates only. The query set is a filter, so evaluating more
+    * queries widens the window input linearly, never quadratically.
+    * Queries whose bucket holds no other vector drop out (no
+    * retrieval ⇒ no rank to score) — identically in both engines.
+    */
+  val qAnnMrr = QueryDef(
+    "q_ann_mrr",
+    (s, dir) => {
+      val nBits = derivedBits(Tables.rowCount(s, dir, "embeddings"),
+        MinAnnBits, AnnOccupancy)
+      val lab = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val e = vectors(s, dir)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          bucketCol(col("embedding"), nBits).as("bucket"))
+      val q = e.filter(col("vec_id") < 20)
+        .toDF("query_id", "q_emb", "q_nrm", "bucket")
+        .join(lab.toDF("query_id", "q_label"), "query_id")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("nbr_id"))
+      e.toDF("nbr_id", "emb_b", "nrm_b", "bucket")
+        .join(broadcast(q), Seq("bucket"))
+        .filter(col("nbr_id") =!= col("query_id"))
+        .select(col("query_id"), col("q_label"), col("nbr_id"),
+          pairCos(GraftFunctions.dotp(col("q_emb"), col("emb_b")),
+            col("q_nrm"), col("nrm_b")).as("cos"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .join(lab.toDF("nbr_id", "n_label"), "nbr_id")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_ret"),
+          min(when(col("n_label") === col("q_label"), col("rnk")))
+            .as("first_rel"))
+        .select(col("query_id"), col("n_ret"),
+          coalesce(col("first_rel"), lit(0L)).as("first_rel"),
+          coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("rr"))
+        .orderBy("query_id")
+    },
+    Some(s"""
+      WITH $vectorsSql,
+      nb AS (SELECT ${bitsSql(MinAnnBits, AnnOccupancy)} AS bits),
+      sig AS (
+        SELECT vec_id, embedding, nrm,
+          CAST(${bucketSql("embedding")} AS BIGINT) %
+            (CAST(1 AS BIGINT) << (SELECT bits FROM nb)) AS bucket
+        FROM vectors),
+      lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+              FROM embeddings),
+      ranked AS (
+        SELECT query_id, q_label, nbr_id, rnk FROM (
+          SELECT q.vec_id AS query_id, ql.label AS q_label,
+            e.vec_id AS nbr_id,
+            CAST(row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${dotSql("q.embedding", "e.embedding")} /
+                         (q.nrm * e.nrm) DESC,
+                       e.vec_id) AS BIGINT) AS rnk
+          FROM sig q
+          JOIN lab ql ON ql.vec_id = q.vec_id
+          JOIN sig e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+          WHERE q.vec_id < 20)
+        WHERE rnk <= 10)
+      SELECT query_id, count(*) AS n_ret,
+        COALESCE(min(CASE WHEN nl.label = q_label THEN rnk END),
+          0) AS first_rel,
+        COALESCE(CAST(1 AS DOUBLE) /
+            min(CASE WHEN nl.label = q_label THEN rnk END),
+          CAST(0 AS DOUBLE)) AS rr
+      FROM ranked JOIN lab nl ON nl.vec_id = ranked.nbr_id
+      GROUP BY query_id ORDER BY query_id"""))
+
   // ------------------------------------------------------------------ IVF
 
   // Deterministic coarse quantizer: the 8 seed vectors (vec_id % 59
@@ -1972,5 +2054,5 @@ object Similarity {
       qEmbedCentroids, qEmbedPq, qAnnAdc, qEmbedRp, qEmbedQuantize,
       qSemanticDedup, qAnnRecall, qMatryoshka, qIvfRecall, qIvfSweep,
       qSemanticOutlier, qAnnIvfPq, qEmbedWhiten, qAnnFiltered,
-      qContrastivePairs, qAnnMmr, qKcenter)
+      qContrastivePairs, qAnnMmr, qKcenter, qAnnMrr)
 }
