@@ -685,6 +685,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dsir weight lookup broadcasts the fixed bucket table; mrr " +
+      "candidates come from the bucket equi-join") {
+    val pd = plan("q_curation_dsir")
+    assert(pd.contains("BroadcastHashJoin"),
+      "the 128-row weight table must broadcast to the corpus scan")
+    assert(!pd.contains("CartesianProduct"))
+    assert(pd.contains("partial_"), "bucket counts must combine map-side")
+    val pm = plan("q_ann_mrr")
+    assert(!pm.contains("CartesianProduct") &&
+      !pm.contains("BroadcastNestedLoopJoin"),
+      "mrr retrieval must stay on the bucket equi-join")
+  }
+
   test("native interval join plans the custom sweep operator with " +
       "key-clustered exchanges") {
     val df = SparkEntry.queries("q_ts_interval_native")(
