@@ -960,6 +960,63 @@ object StreamingIngest {
       }
   }
 
+  final case class QsRow(g: String, v: Double, k1: Long, k2: Long)
+
+  /** One sampled row: the 60-bit key hash plus the tie-break keys and
+    * the value it carries. The SAMPLE (the bottom-k set by hash) is
+    * what the state holds — ≤ k entries per group, constant memory.
+    */
+  final case class QsEntry(h: Long, k1: Long, k2: Long, v: Double)
+  final case class QsState(rows: Seq[QsEntry])
+  final case class QsOut(g: String, k_used: Long, p50: Double,
+      p90: Double, p99: Double)
+
+  /** (q) Streaming bottom-k-by-hash quantile sample per group — the
+    * streaming face of q_dq_quantile_sample's sample half: state is
+    * the k rows with the SMALLEST key hashes seen so far (merge +
+    * trim per micro-batch, exactly how two bottom-k samples union at
+    * scale), and each update emits the discrete-ceil-rank p50/p90/p99
+    * read off the current sample. The bottom-k SET of a keyed stream
+    * is order-independent, so the converged sample — and therefore
+    * every emitted quantile — is spec-proven EQUAL to the batch
+    * operator's sample columns, however the stream is micro-batched.
+    * De-dup is by the WHOLE entry (hash, keys, value): a redelivered
+    * row is bit-identical, so at-least-once replay cannot
+    * double-insert, while distinct rows that happen to share a
+    * (k1, k2) key — the fixture has ~1.2k such pairs per 6k rows —
+    * stay distinct, exactly as the batch operator keeps them.
+    */
+  def quantileSample(rows: Dataset[QsRow], k: Int = 64)
+      : Dataset[QsOut] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.g)
+      .flatMapGroupsWithState[QsState, QsOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (g, batch, state: GroupState[QsState]) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def h60(s: String): Long = {
+            md.reset()
+            val d = md.digest(s.getBytes("UTF-8"))
+            java.lang.Long.parseLong(
+              d.take(8).map(b => f"$b%02x").mkString.substring(0, 15), 16)
+          }
+          val incoming = batch.map(r =>
+            QsEntry(h60(s"${r.k1}:${r.k2}"), r.k1, r.k2, r.v))
+          val merged =
+            (state.getOption.map(_.rows).getOrElse(Seq.empty) ++ incoming)
+              .distinct.sortBy(e => (e.h, e.k1, e.k2, e.v)).take(k)
+          if (merged.isEmpty) Iterator.empty
+          else {
+            state.update(QsState(merged))
+            val byV = merged.sortBy(e => (e.v, e.k1, e.k2))
+            val n = byV.size.toLong
+            def pick(p: Long): Double =
+              byV(((p * n + 99L) / 100L).toInt - 1).v
+            Iterator.single(QsOut(g, n, pick(50), pick(90), pick(99)))
+          }
+      }
+  }
+
   /** Streaming Count-Min-Sketch cell builder over a token stream.
     * CMS cells are ADDITIVE, so the streaming form is nothing more
     * than a bounded-key (rows × buckets ≤ 3·1024) streaming

@@ -1071,6 +1071,53 @@ class StreamingSpec extends AnyFunSuite {
       "post-empty tokens must still be sketched")
   }
 
+  test("streaming bottom-k quantile sample equals the batch sample " +
+    "quantiles exactly, across splits and duplicate redelivery") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.{QsOut, QsRow}
+    val dir = "/root/testdata/sf0.001"
+
+    // batch truth: q_dq_quantile_sample's sample-side columns per g
+    val expected = graft.ops.DataQuality.qQuantileSample.run(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8))))
+      .toMap
+
+    val rows = graft.ops.Tables.t(spark, dir, "lineitem")
+      .select("l_returnflag", "l_extendedprice", "l_orderkey",
+        "l_linenumber")
+      .collect()
+      .map(r => QsRow(r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getAs[Number](3).longValue()))
+
+    def run(splits: Seq[Seq[QsRow]], name: String)
+        : Map[String, (Long, Double, Double, Double)] = {
+      val mem = MemoryStream[QsRow]
+      val q = StreamingIngest.quantileSample(mem.toDS()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      splits.foreach { s => mem.addData(s); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[QsOut].collect()
+        .foldLeft(Map.empty[String, (Long, Double, Double, Double)]) {
+          (m, e) => m.updated(e.g, (e.k_used, e.p50, e.p90, e.p99))
+        }
+    }
+
+    assert(run(Seq(rows.toSeq), "qs_one") == expected)
+    assert(run(Seq(rows.take(900).toSeq, rows.slice(900, 3000).reverse.toSeq,
+      rows.drop(3000).toSeq), "qs_three") == expected,
+      "bottom-k sets are order-independent — quantiles must be EQUAL")
+    // at-least-once redelivery: replaying a slice must not change the
+    // sample (de-dup by key), so the converged quantiles are identical
+    assert(run(Seq(rows.take(2000).toSeq, rows.slice(500, 2000).toSeq,
+      rows.drop(2000).toSeq), "qs_replay") == expected,
+      "duplicate redelivery must leave the sample unchanged")
+  }
+
   test("streaming Misra-Gries summaries honor the frequency and " +
     "error bounds against exact counts, across micro-batch splits") {
     val spark = SparkFixture.spark
