@@ -337,6 +337,90 @@ object Curation {
       SELECT doc_id, source, u, keep_rate
       FROM scored WHERE u < keep_rate ORDER BY doc_id"""))
 
+  /** Mid-training annealing schedule: the per-source mixture weights
+    * for a 3-phase data curriculum that starts at the corpus's
+    * NATURAL source distribution (phase 0), ends fully
+    * QUALITY-WEIGHTED (phase 2 — the "anneal on high-quality data"
+    * endgame every modern pretraining run uses), and bridges through
+    * the geometric mean of the two (phase 1). Each phase's raw
+    * weights are renormalized so the schedule always sums to 1; the
+    * ppm quota column is what a sampler downstream consumes.
+    *
+    * Quality mass is deliberately cheap and exact: a source's q is
+    * the mean of min(n_chars, 1000)/1000 over its docs — a bounded,
+    * already-materialized column, no text scan. Cross-engine: shares
+    * are IEEE divisions of exact counts; phase 1 is ONE sqrt of a
+    * product (sqrt is correctly rounded, pow(x, 0.5) is not, which is
+    * why the geometric mean is spelled sqrt(p·g)); every sum over
+    * sources is an exact decimal sum. Scale: two aggregations over
+    * the corpus (per-source count+mean), then arithmetic over
+    * |sources| rows — the corpus is scanned once, everything after is
+    * broadcast-sized.
+    */
+  val qMixAnneal = QueryDef(
+    "q_mix_anneal",
+    (s, dir) => {
+      val per = Tables.t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_s"),
+          Parity.davg(least(col("n_chars"), lit(1000)).cast("double") /
+            lit(1000.0)).as("q_s"))
+      val totals = per.groupBy()
+        .agg(sum("n_s").cast("double").as("n_tot"),
+          Parity.dsum(col("q_s") * col("n_s").cast("double"))
+            .as("q_tot"))
+      val shares = per.crossJoin(broadcast(totals))
+        .select(col("source"), col("n_s"),
+          (col("n_s").cast("double") / col("n_tot")).as("p"),
+          (col("q_s") * col("n_s").cast("double") / col("q_tot"))
+            .as("g"))
+      val raw = shares
+        .select(col("source"), col("n_s"), col("p"), col("g"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("phase"))
+        .select(col("phase"), col("source"), col("n_s"),
+          when(col("phase") === 0, col("p"))
+            .when(col("phase") === 1, sqrt(col("p") * col("g")))
+            .otherwise(col("g")).as("w_raw"))
+      val z = raw.groupBy("phase").agg(Parity.dsum(col("w_raw")).as("z"))
+      raw.join(broadcast(z), "phase")
+        .select(col("phase"), col("source"), col("n_s").as("n_docs"),
+          (col("w_raw") / col("z")).as("w"),
+          floor(col("w_raw") / col("z") * 1000000.0).cast("long")
+            .as("quota_ppm"))
+        .orderBy("phase", "source")
+    },
+    Some(s"""
+      WITH per AS (
+        SELECT source, count(*) AS n_s,
+          ${Parity.dsumSql(
+            "least(n_chars, 1000) / CAST(1000.0 AS DOUBLE)")} /
+            count(*) AS q_s
+        FROM documents GROUP BY source),
+      t AS (
+        SELECT CAST(sum(n_s) AS DOUBLE) AS n_tot,
+          ${Parity.dsumSql("q_s * CAST(n_s AS DOUBLE)")} AS q_tot
+        FROM per),
+      shares AS (
+        SELECT source, n_s,
+          CAST(n_s AS DOUBLE) / n_tot AS p,
+          q_s * CAST(n_s AS DOUBLE) / q_tot AS g
+        FROM per CROSS JOIN t),
+      raw AS (
+        SELECT phase, source, n_s,
+          CASE WHEN phase = 0 THEN p
+               WHEN phase = 1 THEN sqrt(p * g)
+               ELSE g END AS w_raw
+        FROM shares
+        CROSS JOIN (SELECT CAST(unnest(range(0, 3)) AS BIGINT)
+                      AS phase)),
+      z AS (SELECT phase, ${Parity.dsumSql("w_raw")} AS z
+            FROM raw GROUP BY phase)
+      SELECT raw.phase, source, n_s AS n_docs,
+        w_raw / z AS w,
+        CAST(floor(w_raw / z * 1000000.0) AS BIGINT) AS quota_ppm
+      FROM raw JOIN z ON raw.phase = z.phase
+      ORDER BY raw.phase, source"""))
+
   /** Deterministic train/val/test assignment (90/5/5): membership is
     * a pure function of the salted doc_id hash, so it is decidable
     * per row with no global state, stable under re-scrapes,
@@ -1209,5 +1293,5 @@ object Curation {
       qSplitTrain, qTemperatureMix, qTokenBudget, qCorpusShuffle,
       qEpochMix, qSampleWeighted, qChunkSliding, qSampleCluster,
       qFeatureBins, qPackWaste, qTargetAffinity, qSkyline, qQuotaSample,
-      qDsir)
+      qDsir, qMixAnneal)
 }

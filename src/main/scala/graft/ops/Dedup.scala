@@ -481,6 +481,64 @@ object Dedup {
         doc_id = cluster AS is_canonical
       FROM lab JOIN sz USING (cluster) ORDER BY doc_id"""))
 
+  /** Quality-aware survivorship: for every near-dup cluster, the doc
+    * a pipeline should KEEP — the longest member (n_chars, ties to
+    * the lowest doc_id) — rather than q_dedup_clusters' arbitrary
+    * min-id canonical. Real dedup passes select survivors by quality
+    * (longest/highest-scoring member), because near-dups are usually
+    * truncations or boilerplate-wrapped copies of one best version.
+    *
+    * Shape: the same edge-only label propagation as
+    * q_dedup_clusters (iterations touch |E| rows, never the corpus),
+    * then ONE hash aggregation per cluster with the survivor as a
+    * struct-max (the M4/OHLC argmax pattern) — no window over the
+    * corpus, no sort. Output is one row per real dup cluster
+    * (size ≥ 2 by construction: only edge-connected docs carry
+    * labels).
+    */
+  val qKeepBest = QueryDef(
+    "q_dedup_keep_best",
+    (s, dir) => {
+      val labels = connectedComponents(
+        minHashPairs(s, dir)
+          .filter(col("jacc") >= ClusterJacc)
+          .select(col("doc_a"), col("doc_b")))
+      val meta = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      labels.toDF("doc_id", "cluster").join(meta, "doc_id")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("cluster_size"),
+          max(struct(col("n_chars").as("nc"),
+            (-col("doc_id")).as("ni"), col("doc_id").as("doc_id")))
+            .as("m"))
+        .select(col("cluster"), col("cluster_size"),
+          col("m.doc_id").as("keep_id"), col("m.nc").as("keep_chars"),
+          (col("cluster_size") - 1).as("n_dropped"))
+        .orderBy("cluster")
+    },
+    Some(s"""
+      WITH RECURSIVE $minHashCtesSql,
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs WHERE jacc >= $ClusterJacc
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs WHERE jacc >= $ClusterJacc),
+      cc AS (
+        SELECT doc_id AS v, doc_id AS l FROM documents
+        UNION
+        SELECT e.v, cc.l FROM edges e JOIN cc ON cc.v = e.u),
+      lab AS (SELECT v AS doc_id, min(l) AS cluster FROM cc GROUP BY v),
+      best AS (
+        SELECT cluster, d.doc_id, n_chars,
+          count(*) OVER (PARTITION BY cluster) AS cluster_size,
+          row_number() OVER (PARTITION BY cluster
+            ORDER BY n_chars DESC, d.doc_id) AS rn
+        FROM lab JOIN documents d USING (doc_id))
+      SELECT cluster, cluster_size,
+        doc_id AS keep_id, n_chars AS keep_chars,
+        cluster_size - 1 AS n_dropped
+      FROM best WHERE rn = 1 AND cluster_size >= 2
+      ORDER BY cluster"""))
+
   // SimHash dimensioning (Manku et al., WWW'07 use 64-bit/k=3): a
   // 60-bit signature (top 60 bits of md5 — 64 would overflow DuckDB's
   // signed-BIGINT hex parse) banded 4×15 bits. Hamming ≤ 3 ⇒ at least
@@ -1124,5 +1182,6 @@ object Dedup {
   val all: Seq[QueryDef] =
     Seq(qExact, qNgramJaccard, qMinHashLsh, qSimHash, qClusters,
       qLineDedup, qDupSpans, qSourceOverlap, qContainment, qEditDist,
-      qIncremental, qMinhashRecall, qLatest, qParagraphs, qSoft)
+      qIncremental, qMinhashRecall, qLatest, qParagraphs, qSoft,
+      qKeepBest)
 }

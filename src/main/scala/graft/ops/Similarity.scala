@@ -1861,8 +1861,11 @@ object Similarity {
     * each of the 4 selection rounds is a candidates-sized hash
     * aggregation — argmax as a struct-max (score, then lowest id on
     * ties), the M4/OHLC pattern — plus one equi-join against the ≤5-row
-    * selected set. No window over the corpus, no driver collect; the
-    * unrolled plan is 4 tiny joins deep.
+    * selected set. No window over the corpus, no driver collect. The
+    * pool and its pair-sim table are eagerly localCheckpoint-ed ONCE
+    * (36 / ~400 rows) and the selected set per round, so the greedy
+    * rounds are 4 tiny joins over materialized inputs rather than a
+    * lazily unrolled plan that re-derives the corpus scan 2^4 times.
     *
     * Determinism: rel/sim are the shared left-to-right dot fold;
     * 0.7·rel − 0.3·msim is the same IEEE mul/sub sequence on both
@@ -1885,6 +1888,11 @@ object Similarity {
         .withColumn("rn", row_number().over(wq))
         .filter(col("rn") <= 12)
         .select("qid", "cid", "embedding", "nrm", "rel")
+        // 3 queries × 12 candidates = 36 rows; eagerly materialized so
+        // the greedy rounds below never re-run the corpus scan + window
+        // (the lazily unrolled loop would re-derive it 2^4 times —
+        // the q_sample_kcenter plan-blowup lesson)
+        .localCheckpoint(true)
       val sims = cand.select(col("qid"), col("cid").as("a"),
           col("embedding").as("ea"), col("nrm").as("na"))
         .join(cand.select(col("qid"), col("cid").as("b"),
@@ -1893,6 +1901,7 @@ object Similarity {
         .select(col("qid"), col("a"), col("b"),
           pairCos(GraftFunctions.dotp(col("ea"), col("eb")),
             col("na"), col("nb")).as("sim"))
+        .localCheckpoint(true) // ≤ 3 × 12 × 11 pair rows
       var selected = cand.groupBy("qid")
         .agg(max(struct(col("rel"), (-col("cid")).as("nc"),
           col("cid").as("cid"))).as("m"))
@@ -1916,7 +1925,9 @@ object Similarity {
             col("cid").as("cid"))).as("m"))
           .select(col("qid"), col("m.cid").as("cid"),
             lit(i.toLong).as("pick"), col("m.score").as("mmr"))
-        selected = selected.unionByName(next)
+        // ≤ 3·i rows; eager checkpoint keeps round i's plan from
+        // embedding round i−1 twice (anti-join + max-sim join)
+        selected = selected.unionByName(next).localCheckpoint(true)
       }
       selected.orderBy("qid", "pick")
     },
@@ -1978,13 +1989,19 @@ object Similarity {
     * Squared L2 via dot products only (|a|² + |b|² − 2·a·b): no sqrt,
     * no division, so no NaN edge and every distance is the same IEEE
     * op sequence in both engines. Each of the 8 rounds is one
-    * broadcast nested-loop against the ≤8-row center set, a (vec_id)
-    * hash-agg min, and a 1-row global struct-argmax — scan-linear per
-    * round, no window over the corpus, no driver collect (the 1-row
-    * argmax stays a DataFrame, the BPE-loop pattern). The unrolled
-    * lazy plan re-derives round i−1 inside round i — k²·N/2 distance
-    * evals total at k=8; a 100 TB run would checkpoint the center set
-    * per round instead.
+    * broadcast against the single NEWEST center, a `least` fold into
+    * the running per-vector min-distance, and a 1-row global
+    * struct-argmax — k·N distance evals total, no window over the
+    * corpus, no driver collect (the 1-row argmax stays a DataFrame,
+    * the BPE-loop pattern). min is exact (no fp re-association), so
+    * the incremental fold is bit-equal to the oracle's min over the
+    * full center set. Loop state (the running min and the 1-row
+    * center) is eagerly localCheckpoint-ed per round — the Dedup
+    * connected-components discipline — because the lazily unrolled
+    * plan would otherwise EMBED round i−1 twice inside round i and
+    * double in size every round (measured 7 s at sf0.1 from plan
+    * blowup alone); at 100 TB the same shape checkpoints to the
+    * cluster store instead.
     */
   val qKcenter = QueryDef(
     "q_sample_kcenter",
@@ -1999,26 +2016,34 @@ object Similarity {
         .agg(max(struct(v.as("v"), (-col("vec_id")).as("ni"),
           col("vec_id").as("vec_id"))).as("m"))
         .select(col("m.vec_id").as("vec_id"), col("m.v").as("v"))
-      var centers = argmax(e, col("n2"))
-        .join(e, "vec_id")
+      var newC = argmax(e, col("n2")).join(e, "vec_id")
         .select(col("vec_id"), col("embedding"), col("n2"),
-          lit(1L).as("pick"), lit(null).cast("double").as("dist"))
+          lit(null).cast("double").as("v"))
+        .localCheckpoint(true)
+      var picks = newC.select(col("vec_id"), lit(1L).as("pick"),
+        col("v").as("dist"))
+      var mind: DataFrame = null
       for (i <- 2 to 8) {
-        val c = centers.select(col("embedding").as("c_emb"),
-          col("n2").as("c_n2"))
-        val mind = e.crossJoin(broadcast(c))
+        val c = broadcast(newC.select(col("embedding").as("c_emb"),
+          col("n2").as("c_n2")))
+        val d2 = e.crossJoin(c)
           .select(col("vec_id"),
             (col("n2") + col("c_n2") - lit(2.0) *
               GraftFunctions.dotp(col("embedding"), col("c_emb")))
               .as("d2"))
-          .groupBy("vec_id").agg(min(col("d2")).as("mind"))
-        val next = argmax(mind, col("mind"))
-          .join(e, "vec_id")
-          .select(col("vec_id"), col("embedding"), col("n2"),
-            lit(i.toLong).as("pick"), col("v").as("dist"))
-        centers = centers.unionByName(next)
+        mind = (if (mind == null) d2.select(col("vec_id"),
+            col("d2").as("mind"))
+          else mind.join(d2, "vec_id")
+            .select(col("vec_id"),
+              least(col("mind"), col("d2")).as("mind")))
+          .localCheckpoint(true)
+        newC = argmax(mind, col("mind")).join(e, "vec_id")
+          .select(col("vec_id"), col("embedding"), col("n2"), col("v"))
+          .localCheckpoint(true)
+        picks = picks.unionByName(newC.select(col("vec_id"),
+          lit(i.toLong).as("pick"), col("v").as("dist")))
       }
-      centers.select("pick", "vec_id", "dist").orderBy("pick")
+      picks.select("pick", "vec_id", "dist").orderBy("pick")
     },
     Some {
       val d2 = s"v.n2 + c.n2 - 2 * ${dotSql("v.embedding", "c.embedding")}"
