@@ -1288,10 +1288,80 @@ object Curation {
           AS shortfall
       FROM ranked GROUP BY lang ORDER BY lang"""))
 
+  /** Curriculum staging: rank the corpus by a difficulty signal and
+    * cut it into 4 equal-count stages (NTILE over a total order), then
+    * report each stage's doc count, token budget, difficulty band and
+    * the cumulative token fraction a trainer consuming the stages in
+    * order has seen — the schedule a curriculum-learning run feeds its
+    * data loader. Difficulty is mean word length in EXACT scaled
+    * integer form (non-space chars × 1000 div words): the usual
+    * readability floats would need cross-engine rounding care, while
+    * the integer rank induces the identical stage assignment on any
+    * engine. Ties break on doc_id, so the cut is total.
+    *
+    * Scale shape: one narrow per-doc map, one global sort for the
+    * NTILE (the same sort a corpus shuffle pays — at 100 TB this is a
+    * range-partitioned sort, and NTILE's bucket arithmetic is driver-
+    * free), then a 4-row aggregate and a 4-row running sum.
+    */
+  val qCurriculum = QueryDef(
+    "q_curation_curriculum",
+    (s, dir) => {
+      val scored = Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          length(regexp_replace(col("text"), " ", ""))
+            .cast("long").as("letters"))
+        .withColumn("difficulty", expr("letters * 1000 div n_tok"))
+        .withColumn("stage", ntile(4).over(
+          Window.orderBy(col("difficulty"), col("doc_id"))))
+      val wcum = Window.orderBy(col("stage"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored.groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tokens"),
+          min(col("difficulty")).as("min_diff"),
+          max(col("difficulty")).as("max_diff"))
+        .withColumn("cum_tokens", sum(col("tokens")).over(wcum))
+        .withColumn("cum_frac",
+          col("cum_tokens").cast("double") /
+            sum(col("tokens")).over(Window.rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing))
+              .cast("double"))
+        .select("stage", "n_docs", "tokens", "min_diff", "max_diff",
+          "cum_tokens", "cum_frac")
+        .orderBy("stage")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          CAST(len(replace(text, ' ', '')) AS BIGINT) AS letters
+        FROM documents),
+      staged AS (
+        SELECT *, letters * 1000 // n_tok AS difficulty,
+          ntile(4) OVER (ORDER BY letters * 1000 // n_tok, doc_id)
+            AS stage
+        FROM scored),
+      agg AS (
+        SELECT stage, count(*) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS tokens,
+          min(difficulty) AS min_diff, max(difficulty) AS max_diff
+        FROM staged GROUP BY stage)
+      SELECT CAST(stage AS INT) AS stage, n_docs, tokens, min_diff,
+        max_diff,
+        CAST(sum(tokens) OVER (ORDER BY stage
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_tokens,
+        CAST(sum(tokens) OVER (ORDER BY stage
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          / CAST(sum(tokens) OVER () AS DOUBLE) AS cum_frac
+      FROM agg ORDER BY stage"""))
+
   val all: Seq[QueryDef] =
     Seq(qPackSequences, qSampleStratified, qSampleReservoir, qDomainMix,
       qSplitTrain, qTemperatureMix, qTokenBudget, qCorpusShuffle,
       qEpochMix, qSampleWeighted, qChunkSliding, qSampleCluster,
       qFeatureBins, qPackWaste, qTargetAffinity, qSkyline, qQuotaSample,
-      qDsir, qMixAnneal)
+      qDsir, qMixAnneal, qCurriculum)
 }

@@ -1179,9 +1179,72 @@ object Dedup {
       FROM d JOIN c ON d.h = c.h
       ORDER BY doc_id"""))
 
+  /** TTL window for q_dedup_ttl: 1 day of event time, in micros. */
+  private val DedupTtlUs = 86400000000L
+
+  /** TTL-windowed exact dedup over the event stream — the BATCH twin
+    * of StreamingIngest.dedupExact(stateTtl): a row is a duplicate iff
+    * another row with the same content key arrived within the TTL of
+    * the PREVIOUS arrival. The streaming side refreshes its event-time
+    * timeout on EVERY arrival (dropped duplicates included), so — given
+    * watermark progress between arrivals, which a continuous 100 TB
+    * ingest always has — expiry is a session GAP, not a fixed horizon
+    * from the kept row. That makes the offline replay exactly
+    * gaps-and-islands: an island starts where the per-key gap exceeds
+    * the TTL, and each island keeps one row (its first).
+    * StreamingSpec pins the two implementations to each other on the
+    * same scripted arrivals.
+    *
+    * Scale shape: ONE window sort per content key — the same shuffle a
+    * backfill pays for sessionization; no joins, no state store. This
+    * is how a bounded-state streaming dedup's output is reproduced
+    * offline for an audit, and the island count per key is the state
+    * churn the streaming run would have paid.
+    */
+  val qTtl = QueryDef(
+    "q_dedup_ttl",
+    (s, dir) => {
+      val wo = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("new_island",
+          when(lag(col("us"), 1).over(wo).isNull ||
+            col("us") - lag(col("us"), 1).over(wo) > DedupTtlUs, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("new_island")).as("n_kept"))
+        .select(col("user_id"), col("event_type"), col("n_events"),
+          col("n_kept"),
+          (lit(1.0) - col("n_kept").cast("double") /
+            col("n_events").cast("double")).as("dup_rate"))
+        .orderBy("user_id", "event_type")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        FROM events),
+      flagged AS (
+        SELECT user_id, event_type,
+          CASE WHEN lag(us) OVER w IS NULL
+                 OR us - lag(us) OVER w > $DedupTtlUs
+               THEN 1 ELSE 0 END AS new_island
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id, event_type
+                     ORDER BY us, event_id))
+      SELECT user_id, event_type, count(*) AS n_events,
+        CAST(sum(new_island) AS BIGINT) AS n_kept,
+        1.0 - CAST(sum(new_island) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          AS dup_rate
+      FROM flagged GROUP BY user_id, event_type
+      ORDER BY user_id, event_type"""))
+
   val all: Seq[QueryDef] =
     Seq(qExact, qNgramJaccard, qMinHashLsh, qSimHash, qClusters,
       qLineDedup, qDupSpans, qSourceOverlap, qContainment, qEditDist,
       qIncremental, qMinhashRecall, qLatest, qParagraphs, qSoft,
-      qKeepBest)
+      qKeepBest, qTtl)
 }

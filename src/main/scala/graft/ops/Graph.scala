@@ -817,9 +817,93 @@ object GraphOps {
           AS assortativity
       FROM st"""))
 
+  /** Local clustering coefficient: per node, the fraction of its
+    * neighbor pairs that are themselves connected — 2·t / (d·(d−1)) on
+    * the same support-filtered, hub-capped co-purchase graph as
+    * q_graph_triangles (the per-node refinement of that global count;
+    * community cores score ~1, star centers ~0). Top-20 by
+    * coefficient among nodes of kept-degree ≥ 3, ties broken on node
+    * id; zero-triangle nodes are kept via the left join so the bottom
+    * of the ranking is honest.
+    *
+    * Scale shape: the wedge join is the identical Θ(Σ deg²)-bounded
+    * equi-join as q_graph_triangles (hub cap 64 bounds per-node work);
+    * the corner count is one union + hash agg; degree join is on node
+    * keys; final top-20 is TakeOrdered. The only new cost over the
+    * triangle count is the 3-corner explode of the triangle set.
+    */
+  val qClusteringCoeff = QueryDef(
+    "q_graph_clustering_coeff",
+    (s, dir) => {
+      val pairs = coPurchaseSupported(s, dir)
+      val degAll = pairs.select(col("a").as("node"))
+        .unionAll(pairs.select(col("b")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val hubs = degAll.filter(col("d") > 64).select("node")
+      val e = pairs
+        .join(hubs.as("h1"), col("a") === col("h1.node"), "left_anti")
+        .join(hubs.as("h2"), col("b") === col("h2.node"), "left_anti")
+      // kept-graph degree (hub removal changes neighbor counts)
+      val deg = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      // oriented triangles x<y<z, exploded to their three corners
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e2.a") === col("e1.b"))
+        .join(e.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"),
+          col("e2.b").as("z"))
+      val tcount = tri.select(col("x").as("node"))
+        .unionAll(tri.select(col("y")))
+        .unionAll(tri.select(col("z")))
+        .groupBy("node").agg(count(lit(1)).as("t"))
+      deg.filter(col("d") >= 3)
+        .join(tcount, Seq("node"), "left")
+        .select(col("node"), col("d"),
+          coalesce(col("t"), lit(0L)).as("t"))
+        .withColumn("coef",
+          (col("t") * 2L).cast("double") /
+            (col("d") * (col("d") - 1L)).cast("double"))
+        .orderBy(col("coef").desc, col("node"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH $coPurchaseSupportedSql,
+      deg_all AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT a AS node FROM pairs
+              UNION ALL SELECT b FROM pairs)
+        GROUP BY 1),
+      hubs AS (SELECT node FROM deg_all WHERE d > 64),
+      e AS (SELECT a, b FROM pairs
+            WHERE a NOT IN (SELECT node FROM hubs)
+              AND b NOT IN (SELECT node FROM hubs)),
+      deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY 1),
+      tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      tcount AS (
+        SELECT node, count(*) AS t
+        FROM (SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+        GROUP BY 1)
+      SELECT deg.node, deg.d, CAST(coalesce(t, 0) AS BIGINT) AS t,
+        CAST(coalesce(t, 0) * 2 AS DOUBLE)
+          / CAST(deg.d * (deg.d - 1) AS DOUBLE) AS coef
+      FROM deg LEFT JOIN tcount ON deg.node = tcount.node
+      WHERE deg.d >= 3
+      ORDER BY coef DESC, deg.node LIMIT 20"""))
+
   val all: Seq[QueryDef] = Seq(qPagerank, qTriangles, qDegree, qMarkov,
     qAssocRules, qEventTrigrams, qJaccardNeighbors, qCommunities,
-    qSeqNovelty, qKcore, qBfs, qAssortativity)
+    qSeqNovelty, qKcore, qBfs, qAssortativity, qClusteringCoeff)
 }
 
 /** Physical-layout operators: where rows LIVE decides what a 100 TB

@@ -708,4 +708,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("ttl dedup is one window pass, join-free; curriculum scan " +
+      "prunes to the two text-derived columns; clustering coefficient " +
+      "stays on the wedge equi-join") {
+    val pt = plan("q_dedup_ttl")
+    assert(!pt.contains("Join"),
+      "gap-island dedup must be one window per key, no joins")
+    assert("Window".r.findAllIn(pt).size >= 1 && pt.contains("partial_"),
+      "per-key window + map-side combined aggregate expected")
+    val pc = plan("q_curation_curriculum")
+    val read = pc.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("text") &&
+      read.count(_ == ',') < 3,
+      s"curriculum must scan only doc_id+text: $read")
+    val pg = plan("q_graph_clustering_coeff")
+    assert(!pg.contains("CartesianProduct") &&
+      !pg.contains("BroadcastNestedLoopJoin"),
+      "corner counting must not break the equi-join wedge shape")
+    assert(pg.contains("TakeOrderedAndProject"),
+      "top-20 must fuse, not global-sort")
+  }
 }

@@ -1179,4 +1179,58 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("TTL dedup batch/stream parity: the streaming TTL dedup and " +
+    "q_dedup_ttl's gap-island rule keep the same rows") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // 30 s event-time grid, TTL 1 minute. Gaps are either <= TTL or
+    // >= TTL + 2 grid steps: the streaming eviction fires at a batch
+    // whose START watermark (previous batch's max event time) exceeds
+    // last_seen + TTL, so a gap in (TTL, TTL + 1 step] would still be
+    // state-resident when the dup arrives — the island rule assumes
+    // watermark progress between arrivals (see q_dedup_ttl's doc).
+    val stepUs = 30L * 1000000L
+    val ttlUs = 60L * 1000000L
+    val t0 = 1700000000000000L
+    val script: Seq[(Int, String)] = Seq(
+      0 -> "A", 0 -> "B", 0 -> "clk", 1 -> "A", 1 -> "clk",
+      2 -> "clk", 3 -> "C", 3 -> "clk", 4 -> "clk", 5 -> "B",
+      5 -> "clk", 6 -> "clk", 7 -> "A", 7 -> "clk", 8 -> "A",
+      8 -> "clk", 9 -> "clk", 10 -> "B", 10 -> "clk", 11 -> "clk")
+
+    val mem = MemoryStream[StreamRow]
+    val q = StreamingIngest.dedupExact(mem.toDS(),
+      stateTtl = "1 minute", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("dedup_parity")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .start()
+    script.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (tick, rows) =>
+      mem.addData(rows.map { case (_, key) =>
+        StreamRow("ns", "docs", key, Map.empty, t0 + tick * stepUs)
+      })
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT value, timestampUs FROM dedup_parity")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    // q_dedup_ttl's island rule, applied to the same arrivals: a row
+    // is kept iff it is its key's first, or the gap from the PREVIOUS
+    // arrival (kept or dropped — the streaming state refreshes on
+    // traffic) exceeds the TTL
+    val expected = script.groupBy(_._2).toSeq.flatMap { case (key, ticks) =>
+      val ts = ticks.map(t => t0 + t._1 * stepUs).sorted
+      ts.zip(Long.MinValue +: ts.init).collect {
+        case (t, prev) if prev == Long.MinValue || t - prev > ttlUs =>
+          (key, t)
+      }
+    }.toSet
+    assert(streamed == expected,
+      s"stream kept ${streamed.toSeq.sorted}, island rule expects " +
+        s"${expected.toSeq.sorted}")
+  }
 }
