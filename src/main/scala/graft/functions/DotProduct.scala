@@ -130,6 +130,14 @@ object GraftFunctions {
         (exprs: Seq[Expression]) =>
           HllSketch(exprs.head).toAggregateExpression())
     }
+    val mh = FunctionIdentifier("graft_minhash")
+    if (!spark.sessionState.functionRegistry.functionExists(mh)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        mh,
+        new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
+        (exprs: Seq[Expression]) =>
+          MinHashAgg(exprs.head).toAggregateExpression())
+    }
     val mc = FunctionIdentifier("graft_might_contain")
     if (!spark.sessionState.functionRegistry.functionExists(mc)) {
       spark.sessionState.functionRegistry.registerFunction(
@@ -152,6 +160,11 @@ object GraftFunctions {
     * register(spark) first. Idempotent — no upstream distinct needed.
     */
   def hll(c: Column): Column = call_function("graft_hll", c)
+
+  /** Native K=16 MinHash signature aggregate over 60-bit shingle
+    * hashes; requires register(spark) first.
+    */
+  def minhash(c: Column): Column = call_function("graft_minhash", c)
 
   /** Bloom membership probe over a serialized
     * `org.apache.spark.util.sketch.BloomFilter` — the same expression

@@ -26,7 +26,7 @@ object Dedup {
     * identically, so a (cosmically unlikely, ~1e-14/doc) collision
     * would still produce identical results on both sides.
     */
-  private[ops] def shingles(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def shingles(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     Tables.t(s, dir, "documents")
       .select(col("doc_id"), toks.as("toks"))
@@ -251,6 +251,15 @@ object Dedup {
         .cache()
       val mins = minsAggCols
       val mh = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      lshVerifiedPairs(sh, mh)
+  }
+
+  /** Band expansion + bucket equi-join + exact-Jaccard verification
+    * over a signature frame `mh(doc_id, m0..m15)` — the LSH tail
+    * shared by the SQL-composed (minHashPairs) and native-aggregate
+    * (q_dedup_minhash_native) signature builders.
+    */
+  private def lshVerifiedPairs(sh: DataFrame, mh: DataFrame): DataFrame = {
       val bands = mh.select(col("doc_id"), explode(array((0 until 4).map(
           b => struct(lit(b).as("b"), bandValCol(b).as("v"))): _*))
           .as("bv"))
@@ -315,6 +324,36 @@ object Dedup {
   val qMinHashLsh = QueryDef(
     "q_dedup_minhash_lsh",
     (s, dir) => minHashPairs(s, dir).orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH $minHashCtesSql
+      SELECT doc_a, doc_b, jacc FROM pairs ORDER BY doc_a, doc_b"""))
+
+  /** The same MinHash+LSH near-dup pairs, but the signature is built
+    * by the NATIVE graft_minhash TypedImperativeAggregate
+    * ([[graft.functions.MinHashAgg]]) instead of 16 composed min()
+    * columns: one aggregate walks each doc's shingles once with a
+    * 128-byte state, emitting one ArrayType signature column.
+    * Everything downstream (band equi-join, exact-Jaccard verify) is
+    * [[lshVerifiedPairs]], shared with q_dedup_minhash_lsh — and the
+    * oracle is VERBATIM q_dedup_minhash_lsh's SQL, so the driver
+    * cross-checks the native aggregate against DuckDB's from-scratch
+    * pipeline. SketchSpec additionally pins the raw signatures
+    * bit-equal to minHashSignatures' columns. Measured trade (see
+    * MinHashAgg's doc + SCALE_SMOKE.md): the composed codegen'd form
+    * stays the faster batch path; this one exists for the SQL-surface
+    * / sketch-column use cases.
+    */
+  val qMinHashNative = QueryDef(
+    "q_dedup_minhash_native",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val sh = shingles(s, dir).cache()
+      val mh = sh.groupBy(col("doc_id"))
+        .agg(graft.functions.GraftFunctions.minhash(col("sh")).as("sig"))
+        .select(col("doc_id") +:
+          (0 until K).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
+      lshVerifiedPairs(sh, mh).orderBy("doc_a", "doc_b")
+    },
     Some(s"""
       WITH $minHashCtesSql
       SELECT doc_a, doc_b, jacc FROM pairs ORDER BY doc_a, doc_b"""))
@@ -1246,5 +1285,5 @@ object Dedup {
     Seq(qExact, qNgramJaccard, qMinHashLsh, qSimHash, qClusters,
       qLineDedup, qDupSpans, qSourceOverlap, qContainment, qEditDist,
       qIncremental, qMinhashRecall, qLatest, qParagraphs, qSoft,
-      qKeepBest, qTtl)
+      qKeepBest, qTtl, qMinHashNative)
 }

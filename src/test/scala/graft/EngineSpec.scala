@@ -83,6 +83,14 @@ class EngineSpec extends AnyFunSuite {
       "SELECT graft_hll(value) AS est FROM (SELECT DISTINCT value FROM m)")
       .get.rows.head.getDouble(0)
     assert(h1 == est, "register max must be idempotent under duplicates")
+    // the native MinHash signature aggregate rides the same
+    // registration; 16 minima, each < 2^31-1, idempotent under dups
+    val mh = e.query("ns",
+      """SELECT graft_minhash(CAST(conv(substring(md5(value), 1, 15),
+        |16, 10) AS BIGINT)) AS sig FROM m""".stripMargin).get
+    val sig = mh.rows.head.getSeq[Long](0)
+    assert(sig.length == 16 && sig.forall(m => m >= 0 && m < 2147483647L),
+      s"malformed signature $sig")
   }
 
   test("numeric analytics via CAST on the string value column") {

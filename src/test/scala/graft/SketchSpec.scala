@@ -80,4 +80,37 @@ class SketchSpec extends AnyFunSuite {
       assert(r.getBoolean(3), s"med_ok false for ${r.getString(0)}")
     }
   }
+
+  test("native graft_minhash signatures are bit-equal to the composed " +
+    "16-column aggregate, for every doc") {
+    val d = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.register(spark)
+    val composed = graft.ops.Dedup.minHashSignatures(spark, d)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (1 to graft.functions.MinHashAgg.K).map(i => r.getLong(i)).toSeq)
+      .toMap
+    val nativeSig = graft.ops.Dedup.shingles(spark, d)
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.GraftFunctions.minhash(col("sh")).as("sig"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+      .toMap
+    assert(nativeSig.keySet == composed.keySet)
+    assert(nativeSig.nonEmpty)
+    nativeSig.foreach { case (doc, sig) =>
+      assert(sig == composed(doc),
+        s"doc $doc: native $sig != composed ${composed(doc)}")
+    }
+  }
+
+  test("q_dedup_minhash_native emits exactly q_dedup_minhash_lsh's " +
+    "pairs") {
+    val d = "/root/testdata/sf0.001"
+    val native = SparkEntry.queries("q_dedup_minhash_native")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val sql = SparkEntry.queries("q_dedup_minhash_lsh")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(native.nonEmpty && native == sql)
+  }
 }
