@@ -2074,10 +2074,80 @@ object Similarity {
       SELECT pick, vec_id, dist FROM cen8 ORDER BY pick"""
     })
 
+  /** Embedding-space label-noise audit: bucket every vector with the
+    * SAME adaptive random-hyperplane LSH as q_ann_lsh, take each
+    * bucket's majority label, and report per label how many vectors
+    * sit in buckets whose majority disagrees with them — the standard
+    * neighborhood-consistency detector a training-data release runs
+    * over (embedding, label) pairs before fine-tuning (mislabeled
+    * examples land in buckets dominated by their TRUE class). A
+    * flagged vector is a review candidate, not an auto-drop; the
+    * per-label flag rate localizes which class's annotations drifted.
+    *
+    * Scale shape: signature is a narrow codegen map (compile-time
+    * hyperplane literals), then two hash aggregations on (bucket,
+    * label) / bucket and one broadcast-size join of per-bucket
+    * majorities back onto the (bucket, label) counts — no per-vector
+    * join anywhere, so the audit costs less than one ANN query at any
+    * corpus size. Majority ties break to the smallest label on both
+    * engines (struct-max on (c, -label) ↔ ORDER BY c DESC, label).
+    */
+  val qLabelPurity = QueryDef(
+    "q_embed_label_purity",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val nBits = derivedBits(Tables.rowCount(s, dir, "embeddings"),
+        MinAnnBits, AnnOccupancy)
+      val bl = Tables.t(s, dir, "embeddings")
+        .select(col("label"),
+          bucketCol(col("embedding"), nBits).as("bucket"))
+        .groupBy("bucket", "label")
+        .agg(count(lit(1)).as("c"))
+      val maj = bl.groupBy("bucket")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("bucket"), (-col("m.nl")).as("maj_label"))
+      bl.join(maj, "bucket")
+        .groupBy("label")
+        .agg(sum(col("c")).as("n_vecs"),
+          count(lit(1)).as("n_buckets"),
+          sum(when(col("label") =!= col("maj_label"), col("c"))
+            .otherwise(0L)).as("n_flagged"))
+        .select(col("label"), col("n_vecs"), col("n_buckets"),
+          col("n_flagged"),
+          (col("n_flagged").cast("double") /
+            col("n_vecs").cast("double")).as("flag_rate"))
+        .orderBy("label")
+    },
+    Some(s"""
+      WITH vectors AS (SELECT vec_id, embedding FROM embeddings),
+      nb AS (SELECT ${bitsSql(MinAnnBits, AnnOccupancy)} AS bits),
+      sig AS (
+        SELECT label,
+          CAST(${bucketSql("embedding")} AS BIGINT) %
+            (CAST(1 AS BIGINT) << (SELECT bits FROM nb)) AS bucket
+        FROM embeddings),
+      bl AS (
+        SELECT bucket, label, count(*) AS c
+        FROM sig GROUP BY bucket, label),
+      maj AS (
+        SELECT bucket, label AS maj_label FROM (
+          SELECT bucket, label,
+            row_number() OVER (PARTITION BY bucket
+              ORDER BY c DESC, label) AS rnk
+          FROM bl) WHERE rnk = 1)
+      SELECT bl.label, CAST(sum(c) AS BIGINT) AS n_vecs,
+        count(*) AS n_buckets,
+        CAST(sum(CASE WHEN bl.label <> maj_label THEN c ELSE 0 END)
+          AS BIGINT) AS n_flagged,
+        CAST(sum(CASE WHEN bl.label <> maj_label THEN c ELSE 0 END)
+          AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS flag_rate
+      FROM bl JOIN maj ON bl.bucket = maj.bucket
+      GROUP BY bl.label ORDER BY bl.label"""))
+
   val all: Seq[QueryDef] =
     Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf,
       qEmbedCentroids, qEmbedPq, qAnnAdc, qEmbedRp, qEmbedQuantize,
       qSemanticDedup, qAnnRecall, qMatryoshka, qIvfRecall, qIvfSweep,
       qSemanticOutlier, qAnnIvfPq, qEmbedWhiten, qAnnFiltered,
-      qContrastivePairs, qAnnMmr, qKcenter, qAnnMrr)
+      qContrastivePairs, qAnnMmr, qKcenter, qAnnMrr, qLabelPurity)
 }

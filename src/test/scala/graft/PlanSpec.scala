@@ -729,4 +729,17 @@ class PlanSpec extends AnyFunSuite {
     assert(pg.contains("TakeOrderedAndProject"),
       "top-20 must fuse, not global-sort")
   }
+
+  test("label purity never joins per-vector rows: the majority join " +
+      "runs on (bucket,label) aggregates, map-side combined") {
+    val p = plan("q_embed_label_purity")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_"),
+      "(bucket,label) counts must combine map-side")
+    // the signature map reads only embedding+label from the scan
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(!read.contains("vec_id"),
+      s"audit must not read vec_id: $read")
+  }
 }
