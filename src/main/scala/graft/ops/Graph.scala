@@ -491,34 +491,31 @@ object GraphOps {
     * state is one (node, label) row per node. Reported as the top-20
     * communities by size.
     */
-  val qCommunities = QueryDef(
-    "q_graph_communities",
-    (s, dir) => {
-      val pairs = coPurchaseSupported(s, dir)
-      val edges = pairs.select(col("a").as("u"), col("b").as("v"))
-        .unionAll(pairs.select(col("b").as("u"), col("a").as("v")))
-      val nodes = edges.select(col("u").as("node")).distinct()
-      // self-loops fold "min of own and neighbors" into ONE join per
-      // round, so each round references the label table exactly once
-      // — without this the unrolled lineage doubles per round (the
-      // label frame would sit on both sides of a left join) and 3
-      // rounds re-derive the edge join 2^3 times
-      val withSelf = edges.unionAll(
-        nodes.select(col("node").as("u"), col("node").as("v")))
-      val init = nodes.select(col("node"), col("node").as("lab"))
-      val labeled = (1 to 3).foldLeft(init) { (labs, _) =>
-        withSelf
-          .join(labs.select(col("node").as("vn"), col("lab")),
-            col("v") === col("vn"))
-          .groupBy(col("u").as("node")).agg(min(col("lab")).as("lab"))
-      }
-      labeled.groupBy(col("lab").as("community"))
-        .agg(count(lit(1)).as("n_nodes"))
-        .orderBy(col("n_nodes").desc, col("community"))
-        .limit(20)
-    },
-    Some(s"""
-      WITH $coPurchaseSupportedSql,
+  /** The 3-round min-label propagation frame (node, lab) shared by
+    * q_graph_communities and q_graph_modularity — self-loops fold
+    * "min of own and neighbors" into ONE join per round (see
+    * q_graph_communities for the lineage-blowup rationale).
+    */
+  private def lpLabels(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coPurchaseSupported(s, dir)
+    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(pairs.select(col("b").as("u"), col("a").as("v")))
+    val nodes = edges.select(col("u").as("node")).distinct()
+    val withSelf = edges.unionAll(
+      nodes.select(col("node").as("u"), col("node").as("v")))
+    val init = nodes.select(col("node"), col("node").as("lab"))
+    (1 to 3).foldLeft(init) { (labs, _) =>
+      withSelf
+        .join(labs.select(col("node").as("vn"), col("lab")),
+          col("v") === col("vn"))
+        .groupBy(col("u").as("node")).agg(min(col("lab")).as("lab"))
+    }
+  }
+
+  /** The l0..l3 label-propagation CTEs (requires `pairs` upstream);
+    * terminal CTE `l3(node, lab)`.
+    */
+  private val lpLabelsSql: String = """
       edges AS (SELECT a AS u, b AS v FROM pairs
                 UNION ALL SELECT b, a FROM pairs),
       l0 AS (SELECT DISTINCT u AS node, u AS lab FROM edges),
@@ -539,10 +536,104 @@ object GraphOps {
              FROM l2 n
              LEFT JOIN edges e ON e.u = n.node
              LEFT JOIN l2 ln ON ln.node = e.v
-             GROUP BY n.node, n.lab)
+             GROUP BY n.node, n.lab)"""
+
+  val qCommunities = QueryDef(
+    "q_graph_communities",
+    (s, dir) => {
+      lpLabels(s, dir).groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("community"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH $coPurchaseSupportedSql,
+      $lpLabelsSql
       SELECT lab AS community, count(*) AS n_nodes
       FROM l3 GROUP BY 1
       ORDER BY n_nodes DESC, community LIMIT 20"""))
+
+  /** Modularity readout of the label-propagation partition: per
+    * community c, the Newman contribution e_c/m − (d_c/2m)² computed
+    * as ONE exact-integer numerator (4·m·e_c − d_c²) over the exact
+    * denominator 4·m² — a single double division per row, so both
+    * engines emit identical bits (no float accumulation anywhere).
+    * This is the quality gate on the partition the curation pipeline
+    * would act on (merge communities / pick canonical docs): near-zero
+    * contributions mean label propagation found structure no better
+    * than random. Top-10 communities by size.
+    *
+    * Overflow headroom: d_c ≤ 2m and e_c ≤ m, so |numerator| ≤ 4m² —
+    * safe through m = 1.5e9 edges; past that the same readout switches
+    * the numerator to DECIMAL(38,0) (documented, not silent).
+    *
+    * Scale shape: the label frame is [[lpLabels]] (one equi-join per
+    * round); intra-edge counting joins the label table onto the edge
+    * list twice on node keys; degrees and sums are hash aggregations
+    * with map-side combine. Nothing exceeds the edge list in size.
+    */
+  val qModularity = QueryDef(
+    "q_graph_modularity",
+    (s, dir) => {
+      val pairs = coPurchaseSupported(s, dir)
+      val labs = lpLabels(s, dir)
+      val m = pairs.agg(count(lit(1)).as("m"))
+      // intra-community edge counts: both endpoints' labels agree
+      val eIntra = pairs
+        .join(labs.select(col("node").as("a"), col("lab").as("la")), "a")
+        .join(labs.select(col("node").as("b"), col("lab").as("lb")), "b")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("community"))
+        .agg(count(lit(1)).as("e_intra"))
+      // community degree sums over the doubled edge list
+      val dSum = pairs.select(col("a").as("node"))
+        .unionAll(pairs.select(col("b")))
+        .join(labs, "node")
+        .groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("d_sum"))
+      val sizes = labs.groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+      sizes
+        .join(dSum, "community")
+        .join(eIntra, Seq("community"), "left")
+        .crossJoin(m)
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("e_intra"), lit(0L)).as("e_intra"), col("d_sum"),
+          ((lit(4L) * col("m") * coalesce(col("e_intra"), lit(0L)) -
+            col("d_sum") * col("d_sum")).cast("double") /
+            (lit(4L) * col("m") * col("m")).cast("double"))
+            .as("q_contrib"))
+        .orderBy(col("n_nodes").desc, col("community"))
+        .limit(10)
+    },
+    Some(s"""
+      WITH $coPurchaseSupportedSql,
+      $lpLabelsSql,
+      m AS (SELECT count(*) AS m FROM pairs),
+      ei AS (
+        SELECT la.lab AS community, count(*) AS e_intra
+        FROM pairs p
+        JOIN l3 la ON la.node = p.a
+        JOIN l3 lb ON lb.node = p.b
+        WHERE la.lab = lb.lab
+        GROUP BY 1),
+      ds AS (
+        SELECT l3.lab AS community, count(*) AS d_sum
+        FROM (SELECT a AS node FROM pairs
+              UNION ALL SELECT b FROM pairs) d
+        JOIN l3 ON l3.node = d.node
+        GROUP BY 1),
+      sz AS (SELECT lab AS community, count(*) AS n_nodes
+             FROM l3 GROUP BY 1)
+      SELECT sz.community, n_nodes,
+        CAST(coalesce(e_intra, 0) AS BIGINT) AS e_intra, d_sum,
+        CAST(4 * m.m * coalesce(e_intra, 0) - d_sum * d_sum AS DOUBLE)
+          / CAST(4 * m.m * m.m AS DOUBLE) AS q_contrib
+      FROM sz
+      JOIN ds ON ds.community = sz.community
+      LEFT JOIN ei ON ei.community = sz.community
+      CROSS JOIN m
+      ORDER BY n_nodes DESC, sz.community LIMIT 10"""))
 
   /** Sequence-novelty scoring: flag users whose event streams walk
     * RARE transitions — the behavioral-anomaly screen a pipeline runs
@@ -903,7 +994,8 @@ object GraphOps {
 
   val all: Seq[QueryDef] = Seq(qPagerank, qTriangles, qDegree, qMarkov,
     qAssocRules, qEventTrigrams, qJaccardNeighbors, qCommunities,
-    qSeqNovelty, qKcore, qBfs, qAssortativity, qClusteringCoeff)
+    qSeqNovelty, qKcore, qBfs, qAssortativity, qClusteringCoeff,
+    qModularity)
 }
 
 /** Physical-layout operators: where rows LIVE decides what a 100 TB
