@@ -496,8 +496,7 @@ object GraphOps {
     * "min of own and neighbors" into ONE join per round (see
     * q_graph_communities for the lineage-blowup rationale).
     */
-  private def lpLabels(s: SparkSession, dir: String): DataFrame = {
-    val pairs = coPurchaseSupported(s, dir)
+  private def lpLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("a").as("u"), col("b").as("v"))
       .unionAll(pairs.select(col("b").as("u"), col("a").as("v")))
     val nodes = edges.select(col("u").as("node")).distinct()
@@ -541,7 +540,13 @@ object GraphOps {
   val qCommunities = QueryDef(
     "q_graph_communities",
     (s, dir) => {
-      lpLabels(s, dir).groupBy(col("lab").as("community"))
+      // cache the support-filtered edges: the 3 unrolled rounds
+      // reference them 2x each (edge list + self-loops), and without
+      // the cut the lineage re-derives the lineitem self-join per
+      // reference (120 parquet scans in q_graph_modularity's plan
+      // before this)
+      lpLabels(coPurchaseSupported(s, dir).cache())
+        .groupBy(col("lab").as("community"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("n_nodes").desc, col("community"))
         .limit(20)
@@ -575,8 +580,11 @@ object GraphOps {
   val qModularity = QueryDef(
     "q_graph_modularity",
     (s, dir) => {
-      val pairs = coPurchaseSupported(s, dir)
-      val labs = lpLabels(s, dir)
+      // both frames are referenced by several downstream aggregates;
+      // cache cuts the unrolled lineage (labels: one row per node,
+      // edges: the support-filtered pair list — both << the input)
+      val pairs = coPurchaseSupported(s, dir).cache()
+      val labs = lpLabels(pairs).cache()
       val m = pairs.agg(count(lit(1)).as("m"))
       // intra-community edge counts: both endpoints' labels agree
       val eIntra = pairs
