@@ -70,7 +70,10 @@ object GraphOps {
   val qPagerank = QueryDef(
     "q_graph_pagerank",
     (s, dir) => {
-      val edges = tradeEdges(s, dir)
+      // cache cuts: edges feed outw/e/nodes and each unrolled rank
+      // round (the uncached plan re-derived the lineitem joins 132
+      // times); nb (625 rows) is referenced twice per round
+      val edges = tradeEdges(s, dir).cache()
       val outw = edges.groupBy("src").agg(sum("w").as("wout"))
       val e = edges.join(outw, "src")
       val nodes = edges.select(col("src").as("node"))
@@ -79,7 +82,7 @@ object GraphOps {
       val nb = nodes.crossJoin(broadcast(nn)).selectExpr(
         "node",
         "(15 * (1000000000000 div n_nodes)) div 100 AS base",
-        "1000000000000 div n_nodes AS r")
+        "1000000000000 div n_nodes AS r").cache()
       val ranked = (1 to 3).foldLeft(nb) { (r, _) =>
         nb.select(col("node"), col("base")).as("nb")
           .join(e.as("e"), col("e.dst") === col("nb.node"), "left")
@@ -178,6 +181,14 @@ object GraphOps {
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= 2)
       .select("a", "b")
+      // every graph query references the edge list several times (and
+      // the wedge/label/rank iterations unroll those references), so
+      // without a cache cut the lineage re-derives this lineitem
+      // self-join per reference — q_graph_pagerank's plan carried 132
+      // parquet scans. cache() is idempotent by canonicalized plan
+      // (Tables.t memoizes the base frame per session), so all graph
+      // queries in a session share ONE cached edge list.
+      .cache()
   }
 
   private val coPurchaseSupportedSql = """
@@ -540,12 +551,7 @@ object GraphOps {
   val qCommunities = QueryDef(
     "q_graph_communities",
     (s, dir) => {
-      // cache the support-filtered edges: the 3 unrolled rounds
-      // reference them 2x each (edge list + self-loops), and without
-      // the cut the lineage re-derives the lineitem self-join per
-      // reference (120 parquet scans in q_graph_modularity's plan
-      // before this)
-      lpLabels(coPurchaseSupported(s, dir).cache())
+      lpLabels(coPurchaseSupported(s, dir))
         .groupBy(col("lab").as("community"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("n_nodes").desc, col("community"))
@@ -580,10 +586,9 @@ object GraphOps {
   val qModularity = QueryDef(
     "q_graph_modularity",
     (s, dir) => {
-      // both frames are referenced by several downstream aggregates;
-      // cache cuts the unrolled lineage (labels: one row per node,
-      // edges: the support-filtered pair list — both << the input)
-      val pairs = coPurchaseSupported(s, dir).cache()
+      // the label frame is referenced by three downstream aggregates;
+      // cache cuts the unrolled 3-round lineage (one row per node)
+      val pairs = coPurchaseSupported(s, dir)
       val labs = lpLabels(pairs).cache()
       val m = pairs.agg(count(lit(1)).as("m"))
       // intra-community edge counts: both endpoints' labels agree

@@ -730,6 +730,24 @@ class PlanSpec extends AnyFunSuite {
       "top-20 must fuse, not global-sort")
   }
 
+  test("iterative graph queries keep their lineage cut: the cached " +
+      "edge list bounds parquet scans per plan") {
+    // before the coPurchaseSupported/tradeEdges cache, the unrolled
+    // iterations re-derived the lineitem self-join per reference —
+    // 132 scans in pagerank's plan, 120 in modularity's, 1.3 GB of
+    // shuffle at the 10x smoke
+    // count actual file-scan leaves; "Scan parquet" would also match
+    // the cached subtree the formatted mode prints under every
+    // InMemoryRelation reference
+    Seq("q_graph_pagerank" -> 8, "q_graph_modularity" -> 4,
+      "q_graph_jaccard" -> 4, "q_graph_clustering_coeff" -> 4,
+      "q_graph_communities" -> 4).foreach { case (q, bound) =>
+      val n = "Location: InMemoryFileIndex".r.findAllIn(plan(q)).size
+      assert(n <= bound,
+        s"$q plans $n parquet scans (bound $bound) — lineage cut lost")
+    }
+  }
+
   test("label purity never joins per-vector rows: the majority join " +
       "runs on (bucket,label) aggregates, map-side combined") {
     val p = plan("q_embed_label_purity")
