@@ -928,6 +928,11 @@ object Multimodal {
         (m.doc_id, w.toLong, h.toLong, aHash16(w, h, px))
       }
     }.toDF("doc_id", "w", "h", "ahash")
+    // NOT cache()-d although q_multimodal_image_clusters references it
+    // twice: at the 10× smoke the unroll of this frame under the CC
+    // loop's checkpoint pressure starves execution memory and OOMs the
+    // band join (measured) — the duplicated codec pass is linear and
+    // bounded, the cheaper trade in a memory-tight executor.
   }
 
   val qImageHash = QueryDef(
