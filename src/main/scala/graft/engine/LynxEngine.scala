@@ -97,6 +97,13 @@ class LynxEngine(
     groupCommitMillis = walGroupCommitMillis, fsyncOnFlush = walFsync)
   def replayedSegments: Seq[Long] = replayedIds
 
+  /** Incremental per-segment rollup maintenance over tiered tables —
+    * see [[RollupStore]]; present only when a tier is configured
+    * (the RAM tail has no immutable segments to cache against).
+    */
+  lazy val rollups: Option[RollupStore] =
+    tier.map(new RollupStore(spark, _))
+
   private val writeLock = new Object
   // RAM-tail row counts per (namespace, table), seeded from the
   // replayed buffer so a restarted engine still honors the threshold

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{TagString, WriteRequest}
+import graft.engine.LynxEngine
+import graft.tier.ParquetTier
+
+/** Incremental rollup maintenance: a warm rollup serve after a new
+  * seal aggregates ONLY the new segment's files and still equals a
+  * full re-aggregation — including across a compaction file swap.
+  */
+class RollupSpec extends AnyFunSuite {
+
+  private def engineWithTier(): (LynxEngine, ParquetTier) = {
+    val walDir = Files.createTempDirectory("rollup-wal").toFile
+    val tierDir = Files.createTempDirectory("rollup-tier").toFile
+    val tier = new ParquetTier(tierDir)
+    (new LynxEngine(SparkFixture.spark, walDir, 1024 * 1024, Some(tier)),
+      tier)
+  }
+
+  /** Full re-aggregation through the engine's own SQL surface, with
+    * the same exact-decimal sum the rollup maintains.
+    */
+  private def fullAgg(e: LynxEngine): Seq[(Option[String], Long, Double)] =
+    e.query("ns",
+      """SELECT host, count(*) AS c,
+        |CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS s
+        |FROM cpu GROUP BY host ORDER BY host""".stripMargin)
+      .get.rows
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getDouble(2)))
+
+  test("second serve after a seal reads only the new segment; result " +
+    "equals the full re-aggregation, also across compaction") {
+    val (e, tier) = engineWithTier()
+    (1 to 10).foreach(i =>
+      e.write(WriteRequest("ns", "cpu", i.toString,
+        Map("host" -> TagString(if (i % 2 == 0) "a" else "b")),
+        i.toLong)))
+    e.checkpoint() // segment 1 published
+    val store = e.rollups.get
+
+    val r1 = store.rollup("ns", "cpu", "host", "value")
+    val firstFiles = store.lastComputedFiles
+    assert(firstFiles.nonEmpty, "cold serve must aggregate the segment")
+    assert(r1 == Seq(
+      (Some("a"), 5L, 30.0), (Some("b"), 5L, 25.0)))
+
+    // warm serve: nothing new → zero files aggregated
+    val r1b = store.rollup("ns", "cpu", "host", "value")
+    assert(store.lastComputedFiles.isEmpty,
+      "fully warm serve must not touch any file")
+    assert(r1b == r1)
+
+    // new seal: the refresh aggregates ONLY the new segment
+    (11 to 14).foreach(i =>
+      e.write(WriteRequest("ns", "cpu", i.toString,
+        Map("host" -> TagString("a")), i.toLong)))
+    e.checkpoint()
+    val r2 = store.rollup("ns", "cpu", "host", "value")
+    assert(store.lastComputedFiles.nonEmpty)
+    assert(store.lastComputedFiles.toSet.intersect(firstFiles.toSet).isEmpty,
+      "refresh must not re-aggregate already-cached segments")
+    assert(r2 == fullAgg(e),
+      "incrementally merged rollup must equal the full re-aggregation")
+    assert(r2.find(_._1 == Some("a")).get._2 == 9L)
+
+    // compaction swaps the file list: the swapped files are "new"
+    // exactly once, the result is unchanged, stale partials prunable
+    val cellsBefore = store.cachedCells
+    e.compact("ns", "cpu")
+    val r3 = store.rollup("ns", "cpu", "host", "value")
+    assert(r3 == r2, "compaction must not change the served rollup")
+    assert(store.lastComputedFiles.nonEmpty,
+      "compacted files are aggregated once")
+    store.prune()
+    assert(store.cachedCells <= cellsBefore,
+      "pruning after compaction must not grow the cache")
+    val r4 = store.rollup("ns", "cpu", "host", "value")
+    assert(store.lastComputedFiles.isEmpty && r4 == r2,
+      "post-prune serve is warm and unchanged")
+  }
+}
