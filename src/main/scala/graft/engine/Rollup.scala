@@ -67,6 +67,11 @@ final class RollupStore(spark: SparkSession, tier: ParquetTier) {
     */
   def rollup(ns: String, table: String, groupCol: String,
       valueCol: String): Seq[(Option[String], Long, Double)] = {
+    // valueCol reaches expr() — a SQL parser — so enforce bare column
+    // names here too, independent of the HTTP layer's own check
+    require(groupCol.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+      valueCol.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      "group/value must be bare column names")
     val key = RollupKey(ns, table, groupCol, valueCol)
     val snap = tier.snapshotPinned(ns, table)
     try {

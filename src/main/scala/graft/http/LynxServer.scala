@@ -129,6 +129,23 @@ object Json {
     (n.get("namespace").asText(), n.get("table").asText(), clusterBy)
   }
 
+  /** {namespace, table, group, value} for /api/v1/rollup. */
+  def parseRollup(body: Array[Byte]): (String, String, String, String) = {
+    val n = mapper.readTree(body)
+    require(n.hasNonNull("namespace") && n.hasNonNull("table") &&
+      n.hasNonNull("group") && n.hasNonNull("value"),
+      "missing required field")
+    // group/value name parquet COLUMNS (they reach a plan unquoted);
+    // restrict to identifier characters so the endpoint can't smuggle
+    // expressions past the SELECT-only gatekeeper
+    val g = n.get("group").asText()
+    val v = n.get("value").asText()
+    require(g.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+      v.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      "group/value must be bare column names")
+    (n.get("namespace").asText(), n.get("table").asText(), g, v)
+  }
+
   /** {namespace, table, before_day: "yyyy-MM-dd"} for /admin/expire. */
   def parseExpire(body: Array[Byte]): (String, String, String) = {
     val n = mapper.readTree(body)
@@ -281,6 +298,43 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
             case e: Exception =>
               System.err.println(e)
               respond(ex, 500)
+          }
+      }
+    }
+  })
+
+  // maintained rollup: count + exact-decimal sum per group over the
+  // tiered table, served incrementally (only unseen segments are
+  // aggregated — see graft.engine.RollupStore). 404 when the engine
+  // has no tier (nothing immutable to maintain against).
+  server.createContext("/api/v1/rollup", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "POST") respond(ex, 405)
+    else {
+      val parsed =
+        try Right(Json.parseRollup(ex.getRequestBody.readAllBytes()))
+        catch { case e: Exception => Left(e) }
+      parsed match {
+        case Left(e) =>
+          System.err.println(e)
+          respond(ex, 422)
+        case Right((ns, table, group, value)) =>
+          engine.rollups match {
+            case None => respond(ex, 404)
+            case Some(store) =>
+              try {
+                val rows = store.rollup(ns, table, group, value)
+                  .map { case (g, c, s) =>
+                    val gj = g.map(v => "\"" +
+                      v.replace("\\", "\\\\").replace("\"", "\\\"") +
+                      "\"").getOrElse("null")
+                    s"""{"group":$gj,"count":$c,"sum":$s}"""
+                  }.mkString("[", ",", "]")
+                respond(ex, 200, rows)
+              } catch {
+                case e: Exception =>
+                  System.err.println(e)
+                  respond(ex, 500)
+              }
           }
       }
     }

@@ -213,6 +213,41 @@ class HttpSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("rollup endpoint serves the maintained per-group aggregate " +
+    "and rejects expression smuggling") {
+    val dir = Files.createTempDirectory("http-rollup").toFile
+    val tierDir = Files.createTempDirectory("http-rollup-tier").toFile
+    val engine = new LynxEngine(SparkFixture.spark, dir, 1024 * 1024,
+      Some(new graft.tier.ParquetTier(tierDir)))
+    val server = new LynxServer(engine, "127.0.0.1", 0)
+    server.start()
+    try {
+      val port = server.boundPort
+      (1 to 4).foreach { i =>
+        post(port, "/api/v1/write",
+          s"""{"namespace":"ns","measurement":"cpu","value":"$i",""" +
+            s""""metadata":{"host":"${if (i % 2 == 0) "a" else "b"}"},""" +
+            s""""timestamp":$i}""")
+      }
+      post(port, "/api/v1/admin/checkpoint", "")
+      val r = post(port, "/api/v1/rollup",
+        """{"namespace":"ns","table":"cpu","group":"host","value":"value"}""")
+      assert(r.statusCode() == 200)
+      assert(r.body() ==
+        """[{"group":"a","count":2,"sum":6.0},""" +
+          """{"group":"b","count":2,"sum":4.0}]""")
+      // warm serve after the cold one must read zero files
+      post(port, "/api/v1/rollup",
+        """{"namespace":"ns","table":"cpu","group":"host","value":"value"}""")
+      assert(engine.rollups.get.lastComputedFiles.isEmpty)
+      // column fields are identifiers, not expressions
+      val bad = post(port, "/api/v1/rollup",
+        """{"namespace":"ns","table":"cpu","group":"host",""" +
+          """"value":"value); DROP TABLE x"}""")
+      assert(bad.statusCode() == 422)
+    } finally server.stop()
+  }
+
   test("query accepts a version field for time-travel reads") {
     val dir = Files.createTempDirectory("http-travel").toFile
     val tierDir = Files.createTempDirectory("http-travel-tier").toFile
