@@ -1240,26 +1240,37 @@ object Dedup {
     * offline for an audit, and the island count per key is the state
     * churn the streaming run would have paid.
     */
+  /** The gap-island TTL audit over an arbitrary keyed event frame —
+    * q_dedup_ttl's core, exposed so the property spec can pin it
+    * against a sequential per-key fold on generated arrivals. Input
+    * needs `tsCol` (micros) and a unique `idCol` tiebreak; output is
+    * one audit row per key: n_events, n_kept, dup_rate.
+    */
+  private[graft] def ttlIslandAudit(ev: DataFrame, keys: Seq[String],
+      tsCol: String, idCol: String, ttlUs: Long): DataFrame = {
+    val wo = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(idCol))
+    ev.withColumn("new_island",
+        when(lag(col(tsCol), 1).over(wo).isNull ||
+          col(tsCol) - lag(col(tsCol), 1).over(wo) > ttlUs, 1L)
+          .otherwise(0L))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("new_island")).as("n_kept"))
+      .select(keys.map(col) ++ Seq(col("n_events"), col("n_kept"),
+        (lit(1.0) - col("n_kept").cast("double") /
+          col("n_events").cast("double")).as("dup_rate")): _*)
+  }
+
   val qTtl = QueryDef(
     "q_dedup_ttl",
     (s, dir) => {
-      val wo = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id"), col("event_type"))
-        .orderBy(col("us"), col("event_id"))
-      Tables.t(s, dir, "events")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
-        .withColumn("new_island",
-          when(lag(col("us"), 1).over(wo).isNull ||
-            col("us") - lag(col("us"), 1).over(wo) > DedupTtlUs, 1L)
-            .otherwise(0L))
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("new_island")).as("n_kept"))
-        .select(col("user_id"), col("event_type"), col("n_events"),
-          col("n_kept"),
-          (lit(1.0) - col("n_kept").cast("double") /
-            col("n_events").cast("double")).as("dup_rate"))
+      ttlIslandAudit(
+        Tables.t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us")),
+        Seq("user_id", "event_type"), "us", "event_id", DedupTtlUs)
         .orderBy("user_id", "event_type")
     },
     Some(s"""

@@ -859,4 +859,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(keptAll > 0 && keptAll < total,
       s"threshold should separate docs, kept $keptAll of $total")
   }
+
+  test("ttl island audit equals the sequential per-key fold on " +
+    "generated arrivals (100 seeded corpora)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    // dense timestamp grid + few keys → plenty of ties, in-window
+    // dups, and cross-TTL gaps in every generated corpus
+    val genRows: Gen[List[(String, Long)]] = Gen.listOfN(60, for {
+      key <- Gen.oneOf("a", "b", "c", "d")
+      ts <- Gen.choose(0L, 400L)
+    } yield (key, ts))
+    (1 to 100).foreach { i =>
+      val raw = genRows.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val ttl = Seq(10L, 25L, 100L)(i % 3)
+      val rows = raw.zipWithIndex
+        .map { case ((k, ts), id) => (k, ts, id.toLong) }
+      val got = Dedup.ttlIslandAudit(
+        rows.toDF("key", "us", "id"), Seq("key"), "us", "id", ttl)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // sequential truth: sort per key by (ts, id); an arrival starts
+      // an island iff it is first or gap from the PREVIOUS arrival
+      // (kept or not) exceeds the TTL
+      val want = rows.groupBy(_._1).map { case (k, rs) =>
+        val ts = rs.sortBy(r => (r._2, r._3)).map(_._2)
+        val kept = ts.zip(Long.MinValue +: ts.init).count {
+          case (t, prev) => prev == Long.MinValue || t - prev > ttl
+        }
+        k -> (ts.size.toLong, kept.toLong)
+      }
+      assert(got == want, s"seed $i ttl $ttl: $got != $want")
+    }
+  }
 }
