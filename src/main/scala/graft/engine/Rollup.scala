@@ -64,9 +64,19 @@ final class RollupStore(spark: SparkSession, tier: ParquetTier) {
     * table's current pinned manifest, computing only unseen segments.
     * Group keys are served as strings (None = NULL group); sums are
     * exact decimals surfaced as doubles.
+    *
+    * `dayBounds` (inclusive yyyy-MM-dd pair) serves a time-windowed
+    * dashboard: the merge walks only manifest files whose
+    * `__lynx_day=` path falls in range — partials for other days are
+    * neither computed nor touched, so a 7-day pane over years of
+    * tier data costs O(7 days of new segments). Day granularity is
+    * exact because the tier day-partitions every segment; a file
+    * without a parseable day is included conservatively (same rule
+    * as ParquetTier.readFiles).
     */
   def rollup(ns: String, table: String, groupCol: String,
-      valueCol: String): Seq[(Option[String], Long, Double)] = {
+      valueCol: String, dayBounds: Option[(String, String)] = None)
+      : Seq[(Option[String], Long, Double)] = {
     // valueCol reaches expr() — a SQL parser — so enforce bare column
     // names here too, independent of the HTTP layer's own check
     require(groupCol.matches("[A-Za-z_][A-Za-z0-9_]*") &&
@@ -75,7 +85,15 @@ final class RollupStore(spark: SparkSession, tier: ParquetTier) {
     val key = RollupKey(ns, table, groupCol, valueCol)
     val snap = tier.snapshotPinned(ns, table)
     try {
-      val files = snap.files.map(canon)
+      val inRange: String => Boolean = dayBounds match {
+        case Some((lo, hi)) => path =>
+          ParquetTier.DayFromPath.findFirstMatchIn(path) match {
+            case Some(m) => val d = m.group(1); d >= lo && d <= hi
+            case None => true
+          }
+        case None => _ => true
+      }
+      val files = snap.files.map(canon).filter(inRange)
       val missing = files.filterNot(f => partials.contains((key, f)))
       lastComputedFiles = missing
       if (missing.nonEmpty) {

@@ -663,7 +663,7 @@ object ParquetTier {
   val DayCol = "__lynx_day"
 
   /** Extracts the day value from a data-file path's partition dir. */
-  private[tier] val DayFromPath = """__lynx_day=(\d{4}-\d{2}-\d{2})/""".r
+  private[graft] val DayFromPath = """__lynx_day=(\d{4}-\d{2}-\d{2})/""".r
 
   private val ManifestName = """v(\d+)\.list""".r
   private val TrashName = """trash-(\d+)-v(\d+)-[0-9a-f-]+\.list""".r

@@ -83,4 +83,32 @@ class RollupSpec extends AnyFunSuite {
     assert(store.lastComputedFiles.isEmpty && r4 == r2,
       "post-prune serve is warm and unchanged")
   }
+
+  test("day-bounded serve merges only in-range day partitions and " +
+    "reuses the all-time serve's partials") {
+    val (e, _) = engineWithTier()
+    val dayUs = 86400L * 1000000L
+    // 3 rows on 1970-01-01, 2 rows on 1970-01-02
+    Seq(1L, 2L, 3L).foreach(i =>
+      e.write(WriteRequest("ns", "cpu", i.toString,
+        Map("host" -> TagString("a")), i)))
+    Seq(4L, 5L).foreach(i =>
+      e.write(WriteRequest("ns", "cpu", i.toString,
+        Map("host" -> TagString("a")), dayUs + i)))
+    e.checkpoint()
+    val store = e.rollups.get
+    // cold all-time serve computes both day partitions
+    val all = store.rollup("ns", "cpu", "host", "value")
+    assert(all == Seq((Some("a"), 5L, 15.0)))
+    // the bounded pane reuses those partials: zero files computed,
+    // and the merge walks only day-1 files
+    val d1 = store.rollup("ns", "cpu", "host", "value",
+      Some(("1970-01-01", "1970-01-01")))
+    assert(store.lastComputedFiles.isEmpty,
+      "bounded serve must reuse the all-time partials")
+    assert(d1 == Seq((Some("a"), 3L, 6.0)))
+    val d2 = store.rollup("ns", "cpu", "host", "value",
+      Some(("1970-01-02", "1970-01-02")))
+    assert(d2 == Seq((Some("a"), 2L, 9.0)))
+  }
 }
