@@ -2144,10 +2144,115 @@ object Similarity {
       FROM bl JOIN maj ON bl.bucket = maj.bucket
       GROUP BY bl.label ORDER BY bl.label"""))
 
+  /** Nearest-centroid confusion matrix: classify every vector by its
+    * highest-cosine LABEL CENTROID (same exact 2^20-quantized integer
+    * centroid sums as q_semantic_outlier, all 10 centroids broadcast)
+    * and report (true label, predicted, count, share-of-label) — the
+    * label-quality readout complementary to q_embed_label_purity: the
+    * purity audit localizes noisy NEIGHBORHOODS, the confusion matrix
+    * names which class PAIRS bleed into each other, which is what
+    * decides a relabel-vs-merge call before fine-tuning.
+    *
+    * Argmax is a struct-max over (cos, −centroid label): ties break
+    * to the smallest label on both engines, and the cosines are the
+    * identical IEEE expressions, so the matrix is bit-deterministic.
+    *
+    * Scale shape: one narrow scan × 10-row broadcast (the centroid
+    * table), a per-vector hash-agg argmax (no window, no sort), one
+    * ≤|labels|² aggregation. Cost ≈ one pass over the embedding
+    * column at any corpus size.
+    */
+  val qConfusion = QueryDef(
+    "q_embed_confusion",
+    (s, dir) => {
+      val Q = 1048576.0 // 2^20, same quantum as q_embed_centroids
+      val e = Tables.t(s, dir, "embeddings")
+      val sums = e
+        .select(col("label").cast("long").as("clabel"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("clabel"), col("pos"),
+          round(col("v").cast("double") * Q).cast("long").as("q"))
+        .groupBy(col("clabel"), col("pos"))
+        .agg(sum(col("q")).as("sd"), count(lit(1)).as("n"))
+        .groupBy(col("clabel"))
+        .agg(transform(array_sort(collect_list(
+            struct(col("pos"), col("sd")))), x => x("sd")).as("sarr"),
+          max(col("n")).as("n"))
+      GraftFunctions.register(s)
+      val dotVS = expr(
+        """aggregate(zip_with(embedding, sarr,
+             (v, s) -> CAST(v AS DOUBLE) * CAST(s AS DOUBLE)),
+           CAST(0 AS DOUBLE), (acc, x) -> acc + x)""")
+      val cnormSq = expr(
+        """aggregate(transform(sarr, s -> CAST(s AS DOUBLE) * CAST(s AS DOUBLE)),
+           CAST(0 AS DOUBLE), (acc, x) -> acc + x)""")
+      val scored = e
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding"),
+          sqrt(GraftFunctions.dotp(col("embedding"), col("embedding")))
+            .as("nrm"))
+        .crossJoin(broadcast(sums))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          (dotVS / (col("n") * Q) /
+            (col("nrm") * sqrt(cnormSq) / (col("n") * Q))).as("cos"))
+      val pred = scored
+        .groupBy(col("vec_id"), col("label"))
+        .agg(max(struct(col("cos"), (-col("clabel")).as("nc"))).as("m"))
+        .select(col("label"), (-col("m.nc")).as("pred"))
+      val totals = pred.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_label"))
+      pred.groupBy(col("label"), col("pred"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .join(totals, "label")
+        .select(col("label"), col("pred"), col("n_vecs"),
+          (col("n_vecs").cast("double") /
+            col("n_label").cast("double")).as("share"))
+        .orderBy("label", "pred")
+    },
+    Some(s"""
+      WITH dims AS (
+        SELECT CAST(label AS BIGINT) AS clabel,
+          unnest(generate_series(1, 64)) AS dim, embedding
+        FROM embeddings),
+      persum AS (
+        SELECT clabel, dim,
+          sum(CAST(round(CAST(embedding[CAST(dim AS INT)] AS DOUBLE)
+            * 1048576.0) AS BIGINT)) AS sd,
+          count(*) AS n
+        FROM dims GROUP BY clabel, dim),
+      sums AS (
+        SELECT clabel, list(sd ORDER BY dim) AS sarr, max(n) AS n
+        FROM persum GROUP BY clabel),
+      scored AS (
+        SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, s.clabel,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            [CAST(e.embedding[i] AS DOUBLE) * CAST(s.sarr[i] AS DOUBLE)
+             for i in generate_series(1, 64)]), (acc, x) -> acc + x)
+            / (s.n * 1048576.0)
+            / (sqrt(${dotSql("e.embedding", "e.embedding")})
+               * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   [CAST(s.sarr[i] AS DOUBLE) * CAST(s.sarr[i] AS DOUBLE)
+                    for i in generate_series(1, 64)]), (acc, x) -> acc + x))
+                 / (s.n * 1048576.0)) AS cos
+        FROM embeddings e CROSS JOIN sums s),
+      pred AS (
+        SELECT label, clabel AS pred FROM (
+          SELECT label, clabel,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, clabel) AS rnk
+          FROM scored) WHERE rnk = 1),
+      totals AS (SELECT label, count(*) AS n_label FROM pred GROUP BY 1)
+      SELECT p.label, p.pred, count(*) AS n_vecs,
+        CAST(count(*) AS DOUBLE) / CAST(max(t.n_label) AS DOUBLE)
+          AS share
+      FROM pred p JOIN totals t ON p.label = t.label
+      GROUP BY p.label, p.pred ORDER BY p.label, p.pred"""))
+
   val all: Seq[QueryDef] =
     Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf,
       qEmbedCentroids, qEmbedPq, qAnnAdc, qEmbedRp, qEmbedQuantize,
       qSemanticDedup, qAnnRecall, qMatryoshka, qIvfRecall, qIvfSweep,
       qSemanticOutlier, qAnnIvfPq, qEmbedWhiten, qAnnFiltered,
-      qContrastivePairs, qAnnMmr, qKcenter, qAnnMrr, qLabelPurity)
+      qContrastivePairs, qAnnMmr, qKcenter, qAnnMrr, qLabelPurity,
+      qConfusion)
 }
