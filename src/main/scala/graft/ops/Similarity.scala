@@ -2248,11 +2248,126 @@ object Similarity {
       FROM pred p JOIN totals t ON p.label = t.label
       GROUP BY p.label, p.pred ORDER BY p.label, p.pred"""))
 
+  /** Hybrid retrieval: Reciprocal Rank Fusion (RRF, k=60) of a
+    * lexical BM25 ranking over `documents` and a cosine ranking over
+    * `embeddings` (the fixtures align doc_id = vec_id) — the fusion
+    * every production search stack runs over its keyword and vector
+    * legs. Each leg contributes 1/(60 + rank) from its TOP-100 list
+    * only: RRF needs nothing below the cut, so each ranker fuses to
+    * TakeOrderedAndProject and the rank window runs on a 100-row
+    * frame — constant work per leg at any corpus size (the 100 TB
+    * shape, not a global ranking window). A doc on one list only
+    * gets the other leg's contribution as 0. Two divisions and one
+    * two-term sum in a fixed order — bit-identical cross-engine.
+    */
+  val qHybrid = QueryDef(
+    "q_ann_hybrid",
+    (s, dir) => {
+      val TopK = 100
+      // lexical leg: q_text_bm25's scoring, fused to its top-100
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val dl = docs.select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl"))
+      val tf = docs
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(col("term").isin("spark", "window", "join"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
+      val avgdl = col("sum_dl").cast("double") / col("n_docs")
+      val idf = (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0)
+      val tscore = idf * (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+      val lexTop = tf.join(broadcast(dfT), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), tscore.as("ts"))
+        .groupBy(col("doc_id"))
+        .agg(Parity.dsum(col("ts")).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(TopK)
+      val lexRank = lexTop.select(col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).as("r_lex"))
+      // vector leg: cosine to the query vector (vec_id 0), top-100
+      val e = vectors(s, dir)
+      val q = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val vecTop = e.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          pairCos(GraftFunctions.dotp(col("q_emb"), col("embedding")),
+            col("q_nrm"), col("nrm")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id"))
+        .limit(TopK)
+      val vecRank = vecTop.select(col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("doc_id"))).as("r_vec"))
+      lexRank.join(vecRank, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_lex"), col("r_vec"),
+          (coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("r_vec")), lit(0.0)))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(15)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+        WHERE term IN ('spark', 'window', 'join')
+        GROUP BY doc_id, term),
+      dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT)
+                AS sum_dl FROM dl),
+      lex_top AS (
+        SELECT tf.doc_id,
+          ${Parity.dsumSql(
+            """((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)
+             + 1.0)
+            * (CAST(tf AS DOUBLE) * 2.2)
+            / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl /
+               (CAST(sum_dl AS DOUBLE) / n_docs)))""")} AS score
+        FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, doc_id LIMIT 100),
+      lex_rank AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC,
+          doc_id) AS INT) AS r_lex
+        FROM lex_top),
+      $vectorsSql,
+      q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM vectors
+            WHERE vec_id = 0),
+      vec_top AS (
+        SELECT vec_id AS doc_id,
+          ${dotSql("q.q_emb", "v.embedding")} / (q.q_nrm * v.nrm) AS cos
+        FROM vectors v CROSS JOIN q
+        WHERE v.vec_id <> 0
+        ORDER BY cos DESC, doc_id LIMIT 100),
+      vec_rank AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC,
+          doc_id) AS INT) AS r_vec
+        FROM vec_top)
+      SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, r_lex, r_vec,
+        coalesce(1.0 / (60.0 + r_lex), 0.0) +
+        coalesce(1.0 / (60.0 + r_vec), 0.0) AS rrf
+      FROM lex_rank l FULL OUTER JOIN vec_rank v ON l.doc_id = v.doc_id
+      ORDER BY rrf DESC, doc_id LIMIT 15"""))
+
   val all: Seq[QueryDef] =
     Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf,
       qEmbedCentroids, qEmbedPq, qAnnAdc, qEmbedRp, qEmbedQuantize,
       qSemanticDedup, qAnnRecall, qMatryoshka, qIvfRecall, qIvfSweep,
       qSemanticOutlier, qAnnIvfPq, qEmbedWhiten, qAnnFiltered,
       qContrastivePairs, qAnnMmr, qKcenter, qAnnMrr, qLabelPurity,
-      qConfusion)
+      qConfusion, qHybrid)
 }
