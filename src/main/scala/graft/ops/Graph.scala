@@ -216,9 +216,13 @@ object GraphOps {
         .unionAll(pairs.select(col("b")))
         .groupBy("node").agg(count(lit(1)).as("d"))
       val hubs = deg.filter(col("d") > 64).select("node")
+      // four references (three wedge legs + the kept-edge count):
+      // cache so each reads the materialized edges instead of
+      // rebuilding the anti-joins (see q_graph_jaccard's adj cut)
       val e = pairs
         .join(hubs.as("h1"), col("a") === col("h1.node"), "left_anti")
         .join(hubs.as("h2"), col("b") === col("h2.node"), "left_anti")
+        .cache()
       val tri = e.as("e1")
         .join(e.as("e2"), col("e2.a") === col("e1.b"))
         .join(e.as("e3"),
@@ -441,8 +445,13 @@ object GraphOps {
       // degrees come from the SAME hub-removed graph as the
       // intersection, so the union size deg_a + deg_c - common is the
       // true |N(a) ∪ N(c)|
+      // cache the frame the wedge join actually re-references: with
+      // only `pairs` cached, the four adj references each rebuilt the
+      // hub anti-joins (the plan carried 99 broadcast builds and ran
+      // 4× slower at sf0.1 than with this second cut)
       val adj = e.select(col("a").as("x"), col("b").as("y"))
         .unionAll(e.select(col("b").as("x"), col("a").as("y")))
+        .cache()
       val degE = adj.groupBy(col("x").as("node"))
         .agg(count(lit(1)).as("d"))
       val common = adj.as("l")
@@ -944,9 +953,13 @@ object GraphOps {
         .unionAll(pairs.select(col("b")))
         .groupBy("node").agg(count(lit(1)).as("d"))
       val hubs = degAll.filter(col("d") > 64).select("node")
+      // cache the hub-capped edges: five downstream references (deg
+      // 2×, wedge 3×) would otherwise each rebuild the anti-joins —
+      // same lesson as q_graph_jaccard's adj cut
       val e = pairs
         .join(hubs.as("h1"), col("a") === col("h1.node"), "left_anti")
         .join(hubs.as("h2"), col("b") === col("h2.node"), "left_anti")
+        .cache()
       // kept-graph degree (hub removal changes neighbor counts)
       val deg = e.select(col("a").as("node"))
         .unionAll(e.select(col("b")))

@@ -748,6 +748,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid retrieval fuses both ranker legs to TakeOrdered and " +
+      "broadcasts the query vector") {
+    val p = plan("q_ann_hybrid")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 3,
+      "each leg's top-100 and the final top-15 must fuse, not sort")
+    assert(p.contains("BroadcastExchange"),
+      "the 1-row query vector must broadcast")
+    // the explicit 1-row cross joins are broadcast-sized by
+    // construction; what must NOT appear is a shuffled global sort
+    // feeding the final fusion
+    assert(!p.contains("rangepartitioning(rrf"),
+      "final top-15 must be TakeOrdered, not a range-partitioned sort")
+  }
+
   test("label purity never joins per-vector rows: the majority join " +
       "runs on (bucket,label) aggregates, map-side combined") {
     val p = plan("q_embed_label_purity")
