@@ -833,7 +833,102 @@ object DataQuality {
       FROM exact JOIN samp ON exact.g = samp.g
       ORDER BY exact.g"""))
 
+  /** Embedding cohort-drift monitor: split the vector table into two
+    * deterministic cohorts (vec_id parity — the stand-in for "last
+    * scrape vs this scrape") and compare their mean vectors: cosine
+    * between centroids, the largest per-dimension mean gap, and how
+    * many dimensions drifted past 0.05 — the check a pipeline runs
+    * before mixing a re-scraped embedding batch into an existing ANN
+    * index (a drifted encoder silently invalidates every stored
+    * centroid/PQ codebook). Centroid sums are the same exact
+    * 2^20-quantized integers as q_embed_centroids, folded in fixed
+    * dimension order, so both engines emit identical doubles.
+    *
+    * Scale shape: one hash aggregation per (cohort, dim) — 128 cells
+    * total regardless of corpus size — then a 1×1 crossJoin of two
+    * 64-long arrays. Cost ≈ one narrow pass over the embedding
+    * column.
+    */
+  val qEmbedDrift = QueryDef(
+    "q_dq_embed_drift",
+    (s, dir) => {
+      val Q = 1048576.0 // 2^20
+      val sums = Tables.t(s, dir, "embeddings")
+        .select((col("vec_id") % 2).as("cohort"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("cohort"), col("pos"),
+          round(col("v").cast("double") * Q).cast("long").as("q"))
+        .groupBy(col("cohort"), col("pos"))
+        .agg(sum(col("q")).as("sd"), count(lit(1)).as("n"))
+        .groupBy(col("cohort"))
+        .agg(transform(array_sort(collect_list(
+            struct(col("pos"), col("sd")))), x => x("sd")).as("sarr"),
+          max(col("n")).as("n"))
+      val a = sums.filter(col("cohort") === 0)
+        .select(col("sarr").as("sa"), col("n").as("na"))
+      val b = sums.filter(col("cohort") === 1)
+        .select(col("sarr").as("sb"), col("n").as("nb"))
+      val dot = expr(
+        """aggregate(zip_with(sa, sb,
+             (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+           CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+      def norm(c: String) = expr(
+        s"""sqrt(aggregate(transform($c,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+            CAST(0 AS DOUBLE), (acc, v) -> acc + v))""")
+      val gaps = expr(
+        """transform(zip_with(sa, sb,
+             (x, y) -> abs(CAST(x AS DOUBLE) / CAST(na AS DOUBLE)
+                         - CAST(y AS DOUBLE) / CAST(nb AS DOUBLE))),
+           g -> g / 1048576.0)""")
+      a.crossJoin(b)
+        .select(col("na"), col("nb"),
+          (dot / (norm("sa") * norm("sb"))).as("centroid_cos"),
+          array_max(gaps).as("max_dim_gap"),
+          size(filter(gaps, g => g > 0.05)).cast("long")
+            .as("n_dims_drifted"))
+    },
+    Some("""
+      WITH dims AS (
+        SELECT vec_id % 2 AS cohort,
+          unnest(generate_series(1, 64)) AS dim, embedding
+        FROM embeddings),
+      persum AS (
+        SELECT cohort, dim,
+          sum(CAST(round(CAST(embedding[CAST(dim AS INT)] AS DOUBLE)
+            * 1048576.0) AS BIGINT)) AS sd,
+          count(*) AS n
+        FROM dims GROUP BY cohort, dim),
+      sums AS (
+        SELECT cohort, list(sd ORDER BY dim) AS sarr, max(n) AS n
+        FROM persum GROUP BY cohort),
+      ab AS (
+        SELECT a.sarr AS sa, a.n AS na, b.sarr AS sb, b.n AS nb
+        FROM sums a, sums b WHERE a.cohort = 0 AND b.cohort = 1),
+      gaps AS (
+        SELECT *,
+          [abs(CAST(sa[i] AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(sb[i] AS DOUBLE) / CAST(nb AS DOUBLE)) / 1048576.0
+           for i in generate_series(1, 64)] AS g
+        FROM ab)
+      SELECT na, nb,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          [CAST(sa[i] AS DOUBLE) * CAST(sb[i] AS DOUBLE)
+           for i in generate_series(1, 64)]), (acc, v) -> acc + v)
+        / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            [CAST(sa[i] AS DOUBLE) * CAST(sa[i] AS DOUBLE)
+             for i in generate_series(1, 64)]), (acc, v) -> acc + v))
+           * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              [CAST(sb[i] AS DOUBLE) * CAST(sb[i] AS DOUBLE)
+               for i in generate_series(1, 64)]), (acc, v) -> acc + v)))
+          AS centroid_cos,
+        list_max(g) AS max_dim_gap,
+        CAST(len(list_filter(g, x -> x > 0.05)) AS BIGINT)
+          AS n_dims_drifted
+      FROM gaps"""))
+
   val all: Seq[QueryDef] =
     Seq(qProfile, qChecks, qMad, qWinsorize, qBenford, qKs, qChisq,
-      qKanon, qSkewKeys, qAbLift, qEmbedQa, qQuantileSample)
+      qKanon, qSkewKeys, qAbLift, qEmbedQa, qQuantileSample,
+      qEmbedDrift)
 }

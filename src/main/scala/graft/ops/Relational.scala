@@ -1599,8 +1599,44 @@ object Relational {
       WHERE c_custkey <= 200
       ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""))
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match EACH OTHER instead of nothing — the record-linkage join
+    * over incompletely-keyed data (two rows with an unknown region
+    * are presumed linkable). Derived nullable key: region 0 → NULL.
+    * Spark plans `<=>` as a HASH join key (EqualNullSafe is an
+    * equi-join condition, not a filter), so the shape survives scale;
+    * the caveat — documented because it's the operator's real hazard
+    * at 100 TB — is that every NULL lands in ONE hash bucket, so a
+    * null-heavy corpus needs the usual salt-the-null-bucket
+    * treatment (q_join_salted). NULL ordering pinned explicitly
+    * (Spark defaults NULLS FIRST ascending, DuckDB NULLS LAST).
+    */
+  val qJoinNullSafe = QueryDef(
+    "q_join_nullsafe",
+    (s, dir) => {
+      val n = Tables.t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          nullif(col("n_regionkey"), lit(0L)).as("rk"))
+      n.as("a").join(n.as("b"),
+          col("a.rk") <=> col("b.rk") &&
+            col("a.n_nationkey") < col("b.n_nationkey"))
+        .groupBy(col("a.rk").as("rk"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("a.n_nationkey")).as("min_nation"))
+        .orderBy(col("rk").asc_nulls_first)
+    },
+    Some("""
+      WITH n AS (
+        SELECT n_nationkey, nullif(n_regionkey, 0) AS rk FROM nation)
+      SELECT a.rk, count(*) AS n_pairs,
+        min(a.n_nationkey) AS min_nation
+      FROM n a JOIN n b
+        ON a.rk IS NOT DISTINCT FROM b.rk
+       AND a.n_nationkey < b.n_nationkey
+      GROUP BY a.rk ORDER BY a.rk NULLS FIRST"""))
+
   val all: Seq[QueryDef] = Seq(
-    q1Agg, qFilter, qPredicates,
+    q1Agg, qFilter, qPredicates, qJoinNullSafe,
     qJoin3, qJoin6, qSemi, qAnti, qOuter, qFullOuter, qSelfJoin, qCross,
     qDisjunctJoin, qBloomJoin, qQ22Shape, qTpchQ3, qTpchQ5, qTpchQ10,
     qCountDistinct, qHaving, qDistinct, qRollup, qCube, qGroupingSets,
