@@ -1169,6 +1169,50 @@ object Relational {
                             WHERE n_regionkey = 2)
       ORDER BY c_custkey"""))
 
+  /** NOT IN vs NOT EXISTS under NULLs — the three-valued-logic trap
+    * both engines must agree on: one NULL in the NOT IN subquery's
+    * output makes EVERY `x NOT IN (…)` UNKNOWN (x <> NULL is never
+    * TRUE), so the count collapses to 0, while NOT EXISTS — the form
+    * a pipeline should write — still anti-joins correctly, and the
+    * NULL-free NOT IN equals it. One row with all three counts, so a
+    * future engine upgrade that silently changed null-aware anti-join
+    * planning (Spark's NAAJ path) would show up as a value diff, not
+    * just a plan diff.
+    */
+  val qNotInNull = QueryDef(
+    "q_not_in_null",
+    (s, dir) => {
+      Tables.views(s, dir)
+      s.sql("""
+        SELECT
+          (SELECT count(*) FROM customer
+           WHERE c_custkey NOT IN
+             (SELECT nullif(o_custkey, 7) FROM orders))
+            AS not_in_with_null,
+          (SELECT count(*) FROM customer c
+           WHERE NOT EXISTS
+             (SELECT 1 FROM orders o
+              WHERE nullif(o.o_custkey, 7) = c.c_custkey))
+            AS not_exists,
+          (SELECT count(*) FROM customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+            AS not_in_clean""")
+    },
+    Some("""
+      SELECT
+        (SELECT count(*) FROM customer
+         WHERE c_custkey NOT IN
+           (SELECT nullif(o_custkey, 7) FROM orders))
+          AS not_in_with_null,
+        (SELECT count(*) FROM customer c
+         WHERE NOT EXISTS
+           (SELECT 1 FROM orders o
+            WHERE nullif(o.o_custkey, 7) = c.c_custkey))
+          AS not_exists,
+        (SELECT count(*) FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+          AS not_in_clean"""))
+
   /** CTE + derived table (rejected by the reference's gatekeeper —
     * documented improvement, SURVEY.md §2B subqueries row).
     */
@@ -1646,7 +1690,7 @@ object Relational {
     qWindowRangeFrames,
     qTopK, qOffset,
     qUnionAll, qUnionDedup, qIntersect, qExcept, qSetOpsAll,
-    qScalarSubquery, qCorrelated, qInSubquery, qCte,
+    qScalarSubquery, qCorrelated, qInSubquery, qNotInNull, qCte,
     qStringFuncs, qRegexHash, qDateFuncs, qDateBin, qMathFuncs,
     qConditional, qJson, qExplode, qArrayFuncs, qSequence, qStruct,
     qMapFuncs, qPivot, qUnpivot, qLateralTopK, qCteRecursive)
