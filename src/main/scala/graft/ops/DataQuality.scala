@@ -852,21 +852,11 @@ object DataQuality {
   val qEmbedDrift = QueryDef(
     "q_dq_embed_drift",
     (s, dir) => {
-      val Q = 1048576.0 // 2^20
-      val sums = Tables.t(s, dir, "embeddings")
-        .select((col("vec_id") % 2).as("cohort"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(col("cohort"), col("pos"),
-          round(col("v").cast("double") * Q).cast("long").as("q"))
-        .groupBy(col("cohort"), col("pos"))
-        .agg(sum(col("q")).as("sd"), count(lit(1)).as("n"))
-        .groupBy(col("cohort"))
-        .agg(transform(array_sort(collect_list(
-            struct(col("pos"), col("sd")))), x => x("sd")).as("sarr"),
-          max(col("n")).as("n"))
-      val a = sums.filter(col("cohort") === 0)
+      val sums = Similarity.quantizedSums(
+        Tables.t(s, dir, "embeddings"), col("vec_id") % 2)
+      val a = sums.filter(col("k") === 0)
         .select(col("sarr").as("sa"), col("n").as("na"))
-      val b = sums.filter(col("cohort") === 1)
+      val b = sums.filter(col("k") === 1)
         .select(col("sarr").as("sb"), col("n").as("nb"))
       val dot = expr(
         """aggregate(zip_with(sa, sb,

@@ -1525,22 +1525,34 @@ object Similarity {
     * vector scan, then a narrow per-row fold. No shuffle of the
     * vector payload at any point; linear in corpus size.
     */
+  /** 2^20-quantized exact integer centroid sums per key: one row per
+    * key with the 64-long per-dimension sum array and the row count —
+    * the shared sum stage of q_semantic_outlier, q_embed_confusion
+    * and (keyed by cohort) q_dq_embed_drift's mirror. Defined ONCE so
+    * the three consumers can never drift apart.
+    */
+  private[graft] def quantizedSums(e: DataFrame,
+      keyCol: Column): DataFrame = {
+    val Q = 1048576.0 // 2^20, same quantum as q_embed_centroids
+    e.select(keyCol.as("k"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("k"), col("pos"),
+        round(col("v").cast("double") * Q).cast("long").as("q"))
+      .groupBy(col("k"), col("pos"))
+      .agg(sum(col("q")).as("sd"), count(lit(1)).as("n"))
+      .groupBy(col("k"))
+      .agg(transform(array_sort(collect_list(
+          struct(col("pos"), col("sd")))), x => x("sd")).as("sarr"),
+        max(col("n")).as("n"))
+  }
+
   val qSemanticOutlier = QueryDef(
     "q_semantic_outlier",
     (s, dir) => {
       val Q = 1048576.0 // 2^20, same quantum as q_embed_centroids
       val e = Tables.t(s, dir, "embeddings")
-      val sums = e
-        .select(col("label").cast("long").as("label"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(col("label"), col("pos"),
-          round(col("v").cast("double") * Q).cast("long").as("q"))
-        .groupBy(col("label"), col("pos"))
-        .agg(sum(col("q")).as("sd"), count(lit(1)).as("n"))
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(
-            struct(col("pos"), col("sd")))), x => x("sd")).as("sarr"),
-          max(col("n")).as("n"))
+      val sums = quantizedSums(e, col("label").cast("long"))
+        .select(col("k").as("label"), col("sarr"), col("n"))
       GraftFunctions.register(s)
       val vn = e
         .select(col("vec_id"), col("label").cast("long").as("label"),
@@ -2167,17 +2179,8 @@ object Similarity {
     (s, dir) => {
       val Q = 1048576.0 // 2^20, same quantum as q_embed_centroids
       val e = Tables.t(s, dir, "embeddings")
-      val sums = e
-        .select(col("label").cast("long").as("clabel"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(col("clabel"), col("pos"),
-          round(col("v").cast("double") * Q).cast("long").as("q"))
-        .groupBy(col("clabel"), col("pos"))
-        .agg(sum(col("q")).as("sd"), count(lit(1)).as("n"))
-        .groupBy(col("clabel"))
-        .agg(transform(array_sort(collect_list(
-            struct(col("pos"), col("sd")))), x => x("sd")).as("sarr"),
-          max(col("n")).as("n"))
+      val sums = quantizedSums(e, col("label").cast("long"))
+        .select(col("k").as("clabel"), col("sarr"), col("n"))
       GraftFunctions.register(s)
       val dotVS = expr(
         """aggregate(zip_with(embedding, sarr,
@@ -2264,31 +2267,11 @@ object Similarity {
     "q_ann_hybrid",
     (s, dir) => {
       val TopK = 100
-      // lexical leg: q_text_bm25's scoring, fused to its top-100
-      val docs = Tables.t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      val dl = docs.select(col("doc_id"),
-        size(col("toks")).cast("long").as("dl"))
-      val tf = docs
-        .select(col("doc_id"), explode(col("toks")).as("term"))
-        .filter(col("term").isin("spark", "window", "join"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("sum_dl"))
-      val avgdl = col("sum_dl").cast("double") / col("n_docs")
-      val idf = (col("n_docs").cast("double") - col("df") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5)) + lit(1.0)
-      val tscore = idf * (col("tf").cast("double") * lit(2.2)) /
-        (col("tf").cast("double") +
-          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
-      val lexTop = tf.join(broadcast(dfT), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), tscore.as("ts"))
+      // lexical leg: q_text_bm25's shared scoring stage, fused to its
+      // top-100
+      val lexTop = TextOps.bm25TermScores(s, dir)
         .groupBy(col("doc_id"))
-        .agg(Parity.dsum(col("ts")).as("score"))
+        .agg(Parity.dsum(col("tscore")).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(TopK)
       val lexRank = lexTop.select(col("doc_id"),

@@ -1846,9 +1846,15 @@ object TextOps {
     * scale). Per-term scores pivot to fixed columns so the final sum
     * has one deterministic evaluation order on both engines.
     */
-  val qBm25 = QueryDef(
-    "q_text_bm25",
-    (s, dir) => {
+  /** Per-(doc, term) BM25 term scores for the fixed query terms — the
+    * scoring stage shared by q_text_bm25 (per-term pivot) and
+    * q_ann_hybrid's lexical leg (per-doc exact-decimal sum): the
+    * BM25 math exists ONCE on the Spark side so the two consumers can
+    * never drift. k1 = 1.2, b = 0.75.
+    */
+  private[graft] def bm25TermScores(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
       val docs = Tables.t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
       val dl = docs.select(col("doc_id"),
@@ -1871,6 +1877,12 @@ object TextOps {
         .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
         .select(col("doc_id"), col("term"), tscore.as("tscore"))
+  }
+
+  val qBm25 = QueryDef(
+    "q_text_bm25",
+    (s, dir) => {
+      bm25TermScores(s, dir)
         .groupBy(col("doc_id"))
         .agg(
           coalesce(max(when(col("term") === "spark", col("tscore"))),
