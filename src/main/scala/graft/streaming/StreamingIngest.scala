@@ -1147,4 +1147,38 @@ object StreamingIngest {
       when(varx * vary === 0.0, lit(null).cast("double"))
         .otherwise(cov * cov / (varx * vary)).as("r2"))
   }
+
+  /** A streamed embedding with its cohort key (scrape batch, model
+    * version, …) — input shape of the centroid-sum twin.
+    */
+  final case class EmbedPoint(cohort: Int, embedding: Seq[Float])
+
+  /** Streaming twin of the batch quantized centroid-sum stage
+    * (graft.ops.Similarity.quantizedSums, which feeds the semantic
+    * outlier / confusion / drift monitors): per (cohort, dim), the
+    * exact 2^20-quantized integer sum and count. Integer sums are
+    * the textbook mergeable form, so a Complete-mode aggregation's
+    * converged state IS the batch result — StreamingSpec proves
+    * bit-equality under adversarial micro-batching. State is
+    * cohorts × 64 cells of two BIGINTs: constant for a monitor that
+    * watches a handful of cohorts, regardless of stream length.
+    *
+    * Quantization mirrors Catalyst's Round exactly —
+    * BigDecimal.valueOf(double).setScale(0, HALF_UP); JVM Math.round
+    * differs on negative .5 ties and new BigDecimal(double) differs
+    * on string-vs-binary representation of near-tie doubles.
+    */
+  def quantizedSums(points: Dataset[EmbedPoint]): DataFrame = {
+    import points.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    points.flatMap { p =>
+      p.embedding.iterator.zipWithIndex.map { case (v, i) =>
+        (p.cohort, i,
+          java.math.BigDecimal.valueOf(v.toDouble * 1048576.0)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+      }
+    }.toDF("cohort", "pos", "q")
+      .groupBy("cohort", "pos")
+      .agg(sum(col("q")).as("sd"), count(lit(1)).as("n"))
+  }
 }

@@ -1180,6 +1180,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming quantized centroid sums equal the batch stage " +
+    "cell-for-cell under adversarial micro-batching") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingIngest.EmbedPoint
+
+    // negatives and EXACT half-ties (odd/2^21 scales to k + 0.5) so a
+    // rounding-mode drift between the twin and Catalyst's Round fails
+    val pts = (0 until 40).map { i =>
+      val emb = (0 until 8).map { d =>
+        if ((i + d) % 5 == 0)
+          ((2 * (i + d) + 1).toFloat / 2097152.0f) *
+            (if (d % 2 == 0) 1 else -1)
+        else ((i * 37 + d * 11) % 100 - 50) / 64.0f
+      }
+      EmbedPoint(i % 3, emb)
+    }
+    val mem = MemoryStream[EmbedPoint]
+    val q = StreamingIngest.quantizedSums(mem.toDS())
+      .writeStream.format("memory").queryName("qsums")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .start()
+    pts.grouped(13).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.sql("SELECT cohort, pos, sd, n FROM qsums")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+    val batch = graft.ops.Similarity
+      .quantizedSums(pts.toDF(), org.apache.spark.sql.functions.col("cohort"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getSeq[Long](1).toSeq, r.getLong(2)))
+      .toMap
+    assert(got.nonEmpty && batch.nonEmpty)
+    got.foreach { case ((cohort, pos), (sd, n)) =>
+      val (sarr, bn) = batch(cohort)
+      assert(sd == sarr(pos) && n == bn,
+        s"cell ($cohort,$pos): stream ($sd,$n) != batch (${sarr(pos)},$bn)")
+    }
+    assert(got.size == batch.size * 8, "missing cells")
+  }
+
   test("TTL dedup batch/stream parity: the streaming TTL dedup and " +
     "q_dedup_ttl's gap-island rule keep the same rows") {
     val spark = SparkFixture.spark
