@@ -520,6 +520,76 @@ object Dedup {
         doc_id = cluster AS is_canonical
       FROM lab JOIN sz USING (cluster) ORDER BY doc_id"""))
 
+  /** Cohesion audit of the near-dup clusters: per edge-connected
+    * cluster, member count, verified-pair count, the weakest and mean
+    * intra-cluster Jaccard, and clique completeness 2E/(n(n−1)) — the
+    * quality gate run BEFORE acting on a dedup partition (a
+    * min_jacc barely at threshold with low completeness is a chain of
+    * borderline pairs, i.e. a transitive-closure over-merge about to
+    * delete non-duplicates; a complete high-Jaccard clique is safe).
+    * Pairs and labels are the SAME frames q_dedup_clusters uses, so
+    * the audit can never disagree with the partition it audits.
+    *
+    * Scale shape: the pair frame is the banded-LSH equi-join output
+    * (already bounded), labels are edge-only CC; the audit adds two
+    * hash aggregations on cluster keys. Mean Jaccard is an exact
+    * decimal sum (Parity.dsum) so both engines emit identical bits.
+    */
+  val qClusterAudit = QueryDef(
+    "q_dedup_cluster_audit",
+    (s, dir) => {
+      val p = minHashPairs(s, dir)
+        .filter(col("jacc") >= ClusterJacc)
+        .cache()
+      val labels = connectedComponents(
+        p.select(col("doc_a"), col("doc_b")))
+        .toDF("doc_id", "cluster")
+      val sz = labels.groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"))
+      val eg = p.join(labels.toDF("doc_a", "cluster"), "doc_a")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_edges"),
+          min(col("jacc")).as("min_jacc"),
+          Parity.dsum(col("jacc")).as("sj"))
+      sz.join(eg, "cluster")
+        .select(col("cluster"), col("n_members"), col("n_edges"),
+          col("min_jacc"),
+          (col("sj") / col("n_edges").cast("double")).as("mean_jacc"),
+          ((col("n_edges") * 2L).cast("double") /
+            (col("n_members") * (col("n_members") - 1L)).cast("double"))
+            .as("completeness"))
+        .orderBy("cluster")
+    },
+    Some(s"""
+      WITH RECURSIVE $minHashCtesSql,
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs WHERE jacc >= $ClusterJacc
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs WHERE jacc >= $ClusterJacc),
+      cc AS (
+        SELECT doc_id AS v, doc_id AS l FROM documents
+        UNION
+        SELECT e.v, cc.l FROM edges e JOIN cc ON cc.v = e.u),
+      lab AS (SELECT v AS doc_id, min(l) AS cluster FROM cc GROUP BY v),
+      ep AS (SELECT doc_a, doc_b, jacc FROM pairs
+             WHERE jacc >= $ClusterJacc),
+      sz AS (
+        SELECT cluster, count(*) AS n_members FROM lab
+        WHERE cluster IN (SELECT lab2.cluster FROM ep
+                          JOIN lab lab2 ON ep.doc_a = lab2.doc_id)
+        GROUP BY cluster),
+      eg AS (
+        SELECT lab.cluster, count(*) AS n_edges,
+          min(jacc) AS min_jacc, ${Parity.dsumSql("jacc")} AS sj
+        FROM ep JOIN lab ON ep.doc_a = lab.doc_id
+        GROUP BY lab.cluster)
+      SELECT sz.cluster, n_members, n_edges, min_jacc,
+        sj / CAST(n_edges AS DOUBLE) AS mean_jacc,
+        CAST(2 * n_edges AS DOUBLE)
+          / CAST(n_members * (n_members - 1) AS DOUBLE) AS completeness
+      FROM sz JOIN eg ON sz.cluster = eg.cluster
+      ORDER BY sz.cluster"""))
+
   /** Quality-aware survivorship: for every near-dup cluster, the doc
     * a pipeline should KEEP — the longest member (n_chars, ties to
     * the lowest doc_id) — rather than q_dedup_clusters' arbitrary
@@ -1296,5 +1366,5 @@ object Dedup {
     Seq(qExact, qNgramJaccard, qMinHashLsh, qSimHash, qClusters,
       qLineDedup, qDupSpans, qSourceOverlap, qContainment, qEditDist,
       qIncremental, qMinhashRecall, qLatest, qParagraphs, qSoft,
-      qKeepBest, qTtl, qMinHashNative)
+      qKeepBest, qTtl, qMinHashNative, qClusterAudit)
 }
