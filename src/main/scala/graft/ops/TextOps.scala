@@ -2413,6 +2413,68 @@ object TextOps {
       FROM est JOIN ex ON est.s1 = ex.s1 AND est.s2 = ex.s2
       ORDER BY est_jaccard DESC, est.s1, est.s2 LIMIT 20"""))
 
+  /** Vocabulary growth curve (the Heaps'-law audit): distinct words
+    * and cumulative tokens at 10 corpus checkpoints, in doc_id order
+    * — a sublinear curve is healthy natural text, a near-linear one
+    * means unbounded novel tokens (OCR noise, serial numbers, PII) and
+    * a flat one means template spam. No running distinct anywhere:
+    * cumulative vocabulary at a cutoff is the count of words whose
+    * FIRST-occurrence doc is ≤ the cutoff — one min() per word, then
+    * 10 broadcast cutoffs — the only way the statistic scales (a
+    * running distinct over a 100 TB corpus would be a sorted global
+    * window).
+    */
+  val qVocabGrowth = QueryDef(
+    "q_vocab_growth",
+    (s, dir) => {
+      val n = Tables.rowCount(s, dir, "documents")
+      val toks = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val firstDoc = toks.groupBy(col("w"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      val docToks = toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"))
+      val cuts = (1 to 10).map(k => (k.toLong, n * k / 10 - 1))
+      val cutDf = s.createDataFrame(cuts).toDF("decile", "cut")
+      cutDf
+        .join(firstDoc, col("first_doc") <= col("cut"), "left")
+        .groupBy(col("decile"), col("cut"))
+        .agg(count(col("first_doc")).as("vocab"))
+        .join(
+          cutDf.join(docToks, col("doc_id") <= col("cut"), "left")
+            .groupBy(col("decile"))
+            .agg(coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+            .select(col("decile").as("d2"), col("n_tokens")),
+          col("decile") === col("d2"))
+        .select(col("decile"), col("cut"), col("n_tokens"), col("vocab"))
+        .orderBy("decile")
+    },
+    Some("""
+      WITH n AS (SELECT count(*) AS n FROM documents),
+      cuts AS (
+        SELECT CAST(k AS BIGINT) AS decile,
+          CAST((SELECT n FROM n) * k // 10 - 1 AS BIGINT) AS cut
+        FROM (SELECT unnest(generate_series(1, 10)) AS k)),
+      toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      first_doc AS (
+        SELECT w, min(doc_id) AS first_doc FROM toks GROUP BY w),
+      doc_toks AS (
+        SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+      vg AS (
+        SELECT decile, cut, count(first_doc) AS vocab
+        FROM cuts LEFT JOIN first_doc ON first_doc <= cut
+        GROUP BY decile, cut),
+      tg AS (
+        SELECT decile,
+          CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens
+        FROM cuts LEFT JOIN doc_toks ON doc_id <= cut
+        GROUP BY decile)
+      SELECT vg.decile, cut, n_tokens, vocab
+      FROM vg JOIN tg ON vg.decile = tg.decile
+      ORDER BY vg.decile"""))
+
   val all: Seq[QueryDef] =
     Seq(qTokens, qQuality, qQualityCalibrate, qGopherRules, qLangId,
       qFingerprint, qReadability, qTfIdf, qRepetition, qClean, qSurprise,
@@ -2423,7 +2485,7 @@ object TextOps {
       qQualityCurve, qKeyphrases,
       qVocabCoverage, qVocabKmv, qVocabHll, qVocabHllNative, qTextNfc, qBm25, qPmi,
       qLangIdConfusion, qSketchCms, qRarity, qVocabZipf, qPii,
-      qVocabKmvJaccard)
+      qVocabKmvJaccard, qVocabGrowth)
 }
 
 /** PII patterns + redaction, shared between q_text_pii's oracle-
