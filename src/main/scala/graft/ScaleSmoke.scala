@@ -96,6 +96,16 @@ object ScaleSmoke {
     names.foreach { n =>
       val base = measure(n, src)
       val big = measure(n, out)
+      // band-saturation probe for the image near-dup family: record
+      // the banded candidate-pair count at both scales — the quantity
+      // that goes quadratic when the band-key space stops growing
+      // with the corpus (the pre-r9 16-bit pathology)
+      val cand =
+        if (n == "q_multimodal_image_pairs" ||
+            n == "q_multimodal_image_clusters")
+          s""","cand_pairs":[${ops.Multimodal.imageCandidatePairs(spark, src)
+            },${ops.Multimodal.imageCandidatePairs(spark, out)}]"""
+        else ""
       println(f"""{"q":"$n","sf01_s":${base.sec}%.3f,""" +
         f""""sf1_s":${big.sec}%.3f,""" +
         f""""wall_ratio":${big.sec / base.sec}%.1f,""" +
@@ -103,7 +113,7 @@ object ScaleSmoke {
         f""""sf1_shuffle_rw_mb":[${big.readMb}%.1f,${big.writeMb}%.1f],""" +
         f""""shuffle_ratio":${
           if (base.writeMb > 0) big.writeMb / base.writeMb else 0.0}%.1f,""" +
-        s""""bad_join":${base.badJoin || big.badJoin}}""")
+        s""""bad_join":${base.badJoin || big.badJoin}$cand}""")
     }
     spark.stop()
   }

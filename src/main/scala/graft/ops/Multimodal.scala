@@ -828,17 +828,22 @@ object Multimodal {
   final case class AHash(doc_id: Long, w: Long, h: Long, ahash: Long,
       bucket_n: Long)
 
-  /** 4×4 block-mean average hash from the REAL decoded raster: bit b
+  /** 8×8 block-mean average hash from the REAL decoded raster: bit b
     * is set iff block b's mean exceeds the image mean. Means are never
     * computed — the comparison is the integer cross-multiplication
     * block_sum·n_total > total_sum·n_block, so the hash is exact in
     * both engines (no float division to disagree on). Blocks come
-    * from the index mapping bx = x·4/w (a partition of pixels for any
-    * w, h ≥ 4), identical in the SQL mirror.
+    * from the index mapping bx = x·8/w (a partition of pixels for any
+    * w, h ≥ 8 — the synthesized dims guarantee that), identical in
+    * the SQL mirror. 64 bits (vs the pre-r9 16): over 64 bits only
+    * C(64,≤3) = 43,745 of 2^64 hash values sit within hamming
+    * radius 3 of a given hash, so "near-duplicate" keeps meaning at
+    * web scale (over 16 bits it was 697 of 65,536 — at millions of
+    * images nearly everything chained into one cluster).
     */
   /** Shared grid accumulator: per-cell (sum, count) under the
     * bx = x·grid/w per-pixel assignment — the single source of truth
-    * for the block-index formula both aHash16 and resizeBlocks (and
+    * for the block-index formula both aHash64 and resizeBlocks (and
     * their SQL mirrors) depend on.
     */
   private def blockSums(w: Int, h: Int, px: Array[Int],
@@ -855,13 +860,13 @@ object Multimodal {
     (bsum, bn)
   }
 
-  private def aHash16(w: Int, h: Int, px: Array[Int]): Long = {
-    val (bsum, bn) = blockSums(w, h, px, 4)
+  private[graft] def aHash64(w: Int, h: Int, px: Array[Int]): Long = {
+    val (bsum, bn) = blockSums(w, h, px, 8)
     val tsum = bsum.sum
     val tn = px.length.toLong
     var hash = 0L
     var b = 0
-    while (b < 16) {
+    while (b < 64) {
       if (bsum(b) * tn > tsum * bn(b)) hash |= (1L << b)
       b += 1
     }
@@ -870,15 +875,19 @@ object Multimodal {
 
   /** Image near-dup hashing (aHash) over the real PNG encode→decode
     * path: each document's synthesized image decodes back through
-    * ImageIO, hashes to 16 block-mean bits, and docs sharing a hash
+    * ImageIO, hashes to 64 block-mean bits, and docs sharing a hash
     * form near-dup buckets (`bucket_n` = bucket size — the image-level
     * counterpart of exact text dedup; a banded hamming join over these
     * hashes is the scale path for ≤k-bit variants, exactly as SimHash
-    * does for text). One shuffle on the uniform 16-bit hash.
+    * does for text). One shuffle on the uniform 64-bit hash.
     */
   /** DuckDB twin of [[aHashed]] as a WITH-clause prefix ending in the
     * `hs` CTE (doc_id, w, h, ahash) — the pure-SQL replica of the
-    * synthetic-PNG decode + 4×4 block-mean aHash.
+    * synthetic-PNG decode + 8×8 block-mean aHash. Bit 63 would
+    * overflow a BIGINT shift in DuckDB, so the hash accumulates in
+    * HUGEINT and wraps to the identical signed-64 two's-complement
+    * value at the end (all 64 summands are distinct powers of two, so
+    * sum == bitwise OR exactly).
     */
   private val aHashWithSql: String = """b AS (
         SELECT doc_id, hex(encode(text)) AS h,
@@ -893,7 +902,7 @@ object Multimodal {
         FROM dims),
       v AS (
         SELECT doc_id, w, ht,
-          ((i // w) * 4 // ht) * 4 + ((i % w) * 4 // w) AS blk,
+          ((i // w) * 8 // ht) * 8 + ((i % w) * 8 // w) AS blk,
           CASE WHEN n = 0 THEN 0
                ELSE CAST('0x' ||
                  substr(h, CAST(2 * (i % n) + 1 AS INT), 2) AS BIGINT)
@@ -905,14 +914,20 @@ object Multimodal {
       tot AS (
         SELECT doc_id, sum(bsum) AS tsum, sum(bn) AS tn
         FROM bs GROUP BY doc_id),
-      hs AS (
+      hraw AS (
         SELECT bs.doc_id, CAST(max(w) AS BIGINT) AS w,
           CAST(max(ht) AS BIGINT) AS h,
-          CAST(coalesce(sum(CASE WHEN bsum * tn > tsum * bn
-            THEN CAST(1 AS BIGINT) << CAST(blk AS INT) ELSE 0 END), 0)
-            AS BIGINT) AS ahash
+          coalesce(sum(CASE WHEN bsum * tn > tsum * bn
+            THEN CAST(1 AS HUGEINT) << CAST(blk AS INT)
+            ELSE CAST(0 AS HUGEINT) END), CAST(0 AS HUGEINT)) AS hu
         FROM bs JOIN tot ON bs.doc_id = tot.doc_id
-        GROUP BY bs.doc_id)"""
+        GROUP BY bs.doc_id),
+      hs AS (
+        SELECT doc_id, w, h,
+          CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+            THEN hu - CAST(18446744073709551616 AS HUGEINT)
+            ELSE hu END AS BIGINT) AS ahash
+        FROM hraw)"""
 
   /** The decoded-and-hashed image frame (doc_id, w, h, ahash) shared
     * by the bucket audit and the banded hamming pair join.
@@ -925,20 +940,165 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { m =>
         val (w, h, px) = decodeGray(m.content)
-        (m.doc_id, w.toLong, h.toLong, aHash16(w, h, px))
+        (m.doc_id, w.toLong, h.toLong, aHash64(w, h, px))
       }
     }.toDF("doc_id", "w", "h", "ahash")
-    // NOT cache()-d although q_multimodal_image_clusters references it
-    // twice: at the 10× smoke the unroll of this frame under the CC
-    // loop's checkpoint pressure starves execution memory and OOMs the
-    // band join (measured) — the duplicated codec pass is linear and
-    // bounded, the cheaper trade in a memory-tight executor.
   }
+
+  // the persisted-hash parquet path per (session, dir) — values hold
+  // no session reference, so the weak-keyed per-session map is safe
+  private val aHashPathCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+
+  /** [[aHashed]], computed ONCE per (session, dir) and checkpointed
+    * to a temp parquet (~32 bytes/row), then read back for every
+    * reference. All three image queries reference the frame 2–3
+    * times (bucket join, band self-join, label join), and pre-r9
+    * each reference re-ran the full PNG encode→decode codec pass —
+    * the dominant cost of the most expensive committed query.
+    * cache()-ing instead OOMs under the CC loop's checkpoint
+    * pressure (measured at the 10× smoke — the unroll starves
+    * execution memory and kills the band join), so
+    * checkpoint-to-disk is the cheap trade: one codec pass, a tiny
+    * file, no executor-memory footprint. At cluster scale the same
+    * shape writes to the job's scratch space on shared storage.
+    */
+  private def aHashedPersisted(s: SparkSession, dir: String): DataFrame = {
+    val paths = Tables.perSession(aHashPathCache, s)
+    val p = paths.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ahash")
+        .resolve("ahash.parquet").toString
+      aHashed(s, dir).write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+    s.read.parquet(p)
+  }
+
+  // ------------------------------------------ adaptive image banding
+  //
+  // The 64-bit hash splits into 64/bw bands of bw bits; images
+  // colliding in any band are candidates. Band WIDTH is derived from
+  // the corpus row count exactly like Similarity.derivedBits: the
+  // smallest width whose per-band 2^bw bucket space holds the corpus
+  // at mean occupancy ≤ ImageBandOccupancy — so bucket population,
+  // and therefore per-bucket join cost, stays constant as the corpus
+  // grows (the pre-r9 fixed 4-bit bands gave 64 constant band-key
+  // values and an asymptotically quadratic candidate join). Widths
+  // are restricted to divisors of 64 that keep ≥ 4 bands ({8, 16}):
+  // with nb bands, pigeonhole guarantees a shared band for every pair
+  // at hamming ≤ nb-1, so 4 bands is the minimum that keeps FULL
+  // recall at the query radius 3. The knob saturates at
+  // 2^16·occupancy ≈ 260k images (same documented ceiling as the text
+  // side's MaxSqlBits — DuckDB could not oracle-check beyond that
+  // anyway); past it, the next rung is a 256-bit pHash grid, not a
+  // wider band. Occupancy 4 (vs the text side's 32) because
+  // block-mean bits are spatially correlated, so the realized
+  // band-value distribution is skewed well past the uniform model
+  // (measured at sf0.1: 8-bit bands gave 4.7× the uniform-model
+  // candidate count) — the early switch plus [[BandDfCap]] keep the
+  // worst key bounded anyway.
+  private val ImageBandOccupancy = 4L
+
+  private[graft] def imageBandBits(n: Long): Int =
+    if ((1L << 8) * ImageBandOccupancy >= n) 8 else 16
+
+  /** Hot-bucket guard, the shingle DfCap defense applied to band
+    * keys: a band value shared by > cap images is a degenerate,
+    * non-discriminative key (block-mean bits are correlated, so a
+    * few byte-pattern modes swallow thousands of images — measured
+    * 3.0M candidates at the 50k-doc smoke without the cap, ~40× the
+    * uniform model) and is dropped from candidate generation. The
+    * cap makes the candidate count asymptotically LINEAR regardless
+    * of skew: per band, capped buckets yield at most (rows/cap)·
+    * C(cap,2) ≈ n·cap/2 pairs, so the whole join is bounded by
+    * 2·n·cap pairs however degenerate the hash distribution. Recall
+    * trade (measured at the 50k smoke): 94% of hamming-0 pairs still
+    * surface — and hamming-0 (exact-dup) groups are fully collapsed
+    * upstream by q_multimodal_imagehash's hash-bucket pass anyway
+    * (the exact-dedup-first contract, same as the text pipeline), so
+    * the banded join only needs the hamming-1..3 tail, whose cliques
+    * are small after exact dedup. Same accepted trade as the text
+    * side's shingle df-cap.
+    */
+  private val BandDfCap = 32L
+
+  /** Banded view of the hash frame: 64/bw rows per image, band key
+    * packs (band value, band index) as value·8 + index (index < 8
+    * always, so keys never collide across bands). Shift is
+    * arithmetic in both engines, but the mask keeps only low bits —
+    * sign-extension never reaches them, so negative hashes band
+    * identically.
+    */
+  private def hashBands(hs: DataFrame, bw: Int): DataFrame = {
+    val nb = 64 / bw
+    val mask = (1L << bw) - 1
+    hs.select(col("doc_id"), col("ahash"),
+      explode(array((0 until nb).map(i =>
+        shiftright(col("ahash"), bw * i).bitwiseAND(lit(mask)) * 8 + i)
+        : _*)).as("bv"))
+  }
+
+  /** DuckDB twin of [[imageBandBits]] + [[hashBands]] + the df-cap +
+    * the candidate self-join, as CTEs `bwv`/`bands`/`rareb`/`pband`/
+    * `cand` (appended after `hs`).
+    */
+  private val bandsWithSql: String = s"""bwv AS (
+        SELECT CASE WHEN (CAST(1 AS BIGINT) << 8) * $ImageBandOccupancy
+            >= (SELECT count(*) FROM documents)
+          THEN 8 ELSE 16 END AS bits),
+      bands AS (
+        SELECT doc_id, ahash,
+          ((ahash >> CAST(bits * i AS INT)) &
+           ((CAST(1 AS BIGINT) << CAST(bits AS INT)) - 1)) * 8 + i AS bv
+        FROM hs, bwv, (SELECT unnest(generate_series(0, 7)) AS i)
+        WHERE i < 64 // bits),
+      rareb AS (
+        SELECT bv FROM bands GROUP BY bv
+        HAVING count(*) <= $BandDfCap),
+      pband AS (
+        SELECT b.doc_id, b.ahash, b.bv
+        FROM bands b JOIN rareb USING (bv)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, x.ahash AS ha,
+          y.doc_id AS b, y.ahash AS hb
+        FROM pband x JOIN pband y
+          ON x.bv = y.bv AND x.doc_id < y.doc_id)"""
+
+  /** The distinct banded candidate pairs (a, ha, b, hb), df-capped —
+    * the one candidate generator shared by the pair audit, the
+    * cluster edges, and the smoke's saturation counter.
+    */
+  private def bandCandidates(s: SparkSession, dir: String): DataFrame = {
+    val hs = aHashedPersisted(s, dir).select("doc_id", "ahash")
+    val bands = hashBands(hs,
+      imageBandBits(Tables.rowCount(s, dir, "documents")))
+    val rare = bands.groupBy(col("bv"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= BandDfCap).select("bv")
+    val pruned = bands.join(rare, "bv")
+    pruned.as("x").join(pruned.as("y"),
+        col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("x.ahash").as("ha"),
+        col("y.doc_id").as("b"), col("y.ahash").as("hb"))
+      .distinct()
+  }
+
+  /** Candidate-pair count of the banded hamming join — the smoke
+    * instrumentation for band-space saturation: healthy banding
+    * keeps this ~linear in corpus rows (constant bucket occupancy),
+    * while a saturated band space grows it quadratically. Recorded
+    * at 1× and 10× by ScaleSmoke so saturation is a measured
+    * regression, not a code read.
+    */
+  def imageCandidatePairs(s: SparkSession, dir: String): Long =
+    bandCandidates(s, dir).count()
 
   val qImageHash = QueryDef(
     "q_multimodal_imagehash",
     (s, dir) => {
-      val hashed = aHashed(s, dir)
+      val hashed = aHashedPersisted(s, dir)
       val buckets = hashed.groupBy(col("ahash"))
         .agg(count(lit(1)).as("bucket_n"))
       hashed.join(buckets, "ahash")
@@ -953,49 +1113,45 @@ object Multimodal {
       ORDER BY doc_id"""))
 
   /** Image near-dup PAIRS by banded hamming join — the image-side
-    * LSH: the 16-bit aHash splits into four 4-bit bands, images
-    * colliding in any band become candidates (pigeonhole: hamming ≤ 3
-    * forces at least one identical band, so recall at the ≤3-bit
-    * radius is total), and bit_count(XOR) verifies the exact hamming
-    * distance. The same band-bucket equi-join discipline as text
-    * SimHash/MinHash — never an all-pairs image comparison. Output:
-    * the 20 closest distinct pairs.
+    * LSH: the 64-bit aHash splits into 64/bw bands of
+    * corpus-derived width bw (see [[imageBandBits]]), images
+    * colliding in any band become candidates (pigeonhole: with
+    * ≥ 4 bands, hamming ≤ 3 forces at least one identical band, so
+    * recall at the ≤3-bit radius is total at every corpus size), and
+    * bit_count(XOR) verifies the exact hamming distance. The same
+    * band-bucket equi-join discipline as text SimHash/MinHash —
+    * never an all-pairs image comparison.
+    *
+    * Output: the 20 CLOSEST banded candidate pairs with their exact
+    * hamming distance and the `is_near_dup` verdict (hamming ≤ 3) —
+    * the audit view of the near-dup index, not just the
+    * post-threshold survivors. The threshold is a reported column
+    * rather than a bare filter because the honest fixture answer is
+    * "no near-duplicate images exist": the synthetic corpus derives
+    * image dims from the text BYTE COUNT, so near-dup texts (which
+    * differ by a few bytes) synthesize differently-shaped, genuinely
+    * unrelated images. The pre-r9 16-bit hash reported pairs here —
+    * all of them hash-collision noise (measured: every hamming-≤3
+    * 16-bit pair had text similarity < 0.35), which is precisely the
+    * 16-bit near-dup pathology at scale. Over 64 bits the verdict
+    * column goes honest: candidates surface, none pass radius 3.
     */
   val qImagePairs = QueryDef(
     "q_multimodal_image_pairs",
     (s, dir) => {
-      val hs = aHashed(s, dir).select("doc_id", "ahash")
-      val bands = hs.select(col("doc_id"), col("ahash"),
-        explode(array((0 until 4).map(i =>
-          shiftright(col("ahash"), 4 * i).bitwiseAND(lit(15L)) * 4 + i)
-          : _*)).as("bv"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.bv") === col("y.bv") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("x.ahash").as("ha"),
-          col("y.doc_id").as("b"), col("y.ahash").as("hb"))
-        .distinct()
-      cand.select(col("a"), col("b"),
+      bandCandidates(s, dir).select(col("a"), col("b"),
           bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
             .as("hamming"))
-        .filter(col("hamming") <= 3)
+        .withColumn("is_near_dup", col("hamming") <= 3)
         .orderBy(col("hamming"), col("a"), col("b"))
         .limit(20)
     },
     Some(s"""
       WITH $aHashWithSql,
-      bands AS (
-        SELECT doc_id, ahash,
-          ((ahash >> CAST(4 * i AS INT)) & 15) * 4 + i AS bv
-        FROM hs CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
-      cand AS (
-        SELECT DISTINCT x.doc_id AS a, x.ahash AS ha,
-          y.doc_id AS b, y.ahash AS hb
-        FROM bands x JOIN bands y
-          ON x.bv = y.bv AND x.doc_id < y.doc_id)
-      SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      $bandsWithSql
+      SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
+        bit_count(xor(ha, hb)) <= 3 AS is_near_dup
       FROM cand
-      WHERE bit_count(xor(ha, hb)) <= 3
       ORDER BY hamming, a, b LIMIT 20"""))
 
   /** Image near-dup CLUSTERS: connected components over the
@@ -1009,21 +1165,21 @@ object Multimodal {
     * the keep-decision input for an image-dedup pass. Oracle: the
     * same recursive-CTE closure as the text clusters, over the image
     * pair CTEs.
+    *
+    * Fixture note: over the 64-bit hash the radius-3 edge set is
+    * empty (see [[qImagePairs]] — the synthetic corpus has no true
+    * near-dup images), so every doc is honestly its own singleton
+    * cluster; the pre-r9 16-bit version chained noise-collisions
+    * into fake clusters, the exact over-merge pathology this family
+    * exists to avoid. The CC machinery still runs (and is exercised
+    * with real edges by q_dedup_clusters and the 10× image smoke's
+    * injected duplicates).
     */
   val qImageClusters = QueryDef(
     "q_multimodal_image_clusters",
     (s, dir) => {
-      val hs = aHashed(s, dir).select("doc_id", "ahash")
-      val bands = hs.select(col("doc_id"), col("ahash"),
-        explode(array((0 until 4).map(i =>
-          shiftright(col("ahash"), 4 * i).bitwiseAND(lit(15L)) * 4 + i)
-          : _*)).as("bv"))
-      val pairs = bands.as("x").join(bands.as("y"),
-          col("x.bv") === col("y.bv") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("x.ahash").as("ha"),
-          col("y.doc_id").as("b"), col("y.ahash").as("hb"))
-        .distinct()
+      val hs = aHashedPersisted(s, dir).select("doc_id", "ahash")
+      val pairs = bandCandidates(s, dir)
         .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
         .select(col("a").as("doc_a"), col("b").as("doc_b"))
       val labels = Dedup.connectedComponents(pairs)
@@ -1039,15 +1195,7 @@ object Multimodal {
     },
     Some(s"""
       WITH RECURSIVE $aHashWithSql,
-      bands AS (
-        SELECT doc_id, ahash,
-          ((ahash >> CAST(4 * i AS INT)) & 15) * 4 + i AS bv
-        FROM hs CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
-      cand AS (
-        SELECT DISTINCT x.doc_id AS a, x.ahash AS ha,
-          y.doc_id AS b, y.ahash AS hb
-        FROM bands x JOIN bands y
-          ON x.bv = y.bv AND x.doc_id < y.doc_id),
+      $bandsWithSql,
       pairs AS (
         SELECT a, b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
       edges AS (
