@@ -36,10 +36,15 @@ import graft.tier.ParquetTier
   * rollup — the dashboard-dimension assumption (bounded group
   * cardinality: hosts, days, sources), NOT arbitrary-cardinality
   * group-bys; compaction keeps the file factor at one per day
-  * partition. High-cardinality rollups belong in the query path,
-  * not a maintained rollup.
+  * partition. The assumption is ENFORCED, not hoped for:
+  * [[RollupStore.MaxGroups]] bounds the distinct groups a rollup may
+  * produce (checked per computed segment AND on the merged result),
+  * and a `groupCol=user_id`-style request fails fast with the bound
+  * in the error instead of growing the driver cache unboundedly —
+  * high-cardinality rollups belong in the query path.
   */
-final class RollupStore(spark: SparkSession, tier: ParquetTier) {
+final class RollupStore(spark: SparkSession, tier: ParquetTier,
+    maxGroups: Int = RollupStore.MaxGroups) {
 
   final case class RollupKey(ns: String, table: String,
       groupCol: String, valueCol: String)
@@ -55,7 +60,20 @@ final class RollupStore(spark: SparkSession, tier: ParquetTier) {
   @volatile private[graft] var lastComputedFiles: Seq[String] = Nil
 
   private def canon(path: String): String = {
-    val p = if (path.startsWith("file:")) path.stripPrefix("file:")
+    // input_file_name() yields a percent-encoded URI (file:/a%20b…);
+    // manifest paths are raw filesystem paths. Decode through URI so
+    // both key identically — otherwise a path with any URI-special
+    // character would never match its partial and silently serve an
+    // empty (undercounting) cache entry forever.
+    val p =
+      if (path.startsWith("file:"))
+        try {
+          val u = new java.net.URI(path).getPath
+          if (u != null) u else path.stripPrefix("file:")
+        } catch {
+          case _: java.net.URISyntaxException =>
+            path.stripPrefix("file:")
+        }
       else path
     new java.io.File(p).getAbsolutePath
   }
@@ -83,7 +101,10 @@ final class RollupStore(spark: SparkSession, tier: ParquetTier) {
       valueCol.matches("[A-Za-z_][A-Za-z0-9_]*"),
       "group/value must be bare column names")
     val key = RollupKey(ns, table, groupCol, valueCol)
-    val snap = tier.snapshotPinned(ns, table)
+    // full snapshot (pin + lease file), not just the in-process pin:
+    // a long cold serve must be visible to an out-of-process
+    // compactor too, exactly like the query path
+    val snap = tier.snapshot(ns, table)
     try {
       val inRange: String => Boolean = dayBounds match {
         case Some((lo, hi)) => path =>
@@ -94,37 +115,73 @@ final class RollupStore(spark: SparkSession, tier: ParquetTier) {
         case None => _ => true
       }
       val files = snap.files.map(canon).filter(inRange)
-      val missing = files.filterNot(f => partials.contains((key, f)))
+      // SNAPSHOT the cached partials into a local map first: the
+      // merge below must never read the shared TrieMap again, or a
+      // concurrent prune() (keyed to a NEWER manifest after a racing
+      // compaction) could evict this pinned version's entries
+      // mid-merge and a getOrElse(Map.empty) would silently
+      // undercount. Anything not in the local snapshot is computed
+      // fresh this serve.
+      val cached = files.flatMap(f => partials.get((key, f)).map(f -> _))
+        .toMap
+      val missing = files.filterNot(cached.contains)
       lastComputedFiles = missing
-      if (missing.nonEmpty) {
-        val rows = tier.readFiles(spark, ns, table, missing, None)
-          .withColumn("__file", input_file_name())
-          .groupBy(col("__file"), col(groupCol).cast("string").as("g"))
-          .agg(count(lit(1)).as("c"),
-            sum(expr(s"try_cast($valueCol AS DECIMAL(28,10))")).as("s"))
-          .collect()
-        val byFile = rows.groupBy(r => canon(r.getString(0)))
-        missing.foreach { f =>
-          val m = byFile.getOrElse(f, Array.empty[org.apache.spark.sql.Row])
-            .map { r =>
-              Option(r.getString(1)) ->
-                (r.getLong(2),
-                  Option(r.getDecimal(3))
-                    .getOrElse(java.math.BigDecimal.ZERO))
-            }.toMap
-          partials.put((key, f), m)
+      val computed: Map[String,
+          Map[Option[String], (Long, java.math.BigDecimal)]] =
+        if (missing.isEmpty) Map.empty
+        else {
+          val rows = tier.readFiles(spark, ns, table, missing, None)
+            .withColumn("__file", input_file_name())
+            .groupBy(col("__file"), col(groupCol).cast("string").as("g"))
+            .agg(count(lit(1)).as("c"),
+              sum(expr(s"try_cast($valueCol AS DECIMAL(28,10))")).as("s"))
+            .collect()
+          val byFile = rows.groupBy(r => canon(r.getString(0)))
+          // every computed row must key back to a requested file — a
+          // canon() mismatch here would cache an EMPTY partial for a
+          // file that has rows, a permanent silent undercount; fail
+          // loudly instead
+          val missingSet = missing.toSet
+          val strays = byFile.keySet.filterNot(missingSet)
+          require(strays.isEmpty,
+            s"rollup partials keyed to unrequested files: $strays — " +
+              "input_file_name()/manifest path canonicalization drifted")
+          missing.map { f =>
+            val m = byFile
+              .getOrElse(f, Array.empty[org.apache.spark.sql.Row])
+              .map { r =>
+                Option(r.getString(1)) ->
+                  (r.getLong(2),
+                    Option(r.getDecimal(3))
+                      .getOrElse(java.math.BigDecimal.ZERO))
+              }.toMap
+            require(m.size <= maxGroups,
+              s"rollup group column '$groupCol' produced ${m.size} " +
+                s"distinct groups in one segment — exceeds the " +
+                s"maintained-rollup bound ($maxGroups); " +
+                "use the query path for high-cardinality group-bys")
+            f -> m
+          }.toMap
         }
-      }
       val merged = scala.collection.mutable.Map
         .empty[Option[String], (Long, java.math.BigDecimal)]
       files.foreach { f =>
-        partials.getOrElse((key, f), Map.empty).foreach {
+        cached.getOrElse(f, computed.getOrElse(f, Map.empty)).foreach {
           case (g, (c, s)) =>
             val (c0, s0) = merged.getOrElse(g,
               (0L, java.math.BigDecimal.ZERO))
             merged(g) = (c0 + c, s0.add(s))
         }
       }
+      require(merged.size <= maxGroups,
+        s"rollup group column '$groupCol' produced ${merged.size} " +
+          s"distinct groups across segments — exceeds the " +
+          s"maintained-rollup bound ($maxGroups); " +
+          "use the query path for high-cardinality group-bys")
+      // cache only after BOTH cardinality bounds passed — a rejected
+      // rollup must not leave partial driver state behind (per-file
+      // maps can each pass while their union does not)
+      computed.foreach { case (f, m) => partials.put((key, f), m) }
       merged.toSeq
         .map { case (g, (c, s)) => (g, c, s.doubleValue) }
         .sortBy(_._1)
@@ -133,7 +190,10 @@ final class RollupStore(spark: SparkSession, tier: ParquetTier) {
 
   /** Drop cached partials for files no longer in any live manifest —
     * call after compaction/expiry GC if driver memory matters. Never
-    * required for correctness (the merge only walks pinned files).
+    * required for correctness: a serve snapshots the partials it
+    * needs into a local map up front, so an eviction racing the
+    * merge costs that serve at most a recompute, never an
+    * undercount.
     */
   def prune(): Unit = {
     val live = partials.keys.map { case (k, _) => (k.ns, k.table) }.toSet
@@ -147,4 +207,14 @@ final class RollupStore(spark: SparkSession, tier: ParquetTier) {
 
   /** Cached cell count (files × groups summed) — observability. */
   def cachedCells: Int = partials.values.map(_.size).sum
+}
+
+object RollupStore {
+  /** Hard bound on distinct groups per maintained rollup — checked
+    * per computed segment and on the merged result, surfaced in
+    * /api/v1/rollup error bodies. Dashboard dimensions (hosts, days,
+    * sources) sit orders of magnitude below it; a user-id-shaped
+    * group column fails fast instead of exhausting driver memory.
+    */
+  val MaxGroups = 10000
 }

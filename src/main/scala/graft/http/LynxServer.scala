@@ -324,13 +324,20 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
               try {
                 val rows = store.rollup(ns, table, group, value)
                   .map { case (g, c, s) =>
-                    val gj = g.map(v => "\"" +
-                      v.replace("\\", "\\\\").replace("\"", "\\\"") +
-                      "\"").getOrElse("null")
+                    // group values are arbitrary tag strings —
+                    // control characters included — so route through
+                    // the sink escaper, not a hand-rolled replace()
+                    val gj = g.map(Sinks.jsonString).getOrElse("null")
                     s"""{"group":$gj,"count":$c,"sum":$s}"""
                   }.mkString("[", ",", "]")
                 respond(ex, 200, rows)
               } catch {
+                // cardinality-bound rejections carry the limit in the
+                // message — surface it as a client error, not a bare
+                // 500, so the caller learns the contract
+                case e: IllegalArgumentException =>
+                  respond(ex, 422, s"""{"error":${
+                    Sinks.jsonString(e.getMessage)}}""")
                 case e: Exception =>
                   System.err.println(e)
                   respond(ex, 500)

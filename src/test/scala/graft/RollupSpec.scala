@@ -111,4 +111,29 @@ class RollupSpec extends AnyFunSuite {
       Some(("1970-01-02", "1970-01-02")))
     assert(d2 == Seq((Some("a"), 2L, 9.0)))
   }
+
+  test("a group column above the cardinality bound fails fast with " +
+    "the bound in the error and leaves no driver state behind") {
+    val (e, tier) = engineWithTier()
+    // 6 distinct hosts in one segment; a bound of 3 must reject
+    (1 to 6).foreach(i =>
+      e.write(WriteRequest("ns", "cpu", "1",
+        Map("host" -> TagString(s"h$i")), i.toLong)))
+    e.checkpoint()
+    val store = new graft.engine.RollupStore(SparkFixture.spark, tier,
+      maxGroups = 3)
+    val err = intercept[IllegalArgumentException] {
+      store.rollup("ns", "cpu", "host", "value")
+    }
+    assert(err.getMessage.contains("3") &&
+      err.getMessage.contains("host"),
+      s"error must name the column and the bound: ${err.getMessage}")
+    assert(store.cachedCells == 0,
+      "a rejected rollup must not grow the partial cache")
+    // the same store still serves a bounded-cardinality rollup: the
+    // rejection is per-request, not a poisoned key
+    val ok = store.rollup("ns", "cpu", "value", "value")
+    assert(ok == Seq((Some("1"), 6L, 6.0)))
+    assert(store.cachedCells > 0)
+  }
 }
