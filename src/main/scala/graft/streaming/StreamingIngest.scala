@@ -180,7 +180,7 @@ object StreamingIngest {
               // at-or-below the watermark (late data can put maxEvt
               // behind it, which Spark rejects)
               state.setTimeoutTimestamp(
-                math.max(maxEvtMs, state.getCurrentWatermarkMs + 1),
+                math.max(maxEvtMs, state.getCurrentWatermarkMs() + 1),
                 stateTtl)
               out
             }
@@ -285,7 +285,7 @@ object StreamingIngest {
             // never at-or-below the current watermark (late data can
             // put maxEvt behind it, which Spark rejects)
             state.setTimeoutTimestamp(
-              math.max(maxEvtMs, state.getCurrentWatermarkMs + 1),
+              math.max(maxEvtMs, state.getCurrentWatermarkMs() + 1),
               stateTtl)
             out.result().iterator
           }
@@ -806,47 +806,99 @@ object StreamingIngest {
   final case class LatestState(eventId: Long, tsUs: Long,
       value: Double, n: Long)
 
+  // the (ts, event_id)-max fold shared by the lifetime and TTL paths
+  // — the batch tie-break exactly
+  private def latestFold(rows: Seq[KeyedEvent],
+      prev: Option[LatestState]): LatestState = {
+    val cand = rows.maxBy(e => (e.tsUs, e.event_id))
+    prev match {
+      case Some(p) if p.tsUs > cand.tsUs ||
+          (p.tsUs == cand.tsUs && p.eventId >= cand.event_id) =>
+        p.copy(n = p.n + rows.size)
+      case Some(p) =>
+        LatestState(cand.event_id, cand.tsUs, cand.value,
+          p.n + rows.size)
+      case None =>
+        LatestState(cand.event_id, cand.tsUs, cand.value,
+          rows.size.toLong)
+    }
+  }
+
+  /** Event-time projection of a keyed event — the TTL path's input
+    * (a watermark needs a Timestamp column).
+    */
+  final case class TimedKeyed(ts: Timestamp, e: KeyedEvent)
+
   /** (k) Streaming keep-latest-per-key — the materialized-view twin
     * of q_dedup_latest: state holds the newest (ts, event_id)-max row
     * per key and every micro-batch re-emits the keys it touched with
     * their current latest row + lifetime version count (Update-mode
     * upsert semantics; a downstream sink overwrites by key). The last
     * emission per key is spec-proven identical to the batch
-    * compaction however the stream is micro-batched. State is ONE
-    * fixed-size record per live key — the same cardinality as the
-    * compacted table itself, i.e. the product being maintained — so
-    * no TTL applies (evicting a key would forget its current value,
-    * not trim a cache; at 100 TB the state store backend, not a
-    * timeout, is the scaling knob).
+    * compaction however the stream is micro-batched.
+    *
+    * With the default `stateTtl = ""` state is ONE fixed-size record
+    * per ALL-TIME key — the same cardinality as the compacted table
+    * being maintained, which is the right default when the key space
+    * is the product (at scale the state store backend, e.g. RocksDB,
+    * is the sizing knob, not a timeout). On a forever-running
+    * changelog whose key population churns (sessions, ephemeral ids),
+    * pass `stateTtl` (e.g. "30 days"): keys idle past the TTL against
+    * the event-time watermark are evicted — the same design as
+    * [[dedupExact]]. The documented trade: an evicted key forgets its
+    * current value AND its version count, so a later event for it
+    * restarts n_versions at the new batch's count (events behind the
+    * watermark are dropped entirely by the standard late-data rule,
+    * so a forgotten value can never be resurrected by data older
+    * than the watermark). Spec-asserted both ways — in-window
+    * convergence parity holds, and a post-expiry event restarting
+    * the count proves the eviction fired.
     */
-  def latest(events: Dataset[KeyedEvent]): Dataset[LatestOut] = {
+  def latest(events: Dataset[KeyedEvent], stateTtl: String = "",
+      watermarkDelay: String = "10 seconds"): Dataset[LatestOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(e => (e.user_id, e.event_type))
-      .flatMapGroupsWithState[LatestState, LatestOut](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        case ((uid, et), batch, state: GroupState[LatestState]) =>
-          val rows = batch.toSeq
-          if (rows.isEmpty) Iterator.empty
-          else {
-            // newest by (ts, event_id) — the batch tie-break exactly
-            val cand = rows.maxBy(e => (e.tsUs, e.event_id))
-            val prev = state.getOption
-            val next = prev match {
-              case Some(p) if p.tsUs > cand.tsUs ||
-                  (p.tsUs == cand.tsUs && p.eventId >= cand.event_id) =>
-                p.copy(n = p.n + rows.size)
-              case Some(p) =>
-                LatestState(cand.event_id, cand.tsUs, cand.value,
-                  p.n + rows.size)
-              case None =>
-                LatestState(cand.event_id, cand.tsUs, cand.value,
-                  rows.size.toLong)
+    if (stateTtl.isEmpty) {
+      events.groupByKey(e => (e.user_id, e.event_type))
+        .flatMapGroupsWithState[LatestState, LatestOut](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          case ((uid, et), batch, state: GroupState[LatestState]) =>
+            val rows = batch.toSeq
+            if (rows.isEmpty) Iterator.empty
+            else {
+              val next = latestFold(rows, state.getOption)
+              state.update(next)
+              Iterator.single(LatestOut(uid, et, next.eventId,
+                next.tsUs, next.value, next.n))
             }
-            state.update(next)
-            Iterator.single(LatestOut(uid, et, next.eventId, next.tsUs,
-              next.value, next.n))
-          }
-      }
+        }
+    } else {
+      events.map(e => TimedKeyed(new Timestamp(e.tsUs / 1000L), e))
+        .withWatermark("ts", watermarkDelay)
+        .groupByKey(t => (t.e.user_id, t.e.event_type))
+        .flatMapGroupsWithState[LatestState, LatestOut](
+          OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+          case ((uid, et), batch, state: GroupState[LatestState]) =>
+            if (state.hasTimedOut) {
+              state.remove() // idle past TTL: the view forgets the key
+              Iterator.empty
+            } else {
+              val rows = batch.map(_.e).toSeq
+              if (rows.isEmpty) Iterator.empty
+              else {
+                val next = latestFold(rows, state.getOption)
+                state.update(next)
+                // sliding expiry, clamped above the watermark (late
+                // data can land behind it, which Spark rejects)
+                val maxEvtMs = rows.iterator.map(_.tsUs / 1000L).max
+                state.setTimeoutTimestamp(
+                  math.max(maxEvtMs, state.getCurrentWatermarkMs() + 1),
+                  stateTtl)
+                Iterator.single(LatestOut(uid, et, next.eventId,
+                  next.tsUs, next.value, next.n))
+              }
+            }
+        }
+    }
   }
 
   /** A streamed document tagged with its source (mixture key). */
@@ -876,6 +928,26 @@ object StreamingIngest {
     * order and tokens in text order, so a replayed stream produces
     * byte-identical summaries.
     */
+  // the Misra–Gries fold shared by the lifetime and TTL paths
+  private def mgFold(docs: Seq[SourcedDoc], prev: Option[MgState],
+      k: Int): MgState = {
+    var m = prev.map(_.counts).getOrElse(Map.empty[String, Long])
+    var seen = prev.map(_.seen).getOrElse(0L)
+    docs.sortBy(_.doc_id).foreach { d =>
+      d.text.split(" ").iterator.filter(_.nonEmpty).foreach { w =>
+        seen += 1
+        m.get(w) match {
+          case Some(c) => m = m.updated(w, c + 1)
+          case None if m.size < k => m = m.updated(w, 1L)
+          case None => // decrement-all: the MG eviction step
+            m = m.iterator.map { case (kw, c) => kw -> (c - 1) }
+              .filter(_._2 > 0).toMap
+        }
+      }
+    }
+    MgState(m, seen)
+  }
+
   def heavyHitters(docs: Dataset[SourcedDoc], k: Int = 8)
       : Dataset[HeavyHitter] = {
     import docs.sparkSession.implicits._
@@ -883,24 +955,57 @@ object StreamingIngest {
       .flatMapGroupsWithState[MgState, HeavyHitter](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (src, batch, state: GroupState[MgState]) =>
-          var m = state.getOption.map(_.counts)
-            .getOrElse(Map.empty[String, Long])
-          var seen = state.getOption.map(_.seen).getOrElse(0L)
-          batch.toSeq.sortBy(_.doc_id).foreach { d =>
-            d.text.split(" ").iterator.filter(_.nonEmpty).foreach { w =>
-              seen += 1
-              m.get(w) match {
-                case Some(c) => m = m.updated(w, c + 1)
-                case None if m.size < k => m = m.updated(w, 1L)
-                case None => // decrement-all: the MG eviction step
-                  m = m.iterator.map { case (kw, c) => kw -> (c - 1) }
-                    .filter(_._2 > 0).toMap
-              }
+          val next = mgFold(batch.toSeq, state.getOption, k)
+          state.update(next)
+          next.counts.iterator.map { case (w, c) =>
+            HeavyHitter(src, w, c, next.seen) }
+      }
+  }
+
+  /** A sourced document with its ingest event time — the TTL-bounded
+    * sketch views' input shape.
+    */
+  final case class TimedSourcedDoc(source: String, doc_id: Long,
+      text: String, tsUs: Long)
+
+  final case class TimedSrcEvt(ts: Timestamp, source: String,
+      doc_id: Long, text: String)
+
+  /** [[heavyHitters]] with per-source event-time TTL: a source idle
+    * past `stateTtl` against the watermark drops its MG summary (and
+    * its n_seen denominator — the next event restarts the summary
+    * from zero, the documented windowed-sketch trade). For streams
+    * whose SOURCE population churns (per-domain crawl feeds); with a
+    * fixed mixture dimension prefer the lifetime form.
+    */
+  def heavyHittersTtl(docs: Dataset[TimedSourcedDoc], k: Int = 8,
+      stateTtl: String = "7 days",
+      watermarkDelay: String = "10 seconds"): Dataset[HeavyHitter] = {
+    import docs.sparkSession.implicits._
+    docs.map(d => TimedSrcEvt(new Timestamp(d.tsUs / 1000L), d.source,
+        d.doc_id, d.text))
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[MgState, HeavyHitter](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case (src, batch, state: GroupState[MgState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = batch.toSeq
+            if (rows.isEmpty) Iterator.empty
+            else {
+              val next = mgFold(
+                rows.map(t => SourcedDoc(t.source, t.doc_id, t.text)),
+                state.getOption, k)
+              state.update(next)
+              val maxEvtMs = rows.iterator.map(_.ts.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(maxEvtMs, state.getCurrentWatermarkMs() + 1),
+                stateTtl)
+              next.counts.iterator.map { case (w, c) =>
+                HeavyHitter(src, w, c, next.seen) }
             }
           }
-          state.update(MgState(m, seen))
-          val s2 = seen
-          m.iterator.map { case (w, c) => HeavyHitter(src, w, c, s2) }
       }
   }
 
@@ -923,6 +1028,40 @@ object StreamingIngest {
     * is micro-batched — the same convergence discipline as
     * StreamingIngest.latest.
     */
+  // merge-and-trim + estimate, shared by the lifetime and TTL paths;
+  // first 15 hex chars = top 60 bits, matching the SQL
+  // conv(substring(md5(w), 1, 15), 16, 10) idiom
+  private def kmvFold(docs: Iterator[SourcedDoc],
+      prev: Option[KmvState], k: Int): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(w: String): Long = {
+      md.reset()
+      val d = md.digest(w.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    }
+    val incoming = docs.flatMap(d =>
+      d.text.split(" ").iterator.filter(_.nonEmpty).map(h60))
+    (prev.map(_.mins).getOrElse(Seq.empty) ++ incoming)
+      .distinct.sorted.take(k)
+  }
+
+  private def kmvEmit(src: String, merged: Seq[Long], k: Int,
+      state: GroupState[KmvState]): Iterator[KmvEstimate] =
+    // a batch of only empty/whitespace docs for a fresh key has
+    // no hashes: nothing to estimate yet — emit nothing rather
+    // than crash on merged.last (the batch twin's length filter
+    // simply omits such sources)
+    if (merged.isEmpty) Iterator.empty
+    else {
+      state.update(KmvState(merged))
+      val kth = merged.last
+      val est =
+        if (merged.size < k) merged.size.toDouble
+        else (k - 1).toDouble * 1152921504606846976.0 / kth.toDouble
+      Iterator.single(KmvEstimate(src, merged.size.toLong, kth, est))
+    }
+
   def kmv(docs: Dataset[SourcedDoc], k: Int = 64)
       : Dataset[KmvEstimate] = {
     import docs.sparkSession.implicits._
@@ -930,32 +1069,44 @@ object StreamingIngest {
       .flatMapGroupsWithState[KmvState, KmvEstimate](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (src, batch, state: GroupState[KmvState]) =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          def h60(w: String): Long = {
-            md.reset()
-            val d = md.digest(w.getBytes("UTF-8"))
-            // first 15 hex chars = top 60 bits, matching the SQL
-            // conv(substring(md5(w), 1, 15), 16, 10) idiom
-            java.lang.Long.parseLong(
-              d.take(8).map(b => f"$b%02x").mkString.substring(0, 15), 16)
-          }
-          val incoming = batch.flatMap(d =>
-            d.text.split(" ").iterator.filter(_.nonEmpty).map(h60))
-          val merged = (state.getOption.map(_.mins).getOrElse(Seq.empty)
-            ++ incoming).distinct.sorted.take(k)
-          // a batch of only empty/whitespace docs for a fresh key has
-          // no hashes: nothing to estimate yet — emit nothing rather
-          // than crash on merged.last (the batch twin's length filter
-          // simply omits such sources)
-          if (merged.isEmpty) Iterator.empty
+          kmvEmit(src, kmvFold(batch, state.getOption, k), k, state)
+      }
+  }
+
+  /** [[kmv]] with per-source event-time TTL — same eviction contract
+    * as [[heavyHittersTtl]]: an idle source's sketch (its k minimum
+    * hashes) is dropped and a later event restarts the estimate.
+    */
+  def kmvTtl(docs: Dataset[TimedSourcedDoc], k: Int = 64,
+      stateTtl: String = "7 days",
+      watermarkDelay: String = "10 seconds"): Dataset[KmvEstimate] = {
+    import docs.sparkSession.implicits._
+    docs.map(d => TimedSrcEvt(new Timestamp(d.tsUs / 1000L), d.source,
+        d.doc_id, d.text))
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[KmvState, KmvEstimate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case (src, batch, state: GroupState[KmvState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            state.update(KmvState(merged))
-            val kth = merged.last
-            val est =
-              if (merged.size < k) merged.size.toDouble
-              else (k - 1).toDouble * 1152921504606846976.0 / kth.toDouble
-            Iterator.single(
-              KmvEstimate(src, merged.size.toLong, kth, est))
+            val rows = batch.toSeq
+            if (rows.isEmpty) Iterator.empty
+            else {
+              val merged = kmvFold(rows.iterator
+                  .map(t => SourcedDoc(t.source, t.doc_id, t.text)),
+                state.getOption, k)
+              val out = kmvEmit(src, merged, k, state)
+              // a whitespace-only batch for a fresh key updates no
+              // state, and a timeout cannot be set without state
+              if (state.exists) {
+                val maxEvtMs = rows.iterator.map(_.ts.getTime).max
+                state.setTimeoutTimestamp(
+                  math.max(maxEvtMs, state.getCurrentWatermarkMs() + 1),
+                  stateTtl)
+              }
+              out
+            }
           }
       }
   }
@@ -986,6 +1137,34 @@ object StreamingIngest {
     * (k1, k2) key — the fixture has ~1.2k such pairs per 6k rows —
     * stay distinct, exactly as the batch operator keeps them.
     */
+  // bottom-k merge + quantile readout shared by both paths
+  private def qsFold(rows: Iterator[QsRow],
+      prev: Option[QsState], k: Int): Seq[QsEntry] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      md.reset()
+      val d = md.digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    }
+    val incoming = rows.map(r =>
+      QsEntry(h60(s"${r.k1}:${r.k2}"), r.k1, r.k2, r.v))
+    (prev.map(_.rows).getOrElse(Seq.empty) ++ incoming)
+      .distinct.sortBy(e => (e.h, e.k1, e.k2, e.v)).take(k)
+  }
+
+  private def qsEmit(g: String, merged: Seq[QsEntry],
+      state: GroupState[QsState]): Iterator[QsOut] =
+    if (merged.isEmpty) Iterator.empty
+    else {
+      state.update(QsState(merged))
+      val byV = merged.sortBy(e => (e.v, e.k1, e.k2))
+      val n = byV.size.toLong
+      def pick(p: Long): Double =
+        byV(((p * n + 99L) / 100L).toInt - 1).v
+      Iterator.single(QsOut(g, n, pick(50), pick(90), pick(99)))
+    }
+
   def quantileSample(rows: Dataset[QsRow], k: Int = 64)
       : Dataset[QsOut] = {
     import rows.sparkSession.implicits._
@@ -993,26 +1172,51 @@ object StreamingIngest {
       .flatMapGroupsWithState[QsState, QsOut](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (g, batch, state: GroupState[QsState]) =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          def h60(s: String): Long = {
-            md.reset()
-            val d = md.digest(s.getBytes("UTF-8"))
-            java.lang.Long.parseLong(
-              d.take(8).map(b => f"$b%02x").mkString.substring(0, 15), 16)
-          }
-          val incoming = batch.map(r =>
-            QsEntry(h60(s"${r.k1}:${r.k2}"), r.k1, r.k2, r.v))
-          val merged =
-            (state.getOption.map(_.rows).getOrElse(Seq.empty) ++ incoming)
-              .distinct.sortBy(e => (e.h, e.k1, e.k2, e.v)).take(k)
-          if (merged.isEmpty) Iterator.empty
+          qsEmit(g, qsFold(batch, state.getOption, k), state)
+      }
+  }
+
+  /** A sampled row with its event time — [[quantileSampleTtl]]'s
+    * input shape.
+    */
+  final case class TimedQsRow(g: String, v: Double, k1: Long, k2: Long,
+      tsUs: Long)
+
+  final case class TimedQsEvt(ts: Timestamp, g: String,
+      v: Double, k1: Long, k2: Long)
+
+  /** [[quantileSample]] with per-group event-time TTL — same
+    * eviction contract as [[heavyHittersTtl]]: an idle group's
+    * bottom-k sample is dropped and a later row restarts it.
+    */
+  def quantileSampleTtl(rows: Dataset[TimedQsRow], k: Int = 64,
+      stateTtl: String = "7 days",
+      watermarkDelay: String = "10 seconds"): Dataset[QsOut] = {
+    import rows.sparkSession.implicits._
+    rows.map(r => TimedQsEvt(new Timestamp(r.tsUs / 1000L), r.g, r.v,
+        r.k1, r.k2))
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.g)
+      .flatMapGroupsWithState[QsState, QsOut](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case (g, batch, state: GroupState[QsState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            state.update(QsState(merged))
-            val byV = merged.sortBy(e => (e.v, e.k1, e.k2))
-            val n = byV.size.toLong
-            def pick(p: Long): Double =
-              byV(((p * n + 99L) / 100L).toInt - 1).v
-            Iterator.single(QsOut(g, n, pick(50), pick(90), pick(99)))
+            val rowsSeq = batch.toSeq
+            if (rowsSeq.isEmpty) Iterator.empty
+            else {
+              val merged = qsFold(rowsSeq.iterator
+                  .map(t => QsRow(t.g, t.v, t.k1, t.k2)),
+                state.getOption, k)
+              val out = qsEmit(g, merged, state)
+              if (state.exists) {
+                val maxEvtMs = rowsSeq.iterator.map(_.ts.getTime).max
+                state.setTimeoutTimestamp(
+                  math.max(maxEvtMs, state.getCurrentWatermarkMs() + 1),
+                  stateTtl)
+              }
+              out
+            }
           }
       }
   }

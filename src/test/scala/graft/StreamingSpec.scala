@@ -1277,4 +1277,173 @@ class StreamingSpec extends AnyFunSuite {
       s"stream kept ${streamed.toSeq.sorted}, island rule expects " +
         s"${expected.toSeq.sorted}")
   }
+
+  test("TTL-bounded latest evicts idle keys under churn, converges " +
+    "to batch compaction inside the window, and resurrects a stale " +
+    "key after expiry (proving the eviction fired)") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.{KeyedEvent, LatestOut}
+
+    val hourUs = 3600L * 1000000L
+    val t0 = 1700000000000000L
+    val mem = MemoryStream[KeyedEvent]
+    val q = StreamingIngest.latest(mem.toDS(), stateTtl = "1 minute",
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("latest_ttl")
+      .outputMode(OutputMode.Update).start()
+    def stateRows(): Long =
+      q.lastProgress.stateOperators.apply(0).numRowsTotal
+
+    // key (1, click): two versions inside the window -> in-window
+    // convergence parity: latest is event 12, n_versions 2
+    mem.addData(Seq(
+      KeyedEvent(1L, "click", 11L, t0, 1.0),
+      KeyedEvent(1L, "click", 12L, t0 + 1L, 2.0)))
+    q.processAllAvailable()
+    // churn: 5 batches of fresh keys, each an event-hour later; every
+    // earlier batch's keys idle past the 1-minute TTL as the
+    // watermark advances -> state stays O(one batch's keys)
+    mem.addData((0 until 8).map(i =>
+      KeyedEvent(100L + i, "churn0", 1L, t0 + hourUs, 0.0)))
+    q.processAllAvailable()
+    val afterFirstChurn = stateRows()
+    (1 to 4).foreach { b =>
+      mem.addData((0 until 8).map(i =>
+        KeyedEvent(100L + 10 * b + i, s"churn$b", 1L,
+          t0 + (b + 1) * hourUs, 0.0)))
+      q.processAllAvailable()
+    }
+    assert(stateRows() <= 2 * afterFirstChurn,
+      s"latest state must stay bounded by the active TTL window " +
+        s"(${stateRows()} rows vs $afterFirstChurn after first churn)")
+    // key (1, click) expired hours ago: a fresh event for it
+    // restarts n_versions at 1 instead of continuing at 3 - the
+    // documented forgotten-count trade AND the proof of eviction
+    // (an event behind the watermark would be dropped outright by
+    // the standard late-data rule, so ts must be current)
+    mem.addData(Seq(KeyedEvent(1L, "click", 10L, t0 + 7 * hourUs, 9.0)))
+    q.processAllAvailable()
+    q.stop()
+    val clicks = spark.table("latest_ttl").as[LatestOut].collect()
+      .filter(o => o.user_id == 1L && o.event_type == "click")
+    val inWindow = clicks.filter(_.n_versions == 2L)
+    assert(inWindow.nonEmpty && inWindow.head.latest_event_id == 12L,
+      "in-window upsert must converge to the batch compaction")
+    assert(clicks.exists(o =>
+        o.latest_event_id == 10L && o.n_versions == 1L),
+      "a post-expiry event must restart the key (eviction really " +
+        s"fired): ${clicks.toSeq}")
+  }
+
+  test("TTL-bounded sketch views (heavy hitters / KMV / quantile " +
+    "sample) evict idle sources and match their lifetime twins " +
+    "inside the window") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.{
+      HeavyHitter, KmvEstimate, QsOut, QsRow, SourcedDoc, TimedQsRow,
+      TimedSourcedDoc}
+
+    val hourUs = 3600L * 1000000L
+    val t0 = 1700000000000000L
+    val docs = Seq(
+      TimedSourcedDoc("web", 1L, "a a b c", t0),
+      TimedSourcedDoc("web", 2L, "a b b d", t0 + 1L))
+
+    // heavy hitters: in-window summary equals the lifetime twin's
+    val memH = MemoryStream[TimedSourcedDoc]
+    val qh = StreamingIngest.heavyHittersTtl(memH.toDS(),
+        k = 8, stateTtl = "1 minute", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("hh_ttl")
+      .outputMode(OutputMode.Update).start()
+    memH.addData(docs)
+    qh.processAllAvailable()
+    val memH0 = MemoryStream[SourcedDoc]
+    val qh0 = StreamingIngest.heavyHitters(memH0.toDS(), k = 8)
+      .writeStream.format("memory").queryName("hh_life")
+      .outputMode(OutputMode.Update).start()
+    memH0.addData(docs.map(d => SourcedDoc(d.source, d.doc_id, d.text)))
+    qh0.processAllAvailable()
+    def summary(t: String): Set[(String, String, Long, Long)] = {
+      val rows = spark.table(t).as[HeavyHitter].collect()
+      val lastSeen = rows.map(_.n_seen).max
+      rows.filter(_.n_seen == lastSeen)
+        .map(h => (h.source, h.word, h.mg_n, h.n_seen)).toSet
+    }
+    assert(summary("hh_ttl") == summary("hh_life"),
+      "in-window TTL summary must equal the lifetime twin's")
+    // churn sources hours later: web's summary idles out
+    memH.addData(Seq(TimedSourcedDoc("s1", 3L, "x", t0 + hourUs)))
+    qh.processAllAvailable()
+    memH.addData(Seq(TimedSourcedDoc("s2", 4L, "y", t0 + 2 * hourUs)))
+    qh.processAllAvailable()
+    val hhState = qh.lastProgress.stateOperators.apply(0).numRowsTotal
+    assert(hhState <= 2,
+      s"idle sources must evict ($hhState state rows; web + 2 churn " +
+        "sources would be 3 without eviction)")
+    // a post-expiry web doc restarts n_seen from zero
+    memH.addData(Seq(TimedSourcedDoc("web", 5L, "z z", t0 + 3 * hourUs)))
+    qh.processAllAvailable()
+    qh.stop(); qh0.stop()
+    val webRestart = spark.table("hh_ttl").as[HeavyHitter].collect()
+      .filter(h => h.source == "web" && h.word == "z")
+    assert(webRestart.nonEmpty && webRestart.head.n_seen == 2L,
+      "post-expiry source must restart its MG denominator")
+
+    // KMV + quantile sample: same contract, asserted on eviction and
+    // in-window equality of the emitted estimate/readout
+    val memK = MemoryStream[TimedSourcedDoc]
+    val qk = StreamingIngest.kmvTtl(memK.toDS(), k = 4,
+        stateTtl = "1 minute", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("kmv_ttl")
+      .outputMode(OutputMode.Update).start()
+    memK.addData(docs)
+    qk.processAllAvailable()
+    val memK0 = MemoryStream[SourcedDoc]
+    val qk0 = StreamingIngest.kmv(memK0.toDS(), k = 4)
+      .writeStream.format("memory").queryName("kmv_life")
+      .outputMode(OutputMode.Update).start()
+    memK0.addData(docs.map(d => SourcedDoc(d.source, d.doc_id, d.text)))
+    qk0.processAllAvailable()
+    def kmvLast(t: String): Set[(String, Long, Long, Double)] =
+      spark.table(t).as[KmvEstimate].collect()
+        .map(e => (e.source, e.k_used, e.kth_h, e.est)).toSet
+    assert(kmvLast("kmv_ttl") == kmvLast("kmv_life"))
+    memK.addData(Seq(TimedSourcedDoc("s1", 3L, "x", t0 + hourUs)))
+    qk.processAllAvailable()
+    memK.addData(Seq(TimedSourcedDoc("s2", 4L, "y", t0 + 2 * hourUs)))
+    qk.processAllAvailable()
+    assert(qk.lastProgress.stateOperators.apply(0).numRowsTotal <= 2,
+      "idle KMV sources must evict")
+    qk.stop(); qk0.stop()
+
+    val memQ = MemoryStream[TimedQsRow]
+    val qq = StreamingIngest.quantileSampleTtl(memQ.toDS(), k = 4,
+        stateTtl = "1 minute", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("qs_ttl")
+      .outputMode(OutputMode.Update).start()
+    memQ.addData(Seq(
+      TimedQsRow("g", 1.0, 1L, 1L, t0), TimedQsRow("g", 5.0, 2L, 1L, t0)))
+    qq.processAllAvailable()
+    val memQ0 = MemoryStream[QsRow]
+    val qq0 = StreamingIngest.quantileSample(memQ0.toDS(), k = 4)
+      .writeStream.format("memory").queryName("qs_life")
+      .outputMode(OutputMode.Update).start()
+    memQ0.addData(Seq(QsRow("g", 1.0, 1L, 1L), QsRow("g", 5.0, 2L, 1L)))
+    qq0.processAllAvailable()
+    def qsLast(t: String): Set[(String, Long, Double, Double, Double)] =
+      spark.table(t).as[QsOut].collect()
+        .map(o => (o.g, o.k_used, o.p50, o.p90, o.p99)).toSet
+    assert(qsLast("qs_ttl") == qsLast("qs_life"))
+    memQ.addData(Seq(TimedQsRow("h1", 2.0, 3L, 1L, t0 + hourUs)))
+    qq.processAllAvailable()
+    memQ.addData(Seq(TimedQsRow("h2", 3.0, 4L, 1L, t0 + 2 * hourUs)))
+    qq.processAllAvailable()
+    assert(qq.lastProgress.stateOperators.apply(0).numRowsTotal <= 2,
+      "idle quantile-sample groups must evict")
+    qq.stop(); qq0.stop()
+  }
 }
