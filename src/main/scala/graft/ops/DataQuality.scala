@@ -720,25 +720,31 @@ object DataQuality {
       ORDER BY "check""""))
 
   /** Quantile estimation from a bottom-k-by-hash sample (k=64 per
-    * group), evaluated against the exact rank statistic: the third
-    * mergeable sketch family next to the cardinality pair (KMV/HLL) —
-    * the k rows with the smallest md5(row-key) are a uniform sample
-    * whose union/merge is again "keep the k smallest", so a
-    * 1000-executor profile pass ships 64 (hash, value) pairs per
-    * (group, partition) and the sample is IDENTICAL no matter how the
-    * data is partitioned (the property reservoir sampling lacks).
-    * Order statistics pass values through untouched — no float
-    * summation, so sample and exact quantiles are bit-identical
-    * cross-engine by construction.
+    * group): the third mergeable sketch family next to the
+    * cardinality pair (KMV/HLL) — the k rows with the smallest
+    * md5(row-key) are a uniform sample whose union/merge is again
+    * "keep the k smallest", so a 1000-executor profile pass ships 64
+    * (hash, value) pairs per (group, partition) and the sample is
+    * IDENTICAL no matter how the data is partitioned (the property
+    * reservoir sampling lacks). Order statistics pass values through
+    * untouched — no float summation, so the quantiles are
+    * bit-identical cross-engine by construction.
     *
-    * Ranks use the discrete ceil formula ((p·n + 99) div 100 — pure
-    * integer, no float ceil). The exact side's full-group rank is the
-    * fixture-scale truth harness (the q_ann_recall pattern); the
-    * production path at 100 TB is the sample side, where Spark plans
-    * the rn ≤ 64 filter as a WindowGroupLimit: each input partition is
-    * pre-pruned to its local bottom-64 BEFORE the exchange, so the
-    * shuffle carries ≤ 64·partitions rows per group, not the corpus
-    * (asserted in PlanSpec).
+    * Ranks use the discrete ceil formula (p·n + 99) div 100 — pure
+    * integer, no float ceil. Spark plans the rh ≤ 64 filter as a
+    * WindowGroupLimit: each input partition is pre-pruned to its
+    * local bottom-64 BEFORE the exchange, so the shuffle carries
+    * ≤ 64·partitions rows per group, not the corpus (asserted in
+    * PlanSpec). The ranking window after it runs over ≤ 64 rows per
+    * group — this operator never globally sorts the fact table.
+    *
+    * The exact-rank error readout that shipped inside this operator
+    * pre-r9 (two full-corpus per-group rank windows — the 5.3× wall
+    * at the 10× smoke, and a cost no 100 TB run would pay) now lives
+    * in the spec harness (SketchSpec), which computes the exact
+    * quantiles at fixture scale and bounds the sample's relative
+    * error — the q_ann_recall pattern: truth harness in the spec,
+    * production shape in the operator.
     */
   val qQuantileSample = QueryDef(
     "q_dq_quantile_sample",
@@ -756,20 +762,9 @@ object DataQuality {
       // discrete ceil rank, pure integer: (p·n + 99) div 100
       def pick(p: Int, rn: String, n: String): Column =
         col(rn) === expr(s"($p * $n + 99) div 100")
-      val exact = base
-        .withColumn("rn", row_number().over(wv).cast("long"))
-        .withColumn("cnt", count(lit(1)).over(wg))
-        .groupBy("g")
-        .agg(max(col("cnt")).as("n"),
-          max(when(pick(50, "rn", "cnt"), col("v")))
-            .as("p50_exact"),
-          max(when(pick(90, "rn", "cnt"), col("v")))
-            .as("p90_exact"),
-          max(when(pick(99, "rn", "cnt"), col("v")))
-            .as("p99_exact"))
       val wh = Window.partitionBy("g").orderBy(col("h"), col("k1"),
         col("k2"))
-      val samp = base
+      base
         .withColumn("rh", row_number().over(wh))
         .filter(col("rh") <= 64)
         .withColumn("rs", row_number().over(wv).cast("long"))
@@ -782,9 +777,6 @@ object DataQuality {
             .as("p90_sample"),
           max(when(pick(99, "rs", "k_used"), col("v")))
             .as("p99_sample"))
-      exact.join(samp, "g")
-        .withColumn("p90_rel_err",
-          abs(col("p90_sample") - col("p90_exact")) / col("p90_exact"))
         .orderBy("g")
     },
     Some("""
@@ -794,20 +786,6 @@ object DataQuality {
           CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
             CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) AS h
         FROM lineitem),
-      ranked AS (
-        SELECT g, v,
-          row_number() OVER (PARTITION BY g ORDER BY v, k1, k2) AS rn,
-          count(*) OVER (PARTITION BY g) AS cnt
-        FROM base),
-      exact AS (
-        SELECT g, max(cnt) AS n,
-          max(CASE WHEN rn = (50 * cnt + 99) // 100 THEN v END)
-            AS p50_exact,
-          max(CASE WHEN rn = (90 * cnt + 99) // 100 THEN v END)
-            AS p90_exact,
-          max(CASE WHEN rn = (99 * cnt + 99) // 100 THEN v END)
-            AS p99_exact
-        FROM ranked GROUP BY g),
       bottomk AS (
         SELECT g, v, k1, k2 FROM (
           SELECT g, v, k1, k2, row_number() OVER (PARTITION BY g
@@ -817,21 +795,16 @@ object DataQuality {
         SELECT g, v,
           row_number() OVER (PARTITION BY g ORDER BY v, k1, k2) AS rs,
           count(*) OVER (PARTITION BY g) AS k_used
-        FROM bottomk),
-      samp AS (
-        SELECT g, max(k_used) AS k_used,
-          max(CASE WHEN rs = (50 * k_used + 99) // 100 THEN v END)
-            AS p50_sample,
-          max(CASE WHEN rs = (90 * k_used + 99) // 100 THEN v END)
-            AS p90_sample,
-          max(CASE WHEN rs = (99 * k_used + 99) // 100 THEN v END)
-            AS p99_sample
-        FROM sranked GROUP BY g)
-      SELECT exact.g, n, p50_exact, p90_exact, p99_exact,
-        k_used, p50_sample, p90_sample, p99_sample,
-        abs(p90_sample - p90_exact) / p90_exact AS p90_rel_err
-      FROM exact JOIN samp ON exact.g = samp.g
-      ORDER BY exact.g"""))
+        FROM bottomk)
+      SELECT g, max(k_used) AS k_used,
+        max(CASE WHEN rs = (50 * k_used + 99) // 100 THEN v END)
+          AS p50_sample,
+        max(CASE WHEN rs = (90 * k_used + 99) // 100 THEN v END)
+          AS p90_sample,
+        max(CASE WHEN rs = (99 * k_used + 99) // 100 THEN v END)
+          AS p99_sample
+      FROM sranked GROUP BY g
+      ORDER BY g"""))
 
   /** Embedding cohort-drift monitor: split the vector table into two
     * deterministic cohorts (vec_id parity — the stand-in for "last

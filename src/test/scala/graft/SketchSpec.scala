@@ -113,4 +113,45 @@ class SketchSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(native.nonEmpty && native == sql)
   }
+
+  test("bottom-64 quantile sample lands near the exact rank " +
+    "statistic (the error readout the operator deliberately does " +
+    "not compute at scale)") {
+    val spark = SparkFixture.spark
+    val dir = "/root/testdata/sf0.001"
+    // the operator's production shape: sample-only, no corpus window
+    val samp = graft.ops.DataQuality.qQuantileSample.run(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // fixture-scale truth harness: exact discrete-ceil ranks per
+    // group, computed here (spec-only) instead of inside the operator
+    // — a 100 TB run never pays the full-corpus rank windows
+    val groups = graft.ops.Tables.t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      .collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2),
+        r.getAs[Number](3).longValue())))
+      .groupBy(_._1)
+    assert(samp.keySet == groups.keySet)
+    groups.foreach { case (g, rows) =>
+      val sorted = rows.map(_._2).sortBy(identity)
+      val n = sorted.length.toLong
+      def exact(p: Long): Double =
+        sorted(((p * n + 99L) / 100L).toInt - 1)._1
+      val (kUsed, p50, p90, p99) = samp(g)
+      assert(kUsed == math.min(64L, n))
+      // the right error metric for a rank sketch is POSITION, not
+      // value: a 64-point uniform sample pins the p-th quantile's
+      // rank to within ~3·sqrt(p(1-p)/64) ≈ 0.19 of the corpus
+      // (binomial), regardless of the value distribution's shape
+      for ((p, v) <- Seq((50L, p50), (90L, p90), (99L, p99))) {
+        val pos = sorted.count(_._1 <= v).toDouble / n
+        assert(math.abs(pos - p / 100.0) <= 0.20,
+          s"group $g p$p sample=$v sits at corpus position $pos — " +
+            "outside the binomial bound for a 64-point sample")
+      }
+    }
+  }
 }

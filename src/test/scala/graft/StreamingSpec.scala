@@ -1079,11 +1079,11 @@ class StreamingSpec extends AnyFunSuite {
     import graft.streaming.StreamingIngest.{QsOut, QsRow}
     val dir = "/root/testdata/sf0.001"
 
-    // batch truth: q_dq_quantile_sample's sample-side columns per g
+    // batch truth: q_dq_quantile_sample's sample columns per g
     val expected = graft.ops.DataQuality.qQuantileSample.run(spark, dir)
       .collect()
-      .map(r => r.getString(0) -> ((r.getLong(5), r.getDouble(6),
-        r.getDouble(7), r.getDouble(8))))
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))))
       .toMap
 
     val rows = graft.ops.Tables.t(spark, dir, "lineitem")
