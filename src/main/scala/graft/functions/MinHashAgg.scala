@@ -20,15 +20,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * min is over ((2i+1)·x + 7919i + 13) mod (2^31−1).
   *
   * Positioning vs the composed 16-column min() aggregate (measured,
-  * SCALE_SMOKE.md): a TypedImperativeAggregate plans as
-  * ObjectHashAggregate and leaves whole-stage codegen, so at the 10×
-  * smoke the composed form is ~1.6× FASTER — it stays the production
-  * batch path. The native form earns its slot where composition
-  * can't go: a single `graft_minhash(sh)` call usable from the
-  * engine's SQL surface (no 16-expression boilerplate), one ArrayType
-  * signature column for sketch storage/streaming state, and K scaling
-  * without widening the aggregate row. Semantics are identical by
-  * construction and pinned by MinHashSpec + the shared DuckDB oracle.
+  * SCALE_SMOKE.md round 9): a TypedImperativeAggregate plans as
+  * ObjectHashAggregate, which by default falls back to SORT-based
+  * aggregation past 128 distinct groups — a full sort of the shingle
+  * stream on any real corpus, and the bulk of the pre-r9 "~1.6×
+  * slower" gap. With the fallback threshold raised (set at the call
+  * site, q_dedup_minhash_native) the native form measures AT PARITY
+  * with the codegen'd composed form at the 10× smoke (0.9–1.15×
+  * across runs, inside noise), so both are production paths. The
+  * native form's unique value: a single `graft_minhash(sh)` call
+  * usable from the engine's SQL surface (no 16-expression
+  * boilerplate), one ArrayType signature column for sketch
+  * storage/streaming state, and K scaling without widening the
+  * aggregate row. Semantics are identical by construction and pinned
+  * by MinHashSpec + the shared DuckDB oracle.
   */
 case class MinHashAgg(
     child: Expression,

@@ -1299,10 +1299,17 @@ object Curation {
     * the integer rank induces the identical stage assignment on any
     * engine. Ties break on doc_id, so the cut is total.
     *
-    * Scale shape: one narrow per-doc map, one global sort for the
-    * NTILE (the same sort a corpus shuffle pays — at 100 TB this is a
-    * range-partitioned sort, and NTILE's bucket arithmetic is driver-
-    * free), then a 4-row aggregate and a 4-row running sum.
+    * Scale shape: one narrow per-doc map, then an exact DISTRIBUTED
+    * global rank instead of Spark's ntile-over-empty-partitionBy
+    * (which coalesces the whole corpus into ONE window partition):
+    * range-repartition on the sort key, rank locally within each
+    * range, and add broadcast prefix offsets from the ≤ 32-row
+    * per-partition count table — the classic two-pass global
+    * row_number, exact for any boundary placement because ranges are
+    * disjoint and pid-ordered. NTILE is then pure per-row arithmetic
+    * on (rank, n): the first n%4 stages take n/4+1 rows — identical
+    * to the oracle's NTILE by definition. The only single-partition
+    * windows left run over ≤ 32 (offsets) and 4 (stages) rows.
     */
   val qCurriculum = QueryDef(
     "q_curation_curriculum",
@@ -1313,11 +1320,33 @@ object Curation {
           length(regexp_replace(col("text"), " ", ""))
             .cast("long").as("letters"))
         .withColumn("difficulty", expr("letters * 1000 div n_tok"))
-        .withColumn("stage", ntile(4).over(
-          Window.orderBy(col("difficulty"), col("doc_id"))))
+        .repartitionByRange(32, col("difficulty"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val local = scored.withColumn("lrk",
+        row_number().over(Window.partitionBy("pid")
+          .orderBy(col("difficulty"), col("doc_id"))).cast("long"))
+      val offs = local.groupBy("pid")
+        .agg(count(lit(1)).as("pn"))
+        .withColumn("off", coalesce(sum(col("pn")).over(
+          Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("pn")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select("pid", "off", "n")
+      val staged = local.join(broadcast(offs), "pid")
+        .withColumn("rn", col("off") + col("lrk"))
+        // NTILE(4) from the exact global rank: first n%4 buckets get
+        // n/4+1 rows (lazy CASE — the ELSE's n/4 divisor is never 0
+        // when taken, since n/4 = 0 puts every row in the THEN arm)
+        .withColumn("stage", expr(
+          """CASE WHEN rn <= (n div 4 + 1) * (n % 4)
+             THEN (rn - 1) div (n div 4 + 1) + 1
+             ELSE (n % 4) + (rn - 1 - (n div 4 + 1) * (n % 4))
+                  div (n div 4) + 1 END""").cast("int"))
       val wcum = Window.orderBy(col("stage"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      scored.groupBy("stage")
+      staged.groupBy("stage")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("tokens"),
           min(col("difficulty")).as("min_diff"),

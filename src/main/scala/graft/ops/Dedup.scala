@@ -338,15 +338,26 @@ object Dedup {
     * oracle is VERBATIM q_dedup_minhash_lsh's SQL, so the driver
     * cross-checks the native aggregate against DuckDB's from-scratch
     * pipeline. SketchSpec additionally pins the raw signatures
-    * bit-equal to minHashSignatures' columns. Measured trade (see
-    * MinHashAgg's doc + SCALE_SMOKE.md): the composed codegen'd form
-    * stays the faster batch path; this one exists for the SQL-surface
-    * / sketch-column use cases.
+    * bit-equal to minHashSignatures' columns. Performance (see
+    * MinHashAgg's doc + SCALE_SMOKE.md round 9): at parity with the
+    * composed codegen'd form once the ObjectHashAggregate sort
+    * fallback is lifted below — both are production paths; this one
+    * additionally serves the SQL-surface / sketch-column use cases.
     */
   val qMinHashNative = QueryDef(
     "q_dedup_minhash_native",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      // ObjectHashAggregate (the only plan a TypedImperativeAggregate
+      // gets) falls back to SORT-based aggregation after 128 distinct
+      // groups by default — a full sort of the shingle stream once the
+      // corpus has more than 128 docs, which was most of the gap to
+      // the codegen'd composed form. The 128-byte signature buffer
+      // makes a large in-memory hash map cheap: 1M doc groups ≈
+      // 200 MB/partition worst case, well inside executor sizing.
+      s.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       val sh = shingles(s, dir).cache()
       val mh = sh.groupBy(col("doc_id"))
         .agg(graft.functions.GraftFunctions.minhash(col("sh")).as("sig"))
