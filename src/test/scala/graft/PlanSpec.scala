@@ -774,4 +774,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!read.contains("vec_id"),
       s"audit must not read vec_id: $read")
   }
+
+  test("round-9 shapes hold: curriculum ranks via range partitioning " +
+      "(no corpus-wide ntile window), quantile sample pre-prunes with " +
+      "WindowGroupLimit, image band join stays an equi-join") {
+    val pc = plan("q_curation_curriculum")
+    assert(!pc.toLowerCase.contains("ntile"),
+      "curriculum must not plan the single-partition global NTILE")
+    assert(pc.toLowerCase.contains("rangepartitioning"),
+      "the two-pass rank must range-repartition on the sort key")
+    assert(pc.contains("BroadcastHashJoin") ||
+      pc.contains("BroadcastExchange"),
+      "the <=32-row offset table must broadcast back to the ranks")
+    val pq = plan("q_dq_quantile_sample")
+    assert(pq.contains("WindowGroupLimit"),
+      "bottom-64 must pre-prune each partition before the exchange")
+    val pi = plan("q_multimodal_image_pairs")
+    assert(!pi.contains("CartesianProduct") &&
+      !pi.contains("BroadcastNestedLoopJoin"),
+      "banded hamming candidates must come from a hash/merge equi-join")
+    assert(pi.contains("TakeOrderedAndProject"),
+      "top-20 closest pairs must fuse, not global-sort")
+  }
 }
