@@ -419,6 +419,158 @@ object Multimodal {
       FROM v GROUP BY doc_id, f, w, ht
       ORDER BY doc_id, frame_idx"""))
 
+  /** One fully-decoded frame's exact integer pixel sum — the scene
+    * detector's input (sums, not float means, so the cut rule is
+    * integer-exact cross-engine).
+    */
+  final case class FrameSum(doc_id: Long, frame_idx: Long, n_px: Long,
+      psum: Long)
+
+  /** Full-container decode (stride 1): every frame's exact pixel sum
+    * and count. Same mapPartitions batch shape as [[sampleFrameStats]];
+    * the scene detector needs consecutive frames, so nothing is
+    * sampled out.
+    */
+  private def frameSums(media: Dataset[(Long, Array[Byte])])
+      : Dataset[FrameSum] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { case (docId, content) =>
+        val in = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(content))
+        val out = Seq.newBuilder[FrameSum]
+        var f = 0L
+        while (in.available() >= 4) {
+          val len = in.readInt()
+          val buf = new Array[Byte](len)
+          in.readFully(buf)
+          val (w, h, px) = decodeGray(buf)
+          var s = 0L
+          px.foreach(s += _)
+          out += FrameSum(docId, f, (w * h).toLong, s)
+          f += 1
+        }
+        out.result()
+      }
+    }
+  }
+
+  /** Video scene segmentation over the decoded frame stream — the
+    * clip-extraction primitive a video curation pipeline runs before
+    * sampling training clips (cut on hard luminance jumps, keep
+    * per-scene stats). A cut falls between consecutive frames whose
+    * mean luminance differs by more than 8 gray levels; means are
+    * never computed — the rule is the integer cross-multiplication
+    * |sum_f·n_prev − sum_prev·n_f| > 8·n_f·n_prev (frames may have
+    * different dims), so the segmentation is bit-exact in both
+    * engines. Scene ids are gaps-and-islands (running cut count);
+    * output per doc: frame/scene counts and the longest scene
+    * (min-start tie-break) — which clip to keep.
+    *
+    * Scale shape: one codec pass (mapPartitions), one per-doc window
+    * over the tiny frame stream (frames per doc, never corpus-wide),
+    * two hash aggregations. The audio twin is [[qAudioVad]] (absolute
+    * energy threshold); this is the DELTA rule over the video track.
+    */
+  val qVideoScenes = QueryDef(
+    "q_multimodal_video_scenes",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables.t(s, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)]
+        .map(t => (t._1, synthesizeFrames(t._2.getBytes("UTF-8"))))
+      val fs = frameSums(media).toDF()
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      val marked = fs
+        .withColumn("prev_sum", lag(col("psum"), 1).over(w))
+        .withColumn("prev_n", lag(col("n_px"), 1).over(w))
+        .withColumn("cut", when(col("prev_n").isNull, 0L)
+          .otherwise(when(
+            abs(col("psum") * col("prev_n") -
+              col("prev_sum") * col("n_px")) >
+              lit(8L) * col("n_px") * col("prev_n"), 1L)
+            .otherwise(0L)))
+        .withColumn("scene", sum(col("cut")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          + lit(1L))
+      val scenes = marked.groupBy(col("doc_id"), col("scene"))
+        .agg(count(lit(1)).as("len"),
+          min(col("frame_idx")).as("start"))
+      val longest = scenes.groupBy(col("doc_id").as("d2"))
+        .agg(max(struct(col("len"), (-col("start")).as("ns"),
+          col("start").as("start"))).as("m"))
+        .select(col("d2"), col("m.len").as("longest_len"),
+          col("m.start").as("longest_start"))
+      marked.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          max(col("scene")).as("n_scenes"))
+        .join(longest, col("doc_id") === col("d2"))
+        .select(col("doc_id"), col("n_frames"), col("n_scenes"),
+          col("longest_len"), col("longest_start"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents),
+      fr AS (
+        SELECT doc_id, h, n,
+          unnest(generate_series(0, n % 4)) AS f
+        FROM b),
+      dims AS (
+        SELECT doc_id, h, n, f,
+          8 + ((n + f) % 5) AS w, 8 + ((n + f) % 3) AS ht
+        FROM fr),
+      px AS (
+        SELECT doc_id, f, w, ht, n, h,
+          unnest(generate_series(0, w * ht - 1)) AS i
+        FROM dims),
+      v AS (
+        SELECT doc_id, f, w, ht,
+          CASE WHEN n = 0 THEN 0
+               ELSE CAST('0x' || substr(h,
+                 CAST(2 * ((i + 31 * f) % n) + 1 AS INT), 2) AS BIGINT)
+          END AS p
+        FROM px),
+      fsum AS (
+        SELECT doc_id, f, CAST(w * ht AS BIGINT) AS n_px,
+          CAST(sum(p) AS BIGINT) AS psum
+        FROM v GROUP BY doc_id, f, w, ht),
+      marked AS (
+        SELECT doc_id, f, n_px, psum,
+          CASE WHEN lag(psum) OVER dw IS NULL THEN 0
+               WHEN abs(psum * lag(n_px) OVER dw
+                        - lag(psum) OVER dw * n_px)
+                    > 8 * n_px * lag(n_px) OVER dw
+               THEN 1 ELSE 0 END AS cut
+        FROM fsum
+        WINDOW dw AS (PARTITION BY doc_id ORDER BY f)),
+      sc AS (
+        SELECT doc_id, f,
+          CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY f
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+            AS BIGINT) AS scene
+        FROM marked),
+      scenes AS (
+        SELECT doc_id, scene, count(*) AS len, min(f) AS start
+        FROM sc GROUP BY doc_id, scene),
+      longest AS (
+        SELECT doc_id, len AS longest_len, start AS longest_start
+        FROM (SELECT doc_id, len, start, row_number() OVER (
+                PARTITION BY doc_id ORDER BY len DESC, start) AS rn
+              FROM scenes)
+        WHERE rn = 1),
+      perdoc AS (
+        SELECT doc_id, count(*) AS n_frames,
+          CAST(max(scene) AS BIGINT) AS n_scenes
+        FROM sc GROUP BY doc_id)
+      SELECT p.doc_id, p.n_frames, p.n_scenes,
+        l.longest_len, CAST(l.longest_start AS BIGINT)
+          AS longest_start
+      FROM perdoc p JOIN longest l ON p.doc_id = l.doc_id
+      ORDER BY p.doc_id"""))
+
   // ------------------------------------------------ real audio codec
 
   /** Decoded-audio statistics for one clip. */
@@ -1287,7 +1439,7 @@ object Multimodal {
       ORDER BY doc_id, by, bx"""))
 
   val all: Seq[QueryDef] =
-    Seq(qMeta, qDecode, qPixels, qFrames, qAudio, qAudioEnergy,
-      qAudioResample, qAudioVad, qImageHash, qResize, qImagePairs,
-      qImageClusters)
+    Seq(qMeta, qDecode, qPixels, qFrames, qVideoScenes, qAudio,
+      qAudioEnergy, qAudioResample, qAudioVad, qImageHash, qResize,
+      qImagePairs, qImageClusters)
 }
