@@ -2346,11 +2346,95 @@ object Similarity {
       FROM lex_rank l FULL OUTER JOIN vec_rank v ON l.doc_id = v.doc_id
       ORDER BY rrf DESC, doc_id LIMIT 15"""))
 
+  /** IVF index MAINTENANCE: assign a fresh embedding batch (vec_id
+    * parity — the stand-in for "today's scrape") to the cells of an
+    * index quantized on YESTERDAY's half only, without retraining —
+    * exactly what a production ANN index does between scheduled
+    * re-trains. Per cell: old/new member counts, the old cell's
+    * radius (max squared-L2 to its centroid), and how many newcomers
+    * land OUTSIDE that radius — the drift alarm that tells the index
+    * owner a cell needs splitting or the quantizer needs retraining
+    * (q_dq_embed_drift watches the encoder; this watches the index).
+    *
+    * Every statistic is exact cross-engine: distances are the shared
+    * left-to-right l2 fold, per-cell radius is a max (order-free),
+    * outside-ness is a comparison — no float summation anywhere.
+    *
+    * Scale shape: one broadcast of ≤ 8 old-half seed centroids, a
+    * narrow argmin map per vector, two hash aggregations, and an
+    * ≤ 8-row broadcast join — the q_ann_ivf assignment plan plus a
+    * constant-size stats join; the new batch is never compared to old
+    * VECTORS, only to old cell SUMMARIES.
+    */
+  val qIvfIncremental = QueryDef(
+    "q_ann_ivf_incremental",
+    (s, dir) => {
+      val e = vectors(s, dir)
+      val w = Window.orderBy("vec_id") // ≤ 8 rows post-limit
+      val oldSeeds = e
+        .filter(col("vec_id") % 59 === 0 && col("vec_id") % 2 === 0)
+        .orderBy("vec_id").limit(IvfK)
+        .select(col("vec_id"),
+          transform(col("embedding"), v => v.cast("double")).as("cent"))
+        .withColumn("cell", row_number().over(w).cast("int"))
+        .select("cell", "cent")
+      val asg = e.crossJoin(broadcast(oldSeeds))
+        .withColumn("dist", l2Col)
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cell"))).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"),
+          col("m.dist").as("dist"))
+      val olds = asg.filter(col("vec_id") % 2 === 0)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_old"),
+          max(col("dist")).as("old_radius2"))
+      val news = asg.filter(col("vec_id") % 2 === 1)
+        .join(broadcast(olds.select("cell", "old_radius2")), "cell")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_new"),
+          sum(when(col("dist") > col("old_radius2"), 1L).otherwise(0L))
+            .as("n_new_outside"))
+      olds.join(news, Seq("cell"), "left")
+        .select(col("cell"), col("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          col("old_radius2"),
+          coalesce(col("n_new_outside"), lit(0L)).as("n_new_outside"))
+        .orderBy("cell")
+    },
+    Some(s"""
+      WITH $vectorsSql,
+      oseeds AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cell,
+               [CAST(x AS DOUBLE) for x in embedding] AS cent
+        FROM embeddings WHERE vec_id % 59 = 0 AND vec_id % 2 = 0
+        ORDER BY vec_id LIMIT $IvfK),
+      d AS (
+        SELECT v.vec_id, s.cell, $ivfL2Sql AS dist
+        FROM vectors v, oseeds s),
+      asg AS (
+        SELECT vec_id, cell, dist FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, cell) AS rn FROM d)
+        WHERE rn = 1),
+      olds AS (
+        SELECT cell, count(*) AS n_old, max(dist) AS old_radius2
+        FROM asg WHERE vec_id % 2 = 0 GROUP BY cell),
+      news AS (
+        SELECT a.cell, count(*) AS n_new,
+          CAST(sum(CASE WHEN a.dist > o.old_radius2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new_outside
+        FROM asg a JOIN olds o ON a.cell = o.cell
+        WHERE a.vec_id % 2 = 1 GROUP BY a.cell)
+      SELECT o.cell, o.n_old, coalesce(n.n_new, 0) AS n_new,
+        o.old_radius2, coalesce(n.n_new_outside, 0) AS n_new_outside
+      FROM olds o LEFT JOIN news n ON o.cell = n.cell
+      ORDER BY o.cell"""))
+
   val all: Seq[QueryDef] =
     Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf,
       qEmbedCentroids, qEmbedPq, qAnnAdc, qEmbedRp, qEmbedQuantize,
       qSemanticDedup, qAnnRecall, qMatryoshka, qIvfRecall, qIvfSweep,
       qSemanticOutlier, qAnnIvfPq, qEmbedWhiten, qAnnFiltered,
       qContrastivePairs, qAnnMmr, qKcenter, qAnnMrr, qLabelPurity,
-      qConfusion, qHybrid)
+      qConfusion, qHybrid, qIvfIncremental)
 }
