@@ -73,7 +73,13 @@ object ScaleSmoke {
       var best = M(Double.MaxValue, 0L, 0, 0, badJoin = false)
       for (_ <- 1 to 2) {
         // fresh plan per rep: re-counting one RDD would reuse the
-        // prior rep's registered shuffle outputs and skip map stages
+        // prior rep's registered shuffle outputs and skip map stages.
+        // The timer and shuffle counters start BEFORE construction:
+        // iterative queries do real work in eager localCheckpoints
+        // during plan building (q_graph_hits runs its 4 half-steps
+        // there), which a count()-only window would miss entirely.
+        shuffleRead.set(0); shuffleWrite.set(0)
+        val t0 = System.nanoTime()
         val df = SparkEntry.queries(n)(spark, dir)
         val physical = df.queryExecution.executedPlan.toString
         // a Cross nested-loop against a bounded broadcast is the
@@ -83,8 +89,6 @@ object ScaleSmoke {
         val bad = physical.contains("CartesianProduct") ||
           physical.linesIterator.exists(l =>
             l.contains("BroadcastNestedLoopJoin") && !l.contains("Cross"))
-        shuffleRead.set(0); shuffleWrite.set(0)
-        val t0 = System.nanoTime()
         val rows = df.queryExecution.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9
         Thread.sleep(300) // drain listener bus

@@ -1018,10 +1018,94 @@ object GraphOps {
       WHERE deg.d >= 3
       ORDER BY coef DESC, deg.node LIMIT 20"""))
 
+  /** Bipartite HITS (Kleinberg 1999) over the customer→part purchase
+    * graph, 2 rounds: hub scores for customers (buyers whose baskets
+    * concentrate on authoritative parts), authority scores for parts
+    * (parts bought by strong hubs) — the centrality pair PageRank's
+    * single-mode rank can't express on a bipartite graph. Output: the
+    * top-10 of each side.
+    *
+    * All-integer like [[qPagerank]]: scores live in 1e6 units, each
+    * half-step is an exact BIGINT sum over edges, and the usual L2
+    * normalization is replaced by MAX-normalization in pure integer
+    * arithmetic ((x·1e6) div max — max is order-independent, so no
+    * float drift between engines). Overflow headroom: a summed score
+    * is ≤ |edges|·1e6 ≈ 6e11 at sf1, ×1e6 for the normalize ≈ 6e17 <
+    * 2^63.
+    *
+    * Scale shape: the distinct edge list is derived once and cached
+    * (the [[qPagerank]] lineage-cut discipline); each of the 4
+    * half-steps is ONE equi-join + hash aggregation on the edge key,
+    * the max is a 1-row broadcast, and the top-10s fuse to
+    * TakeOrdered.
+    */
+  val qHits = QueryDef(
+    "q_graph_hits",
+    (s, dir) => {
+      val S = 1000000L
+      val li = T(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val ord = T(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct().cache()
+      var h = edges.select(col("c")).distinct().withColumn("h", lit(S))
+      var a: DataFrame = null
+      for (_ <- 1 to 2) {
+        // each summed half-step is referenced TWICE (its rows and its
+        // max) and feeds the next half-step: without the eager cut
+        // the unrolled lineage re-derives the edge aggregation 2^4
+        // times (the q_sample_kcenter plan-blowup lesson — measured
+        // 18 s at sf0.1 lazily, 1.3 s cut)
+        val araw = edges.join(h, "c").groupBy("p")
+          .agg(sum(col("h")).as("ar")).localCheckpoint(true)
+        a = araw.crossJoin(broadcast(araw.agg(max(col("ar")).as("amax"))))
+          .selectExpr("p", s"(ar * $S) div amax AS a")
+        val hraw = edges.join(a, "p").groupBy("c")
+          .agg(sum(col("a")).as("hr")).localCheckpoint(true)
+        h = hraw.crossJoin(broadcast(hraw.agg(max(col("hr")).as("hmax"))))
+          .selectExpr("c", s"(hr * $S) div hmax AS h")
+      }
+      val topA = a.orderBy(col("a").desc, col("p")).limit(10)
+        .selectExpr("'authority' AS side", "p AS id", "a AS score")
+      val topH = h.orderBy(col("h").desc, col("c")).limit(10)
+        .selectExpr("'hub' AS side", "c AS id", "h AS score")
+      topA.unionByName(topH)
+        .orderBy(col("side"), col("score").desc, col("id"))
+    },
+    Some("""
+      WITH edges AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h
+             FROM edges),
+      a1r AS (SELECT p, sum(h) AS ar FROM edges JOIN h0 USING (c)
+              GROUP BY p),
+      a1 AS (SELECT p, CAST(ar * 1000000 // (SELECT max(ar) FROM a1r)
+               AS BIGINT) AS a FROM a1r),
+      h1r AS (SELECT c, sum(a) AS hr FROM edges JOIN a1 USING (p)
+              GROUP BY c),
+      h1 AS (SELECT c, CAST(hr * 1000000 // (SELECT max(hr) FROM h1r)
+               AS BIGINT) AS h FROM h1r),
+      a2r AS (SELECT p, sum(h) AS ar FROM edges JOIN h1 USING (c)
+              GROUP BY p),
+      a2 AS (SELECT p, CAST(ar * 1000000 // (SELECT max(ar) FROM a2r)
+               AS BIGINT) AS a FROM a2r),
+      h2r AS (SELECT c, sum(a) AS hr FROM edges JOIN a2 USING (p)
+              GROUP BY c),
+      h2 AS (SELECT c, CAST(hr * 1000000 // (SELECT max(hr) FROM h2r)
+               AS BIGINT) AS h FROM h2r),
+      ta AS (SELECT 'authority' AS side, p AS id, a AS score
+             FROM a2 ORDER BY a DESC, p LIMIT 10),
+      th AS (SELECT 'hub' AS side, c AS id, h AS score
+             FROM h2 ORDER BY h DESC, c LIMIT 10)
+      SELECT side, id, score
+      FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+      ORDER BY side, score DESC, id"""))
+
   val all: Seq[QueryDef] = Seq(qPagerank, qTriangles, qDegree, qMarkov,
     qAssocRules, qEventTrigrams, qJaccardNeighbors, qCommunities,
     qSeqNovelty, qKcore, qBfs, qAssortativity, qClusteringCoeff,
-    qModularity)
+    qModularity, qHits)
 }
 
 /** Physical-layout operators: where rows LIVE decides what a 100 TB

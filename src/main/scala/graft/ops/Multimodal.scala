@@ -1119,8 +1119,17 @@ object Multimodal {
   private def aHashedPersisted(s: SparkSession, dir: String): DataFrame = {
     val paths = Tables.perSession(aHashPathCache, s)
     val p = paths.getOrElseUpdate(dir, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ahash")
-        .resolve("ahash.parquet").toString
+      val base = java.nio.file.Files.createTempDirectory("graft-ahash")
+      // tiny (~32 B/row), but don't litter the host: remove the
+      // checkpoint when the JVM exits
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(base).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Exception => () }))
+      val tmp = base.resolve("ahash.parquet").toString
       aHashed(s, dir).write.mode("overwrite").parquet(tmp)
       tmp
     })
