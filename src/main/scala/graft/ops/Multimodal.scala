@@ -431,7 +431,7 @@ object Multimodal {
     * the scene detector needs consecutive frames, so nothing is
     * sampled out.
     */
-  private def frameSums(media: Dataset[(Long, Array[Byte])])
+  private[graft] def frameSums(media: Dataset[(Long, Array[Byte])])
       : Dataset[FrameSum] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>

@@ -1385,4 +1385,80 @@ object StreamingIngest {
       .groupBy("cohort", "pos")
       .agg(sum(col("q")).as("sd"), count(lit(1)).as("n"))
   }
+
+  /** One decoded frame's exact pixel sum arriving on the stream —
+    * the scene-segmentation twin's input (a video ingest path emits
+    * these from its decode stage; frames may arrive out of order
+    * across micro-batches).
+    */
+  final case class FrameEvt(doc_id: Long, frame_idx: Long, n_px: Long,
+      psum: Long)
+
+  final case class SceneState(frames: Seq[(Long, Long, Long)])
+
+  final case class SceneOut(doc_id: Long, n_frames: Long,
+      n_scenes: Long, longest_len: Long, longest_start: Long)
+
+  /** Streaming twin of q_multimodal_video_scenes — the streaming
+    * family's multimodal member: per doc, state holds the frame sums
+    * seen so far (bounded by the container's frame count, NOT the
+    * stream length — a container is finite even when the corpus
+    * stream is not), and every micro-batch re-emits the touched
+    * docs' CURRENT segmentation (Update-mode upsert). The cut rule
+    * is the same integer cross-multiplication as the batch op, and
+    * segmentation is recomputed from the sorted frame set, so the
+    * converged output is EQUAL to the batch operator's however the
+    * frames are micro-batched or reordered — the order-independence
+    * the incremental lag-based form would lose (a frame arriving
+    * between two already-adjacent frames changes BOTH its neighbors'
+    * cuts). De-dup by frame_idx makes at-least-once redelivery a
+    * no-op.
+    */
+  def sceneSegments(frames: Dataset[FrameEvt]): Dataset[SceneOut] = {
+    import frames.sparkSession.implicits._
+    frames.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[SceneState, SceneOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (docId, batch, state: GroupState[SceneState]) =>
+          val prev = state.getOption.map(_.frames).getOrElse(Seq.empty)
+          val merged = (prev ++ batch.map(f =>
+              (f.frame_idx, f.n_px, f.psum)))
+            .distinctBy(_._1).sortBy(_._1)
+          if (merged.isEmpty) Iterator.empty
+          else {
+            state.update(SceneState(merged))
+            // recompute segmentation from the full (tiny) frame set:
+            // scene id = running cut count, cut iff the exact integer
+            // rule fires between consecutive frames
+            var cuts = 0L
+            var sceneStart = merged.head._1
+            var sceneLen = 0L
+            var bestLen = 0L
+            var bestStart = merged.head._1
+            var prevF: (Long, Long, Long) = null
+            merged.foreach { f =>
+              val isCut = prevF != null &&
+                math.abs(f._3 * prevF._2 - prevF._3 * f._2) >
+                  8L * f._2 * prevF._2
+              if (isCut) {
+                if (sceneLen > bestLen ||
+                    (sceneLen == bestLen && sceneStart < bestStart)) {
+                  bestLen = sceneLen; bestStart = sceneStart
+                }
+                cuts += 1
+                sceneStart = f._1
+                sceneLen = 0L
+              }
+              sceneLen += 1
+              prevF = f
+            }
+            if (sceneLen > bestLen ||
+                (sceneLen == bestLen && sceneStart < bestStart)) {
+              bestLen = sceneLen; bestStart = sceneStart
+            }
+            Iterator.single(SceneOut(docId, merged.size.toLong,
+              cuts + 1, bestLen, bestStart))
+          }
+      }
+  }
 }

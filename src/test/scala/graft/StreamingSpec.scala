@@ -1446,4 +1446,59 @@ class StreamingSpec extends AnyFunSuite {
       "idle quantile-sample groups must evict")
     qq.stop(); qq0.stop()
   }
+
+  test("streaming scene segmentation converges to the batch operator " +
+    "across splits, reordering, and duplicate redelivery") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.{FrameEvt, SceneOut}
+    val dir = "/root/testdata/sf0.001"
+
+    // batch truth: the operator's full output per doc
+    val expected = graft.ops.Multimodal.qVideoScenes.run(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))))
+      .toMap
+
+    // the stream input: every frame's exact sums, derived by the same
+    // codec kernel the batch op uses
+    val media = graft.ops.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)]
+      .map(t => (t._1, graft.ops.Multimodal.synthesizeFrames(
+        t._2.getBytes("UTF-8"))))
+    val frames = graft.ops.Multimodal.frameSums(media).collect()
+      .map(f => FrameEvt(f.doc_id, f.frame_idx, f.n_px, f.psum))
+
+    def run(splits: Seq[Seq[FrameEvt]], name: String)
+        : Map[Long, (Long, Long, Long, Long)] = {
+      val mem = MemoryStream[FrameEvt]
+      val q = StreamingIngest.sceneSegments(mem.toDS()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      splits.foreach { s => mem.addData(s); q.processAllAvailable() }
+      q.stop()
+      // n_frames grows monotonically per doc, so the max-frame row IS
+      // the final upsert
+      spark.table(name).as[SceneOut].collect()
+        .groupBy(_.doc_id)
+        .map { case (d, os) =>
+          val last = os.maxBy(_.n_frames)
+          d -> ((last.n_frames, last.n_scenes, last.longest_len,
+            last.longest_start))
+        }
+    }
+
+    assert(run(Seq(frames.toSeq), "scenes_one") == expected)
+    // adversarial: frames arrive REVERSED and split mid-doc, plus a
+    // replayed slice (at-least-once) — the sorted-set recompute must
+    // converge identically
+    val rev = frames.sortBy(f => (-f.doc_id, -f.frame_idx)).toSeq
+    val n = rev.length
+    assert(run(Seq(rev.take(n / 3), rev.slice(n / 3, 2 * n / 3),
+      rev.take(50), rev.drop(2 * n / 3)), "scenes_rev") == expected,
+      "out-of-order + redelivered frames must converge to the batch " +
+        "segmentation")
+  }
 }
