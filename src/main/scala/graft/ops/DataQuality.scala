@@ -890,8 +890,92 @@ object DataQuality {
           AS n_dims_drifted
       FROM gaps"""))
 
+  /** Cohort profile DRIFT: q_dq_profile compares a table to its
+    * contract; this compares the table to ITSELF across two
+    * deterministic cohorts (orderkey parity — the stand-in for "last
+    * scrape vs this scrape") and flags per-column movement — the
+    * check a pipeline runs before appending a new batch to a curated
+    * table (a silently shifted value range or collapsed cardinality
+    * means the upstream extractor changed, not the data). Every
+    * statistic is exact (counts, null counts, exact distinct counts,
+    * min/max) and every flag is integer arithmetic:
+    * `range_drift` = either extreme moved; `card_drift` = distinct
+    * count changed by more than 20% (|da−db|·5 > max(da,db)).
+    *
+    * Scale shape: ONE grouped scan for all non-distinct stats (the
+    * cohort key just doubles the aggregate rows), one single-distinct
+    * two-phase aggregate per column (the q_dq_profile Expand-dodge),
+    * then a 4-row self-join — per-column work, constant output.
+    */
+  val qProfileDrift = QueryDef(
+    "q_dq_profile_drift",
+    (s, dir) => {
+      val nums = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      val li = T(s, dir, "lineitem")
+        .withColumn("cohort", (col("l_orderkey") % 2).cast("long"))
+      val aggs = Seq(count(lit(1)).as("n")) ++ nums.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max")))
+      val wide = nums.foldLeft(
+          li.groupBy("cohort").agg(aggs.head, aggs.tail: _*)) {
+        (acc, c) => acc.join(
+          li.groupBy("cohort")
+            .agg(countDistinct(col(c)).as(s"${c}_dist")), "cohort")
+      }
+      val long = wide.select(col("cohort"), explode(array(nums.map(c =>
+          struct(lit(c).as("col_name"), col("n").as("n"),
+            col(s"${c}_nulls").as("n_nulls"),
+            col(s"${c}_dist").as("n_distinct"),
+            col(s"${c}_min").as("min_v"),
+            col(s"${c}_max").as("max_v"))): _*)).as("p"))
+        .select(col("cohort"), col("p.*"))
+      val a = long.filter(col("cohort") === 0).drop("cohort")
+      val b = long.filter(col("cohort") === 1).drop("cohort")
+        .toDF("col_name", "n_b", "nulls_b", "dist_b", "min_b", "max_b")
+      a.toDF("col_name", "n_a", "nulls_a", "dist_a", "min_a", "max_a")
+        .join(b, "col_name")
+        .withColumn("range_drift",
+          col("min_a") =!= col("min_b") || col("max_a") =!= col("max_b"))
+        .withColumn("card_drift",
+          abs(col("dist_a") - col("dist_b")) * 5 >
+            greatest(col("dist_a"), col("dist_b")))
+        .orderBy("col_name")
+    },
+    Some("""
+      WITH li AS (
+        SELECT *, CAST(l_orderkey % 2 AS BIGINT) AS cohort
+        FROM lineitem),
+      stats AS (
+        SELECT cohort, c AS col_name, count(*) AS n,
+          CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_nulls,
+          count(DISTINCT v) AS n_distinct,
+          CAST(min(v) AS DOUBLE) AS min_v,
+          CAST(max(v) AS DOUBLE) AS max_v
+        FROM (
+          SELECT cohort, 'l_quantity' AS c, l_quantity AS v FROM li
+          UNION ALL
+          SELECT cohort, 'l_extendedprice', l_extendedprice FROM li
+          UNION ALL
+          SELECT cohort, 'l_discount', l_discount FROM li
+          UNION ALL
+          SELECT cohort, 'l_tax', l_tax FROM li)
+        GROUP BY cohort, c)
+      SELECT a.col_name, a.n AS n_a, a.n_nulls AS nulls_a,
+        a.n_distinct AS dist_a, a.min_v AS min_a, a.max_v AS max_a,
+        b.n AS n_b, b.n_nulls AS nulls_b, b.n_distinct AS dist_b,
+        b.min_v AS min_b, b.max_v AS max_b,
+        (a.min_v <> b.min_v OR a.max_v <> b.max_v) AS range_drift,
+        abs(a.n_distinct - b.n_distinct) * 5 >
+          greatest(a.n_distinct, b.n_distinct) AS card_drift
+      FROM stats a JOIN stats b
+        ON a.col_name = b.col_name AND a.cohort = 0 AND b.cohort = 1
+      ORDER BY a.col_name"""))
+
   val all: Seq[QueryDef] =
     Seq(qProfile, qChecks, qMad, qWinsorize, qBenford, qKs, qChisq,
       qKanon, qSkewKeys, qAbLift, qEmbedQa, qQuantileSample,
-      qEmbedDrift)
+      qEmbedDrift, qProfileDrift)
 }
