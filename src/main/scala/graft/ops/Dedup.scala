@@ -346,8 +346,7 @@ object Dedup {
     */
   val qMinHashNative = QueryDef(
     "q_dedup_minhash_native",
-    (s, dir) => {
-      graft.functions.GraftFunctions.register(s)
+    (s0, dir) => {
       // ObjectHashAggregate (the only plan a TypedImperativeAggregate
       // gets) falls back to SORT-based aggregation after 128 distinct
       // groups by default — a full sort of the shingle stream once the
@@ -355,6 +354,15 @@ object Dedup {
       // the codegen'd composed form. The 128-byte signature buffer
       // makes a large in-memory hash map cheap: 1M doc groups ≈
       // 200 MB/partition worst case, well inside executor sizing.
+      // The override is set on a CLONED session (same SparkContext and
+      // cache manager, isolated SQLConf) so it cannot leak into later
+      // queries on the shared session, where a 1M-group in-memory
+      // threshold would be order-dependent OOM risk for unrelated
+      // object aggregates with much larger per-group buffers.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions",
+        s0.conf.get("spark.sql.shuffle.partitions", "32"))
+      graft.functions.GraftFunctions.register(s)
       s.conf.set(
         "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "1000000")

@@ -1031,7 +1031,10 @@ object GraphOps {
     * arithmetic ((x·1e6) div max — max is order-independent, so no
     * float drift between engines). Overflow headroom: a summed score
     * is ≤ |edges|·1e6 ≈ 6e11 at sf1, ×1e6 for the normalize ≈ 6e17 <
-    * 2^63.
+    * 2^63 — but that bound is corpus-size-dependent, not structural,
+    * so the normalize expression carries a raise_error guard that
+    * fails fast once max(score) > Long.MaxValue/1e6 instead of
+    * silently wrapping.
     *
     * Scale shape: the distinct edge list is derived once and cached
     * (the [[qPagerank]] lineage-cut discipline); each of the 4
@@ -1056,14 +1059,26 @@ object GraphOps {
         // the unrolled lineage re-derives the edge aggregation 2^4
         // times (the q_sample_kcenter plan-blowup lesson — measured
         // 18 s at sf0.1 lazily, 1.3 s cut)
+        // Overflow guard: ar·1e6 silently wraps Long once a part's
+        // hub-weighted in-degree passes ~9.2e6 distinct max-score
+        // customers — unlike the sibling queries there is no
+        // structural bound, so fail fast inside the normalize
+        // expression (amax ≥ every ar, so one branch covers all rows;
+        // a CASE arm can't be pruned away like a dropped assert_true
+        // column would be).
+        val lim = Long.MaxValue / S
         val araw = edges.join(h, "c").groupBy("p")
           .agg(sum(col("h")).as("ar")).localCheckpoint(true)
         a = araw.crossJoin(broadcast(araw.agg(max(col("ar")).as("amax"))))
-          .selectExpr("p", s"(ar * $S) div amax AS a")
+          .selectExpr("p", s"CASE WHEN amax <= ${lim}L THEN (ar * $S)" +
+            " div amax ELSE CAST(raise_error('q_graph_hits: authority" +
+            " normalize would overflow Long') AS BIGINT) END AS a")
         val hraw = edges.join(a, "p").groupBy("c")
           .agg(sum(col("a")).as("hr")).localCheckpoint(true)
         h = hraw.crossJoin(broadcast(hraw.agg(max(col("hr")).as("hmax"))))
-          .selectExpr("c", s"(hr * $S) div hmax AS h")
+          .selectExpr("c", s"CASE WHEN hmax <= ${lim}L THEN (hr * $S)" +
+            " div hmax ELSE CAST(raise_error('q_graph_hits: hub" +
+            " normalize would overflow Long') AS BIGINT) END AS h")
       }
       val topA = a.orderBy(col("a").desc, col("p")).limit(10)
         .selectExpr("'authority' AS side", "p AS id", "a AS score")

@@ -1115,10 +1115,18 @@ object Multimodal {
     * checkpoint-to-disk is the cheap trade: one codec pass, a tiny
     * file, no executor-memory footprint. At cluster scale the same
     * shape writes to the job's scratch space on shared storage.
+    *
+    * Staleness: the cache key carries a fingerprint of the source
+    * table's file listing (names + sizes + mtimes), so if
+    * `documents.parquet` under `dir` is rewritten mid-session the
+    * next query recomputes instead of silently serving stale hashes
+    * — the same staleness class [[graft.engine.RollupStore]] guards
+    * against on the engine plane.
     */
   private def aHashedPersisted(s: SparkSession, dir: String): DataFrame = {
     val paths = Tables.perSession(aHashPathCache, s)
-    val p = paths.getOrElseUpdate(dir, {
+    val key = dir + "#" + sourceFingerprint(dir)
+    val p = paths.getOrElseUpdate(key, {
       val base = java.nio.file.Files.createTempDirectory("graft-ahash")
       // tiny (~32 B/row), but don't litter the host: remove the
       // checkpoint when the JVM exits
@@ -1134,6 +1142,24 @@ object Multimodal {
       tmp
     })
     s.read.parquet(p)
+  }
+
+  /** Cheap content-version token for `dir/documents.parquet`: a hash
+    * of the sorted (name, length, mtime) listing. Local-FS walk here;
+    * on a cluster the identical fingerprint comes from the
+    * `FileSystem.listStatus` of the table root.
+    */
+  private def sourceFingerprint(dir: String): String = {
+    val root = java.nio.file.Paths.get(dir, "documents.parquet")
+    if (!java.nio.file.Files.exists(root)) return "absent"
+    import scala.jdk.CollectionConverters._
+    val parts = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(f => s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
+      .toSeq.sorted.mkString("|")
+    java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(parts))
   }
 
   // ------------------------------------------ adaptive image banding
@@ -1278,8 +1304,13 @@ object Multimodal {
     * corpus-derived width bw (see [[imageBandBits]]), images
     * colliding in any band become candidates (pigeonhole: with
     * ≥ 4 bands, hamming ≤ 3 forces at least one identical band, so
-    * recall at the ≤3-bit radius is total at every corpus size), and
-    * bit_count(XOR) verifies the exact hamming distance. The same
+    * PRE-df-cap recall at the ≤3-bit radius is total at every corpus
+    * size; the BandDfCap=32 hot-bucket guard then drops pairs whose
+    * only shared bands are hot — measured 94% hamming-0 recall on the
+    * degenerate all-identical stress corpus, see [[BandDfCap]], and
+    * [[qImageHashRecall]] measures the realized recall per radius on
+    * the live corpus), and bit_count(XOR) verifies the exact hamming
+    * distance. The same
     * band-bucket equi-join discipline as text SimHash/MinHash —
     * never an all-pairs image comparison.
     *

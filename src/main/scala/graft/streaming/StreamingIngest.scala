@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode, StreamingQuery}
@@ -359,6 +359,55 @@ object StreamingIngest {
     * windows can't express. State is per (namespace, measurement):
     * thousands of keys, not rows — bounded at 100 TB.
     */
+  /** Shared event-time-TTL harness for the per-key stateful ops: maps
+    * each input to `(event-time Timestamp, row)`, watermarks it, and
+    * runs `fold` under `EventTimeTimeout` with the [[dedupExact]]
+    * eviction idiom — sliding expiry refreshed on traffic, clamped
+    * strictly above the watermark (late data can put the batch max
+    * behind it, which Spark rejects), `onTimeout` invoked with the
+    * dying state before removal (so an op can flush, e.g.
+    * [[sessionize]] closes the open session). Every per-key op's
+    * non-empty-`stateTtl` path routes here: without a TTL their state
+    * is fixed-size PER KEY but the key population (users, series) is
+    * unbounded on a forever-running ingest — the exact class the
+    * Update-mode views' TTLs already bound.
+    */
+  private def withKeyTtl[I, K, S, O](
+      src: Dataset[I], evtUs: I => Long, key: I => K,
+      stateTtl: String, watermarkDelay: String, mode: OutputMode)(
+      fold: (K, Seq[I], GroupState[S]) => Iterator[O])(
+      onTimeout: (K, GroupState[S]) => Iterator[O])(
+      implicit ti: Encoder[(Timestamp, I)], ke: Encoder[K],
+      se: Encoder[S], oe: Encoder[O]): Dataset[O] = {
+    src.map(i => (new Timestamp(evtUs(i) / 1000L), i))
+      .withWatermark("_1", watermarkDelay)
+      .groupByKey(t => key(t._2))
+      .flatMapGroupsWithState[S, O](mode,
+        GroupStateTimeout.EventTimeTimeout) {
+        case (k, batch, state: GroupState[S]) =>
+          if (state.hasTimedOut) {
+            // materialize BEFORE remove: a lazy iterator would read
+            // dead state
+            val out = onTimeout(k, state).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val rows = batch.toSeq
+            if (rows.isEmpty) Iterator.empty
+            else {
+              val out = fold(k, rows.map(_._2), state).toSeq
+              // a fold may leave a fresh key stateless (e.g. a batch
+              // of empty docs); a timeout cannot be set without state
+              if (state.exists)
+                state.setTimeoutTimestamp(
+                  math.max(rows.iterator.map(_._1.getTime).max,
+                    state.getCurrentWatermarkMs() + 1), stateTtl)
+              out.iterator
+            }
+          }
+      }
+  }
+
   // --------------------------------------------------- streaming EWMA
 
   final case class EwmaPoint(series: String, bucketUs: Long, x: Double)
@@ -377,26 +426,44 @@ object StreamingIngest {
     * Contract: buckets arrive in per-series bucket order — i.e. this
     * consumes the output of the watermarked windowed aggregation
     * upstream, which closes windows in event-time order per key.
+    *
+    * With the default `stateTtl = ""` state lives forever — one
+    * double per ALL-TIME series, unbounded key population on a
+    * forever-running ingest. Pass `stateTtl` (e.g. "30 days") to
+    * evict series idle past the TTL against the event-time watermark
+    * ([[withKeyTtl]]); the documented trade: an evicted series
+    * re-initializes its recurrence (first bucket after expiry seeds
+    * ewma = x, like a brand-new series). Same trade for the cusum /
+    * holt / rate / anomaly siblings.
     */
-  def ewma(points: Dataset[EwmaPoint],
-      alpha: Double = 0.5): Dataset[EwmaOut] = {
+  def ewma(points: Dataset[EwmaPoint], alpha: Double = 0.5,
+      stateTtl: String = "",
+      watermarkDelay: String = "10 seconds"): Dataset[EwmaOut] = {
     import points.sparkSession.implicits._
-    points.groupByKey(_.series)
-      .flatMapGroupsWithState[EwmaState, EwmaOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        case (series, batch, state: GroupState[EwmaState]) =>
-          var acc = state.getOption.map(_.ewma)
-          val out = batch.toSeq.sortBy(_.bucketUs).map { p =>
-            val e = acc match {
-              case None => p.x
-              case Some(prev) => alpha * p.x + (1 - alpha) * prev
-            }
-            acc = Some(e)
-            EwmaOut(series, p.bucketUs, p.x, e)
-          }
-          acc.foreach(e => state.update(EwmaState(e)))
-          out.iterator
+    def fold(series: String, rows: Seq[EwmaPoint],
+        state: GroupState[EwmaState]): Iterator[EwmaOut] = {
+      var acc = state.getOption.map(_.ewma)
+      val out = rows.sortBy(_.bucketUs).map { p =>
+        val e = acc match {
+          case None => p.x
+          case Some(prev) => alpha * p.x + (1 - alpha) * prev
+        }
+        acc = Some(e)
+        EwmaOut(series, p.bucketUs, p.x, e)
       }
+      acc.foreach(e => state.update(EwmaState(e)))
+      out.iterator
+    }
+    if (stateTtl.isEmpty)
+      points.groupByKey(_.series)
+        .flatMapGroupsWithState[EwmaState, EwmaOut](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (k, batch, state) => fold(k, batch.toSeq, state)
+        }
+    else
+      withKeyTtl[EwmaPoint, String, EwmaState, EwmaOut](
+        points, _.bucketUs, _.series, stateTtl, watermarkDelay,
+        OutputMode.Append())(fold)((_, _) => Iterator.empty)
   }
 
   final case class CusumOut(series: String, bucketUs: Long, x: Double,
@@ -415,31 +482,40 @@ object StreamingIngest {
     * ordered-upstream contract as [[ewma]].
     */
   def cusum(points: Dataset[EwmaPoint],
-      profile: Map[String, (Double, Double)]): Dataset[CusumOut] = {
+      profile: Map[String, (Double, Double)],
+      stateTtl: String = "",
+      watermarkDelay: String = "10 seconds"): Dataset[CusumOut] = {
     import points.sparkSession.implicits._
-    points.groupByKey(_.series)
-      .flatMapGroupsWithState[CusumState, CusumOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        case (series, batch, state: GroupState[CusumState]) =>
-          profile.get(series) match {
-            // an untrained series must NOT default to (μ=0, σ=0) —
-            // that flags every positive sample forever; skip it until
-            // a profile exists (the monitor's train-before-watch
-            // contract)
-            case None => Iterator.empty
-            case Some((mu, sigma)) =>
-              var cp = state.getOption.map(_.cp).getOrElse(0.0)
-              var cn = state.getOption.map(_.cn).getOrElse(0.0)
-              val out = batch.toSeq.sortBy(_.bucketUs).map { p =>
-                cp = math.max(0.0, cp + (p.x - mu - 0.5 * sigma))
-                cn = math.max(0.0, cn + (mu - 0.5 * sigma - p.x))
-                CusumOut(series, p.bucketUs, p.x, cp, cn,
-                  cp > 4.0 * sigma || cn > 4.0 * sigma)
-              }
-              state.update(CusumState(cp, cn))
-              out.iterator
+    def fold(series: String, rows: Seq[EwmaPoint],
+        state: GroupState[CusumState]): Iterator[CusumOut] =
+      profile.get(series) match {
+        // an untrained series must NOT default to (μ=0, σ=0) —
+        // that flags every positive sample forever; skip it until
+        // a profile exists (the monitor's train-before-watch
+        // contract)
+        case None => Iterator.empty
+        case Some((mu, sigma)) =>
+          var cp = state.getOption.map(_.cp).getOrElse(0.0)
+          var cn = state.getOption.map(_.cn).getOrElse(0.0)
+          val out = rows.sortBy(_.bucketUs).map { p =>
+            cp = math.max(0.0, cp + (p.x - mu - 0.5 * sigma))
+            cn = math.max(0.0, cn + (mu - 0.5 * sigma - p.x))
+            CusumOut(series, p.bucketUs, p.x, cp, cn,
+              cp > 4.0 * sigma || cn > 4.0 * sigma)
           }
+          state.update(CusumState(cp, cn))
+          out.iterator
       }
+    if (stateTtl.isEmpty)
+      points.groupByKey(_.series)
+        .flatMapGroupsWithState[CusumState, CusumOut](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (k, batch, state) => fold(k, batch.toSeq, state)
+        }
+    else
+      withKeyTtl[EwmaPoint, String, CusumState, CusumOut](
+        points, _.bucketUs, _.series, stateTtl, watermarkDelay,
+        OutputMode.Append())(fold)((_, _) => Iterator.empty)
   }
 
   final case class HoltOut(series: String, bucketUs: Long, x: Double,
@@ -455,27 +531,36 @@ object StreamingIngest {
     * ordered-upstream contract as [[ewma]].
     */
   def holt(points: Dataset[EwmaPoint], alpha: Double = 0.5,
-      beta: Double = 0.25): Dataset[HoltOut] = {
+      beta: Double = 0.25, stateTtl: String = "",
+      watermarkDelay: String = "10 seconds"): Dataset[HoltOut] = {
     import points.sparkSession.implicits._
-    points.groupByKey(_.series)
-      .flatMapGroupsWithState[HoltState, HoltOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        case (series, batch, state: GroupState[HoltState]) =>
-          var st = state.getOption
-          val out = batch.toSeq.sortBy(_.bucketUs).map { p =>
-            val next = st match {
-              case None => HoltState(p.x, 0.0)
-              case Some(HoltState(lp, bp)) =>
-                val l = alpha * p.x + (1 - alpha) * (lp + bp)
-                HoltState(l, beta * (l - lp) + (1 - beta) * bp)
-            }
-            st = Some(next)
-            HoltOut(series, p.bucketUs, p.x, next.level, next.trend,
-              next.level + next.trend)
-          }
-          st.foreach(state.update)
-          out.iterator
+    def fold(series: String, rows: Seq[EwmaPoint],
+        state: GroupState[HoltState]): Iterator[HoltOut] = {
+      var st = state.getOption
+      val out = rows.sortBy(_.bucketUs).map { p =>
+        val next = st match {
+          case None => HoltState(p.x, 0.0)
+          case Some(HoltState(lp, bp)) =>
+            val l = alpha * p.x + (1 - alpha) * (lp + bp)
+            HoltState(l, beta * (l - lp) + (1 - beta) * bp)
+        }
+        st = Some(next)
+        HoltOut(series, p.bucketUs, p.x, next.level, next.trend,
+          next.level + next.trend)
       }
+      st.foreach(state.update)
+      out.iterator
+    }
+    if (stateTtl.isEmpty)
+      points.groupByKey(_.series)
+        .flatMapGroupsWithState[HoltState, HoltOut](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (k, batch, state) => fold(k, batch.toSeq, state)
+        }
+    else
+      withKeyTtl[EwmaPoint, String, HoltState, HoltOut](
+        points, _.bucketUs, _.series, stateTtl, watermarkDelay,
+        OutputMode.Append())(fold)((_, _) => Iterator.empty)
   }
 
   final case class RateOut(series: String, bucketUs: Long, x: Double,
@@ -490,25 +575,34 @@ object StreamingIngest {
     * identical-double subtraction and exact-integer elapsed micros
     * divided by 1e6.
     */
-  def rate(points: Dataset[EwmaPoint]): Dataset[RateOut] = {
+  def rate(points: Dataset[EwmaPoint], stateTtl: String = "",
+      watermarkDelay: String = "10 seconds"): Dataset[RateOut] = {
     import points.sparkSession.implicits._
-    points.groupByKey(_.series)
-      .flatMapGroupsWithState[RateState, RateOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        case (series, batch, state: GroupState[RateState]) =>
-          var prev = state.getOption
-          val out = batch.toSeq.sortBy(_.bucketUs).flatMap { p =>
-            val o = prev.map { q =>
-              val delta = p.x - q.x
-              RateOut(series, p.bucketUs, p.x, delta,
-                delta / ((p.bucketUs - q.bucketUs) / 1e6))
-            }
-            prev = Some(RateState(p.bucketUs, p.x))
-            o
-          }
-          prev.foreach(state.update)
-          out.iterator
+    def fold(series: String, rows: Seq[EwmaPoint],
+        state: GroupState[RateState]): Iterator[RateOut] = {
+      var prev = state.getOption
+      val out = rows.sortBy(_.bucketUs).flatMap { p =>
+        val o = prev.map { q =>
+          val delta = p.x - q.x
+          RateOut(series, p.bucketUs, p.x, delta,
+            delta / ((p.bucketUs - q.bucketUs) / 1e6))
+        }
+        prev = Some(RateState(p.bucketUs, p.x))
+        o
       }
+      prev.foreach(state.update)
+      out.iterator
+    }
+    if (stateTtl.isEmpty)
+      points.groupByKey(_.series)
+        .flatMapGroupsWithState[RateState, RateOut](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (k, batch, state) => fold(k, batch.toSeq, state)
+        }
+    else
+      withKeyTtl[EwmaPoint, String, RateState, RateOut](
+        points, _.bucketUs, _.series, stateTtl, watermarkDelay,
+        OutputMode.Append())(fold)((_, _) => Iterator.empty)
   }
 
   final case class MarkovEvent(userId: Long, tsUs: Long, eventId: Long,
@@ -527,26 +621,42 @@ object StreamingIngest {
     * order across batches; within a batch any order is tolerated.
     * Downstream, `groupBy(src, dst).count()` over the emitted pairs
     * reproduces the batch operator's transition counts exactly
-    * (StreamingSpec proves split-invariance).
+    * (StreamingSpec proves split-invariance). Pass `stateTtl` on a
+    * forever-running ingest: the user population is unbounded, and
+    * idle users' last-event records evict against the watermark
+    * ([[withKeyTtl]]).
     */
-  def markovTransitions(ev: Dataset[MarkovEvent])
+  def markovTransitions(ev: Dataset[MarkovEvent], stateTtl: String = "",
+      watermarkDelay: String = "10 seconds")
       : Dataset[MarkovTransition] = {
     import ev.sparkSession.implicits._
-    ev.groupByKey(_.userId)
-      .flatMapGroupsWithState[MarkovLast, MarkovTransition](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        case (u, batch, state: GroupState[MarkovLast]) =>
-          var last = state.getOption
-          val out = batch.toSeq.sortBy(e => (e.tsUs, e.eventId))
-            .flatMap { e =>
-              val t = last.map(l =>
-                MarkovTransition(u, l.eventType, e.eventType, e.tsUs))
-              last = Some(MarkovLast(e.tsUs, e.eventId, e.eventType))
-              t
-            }
-          last.foreach(state.update)
-          out.iterator
-      }
+    def fold(u: Long, rows: Seq[MarkovEvent],
+        state: GroupState[MarkovLast]): Iterator[MarkovTransition] = {
+      var last = state.getOption
+      val out = rows.sortBy(e => (e.tsUs, e.eventId))
+        .flatMap { e =>
+          val t = last.map(l =>
+            MarkovTransition(u, l.eventType, e.eventType, e.tsUs))
+          last = Some(MarkovLast(e.tsUs, e.eventId, e.eventType))
+          t
+        }
+      last.foreach(state.update)
+      out.iterator
+    }
+    if (stateTtl.isEmpty)
+      ev.groupByKey(_.userId)
+        .flatMapGroupsWithState[MarkovLast, MarkovTransition](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (k, batch, state) => fold(k, batch.toSeq, state)
+        }
+    else
+      // evicting a user forgets their last event: the first event
+      // after expiry emits no transition across the idle gap — for a
+      // behavioral stream that is usually the RIGHT semantics (a
+      // months-idle user's "next" action isn't a transition)
+      withKeyTtl[MarkovEvent, Long, MarkovLast, MarkovTransition](
+        ev, _.tsUs, _.userId, stateTtl, watermarkDelay,
+        OutputMode.Append())(fold)((_, _) => Iterator.empty)
   }
 
   final case class NoveltyFlag(userId: Long, src: String, dst: String,
@@ -583,10 +693,11 @@ object StreamingIngest {
     * record — the broadcast stream-static join is how a behavioral
     * anomaly screen actually deploys.
     */
-  def seqNovelty(ev: Dataset[MarkovEvent], dict: DataFrame)
-      : Dataset[NoveltyFlag] = {
+  def seqNovelty(ev: Dataset[MarkovEvent], dict: DataFrame,
+      stateTtl: String = "",
+      watermarkDelay: String = "10 seconds"): Dataset[NoveltyFlag] = {
     import ev.sparkSession.implicits._
-    markovTransitions(ev).toDF()
+    markovTransitions(ev, stateTtl, watermarkDelay).toDF()
       .join(broadcast(dict), Seq("src", "dst"), "left")
       .select(col("userId"), col("src"), col("dst"), col("tsUs"),
         coalesce(col("n"), lit(0L)).as("n"),
@@ -610,32 +721,41 @@ object StreamingIngest {
     * feeds the batch buckets through and compares exactly).
     */
   def anomaly(points: Dataset[EwmaPoint], window: Int = 24,
-      minHist: Int = 12, zThresh: Double = 2.5): Dataset[AnomalyOut] = {
+      minHist: Int = 12, zThresh: Double = 2.5, stateTtl: String = "",
+      watermarkDelay: String = "10 seconds"): Dataset[AnomalyOut] = {
     import points.sparkSession.implicits._
-    points.groupByKey(_.series)
-      .flatMapGroupsWithState[AnomalyState, AnomalyOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        case (series, batch, state: GroupState[AnomalyState]) =>
-          var hist = state.getOption.map(_.hist).getOrElse(Nil)
-          val out = Seq.newBuilder[AnomalyOut]
-          batch.toSeq.sortBy(_.bucketUs).foreach { p =>
-            val n = hist.length
-            if (n >= minHist) {
-              val s1 = hist.foldLeft(0.0)(_ + _)
-              val s2 = hist.foldLeft(0.0)((a, x) => a + x * x)
-              val mean = s1 / n
-              val variance = (s2 - s1 * s1 / n) / (n - 1)
-              if (variance > 0) {
-                val z = (p.x - mean) / math.sqrt(variance)
-                out += AnomalyOut(series, p.bucketUs, p.x, n.toLong,
-                  mean, z, math.abs(z) > zThresh)
-              }
-            }
-            hist = (hist :+ p.x).takeRight(window)
+    def fold(series: String, rows: Seq[EwmaPoint],
+        state: GroupState[AnomalyState]): Iterator[AnomalyOut] = {
+      var hist = state.getOption.map(_.hist).getOrElse(Nil)
+      val out = Seq.newBuilder[AnomalyOut]
+      rows.sortBy(_.bucketUs).foreach { p =>
+        val n = hist.length
+        if (n >= minHist) {
+          val s1 = hist.foldLeft(0.0)(_ + _)
+          val s2 = hist.foldLeft(0.0)((a, x) => a + x * x)
+          val mean = s1 / n
+          val variance = (s2 - s1 * s1 / n) / (n - 1)
+          if (variance > 0) {
+            val z = (p.x - mean) / math.sqrt(variance)
+            out += AnomalyOut(series, p.bucketUs, p.x, n.toLong,
+              mean, z, math.abs(z) > zThresh)
           }
-          state.update(AnomalyState(hist))
-          out.result().iterator
+        }
+        hist = (hist :+ p.x).takeRight(window)
       }
+      state.update(AnomalyState(hist))
+      out.result().iterator
+    }
+    if (stateTtl.isEmpty)
+      points.groupByKey(_.series)
+        .flatMapGroupsWithState[AnomalyState, AnomalyOut](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (k, batch, state) => fold(k, batch.toSeq, state)
+        }
+    else
+      withKeyTtl[EwmaPoint, String, AnomalyState, AnomalyOut](
+        points, _.bucketUs, _.series, stateTtl, watermarkDelay,
+        OutputMode.Append())(fold)((_, _) => Iterator.empty)
   }
 
   /** Per-doc contamination tallies for the streaming gate. */
@@ -739,57 +859,97 @@ object StreamingIngest {
     * across micro-batch splits). Contract: per-user event-time order
     * across batches (consume a watermark-ordered upstream); the last
     * session of each user stays open — callers close tails by sending
-    * a past-gap sentinel event, or add a GroupStateTimeout flush.
+    * a past-gap sentinel event, or pass `stateTtl` for the timeout
+    * flush.
+    *
+    * With `stateTtl` set (choose it ≥ the gap, so a flush can never
+    * fire while a live event could still have extended the session),
+    * a user idle past the TTL against the event-time watermark has
+    * their open session EMITTED as closed and their state evicted —
+    * the flush the NoTimeout form documents as the caller's job, plus
+    * the bounded-state guarantee: O(users active inside the TTL
+    * window), not O(all-time users). A returning user restarts at
+    * session 1 (the documented windowed trade — the all-time session
+    * ordinal needs all-time state).
     */
   def sessionize(events: Dataset[SessEvent],
-      gapUs: Long = 1800000000L): Dataset[SessionOut] = {
+      gapUs: Long = 1800000000L, stateTtl: String = "",
+      watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.userId)
-      .flatMapGroupsWithState[SessState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        case (user, batch, state: GroupState[SessState]) =>
-          var cur = state.getOption
-          val closed = Seq.newBuilder[SessionOut]
-          batch.toSeq.sortBy(e => (e.us, e.eventId)).foreach { e =>
-            val purchase = if (e.eventType == "purchase") 1L else 0L
-            cur match {
-              case Some(s) if e.us - s.endUs > gapUs =>
-                closed += SessionOut(user, s.sessionId, s.nEvents,
-                  s.startUs, s.endUs, s.endUs - s.startUs, s.nPurchases)
-                cur = Some(SessState(s.sessionId + 1, 1L, e.us, e.us,
-                  purchase))
-              case Some(s) =>
-                cur = Some(SessState(s.sessionId, s.nEvents + 1, s.startUs,
-                  e.us, s.nPurchases + purchase))
-              case None =>
-                cur = Some(SessState(1L, 1L, e.us, e.us, purchase))
-            }
-          }
-          cur.foreach(state.update)
-          closed.result().iterator
+    def fold(user: Long, rows: Seq[SessEvent],
+        state: GroupState[SessState]): Iterator[SessionOut] = {
+      var cur = state.getOption
+      val closed = Seq.newBuilder[SessionOut]
+      rows.sortBy(e => (e.us, e.eventId)).foreach { e =>
+        val purchase = if (e.eventType == "purchase") 1L else 0L
+        cur match {
+          case Some(s) if e.us - s.endUs > gapUs =>
+            closed += SessionOut(user, s.sessionId, s.nEvents,
+              s.startUs, s.endUs, s.endUs - s.startUs, s.nPurchases)
+            cur = Some(SessState(s.sessionId + 1, 1L, e.us, e.us,
+              purchase))
+          case Some(s) =>
+            cur = Some(SessState(s.sessionId, s.nEvents + 1, s.startUs,
+              e.us, s.nPurchases + purchase))
+          case None =>
+            cur = Some(SessState(1L, 1L, e.us, e.us, purchase))
+        }
+      }
+      cur.foreach(state.update)
+      closed.result().iterator
+    }
+    if (stateTtl.isEmpty)
+      events.groupByKey(_.userId)
+        .flatMapGroupsWithState[SessState, SessionOut](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (k, batch, state) => fold(k, batch.toSeq, state)
+        }
+    else
+      withKeyTtl[SessEvent, Long, SessState, SessionOut](
+        events, _.us, _.userId, stateTtl, watermarkDelay,
+        OutputMode.Append())(fold) { (user, state) =>
+        // timeout flush: the open session closes exactly as a
+        // past-gap event would have closed it
+        state.getOption.iterator.map(s =>
+          SessionOut(user, s.sessionId, s.nEvents, s.startUs, s.endUs,
+            s.endUs - s.startUs, s.nPurchases))
       }
   }
 
-  def seriesStats(rows: Dataset[StreamRow]): Dataset[SeriesUpdate] = {
+  /** With `stateTtl` set, a series idle past the TTL against the
+    * event-time watermark drops its lifetime counters — the next row
+    * restarts them (the windowed trade; series population is
+    * unbounded on a forever-running ingest, the TTL bounds it).
+    */
+  def seriesStats(rows: Dataset[StreamRow], stateTtl: String = "",
+      watermarkDelay: String = "10 seconds"): Dataset[SeriesUpdate] = {
     import rows.sparkSession.implicits._
-    rows.groupByKey(r => (r.namespace, r.measurement))
-      .mapGroupsWithState[SeriesState, SeriesUpdate](
-        GroupStateTimeout.NoTimeout) {
-        case ((ns, m), batch, state: GroupState[SeriesState]) =>
-          val rowsSeq = batch.toSeq
-          val prev = state.getOption.getOrElse(
-            SeriesState(0L, "", Long.MaxValue, Long.MinValue))
-          // deterministic fold: order within a batch by (ts, value)
-          val sorted = rowsSeq.sortBy(r => (r.timestampUs, r.value))
-          val next = sorted.foldLeft(prev) { (st, r) =>
-            SeriesState(st.n + 1, r.value,
-              math.min(st.minTs, r.timestampUs),
-              math.max(st.maxTs, r.timestampUs))
-          }
-          state.update(next)
-          SeriesUpdate(ns, m, next.n, next.lastValue,
-            if (next.n == 0) 0L else next.maxTs - next.minTs)
+    def fold(key: (String, String), rowsSeq: Seq[StreamRow],
+        state: GroupState[SeriesState]): Iterator[SeriesUpdate] = {
+      val prev = state.getOption.getOrElse(
+        SeriesState(0L, "", Long.MaxValue, Long.MinValue))
+      // deterministic fold: order within a batch by (ts, value)
+      val sorted = rowsSeq.sortBy(r => (r.timestampUs, r.value))
+      val next = sorted.foldLeft(prev) { (st, r) =>
+        SeriesState(st.n + 1, r.value,
+          math.min(st.minTs, r.timestampUs),
+          math.max(st.maxTs, r.timestampUs))
       }
+      state.update(next)
+      Iterator.single(SeriesUpdate(key._1, key._2, next.n,
+        next.lastValue, if (next.n == 0) 0L else next.maxTs - next.minTs))
+    }
+    if (stateTtl.isEmpty)
+      rows.groupByKey(r => (r.namespace, r.measurement))
+        .mapGroupsWithState[SeriesState, SeriesUpdate](
+          GroupStateTimeout.NoTimeout) {
+          (k, batch, state) => fold(k, batch.toSeq, state).next()
+        }
+    else
+      withKeyTtl[StreamRow, (String, String), SeriesState, SeriesUpdate](
+        rows, _.timestampUs, r => (r.namespace, r.measurement),
+        stateTtl, watermarkDelay, OutputMode.Update())(fold)(
+        (_, _) => Iterator.empty)
   }
 
   /** A keyed change event (the CDC shape q_dedup_latest compacts). */
@@ -853,9 +1013,20 @@ object StreamingIngest {
     * than the watermark). Spec-asserted both ways — in-window
     * convergence parity holds, and a post-expiry event restarting
     * the count proves the eviction fired.
+    *
+    * Eviction is STATE-only by default: an Update-mode sink keeps the
+    * evicted key's last upsert until the key is next written — the
+    * view's state forgets, the materialization doesn't. Pass
+    * `emitTombstones = true` to emit a delete marker on timeout — the
+    * key's identity columns with `n_versions = 0` (impossible for a
+    * real upsert, which always counts ≥ 1) — which an upsert sink
+    * treats as "delete this key", the standard changelog-compaction
+    * convention. Same contract on the heavyHittersTtl / kmvTtl /
+    * quantileSampleTtl siblings (sentinel: n_seen = 0 / k_used = 0).
     */
   def latest(events: Dataset[KeyedEvent], stateTtl: String = "",
-      watermarkDelay: String = "10 seconds"): Dataset[LatestOut] = {
+      watermarkDelay: String = "10 seconds",
+      emitTombstones: Boolean = false): Dataset[LatestOut] = {
     import events.sparkSession.implicits._
     if (stateTtl.isEmpty) {
       events.groupByKey(e => (e.user_id, e.event_type))
@@ -880,7 +1051,9 @@ object StreamingIngest {
           case ((uid, et), batch, state: GroupState[LatestState]) =>
             if (state.hasTimedOut) {
               state.remove() // idle past TTL: the view forgets the key
-              Iterator.empty
+              if (emitTombstones)
+                Iterator.single(LatestOut(uid, et, 0L, 0L, 0.0, 0L))
+              else Iterator.empty
             } else {
               val rows = batch.map(_.e).toSeq
               if (rows.isEmpty) Iterator.empty
@@ -976,11 +1149,16 @@ object StreamingIngest {
     * its n_seen denominator — the next event restarts the summary
     * from zero, the documented windowed-sketch trade). For streams
     * whose SOURCE population churns (per-domain crawl feeds); with a
-    * fixed mixture dimension prefer the lifetime form.
+    * fixed mixture dimension prefer the lifetime form. Eviction is
+    * state-only by default (the sink keeps the last upsert);
+    * `emitTombstones = true` emits `(source, "", 0, 0)` on timeout —
+    * n_seen = 0 is impossible for a real summary row — so an upsert
+    * sink can drop the source (see [[latest]]).
     */
   def heavyHittersTtl(docs: Dataset[TimedSourcedDoc], k: Int = 8,
       stateTtl: String = "7 days",
-      watermarkDelay: String = "10 seconds"): Dataset[HeavyHitter] = {
+      watermarkDelay: String = "10 seconds",
+      emitTombstones: Boolean = false): Dataset[HeavyHitter] = {
     import docs.sparkSession.implicits._
     docs.map(d => TimedSrcEvt(new Timestamp(d.tsUs / 1000L), d.source,
         d.doc_id, d.text))
@@ -989,8 +1167,12 @@ object StreamingIngest {
       .flatMapGroupsWithState[MgState, HeavyHitter](
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         case (src, batch, state: GroupState[MgState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
+          if (state.hasTimedOut) {
+            state.remove()
+            if (emitTombstones)
+              Iterator.single(HeavyHitter(src, "", 0L, 0L))
+            else Iterator.empty
+          } else {
             val rows = batch.toSeq
             if (rows.isEmpty) Iterator.empty
             else {
@@ -1076,10 +1258,14 @@ object StreamingIngest {
   /** [[kmv]] with per-source event-time TTL — same eviction contract
     * as [[heavyHittersTtl]]: an idle source's sketch (its k minimum
     * hashes) is dropped and a later event restarts the estimate.
+    * Eviction is state-only by default; `emitTombstones = true` emits
+    * `(source, 0, 0, 0.0)` on timeout (k_used = 0 is impossible for a
+    * real estimate) so an upsert sink can drop the source.
     */
   def kmvTtl(docs: Dataset[TimedSourcedDoc], k: Int = 64,
       stateTtl: String = "7 days",
-      watermarkDelay: String = "10 seconds"): Dataset[KmvEstimate] = {
+      watermarkDelay: String = "10 seconds",
+      emitTombstones: Boolean = false): Dataset[KmvEstimate] = {
     import docs.sparkSession.implicits._
     docs.map(d => TimedSrcEvt(new Timestamp(d.tsUs / 1000L), d.source,
         d.doc_id, d.text))
@@ -1088,8 +1274,12 @@ object StreamingIngest {
       .flatMapGroupsWithState[KmvState, KmvEstimate](
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         case (src, batch, state: GroupState[KmvState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
+          if (state.hasTimedOut) {
+            state.remove()
+            if (emitTombstones)
+              Iterator.single(KmvEstimate(src, 0L, 0L, 0.0))
+            else Iterator.empty
+          } else {
             val rows = batch.toSeq
             if (rows.isEmpty) Iterator.empty
             else {
@@ -1188,10 +1378,14 @@ object StreamingIngest {
   /** [[quantileSample]] with per-group event-time TTL — same
     * eviction contract as [[heavyHittersTtl]]: an idle group's
     * bottom-k sample is dropped and a later row restarts it.
+    * Eviction is state-only by default; `emitTombstones = true` emits
+    * `(g, 0, 0, 0, 0)` on timeout (k_used = 0 is impossible for a
+    * real readout) so an upsert sink can drop the group.
     */
   def quantileSampleTtl(rows: Dataset[TimedQsRow], k: Int = 64,
       stateTtl: String = "7 days",
-      watermarkDelay: String = "10 seconds"): Dataset[QsOut] = {
+      watermarkDelay: String = "10 seconds",
+      emitTombstones: Boolean = false): Dataset[QsOut] = {
     import rows.sparkSession.implicits._
     rows.map(r => TimedQsEvt(new Timestamp(r.tsUs / 1000L), r.g, r.v,
         r.k1, r.k2))
@@ -1200,8 +1394,12 @@ object StreamingIngest {
       .flatMapGroupsWithState[QsState, QsOut](
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         case (g, batch, state: GroupState[QsState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
+          if (state.hasTimedOut) {
+            state.remove()
+            if (emitTombstones)
+              Iterator.single(QsOut(g, 0L, 0.0, 0.0, 0.0))
+            else Iterator.empty
+          } else {
             val rowsSeq = batch.toSeq
             if (rowsSeq.isEmpty) Iterator.empty
             else {

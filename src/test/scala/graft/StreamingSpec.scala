@@ -1501,4 +1501,171 @@ class StreamingSpec extends AnyFunSuite {
       "out-of-order + redelivered frames must converge to the batch " +
         "segmentation")
   }
+
+  test("TTL-bounded sessionize flushes idle open sessions as closed, " +
+    "keeps in-window gap closure, and restarts a returning user at " +
+    "session 1 (proving the eviction fired)") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.{SessEvent, SessionOut}
+
+    val minUs = 60L * 1000000L
+    val hourUs = 3600L * 1000000L
+    val t0 = 1700000000000000L
+    val mem = MemoryStream[SessEvent]
+    // gap 1 min, TTL 10 min (≥ gap: a flush can never preempt a live
+    // continuation)
+    val q = StreamingIngest.sessionize(mem.toDS(), gapUs = minUs,
+        stateTtl = "10 minutes", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_ttl")
+      .outputMode(OutputMode.Append).start()
+
+    // user 1: two events 1s apart (one open session); user 2: a
+    // past-gap pair — the in-window gap rule must close session 1
+    mem.addData(Seq(
+      SessEvent(1L, t0, 1L, "view"),
+      SessEvent(1L, t0 + 1000000L, 2L, "purchase"),
+      SessEvent(2L, t0, 1L, "view"),
+      SessEvent(2L, t0 + 2 * minUs, 2L, "view")))
+    q.processAllAvailable()
+    // churn batches advance the watermark hours past the TTL: the
+    // idle open sessions must be FLUSHED as closed and evicted
+    // (timeouts fire against the previous batch's watermark, so two
+    // advancing batches guarantee the flush is processed)
+    mem.addData(Seq(SessEvent(99L, t0 + hourUs, 1L, "view")))
+    q.processAllAvailable()
+    mem.addData(Seq(SessEvent(99L, t0 + 2 * hourUs, 2L, "view")))
+    q.processAllAvailable()
+    // user 1 returns hours later: state was evicted, so this must
+    // restart at sessionId 1 (not 2); flushed by the final churn
+    mem.addData(Seq(SessEvent(1L, t0 + 3 * hourUs, 3L, "view")))
+    q.processAllAvailable()
+    mem.addData(Seq(SessEvent(99L, t0 + 4 * hourUs, 3L, "view")))
+    q.processAllAvailable()
+    mem.addData(Seq(SessEvent(99L, t0 + 5 * hourUs, 4L, "view")))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sess_ttl").as[SessionOut].collect().toSeq
+    val u2 = out.filter(_.userId == 2L)
+    assert(u2.exists(s => s.sessionId == 1L && s.nEvents == 1L &&
+        s.startUs == t0 && s.endUs == t0),
+      s"in-window gap closure must emit user 2's first session: $u2")
+    val u1 = out.filter(_.userId == 1L).sortBy(_.startUs)
+    assert(u1.exists(s => s.sessionId == 1L && s.nEvents == 2L &&
+        s.startUs == t0 && s.endUs == t0 + 1000000L &&
+        s.nPurchases == 1L),
+      s"the idle open session must be TTL-flushed as closed: $u1")
+    assert(u1.exists(s => s.sessionId == 1L &&
+        s.startUs == t0 + 3 * hourUs),
+      "a returning user must restart at session 1 — eviction really " +
+        s"fired: $u1")
+  }
+
+  test("TTL-bounded ewma re-seeds an evicted series and keeps the " +
+    "in-window recurrence bit-identical") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.{EwmaOut, EwmaPoint}
+
+    val minUs = 60L * 1000000L
+    val hourUs = 3600L * 1000000L
+    val t0 = 1700000000000000L
+    val mem = MemoryStream[EwmaPoint]
+    val q = StreamingIngest.ewma(mem.toDS(), stateTtl = "10 minutes",
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("ewma_ttl")
+      .outputMode(OutputMode.Append).start()
+
+    mem.addData(Seq(EwmaPoint("s", t0, 10.0),
+      EwmaPoint("s", t0 + minUs, 20.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(EwmaPoint("churn", t0 + hourUs, 1.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(EwmaPoint("churn", t0 + 2 * hourUs, 1.0)))
+    q.processAllAvailable()
+    // series "s" idled past the TTL: its recurrence must RE-SEED
+    // (ewma = x), not continue from the forgotten 15.0
+    mem.addData(Seq(EwmaPoint("s", t0 + 3 * hourUs, 40.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val s = spark.table("ewma_ttl").as[EwmaOut].collect()
+      .filter(_.series == "s").sortBy(_.bucketUs).toSeq
+    assert(s.map(_.ewma) == Seq(10.0, 15.0, 40.0),
+      s"expected in-window fold 10,15 then a re-seeded 40, got $s")
+  }
+
+  test("TTL-bounded markov transitions break the pair across an " +
+    "eviction and resume within the new window") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.{MarkovEvent, MarkovTransition}
+
+    val hourUs = 3600L * 1000000L
+    val t0 = 1700000000000000L
+    val mem = MemoryStream[MarkovEvent]
+    val q = StreamingIngest.markovTransitions(mem.toDS(),
+        stateTtl = "10 minutes", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("markov_ttl")
+      .outputMode(OutputMode.Append).start()
+
+    mem.addData(Seq(MarkovEvent(1L, t0, 1L, "view"),
+      MarkovEvent(1L, t0 + 1000000L, 2L, "click")))
+    q.processAllAvailable()
+    mem.addData(Seq(MarkovEvent(99L, t0 + hourUs, 1L, "view")))
+    q.processAllAvailable()
+    mem.addData(Seq(MarkovEvent(99L, t0 + 2 * hourUs, 2L, "view")))
+    q.processAllAvailable()
+    // user 1's last-event record evicted: the return event emits NO
+    // transition across the idle gap; the one after it pairs normally
+    mem.addData(Seq(
+      MarkovEvent(1L, t0 + 3 * hourUs, 3L, "purchase"),
+      MarkovEvent(1L, t0 + 3 * hourUs + 1000000L, 4L, "refund")))
+    q.processAllAvailable()
+    q.stop()
+
+    val t = spark.table("markov_ttl").as[MarkovTransition].collect()
+      .filter(_.userId == 1L).sortBy(_.tsUs)
+      .map(x => (x.src, x.dst)).toSeq
+    assert(t == Seq(("view", "click"), ("purchase", "refund")),
+      "the cross-eviction pair (click → purchase) must NOT be " +
+        s"emitted, and in-window pairs must: $t")
+  }
+
+  test("TTL-bounded latest with emitTombstones emits an n_versions=0 " +
+    "delete marker when a key evicts") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.{KeyedEvent, LatestOut}
+
+    val hourUs = 3600L * 1000000L
+    val t0 = 1700000000000000L
+    val mem = MemoryStream[KeyedEvent]
+    val q = StreamingIngest.latest(mem.toDS(), stateTtl = "1 minute",
+        watermarkDelay = "0 seconds", emitTombstones = true)
+      .writeStream.format("memory").queryName("latest_tomb")
+      .outputMode(OutputMode.Update).start()
+
+    mem.addData(Seq(KeyedEvent(1L, "click", 11L, t0, 1.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(KeyedEvent(99L, "churn", 1L, t0 + hourUs, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(KeyedEvent(99L, "churn", 2L, t0 + 2 * hourUs, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("latest_tomb").as[LatestOut].collect().toSeq
+    assert(rows.exists(o => o.user_id == 1L && o.event_type == "click" &&
+        o.n_versions == 0L),
+      "the evicted key must surface a tombstone an upsert sink can " +
+        s"apply as a delete: $rows")
+    // a real upsert can never be mistaken for one
+    assert(rows.filter(_.n_versions > 0L)
+        .forall(o => o.latest_event_id > 0L), s"corrupt upserts: $rows")
+  }
 }
