@@ -8,6 +8,17 @@ import org.apache.spark.sql.SparkSession
   * final physical plan runs in full (a plain Dataset.count() would
   * let Catalyst prune away expensive projections like fingerprints
   * and cosines, under-measuring).
+  *
+  * Self-adjudication (round-10): every channel carries per-rep
+  * spread — channel 1's per-query lines embed all rep times + the
+  * query's GC delta, the final line digests the 3 widest [min,max]
+  * spreads + total GC time, and bench_out.json carries the full
+  * qreps/qgc_ms/qheap_mb maps — so a burst (one wild rep) vs
+  * sustained slowness (all reps high) is a one-line read, and drift
+  * attributes to GC/heap pressure line-by-line. Queries run family
+  * by family with a cache purge at each boundary, so one family's
+  * cached blocks can't inflate every later family's numbers (the
+  * round-9 +13% committed-drift mechanism).
   */
 object Bench {
   /** Full-fidelity copy of the summary line; the stdout line points here
@@ -64,17 +75,50 @@ object Bench {
     val reps = if (loadStart > 2.0) baseReps + 2 else baseReps
     var loadMax = loadStart
     val qLoad = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+    // per-rep times + per-query GC-time/heap deltas (file channel):
+    // min-of-N alone cannot distinguish sustained slowness from a
+    // co-scheduled burst (round 9's q_multimodal_frames 7.4× phantom
+    // needed a judge re-run to adjudicate) and hides cache/GC
+    // pressure drift. All reps + GC delta make both a one-line read.
+    val qReps = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val qGc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val qHeap = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    import scala.jdk.CollectionConverters._
+    def gcMs(): Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    def heapMb(): Long = {
+      val r = Runtime.getRuntime
+      (r.totalMemory - r.freeMemory) / (1024 * 1024)
+    }
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    SparkEntry.families.foreach { case (_, qdefs) =>
+      qdefs.foreach { d =>
+        val gc0 = gcMs()
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { d.run(spark, sfDir).queryExecution.toRdd.count() }
+          catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val l = loadavg()
+        if (l > loadMax) loadMax = l
+        qLoad(d.name) = l
+        qReps(d.name) = times
+        qGc(d.name) = gcMs() - gc0
+        qHeap(d.name) = heapMb()
+        results(d.name) = times.min
       }
-      val l = loadavg()
-      if (l > loadMax) loadMax = l
-      qLoad(name) = l
-      name -> times.min
+      // family boundary: drop this family's session caches so their
+      // blocks don't raise GC/memory pressure on every later family
+      // (cross-family reuse doesn't exist — caches are family-internal;
+      // base tables are plain parquet views, never cached). Covers
+      // both Dataset .cache()s and lingering localCheckpoint RDDs.
+      try {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      } catch { case _: Throwable => }
     }
     val loadEnd = loadavg()
     // The driver captures only the LAST ~2000 chars of stdout and
@@ -91,8 +135,11 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val entries = results.toSeq.map { case (k, v) => (k, "\"" + k + "\":" + fmt(v)) }
+    // channel 1 carries the per-rep spread inline: a min that hides
+    // four 7-second reps is visible on the same line
     entries.sortBy(_._1).foreach { case (k, _) =>
-      println(s"""{"q":"$k","s":${fmt(results(k))}}""")
+      val rs = qReps(k).map(fmt).mkString("[", ",", "]")
+      println(s"""{"q":"$k","s":${fmt(results(k))},"r":$rs,"gc_ms":${qGc(k)}}""")
     }
     val fullQs = entries.map(_._2).mkString("{", ",", "}")
     // nproc + per-phase loadavg: load >> cpus means an external
@@ -113,10 +160,22 @@ object Bench {
     val committedJson = committedTotal
       .map(t => s""","committed_total":$t,"committed_file":"$CommittedFile"""")
       .getOrElse("")
+    // the final line's compact spread digest: the 3 queries whose
+    // rep max/min ratio is widest — a co-scheduled burst (one wild
+    // rep) vs sustained slowness (all reps high) reads directly off
+    // the [min,max] pair without a re-run
+    val spreadTop = qReps.toSeq
+      .map { case (k, ts) => (k, ts.min, ts.max) }
+      .sortBy { case (_, mn, mx) => -(mx / math.max(mn, 1e-9)) }
+      .take(3)
+      .map { case (k, mn, mx) => "\"" + k + s"\":[${fmt(mn)},${fmt(mx)}]" }
+      .mkString("{", ",", "}")
+    val gcTotal = qGc.values.sum
     val loadJson =
       s""""cpus":${Runtime.getRuntime.availableProcessors},""" +
       s""""load":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}""" +
-      s""","max":${fmt(loadMax)}},"min_of":$reps""" + committedJson
+      s""","max":${fmt(loadMax)}},"min_of":$reps""" +
+      s""","spread_top":$spreadTop,"gc_total_ms":$gcTotal""" + committedJson
     def line(qs: String, truncated: Boolean): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$loadJson""" +
         (if (truncated) s""","queries_truncated":true,"queries_file":"$OutFile"""" else "") + "}"
@@ -126,12 +185,25 @@ object Bench {
     val qLoadJson = qLoad.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // every rep of every query + GC-time/heap-after per query: the
+    // file channel is where drift gets attributed line-by-line
+    val qRepsJson = qReps.toSeq.sortBy(_._1)
+      .map { case (k, ts) =>
+        "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val qGcJson = qGc.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qHeapJson = qHeap.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // channel 2 must not be able to kill channels 1+3: a full disk /
     // read-only repo here would otherwise abort before the final line
     val committedFull = committed
       .map(j => s""","committed":$j""").getOrElse("")
     val fileLine =
-      fullLine.dropRight(1) + s""","qload":$qLoadJson$committedFull}"""
+      fullLine.dropRight(1) + s""","qload":$qLoadJson,"qreps":$qRepsJson""" +
+        s""","qgc_ms":$qGcJson,"qheap_mb":$qHeapJson$committedFull}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(OutFile),
       fileLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -14,12 +14,24 @@ import graft.ops.{BpeOps, Curation, DataQuality, Dedup, GraphOps,
   */
 object SparkEntry {
 
+  /** Query families in registration order — one entry per ops object.
+    * Bench clears session caches (edge lists, shingle frames,
+    * localCheckpoint blocks) at each family boundary: the caches are
+    * family-internal, and letting 263 queries' worth of blocks pile
+    * up in one JVM raises GC pressure on everything that runs later
+    * (measured as a +13% committed-channel drift in round 9).
+    */
+  def families: Seq[(String, Seq[QueryDef])] = Seq(
+    "relational" -> Relational.all, "tpch" -> TpcH.all,
+    "text" -> TextOps.all, "dedup" -> Dedup.all,
+    "similarity" -> Similarity.all, "multimodal" -> Multimodal.all,
+    "timeseries" -> TimeSeries.all, "curation" -> Curation.all,
+    "dq" -> DataQuality.all, "graph" -> GraphOps.all,
+    "layout" -> LayoutOps.all, "bpe" -> BpeOps.all,
+    "skew" -> SkewOps.all)
+
   /** All registered operator queries, in registration order. */
-  def defs: Seq[QueryDef] =
-    Relational.all ++ TpcH.all ++ TextOps.all ++ Dedup.all ++
-      Similarity.all ++ Multimodal.all ++ TimeSeries.all ++
-      Curation.all ++ DataQuality.all ++ GraphOps.all ++ LayoutOps.all ++
-      BpeOps.all ++ SkewOps.all
+  def defs: Seq[QueryDef] = families.flatMap(_._2)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
