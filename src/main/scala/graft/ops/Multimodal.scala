@@ -1478,8 +1478,85 @@ object Multimodal {
       FROM v GROUP BY doc_id, bx, by
       ORDER BY doc_id, by, bx"""))
 
+  /** Banded-LSH recall vs EXHAUSTIVE hamming truth, per distance —
+    * the image-side twin of q_dedup_minhash_recall / q_ann_recall:
+    * the index-quality audit that measures what the band join plus
+    * the [[BandDfCap]] hot-bucket guard actually discard, instead of
+    * assuming the pigeonhole argument (which is only total
+    * PRE-df-cap). Truth = all pairs at hamming ≤ 16 touching a
+    * deterministic anchor sample (doc_id % 16 — anchored evaluation
+    * keeps the exhaustive side O(n²/16) at fixture scale and
+    * O(anchors·n) in general, the standard recall-eval shape; the
+    * anchor rate is the knob at larger corpora). Found = the pair
+    * surfaces among [[bandCandidates]]. Output: per exact hamming
+    * distance, truth count, found count, recall — so the df-cap's
+    * false-negative cost is a measured number per radius, not a code
+    * read.
+    *
+    * Why radius 16, not the operating radius 3: the synthetic corpus
+    * has NO true near-dup images (see [[qImagePairs]] — nearest
+    * anchored pair sits at hamming 9 at sf0.01), so a ≤3 audit would
+    * be vacuously empty; the 9–16 tail is where recall is measurable
+    * and where the guaranteed-recall boundary (pigeonhole holds only
+    * below the band count) plus the df-cap's discards show up as
+    * sub-1.0 numbers. The 10× smoke injects real duplicates, so its
+    * run of this audit also populates the ≤3 rows.
+    *
+    * Scale shape: the anchor side broadcasts (n/16 ids+hashes ≈
+    * 12 B/row); the truth pass is one narrow map over the corpus per
+    * anchor batch — no shuffle until the 4-row aggregate; the
+    * candidate side is the existing equi-join pipeline plus one
+    * (pa, pb) hash join.
+    */
+  val qImageHashRecall = QueryDef(
+    "q_multimodal_imagehash_recall",
+    (s, dir) => {
+      val hs = aHashedPersisted(s, dir).select("doc_id", "ahash")
+      val anchors = hs.filter(col("doc_id") % 16 === 0)
+        .select(col("doc_id").as("a_id"), col("ahash").as("a_hash"))
+      val truth = hs.crossJoin(broadcast(anchors))
+        .filter(col("a_id") =!= col("doc_id"))
+        .select(
+          least(col("a_id"), col("doc_id")).as("pa"),
+          greatest(col("a_id"), col("doc_id")).as("pb"),
+          bit_count(col("a_hash").bitwiseXOR(col("ahash")))
+            .cast("long").as("d"))
+        .filter(col("d") <= 16)
+        .distinct() // an anchor–anchor pair is seen from both ends
+      val cand = bandCandidates(s, dir)
+        .select(col("a").as("pa"), col("b").as("pb"),
+          lit(1L).as("found"))
+      truth.join(cand, Seq("pa", "pb"), "left")
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("found"), lit(0L))).as("n_found"))
+        .select(col("d"), col("n_truth"), col("n_found"),
+          (col("n_found").cast("double") / col("n_truth"))
+            .as("recall"))
+        .orderBy("d")
+    },
+    Some(s"""
+      WITH $aHashWithSql,
+      $bandsWithSql,
+      anch AS (
+        SELECT doc_id AS a_id, ahash AS a_hash FROM hs
+        WHERE doc_id % 16 = 0),
+      truth AS (
+        SELECT DISTINCT least(a_id, h.doc_id) AS pa,
+          greatest(a_id, h.doc_id) AS pb,
+          CAST(bit_count(xor(a_hash, h.ahash)) AS BIGINT) AS d
+        FROM hs h, anch
+        WHERE a_id <> h.doc_id
+          AND bit_count(xor(a_hash, h.ahash)) <= 16),
+      j AS (
+        SELECT t.d, CASE WHEN c.a IS NULL THEN 0 ELSE 1 END AS found
+        FROM truth t LEFT JOIN cand c ON c.a = t.pa AND c.b = t.pb)
+      SELECT d, count(*) AS n_truth, CAST(sum(found) AS BIGINT) AS n_found,
+        CAST(sum(found) AS DOUBLE) / count(*) AS recall
+      FROM j GROUP BY d ORDER BY d"""))
+
   val all: Seq[QueryDef] =
     Seq(qMeta, qDecode, qPixels, qFrames, qVideoScenes, qAudio,
       qAudioEnergy, qAudioResample, qAudioVad, qImageHash, qResize,
-      qImagePairs, qImageClusters)
+      qImagePairs, qImageClusters, qImageHashRecall)
 }
