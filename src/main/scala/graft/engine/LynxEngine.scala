@@ -306,12 +306,18 @@ class LynxEngine(
       throw new IllegalArgumentException(
         s"function not allowed: ${banned.head}")
     val tables = LynxEngine.referencedTables(plan)
-    // day-partition pruning: for a simple single-table time-range
-    // query, derive the UTC-day bounds from the WHERE clause and read
-    // only matching day= directories of the tier (the pruning the
-    // reference lacks, SURVEY.md §4.1)
-    val dayBounds =
-      if (tables.size == 1) LynxEngine.dayBounds(plan) else None
+    // day-partition pruning: derive per-table UTC-day bounds from the
+    // WHERE clause and read only matching day= directories of each
+    // table's tier (the pruning the reference lacks, SURVEY.md §4.1).
+    // Single-table queries use the richer single-relation analysis
+    // (Project pass-through); joins prune each side independently.
+    val dayBoundsByTable: Map[String, (String, String)] =
+      if (tables.size == 1)
+        LynxEngine.dayBounds(plan) match {
+          case Some(b) => Map(tables.head.toLowerCase -> b)
+          case None => Map.empty
+        }
+      else LynxEngine.dayBoundsPerTable(plan)
     // as-of reads bypass the cache: they are rare ops reads over
     // immutable manifests, not worth a key-shape extension
     val cacheable = resultCacheEntries > 0 && !isExplain &&
@@ -440,7 +446,7 @@ class LynxEngine(
         val sealedDf: Option[DataFrame] =
           tierSnaps.get(t).filter(_.files.nonEmpty).flatMap(snap =>
             tier.map(_.readFiles(session, namespace, t, snap.files,
-              dayBounds)))
+              dayBoundsByTable.get(t.toLowerCase))))
         val df = (mem, sealedDf) match {
           case (Some(m), Some(sd)) =>
             m.unionByName(sd, allowMissingColumns = true)
@@ -786,6 +792,165 @@ object LynxEngine {
     else Some((
       lo.map(graft.buffer.PartitionKey.fromMicros).getOrElse("0000-01-01"),
       hi.map(graft.buffer.PartitionKey.fromMicros).getOrElse("9999-12-31")))
+  }
+
+  /** PER-TABLE conservative day bounds — [[dayBounds]] extended past
+    * single-relation queries: without it a join query scans ALL day
+    * partitions of EVERY table however tight its per-table timestamp
+    * predicates, and multi-table queries are exactly where full-tier
+    * scans hurt most (fact-to-fact joins over years of days).
+    *
+    * A Filter conjunct contributes a bound to table T iff its
+    * timestamp attribute provably reads T's raw scan column:
+    *  - unqualified `timestamp`: only when the Filter's subtree holds
+    *    exactly one base relation reachable through row-preserving
+    *    nodes (a derived table's inner WHERE, after CTE inlining);
+    *  - qualified `a.timestamp`: when binding `a` resolves to exactly
+    *    one relation reachable from the Filter through row-preserving
+    *    nodes only — Join, Filter, Sort, Distinct, and SubqueryAlias
+    *    directly over a relation. NOT Project / Aggregate / Window /
+    *    Generate / Limit: their outputs may not be the scan column,
+    *    or their row sets are cardinality-sensitive (the [[dayBounds]]
+    *    Limit rule).
+    *
+    * Join ON conditions are never harvested: an outer join's ON
+    * predicate on the PRESERVED side must not drop scan rows (the row
+    * survives null-extended). Filter conjuncts above any join type
+    * are safe because every harvested comparison is null-rejecting —
+    * a null-extended row fails the post-join predicate exactly like
+    * the pruned scan row would have.
+    *
+    * A table referenced by more than one relation node (self-join,
+    * UNION arms) gets NO bounds: all references share one registered
+    * view, so per-reference ranges would need a union, and the
+    * tighten-by-intersection rule here could over-prune — the same
+    * reason [[dayBounds]] demands a single relation.
+    */
+  def dayBoundsPerTable(rawPlan: LogicalPlan)
+      : Map[String, (String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical
+    import org.apache.spark.sql.types.{StringType, TimestampType}
+    val plan = inlineCtes(rawPlan)
+    if (plan.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[SubqueryExpression])))) return Map.empty
+    def relName(r: UnresolvedRelation): Option[String] =
+      if (r.multipartIdentifier.size == 1)
+        Some(r.multipartIdentifier.head.toLowerCase)
+      else None
+    // (binding → table) pairs reachable from p through row-preserving
+    // nodes only; anything else ends the walk (conservative)
+    def safeRels(p: LogicalPlan): Seq[(String, String)] = p match {
+      case r: UnresolvedRelation =>
+        relName(r).map(n => n -> n).toSeq
+      case sa: logical.SubqueryAlias => sa.child match {
+        case r: UnresolvedRelation =>
+          relName(r).map(n => sa.alias.toLowerCase -> n).toSeq
+        case _ => Nil // derived table: its inner Filters prune themselves
+      }
+      case j: logical.Join => safeRels(j.left) ++ safeRels(j.right)
+      case f: logical.Filter => safeRels(f.child)
+      case s: logical.Sort => safeRels(s.child)
+      case d: logical.Distinct => safeRels(d.child)
+      case _ => Nil
+    }
+    def tsAttr(e: Expression): Option[Seq[String]] = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.last.equalsIgnoreCase("timestamp") =>
+        Some(a.nameParts.map(_.toLowerCase))
+      case Cast(c, _, _, _) => tsAttr(c)
+      case _ => None
+    }
+    def micros(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, TimestampType) => Some(v)
+      case Literal(s, StringType) =>
+        val str = String.valueOf(s)
+        val full = if (str.length == 10) str + " 00:00:00" else str
+        try Some(java.time.LocalDateTime.parse(full.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)
+        catch { case _: Exception => None }
+      case Cast(c, _, _, _) => micros(c)
+      case _ => None
+    }
+    val lo = scala.collection.mutable.Map.empty[String, Long]
+    val hi = scala.collection.mutable.Map.empty[String, Long]
+    def tighten(m: scala.collection.mutable.Map[String, Long],
+        t: String, v: Long, isLo: Boolean): Unit =
+      m(t) = m.get(t).fold(v)(prev =>
+        if (isLo) math.max(prev, v) else math.min(prev, v))
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    plan.foreach {
+      case f: logical.Filter =>
+        val rels = safeRels(f.child)
+        val nRels = f.child.collect {
+          case r: UnresolvedRelation => r }.size
+        def resolve(e: Expression): Option[String] =
+          tsAttr(e).flatMap { parts =>
+            if (parts.size == 1)
+              // unqualified: unambiguous only with ONE relation below
+              if (nRels == 1 && rels.size == 1) Some(rels.head._2)
+              else None
+            else if (parts.size == 2) {
+              val hits = rels.filter(_._1 == parts.head)
+              if (hits.size == 1) Some(hits.head._2) else None
+            } else None
+          }
+        conjuncts(f.condition).foreach {
+          case GreaterThanOrEqual(a, l) if resolve(a).isDefined =>
+            for (t <- resolve(a); v <- micros(l))
+              tighten(lo, t, v, isLo = true)
+          case GreaterThan(a, l) if resolve(a).isDefined =>
+            for (t <- resolve(a); v <- micros(l))
+              tighten(lo, t, v, isLo = true)
+          case LessThanOrEqual(a, l) if resolve(a).isDefined =>
+            for (t <- resolve(a); v <- micros(l))
+              tighten(hi, t, v, isLo = false)
+          case LessThan(a, l) if resolve(a).isDefined =>
+            for (t <- resolve(a); v <- micros(l))
+              tighten(hi, t, v, isLo = false)
+          case EqualTo(a, l) if resolve(a).isDefined =>
+            for (t <- resolve(a); v <- micros(l)) {
+              tighten(lo, t, v, isLo = true)
+              tighten(hi, t, v, isLo = false)
+            }
+          // literal-first orientation flips the bound direction
+          case GreaterThanOrEqual(l, a) if resolve(a).isDefined =>
+            for (t <- resolve(a); v <- micros(l))
+              tighten(hi, t, v, isLo = false)
+          case GreaterThan(l, a) if resolve(a).isDefined =>
+            for (t <- resolve(a); v <- micros(l))
+              tighten(hi, t, v, isLo = false)
+          case LessThanOrEqual(l, a) if resolve(a).isDefined =>
+            for (t <- resolve(a); v <- micros(l))
+              tighten(lo, t, v, isLo = true)
+          case LessThan(l, a) if resolve(a).isDefined =>
+            for (t <- resolve(a); v <- micros(l))
+              tighten(lo, t, v, isLo = true)
+          case EqualTo(l, a) if resolve(a).isDefined =>
+            for (t <- resolve(a); v <- micros(l)) {
+              tighten(lo, t, v, isLo = true)
+              tighten(hi, t, v, isLo = false)
+            }
+          case _ =>
+        }
+      case _ =>
+    }
+    // shared-view rule: >1 reference to a table → no pruning for it
+    val refCounts = plan.collect {
+      case r: UnresolvedRelation => relName(r) }
+      .flatten.groupBy(identity).view.mapValues(_.size).toMap
+    (lo.keySet ++ hi.keySet).iterator
+      .filter(t => refCounts.getOrElse(t, 0) == 1)
+      .map { t =>
+        t -> ((
+          lo.get(t).map(graft.buffer.PartitionKey.fromMicros)
+            .getOrElse("0000-01-01"),
+          hi.get(t).map(graft.buffer.PartitionKey.fromMicros)
+            .getOrElse("9999-12-31")))
+      }.toMap
   }
 
   /** Dynamic schema inference + row→columnar conversion (reference

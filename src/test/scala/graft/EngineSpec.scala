@@ -314,6 +314,81 @@ class EngineSpec extends AnyFunSuite {
       "CTE-wrapped range must read only the in-range day dirs")
   }
 
+  test("multi-table join prunes each table's day partitions " +
+    "independently") {
+    val spark = SparkFixture.spark
+    def per(sql: String) =
+      LynxEngine.dayBoundsPerTable(LynxEngine.parse(spark, sql))
+    // qualified predicates on both sides of a join resolve per table
+    val b = per(
+      """SELECT * FROM cpu c JOIN mem m ON c.value = m.value
+        |WHERE c.timestamp >= TIMESTAMP '1970-01-02 00:00:00'
+        |AND m.timestamp < TIMESTAMP '1970-01-03 00:00:00'"""
+        .stripMargin.replace("\n", " "))
+    assert(b.get("cpu").contains(("1970-01-02", "9999-12-31")), s"$b")
+    assert(b.get("mem").contains(("0000-01-01", "1970-01-03")), s"$b")
+    // unqualified timestamp above a join is ambiguous: no pruning
+    assert(per(
+      """SELECT * FROM cpu c JOIN mem m ON c.value = m.value
+        |WHERE timestamp >= TIMESTAMP '1970-01-02 00:00:00'"""
+        .stripMargin.replace("\n", " ")).isEmpty)
+    // a self-joined table shares one registered view: no pruning
+    assert(per(
+      """SELECT * FROM cpu a JOIN cpu b ON a.value = b.value
+        |WHERE a.timestamp >= TIMESTAMP '1970-01-02 00:00:00'"""
+        .stripMargin.replace("\n", " ")).isEmpty)
+    // a derived table's inner WHERE still prunes its own relation,
+    // and the outer qualified predicate prunes the other side
+    val b2 = per(
+      """SELECT * FROM (SELECT * FROM cpu WHERE timestamp >=
+        |TIMESTAMP '1970-01-02 00:00:00') c JOIN mem m
+        |ON c.value = m.value
+        |WHERE m.timestamp < TIMESTAMP '1970-01-03 00:00:00'"""
+        .stripMargin.replace("\n", " "))
+    assert(b2.get("cpu").contains(("1970-01-02", "9999-12-31")), s"$b2")
+    assert(b2.get("mem").contains(("0000-01-01", "1970-01-03")), s"$b2")
+    // ON-clause conditions are never harvested (outer-join safety)
+    assert(per(
+      """SELECT * FROM cpu c LEFT JOIN mem m ON c.value = m.value
+        |AND c.timestamp >= TIMESTAMP '1970-01-02 00:00:00'"""
+        .stripMargin.replace("\n", " ")).isEmpty)
+
+    // end-to-end: 4 days in each table; corrupt cpu's out-of-range
+    // day files AND all of mem's out-of-range day files — the join
+    // succeeds iff each table's scan read only its own bounded days
+    val dayUs = 86400L * 1000000L
+    val tierDir = Files.createTempDirectory("prune-join-tier").toFile
+    val e = newEngine(Some(new ParquetTier(tierDir)))
+    (0 until 4).foreach { d =>
+      e.write(WriteRequest("ns", "cpu", d.toString, Map.empty,
+        d * dayUs + 1))
+      e.write(WriteRequest("ns", "mem", d.toString, Map.empty,
+        d * dayUs + 2))
+    }
+    e.seal("ns", "cpu")
+    e.seal("ns", "mem")
+    // conservative inclusive day ranges: cpu [01-02, 01-03] (from the
+    // >= / <= pair), mem [open, 01-03] (a `< 01-03 00:00` bound still
+    // keeps day 03 as the inclusive hi day, like the single-table
+    // path) — so cpu's 01-01 + 01-04 and mem's 01-04 are provably
+    // unread; corrupt exactly those
+    for ((t, day) <- Seq(("cpu", "1970-01-01"), ("cpu", "1970-01-04"),
+        ("mem", "1970-01-04"))) {
+      val dir = new java.io.File(tierDir, s"ns/$t/__lynx_day=$day")
+      val parts = dir.listFiles((_, n) => n.endsWith(".parquet"))
+      assert(parts != null && parts.nonEmpty, s"expected files in $dir")
+      parts.foreach(p => Files.write(p.toPath, "not parquet".getBytes))
+    }
+    val r = e.query("ns",
+      """SELECT c.value AS v FROM cpu c JOIN mem m ON c.value = m.value
+        |WHERE c.timestamp >= TIMESTAMP '1970-01-02 00:00:00'
+        |AND c.timestamp <= TIMESTAMP '1970-01-03 12:00:00'
+        |AND m.timestamp < TIMESTAMP '1970-01-03 00:00:00'
+        |ORDER BY v""".stripMargin.replace("\n", " ")).get
+    assert(r.rows.map(_.getString(0)) == Seq("1"),
+      "join must read only each table's in-range day dirs")
+  }
+
   test("tier compaction merges seal files and preserves results") {
     val tierDir = Files.createTempDirectory("compact-tier").toFile
     val tier = new ParquetTier(tierDir)
