@@ -418,11 +418,13 @@ object Dedup {
     * vs O(component diameter) for plain hash-min propagation, which
     * stalls on chain-shaped duplicate graphs (A≈B≈C≈…).
     *
-    * Loop state is localCheckpoint-ed (eager, MEMORY_AND_DISK, lineage
+    * Loop state is eagerly checkpointed via [[Lineage.cut]] (lineage
     * truncated), NOT cache()-d: a plain cache evicted under memory
     * pressure silently recomputes the upstream pair pipeline once per
     * iteration (measured 4× slowdown under bench-wide cache pressure).
-    * On a real cluster use reliable checkpointing (executor loss).
+    * On a real cluster set `sc.setCheckpointDir(...)` and the same
+    * loop upgrades to reliable (executor-loss-safe) checkpoints —
+    * PipelineOpsSpec proves label equality across both modes.
     *
     * Convergence: per-vertex labels (min of self and neighbors) only
     * ever decrease, so the label sum strictly decreases until
@@ -455,8 +457,8 @@ object Dedup {
     }
 
     var edges = sym(p.select(col("doc_a").as("a"), col("doc_b").as("b")))
-      .localCheckpoint(true)
-    var labels = mins(edges).localCheckpoint(true)
+      .transform(graft.ops.Lineage.cut)
+    var labels = mins(edges).transform(graft.ops.Lineage.cut)
     var prevSum = Long.MaxValue
     var curSum = labelSum(labels)
     var rounds = 0
@@ -466,7 +468,7 @@ object Dedup {
       val large = edges.filter(col("v") > col("u"))
         .join(labels, "u")
         .select(col("v").as("a"), col("m").as("b"))
-      val el = sym(large).localCheckpoint(true)
+      val el = sym(large).transform(graft.ops.Lineage.cut)
       // small-star: every neighbor v < u rewires to u's local min,
       // and u itself links to it (keeps u attached to its component)
       val mS = mins(el)
@@ -474,8 +476,8 @@ object Dedup {
         .join(mS, "u")
         .select(col("v").as("a"), col("m").as("b"))
         .union(mS.select(col("u").as("a"), col("m").as("b")))
-      edges = sym(small).localCheckpoint(true)
-      labels = mins(edges).localCheckpoint(true)
+      edges = sym(small).transform(graft.ops.Lineage.cut)
+      labels = mins(edges).transform(graft.ops.Lineage.cut)
       prevSum = curSum
       curSum = labelSum(labels)
       rounds += 1
@@ -483,7 +485,7 @@ object Dedup {
     require(curSum == prevSum,
       s"connectedComponents did not converge in $rounds rounds")
     val lab = labels.select(col("u").as("v"), col("m").as("l"))
-      .localCheckpoint(true)
+      .transform(graft.ops.Lineage.cut)
     // certificate: label-consistency across every ORIGINAL edge (and
     // coverage of both endpoints) proves the labels are the unique
     // per-component minima — loop-exit heuristics can't silently lie

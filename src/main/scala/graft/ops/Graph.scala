@@ -1068,13 +1068,13 @@ object GraphOps {
         // column would be).
         val lim = Long.MaxValue / S
         val araw = edges.join(h, "c").groupBy("p")
-          .agg(sum(col("h")).as("ar")).localCheckpoint(true)
+          .agg(sum(col("h")).as("ar")).transform(graft.ops.Lineage.cut)
         a = araw.crossJoin(broadcast(araw.agg(max(col("ar")).as("amax"))))
           .selectExpr("p", s"CASE WHEN amax <= ${lim}L THEN (ar * $S)" +
             " div amax ELSE CAST(raise_error('q_graph_hits: authority" +
             " normalize would overflow Long') AS BIGINT) END AS a")
         val hraw = edges.join(a, "p").groupBy("c")
-          .agg(sum(col("a")).as("hr")).localCheckpoint(true)
+          .agg(sum(col("a")).as("hr")).transform(graft.ops.Lineage.cut)
         h = hraw.crossJoin(broadcast(hraw.agg(max(col("hr")).as("hmax"))))
           .selectExpr("c", s"CASE WHEN hmax <= ${lim}L THEN (hr * $S)" +
             " div hmax ELSE CAST(raise_error('q_graph_hits: hub" +

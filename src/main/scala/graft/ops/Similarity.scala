@@ -1904,7 +1904,7 @@ object Similarity {
         // the greedy rounds below never re-run the corpus scan + window
         // (the lazily unrolled loop would re-derive it 2^4 times —
         // the q_sample_kcenter plan-blowup lesson)
-        .localCheckpoint(true)
+        .transform(graft.ops.Lineage.cut)
       val sims = cand.select(col("qid"), col("cid").as("a"),
           col("embedding").as("ea"), col("nrm").as("na"))
         .join(cand.select(col("qid"), col("cid").as("b"),
@@ -1913,7 +1913,7 @@ object Similarity {
         .select(col("qid"), col("a"), col("b"),
           pairCos(GraftFunctions.dotp(col("ea"), col("eb")),
             col("na"), col("nb")).as("sim"))
-        .localCheckpoint(true) // ≤ 3 × 12 × 11 pair rows
+        .transform(graft.ops.Lineage.cut) // ≤ 3 × 12 × 11 pair rows
       var selected = cand.groupBy("qid")
         .agg(max(struct(col("rel"), (-col("cid")).as("nc"),
           col("cid").as("cid"))).as("m"))
@@ -1939,7 +1939,7 @@ object Similarity {
             lit(i.toLong).as("pick"), col("m.score").as("mmr"))
         // ≤ 3·i rows; eager checkpoint keeps round i's plan from
         // embedding round i−1 twice (anti-join + max-sim join)
-        selected = selected.unionByName(next).localCheckpoint(true)
+        selected = selected.unionByName(next).transform(graft.ops.Lineage.cut)
       }
       selected.orderBy("qid", "pick")
     },
@@ -2031,7 +2031,7 @@ object Similarity {
       var newC = argmax(e, col("n2")).join(e, "vec_id")
         .select(col("vec_id"), col("embedding"), col("n2"),
           lit(null).cast("double").as("v"))
-        .localCheckpoint(true)
+        .transform(graft.ops.Lineage.cut)
       var picks = newC.select(col("vec_id"), lit(1L).as("pick"),
         col("v").as("dist"))
       var mind: DataFrame = null
@@ -2048,10 +2048,10 @@ object Similarity {
           else mind.join(d2, "vec_id")
             .select(col("vec_id"),
               least(col("mind"), col("d2")).as("mind")))
-          .localCheckpoint(true)
+          .transform(graft.ops.Lineage.cut)
         newC = argmax(mind, col("mind")).join(e, "vec_id")
           .select(col("vec_id"), col("embedding"), col("n2"), col("v"))
-          .localCheckpoint(true)
+          .transform(graft.ops.Lineage.cut)
         picks = picks.unionByName(newC.select(col("vec_id"),
           lit(i.toLong).as("pick"), col("v").as("dist")))
       }

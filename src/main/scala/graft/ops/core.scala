@@ -136,6 +136,27 @@ object Tables {
       all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n)))
 }
 
+/** Eager lineage cut for iterative loops (label propagation, HITS,
+  * k-center, MMR): re-deriving loop state lazily unrolls the lineage
+  * exponentially (measured 18 s vs 1.3 s on q_graph_hits), so loop
+  * frames are checkpointed eagerly each round.
+  *
+  * `localCheckpoint` by default — fast, but blocks are pinned to
+  * executors and are NOT fault-tolerant: on a real cluster a lost
+  * executor mid-loop kills the job. When the SparkContext has a
+  * checkpoint dir configured (`sc.setCheckpointDir(<job scratch on
+  * shared storage>)` — the standard Spark knob, no graft-specific
+  * config), every iterative op here upgrades automatically to a
+  * RELIABLE checkpoint, which a 100 TB run should set.
+  */
+object Lineage {
+  def cut[T](ds: org.apache.spark.sql.Dataset[T])
+      : org.apache.spark.sql.Dataset[T] =
+    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      ds.checkpoint(eager = true)
+    else ds.localCheckpoint(eager = true)
+}
+
 /** Cross-engine determinism helpers.
   *
   * Double summation is order-dependent and Spark's partial-aggregate

@@ -461,6 +461,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rounds <= 12, s"expected O(log 200) rounds, took $rounds")
   }
 
+  test("connectedComponents under a RELIABLE checkpoint dir yields " +
+    "identical labels and writes real checkpoint data") {
+    val s = spark
+    import s.implicits._
+    val edges = ((0L until 99L).map(i => (i, i + 1)) ++
+      Seq((200L, 201L), (201L, 202L), (300L, 301L)))
+      .toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sc = s.sparkContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-reliable-ckpt").toFile
+    // sc.checkpointDir has no public un-setter; restore the fixture's
+    // pristine state through the field so later suites keep the fast
+    // localCheckpoint path
+    val f = classOf[org.apache.spark.SparkContext]
+      .getDeclaredField("checkpointDir")
+    f.setAccessible(true)
+    val prev = f.get(sc)
+    try {
+      sc.setCheckpointDir(ckpt.getPath)
+      val reliable = Dedup.connectedComponents(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local,
+        "reliable-checkpoint labels must equal localCheckpoint labels")
+      // the loop really took the reliable path: the dir holds RDD data
+      def walk(d: java.io.File): Seq[java.io.File] = {
+        val fs = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+        fs ++ fs.filter(_.isDirectory).flatMap(walk)
+      }
+      assert(walk(ckpt).exists(_.isFile),
+        s"expected checkpoint files under $ckpt")
+    } finally f.set(sc, prev)
+  }
+
   test("curate() composes clean→quality→dedup→pack without losing " +
     "canonical docs") {
     val out = Curation.curate(spark, dir).collect()
