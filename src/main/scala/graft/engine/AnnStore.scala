@@ -1,0 +1,141 @@
+package graft.engine
+
+import java.io.File
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.tier.ParquetTier
+
+/** Engine-plane IVF ANN serving — the similarity-search analog of
+  * [[RollupStore]]'s maintained rollups: the repo trains and audits
+  * IVF indexes (q_ann_ivf / q_ann_ivf_recall / q_ann_ivf_incremental),
+  * and a real deployment SERVES them. `build` persists q_ann_ivf's
+  * exact coarse quantizer — the 8 seed centroids plus the per-vector
+  * (vec_id, embedding, nrm, cell) assignment — under the tier root
+  * (`_ann/<name>/`), with the cells frame PARTITIONED BY CELL on
+  * disk; `query` picks the nprobe nearest cells driver-side (8 L2
+  * folds over the centroid JSON) and runs one partition-pruned scan +
+  * exact-cosine top-k over just those cells — K/nprobe of the index
+  * per query, no shuffle, no broadcast.
+  *
+  * Parity: the probe ranking, the cosine (graft_dot / norms), and the
+  * (cos desc, vec_id) tie-break replicate q_ann_ivf bit-for-bit
+  * (AnnSpec pins served top-k == the audited query's rows), so the
+  * recall numbers q_ann_ivf_recall measures apply verbatim to what
+  * this store serves.
+  *
+  * Index builds are an ENGINE-side API, deliberately not exposed over
+  * HTTP: a build reads an arbitrary parquet path, and the HTTP plane
+  * serves untrusted callers (the same reason the query endpoint sets
+  * runSQLOnFiles=false). Serving validates the index name with the
+  * rollup endpoint's identifier rule and bounds k/nprobe.
+  *
+  * 100 TB shape: centroids are O(K·dim) JSON (driver-trivial); cells
+  * live as cell-partitioned parquet on shared storage, so a query
+  * scans corpus/K × nprobe rows with partition pruning — the same
+  * plan at any corpus size. Staleness: `build` is explicit (an index
+  * is a trained artifact, not a live view — the q_ann_ivf_incremental
+  * drift audit is the rebuild trigger), and rebuilds are atomic at
+  * the parquet-overwrite level.
+  */
+final class AnnStore(spark: SparkSession, tier: ParquetTier) {
+
+  private val Ident = "[A-Za-z_][A-Za-z0-9_]*"
+
+  private def indexDir(name: String): File =
+    new File(new File(tier.rootPath, "_ann"), name)
+
+  private final case class Idx(cents: Seq[(Int, Array[Double])],
+      cellsPath: String)
+  private val loadedIdx =
+    scala.collection.concurrent.TrieMap.empty[String, Idx]
+
+  /** Train + persist the IVF index for the embeddings table under
+    * `sourceDir` (fixture layout: `embeddings.parquet` with vec_id +
+    * embedding array<float>). Returns the indexed row count.
+    */
+  def build(name: String, sourceDir: String): Long = {
+    require(name.matches(Ident), "index name must be a bare identifier")
+    val dir = indexDir(name)
+    dir.mkdirs()
+    val cents = graft.ops.Similarity.ivfCentroids(spark, sourceDir)
+    require(cents.nonEmpty, s"no vectors to index under $sourceDir")
+    val json = cents.map { case (cell, c) =>
+      s"""{"cell":$cell,"cent":[${c.mkString(",")}]}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.write(
+      new File(dir, "centroids.json").toPath, json.getBytes(UTF_8))
+    val cellsPath = new File(dir, "cells.parquet").getPath
+    graft.ops.Similarity.ivfCells(spark, sourceDir)
+      .write.mode("overwrite").partitionBy("cell").parquet(cellsPath)
+    loadedIdx.remove(name)
+    spark.read.parquet(cellsPath).count()
+  }
+
+  private def load(name: String): Option[Idx] =
+    loadedIdx.get(name).orElse {
+      val dir = indexDir(name)
+      val cj = new File(dir, "centroids.json")
+      val cp = new File(dir, "cells.parquet")
+      if (!cj.isFile || !cp.isDirectory) None
+      else {
+        // jackson rides on Spark's classpath; same parser as the HTTP
+        // plane
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = mapper.readTree(
+          java.nio.file.Files.readAllBytes(cj.toPath))
+        val cents = (0 until root.size()).map { i =>
+          val n = root.get(i)
+          val arr = n.get("cent")
+          n.get("cell").asInt() ->
+            Array.tabulate(arr.size())(j => arr.get(j).asDouble())
+        }
+        val idx = Idx(cents, cp.getPath)
+        loadedIdx.putIfAbsent(name, idx)
+        Some(idx)
+      }
+    }
+
+  /** Exact-cosine top-k within the nprobe nearest cells. None =
+    * unknown index (HTTP 404); IllegalArgumentException = caller
+    * error (HTTP 422). The probe L2 fold, the query norm, and the
+    * (cos desc, vec_id) tie-break are q_ann_ivf's, bit-for-bit.
+    */
+  def query(name: String, q: Array[Float], k: Int,
+      nprobe: Int): Option[Seq[(Long, Double)]] = {
+    require(name.matches(Ident), "index name must be a bare identifier")
+    require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(q.nonEmpty && q.forall(f => !f.isNaN && !f.isInfinite),
+      "query vector must be non-empty finite floats")
+    load(name).map { idx =>
+      val dim = idx.cents.head._2.length
+      require(q.length == dim,
+        s"query vector must have $dim dimensions, got ${q.length}")
+      // same fold order as q_ann_ivf's squared-L2 + (dist, cell)
+      // tie-break
+      val probes = idx.cents.map { case (cell, c) =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) {
+          val d = q(j).toDouble - c(j); acc += d * d; j += 1
+        }
+        (acc, cell)
+      }.sorted.take(math.min(nprobe, idx.cents.size)).map(_._2)
+      var qn = 0.0
+      q.foreach(f => qn += f.toDouble * f.toDouble)
+      val qnrm = math.sqrt(qn)
+      graft.functions.GraftFunctions.register(spark)
+      spark.read.parquet(idx.cellsPath)
+        .filter(col("cell").isin(probes: _*))
+        .select(col("vec_id"),
+          (graft.functions.GraftFunctions.dotp(typedLit(q),
+            col("embedding")) / (lit(qnrm) * col("nrm"))).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(k).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+  }
+}

@@ -104,6 +104,13 @@ class LynxEngine(
   lazy val rollups: Option[RollupStore] =
     tier.map(new RollupStore(spark, _))
 
+  /** Engine-plane IVF ANN serving — see [[AnnStore]]; like rollups,
+    * present only when a tier is configured (indexes persist under
+    * the tier root).
+    */
+  lazy val ann: Option[AnnStore] =
+    tier.map(new AnnStore(spark, _))
+
   private val writeLock = new Object
   // RAM-tail row counts per (namespace, table), seeded from the
   // replayed buffer so a restarted engine still honors the threshold

@@ -146,6 +146,36 @@ object Json {
     (n.get("namespace").asText(), n.get("table").asText(), g, v)
   }
 
+  /** {index, vector, k?, nprobe?} for /api/v1/ann. The index name is
+    * identifier-restricted like rollup's columns (it becomes a
+    * filesystem path segment under the tier root); k/nprobe are
+    * bounded so one request can't demand an unbounded collect.
+    */
+  def parseAnn(body: Array[Byte])
+      : (String, Array[Float], Int, Int) = {
+    val n = mapper.readTree(body)
+    require(n.hasNonNull("index") && n.hasNonNull("vector"),
+      "missing required field")
+    val name = n.get("index").asText()
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      "index must be a bare identifier")
+    val vNode = n.get("vector")
+    require(vNode.isArray && vNode.size() > 0 && vNode.size() <= 4096,
+      "vector must be a non-empty numeric array")
+    val vec = new Array[Float](vNode.size())
+    var i = 0
+    while (i < vec.length) {
+      require(vNode.get(i).isNumber, "vector elements must be numbers")
+      vec(i) = vNode.get(i).floatValue()
+      i += 1
+    }
+    val k = if (n.hasNonNull("k")) n.get("k").asInt() else 3
+    val nprobe = if (n.hasNonNull("nprobe")) n.get("nprobe").asInt() else 3
+    require(k >= 1 && k <= 100, "k must be in [1, 100]")
+    require(nprobe >= 1 && nprobe <= 64, "nprobe must be in [1, 64]")
+    (name, vec, k, nprobe)
+  }
+
   /** {namespace, table, before_day: "yyyy-MM-dd"} for /admin/expire. */
   def parseExpire(body: Array[Byte]): (String, String, String) = {
     val n = mapper.readTree(body)
@@ -335,6 +365,48 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
                 // cardinality-bound rejections carry the limit in the
                 // message — surface it as a client error, not a bare
                 // 500, so the caller learns the contract
+                case e: IllegalArgumentException =>
+                  respond(ex, 422, s"""{"error":${
+                    Sinks.jsonString(e.getMessage)}}""")
+                case e: Exception =>
+                  System.err.println(e)
+                  respond(ex, 500)
+              }
+          }
+      }
+    }
+  })
+
+  // ANN top-k over a built IVF index (see graft.engine.AnnStore):
+  // POST {index, vector, k?, nprobe?} → [{"vec_id":…,"cos":…}…].
+  // Builds are engine-side only — an HTTP-triggered build would read
+  // an arbitrary host parquet path on behalf of an untrusted caller
+  // (the runSQLOnFiles=false rationale). 404 when the engine has no
+  // tier or the index was never built.
+  server.createContext("/api/v1/ann", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "POST") respond(ex, 405)
+    else {
+      val parsed =
+        try Right(Json.parseAnn(ex.getRequestBody.readAllBytes()))
+        catch { case e: Exception => Left(e) }
+      parsed match {
+        case Left(e) =>
+          System.err.println(e)
+          respond(ex, 422)
+        case Right((name, vec, k, nprobe)) =>
+          engine.ann match {
+            case None => respond(ex, 404)
+            case Some(store) =>
+              try store.query(name, vec, k, nprobe) match {
+                case None => respond(ex, 404)
+                case Some(hits) =>
+                  val body = hits.map { case (id, cos) =>
+                    s"""{"vec_id":$id,"cos":$cos}"""
+                  }.mkString("[", ",", "]")
+                  respond(ex, 200, body)
+              } catch {
+                // dimension/bounds violations carry the contract in
+                // the message — client error, not a bare 500
                 case e: IllegalArgumentException =>
                   respond(ex, 422, s"""{"error":${
                     Sinks.jsonString(e.getMessage)}}""")

@@ -552,6 +552,30 @@ object Similarity {
   // IvfK, or the (dist, cell) tie-break cannot make the two operators
   // silently probe different partitions.
 
+  /** The seed centroids as collected (cell, 64 doubles) rows — IvfK=8
+    * rows, bounded. The persistence face of the quantizer for
+    * [[graft.engine.AnnStore]]; AnnSpec pins the served top-k equal
+    * to q_ann_ivf's, so the two derivations cannot drift silently.
+    */
+  private[graft] def ivfCentroids(s: SparkSession,
+      dir: String): Seq[(Int, Array[Double])] =
+    seedCentroids(vectors(s, dir)).collect()
+      .map(r => r.getInt(0) ->
+        r.getSeq[Double](1).toArray).toSeq
+
+  /** One row per vector with its assigned cell — q_ann_ivf's `cells`
+    * frame (same argmin, same (dist, cell) tie-break), factored for
+    * the engine-plane ANN store to persist partitioned by cell.
+    */
+  private[graft] def ivfCells(s: SparkSession, dir: String): DataFrame = {
+    val e = vectors(s, dir)
+    ivfDists(e)
+      .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+      .agg(min(struct(col("dist"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("m.cell").as("cell"))
+  }
+
   /** Every vector × every seed with its squared-L2 — the frame both
     * cell assignment and query probing argmin over.
     */

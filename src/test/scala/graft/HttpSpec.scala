@@ -375,4 +375,58 @@ class HttpSpec extends AnyFunSuite {
       assert(f2.get(30, TimeUnit.SECONDS).statusCode() == 200)
     } finally server.stop()
   }
+
+  test("ANN endpoint serves IVF top-k matching q_ann_ivf on the same " +
+    "fixture, and validates index/vector/bounds") {
+    val spark = SparkFixture.spark
+    val sfDir = "/root/testdata/sf0.001"
+    val walDir = Files.createTempDirectory("ann-http").toFile
+    val tierDir = Files.createTempDirectory("ann-tier").toFile
+    val engine = new LynxEngine(spark, walDir, 1024 * 1024,
+      Some(new graft.tier.ParquetTier(tierDir)))
+    // build is engine-side by design (an HTTP build would read an
+    // arbitrary host path for an untrusted caller)
+    val indexed = engine.ann.get.build("fixtures", sfDir)
+    assert(indexed > 0)
+    val server = new LynxServer(engine, "127.0.0.1", 0)
+    server.start()
+    try {
+      val port = server.boundPort
+      // the audited query's rows: (query_id, vec_id, cos) for the 5
+      // fixture queries, top-3 each, self excluded
+      val expected = graft.ops.Similarity.qAnnIvf.run(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._1).map(t => (t._2, t._3)).toSeq).toMap
+      val qvecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      for ((qid, vec) <- qvecs.toSeq.sortBy(_._1)) {
+        // k=4 because the served top-1 is the query vector itself
+        // (cos 1); q_ann_ivf excludes self, so drop it and take 3
+        val body = s"""{"index":"fixtures","vector":[${
+          vec.mkString(",")}],"k":4,"nprobe":3}"""
+        val r = post(port, "/api/v1/ann", body)
+        assert(r.statusCode() == 200, s"q$qid: ${r.body()}")
+        val hits = """\{"vec_id":(\d+),"cos":([-0-9.E]+)\}""".r
+          .findAllMatchIn(r.body())
+          .map(m => (m.group(1).toLong, m.group(2).toDouble)).toSeq
+        val served = hits.filter(_._1 != qid).take(3)
+        assert(served == expected(qid),
+          s"q$qid served $served, q_ann_ivf says ${expected(qid)}")
+      }
+      // unknown index → 404; wrong dimension → 422 with the contract
+      assert(post(port, "/api/v1/ann",
+        """{"index":"nope","vector":[1.0]}""").statusCode() == 404)
+      val bad = post(port, "/api/v1/ann",
+        s"""{"index":"fixtures","vector":[1.0,2.0]}""")
+      assert(bad.statusCode() == 422 && bad.body().contains("dimensions"),
+        s"${bad.statusCode()} ${bad.body()}")
+      // non-identifier index name is rejected before touching disk
+      assert(post(port, "/api/v1/ann",
+        """{"index":"../etc","vector":[1.0]}""").statusCode() == 422)
+    } finally server.stop()
+  }
 }
