@@ -1365,7 +1365,11 @@ object Multimodal {
     * into fake clusters, the exact over-merge pathology this family
     * exists to avoid. The CC machinery still runs (and is exercised
     * with real edges by q_dedup_clusters and the 10× image smoke's
-    * injected duplicates).
+    * injected duplicates). Recall caveat: edges come from the
+    * df-capped candidates, so clusters can UNDER-merge exactly where
+    * [[qImageHashRecall]] measures pairs lost to hot band buckets
+    * (hamming-0 recall 0.937 at the 10× smoke) — the exact-dup
+    * hash-bucket pass upstream is what keeps those groups collapsed.
     */
   val qImageClusters = QueryDef(
     "q_multimodal_image_clusters",
