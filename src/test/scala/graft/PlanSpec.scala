@@ -796,4 +796,52 @@ class PlanSpec extends AnyFunSuite {
     assert(pi.contains("TakeOrderedAndProject"),
       "top-20 closest pairs must fuse, not global-sort")
   }
+
+  test("round-10 shapes: imagehash-recall truth side broadcasts the " +
+      "anchor sample; ANN serving scans only the probed cell " +
+      "partitions") {
+    val pr = plan("q_multimodal_imagehash_recall")
+    // anchored exhaustive truth = corpus × BROADCAST anchors (n/16
+    // rows) — a shuffled or sort-merge truth join would shuffle the
+    // whole corpus per evaluation
+    assert(pr.contains("BroadcastNestedLoopJoin") &&
+      pr.contains("Cross"),
+      "anchor truth must be a Cross broadcast nested loop, " +
+        s"not a shuffle: ${pr.take(400)}")
+    assert(!pr.contains("CartesianProduct"),
+      "anchored truth must never plan a cartesian product")
+    // the candidate side stays the banded equi-join
+    assert(pr.contains("SortMergeJoin") || pr.contains("ShuffledHashJoin")
+      || pr.contains("BroadcastHashJoin"),
+      "found-join must be a hash/merge equi-join")
+
+    // ANN serving: the cells scan must partition-prune to the probed
+    // cells (the K/nprobe promise) — assert on the actual plan of a
+    // store query against a just-built index
+    val spark = SparkFixture.spark
+    val tierDir = java.nio.file.Files
+      .createTempDirectory("ann-plan-tier").toFile
+    val store = new graft.engine.AnnStore(spark,
+      new graft.tier.ParquetTier(tierDir))
+    store.build("planpin", dir)
+    val cellsPath = new java.io.File(tierDir,
+      "_ann/planpin/cells.parquet").getPath
+    val probed = spark.read.parquet(cellsPath)
+      .filter(org.apache.spark.sql.functions.col("cell").isin(1, 2, 3))
+    val exec = probed.queryExecution.executedPlan
+    val scans = exec.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.nonEmpty,
+      "cell filter must reach the scan as a PARTITION filter " +
+        "(cells.parquet is partitioned by cell)")
+    val probedParts = scans.head.selectedPartitions.partitionCount
+    val allParts = spark.read.parquet(cellsPath)
+      .queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .head.selectedPartitions.partitionCount
+    assert(probedParts < allParts,
+      s"probing 3 of 8 cells must select fewer partition dirs " +
+        s"($probedParts vs $allParts)")
+  }
 }
