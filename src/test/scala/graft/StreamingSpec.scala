@@ -1636,6 +1636,142 @@ class StreamingSpec extends AnyFunSuite {
         s"emitted, and in-window pairs must: $t")
   }
 
+  test("TTL-bounded holt/cusum/rate re-seed evicted series and keep " +
+    "the in-window recurrences bit-identical") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.{CusumOut, EwmaPoint,
+      HoltOut, RateOut}
+
+    val minUs = 60L * 1000000L
+    val hourUs = 3600L * 1000000L
+    val t0 = 1700000000000000L
+    // one shared event script: two in-window buckets, churn on
+    // another series to advance the watermark past the TTL, then a
+    // post-eviction bucket for "s"
+    def feed[O: org.apache.spark.sql.Encoder](
+        mk: org.apache.spark.sql.Dataset[EwmaPoint] =>
+          org.apache.spark.sql.Dataset[O], name: String): Seq[O] = {
+      val mem = MemoryStream[EwmaPoint]
+      val q = mk(mem.toDS()).writeStream.format("memory")
+        .queryName(name).outputMode(OutputMode.Append).start()
+      mem.addData(Seq(EwmaPoint("s", t0, 10.0),
+        EwmaPoint("s", t0 + minUs, 20.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(EwmaPoint("churn", t0 + hourUs, 1.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(EwmaPoint("churn", t0 + 2 * hourUs, 1.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(EwmaPoint("s", t0 + 3 * hourUs, 40.0),
+        EwmaPoint("s", t0 + 3 * hourUs + minUs, 50.0)))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).as[O].collect().toSeq
+    }
+
+    // holt: in-window fold l1=10 b1=0, then l=0.5·20+0.5·10=15,
+    // b=0.25·5=1.25; post-eviction the recurrence re-seeds at l=40 b=0
+    val h = feed[HoltOut](ds => StreamingIngest.holt(ds,
+      stateTtl = "10 minutes", watermarkDelay = "0 seconds"),
+      "holt_ttl").filter(_.series == "s").sortBy(_.bucketUs)
+    assert(h.map(o => (o.level, o.trend)) ==
+      Seq((10.0, 0.0), (15.0, 1.25), (40.0, 0.0),
+        (0.5 * 50 + 0.5 * 40, 0.25 * (45.0 - 40.0))),
+      s"holt must re-seed after eviction: $h")
+
+    // cusum: μ=10 σ=2 ⇒ slack k=1; x=10,20 gives cp 0,9; a surviving
+    // state would carry cp=9 into the post-eviction bucket (40 ⇒
+    // cp=9+29=38) — re-seeded it must read 29
+    val c = feed[CusumOut](ds => StreamingIngest.cusum(ds,
+      Map("s" -> ((10.0, 2.0))), stateTtl = "10 minutes",
+      watermarkDelay = "0 seconds"),
+      "cusum_ttl").filter(_.series == "s").sortBy(_.bucketUs)
+    assert(c.map(_.cusumPos) == Seq(0.0, 9.0, 29.0, 29.0 + 39.0),
+      s"cusum must reset its accumulators on eviction: $c")
+
+    // rate: the first bucket of a (re-)seeded series emits nothing —
+    // so the post-eviction bucket at t0+3h MUST be absent (a
+    // surviving state would have emitted a 3h-gap rate), and the one
+    // after it emits against the new predecessor only
+    val r = feed[RateOut](ds => StreamingIngest.rate(ds,
+      stateTtl = "10 minutes", watermarkDelay = "0 seconds"),
+      "rate_ttl").filter(_.series == "s").sortBy(_.bucketUs)
+    assert(r.map(_.bucketUs) ==
+      Seq(t0 + minUs, t0 + 3 * hourUs + minUs),
+      s"the cross-eviction delta must NOT be emitted: $r")
+    assert(r.last.delta == 10.0 && r.last.ratePerS == 10.0 / 60.0)
+  }
+
+  test("TTL-bounded anomaly and seriesStats drop idle state: history " +
+    "warm-up and lifetime counters restart after eviction") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.{AnomalyOut, EwmaPoint,
+      SeriesUpdate, StreamRow}
+
+    val minUs = 60L * 1000000L
+    val hourUs = 3600L * 1000000L
+    val t0 = 1700000000000000L
+
+    // anomaly with minHist=2: buckets 1-2 warm up, bucket 3 scores;
+    // post-eviction the warm-up must restart (nothing scores until
+    // two NEW buckets accumulate)
+    val mem = MemoryStream[EwmaPoint]
+    val q = StreamingIngest.anomaly(mem.toDS(), window = 4,
+        minHist = 2, zThresh = 0.5, stateTtl = "10 minutes",
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("anom_ttl")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(Seq(EwmaPoint("s", t0, 10.0),
+      EwmaPoint("s", t0 + minUs, 20.0),
+      EwmaPoint("s", t0 + 2 * minUs, 100.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(EwmaPoint("churn", t0 + hourUs, 1.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(EwmaPoint("churn", t0 + 2 * hourUs, 1.0)))
+    q.processAllAvailable()
+    // with surviving state these two buckets would BOTH score
+    // (hist already ≥ 2); re-seeded, neither can
+    mem.addData(Seq(EwmaPoint("s", t0 + 3 * hourUs, 50.0),
+      EwmaPoint("s", t0 + 3 * hourUs + minUs, 60.0)))
+    q.processAllAvailable()
+    q.stop()
+    val a = spark.table("anom_ttl").as[AnomalyOut].collect()
+      .filter(_.series == "s").sortBy(_.bucketUs)
+    assert(a.map(_.bucketUs).toSeq == Seq(t0 + 2 * minUs),
+      s"post-eviction buckets must re-warm-up, not score: ${a.toSeq}")
+
+    // seriesStats: lifetime n restarts at the post-eviction row
+    val memR = MemoryStream[StreamRow]
+    val qr = StreamingIngest.seriesStats(memR.toDS(),
+        stateTtl = "10 minutes", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("stats_ttl")
+      .outputMode(OutputMode.Update).start()
+    memR.addData(Seq(StreamRow("ns", "cpu", "1", Map.empty, t0),
+      StreamRow("ns", "cpu", "2", Map.empty, t0 + minUs)))
+    qr.processAllAvailable()
+    memR.addData(Seq(StreamRow("ns", "other", "x", Map.empty,
+      t0 + hourUs)))
+    qr.processAllAvailable()
+    memR.addData(Seq(StreamRow("ns", "other", "y", Map.empty,
+      t0 + 2 * hourUs)))
+    qr.processAllAvailable()
+    memR.addData(Seq(StreamRow("ns", "cpu", "9", Map.empty,
+      t0 + 3 * hourUs)))
+    qr.processAllAvailable()
+    qr.stop()
+    val st = spark.table("stats_ttl").as[SeriesUpdate].collect()
+      .filter(_.measurement == "cpu").sortBy(_.n)
+    assert(st.exists(u => u.n == 2 && u.lastValue == "2"),
+      s"in-window fold must count both rows: ${st.toSeq}")
+    assert(st.map(_.n).max == 2 &&
+      st.count(u => u.n == 1 && u.lastValue == "9") == 1,
+      "the post-eviction row must RESTART the lifetime count at 1 " +
+        s"(surviving state would say 3): ${st.toSeq}")
+  }
+
   test("TTL-bounded latest with emitTombstones emits an n_versions=0 " +
     "delete marker when a key evicts") {
     val spark = SparkFixture.spark
