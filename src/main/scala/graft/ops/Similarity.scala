@@ -2454,11 +2454,100 @@ object Similarity {
       FROM olds o LEFT JOIN news n ON o.cell = n.cell
       ORDER BY o.cell"""))
 
+  /** Embedding-space cohort drift — the vector-side member of the
+    * drift-monitor family (q_source_drift covers token distributions,
+    * q_dq_profile_drift tabular stats): split the corpus into two
+    * deterministic scrape cohorts (vec_id parity — the fixture's
+    * stand-in for old-crawl vs new-crawl), compute each (label,
+    * cohort) mean vector EXACTLY (the q_embed_centroids integer
+    * trick: components quantized to 2^-20 units so sums are exact
+    * int64 and the means identical doubles in both engines), and
+    * report per label the centroid cosine, the L2 shift, and a drift
+    * flag — the "did the new scrape move a class's embedding mass"
+    * alarm an embedding-based curation pipeline checks before mixing
+    * cohorts.
+    *
+    * Determinism: per-dim means are exact-int/exact-int divisions
+    * (identical doubles); the 64-term cos/L2 reductions are double
+    * sums rounded to 9 decimals — order wobble is ≤ 64 ulp ≈ 1e-14,
+    * five orders below the rounding granularity (the
+    * q_embed_centroids norm discipline). Labels with only one cohort
+    * present drop out (drift needs both sides).
+    *
+    * Scale shape: one shuffle keyed (label, cohort, dim) — ≤
+    * labels×2×64 uniform keys, map-side partials collapse each
+    * partition to that many rows; everything after operates on
+    * labels×64 rows. No per-vector joins, no windows.
+    */
+  val qEmbedCohortDrift = QueryDef(
+    "q_embed_cohort_drift",
+    (s, dir) => {
+      val Q = 1048576.0 // 2^20
+      val vals = Tables.t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          (col("vec_id") % 2 === 0).as("is_a"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), col("is_a"),
+          (col("pos") + 1).cast("long").as("dim"),
+          round(col("v").cast("double") * Q).cast("long").as("q"))
+      val agg = vals.groupBy("label", "is_a", "dim")
+        .agg(count(lit(1)).as("n"), sum("q").as("sq"))
+        .withColumn("m", col("sq").cast("double") / (col("n") * Q))
+      val a = agg.filter(col("is_a"))
+        .select(col("label"), col("dim"), col("m").as("ma"),
+          col("n").as("na"))
+      val b = agg.filter(!col("is_a"))
+        .select(col("label"), col("dim"), col("m").as("mb"),
+          col("n").as("nb"))
+      a.join(b, Seq("label", "dim"))
+        .groupBy("label")
+        .agg(max("na").as("n_a"), max("nb").as("n_b"),
+          sum(col("ma") * col("mb")).as("dot"),
+          sum(col("ma") * col("ma")).as("aa"),
+          sum(col("mb") * col("mb")).as("bb"),
+          sum((col("ma") - col("mb")) * (col("ma") - col("mb")))
+            .as("d2"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          round(col("dot") / (sqrt(col("aa")) * sqrt(col("bb"))), 9)
+            .as("cos_ab"),
+          round(sqrt(col("d2")), 9).as("l2_shift"))
+        .withColumn("drifted",
+          col("cos_ab") < 0.98 || col("l2_shift") > 0.05)
+        .orderBy("label")
+    },
+    Some("""
+      WITH vals AS (
+        SELECT CAST(label AS BIGINT) AS label,
+          vec_id % 2 = 0 AS is_a, i AS dim,
+          CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576.0)
+            AS BIGINT) AS q
+        FROM embeddings,
+          (SELECT unnest(generate_series(1, 64)) AS i)),
+      agg AS (
+        SELECT label, is_a, dim, count(*) AS n,
+          CAST(sum(q) AS DOUBLE) / (count(*) * 1048576.0) AS m
+        FROM vals GROUP BY 1, 2, 3),
+      j AS (
+        SELECT a.label, a.dim, a.m AS ma, b.m AS mb,
+          a.n AS na, b.n AS nb
+        FROM agg a JOIN agg b
+          ON a.label = b.label AND a.dim = b.dim
+          AND a.is_a AND NOT b.is_a),
+      r AS (
+        SELECT label, max(na) AS n_a, max(nb) AS n_b,
+          round(sum(ma * mb) /
+            (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb))), 9) AS cos_ab,
+          round(sqrt(sum((ma - mb) * (ma - mb))), 9) AS l2_shift
+        FROM j GROUP BY 1)
+      SELECT label, n_a, n_b, cos_ab, l2_shift,
+        (cos_ab < 0.98 OR l2_shift > 0.05) AS drifted
+      FROM r ORDER BY label"""))
+
   val all: Seq[QueryDef] =
     Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf,
       qEmbedCentroids, qEmbedPq, qAnnAdc, qEmbedRp, qEmbedQuantize,
       qSemanticDedup, qAnnRecall, qMatryoshka, qIvfRecall, qIvfSweep,
       qSemanticOutlier, qAnnIvfPq, qEmbedWhiten, qAnnFiltered,
       qContrastivePairs, qAnnMmr, qKcenter, qAnnMrr, qLabelPurity,
-      qConfusion, qHybrid, qIvfIncremental)
+      qConfusion, qHybrid, qIvfIncremental, qEmbedCohortDrift)
 }
