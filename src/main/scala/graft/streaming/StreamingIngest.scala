@@ -1584,6 +1584,40 @@ object StreamingIngest {
       .agg(sum(col("q")).as("sd"), count(lit(1)).as("n"))
   }
 
+  /** A streamed embedding carrying both its class label and its
+    * scrape-cohort key — input of the cohort-drift sufficient-stats
+    * twin.
+    */
+  final case class LabeledEmbedPoint(label: Long, cohort: Int,
+      embedding: Seq[Float])
+
+  /** [[quantizedSums]] keyed additionally by label — the sufficient
+    * statistics of q_embed_cohort_drift as a Complete-mode streaming
+    * aggregation: per (label, cohort, dim), the exact 2^20-quantized
+    * integer sum and count, mergeable across micro-batches by
+    * construction. Spark allows one stateful aggregation per stream,
+    * so the finishing reduction (per-label centroid cosine + L2
+    * shift) is a labels×2×64-row BATCH read over the converged sink —
+    * StreamingSpec proves the finished drift rows equal the batch
+    * operator's bit-for-bit under adversarial micro-batching. State
+    * is labels × cohorts × 64 cells of two BIGINTs — constant for a
+    * monitor, regardless of stream length.
+    */
+  def labeledQuantizedSums(
+      points: Dataset[LabeledEmbedPoint]): DataFrame = {
+    import points.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    points.flatMap { p =>
+      p.embedding.iterator.zipWithIndex.map { case (v, i) =>
+        (p.label, p.cohort, i,
+          java.math.BigDecimal.valueOf(v.toDouble * 1048576.0)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+      }
+    }.toDF("label", "cohort", "pos", "q")
+      .groupBy("label", "cohort", "pos")
+      .agg(sum(col("q")).as("sd"), count(lit(1)).as("n"))
+  }
+
   /** One decoded frame's exact pixel sum arriving on the stream —
     * the scene-segmentation twin's input (a video ingest path emits
     * these from its decode stage; frames may arrive out of order

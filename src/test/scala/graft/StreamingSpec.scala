@@ -346,6 +346,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming labeled centroid sums converge to the batch cohort " +
+    "drift exactly, however micro-batched") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("q_embed_cohort_drift")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5)))).toMap
+
+    val pts = graft.ops.Tables.t(spark, dir, "embeddings")
+      .collect()
+      .map(r => StreamingIngest.LabeledEmbedPoint(
+        r.getInt(2).toLong,
+        if (r.getLong(0) % 2 == 0) 0 else 1,
+        r.getSeq[Float](1)))
+    val mem = MemoryStream[StreamingIngest.LabeledEmbedPoint]
+    val q = StreamingIngest.labeledQuantizedSums(mem.toDS())
+      .writeStream.format("memory").queryName("drift_sums")
+      .outputMode(OutputMode.Complete).start()
+    // adversarial splits incl. a reversed middle slice
+    Seq(pts.take(13), pts.slice(13, 2 * pts.length / 3).reverse,
+      pts.drop(2 * pts.length / 3))
+      .foreach { s => mem.addData(s.toSeq); q.processAllAvailable() }
+    q.stop()
+    // finishing reduction over the CONVERGED sufficient stats — the
+    // same math as the batch operator's tail
+    val sums = spark.table("drift_sums")
+      .withColumn("m", col("sd").cast("double") /
+        (col("n") * 1048576.0))
+    val a = sums.filter(col("cohort") === 0)
+      .select(col("label"), col("pos"), col("m").as("ma"),
+        col("n").as("na"))
+    // fresh attribute ids on the b side: both legs read the same
+    // sink view, and a self-join over identical lineage trips the
+    // conflicting-references check
+    val b = sums.filter(col("cohort") === 1)
+      .select(col("label"), col("pos"), col("m"), col("n"))
+      .toDF("label2", "pos2", "mb", "nb")
+    val finished = a.join(b,
+        col("label") === col("label2") && col("pos") === col("pos2"))
+      .groupBy("label")
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        sum(col("ma") * col("mb")).as("dot"),
+        sum(col("ma") * col("ma")).as("aa"),
+        sum(col("mb") * col("mb")).as("bb"),
+        sum((col("ma") - col("mb")) * (col("ma") - col("mb")))
+          .as("d2"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(col("dot") / (sqrt(col("aa")) * sqrt(col("bb"))), 9)
+          .as("cos_ab"),
+        round(sqrt(col("d2")), 9).as("l2_shift"))
+      .withColumn("drifted",
+        col("cos_ab") < 0.98 || col("l2_shift") > 0.05)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5)))).toMap
+    assert(finished == batch,
+      "converged streaming sufficient stats must finish to the " +
+        "batch drift rows exactly")
+  }
+
   test("streaming markov transitions are split-invariant and match " +
     "the sequential per-user fold") {
     val spark = SparkFixture.spark
