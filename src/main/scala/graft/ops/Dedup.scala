@@ -1405,9 +1405,328 @@ object Dedup {
       FROM flagged GROUP BY user_id, event_type
       ORDER BY user_id, event_type"""))
 
+  /** URL-canonicalization dedup — the FIRST dedup pass of every
+    * crawl pipeline: collapse scheme/host case, `www.` prefixes,
+    * default ports, trailing slashes, fragments, and tracking query
+    * params (`utm_*`, `ref`) into one canonical URL per page, THEN
+    * keep one doc per canonical key. Orders of magnitude cheaper than
+    * content dedup (pure string ops + one hash shuffle on the
+    * canonical key, no shingling) and catches the recrawl/session-id
+    * duplicate class content hashing also catches but at 100× the
+    * cost.
+    *
+    * The fixture has no URL column, so a raw URL is SYNTHESIZED
+    * deterministically per doc (both engines compute the identical
+    * construction — the established fixture-derivation pattern) with
+    * the real-world noise classes injected by doc_id residues: case
+    * (`HTTPS`, `WWW.…EXAMPLE.COM`), `:443`, trailing `/`, `utm_*`
+    * and `ref` params in varying order, `#fragment`. The
+    * canonicalizer then PARSES the assembled string — it never sees
+    * the parts — so the regex/split surface is honestly exercised.
+    * Canonical form: lower scheme+host, no www./default port/
+    * trailing slash/fragment, retained query params sorted.
+    *
+    * Scale shape: one narrow projection per doc (no explode), one
+    * hash aggregation on the canonical key, TakeOrdered top-25 audit
+    * — the cheapest query in the dedup family at any corpus size.
+    */
+  val qUrl = QueryDef(
+    "q_dedup_url",
+    (s, dir) => {
+      Tables.t(s, dir, "documents")
+        .selectExpr("doc_id", "source",
+          "element_at(split(text, ' '), 1) AS p1",
+          "CAST(doc_id % 50 AS STRING) AS slug")
+        .selectExpr("doc_id",
+          """concat(
+             CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END,
+             '://',
+             CASE WHEN doc_id % 3 = 0
+               THEN concat('www.', upper(source), '.EXAMPLE.COM')
+               ELSE concat(source, '.example.com') END,
+             CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+             '/', p1, '/', slug,
+             CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,
+             CASE WHEN doc_id % 4 = 0
+               THEN concat('?utm_source=feed&utm_campaign=x&id=', slug)
+             WHEN doc_id % 4 = 1 THEN concat('?id=', slug)
+             WHEN doc_id % 4 = 2 THEN concat('?ref=tw&id=', slug)
+             ELSE '' END,
+             CASE WHEN doc_id % 11 = 0 THEN '#sec2' ELSE '' END) AS url""")
+        .selectExpr("doc_id", "url",
+          "regexp_replace(url, '#.*$', '') AS u0")
+        .selectExpr("doc_id", "url",
+          "lower(regexp_extract(u0, '^([A-Za-z]+)://', 1)) AS scheme",
+          "regexp_replace(u0, '^[A-Za-z]+://', '') AS rest")
+        .selectExpr("doc_id", "url", "scheme",
+          "regexp_replace(regexp_replace(" +
+            "lower(split_part(rest, '/', 1)), '^www[.]', '')," +
+            " ':(443|80)$', '') AS host",
+          "substring(rest, length(split_part(rest, '/', 1)) + 1) AS pathq")
+        .selectExpr("doc_id", "url", "scheme", "host",
+          "regexp_replace(split_part(pathq, '?', 1), '/$', '') AS path",
+          "CASE WHEN pathq LIKE '%?%' THEN split_part(pathq, '?', 2)" +
+            " ELSE '' END AS qs")
+        .selectExpr("doc_id", "url", "scheme", "host", "path",
+          """array_join(array_sort(filter(split(qs, '&'),
+               p -> substring(p, 1, 4) NOT IN ('utm_', 'ref=')
+                    AND p != '')), '&') AS params""")
+        .selectExpr("doc_id", "url",
+          """concat(scheme, '://', host, path,
+             CASE WHEN params != '' THEN concat('?', params)
+                  ELSE '' END) AS canonical_url""")
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_raw_forms"),
+          min(col("doc_id")).as("keeper"))
+        .orderBy(col("n_docs").desc, col("canonical_url"))
+        .limit(25)
+    },
+    Some("""
+      WITH raw AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END
+          || '://'
+          || CASE WHEN doc_id % 3 = 0
+               THEN 'www.' || upper(source) || '.EXAMPLE.COM'
+               ELSE source || '.example.com' END
+          || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+          || '/' || string_split(text, ' ')[1]
+          || '/' || CAST(doc_id % 50 AS VARCHAR)
+          || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+          || CASE WHEN doc_id % 4 = 0
+               THEN '?utm_source=feed&utm_campaign=x&id='
+                    || CAST(doc_id % 50 AS VARCHAR)
+             WHEN doc_id % 4 = 1
+               THEN '?id=' || CAST(doc_id % 50 AS VARCHAR)
+             WHEN doc_id % 4 = 2
+               THEN '?ref=tw&id=' || CAST(doc_id % 50 AS VARCHAR)
+             ELSE '' END
+          || CASE WHEN doc_id % 11 = 0 THEN '#sec2' ELSE '' END AS url
+        FROM documents),
+      s0 AS (
+        SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u0
+        FROM raw),
+      s1 AS (
+        SELECT doc_id, url,
+          lower(regexp_extract(u0, '^([A-Za-z]+)://', 1)) AS scheme,
+          regexp_replace(u0, '^[A-Za-z]+://', '') AS rest
+        FROM s0),
+      s2 AS (
+        SELECT doc_id, url, scheme,
+          regexp_replace(regexp_replace(
+            lower(split_part(rest, '/', 1)), '^www[.]', ''),
+            ':(443|80)$', '') AS host,
+          substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+        FROM s1),
+      s3 AS (
+        SELECT doc_id, url, scheme, host,
+          regexp_replace(split_part(pathq, '?', 1), '/$', '') AS path,
+          CASE WHEN pathq LIKE '%?%' THEN split_part(pathq, '?', 2)
+               ELSE '' END AS qs
+        FROM s2),
+      s4 AS (
+        SELECT doc_id, url, scheme, host, path,
+          array_to_string(list_sort(list_filter(string_split(qs, '&'),
+            p -> substr(p, 1, 4) NOT IN ('utm_', 'ref=')
+                 AND p <> '')), '&') AS params
+        FROM s3),
+      canon AS (
+        SELECT doc_id, url,
+          scheme || '://' || host || path
+          || CASE WHEN params <> '' THEN '?' || params ELSE '' END
+            AS canonical_url
+        FROM s4)
+      SELECT canonical_url, count(*) AS n_docs,
+        count(DISTINCT url) AS n_raw_forms,
+        min(doc_id) AS keeper
+      FROM canon GROUP BY 1
+      ORDER BY n_docs DESC, canonical_url LIMIT 25"""))
+
+  /** Bloom-filter incremental dedup audit — the membership test that
+    * replaces the new-batch × historical-corpus join at 100 TB. The
+    * historical docs (same `length(source) <= 4` split as
+    * [[qIncremental]]) fold into a 2^18-bit bloom (k=3 md5-slice
+    * positions, 32 bits per BIGINT word so no engine disagrees about
+    * the sign bit) via a mergeable `bit_or` aggregation — the bloom is
+    * 32 KB REGARDLESS of corpus age, broadcastable to every executor,
+    * and maintained incrementally by OR-ing each sealed batch's
+    * partial. New docs probe it with a broadcast join; only
+    * bloom-positive docs would proceed to the exact historical
+    * lookup, so the per-batch cost is independent of history size.
+    *
+    * This query is the AUDIT of that contract: it also runs the exact
+    * membership join (the thing production skips) and reports, per
+    * language, the flagged count, the true-dup count, the false
+    * positives, and the measured FP rate — plus the structural
+    * guarantee to assert on: a bloom NEVER false-negatives, so
+    * n_flagged ≥ n_true_dup with every true dup flagged.
+    *
+    * All counts integer; fp_rate is one final int/int double division
+    * (the [[GraphOps]] parity discipline).
+    */
+  val qBloom = QueryDef(
+    "q_dedup_bloom",
+    (s, dir) => {
+      val M = 262144L // 2^18 bloom bits, 32 per word
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("d"),
+          (length(col("source")) <= 4).as("is_old"))
+      val pos = docs
+        .withColumn("r", explode(array(lit(0), lit(1), lit(2))))
+        .select(col("doc_id"), col("lang"), col("is_old"), col("d"),
+          (conv(col("d").substr(lit(1) + lit(10) * col("r"), lit(10)),
+            16, 10).cast("long") % M).as("p"))
+        .selectExpr("doc_id", "lang", "is_old", "d",
+          "p div 32 AS word", "CAST(p % 32 AS INT) AS bit")
+      val bloom = pos.filter(col("is_old"))
+        .groupBy("word")
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("wbits"))
+      val probed = pos.filter(!col("is_old"))
+        .join(broadcast(bloom), Seq("word"), "left")
+        .selectExpr("doc_id", "lang", "d",
+          "CASE WHEN wbits IS NULL THEN 0" +
+            " ELSE CAST(shiftright(wbits, bit) & 1 AS INT) END AS hit")
+        .groupBy("doc_id", "lang", "d")
+        .agg(min("hit").as("flagged"))
+      val histD = docs.filter(col("is_old"))
+        .select(col("d")).distinct().withColumn("seen", lit(1))
+      probed.join(histD, Seq("d"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_new"),
+          sum(col("flagged")).as("n_flagged"),
+          sum(coalesce(col("seen"), lit(0))).as("n_true_dup"),
+          sum(when(col("flagged") === 1 && col("seen").isNull, 1L)
+            .otherwise(0L)).as("n_false_pos"))
+        .selectExpr("lang", "n_new", "n_flagged", "n_true_dup",
+          "n_false_pos",
+          "CASE WHEN n_new = n_true_dup THEN CAST(0 AS DOUBLE)" +
+            " ELSE CAST(n_false_pos AS DOUBLE)" +
+            " / CAST(n_new - n_true_dup AS DOUBLE) END AS fp_rate")
+        .orderBy("lang")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, lang, md5(text) AS d,
+          length(source) <= 4 AS is_old
+        FROM documents),
+      pos AS (
+        SELECT doc_id, lang, is_old, d,
+          CAST('0x' || substr(d, CAST(1 + 10 * r AS BIGINT), 10)
+            AS BIGINT) % 262144 AS p
+        FROM docs CROSS JOIN (SELECT unnest(range(0, 3)) AS r)),
+      cells AS (
+        SELECT doc_id, lang, is_old, d,
+          p // 32 AS word, CAST(p % 32 AS INT) AS bit
+        FROM pos),
+      bloom AS (
+        SELECT word,
+          CAST(bit_or(CAST(1 AS BIGINT) << bit) AS BIGINT) AS wbits
+        FROM cells WHERE is_old GROUP BY 1),
+      probed AS (
+        SELECT doc_id, lang, d,
+          CAST(min(CASE WHEN wbits IS NULL THEN 0
+            ELSE CAST((wbits >> bit) & 1 AS INT) END) AS INT) AS flagged
+        FROM cells LEFT JOIN bloom USING (word)
+        WHERE NOT is_old GROUP BY 1, 2, 3),
+      hist AS (SELECT DISTINCT d, 1 AS seen FROM docs WHERE is_old),
+      joined AS (
+        SELECT probed.*, hist.seen
+        FROM probed LEFT JOIN hist USING (d)),
+      agg AS (
+        SELECT lang, count(*) AS n_new,
+          CAST(sum(flagged) AS BIGINT) AS n_flagged,
+          CAST(sum(COALESCE(seen, 0)) AS BIGINT) AS n_true_dup,
+          CAST(sum(CASE WHEN flagged = 1 AND seen IS NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+        FROM joined GROUP BY 1)
+      SELECT lang, n_new, n_flagged, n_true_dup, n_false_pos,
+        CASE WHEN n_new = n_true_dup THEN CAST(0 AS DOUBLE)
+          ELSE CAST(n_false_pos AS DOUBLE)
+            / CAST(n_new - n_true_dup AS DOUBLE) END AS fp_rate
+      FROM agg ORDER BY lang"""))
+
+  /** Content-defined chunking (CDC) dedup — split each document at
+    * positions the CONTENT chooses (a token whose hash ≡ 0 mod 16
+    * ends a chunk, expected chunk ≈ 16 tokens), then dedup at chunk
+    * granularity across the corpus. Because boundaries depend only on
+    * local content, an insertion or deletion reshapes ONE chunk and
+    * leaves the rest byte-identical — the property that lets CDC find
+    * shared material fixed-width sliding windows ([[qDupSpans]])
+    * re-discover at every offset, at 1/w the chunk count. This is the
+    * rolling-hash chunking of storage dedup (LBFS/Venti lineage)
+    * applied to corpus curation; the min/max chunk-size clamps of
+    * production CDC (FastCDC) are deliberately omitted — they
+    * reintroduce boundary-shift coupling and the pure hash-test core
+    * is the part that matters for cross-doc dedup.
+    *
+    * Output: the per-doc audit — chunk count, chunks shared with at
+    * least one OTHER doc, and the shared ratio — top 25 by ratio.
+    *
+    * Scale shape: the chunking is ARRAY-NATIVE — boundary tokens are
+    * marked in place (append chr(1)) and the re-joined string is
+    * re-split on the marker, so a document never explodes to token
+    * rows and the chunk derivation needs NO shuffle at all (the first
+    * cut of this query window-aggregated exploded tokens: 43 MB of
+    * 10×-smoke shuffle and two full token-stream exchanges — all of
+    * it gone). Only chunk rows (~1/16 the tokens) move, keyed by the
+    * chunk hash for the sharing aggregation. Linear at any corpus
+    * size.
+    */
+  val qCdc = QueryDef(
+    "q_dedup_cdc",
+    (s, dir) => {
+      val chunks = Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("""filter(split(
+            array_join(transform(
+              filter(split(text, ' '), t -> t != ''),
+              t -> IF(CAST(conv(substring(md5(t), 1, 15), 16, 10)
+                        AS BIGINT) % 16 = 0,
+                      concat(t, chr(1)), t)), ' '),
+            concat(chr(1), ' ?')), c -> c != '')"""))
+            .as("cstr"))
+        .select(col("doc_id"), md5(col("cstr")).as("ch"))
+      val sharing = chunks.groupBy("ch")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      chunks.join(sharing, "ch")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .selectExpr("doc_id", "n_chunks", "n_shared",
+          "CAST(n_shared AS DOUBLE) / CAST(n_chunks AS DOUBLE)" +
+            " AS shared_ratio")
+        .orderBy(col("shared_ratio").desc, col("doc_id"))
+        .limit(25)
+    },
+    Some("""
+      WITH marked AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(
+            array_to_string(list_transform(
+              list_filter(string_split(text, ' '), t -> t <> ''),
+              t -> CASE WHEN CAST('0x' || substr(md5(t), 1, 15)
+                     AS BIGINT) % 16 = 0
+                   THEN t || chr(1) ELSE t END), ' '),
+            chr(1) || ' ?'), c -> c <> '') AS cs
+        FROM documents),
+      chunks AS (
+        SELECT doc_id, md5(unnest(cs)) AS ch FROM marked),
+      sharing AS (
+        SELECT ch, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1)
+      SELECT doc_id, count(*) AS n_chunks,
+        CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_shared,
+        CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) AS shared_ratio
+      FROM chunks JOIN sharing USING (ch)
+      GROUP BY doc_id
+      ORDER BY shared_ratio DESC, doc_id LIMIT 25"""))
+
   val all: Seq[QueryDef] =
     Seq(qExact, qNgramJaccard, qMinHashLsh, qSimHash, qClusters,
       qLineDedup, qDupSpans, qSourceOverlap, qContainment, qEditDist,
       qIncremental, qMinhashRecall, qLatest, qParagraphs, qSoft,
-      qKeepBest, qTtl, qMinHashNative, qClusterAudit)
+      qKeepBest, qTtl, qMinHashNative, qClusterAudit, qUrl, qBloom,
+      qCdc)
 }

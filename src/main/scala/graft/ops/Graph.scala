@@ -1117,10 +1117,115 @@ object GraphOps {
       FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
       ORDER BY side, score DESC, id"""))
 
+  /** Personalized PageRank: random walk with restart to a SEED SET
+    * (the ASIA-region nations) rather than the uniform vector — the
+    * crawl-curation primitive for "expand a trusted seed list into a
+    * ranked neighborhood" (seed-and-expand quality propagation, the
+    * TrustRank shape). Same trade graph, damping and exact integer
+    * discipline as [[qPagerank]] — ranks in 1e-12 units, per-edge
+    * contribution via the overflow-safe identity
+    * (r div W)·w + ((r mod W)·w) div W — with TWO deltas: restart
+    * mass (the base term) lands ONLY on seeds, and non-seeds start at
+    * 0, so rank measures proximity to the seed set, not global
+    * centrality. Floor leakage decays total mass identically in both
+    * engines (documented semantics, as in qPagerank).
+    *
+    * Scale shape: identical to qPagerank — the edge derivation is the
+    * heavy lineitem scan (shared session-cached frame), the iterated
+    * state is |nodes| rows, the seed table is a broadcast. At 100 TB
+    * the three rank rounds move kilobytes.
+    */
+  val qPpr = QueryDef(
+    "q_graph_ppr",
+    (s, dir) => {
+      val edges = tradeEdges(s, dir).cache()
+      val outw = edges.groupBy("src").agg(sum("w").as("wout"))
+      val e = edges.join(outw, "src")
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst"))).distinct()
+      val seeds = T(s, dir, "nation")
+        .join(broadcast(T(s, dir, "region")
+          .filter(col("r_name") === "ASIA").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name").as("node"), lit(1).as("is_seed"))
+      val ns = seeds.agg(count(lit(1)).as("n_seeds"))
+      val nb = nodes
+        .join(broadcast(seeds), Seq("node"), "left")
+        .crossJoin(broadcast(ns))
+        .selectExpr("node",
+          "CASE WHEN is_seed = 1 THEN" +
+            " (15 * (1000000000000 div n_seeds)) div 100" +
+            " ELSE 0 END AS base",
+          "CASE WHEN is_seed = 1 THEN 1000000000000 div n_seeds" +
+            " ELSE 0 END AS r").cache()
+      val ranked = (1 to 3).foldLeft(nb) { (r, _) =>
+        nb.select(col("node"), col("base")).as("nb")
+          .join(e.as("e"), col("e.dst") === col("nb.node"), "left")
+          .join(r.select(col("node"), col("r")).as("pr"),
+            col("pr.node") === col("e.src"), "left")
+          .groupBy(col("nb.node").as("node"), col("nb.base").as("base"))
+          .agg(coalesce(sum(expr(
+            "(pr.r div e.wout) * e.w + ((pr.r % e.wout) * e.w) div e.wout")),
+            lit(0L)).as("contrib"))
+          .selectExpr("node", "base",
+            "CAST(base + (85 * contrib) div 100 AS BIGINT) AS r")
+      }
+      ranked.select(col("node").as("nation"), col("r").as("ppr_micro"))
+        .orderBy(col("ppr_micro").desc, col("nation"))
+    },
+    Some(s"""
+      WITH $tradeEdgesSql,
+      outw AS (
+        SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY 1),
+      e AS (SELECT edges.src, dst, w, wout
+            FROM edges JOIN outw ON edges.src = outw.src),
+      nodes AS (SELECT src AS node FROM edges
+                UNION SELECT dst FROM edges),
+      seeds AS (SELECT n_name AS node, 1 AS is_seed
+                FROM nation JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'),
+      ns AS (SELECT count(*) AS n_seeds FROM seeds),
+      nb AS (SELECT node,
+               CASE WHEN is_seed = 1
+                 THEN (15 * (1000000000000 // n_seeds)) // 100
+                 ELSE 0 END AS base,
+               CASE WHEN is_seed = 1 THEN 1000000000000 // n_seeds
+                 ELSE 0 END AS r
+             FROM nodes LEFT JOIN seeds USING (node) CROSS JOIN ns),
+      it1 AS (
+        SELECT nb.node, nb.base,
+          CAST(nb.base +
+            (85 * COALESCE(sum((pr.r // e.wout) * e.w + ((pr.r % e.wout) * e.w) // e.wout), 0)) // 100
+            AS BIGINT) AS r
+        FROM nb
+        LEFT JOIN e ON e.dst = nb.node
+        LEFT JOIN nb pr ON pr.node = e.src
+        GROUP BY 1, 2),
+      it2 AS (
+        SELECT nb.node, nb.base,
+          CAST(nb.base +
+            (85 * COALESCE(sum((pr.r // e.wout) * e.w + ((pr.r % e.wout) * e.w) // e.wout), 0)) // 100
+            AS BIGINT) AS r
+        FROM nb
+        LEFT JOIN e ON e.dst = nb.node
+        LEFT JOIN it1 pr ON pr.node = e.src
+        GROUP BY 1, 2),
+      it3 AS (
+        SELECT nb.node, nb.base,
+          CAST(nb.base +
+            (85 * COALESCE(sum((pr.r // e.wout) * e.w + ((pr.r % e.wout) * e.w) // e.wout), 0)) // 100
+            AS BIGINT) AS r
+        FROM nb
+        LEFT JOIN e ON e.dst = nb.node
+        LEFT JOIN it2 pr ON pr.node = e.src
+        GROUP BY 1, 2)
+      SELECT node AS nation, r AS ppr_micro FROM it3
+      ORDER BY ppr_micro DESC, nation"""))
+
   val all: Seq[QueryDef] = Seq(qPagerank, qTriangles, qDegree, qMarkov,
     qAssocRules, qEventTrigrams, qJaccardNeighbors, qCommunities,
     qSeqNovelty, qKcore, qBfs, qAssortativity, qClusteringCoeff,
-    qModularity, qHits)
+    qModularity, qHits, qPpr)
 }
 
 /** Physical-layout operators: where rows LIVE decides what a 100 TB

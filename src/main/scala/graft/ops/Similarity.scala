@@ -2543,11 +2543,191 @@ object Similarity {
         (cos_ab < 0.98 OR l2_shift > 0.05) AS drifted
       FROM r ORDER BY label"""))
 
+  /** Out-of-distribution scoring under a per-label DIAGONAL Gaussian
+    * — the Mahalanobis-distance OOD detector (diagonal covariance, the
+    * form that needs only per-dim sufficient statistics and therefore
+    * distributes): score(x) = Σ_d (x_d − μ_d)² / (σ²_d + ε) against
+    * the vector's OWN label's Gaussian. Complements
+    * [[qSemanticOutlier]] (centroid cosine finds DIRECTION outliers;
+    * Mahalanobis finds per-dimension SCALE outliers the cosine is
+    * blind to — a vector far along a low-variance axis).
+    *
+    * Cross-engine determinism: μ/σ² derive from exact quantized
+    * integer sums (2^-20 units; Σq as DECIMAL(38,0) here / HUGEINT
+    * there, so per-label Σq² never wraps at any corpus size), the
+    * divisions are one fixed double expression, and the 64-dim score
+    * is a strictly sequential left fold in both engines (the
+    * [[Similarity]] dot-product discipline).
+    *
+    * Scale shape: one grouped pass → |labels|×64 sufficient-stat
+    * rows, broadcast μ/σ² arrays, one narrow scoring map, TakeOrdered
+    * top-20. Never shuffles the embedding column.
+    */
+  val qEmbedOod = QueryDef(
+    "q_embed_ood",
+    (s, dir) => {
+      val Q = 1048576.0 // 2^20, same quantum as q_embed_centroids
+      val e = Tables.t(s, dir, "embeddings")
+      val qd = e
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), col("pos"),
+          round(col("v").cast("double") * Q).cast("long").as("q"))
+      val stats = qd.groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"),
+          sum(col("q").cast("decimal(38,0)")).as("sq"),
+          sum((col("q") * col("q")).cast("decimal(38,0)")).as("sqq"))
+        .selectExpr("label", "pos", "n",
+          "CAST(sq AS DOUBLE) / n / 1048576.0D AS mu",
+          "CAST(sqq AS DOUBLE) / n / (1048576.0D * 1048576.0D)" +
+            " - (CAST(sq AS DOUBLE) / n / 1048576.0D)" +
+            " * (CAST(sq AS DOUBLE) / n / 1048576.0D) AS vr")
+      val arrs = stats.groupBy("label")
+        .agg(transform(array_sort(collect_list(
+            struct(col("pos"), col("mu")))), x => x("mu")).as("mus"),
+          transform(array_sort(collect_list(
+            struct(col("pos"), col("vr")))), x => x("vr")).as("vrs"))
+      e.select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding"))
+        .join(broadcast(arrs), "label")
+        .selectExpr("vec_id", "label",
+          """aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, i) ->
+             acc
+             + (CAST(element_at(embedding, i) AS DOUBLE)
+                - element_at(mus, i))
+             * (CAST(element_at(embedding, i) AS DOUBLE)
+                - element_at(mus, i))
+             / (element_at(vrs, i) + 1e-9)) AS ood_score""")
+        .orderBy(col("ood_score").desc, col("vec_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH dims AS (
+        SELECT CAST(label AS BIGINT) AS label,
+          unnest(generate_series(1, 64)) AS dim, embedding
+        FROM embeddings),
+      persum AS (
+        SELECT label, dim, count(*) AS n,
+          sum(CAST(round(CAST(embedding[CAST(dim AS INT)] AS DOUBLE)
+            * 1048576.0) AS BIGINT)) AS sq,
+          sum(CAST(round(CAST(embedding[CAST(dim AS INT)] AS DOUBLE)
+            * 1048576.0) AS BIGINT)
+            * CAST(round(CAST(embedding[CAST(dim AS INT)] AS DOUBLE)
+            * 1048576.0) AS BIGINT)) AS sqq
+        FROM dims GROUP BY 1, 2),
+      mv AS (
+        SELECT label, dim,
+          CAST(sq AS DOUBLE) / n / 1048576.0 AS mu,
+          CAST(sqq AS DOUBLE) / n / (1048576.0 * 1048576.0)
+            - (CAST(sq AS DOUBLE) / n / 1048576.0)
+            * (CAST(sq AS DOUBLE) / n / 1048576.0) AS vr
+        FROM persum),
+      arrs AS (
+        SELECT label, list(mu ORDER BY dim) AS mus,
+          list(vr ORDER BY dim) AS vrs
+        FROM mv GROUP BY label),
+      scored AS (
+        SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            [(CAST(e.embedding[i] AS DOUBLE) - a.mus[i])
+             * (CAST(e.embedding[i] AS DOUBLE) - a.mus[i])
+             / (a.vrs[i] + 1e-9)
+             for i in generate_series(1, 64)]), (acc, x) -> acc + x)
+            AS ood_score
+        FROM embeddings e JOIN arrs a ON CAST(e.label AS BIGINT) = a.label)
+      SELECT vec_id, label, ood_score FROM scored
+      ORDER BY ood_score DESC, vec_id LIMIT 20"""))
+
+  /** Hard-negative mining for metric learning: per anchor, the top-3
+    * most-similar vectors with a DIFFERENT label — the pairs that
+    * actually move a contrastive loss ([[qContrastivePairs]] mines
+    * label-blind positives and EASY negatives near cos 0; hard
+    * negatives are the near-boundary wrong-label cases, and mining
+    * them from the LSH candidate pool is exactly how production
+    * pipelines avoid the O(n²) similarity matrix).
+    *
+    * Scale shape: reuses the shared [[lshCandidates]] machinery
+    * (packed band keys, one reused exchange); labels RIDE the two
+    * pair-scoring joins the query already pays (a labeled vector
+    * projection instead of separate (id, label) joins after the
+    * explode — the first cut shuffled the symmetrized pair pool twice
+    * more for labels and measured 12× wall at the 10× smoke), the
+    * wrong-label filter runs BEFORE symmetrization so only hard-
+    * negative candidates are exploded, and the per-anchor top-3
+    * window partitions are bounded by LSH bucket occupancy × tables
+    * (the derived-bits invariant keeps that ~constant at any corpus
+    * size), never corpus-sized. Cos ties break to the smaller
+    * negative id in both engines, so ranks are bit-deterministic.
+    */
+  val qHardNeg = QueryDef(
+    "q_pairs_hardneg",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      GraftFunctions.register(s)
+      val ev = Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(GraftFunctions.dotp(col("embedding"), col("embedding")))
+            .as("nrm"),
+          col("label").cast("long").as("lab"))
+      val scored = lshCandidates(s, dir)
+        .join(ev.toDF("id_a", "emb_a", "nrm_a", "lab_a"), "id_a")
+        .join(ev.toDF("id_b", "emb_b", "nrm_b", "lab_b"), "id_b")
+        .filter(col("lab_a") =!= col("lab_b"))
+        .select(col("id_a"), col("id_b"), col("lab_a"), col("lab_b"),
+          pairCos(GraftFunctions.dotp(col("emb_a"), col("emb_b")),
+            col("nrm_a"), col("nrm_b")).as("cos"))
+      // single-explode symmetrization (the qContrastivePairs lineage
+      // argument: a union would run candidate generation twice)
+      val sym = scored.select(explode(array(
+          struct(col("id_a").as("anchor"), col("id_b").as("neg"),
+            col("lab_a"), col("lab_b").as("lab_n"), col("cos")),
+          struct(col("id_b").as("anchor"), col("id_a").as("neg"),
+            col("lab_b").as("lab_a"), col("lab_a").as("lab_n"),
+            col("cos")))).as("e"))
+        .select(col("e.anchor").as("anchor"), col("e.neg").as("neg"),
+          col("e.lab_a").as("lab_a"), col("e.lab_n").as("lab_n"),
+          col("e.cos").as("cos"))
+      sym
+        .withColumn("rank", row_number().over(Window.partitionBy("anchor")
+          .orderBy(col("cos").desc, col("neg"))))
+        .filter(col("rank") <= 3)
+        .select(col("anchor"), col("rank").cast("long").as("rank"),
+          col("neg"), col("lab_a"), col("lab_n"), col("cos"))
+        .orderBy("anchor", "rank")
+    },
+    Some(s"""
+      WITH $lshCandWithSql,
+      scored AS (
+        SELECT cand.id_a, cand.id_b,
+          CAST(ea.label AS BIGINT) AS lab_a,
+          CAST(eb.label AS BIGINT) AS lab_b,
+          ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+        FROM cand
+        JOIN vectors a ON a.vec_id = cand.id_a
+        JOIN vectors b ON b.vec_id = cand.id_b
+        JOIN embeddings ea ON ea.vec_id = cand.id_a
+        JOIN embeddings eb ON eb.vec_id = cand.id_b
+        WHERE ea.label <> eb.label),
+      sym AS (
+        SELECT id_a AS anchor, id_b AS neg, lab_a, lab_b AS lab_n, cos
+        FROM scored
+        UNION ALL
+        SELECT id_b AS anchor, id_a AS neg, lab_b AS lab_a,
+          lab_a AS lab_n, cos
+        FROM scored),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY anchor
+          ORDER BY cos DESC, neg) AS rank
+        FROM sym)
+      SELECT anchor, rank, neg, lab_a, lab_n, cos
+      FROM ranked WHERE rank <= 3 ORDER BY anchor, rank"""))
+
   val all: Seq[QueryDef] =
     Seq(qCosinePairs, qAnnTopK, qAnnLsh, qEmbedPairsLsh, qAnnIvf,
       qEmbedCentroids, qEmbedPq, qAnnAdc, qEmbedRp, qEmbedQuantize,
       qSemanticDedup, qAnnRecall, qMatryoshka, qIvfRecall, qIvfSweep,
       qSemanticOutlier, qAnnIvfPq, qEmbedWhiten, qAnnFiltered,
       qContrastivePairs, qAnnMmr, qKcenter, qAnnMrr, qLabelPurity,
-      qConfusion, qHybrid, qIvfIncremental, qEmbedCohortDrift)
+      qConfusion, qHybrid, qIvfIncremental, qEmbedCohortDrift, qEmbedOod,
+      qHardNeg)
 }

@@ -1879,11 +1879,100 @@ object TimeSeries {
        AND epoch_us(c.ts) < epoch_us(e.ts) + 600000000
       GROUP BY 1 ORDER BY err_id"""))
 
+  /** Offline changepoint detection: the EXACT single best mean-shift
+    * split per event_type series (binary-segmentation's first step /
+    * CUSUM's offline dual) — "when did this metric's level change?"
+    * for drift triage over ingest telemetry. For each candidate split
+    * k the two-segment gain over the no-split model is
+    * Sl²/nl + Sr²/nr − S²/n (the variance-reduction identity; the
+    * Σx² term cancels), maximized exactly from ONE pass of prefix
+    * sums.
+    *
+    * Parity discipline: the series is first aggregated to exact
+    * integer day-cents (the heavy scan contracts to ≤ |days| rows per
+    * type), prefix sums stay BIGINT (DuckDB's window sum widens to
+    * HUGEINT — cast back), and the gain is ONE fixed double
+    * expression over identical integer inputs, so both engines run
+    * the same IEEE ops in the same order. Argmax tie-breaks on
+    * earliest day via row_number (gain DESC, day ASC).
+    *
+    * Scale shape: one hash aggregation (events → type×day), one
+    * window over ≤ days rows per type, one row per type out. The
+    * window partitions are calendar-bounded, never corpus-bounded.
+    */
+  val qChangepoint = QueryDef(
+    "q_ts_changepoint",
+    (s, dir) => {
+      val daily = Tables.t(s, dir, "events")
+        .selectExpr("event_type", "CAST(ts AS DATE) AS day",
+          "CAST(round(value * 100) AS BIGINT) AS cents")
+        .groupBy("event_type", "day")
+        .agg(sum("cents").as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val wAll = Window.partitionBy("event_type")
+      val pre = daily
+        .withColumn("sl", sum("x").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nl", count(lit(1)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("st", sum("x").over(wAll))
+        .withColumn("nt", count(lit(1)).over(wAll))
+        .filter(col("nl") < col("nt"))
+        .selectExpr("event_type", "day", "sl", "nl",
+          "st - sl AS sr", "nt - nl AS nr", "st", "nt")
+        .selectExpr("event_type", "day", "sl", "nl", "sr", "nr",
+          """(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)) / CAST(nl AS DOUBLE)
+             + (CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)) / CAST(nr AS DOUBLE)
+             - (CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) / CAST(nt AS DOUBLE)
+             AS gain""")
+      pre.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(col("gain").desc, col("day"))))
+        .filter(col("rn") === 1)
+        .selectExpr("event_type", "day AS split_day",
+          "nl AS n_left", "nr AS n_right",
+          "CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) AS mean_left_cents",
+          "CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE) AS mean_right_cents",
+          "gain")
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      pre AS (
+        SELECT event_type, day,
+          CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl,
+          CAST(count(*) OVER (PARTITION BY event_type ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+          CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS st,
+          CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nt
+        FROM daily),
+      gains AS (
+        SELECT event_type, day, sl, nl, st - sl AS sr, nt - nl AS nr,
+          (CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)) / CAST(nl AS DOUBLE)
+          + (CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE))
+            / CAST(nt - nl AS DOUBLE)
+          - (CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) / CAST(nt AS DOUBLE)
+            AS gain
+        FROM pre WHERE nl < nt),
+      best AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+          ORDER BY gain DESC, day) AS rn
+        FROM gains)
+      SELECT event_type, day AS split_day, nl AS n_left, nr AS n_right,
+        CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) AS mean_left_cents,
+        CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE) AS mean_right_cents,
+        gain
+      FROM best WHERE rn = 1 ORDER BY event_type"""))
+
   val all: Seq[QueryDef] =
     Seq(qAsofJoin, qGapFill, qIntervalJoin, qSessionize, qOhlc, qM4,
       qFunnel,
       qRate, qEwma, qHolt, qAnomaly, qRetention, qSeasonal, qLttb,
       qCusum, qAcf, qHoltBacktest, qTwa, qInterp, qNearestJoin,
       qAsofNative, qAsofTolerance, qAttrLinear, qAttrDecay, qRollingDau,
-      qIntervalNative, qRollingHll, qScd2, qTrend)
+      qIntervalNative, qRollingHll, qScd2, qTrend, qChangepoint)
 }

@@ -94,7 +94,7 @@ object StreamingIngest {
     * separator-collision between e.g. ("a","b c") and ("a b","c")
     * for arbitrary document content.
     */
-  private def contentHash(r: StreamRow): String = {
+  private def contentDigest(r: StreamRow): Array[Byte] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Seq(r.namespace, r.measurement, r.value).foreach { f =>
       val b = f.getBytes("UTF-8")
@@ -102,8 +102,11 @@ object StreamingIngest {
         .array())
       md.update(b)
     }
-    java.util.Base64.getEncoder.encodeToString(md.digest())
+    md.digest()
   }
+
+  private def contentHash(r: StreamRow): String =
+    java.util.Base64.getEncoder.encodeToString(contentDigest(r))
 
   /** A content-hashed stream row with its event-time projection —
     * the internal shape of the TTL-bounded dedup path.
@@ -186,6 +189,68 @@ object StreamingIngest {
             }
         }
     }
+  }
+
+  /** A stream row annotated with the bloom verdict: `maybe_dup` means
+    * its content hash MAY have been seen before (bloom semantics —
+    * no false negatives, tunable false positives).
+    */
+  final case class BloomFlag(namespace: String, measurement: String,
+      value: String, timestampUs: Long, maybe_dup: Boolean)
+
+  /** (d') Streaming bloom dedup: the CONSTANT-MEMORY counterpart of
+    * [[dedupExact]] and the streaming face of q_dedup_bloom. Rows are
+    * sharded by content hash; each shard keeps ONE fixed-size bloom
+    * bitmap (`mBits` bits, k=3 md5-slice positions) and flags a row
+    * `maybe_dup` when all its bits were already set, then sets them.
+    * Total state is `nShards × mBits/8` bytes FOREVER — 1 MB at the
+    * defaults — regardless of how many distinct documents the stream
+    * ever carries, where dedupExact's state grows O(distinct keys)
+    * (TTL-bounded at best). The trade is the bloom trade, measured by
+    * the batch audit query: zero false negatives structurally (a
+    * duplicate's bits are set by its original in the same shard —
+    * sharding by the full content hash makes a doc's bloom
+    * deterministic), and a false-positive rate that grows with fill;
+    * production either sizes mBits for the expected distinct count or
+    * rotates generations. Emitted flags feed a downstream exact check
+    * on the flagged subset only (the q_dedup_bloom contract).
+    *
+    * Per micro-batch, rows in a shard are processed in (timestampUs,
+    * value) order, so flags are batch-split-invariant (spec-asserted).
+    */
+  def bloomDedup(rows: Dataset[StreamRow], mBits: Int = 1 << 18,
+      nShards: Int = 32): Dataset[BloomFlag] = {
+    import rows.sparkSession.implicits._
+    require(mBits % 64 == 0 && mBits > 0, s"mBits must be a multiple of 64")
+    val words = mBits / 64
+    rows
+      .groupByKey { r =>
+        val d = contentDigest(r)
+        math.floorMod(
+          java.nio.ByteBuffer.wrap(d, 12, 4).getInt, nShards)
+      }
+      .flatMapGroupsWithState[Array[Long], BloomFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, batch, state: GroupState[Array[Long]]) =>
+          val bloom = state.getOption.getOrElse(new Array[Long](words))
+          val out = batch.toSeq
+            .sortBy(r => (r.timestampUs, r.value))
+            .map { r =>
+              val d = contentDigest(r)
+              val bb = java.nio.ByteBuffer.wrap(d)
+              val ps = Array(
+                math.floorMod(bb.getInt(0), mBits),
+                math.floorMod(bb.getInt(4), mBits),
+                math.floorMod(bb.getInt(8), mBits))
+              val hit = ps.forall(p =>
+                (bloom(p >>> 6) & (1L << (p & 63))) != 0L)
+              ps.foreach(p => bloom(p >>> 6) |= (1L << (p & 63)))
+              BloomFlag(r.namespace, r.measurement, r.value,
+                r.timestampUs, hit)
+            }
+          state.update(bloom)
+          out.iterator
+      }
   }
 
   /** A streamed document (the training-data ingest shape). */

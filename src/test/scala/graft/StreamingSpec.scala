@@ -121,6 +121,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(vals == Seq("alpha", "beta", "gamma"))
   }
 
+  test("bloom dedup flags every replay, never a first occurrence here, " +
+    "and is micro-batch-split invariant") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // values with known replays: a (x3), b (x2), c/d/e once
+    val vals = Seq("a", "b", "c", "a", "d", "b", "a", "e")
+    val data = vals.zipWithIndex.map { case (v, i) =>
+      StreamRow("ns", "docs", v, Map.empty, (i + 1) * 1000000L)
+    }
+    val expected = Seq( // (value, ts, maybe_dup): replay iff seen before
+      ("a", 1, false), ("b", 2, false), ("c", 3, false), ("a", 4, true),
+      ("d", 5, false), ("b", 6, true), ("a", 7, true), ("e", 8, false))
+
+    def run(name: String, batches: Seq[Seq[StreamRow]])
+        : Seq[(String, Int, Boolean)] = {
+      val mem = MemoryStream[StreamRow]
+      val q = StreamingIngest.bloomDedup(mem.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.sql(s"SELECT value, timestampUs, maybe_dup FROM $name")
+        .collect()
+        .map(r => (r.getString(0), (r.getLong(1) / 1000000L).toInt,
+          r.getBoolean(2)))
+        .sortBy(_._2).toSeq
+    }
+
+    // one batch with everything vs one row per micro-batch
+    val oneBatch = run("bloom_one", Seq(data))
+    val perRow = run("bloom_split", data.map(Seq(_)))
+    assert(oneBatch == expected,
+      s"single-batch flags diverged: $oneBatch")
+    assert(perRow == expected,
+      s"per-row flags diverged: $perRow")
+  }
+
   test("TTL-bounded exact dedup drops in-window dups, re-emits after " +
     "expiry, and keeps state bounded under key churn") {
     val spark = SparkFixture.spark
