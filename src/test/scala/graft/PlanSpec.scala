@@ -844,4 +844,62 @@ class PlanSpec extends AnyFunSuite {
       s"probing 3 of 8 cells must select fewer partition dirs " +
         s"($probedParts vs $allParts)")
   }
+
+  test("round-10 late batch shapes: bloom/ood broadcast their tiny " +
+      "sides, cdc chunks without a window, url never explodes, " +
+      "ppr/hardneg stay on equi-joins") {
+    // bloom: the 4096-word bitmap broadcasts to the probe side; the
+    // probe never shuffles against history except in the exact AUDIT
+    // join — and nothing plans a cartesian
+    val pb = plan("q_dedup_bloom")
+    assert(pb.contains("BroadcastHashJoin"),
+      "bloom bitmap must broadcast to the probe side")
+    assert(!pb.contains("CartesianProduct"))
+
+    // ood: label stats (|labels|×64 rows → arrays) broadcast; the
+    // sufficient-stat aggregation is two-phase
+    val po = plan("q_embed_ood")
+    assert(po.contains("BroadcastHashJoin"),
+      "μ/σ² arrays must broadcast to the scoring map")
+    assert(po.contains("partial_"),
+      "sufficient stats must aggregate map-side first")
+
+    // cdc: chunking is array-native — no token explode through a
+    // window; the only Generate is the CHUNK explode and there is no
+    // Window operator at all
+    val pc = plan("q_dedup_cdc")
+    assert(!pc.contains("Window"),
+      "cdc must not window exploded tokens (the pre-rewrite shape)")
+    assert(pc.contains("Generate"), "chunk explode missing")
+    assert(pc.contains("partial_"))
+
+    // url: one narrow projection per doc — no explode anywhere, and
+    // the audit tail fuses to TakeOrdered
+    val pu = plan("q_dedup_url")
+    assert(!pu.contains("Generate"),
+      "url canonicalization must stay row-narrow (no explode)")
+    assert(pu.contains("TakeOrderedAndProject"))
+
+    // ppr: seed table broadcast, all rank rounds equi-joins
+    val pp = plan("q_graph_ppr")
+    assert(pp.contains("BroadcastHashJoin"))
+    assert(!pp.contains("CartesianProduct"))
+
+    // hardneg: candidate machinery + labeled vector joins stay on
+    // hash/merge equi-joins; no cartesian anywhere
+    val ph = plan("q_pairs_hardneg")
+    assert(!ph.contains("CartesianProduct"))
+    assert(!ph.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin")),
+      "hardneg must not degrade to a nested-loop join")
+
+    // changepoint: events contract through one scan; the window runs
+    // over the contracted (type, day) rows only, after a two-phase agg
+    val pt = plan("q_ts_changepoint")
+    // FormattedMode prints each scan twice (tree + details): one
+    // physical scan leaf = 2 occurrences
+    assert("Scan parquet".r.findAllIn(pt).size <= 2,
+      "changepoint must read events exactly once")
+    assert(pt.contains("partial_") && pt.contains("Window"))
+  }
 }
