@@ -111,6 +111,14 @@ class LynxEngine(
   lazy val ann: Option[AnnStore] =
     tier.map(new AnnStore(spark, _))
 
+  /** Per-file value blooms for equality-predicate file skipping —
+    * see [[BloomStore]]; tier-only like rollups/ann. Once a column is
+    * indexed (`valueBlooms.get.index(ns, table, col)`), the query
+    * path consults it automatically for `col = 'literal'` conjuncts.
+    */
+  lazy val valueBlooms: Option[BloomStore] =
+    tier.map(new BloomStore(spark, _))
+
   private val writeLock = new Object
   // RAM-tail row counts per (namespace, table), seeded from the
   // replayed buffer so a restarted engine still honors the threshold
@@ -325,6 +333,12 @@ class LynxEngine(
           case None => Map.empty
         }
       else LynxEngine.dayBoundsPerTable(plan)
+    // string-equality literals per table: feeds BloomStore file
+    // skipping when an index exists for the (table, column)
+    val eqByTable: Map[String, Seq[(String, String)]] =
+      if (tier.isDefined && valueBlooms.exists(_.cachedFiles > 0))
+        LynxEngine.eqLiteralsPerTable(plan)
+      else Map.empty
     // as-of reads bypass the cache: they are rare ops reads over
     // immutable manifests, not worth a key-shape extension
     val cacheable = resultCacheEntries > 0 && !isExplain &&
@@ -451,9 +465,26 @@ class LynxEngine(
         val mem: Option[DataFrame] =
           inMem.get(t).map(LynxEngine.toDataFrame(session, _))
         val sealedDf: Option[DataFrame] =
-          tierSnaps.get(t).filter(_.files.nonEmpty).flatMap(snap =>
-            tier.map(_.readFiles(session, namespace, t, snap.files,
-              dayBoundsByTable.get(t.toLowerCase))))
+          tierSnaps.get(t).filter(_.files.nonEmpty).flatMap { snap =>
+            // bloom file skipping: drop manifest files whose value
+            // blooms exclude every harvested `col = 'literal'`
+            // conjunct for this table. If everything is skipped, keep
+            // one file so the read still yields the schema — its rows
+            // provably fail the predicate and the SQL filter removes
+            // them (the ParquetTier.readFiles day-prune convention).
+            val bloomed = valueBlooms match {
+              case Some(bs) =>
+                eqByTable.getOrElse(t.toLowerCase, Nil)
+                  .foldLeft(snap.files) { case (fs, (c, v)) =>
+                    bs.skipFiles(namespace, t, c, v, fs)
+                  }
+              case None => snap.files
+            }
+            val toRead =
+              if (bloomed.nonEmpty) bloomed else snap.files.take(1)
+            tier.map(_.readFiles(session, namespace, t, toRead,
+              dayBoundsByTable.get(t.toLowerCase)))
+          }
         val df = (mem, sealedDf) match {
           case (Some(m), Some(sd)) =>
             m.unionByName(sd, allowMissingColumns = true)
@@ -958,6 +989,97 @@ object LynxEngine {
           hi.get(t).map(graft.buffer.PartitionKey.fromMicros)
             .getOrElse("9999-12-31")))
       }.toMap
+  }
+
+  /** Per-table string-equality literals from WHERE conjuncts —
+    * `host = 'web-17'` → ("events" → Seq(("host", "web-17"))) — the
+    * predicate harvest behind [[BloomStore]] file skipping. Same
+    * conservative attribution rules as [[dayBoundsPerTable]] (and the
+    * same soundness argument): a conjunct binds to table T only when
+    * its attribute provably reads T's raw scan column through
+    * row-preserving nodes, Join ON conditions are never harvested,
+    * EqualTo is null-rejecting so Filter conjuncts above outer joins
+    * remain safe, subqueries and multiply-referenced tables disable
+    * the harvest entirely. Only plain string literals qualify — the
+    * blooms hash the column's STRING cast, and a typed comparison
+    * (`value = 3`) may match rows whose string form differs.
+    */
+  def eqLiteralsPerTable(rawPlan: LogicalPlan)
+      : Map[String, Seq[(String, String)]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical
+    import org.apache.spark.sql.types.StringType
+    val plan = inlineCtes(rawPlan)
+    if (plan.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[SubqueryExpression])))) return Map.empty
+    def relName(r: UnresolvedRelation): Option[String] =
+      if (r.multipartIdentifier.size == 1)
+        Some(r.multipartIdentifier.head.toLowerCase)
+      else None
+    def safeRels(p: LogicalPlan): Seq[(String, String)] = p match {
+      case r: UnresolvedRelation =>
+        relName(r).map(n => n -> n).toSeq
+      case sa: logical.SubqueryAlias => sa.child match {
+        case r: UnresolvedRelation =>
+          relName(r).map(n => sa.alias.toLowerCase -> n).toSeq
+        case _ => Nil
+      }
+      case j: logical.Join => safeRels(j.left) ++ safeRels(j.right)
+      case f: logical.Filter => safeRels(f.child)
+      case s: logical.Sort => safeRels(s.child)
+      case d: logical.Distinct => safeRels(d.child)
+      case _ => Nil
+    }
+    def colAttr(e: Expression): Option[Seq[String]] = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.nameParts.map(_.toLowerCase))
+      case _ => None // no Cast unwrap: the bloom hashed the raw string
+    }
+    def strLit(e: Expression): Option[String] = e match {
+      case Literal(s, StringType) if s != null => Some(String.valueOf(s))
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val out = scala.collection.mutable
+      .Map.empty[String, Vector[(String, String)]]
+    plan.foreach {
+      case f: logical.Filter =>
+        val rels = safeRels(f.child)
+        val nRels = f.child.collect {
+          case r: UnresolvedRelation => r }.size
+        def resolve(e: Expression): Option[(String, String)] =
+          colAttr(e).flatMap { parts =>
+            val colName = parts.last
+            if (parts.size == 1)
+              if (nRels == 1 && rels.size == 1)
+                Some(rels.head._2 -> colName)
+              else None
+            else if (parts.size == 2) {
+              val hits = rels.filter(_._1 == parts.head)
+              if (hits.size == 1) Some(hits.head._2 -> colName)
+              else None
+            } else None
+          }
+        conjuncts(f.condition).foreach {
+          case EqualTo(x, y) => // both orientations: attr = 'lit', 'lit' = attr
+            for ((t, c) <- resolve(x); v <- strLit(y))
+              out(t) = out.getOrElse(t, Vector.empty) :+ (c -> v)
+            for ((t, c) <- resolve(y); v <- strLit(x))
+              out(t) = out.getOrElse(t, Vector.empty) :+ (c -> v)
+          case _ =>
+        }
+      case _ =>
+    }
+    val refCounts = plan.collect {
+      case r: UnresolvedRelation => relName(r) }
+      .flatten.groupBy(identity).view.mapValues(_.size).toMap
+    out.iterator
+      .filter { case (t, _) => refCounts.getOrElse(t, 0) == 1 }
+      .map { case (t, v) => t -> v.distinct.toSeq }
+      .toMap
   }
 
   /** Dynamic schema inference + row→columnar conversion (reference

@@ -146,6 +146,20 @@ object Json {
     (n.get("namespace").asText(), n.get("table").asText(), g, v)
   }
 
+  /** {namespace, table, column} for /api/v1/bloom. The column names a
+    * parquet column (it reaches a plan unquoted) — identifier-
+    * restricted like rollup's group/value.
+    */
+  def parseBloom(body: Array[Byte]): (String, String, String) = {
+    val n = mapper.readTree(body)
+    require(n.hasNonNull("namespace") && n.hasNonNull("table") &&
+      n.hasNonNull("column"), "missing required field")
+    val c = n.get("column").asText()
+    require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      "column must be a bare column name")
+    (n.get("namespace").asText(), n.get("table").asText(), c)
+  }
+
   /** {index, vector, k?, nprobe?} for /api/v1/ann. The index name is
     * identifier-restricted like rollup's columns (it becomes a
     * filesystem path segment under the tier root); k/nprobe are
@@ -406,6 +420,47 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
                   respond(ex, 200, body)
               } catch {
                 // dimension/bounds violations carry the contract in
+                // the message — client error, not a bare 500
+                case e: IllegalArgumentException =>
+                  respond(ex, 422, s"""{"error":${
+                    Sinks.jsonString(e.getMessage)}}""")
+                case e: Exception =>
+                  System.err.println(e)
+                  respond(ex, 500)
+              }
+          }
+      }
+    }
+  })
+
+  // per-file value-bloom index maintenance (see graft.engine.
+  // BloomStore): POST {namespace, table, column} builds/refreshes the
+  // bloom index for the table's current manifest; subsequent queries
+  // with `column = 'literal'` predicates skip files whose blooms
+  // exclude the literal. Returns the newly indexed file count and the
+  // table's indexed columns. 404 when the engine has no tier.
+  server.createContext("/api/v1/bloom", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "POST") respond(ex, 405)
+    else {
+      val parsed =
+        try Right(Json.parseBloom(ex.getRequestBody.readAllBytes()))
+        catch { case e: Exception => Left(e) }
+      parsed match {
+        case Left(e) =>
+          System.err.println(e)
+          respond(ex, 422)
+        case Right((ns, table, column)) =>
+          engine.valueBlooms match {
+            case None => respond(ex, 404)
+            case Some(store) =>
+              try {
+                val n = store.index(ns, table, column)
+                val cols = store.indexedColumns(ns, table)
+                  .toSeq.sorted.map(Sinks.jsonString).mkString(",")
+                respond(ex, 200,
+                  s"""{"indexed":$n,"columns":[$cols]}""")
+              } catch {
+                // type/identifier rejections carry the contract in
                 // the message — client error, not a bare 500
                 case e: IllegalArgumentException =>
                   respond(ex, 422, s"""{"error":${

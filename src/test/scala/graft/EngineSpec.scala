@@ -985,4 +985,84 @@ class EngineSpec extends AnyFunSuite {
     // a genuinely unknown table stays a 404, with or without as-of
     assert(e.query("ns", "SELECT 1 FROM nosuch", Some(1L)).isEmpty)
   }
+
+  test("value blooms skip files that provably exclude an equality " +
+    "literal — harvest rules, store soundness, corrupted-file e2e") {
+    val spark = SparkFixture.spark
+    def eqs(sql: String) =
+      LynxEngine.eqLiteralsPerTable(LynxEngine.parse(spark, sql))
+    // plain WHERE equality binds to its table
+    assert(eqs("SELECT * FROM cpu WHERE host = 'h2'") ==
+      Map("cpu" -> Seq("host" -> "h2")))
+    // literal-first orientation; qualified attribution through a join
+    val j = eqs(
+      """SELECT * FROM cpu c JOIN mem m ON c.value = m.value
+        |WHERE 'h1' = c.host AND m.zone = 'eu'"""
+        .stripMargin.replace("\n", " "))
+    assert(j.get("cpu").contains(Seq("host" -> "h1")), s"$j")
+    assert(j.get("mem").contains(Seq("zone" -> "eu")), s"$j")
+    // ON-clause equalities are never harvested (outer-join safety)
+    assert(eqs(
+      """SELECT * FROM cpu c LEFT JOIN mem m ON c.value = m.value
+        |AND m.zone = 'eu'""".stripMargin.replace("\n", " ")).isEmpty)
+    // self-joins share one view: no harvest; non-string literals are
+    // type-coerced comparisons: no harvest
+    assert(eqs(
+      "SELECT * FROM cpu a JOIN cpu b ON a.value = b.value " +
+        "WHERE a.host = 'h1'").isEmpty)
+    assert(eqs("SELECT * FROM cpu WHERE host = 3").isEmpty)
+
+    // engine e2e: three sealed files with disjoint host values
+    val tierDir = Files.createTempDirectory("bloom-tier").toFile
+    val tier = new ParquetTier(tierDir)
+    val e = newEngine(Some(tier))
+    // track which data files each seal produced (a seal may write
+    // several part files; the bloom skip works per FILE, not per seal)
+    var prev = Set.empty[String]
+    val byHost = scala.collection.mutable.Map.empty[String, Set[String]]
+    for ((h, i) <- Seq("h1", "h2", "h3").zipWithIndex) {
+      (0 until 3).foreach(k =>
+        e.write(WriteRequest("ns", "cpu", s"$h-$k",
+          Map("host" -> TagString(h)), i * 100L + k + 1)))
+      e.seal("ns", "cpu")
+      val now = tier.dataFiles("ns", "cpu").toSet
+      byHost(h) = now -- prev
+      prev = now
+    }
+    val files = tier.dataFiles("ns", "cpu")
+    val bs = e.valueBlooms.get
+    assert(bs.index("ns", "cpu", "host") == files.size,
+      "every sealed file indexed")
+    assert(bs.index("ns", "cpu", "host") == 0, "idempotent: no re-read")
+    assert(bs.indexedColumns("ns", "cpu") == Set("host"))
+    // non-string columns are refused at the source (timestamp
+    // equality coerces the literal — string blooms would be unsound)
+    val bad = intercept[IllegalArgumentException](
+      bs.index("ns", "cpu", "timestamp"))
+    assert(bad.getMessage.contains("string"))
+
+    // store-level: exactly h2's seal files survive the h2 skip
+    val kept = bs.skipFiles("ns", "cpu", "host", "h2", files)
+    assert(kept.toSet == byHost("h2"), s"expected ${byHost("h2")}, got $kept")
+    // a value nobody wrote skips everything
+    assert(bs.skipFiles("ns", "cpu", "host", "nope", files).isEmpty)
+    // an unindexed column keeps everything (conservative)
+    assert(bs.skipFiles("ns", "cpu", "region", "x", files) == files)
+
+    // e2e: corrupt the two files the h2 bloom excludes — the query
+    // succeeds iff the scan never opened them
+    files.filterNot(kept.toSet).foreach(p =>
+      Files.write(new java.io.File(p).toPath, "not parquet".getBytes))
+    val r = e.query("ns",
+      "SELECT value FROM cpu WHERE host = 'h2' ORDER BY value").get
+    assert(r.rows.map(_.getString(0)) == Seq("h2-0", "h2-1", "h2-2"),
+      "bloom-pruned equality query must return exactly h2's rows")
+    // negative control: a query the blooms cannot prune must hit the
+    // corrupted files and fail — proving the skip (not luck) saved
+    // the h2 query. (h1's file is corrupt, and `host = 'h1'` keeps it.)
+    intercept[Exception] {
+      e.query("ns",
+        "SELECT value FROM cpu WHERE host = 'h1' ORDER BY value")
+    }
+  }
 }

@@ -248,6 +248,59 @@ class HttpSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("bloom endpoint indexes a column and equality queries skip " +
+    "excluded files") {
+    val dir = Files.createTempDirectory("http-bloom").toFile
+    val tierDir = Files.createTempDirectory("http-bloom-tier").toFile
+    val engine = new LynxEngine(SparkFixture.spark, dir, 1024 * 1024,
+      Some(new graft.tier.ParquetTier(tierDir)))
+    val server = new LynxServer(engine, "127.0.0.1", 0)
+    server.start()
+    try {
+      val port = server.boundPort
+      // two sealed batches with disjoint host tags
+      for (h <- Seq("a", "b")) {
+        post(port, "/api/v1/write",
+          s"""{"namespace":"ns","measurement":"cpu","value":"v-$h",""" +
+            s""""metadata":{"host":"$h"},"timestamp":${h.hashCode.abs}}""")
+        post(port, "/api/v1/admin/checkpoint", "")
+      }
+      val r = post(port, "/api/v1/bloom",
+        """{"namespace":"ns","table":"cpu","column":"host"}""")
+      assert(r.statusCode() == 200)
+      val n = engine.valueBlooms.get.cachedFiles
+      assert(r.body() == s"""{"indexed":$n,"columns":["host"]}""")
+      // idempotent re-index reports 0 new files
+      val r2 = post(port, "/api/v1/bloom",
+        """{"namespace":"ns","table":"cpu","column":"host"}""")
+      assert(r2.body() == """{"indexed":0,"columns":["host"]}""")
+      // pruned equality query round-trips through the query endpoint
+      val q = post(port, "/api/v1/query",
+        """{"namespace":"ns","query":"SELECT value FROM cpu """ +
+          """WHERE host = 'b'","format":"json"}""")
+      assert(q.body() == """[{"value":"v-b"}]""")
+      // non-string columns are a 422 contract error, not a 500
+      val bad = post(port, "/api/v1/bloom",
+        """{"namespace":"ns","table":"cpu","column":"timestamp"}""")
+      assert(bad.statusCode() == 422)
+      assert(bad.body().contains("string"))
+      // expression smuggling rejected at the parse layer
+      val smug = post(port, "/api/v1/bloom",
+        """{"namespace":"ns","table":"cpu","column":"host); DROP"}""")
+      assert(smug.statusCode() == 422)
+      // no tier → 404
+      val noTier = new LynxEngine(SparkFixture.spark,
+        Files.createTempDirectory("http-bloom-nt").toFile, 1024 * 1024)
+      val s2 = new LynxServer(noTier, "127.0.0.1", 0)
+      s2.start()
+      try {
+        val r3 = post(s2.boundPort, "/api/v1/bloom",
+          """{"namespace":"ns","table":"cpu","column":"host"}""")
+        assert(r3.statusCode() == 404)
+      } finally s2.stop()
+    } finally server.stop()
+  }
+
   test("query accepts a version field for time-travel reads") {
     val dir = Files.createTempDirectory("http-travel").toFile
     val tierDir = Files.createTempDirectory("http-travel-tier").toFile
