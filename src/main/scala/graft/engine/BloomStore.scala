@@ -132,19 +132,29 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier) {
     * when its own bloom excludes the literal.
     */
   def skipFiles(ns: String, table: String, column: String,
-      value: String, files: Seq[String]): Seq[String] = {
+      value: String, files: Seq[String]): Seq[String] =
+    skipFilesAny(ns, table, column, Seq(value), files)
+
+  /** IN-list variant: the subset of `files` a scan for
+    * `column IN (values…)` must read — a file is kept when ANY listed
+    * value hits its bloom (the disjunction is sound per value: every
+    * value that could match keeps the file).
+    */
+  def skipFilesAny(ns: String, table: String, column: String,
+      values: Seq[String], files: Seq[String]): Seq[String] = {
     val m = synchronized {
       blooms.get((ns, table.toLowerCase, column.toLowerCase)).map(_.toMap)
     }
     m match {
       case None => files
       case Some(idx) =>
-        val ps = positions(value)
+        val pss = values.map(positions)
         files.filter { f =>
           idx.get(canon(f)) match {
             case None => true // unindexed: must read
             case Some(words) =>
-              ps.forall(p => (words(p >>> 6) & (1L << (p & 63))) != 0L)
+              pss.exists(_.forall(p =>
+                (words(p >>> 6) & (1L << (p & 63))) != 0L))
           }
         }
     }

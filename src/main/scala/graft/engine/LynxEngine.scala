@@ -335,7 +335,7 @@ class LynxEngine(
       else LynxEngine.dayBoundsPerTable(plan)
     // string-equality literals per table: feeds BloomStore file
     // skipping when an index exists for the (table, column)
-    val eqByTable: Map[String, Seq[(String, String)]] =
+    val eqByTable: Map[String, Seq[(String, Seq[String])]] =
       if (tier.isDefined && valueBlooms.exists(_.cachedFiles > 0))
         LynxEngine.eqLiteralsPerTable(plan)
       else Map.empty
@@ -475,8 +475,8 @@ class LynxEngine(
             val bloomed = valueBlooms match {
               case Some(bs) =>
                 eqByTable.getOrElse(t.toLowerCase, Nil)
-                  .foldLeft(snap.files) { case (fs, (c, v)) =>
-                    bs.skipFiles(namespace, t, c, v, fs)
+                  .foldLeft(snap.files) { case (fs, (c, vs)) =>
+                    bs.skipFilesAny(namespace, t, c, vs, fs)
                   }
               case None => snap.files
             }
@@ -991,21 +991,24 @@ object LynxEngine {
       }.toMap
   }
 
-  /** Per-table string-equality literals from WHERE conjuncts —
-    * `host = 'web-17'` → ("events" → Seq(("host", "web-17"))) — the
-    * predicate harvest behind [[BloomStore]] file skipping. Same
+  /** Per-table string-equality/IN literals from WHERE conjuncts —
+    * `host = 'web-17'` → ("events" → Seq(("host", Seq("web-17")))),
+    * `host IN ('a','b')` → ("events" → Seq(("host", Seq("a","b"))))
+    * — the predicate harvest behind [[BloomStore]] file skipping
+    * (an IN keeps a file when ANY listed value hits its bloom). Same
     * conservative attribution rules as [[dayBoundsPerTable]] (and the
     * same soundness argument): a conjunct binds to table T only when
     * its attribute provably reads T's raw scan column through
     * row-preserving nodes, Join ON conditions are never harvested,
-    * EqualTo is null-rejecting so Filter conjuncts above outer joins
-    * remain safe, subqueries and multiply-referenced tables disable
-    * the harvest entirely. Only plain string literals qualify — the
-    * blooms hash the column's STRING cast, and a typed comparison
-    * (`value = 3`) may match rows whose string form differs.
+    * EqualTo/In are null-rejecting so Filter conjuncts above outer
+    * joins remain safe, subqueries and multiply-referenced tables
+    * disable the harvest entirely. Only plain string literals qualify
+    * — the blooms hash the column's STRING cast, and a typed
+    * comparison (`value = 3`) may match rows whose string form
+    * differs; an IN with even one non-string element is dropped whole.
     */
   def eqLiteralsPerTable(rawPlan: LogicalPlan)
-      : Map[String, Seq[(String, String)]] = {
+      : Map[String, Seq[(String, Seq[String])]] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.plans.logical
     import org.apache.spark.sql.types.StringType
@@ -1044,7 +1047,7 @@ object LynxEngine {
       case other => Seq(other)
     }
     val out = scala.collection.mutable
-      .Map.empty[String, Vector[(String, String)]]
+      .Map.empty[String, Vector[(String, Seq[String])]]
     plan.foreach {
       case f: logical.Filter =>
         val rels = safeRels(f.child)
@@ -1063,12 +1066,17 @@ object LynxEngine {
               else None
             } else None
           }
+        def add(t: String, c: String, vs: Seq[String]): Unit =
+          out(t) = out.getOrElse(t, Vector.empty) :+ (c -> vs)
         conjuncts(f.condition).foreach {
           case EqualTo(x, y) => // both orientations: attr = 'lit', 'lit' = attr
-            for ((t, c) <- resolve(x); v <- strLit(y))
-              out(t) = out.getOrElse(t, Vector.empty) :+ (c -> v)
-            for ((t, c) <- resolve(y); v <- strLit(x))
-              out(t) = out.getOrElse(t, Vector.empty) :+ (c -> v)
+            for ((t, c) <- resolve(x); v <- strLit(y)) add(t, c, Seq(v))
+            for ((t, c) <- resolve(y); v <- strLit(x)) add(t, c, Seq(v))
+          case In(x, list) if list.nonEmpty =>
+            // all-or-nothing: one non-string element voids the harvest
+            val lits = list.map(strLit)
+            for ((t, c) <- resolve(x) if lits.forall(_.isDefined))
+              add(t, c, lits.flatten)
           case _ =>
         }
       case _ =>

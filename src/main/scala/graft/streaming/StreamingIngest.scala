@@ -217,9 +217,23 @@ object StreamingIngest {
     *
     * Per micro-batch, rows in a shard are processed in (timestampUs,
     * value) order, so flags are batch-split-invariant (spec-asserted).
+    *
+    * `rotatePeriodUs > 0` enables GENERATIONAL rotation — the
+    * forgetting mechanism: each shard keeps the current period's
+    * bitmap plus the previous one; when event time crosses a period
+    * boundary the previous generation is dropped and the current one
+    * retires into its place. A duplicate is then remembered for at
+    * least one and less than two periods after its original (the
+    * classic rotating-bloom window), the fill — and with it the FP
+    * rate — stops ratcheting on an infinite stream, and memory stays
+    * at exactly two bitmaps per shard. Event-time-driven (rotation
+    * advances with the data, so replays behave like live runs);
+    * late rows behind the current generation probe both bitmaps like
+    * everyone else and never rewind it.
     */
   def bloomDedup(rows: Dataset[StreamRow], mBits: Int = 1 << 18,
-      nShards: Int = 32): Dataset[BloomFlag] = {
+      nShards: Int = 32, rotatePeriodUs: Long = 0L)
+      : Dataset[BloomFlag] = {
     import rows.sparkSession.implicits._
     require(mBits % 64 == 0 && mBits > 0, s"mBits must be a multiple of 64")
     val words = mBits / 64
@@ -229,26 +243,41 @@ object StreamingIngest {
         math.floorMod(
           java.nio.ByteBuffer.wrap(d, 12, 4).getInt, nShards)
       }
-      .flatMapGroupsWithState[Array[Long], BloomFlag](
+      .flatMapGroupsWithState[(Long, Array[Long], Array[Long]), BloomFlag](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, batch, state: GroupState[Array[Long]]) =>
-          val bloom = state.getOption.getOrElse(new Array[Long](words))
+        case (_, batch, state: GroupState[(Long, Array[Long], Array[Long])]) =>
+          var (genStart, cur, prev) = state.getOption
+            .getOrElse((Long.MinValue,
+              new Array[Long](words), new Array[Long](words)))
           val out = batch.toSeq
             .sortBy(r => (r.timestampUs, r.value))
             .map { r =>
+              if (rotatePeriodUs > 0L) {
+                val gen = Math.floorDiv(r.timestampUs, rotatePeriodUs) *
+                  rotatePeriodUs
+                if (genStart == Long.MinValue) genStart = gen
+                else if (gen == genStart + rotatePeriodUs) {
+                  prev = cur; cur = new Array[Long](words); genStart = gen
+                } else if (gen > genStart + rotatePeriodUs) {
+                  prev = new Array[Long](words)
+                  cur = new Array[Long](words); genStart = gen
+                } // gen <= genStart: late row, current generation probes
+              }
               val d = contentDigest(r)
               val bb = java.nio.ByteBuffer.wrap(d)
               val ps = Array(
                 math.floorMod(bb.getInt(0), mBits),
                 math.floorMod(bb.getInt(4), mBits),
                 math.floorMod(bb.getInt(8), mBits))
-              val hit = ps.forall(p =>
-                (bloom(p >>> 6) & (1L << (p & 63))) != 0L)
-              ps.foreach(p => bloom(p >>> 6) |= (1L << (p & 63)))
+              val hit =
+                ps.forall(p => (cur(p >>> 6) & (1L << (p & 63))) != 0L) ||
+                (rotatePeriodUs > 0L &&
+                  ps.forall(p => (prev(p >>> 6) & (1L << (p & 63))) != 0L))
+              ps.foreach(p => cur(p >>> 6) |= (1L << (p & 63)))
               BloomFlag(r.namespace, r.measurement, r.value,
                 r.timestampUs, hit)
             }
-          state.update(bloom)
+          state.update((genStart, cur, prev))
           out.iterator
       }
   }

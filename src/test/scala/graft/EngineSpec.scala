@@ -993,14 +993,19 @@ class EngineSpec extends AnyFunSuite {
       LynxEngine.eqLiteralsPerTable(LynxEngine.parse(spark, sql))
     // plain WHERE equality binds to its table
     assert(eqs("SELECT * FROM cpu WHERE host = 'h2'") ==
-      Map("cpu" -> Seq("host" -> "h2")))
+      Map("cpu" -> Seq("host" -> Seq("h2"))))
+    // IN-lists harvest as value lists; a non-string element voids
+    // the whole IN (type coercion could match a different string form)
+    assert(eqs("SELECT * FROM cpu WHERE host IN ('h1', 'h3')") ==
+      Map("cpu" -> Seq("host" -> Seq("h1", "h3"))))
+    assert(eqs("SELECT * FROM cpu WHERE host IN ('h1', 3)").isEmpty)
     // literal-first orientation; qualified attribution through a join
     val j = eqs(
       """SELECT * FROM cpu c JOIN mem m ON c.value = m.value
         |WHERE 'h1' = c.host AND m.zone = 'eu'"""
         .stripMargin.replace("\n", " "))
-    assert(j.get("cpu").contains(Seq("host" -> "h1")), s"$j")
-    assert(j.get("mem").contains(Seq("zone" -> "eu")), s"$j")
+    assert(j.get("cpu").contains(Seq("host" -> Seq("h1"))), s"$j")
+    assert(j.get("mem").contains(Seq("zone" -> Seq("eu"))), s"$j")
     // ON-clause equalities are never harvested (outer-join safety)
     assert(eqs(
       """SELECT * FROM cpu c LEFT JOIN mem m ON c.value = m.value
@@ -1057,6 +1062,16 @@ class EngineSpec extends AnyFunSuite {
       "SELECT value FROM cpu WHERE host = 'h2' ORDER BY value").get
     assert(r.rows.map(_.getString(0)) == Seq("h2-0", "h2-1", "h2-2"),
       "bloom-pruned equality query must return exactly h2's rows")
+    // IN-list pruning: ('h2', never-written) keeps only h2's files —
+    // both corrupted files stay unread
+    val rin = e.query("ns",
+      "SELECT value FROM cpu WHERE host IN ('h2', 'nope') " +
+        "ORDER BY value").get
+    assert(rin.rows.map(_.getString(0)) == Seq("h2-0", "h2-1", "h2-2"),
+      "bloom-pruned IN query must return exactly h2's rows")
+    // store-level: the IN keeps the union of per-value survivors
+    assert(bs.skipFilesAny("ns", "cpu", "host", Seq("h2", "nope"),
+      files).toSet == byHost("h2"))
     // negative control: a query the blooms cannot prune must hit the
     // corrupted files and fail — proving the skip (not luck) saved
     // the h2 query. (h1's file is corrupt, and `host = 'h1'` keeps it.)

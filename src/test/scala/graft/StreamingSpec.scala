@@ -161,6 +161,52 @@ class StreamingSpec extends AnyFunSuite {
       s"per-row flags diverged: $perRow")
   }
 
+  test("rotating bloom dedup forgets after two generations and keeps " +
+    "remembering across one") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val secUs = 1000000L
+    def row(v: String, tSec: Long) =
+      StreamRow("ns", "docs", v, Map.empty, tSec * secUs)
+    // period 10 s: v@1 seeds gen [0,10); dup@5 flags (same gen);
+    // dup@12 flags (gen [10,20) probes the retired [0,10) bitmap);
+    // w@13 inserts into [10,20); dup-of-v@25 jumps ≥2 periods past
+    // v's last insert... v was ALSO inserted at 12 (gen [10,20)), so
+    // at 25 (gen [20,30)) the previous generation [10,20) still holds
+    // v → flagged. x@26 is fresh; dup-of-w@26: w's only insert was
+    // gen [10,20), which at gen [20,30) is the PREV bitmap → flagged;
+    // at gen [30,40) (dup-of-w@31... would forget). Keep it simple:
+    // y@45 then dup-of-x@46: x@26 lives in gen [20,30); 46 is gen
+    // [40,50) — two jumps — x is forgotten → NOT flagged.
+    val data = Seq(
+      row("v", 1), row("v", 5), row("v", 12), row("w", 13),
+      row("v", 25), row("x", 26), row("w", 26),
+      row("y", 45), row("x", 46))
+    val expected = Seq(
+      ("v", 1L, false), ("v", 5L, true), ("v", 12L, true),
+      ("w", 13L, false), ("v", 25L, true), ("w", 26L, true),
+      ("x", 26L, false), ("y", 45L, false), ("x", 46L, false))
+
+    val mem = MemoryStream[StreamRow]
+    val q = StreamingIngest.bloomDedup(mem.toDS(),
+        rotatePeriodUs = 10L * secUs)
+      .writeStream.format("memory").queryName("bloom_rot")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .start()
+    // feed in two batches to cross generations across micro-batches
+    mem.addData(data.take(4)); q.processAllAvailable()
+    mem.addData(data.drop(4)); q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT value, timestampUs, maybe_dup FROM bloom_rot")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1) / secUs, r.getBoolean(2)))
+      .sortBy(t => (t._2, t._1)).toSeq
+    assert(got == expected, s"rotation flags diverged: $got")
+  }
+
   test("TTL-bounded exact dedup drops in-window dups, re-emits after " +
     "expiry, and keeps state bounded under key churn") {
     val spark = SparkFixture.spark
