@@ -341,6 +341,14 @@ object Similarity {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
+      // session-cached like the graph family's edge list (cache() is
+      // idempotent by canonicalized plan): three consumers share the
+      // candidate pair pool — q_embed_pairs_lsh, q_pairs_contrastive,
+      // q_pairs_hardneg — and each re-derived the band self-join from
+      // scratch, the dominant cost of all three. The pair frame is
+      // (id_a, id_b) only (16 B/row); Bench's family-boundary purge
+      // clears it with the family.
+      .cache()
   }
 
   /** WITH-clause prefix producing the `cand` CTE of [[lshCandidates]]

@@ -122,13 +122,26 @@ class PlanSpec extends AnyFunSuite {
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the candidate frame is session-cached (shared by the three
+      // pair consumers); drop it so this check sees the band
+      // self-join's own physical plan, then look INSIDE the cache
+      // materialization plan where the join now lives
+      spark.catalog.clearCache()
       val df = SparkEntry.queries("q_embed_pairs_lsh")(spark, dir)
       df.collect() // finalize the adaptive plan
-      val p = df.queryExecution.executedPlan.toString
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.columnar
+          .InMemoryTableScanExec => s
+      }
+      val p =
+        if (scans.nonEmpty)
+          scans.map(_.relation.cachedPlan.toString).mkString("\n")
+        else df.queryExecution.executedPlan.toString
       assert(p.contains("ReusedExchange"),
         "band self-join must reuse one exchange for both sides")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.catalog.clearCache()
     }
   }
 
