@@ -49,6 +49,13 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier) {
   // (ns, table, lowercase column) -> canonical file path -> words
   private val blooms = mutable.Map
     .empty[(String, String, String), mutable.Map[String, Array[Long]]]
+  // per-file (min, max) ZONE MAP for the same column, computed in the
+  // same index() scan: blooms answer equality/IN, min/max answers
+  // string ranges (`col >= 'lit'`), and equality consults both. None
+  // = the file has no non-null values for the column (skip for every
+  // equality OR range — both predicate classes are null-rejecting).
+  private val ranges = mutable.Map.empty[(String, String, String),
+    mutable.Map[String, Option[(String, String)]]]
 
   /** Newly indexed file count for the current manifest of
     * (ns, table) on `column`. Idempotent and incremental: files
@@ -62,6 +69,7 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier) {
       try {
         val key = (ns, table.toLowerCase, column.toLowerCase)
         val m = blooms.getOrElseUpdate(key, mutable.Map.empty)
+        val rg = ranges.getOrElseUpdate(key, mutable.Map.empty)
         val missing = snap.files.map(canon).distinct.filterNot(m.contains)
         if (missing.isEmpty) 0
         else {
@@ -72,6 +80,8 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier) {
           // half-failed read must never leave empty entries behind
           // (for blooms that would be UNSOUND, not just stale)
           val built = missing.map(f => f -> new Array[Long](Words)).toMap
+          val builtRg = mutable.Map[String, Option[(String, String)]](
+            missing.map(f => f -> (None: Option[(String, String)])): _*)
           val df = tier.readFiles(spark, ns, table, missing, None)
           // string columns ONLY: on a non-string column (timestamp),
           // `col = 'literal'` coerces the LITERAL to the column type,
@@ -113,8 +123,23 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier) {
                   "input_file_name()/manifest canonicalization drifted")
               built(f)(r.getLong(1).toInt) |= r.getLong(2)
             }
+            // zone map: per-file min/max of the same column, same scan
+            tier.readFiles(spark, ns, table, missing, None)
+              .select(input_file_name().as("f"),
+                col(column).cast("string").as("v"))
+              .filter(col("v").isNotNull)
+              .groupBy("f")
+              .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+              .collect()
+              .foreach { r =>
+                val f = canon(r.getString(0))
+                require(built.contains(f),
+                  s"zone-map partial keyed to unrequested file: $f")
+                builtRg(f) = Some((r.getString(1), r.getString(2)))
+              }
           }
           built.foreach { case (f, words) => m(f) = words }
+          builtRg.foreach { case (f, r) => rg(f) = r }
           missing.size
         }
       } finally tier.release(snap)
@@ -142,19 +167,57 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier) {
     */
   def skipFilesAny(ns: String, table: String, column: String,
       values: Seq[String], files: Seq[String]): Seq[String] = {
-    val m = synchronized {
-      blooms.get((ns, table.toLowerCase, column.toLowerCase)).map(_.toMap)
+    val key = (ns, table.toLowerCase, column.toLowerCase)
+    val (m, rg) = synchronized {
+      (blooms.get(key).map(_.toMap), ranges.get(key).map(_.toMap))
     }
     m match {
       case None => files
       case Some(idx) =>
         val pss = values.map(positions)
         files.filter { f =>
-          idx.get(canon(f)) match {
+          val cf = canon(f)
+          idx.get(cf) match {
             case None => true // unindexed: must read
             case Some(words) =>
-              pss.exists(_.forall(p =>
+              val bloomHit = pss.exists(_.forall(p =>
                 (words(p >>> 6) & (1L << (p & 63))) != 0L))
+              // equality also consults the zone map: a bloom false
+              // positive outside [lo, hi] is still provably absent
+              val rangeHit = rg.flatMap(_.get(cf)) match {
+                case Some(None) => false // no non-null values at all
+                case Some(Some((lo, hi))) =>
+                  values.exists(v => v >= lo && v <= hi)
+                case None => true // no zone map: can't exclude
+              }
+              bloomHit && rangeHit
+          }
+        }
+    }
+  }
+
+  /** Range variant: the subset of `files` a scan for
+    * `column >= lo AND column <= hi` (either bound optional) must
+    * read — a file is dropped when its zone map proves the string
+    * interval and the file's [min, max] are disjoint. `>`/`<` are
+    * treated as their inclusive forms (boundary file kept:
+    * conservative and sound).
+    */
+  def skipFilesRange(ns: String, table: String, column: String,
+      lo: Option[String], hi: Option[String], files: Seq[String])
+      : Seq[String] = {
+    val rg = synchronized {
+      ranges.get((ns, table.toLowerCase, column.toLowerCase)).map(_.toMap)
+    }
+    rg match {
+      case None => files
+      case Some(idx) =>
+        files.filter { f =>
+          idx.get(canon(f)) match {
+            case None => true // unindexed: must read
+            case Some(None) => false // no non-null values: no row matches
+            case Some(Some((mn, mx))) =>
+              lo.forall(l => mx >= l) && hi.forall(h => mn <= h)
           }
         }
     }
@@ -164,9 +227,10 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier) {
     * (post-compaction hygiene — mirrors RollupStore.prune).
     */
   def prune(): Unit = synchronized {
-    blooms.foreach { case ((ns, table, _), m) =>
-      val live = tier.dataFiles(ns, table).map(canon).toSet
-      m.keysIterator.filterNot(live).toSeq.foreach(m.remove)
+    (blooms.iterator ++ ranges.iterator).foreach {
+      case ((ns, table, _), m) =>
+        val live = tier.dataFiles(ns, table).map(canon).toSet
+        m.keysIterator.filterNot(live).toSeq.foreach(m.remove)
     }
   }
 

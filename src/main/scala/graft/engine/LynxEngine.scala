@@ -335,10 +335,15 @@ class LynxEngine(
       else LynxEngine.dayBoundsPerTable(plan)
     // string-equality literals per table: feeds BloomStore file
     // skipping when an index exists for the (table, column)
+    val bloomsActive =
+      tier.isDefined && valueBlooms.exists(_.cachedFiles > 0)
     val eqByTable: Map[String, Seq[(String, Seq[String])]] =
-      if (tier.isDefined && valueBlooms.exists(_.cachedFiles > 0))
-        LynxEngine.eqLiteralsPerTable(plan)
-      else Map.empty
+      if (bloomsActive) LynxEngine.eqLiteralsPerTable(plan) else Map.empty
+    // string-range bounds per table: feeds the zone-map half of the
+    // same per-file index
+    val rangesByTable
+        : Map[String, Seq[(String, Option[String], Option[String])]] =
+      if (bloomsActive) LynxEngine.strRangesPerTable(plan) else Map.empty
     // as-of reads bypass the cache: they are rare ops reads over
     // immutable manifests, not worth a key-shape extension
     val cacheable = resultCacheEntries > 0 && !isExplain &&
@@ -474,9 +479,13 @@ class LynxEngine(
             // them (the ParquetTier.readFiles day-prune convention).
             val bloomed = valueBlooms match {
               case Some(bs) =>
-                eqByTable.getOrElse(t.toLowerCase, Nil)
+                val afterEq = eqByTable.getOrElse(t.toLowerCase, Nil)
                   .foldLeft(snap.files) { case (fs, (c, vs)) =>
                     bs.skipFilesAny(namespace, t, c, vs, fs)
+                  }
+                rangesByTable.getOrElse(t.toLowerCase, Nil)
+                  .foldLeft(afterEq) { case (fs, (c, lo, hi)) =>
+                    bs.skipFilesRange(namespace, t, c, lo, hi, fs)
                   }
               case None => snap.files
             }
@@ -1088,6 +1097,109 @@ object LynxEngine {
       .filter { case (t, _) => refCounts.getOrElse(t, 0) == 1 }
       .map { case (t, v) => t -> v.distinct.toSeq }
       .toMap
+  }
+
+  /** Per-table string-RANGE bounds from WHERE conjuncts —
+    * `v >= 'b' AND v < 'c'` → ("t" → Seq(("v", Some("b"), Some("c"))))
+    * — the zone-map harvest behind [[BloomStore.skipFilesRange]].
+    * Attribution rules and string-literal-only soundness exactly as
+    * [[eqLiteralsPerTable]]; `>`/`<` conservatively widen to their
+    * inclusive forms (the boundary file is kept), and bounds on the
+    * same (table, column) tighten by intersection (max of lows, min
+    * of highs), matching AND semantics.
+    */
+  def strRangesPerTable(rawPlan: LogicalPlan)
+      : Map[String, Seq[(String, Option[String], Option[String])]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical
+    import org.apache.spark.sql.types.StringType
+    val plan = inlineCtes(rawPlan)
+    if (plan.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[SubqueryExpression])))) return Map.empty
+    def relName(r: UnresolvedRelation): Option[String] =
+      if (r.multipartIdentifier.size == 1)
+        Some(r.multipartIdentifier.head.toLowerCase)
+      else None
+    def safeRels(p: LogicalPlan): Seq[(String, String)] = p match {
+      case r: UnresolvedRelation =>
+        relName(r).map(n => n -> n).toSeq
+      case sa: logical.SubqueryAlias => sa.child match {
+        case r: UnresolvedRelation =>
+          relName(r).map(n => sa.alias.toLowerCase -> n).toSeq
+        case _ => Nil
+      }
+      case j: logical.Join => safeRels(j.left) ++ safeRels(j.right)
+      case f: logical.Filter => safeRels(f.child)
+      case s: logical.Sort => safeRels(s.child)
+      case d: logical.Distinct => safeRels(d.child)
+      case _ => Nil
+    }
+    def colAttr(e: Expression): Option[Seq[String]] = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.nameParts.map(_.toLowerCase))
+      case _ => None
+    }
+    def strLit(e: Expression): Option[String] = e match {
+      case Literal(s, StringType) if s != null => Some(String.valueOf(s))
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val lo = scala.collection.mutable.Map.empty[(String, String), String]
+    val hi = scala.collection.mutable.Map.empty[(String, String), String]
+    plan.foreach {
+      case f: logical.Filter =>
+        val rels = safeRels(f.child)
+        val nRels = f.child.collect {
+          case r: UnresolvedRelation => r }.size
+        def resolve(e: Expression): Option[(String, String)] =
+          colAttr(e).flatMap { parts =>
+            val colName = parts.last
+            if (parts.size == 1)
+              if (nRels == 1 && rels.size == 1)
+                Some(rels.head._2 -> colName)
+              else None
+            else if (parts.size == 2) {
+              val hits = rels.filter(_._1 == parts.head)
+              if (hits.size == 1) Some(hits.head._2 -> colName)
+              else None
+            } else None
+          }
+        def low(k: (String, String), v: String): Unit =
+          lo(k) = lo.get(k).fold(v)(p => if (v > p) v else p)
+        def high(k: (String, String), v: String): Unit =
+          hi(k) = hi.get(k).fold(v)(p => if (v < p) v else p)
+        conjuncts(f.condition).foreach {
+          case GreaterThanOrEqual(a, l) =>
+            for (k <- resolve(a); v <- strLit(l)) low(k, v)
+            for (k <- resolve(l); v <- strLit(a)) high(k, v)
+          case GreaterThan(a, l) =>
+            for (k <- resolve(a); v <- strLit(l)) low(k, v)
+            for (k <- resolve(l); v <- strLit(a)) high(k, v)
+          case LessThanOrEqual(a, l) =>
+            for (k <- resolve(a); v <- strLit(l)) high(k, v)
+            for (k <- resolve(l); v <- strLit(a)) low(k, v)
+          case LessThan(a, l) =>
+            for (k <- resolve(a); v <- strLit(l)) high(k, v)
+            for (k <- resolve(l); v <- strLit(a)) low(k, v)
+          case _ =>
+        }
+      case _ =>
+    }
+    val refCounts = plan.collect {
+      case r: UnresolvedRelation => relName(r) }
+      .flatten.groupBy(identity).view.mapValues(_.size).toMap
+    (lo.keySet ++ hi.keySet).iterator
+      .filter { case (t, _) => refCounts.getOrElse(t, 0) == 1 }
+      .toSeq
+      .groupBy(_._1)
+      .map { case (t, ks) =>
+        t -> ks.sorted.map { k =>
+          (k._2, lo.get(k), hi.get(k))
+        }
+      }
   }
 
   /** Dynamic schema inference + row→columnar conversion (reference

@@ -1069,9 +1069,37 @@ class EngineSpec extends AnyFunSuite {
         "ORDER BY value").get
     assert(rin.rows.map(_.getString(0)) == Seq("h2-0", "h2-1", "h2-2"),
       "bloom-pruned IN query must return exactly h2's rows")
+    // range-only predicate: zone maps alone must skip the corrupted
+    // h1/h3 files (no equality conjunct, so the blooms are idle)
+    val rrange = e.query("ns",
+      "SELECT value FROM cpu WHERE host >= 'h2' AND host <= 'h2z' " +
+        "ORDER BY value").get
+    assert(rrange.rows.map(_.getString(0)) == Seq("h2-0", "h2-1", "h2-2"),
+      "zone-map-pruned range query must return exactly h2's rows")
     // store-level: the IN keeps the union of per-value survivors
     assert(bs.skipFilesAny("ns", "cpu", "host", Seq("h2", "nope"),
       files).toSet == byHost("h2"))
+
+    // zone maps (built in the same index pass): range harvest...
+    def rng(sql: String) =
+      LynxEngine.strRangesPerTable(LynxEngine.parse(spark, sql))
+    assert(rng("SELECT * FROM cpu WHERE v >= 'b' AND v < 'c'") ==
+      Map("cpu" -> Seq(("v", Some("b"), Some("c")))))
+    assert(rng("SELECT * FROM cpu WHERE 'b' <= v") ==
+      Map("cpu" -> Seq(("v", Some("b"), None))))
+    assert(rng("SELECT * FROM cpu WHERE v > 3").isEmpty,
+      "non-string range literals are never harvested")
+    // ...store-level skipping on [lo, hi] vs each file's [min, max]...
+    assert(bs.skipFilesRange("ns", "cpu", "host",
+      Some("h2"), Some("h2"), files).toSet == byHost("h2"))
+    assert(bs.skipFilesRange("ns", "cpu", "host",
+      Some("h3"), None, files).toSet == byHost("h3"))
+    assert(bs.skipFilesRange("ns", "cpu", "host",
+      None, Some("h0"), files).isEmpty,
+      "a range below every file's min skips everything")
+    // ...and the range path proves itself on the same corrupted
+    // fixtures below (no equality conjunct → blooms idle, zone maps
+    // must do the pruning alone)
     // negative control: a query the blooms cannot prune must hit the
     // corrupted files and fail — proving the skip (not luck) saved
     // the h2 query. (h1's file is corrupt, and `host = 'h1'` keeps it.)
