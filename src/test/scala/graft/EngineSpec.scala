@@ -1108,4 +1108,38 @@ class EngineSpec extends AnyFunSuite {
         "SELECT value FROM cpu WHERE host = 'h1' ORDER BY value")
     }
   }
+
+  test("bloom/zone prune drops superseded files; re-index covers the " +
+    "compacted manifest") {
+    val tierDir = Files.createTempDirectory("bloom-prune-tier").toFile
+    val tier = new ParquetTier(tierDir)
+    val e = newEngine(Some(tier))
+    for (h <- Seq("a", "b")) {
+      e.write(WriteRequest("ns", "cpu", s"v-$h",
+        Map("host" -> TagString(h)), h.hashCode.abs.toLong))
+      e.seal("ns", "cpu")
+    }
+    val bs = e.valueBlooms.get
+    val n = bs.index("ns", "cpu", "host")
+    assert(n > 0 && bs.cachedFiles == n)
+    // all indexed files live in the manifest: prune is a no-op
+    bs.prune()
+    assert(bs.cachedFiles == n)
+    // compaction publishes a new manifest; the old files' blooms AND
+    // zone maps are dead weight and prune drops them
+    e.compact("ns", "cpu")
+    bs.prune()
+    assert(bs.cachedFiles == 0,
+      "superseded files must leave the bloom/zone cache on prune")
+    // incremental re-index picks up exactly the compacted manifest,
+    // and skipping works against it
+    val n2 = bs.index("ns", "cpu", "host")
+    assert(n2 == tier.dataFiles("ns", "cpu").size)
+    val kept = bs.skipFiles("ns", "cpu", "host", "b",
+      tier.dataFiles("ns", "cpu"))
+    val r = e.query("ns",
+      "SELECT value FROM cpu WHERE host = 'b'").get
+    assert(r.rows.map(_.getString(0)) == Seq("v-b"))
+    assert(kept.nonEmpty && kept.size <= n2)
+  }
 }
