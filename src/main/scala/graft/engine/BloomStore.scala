@@ -1,5 +1,8 @@
 package graft.engine
 
+import java.io.File
+import java.nio.charset.StandardCharsets.UTF_8
+
 import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
@@ -23,17 +26,37 @@ import graft.tier.ParquetTier
   *    `index()` call (unindexed ⇒ conservatively read);
   *  - `index()` computes ONLY unindexed manifest files, under a full
   *    tier snapshot (pin + lease) so a racing compactor cannot GC the
-  *    files mid-read;
-  *  - `prune()` drops entries for files no longer in any manifest.
+  *    files mid-read — and the Spark scan runs OUTSIDE the store
+  *    lock (a concurrent query's skip-check never waits on a build;
+  *    per-key exclusivity comes from an in-progress marker);
+  *  - partials PERSIST under the tier root (`_bloomidx/<ns>/<table>/
+  *    <column>.jsonl`, one append per build — sealed files are
+  *    immutable, so an entry written once is valid forever): a
+  *    process restart lazily reloads them per (table, column) instead
+  *    of re-scanning the whole tier, which at 100 TB is the
+  *    difference between an index and a cache;
+  *  - `prune()` drops entries for files no longer in any manifest,
+  *    from memory AND disk (compacting the jsonl in place).
   *
   * The bloom math is EXACTLY q_dedup_bloom's (ops/Dedup.scala): k=3
   * positions from 10-hex-char md5 slices, here over m=2^15 bits per
-  *  file (4 KB) — small enough that a million-file tier's whole index
-  * is 4 GB of driver/heap metadata, large enough that a file with
-  * 10k distinct values sits at ~60% fill (FP rate ≈ 0.6³ ≈ 22%: a
-  * miss still skips the file, a false positive only costs the scan
-  * that would have happened anyway — bloom pruning is ALWAYS sound,
-  * only sometimes unprofitable).
+  * file (4 KB) — small enough that a million-file tier's whole index
+  * is 4 GB of on-disk metadata (loaded lazily per column), large
+  * enough that a file with 10k distinct values sits at ~60% fill
+  * (FP rate ≈ 0.6³ ≈ 22%: a miss still skips the file, a false
+  * positive only costs the scan that would have happened anyway —
+  * bloom pruning is ALWAYS sound, only sometimes unprofitable).
+  *
+  * Alongside each bloom the same single scan computes a per-file
+  * [min, max] ZONE MAP of the column: blooms answer equality/IN,
+  * min/max answers string ranges, and equality consults both. Zone
+  * bounds are kept and compared as UTF-8 BYTE ARRAYS (unsigned),
+  * matching Spark's binary string collation: Java String comparison
+  * orders by UTF-16 code units, which disagrees with UTF-8 byte
+  * order when supplementary-plane characters (4-byte UTF-8,
+  * surrogate pairs in UTF-16) coexist with BMP characters in
+  * U+E000..U+FFFF — under String order a file holding {U+FFFD, 😀}
+  * would be unsoundly skipped for `col = '😀'`.
   *
   * Soundness: a file is skipped only when some queried position bit
   * is UNSET in a bloom built from that very file's values — a bloom
@@ -46,31 +69,43 @@ import graft.tier.ParquetTier
 final class BloomStore(spark: SparkSession, tier: ParquetTier) {
   import BloomStore._
 
-  // (ns, table, lowercase column) -> canonical file path -> words
-  private val blooms = mutable.Map
-    .empty[(String, String, String), mutable.Map[String, Array[Long]]]
-  // per-file (min, max) ZONE MAP for the same column, computed in the
-  // same index() scan: blooms answer equality/IN, min/max answers
-  // string ranges (`col >= 'lit'`), and equality consults both. None
-  // = the file has no non-null values for the column (skip for every
-  // equality OR range — both predicate classes are null-rejecting).
-  private val ranges = mutable.Map.empty[(String, String, String),
-    mutable.Map[String, Option[(String, String)]]]
+  private type Key = (String, String, String) // ns, tableLower, colLower
+
+  // ALL mutable state below is guarded by `lock`. `building` is the
+  // per-key in-progress marker: index() holds it (not the lock) for
+  // the duration of the Spark scan, so skip-checks and other columns'
+  // builds proceed concurrently while same-key builds serialize.
+  private val lock = new Object
+  private val idx = mutable.Map.empty[Key, mutable.Map[String, FileIdx]]
+  // (ns, tableLower) -> original-case table name: tier directories
+  // are case-sensitive, so prune()/reload must query the REAL name,
+  // not the lowercased cache key (RollupStore keys the original).
+  private val origNames = mutable.Map.empty[(String, String), String]
+  private val diskChecked = mutable.Set.empty[Key]
+  private val building = mutable.Set.empty[Key]
 
   /** Newly indexed file count for the current manifest of
     * (ns, table) on `column`. Idempotent and incremental: files
-    * already indexed are never re-read.
+    * already indexed (this process or any earlier one, via the
+    * persisted partials) are never re-read.
     */
-  def index(ns: String, table: String, column: String): Int =
-    synchronized {
-      require(column.matches("[A-Za-z_][A-Za-z0-9_]*"),
-        "column must be a bare column name")
+  def index(ns: String, table: String, column: String): Int = {
+    require(column.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      "column must be a bare column name")
+    val key = (ns, table.toLowerCase, column.toLowerCase)
+    lock.synchronized {
+      while (building(key)) lock.wait()
+      building += key
+    }
+    try {
       val snap = tier.snapshot(ns, table)
       try {
-        val key = (ns, table.toLowerCase, column.toLowerCase)
-        val m = blooms.getOrElseUpdate(key, mutable.Map.empty)
-        val rg = ranges.getOrElseUpdate(key, mutable.Map.empty)
-        val missing = snap.files.map(canon).distinct.filterNot(m.contains)
+        val missing = lock.synchronized {
+          origNames((ns, table.toLowerCase)) = table
+          ensureLoaded(key, ns, table)
+          val m = idx.getOrElseUpdate(key, mutable.Map.empty)
+          snap.files.map(canon).distinct.filterNot(m.contains)
+        }
         if (missing.isEmpty) 0
         else {
           // build into a LOCAL map and commit only after the scan
@@ -79,9 +114,8 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier) {
           // EMPTY bloom — which skips it for every literal — so a
           // half-failed read must never leave empty entries behind
           // (for blooms that would be UNSOUND, not just stale)
-          val built = missing.map(f => f -> new Array[Long](Words)).toMap
-          val builtRg = mutable.Map[String, Option[(String, String)]](
-            missing.map(f => f -> (None: Option[(String, String)])): _*)
+          val built = mutable.Map[String, FileIdx](missing.map(f =>
+            f -> FileIdx(new Array[Long](Words), None)): _*)
           val df = tier.readFiles(spark, ns, table, missing, None)
           // string columns ONLY: on a non-string column (timestamp),
           // `col = 'literal'` coerces the LITERAL to the column type,
@@ -97,20 +131,27 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier) {
                   s"'$column' is ${fld.dataType.simpleString}")
             }
           if (df.columns.exists(_.equalsIgnoreCase(column))) {
+            // ONE scan builds bloom AND zone map: grouped by
+            // (file, word) for the bit_or, with the group's min/max
+            // riding along (values are replicated ×3 by the position
+            // explode — harmless to min/max); per-file bounds combine
+            // across word groups driver-side in UTF-8 byte order,
+            // which is exactly the order Spark's min/max used.
             val rows = df
               .select(input_file_name().as("f"),
                 col(column).cast("string").as("v"))
               .filter(col("v").isNotNull)
               .withColumn("r", explode(array(lit(0), lit(1), lit(2))))
-              .select(col("f"),
+              .select(col("f"), col("v"),
                 (conv(md5(col("v"))
                   .substr(lit(1) + lit(10) * col("r"), lit(10)), 16, 10)
                   .cast("long") % MBits).as("p"))
-              .selectExpr("f", "p div 64 AS w",
+              .selectExpr("f", "v", "p div 64 AS w",
                 "CAST(p % 64 AS INT) AS b")
               .groupBy("f", "w")
               .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))")
-                .as("bits"))
+                .as("bits"),
+                min(col("v")).as("lo"), max(col("v")).as("hi"))
               .collect()
             rows.foreach { r =>
               val f = canon(r.getString(0))
@@ -121,35 +162,46 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier) {
               require(built.contains(f),
                 s"bloom partial keyed to unrequested file: $f — " +
                   "input_file_name()/manifest canonicalization drifted")
-              built(f)(r.getLong(1).toInt) |= r.getLong(2)
+              val e = built(f)
+              e.words(r.getLong(1).toInt) |= r.getLong(2)
+              val lo = r.getString(3).getBytes(UTF_8)
+              val hi = r.getString(4).getBytes(UTF_8)
+              built(f) = e.copy(range = e.range match {
+                case None => Some((lo, hi))
+                case Some((l0, h0)) => Some((
+                  if (cmpBytes(lo, l0) < 0) lo else l0,
+                  if (cmpBytes(hi, h0) > 0) hi else h0))
+              })
             }
-            // zone map: per-file min/max of the same column, same scan
-            tier.readFiles(spark, ns, table, missing, None)
-              .select(input_file_name().as("f"),
-                col(column).cast("string").as("v"))
-              .filter(col("v").isNotNull)
-              .groupBy("f")
-              .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
-              .collect()
-              .foreach { r =>
-                val f = canon(r.getString(0))
-                require(built.contains(f),
-                  s"zone-map partial keyed to unrequested file: $f")
-                builtRg(f) = Some((r.getString(1), r.getString(2)))
-              }
           }
-          built.foreach { case (f, words) => m(f) = words }
-          builtRg.foreach { case (f, r) => rg(f) = r }
+          lock.synchronized {
+            val m = idx.getOrElseUpdate(key, mutable.Map.empty)
+            built.foreach { case (f, e) => m(f) = e }
+          }
+          // durable partials: append-only (O(new files) per build);
+          // a torn final line from a crash is skipped on load and
+          // simply re-indexed next time
+          persistAppend(ns, table, column, built)
           missing.size
         }
       } finally tier.release(snap)
-    }
+    } finally lock.synchronized { building -= key; lock.notifyAll() }
+  }
 
-  /** Columns indexed for (ns, table). */
+  /** Columns indexed for (ns, table) — memory plus on-disk partials
+    * from earlier processes.
+    */
   def indexedColumns(ns: String, table: String): Set[String] =
-    synchronized {
-      blooms.keysIterator
-        .collect { case (n, t, c) if n == ns && t == table.toLowerCase => c }.toSet
+    lock.synchronized {
+      val tl = table.toLowerCase
+      val mem = idx.keysIterator
+        .collect { case (n, t, c) if n == ns && t == tl => c }.toSet
+      val disk = columnDir(ns, tl).map { d =>
+        Option(d.listFiles()).getOrElse(Array.empty[File])
+          .filter(_.getName.endsWith(".jsonl"))
+          .map(_.getName.stripSuffix(".jsonl")).toSet
+      }.getOrElse(Set.empty)
+      mem ++ disk
     }
 
   /** The subset of `files` a scan for `column = 'value'` must read.
@@ -167,28 +219,23 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier) {
     */
   def skipFilesAny(ns: String, table: String, column: String,
       values: Seq[String], files: Seq[String]): Seq[String] = {
-    val key = (ns, table.toLowerCase, column.toLowerCase)
-    val (m, rg) = synchronized {
-      (blooms.get(key).map(_.toMap), ranges.get(key).map(_.toMap))
-    }
-    m match {
+    snapshotKey(ns, table, column) match {
       case None => files
-      case Some(idx) =>
+      case Some(m) =>
         val pss = values.map(positions)
+        val vbs = values.map(_.getBytes(UTF_8))
         files.filter { f =>
-          val cf = canon(f)
-          idx.get(cf) match {
+          m.get(canon(f)) match {
             case None => true // unindexed: must read
-            case Some(words) =>
+            case Some(e) =>
               val bloomHit = pss.exists(_.forall(p =>
-                (words(p >>> 6) & (1L << (p & 63))) != 0L))
+                (e.words(p >>> 6) & (1L << (p & 63))) != 0L))
               // equality also consults the zone map: a bloom false
               // positive outside [lo, hi] is still provably absent
-              val rangeHit = rg.flatMap(_.get(cf)) match {
-                case Some(None) => false // no non-null values at all
-                case Some(Some((lo, hi))) =>
-                  values.exists(v => v >= lo && v <= hi)
-                case None => true // no zone map: can't exclude
+              val rangeHit = e.range match {
+                case None => false // no non-null values at all
+                case Some((lo, hi)) => vbs.exists(v =>
+                  cmpBytes(v, lo) >= 0 && cmpBytes(v, hi) <= 0)
               }
               bloomHit && rangeHit
           }
@@ -199,51 +246,287 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier) {
   /** Range variant: the subset of `files` a scan for
     * `column >= lo AND column <= hi` (either bound optional) must
     * read — a file is dropped when its zone map proves the string
-    * interval and the file's [min, max] are disjoint. `>`/`<` are
-    * treated as their inclusive forms (boundary file kept:
-    * conservative and sound).
+    * interval and the file's [min, max] are disjoint (compared as
+    * UTF-8 bytes, Spark's binary collation). `>`/`<` are treated as
+    * their inclusive forms (boundary file kept: conservative and
+    * sound).
     */
   def skipFilesRange(ns: String, table: String, column: String,
       lo: Option[String], hi: Option[String], files: Seq[String])
       : Seq[String] = {
-    val rg = synchronized {
-      ranges.get((ns, table.toLowerCase, column.toLowerCase)).map(_.toMap)
-    }
-    rg match {
+    snapshotKey(ns, table, column) match {
       case None => files
-      case Some(idx) =>
+      case Some(m) =>
+        val lob = lo.map(_.getBytes(UTF_8))
+        val hib = hi.map(_.getBytes(UTF_8))
         files.filter { f =>
-          idx.get(canon(f)) match {
+          m.get(canon(f)) match {
             case None => true // unindexed: must read
-            case Some(None) => false // no non-null values: no row matches
-            case Some(Some((mn, mx))) =>
-              lo.forall(l => mx >= l) && hi.forall(h => mn <= h)
+            case Some(e) => e.range match {
+              case None => false // no non-null values: no row matches
+              case Some((mn, mx)) =>
+                lob.forall(l => cmpBytes(mx, l) >= 0) &&
+                  hib.forall(h => cmpBytes(mn, h) <= 0)
+            }
           }
         }
     }
   }
 
-  /** Drop cached blooms for files no longer in any current manifest
-    * (post-compaction hygiene — mirrors RollupStore.prune).
+  /** Lock scope of a skip-check: lazy-load the key's persisted
+    * partials once, then snapshot the map — the actual filtering
+    * never holds the lock, and an in-flight index build never blocks
+    * it (the build commits under the lock only after its scan).
     */
-  def prune(): Unit = synchronized {
-    (blooms.iterator ++ ranges.iterator).foreach {
-      case ((ns, table, _), m) =>
-        val live = tier.dataFiles(ns, table).map(canon).toSet
-        m.keysIterator.filterNot(live).toSeq.foreach(m.remove)
+  private def snapshotKey(ns: String, table: String,
+      column: String): Option[Map[String, FileIdx]] =
+    lock.synchronized {
+      val key = (ns, table.toLowerCase, column.toLowerCase)
+      ensureLoaded(key, ns, table)
+      idx.get(key).map(_.toMap)
+    }
+
+  /** Drop cached blooms+zone maps for files no longer in any current
+    * manifest, in memory AND on disk (post-compaction hygiene —
+    * mirrors RollupStore.prune). Also sweeps persisted partials whose
+    * (ns, table, column) this process never touched: restarts must
+    * not exempt an index from GC.
+    */
+  def prune(): Unit = lock.synchronized {
+    // surface every persisted key first, so the sweep below sees it
+    for {
+      base <- Option(new File(tier.rootPath, IdxDirName).listFiles())
+      nsDir <- base if nsDir.isDirectory
+      tDir <- Option(nsDir.listFiles()).getOrElse(Array.empty[File])
+      if tDir.isDirectory
+      cf <- Option(tDir.listFiles()).getOrElse(Array.empty[File])
+      if cf.getName.endsWith(".jsonl")
+    } {
+      val key = (nsDir.getName, tDir.getName,
+        cf.getName.stripSuffix(".jsonl"))
+      val orig = readOrigName(tDir).getOrElse(tDir.getName)
+      origNames.getOrElseUpdate((key._1, key._2), orig)
+      ensureLoaded(key, key._1, orig)
+    }
+    idx.foreach { case (key @ (ns, tl, _), m) =>
+      val orig = origNames.getOrElse((ns, tl), tl)
+      val live = tier.dataFiles(ns, orig).map(canon).toSet
+      val dead = m.keysIterator.filterNot(live).toSeq
+      if (dead.nonEmpty) {
+        dead.foreach(m.remove)
+        rewriteDisk(key, orig, m)
+      }
     }
   }
 
-  def cachedFiles: Int = synchronized(blooms.values.map(_.size).sum)
+  def cachedFiles: Int =
+    lock.synchronized(idx.values.map(_.size).sum)
+
+  /** Query-planning gate: does ANY index exist, loaded or persisted?
+    * Memory check is O(keys); the disk probe (shallow `_bloomidx`
+    * walk) runs only while no index has ever been seen, and latches
+    * once true — so a no-index engine pays one directory stat per
+    * query, and an indexed one pays nothing.
+    */
+  def hasAnyIndex: Boolean =
+    lock.synchronized(idx.values.exists(_.nonEmpty)) || diskSeen || {
+      val found = Option(new File(tier.rootPath, IdxDirName).listFiles())
+        .getOrElse(Array.empty[File]).filter(_.isDirectory)
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty[File]))
+        .filter(_.isDirectory)
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty[File]))
+        .exists(_.getName.endsWith(".jsonl"))
+      if (found) diskSeen = true
+      found
+    }
+
+  @volatile private var diskSeen = false
+
+  // ------------------------------------------------------ persistence
+
+  /** `<tierRoot>/_bloomidx/<ns>/<tableLower>/` — '_'-prefixed, so
+    * every tier walk/scan treats it as hidden (the `_ann` rule).
+    * None when ns/table contain path-unsafe characters: the index
+    * then lives in memory only (still correct, just not durable).
+    */
+  private def columnDir(ns: String, tableLower: String): Option[File] =
+    if (safeSeg(ns) && safeSeg(tableLower))
+      Some(new File(new File(new File(tier.rootPath, IdxDirName), ns),
+        tableLower))
+    else None
+
+  private def jsonlFile(ns: String, tableLower: String,
+      colLower: String): Option[File] =
+    columnDir(ns, tableLower).map(new File(_, s"$colLower.jsonl"))
+
+  private def readOrigName(tDir: File): Option[String] = {
+    val f = new File(tDir, "_name")
+    if (f.isFile)
+      try Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+        UTF_8).trim)
+      catch { case _: java.io.IOException => None }
+    else None
+  }
+
+  /** Append `built` to the column's jsonl (creating dir + `_name` on
+    * first write). Runs under the per-key `building` marker, never
+    * under the lock: one flush per build, O(new files) bytes.
+    */
+  private def persistAppend(ns: String, table: String, column: String,
+      built: mutable.Map[String, FileIdx]): Unit =
+    jsonlFile(ns, table.toLowerCase, column.toLowerCase).foreach { jf =>
+      try {
+        jf.getParentFile.mkdirs()
+        val nameF = new File(jf.getParentFile, "_name")
+        if (!nameF.isFile)
+          java.nio.file.Files.write(nameF.toPath, table.getBytes(UTF_8))
+        val sb = new StringBuilder
+        built.foreach { case (f, e) => sb.append(entryLine(f, e)) }
+        java.nio.file.Files.write(jf.toPath,
+          sb.toString.getBytes(UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch { case e: java.io.IOException =>
+        // persistence is an optimization: a failed append costs a
+        // re-index after restart, never correctness
+        System.err.println(s"[bloomstore] persist failed for $jf: $e")
+      }
+    }
+
+  /** Compact the column's jsonl to exactly `m` (tmp + atomic move). */
+  private def rewriteDisk(key: Key, origTable: String,
+      m: mutable.Map[String, FileIdx]): Unit =
+    jsonlFile(key._1, key._2, key._3).foreach { jf =>
+      if (jf.isFile) try {
+        val sb = new StringBuilder
+        m.foreach { case (f, e) => sb.append(entryLine(f, e)) }
+        val tmp = new File(jf.getParentFile, s".${jf.getName}.tmp")
+        java.nio.file.Files.write(tmp.toPath, sb.toString.getBytes(UTF_8))
+        java.nio.file.Files.move(tmp.toPath, jf.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case e: java.io.IOException =>
+        System.err.println(s"[bloomstore] prune rewrite failed for $jf: $e")
+      }
+    }
+
+  /** One jsonl line for a file's partial. Every field is base64 — no
+    * JSON string-escaping concerns, and zone bounds round-trip as the
+    * exact UTF-8 bytes they are compared as. Paths under the tier
+    * root store relative ("fr"), so an index survives a root move;
+    * anything else stores absolute ("fa").
+    */
+  private def entryLine(canonPath: String, e: FileIdx): String = {
+    val b64 = java.util.Base64.getEncoder
+    val rootP = new File(tier.rootPath).toPath.toAbsolutePath
+    val p = java.nio.file.Paths.get(canonPath)
+    val (fk, fv) =
+      if (p.startsWith(rootP))
+        ("fr", rootP.relativize(p).toString)
+      else ("fa", canonPath)
+    val bb = java.nio.ByteBuffer.allocate(Words * 8)
+    e.words.foreach(bb.putLong)
+    val sb = new StringBuilder
+    sb.append("{\"").append(fk).append("\":\"")
+      .append(b64.encodeToString(fv.getBytes(UTF_8)))
+      .append("\",\"w\":\"")
+      .append(b64.encodeToString(bb.array()))
+      .append('"')
+    e.range.foreach { case (lo, hi) =>
+      sb.append(",\"lo\":\"").append(b64.encodeToString(lo))
+        .append("\",\"hi\":\"").append(b64.encodeToString(hi))
+        .append('"')
+    }
+    sb.append("}\n")
+    sb.toString
+  }
+
+  /** Load the key's persisted partials into memory, once per key per
+    * process (negative results cached too: this engine is the only
+    * writer of its tier's index, so a missing file stays missing
+    * until our own index() creates it — and index() populates memory
+    * directly). Malformed lines (torn final append from a crash) are
+    * skipped; the affected file simply re-indexes next build. Caller
+    * holds the lock.
+    */
+  private def ensureLoaded(key: Key, ns: String, table: String): Unit =
+    if (!diskChecked(key)) {
+      diskChecked += key
+      origNames.getOrElseUpdate((ns, key._2), table)
+      jsonlFile(ns, key._2, key._3).foreach { jf =>
+        if (jf.isFile) try {
+          val dec = java.util.Base64.getDecoder
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val m = idx.getOrElseUpdate(key, mutable.Map.empty)
+          val rootP = new File(tier.rootPath).toPath.toAbsolutePath
+          scala.io.Source.fromFile(jf, "UTF-8").getLines()
+            .foreach { line =>
+              try {
+                val n = mapper.readTree(line)
+                val path =
+                  if (n.hasNonNull("fr"))
+                    rootP.resolve(new String(
+                      dec.decode(n.get("fr").asText()), UTF_8)).toString
+                  else new String(
+                    dec.decode(n.get("fa").asText()), UTF_8)
+                val wb = dec.decode(n.get("w").asText())
+                require(wb.length == Words * 8)
+                val bb = java.nio.ByteBuffer.wrap(wb)
+                val words = Array.fill(Words)(bb.getLong)
+                val range =
+                  if (n.hasNonNull("lo") && n.hasNonNull("hi"))
+                    Some((dec.decode(n.get("lo").asText()),
+                      dec.decode(n.get("hi").asText())))
+                  else None
+                // last line wins (idempotent re-appends agree anyway:
+                // partials are deterministic from immutable files)
+                m(canon(path)) = FileIdx(words, range)
+              } catch { case _: Exception => /* torn line: skip */ }
+            }
+        } catch { case e: java.io.IOException =>
+          System.err.println(s"[bloomstore] load failed for $jf: $e")
+        }
+      }
+    }
 }
 
 object BloomStore {
+  /** A file's index entry: 2^15 bloom bits (512 longs) + the UTF-8
+    * byte-order zone map (None = no non-null values in the file).
+    */
+  final case class FileIdx(words: Array[Long],
+      range: Option[(Array[Byte], Array[Byte])])
+
+  val IdxDirName = "_bloomidx"
+
   /** 2^15 bloom bits per file; 64-bit words (JVM-only — no
     * cross-engine sign-bit concern here, unlike q_dedup_bloom's
     * 32-bit oracle-mirrored words).
     */
   val MBits = 32768L
   val Words: Int = (MBits / 64).toInt
+
+  /** Unsigned UTF-8 byte comparison == Spark's binary string
+    * collation (UTF8String.compareTo): code-point order, NOT Java
+    * String's UTF-16 code-unit order.
+    */
+  def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Path-segment allowlist for the persisted layout: anything else
+    * (or anything that walks upward) keeps its index memory-only.
+    */
+  private[engine] def safeSeg(s: String): Boolean =
+    s.nonEmpty && !s.startsWith(".") && !s.contains("..") &&
+      s.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.')
 
   /** The k=3 bit positions of a value — the JVM mirror of the Spark
     * expression in [[BloomStore.index]]: md5 hex of the UTF-8 bytes,

@@ -336,7 +336,7 @@ class LynxEngine(
     // string-equality literals per table: feeds BloomStore file
     // skipping when an index exists for the (table, column)
     val bloomsActive =
-      tier.isDefined && valueBlooms.exists(_.cachedFiles > 0)
+      tier.isDefined && valueBlooms.exists(_.hasAnyIndex)
     val eqByTable: Map[String, Seq[(String, Seq[String])]] =
       if (bloomsActive) LynxEngine.eqLiteralsPerTable(plan) else Map.empty
     // string-range bounds per table: feeds the zone-map half of the
@@ -841,46 +841,48 @@ object LynxEngine {
       hi.map(graft.buffer.PartitionKey.fromMicros).getOrElse("9999-12-31")))
   }
 
-  /** PER-TABLE conservative day bounds — [[dayBounds]] extended past
-    * single-relation queries: without it a join query scans ALL day
-    * partitions of EVERY table however tight its per-table timestamp
-    * predicates, and multi-table queries are exactly where full-tier
-    * scans hurt most (fact-to-fact joins over years of days).
-    *
-    * A Filter conjunct contributes a bound to table T iff its
-    * timestamp attribute provably reads T's raw scan column:
-    *  - unqualified `timestamp`: only when the Filter's subtree holds
+  /** Shared conservative Filter-conjunct walk behind the per-table
+    * pruning harvests ([[dayBoundsPerTable]], [[eqLiteralsPerTable]],
+    * [[strRangesPerTable]]) — ONE copy of the soundness-critical
+    * attribution logic. For every Filter of the CTE-inlined plan it
+    * invokes `visit(conjunct, resolveParts)`, where `resolveParts`
+    * maps an attribute's lowercased name parts to (table, column)
+    * only when the attribute provably reads that table's raw scan
+    * column:
+    *  - unqualified name: only when the Filter's subtree holds
     *    exactly one base relation reachable through row-preserving
     *    nodes (a derived table's inner WHERE, after CTE inlining);
-    *  - qualified `a.timestamp`: when binding `a` resolves to exactly
-    *    one relation reachable from the Filter through row-preserving
+    *  - qualified `a.col`: when binding `a` resolves to exactly one
+    *    relation reachable from the Filter through row-preserving
     *    nodes only — Join, Filter, Sort, Distinct, and SubqueryAlias
     *    directly over a relation. NOT Project / Aggregate / Window /
     *    Generate / Limit: their outputs may not be the scan column,
-    *    or their row sets are cardinality-sensitive (the [[dayBounds]]
-    *    Limit rule).
+    *    or their row sets are cardinality-sensitive (the
+    *    [[dayBounds]] Limit rule).
     *
     * Join ON conditions are never harvested: an outer join's ON
-    * predicate on the PRESERVED side must not drop scan rows (the row
-    * survives null-extended). Filter conjuncts above any join type
-    * are safe because every harvested comparison is null-rejecting —
-    * a null-extended row fails the post-join predicate exactly like
-    * the pruned scan row would have.
+    * predicate on the PRESERVED side must not drop scan rows (the
+    * row survives null-extended). Filter conjuncts above any join
+    * type are safe as long as the caller harvests only
+    * null-rejecting predicates — a null-extended row fails the
+    * post-join predicate exactly like the pruned scan row would.
     *
-    * A table referenced by more than one relation node (self-join,
-    * UNION arms) gets NO bounds: all references share one registered
-    * view, so per-reference ranges would need a union, and the
-    * tighten-by-intersection rule here could over-prune — the same
-    * reason [[dayBounds]] demands a single relation.
+    * Returns None when the plan is gated (any subquery expression —
+    * correlation could smuggle outer references past the walk);
+    * otherwise the per-table relation reference counts. Callers MUST
+    * drop tables referenced more than once (self-joins, UNION arms:
+    * all references share one registered view, so per-reference
+    * predicates could over-prune the shared scan).
     */
-  def dayBoundsPerTable(rawPlan: LogicalPlan)
-      : Map[String, (String, String)] = {
+  private def harvestConjuncts(rawPlan: LogicalPlan)(
+      visit: (org.apache.spark.sql.catalyst.expressions.Expression,
+        Seq[String] => Option[(String, String)]) => Unit)
+      : Option[Map[String, Int]] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.plans.logical
-    import org.apache.spark.sql.types.{StringType, TimestampType}
     val plan = inlineCtes(rawPlan)
     if (plan.exists(_.expressions.exists(_.exists(
-        _.isInstanceOf[SubqueryExpression])))) return Map.empty
+        _.isInstanceOf[SubqueryExpression])))) return None
     def relName(r: UnresolvedRelation): Option[String] =
       if (r.multipartIdentifier.size == 1)
         Some(r.multipartIdentifier.head.toLowerCase)
@@ -901,11 +903,78 @@ object LynxEngine {
       case d: logical.Distinct => safeRels(d.child)
       case _ => Nil
     }
-    def tsAttr(e: Expression): Option[Seq[String]] = e match {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    plan.foreach {
+      case f: logical.Filter =>
+        val rels = safeRels(f.child)
+        val nRels = f.child.collect {
+          case r: UnresolvedRelation => r }.size
+        def resolveParts(parts: Seq[String])
+            : Option[(String, String)] = {
+          val colName = parts.last
+          if (parts.size == 1)
+            // unqualified: unambiguous only with ONE relation below
+            if (nRels == 1 && rels.size == 1)
+              Some(rels.head._2 -> colName)
+            else None
+          else if (parts.size == 2) {
+            val hits = rels.filter(_._1 == parts.head)
+            if (hits.size == 1) Some(hits.head._2 -> colName)
+            else None
+          } else None
+        }
+        conjuncts(f.condition).foreach(c => visit(c, resolveParts))
+      case _ =>
+    }
+    Some(plan.collect {
+      case r: UnresolvedRelation => relName(r) }
+      .flatten.groupBy(identity).view.mapValues(_.size).toMap)
+  }
+
+  /** Lowercased name parts of a bare column attribute. No Cast
+    * unwrap: the bloom/zone index hashed and bounded the column's
+    * RAW string form, and a cast changes what the predicate compares.
+    */
+  private def colParts(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[Seq[String]] = e match {
+    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      Some(a.nameParts.map(_.toLowerCase))
+    case _ => None
+  }
+
+  /** A plain non-null string literal. Typed comparisons (`value = 3`)
+    * never qualify: type coercion can match rows whose string form
+    * differs from the literal, so pruning on them would be unsound.
+    */
+  private def strLit(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[String] = e match {
+    case org.apache.spark.sql.catalyst.expressions
+      .Literal(s, StringType) if s != null => Some(String.valueOf(s))
+    case _ => None
+  }
+
+  /** PER-TABLE conservative day bounds — [[dayBounds]] extended past
+    * single-relation queries: without it a join query scans ALL day
+    * partitions of EVERY table however tight its per-table timestamp
+    * predicates, and multi-table queries are exactly where full-tier
+    * scans hurt most (fact-to-fact joins over years of days).
+    * Attribution, ON-clause, and shared-view rules all live in
+    * [[harvestConjuncts]]; this visitor only recognizes the
+    * timestamp comparison shapes (all null-rejecting).
+    */
+  def dayBoundsPerTable(rawPlan: LogicalPlan)
+      : Map[String, (String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def tsParts(e: Expression): Option[Seq[String]] = e match {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
           if a.nameParts.last.equalsIgnoreCase("timestamp") =>
         Some(a.nameParts.map(_.toLowerCase))
-      case Cast(c, _, _, _) => tsAttr(c)
+      case Cast(c, _, _, _) => tsParts(c)
       case _ => None
     }
     def micros(e: Expression): Option[Long] = e match {
@@ -925,281 +994,188 @@ object LynxEngine {
         t: String, v: Long, isLo: Boolean): Unit =
       m(t) = m.get(t).fold(v)(prev =>
         if (isLo) math.max(prev, v) else math.min(prev, v))
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    plan.foreach {
-      case f: logical.Filter =>
-        val rels = safeRels(f.child)
-        val nRels = f.child.collect {
-          case r: UnresolvedRelation => r }.size
-        def resolve(e: Expression): Option[String] =
-          tsAttr(e).flatMap { parts =>
-            if (parts.size == 1)
-              // unqualified: unambiguous only with ONE relation below
-              if (nRels == 1 && rels.size == 1) Some(rels.head._2)
-              else None
-            else if (parts.size == 2) {
-              val hits = rels.filter(_._1 == parts.head)
-              if (hits.size == 1) Some(hits.head._2) else None
-            } else None
+    val refCounts = harvestConjuncts(rawPlan) { (c, resolveParts) =>
+      def resolve(e: Expression): Option[String] =
+        tsParts(e).flatMap(resolveParts).map(_._1)
+      c match {
+        case GreaterThanOrEqual(a, l) if resolve(a).isDefined =>
+          for (t <- resolve(a); v <- micros(l))
+            tighten(lo, t, v, isLo = true)
+        case GreaterThan(a, l) if resolve(a).isDefined =>
+          for (t <- resolve(a); v <- micros(l))
+            tighten(lo, t, v, isLo = true)
+        case LessThanOrEqual(a, l) if resolve(a).isDefined =>
+          for (t <- resolve(a); v <- micros(l))
+            tighten(hi, t, v, isLo = false)
+        case LessThan(a, l) if resolve(a).isDefined =>
+          for (t <- resolve(a); v <- micros(l))
+            tighten(hi, t, v, isLo = false)
+        case EqualTo(a, l) if resolve(a).isDefined =>
+          for (t <- resolve(a); v <- micros(l)) {
+            tighten(lo, t, v, isLo = true)
+            tighten(hi, t, v, isLo = false)
           }
-        conjuncts(f.condition).foreach {
-          case GreaterThanOrEqual(a, l) if resolve(a).isDefined =>
-            for (t <- resolve(a); v <- micros(l))
-              tighten(lo, t, v, isLo = true)
-          case GreaterThan(a, l) if resolve(a).isDefined =>
-            for (t <- resolve(a); v <- micros(l))
-              tighten(lo, t, v, isLo = true)
-          case LessThanOrEqual(a, l) if resolve(a).isDefined =>
-            for (t <- resolve(a); v <- micros(l))
-              tighten(hi, t, v, isLo = false)
-          case LessThan(a, l) if resolve(a).isDefined =>
-            for (t <- resolve(a); v <- micros(l))
-              tighten(hi, t, v, isLo = false)
-          case EqualTo(a, l) if resolve(a).isDefined =>
-            for (t <- resolve(a); v <- micros(l)) {
-              tighten(lo, t, v, isLo = true)
-              tighten(hi, t, v, isLo = false)
-            }
-          // literal-first orientation flips the bound direction
-          case GreaterThanOrEqual(l, a) if resolve(a).isDefined =>
-            for (t <- resolve(a); v <- micros(l))
-              tighten(hi, t, v, isLo = false)
-          case GreaterThan(l, a) if resolve(a).isDefined =>
-            for (t <- resolve(a); v <- micros(l))
-              tighten(hi, t, v, isLo = false)
-          case LessThanOrEqual(l, a) if resolve(a).isDefined =>
-            for (t <- resolve(a); v <- micros(l))
-              tighten(lo, t, v, isLo = true)
-          case LessThan(l, a) if resolve(a).isDefined =>
-            for (t <- resolve(a); v <- micros(l))
-              tighten(lo, t, v, isLo = true)
-          case EqualTo(l, a) if resolve(a).isDefined =>
-            for (t <- resolve(a); v <- micros(l)) {
-              tighten(lo, t, v, isLo = true)
-              tighten(hi, t, v, isLo = false)
-            }
-          case _ =>
-        }
-      case _ =>
+        // literal-first orientation flips the bound direction
+        case GreaterThanOrEqual(l, a) if resolve(a).isDefined =>
+          for (t <- resolve(a); v <- micros(l))
+            tighten(hi, t, v, isLo = false)
+        case GreaterThan(l, a) if resolve(a).isDefined =>
+          for (t <- resolve(a); v <- micros(l))
+            tighten(hi, t, v, isLo = false)
+        case LessThanOrEqual(l, a) if resolve(a).isDefined =>
+          for (t <- resolve(a); v <- micros(l))
+            tighten(lo, t, v, isLo = true)
+        case LessThan(l, a) if resolve(a).isDefined =>
+          for (t <- resolve(a); v <- micros(l))
+            tighten(lo, t, v, isLo = true)
+        case EqualTo(l, a) if resolve(a).isDefined =>
+          for (t <- resolve(a); v <- micros(l)) {
+            tighten(lo, t, v, isLo = true)
+            tighten(hi, t, v, isLo = false)
+          }
+        case _ =>
+      }
     }
-    // shared-view rule: >1 reference to a table → no pruning for it
-    val refCounts = plan.collect {
-      case r: UnresolvedRelation => relName(r) }
-      .flatten.groupBy(identity).view.mapValues(_.size).toMap
-    (lo.keySet ++ hi.keySet).iterator
-      .filter(t => refCounts.getOrElse(t, 0) == 1)
-      .map { t =>
-        t -> ((
-          lo.get(t).map(graft.buffer.PartitionKey.fromMicros)
-            .getOrElse("0000-01-01"),
-          hi.get(t).map(graft.buffer.PartitionKey.fromMicros)
-            .getOrElse("9999-12-31")))
-      }.toMap
+    refCounts match {
+      case None => Map.empty
+      case Some(rc) =>
+        (lo.keySet ++ hi.keySet).iterator
+          .filter(t => rc.getOrElse(t, 0) == 1)
+          .map { t =>
+            t -> ((
+              lo.get(t).map(graft.buffer.PartitionKey.fromMicros)
+                .getOrElse("0000-01-01"),
+              hi.get(t).map(graft.buffer.PartitionKey.fromMicros)
+                .getOrElse("9999-12-31")))
+          }.toMap
+    }
   }
 
   /** Per-table string-equality/IN literals from WHERE conjuncts —
     * `host = 'web-17'` → ("events" → Seq(("host", Seq("web-17")))),
     * `host IN ('a','b')` → ("events" → Seq(("host", Seq("a","b"))))
     * — the predicate harvest behind [[BloomStore]] file skipping
-    * (an IN keeps a file when ANY listed value hits its bloom). Same
-    * conservative attribution rules as [[dayBoundsPerTable]] (and the
-    * same soundness argument): a conjunct binds to table T only when
-    * its attribute provably reads T's raw scan column through
-    * row-preserving nodes, Join ON conditions are never harvested,
-    * EqualTo/In are null-rejecting so Filter conjuncts above outer
-    * joins remain safe, subqueries and multiply-referenced tables
-    * disable the harvest entirely. Only plain string literals qualify
-    * — the blooms hash the column's STRING cast, and a typed
-    * comparison (`value = 3`) may match rows whose string form
-    * differs; an IN with even one non-string element is dropped whole.
+    * (an IN keeps a file when ANY listed value hits its bloom).
+    * Attribution and gating rules live in [[harvestConjuncts]];
+    * EqualTo/In are null-rejecting, so Filter conjuncts above outer
+    * joins remain safe. Only plain string literals qualify — the
+    * blooms hash the column's STRING cast, and a typed comparison
+    * (`value = 3`) may match rows whose string form differs; an IN
+    * with even one non-string element is dropped whole.
+    *
+    * A conjunct that is an OR of equalities/INs on ONE column —
+    * `host = 'a' OR host = 'b'` — harvests as the IN it is
+    * semantically (every disjunct is null-rejecting, and a file
+    * excluded for all listed values can satisfy no disjunct); a
+    * disjunct on a different column, or any non-equality disjunct,
+    * voids the whole OR.
     */
   def eqLiteralsPerTable(rawPlan: LogicalPlan)
       : Map[String, Seq[(String, Seq[String])]] = {
     import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.catalyst.plans.logical
-    import org.apache.spark.sql.types.StringType
-    val plan = inlineCtes(rawPlan)
-    if (plan.exists(_.expressions.exists(_.exists(
-        _.isInstanceOf[SubqueryExpression])))) return Map.empty
-    def relName(r: UnresolvedRelation): Option[String] =
-      if (r.multipartIdentifier.size == 1)
-        Some(r.multipartIdentifier.head.toLowerCase)
-      else None
-    def safeRels(p: LogicalPlan): Seq[(String, String)] = p match {
-      case r: UnresolvedRelation =>
-        relName(r).map(n => n -> n).toSeq
-      case sa: logical.SubqueryAlias => sa.child match {
-        case r: UnresolvedRelation =>
-          relName(r).map(n => sa.alias.toLowerCase -> n).toSeq
-        case _ => Nil
-      }
-      case j: logical.Join => safeRels(j.left) ++ safeRels(j.right)
-      case f: logical.Filter => safeRels(f.child)
-      case s: logical.Sort => safeRels(s.child)
-      case d: logical.Distinct => safeRels(d.child)
-      case _ => Nil
-    }
-    def colAttr(e: Expression): Option[Seq[String]] = e match {
-      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        Some(a.nameParts.map(_.toLowerCase))
-      case _ => None // no Cast unwrap: the bloom hashed the raw string
-    }
-    def strLit(e: Expression): Option[String] = e match {
-      case Literal(s, StringType) if s != null => Some(String.valueOf(s))
-      case _ => None
-    }
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
     val out = scala.collection.mutable
       .Map.empty[String, Vector[(String, Seq[String])]]
-    plan.foreach {
-      case f: logical.Filter =>
-        val rels = safeRels(f.child)
-        val nRels = f.child.collect {
-          case r: UnresolvedRelation => r }.size
-        def resolve(e: Expression): Option[(String, String)] =
-          colAttr(e).flatMap { parts =>
-            val colName = parts.last
-            if (parts.size == 1)
-              if (nRels == 1 && rels.size == 1)
-                Some(rels.head._2 -> colName)
-              else None
-            else if (parts.size == 2) {
-              val hits = rels.filter(_._1 == parts.head)
-              if (hits.size == 1) Some(hits.head._2 -> colName)
-              else None
-            } else None
+    val refCounts = harvestConjuncts(rawPlan) { (c, resolveParts) =>
+      def resolve(e: Expression): Option[(String, String)] =
+        colParts(e).flatMap(resolveParts)
+      def add(t: String, col: String, vs: Seq[String]): Unit =
+        out(t) = out.getOrElse(t, Vector.empty) :+ (col -> vs)
+      // (table, column, values) of one equality-shaped expression
+      def eqShape(e: Expression)
+          : Option[((String, String), Seq[String])] = e match {
+        case EqualTo(x, y) =>
+          (for (tc <- resolve(x); v <- strLit(y)) yield (tc, Seq(v)))
+            .orElse(
+              for (tc <- resolve(y); v <- strLit(x)) yield (tc, Seq(v)))
+        case In(x, list) if list.nonEmpty =>
+          // all-or-nothing: one non-string element voids the harvest
+          val lits = list.map(strLit)
+          if (lits.forall(_.isDefined))
+            resolve(x).map(tc => (tc, lits.flatten))
+          else None
+        case _ => None
+      }
+      def disjuncts(e: Expression): Seq[Expression] = e match {
+        case Or(l, r) => disjuncts(l) ++ disjuncts(r)
+        case other => Seq(other)
+      }
+      c match {
+        case o: Or =>
+          val shapes = disjuncts(o).map(eqShape)
+          if (shapes.forall(_.isDefined)) {
+            val ps = shapes.flatten
+            val tcs = ps.map(_._1).distinct
+            if (tcs.size == 1)
+              add(tcs.head._1, tcs.head._2,
+                ps.flatMap(_._2).distinct)
           }
-        def add(t: String, c: String, vs: Seq[String]): Unit =
-          out(t) = out.getOrElse(t, Vector.empty) :+ (c -> vs)
-        conjuncts(f.condition).foreach {
-          case EqualTo(x, y) => // both orientations: attr = 'lit', 'lit' = attr
-            for ((t, c) <- resolve(x); v <- strLit(y)) add(t, c, Seq(v))
-            for ((t, c) <- resolve(y); v <- strLit(x)) add(t, c, Seq(v))
-          case In(x, list) if list.nonEmpty =>
-            // all-or-nothing: one non-string element voids the harvest
-            val lits = list.map(strLit)
-            for ((t, c) <- resolve(x) if lits.forall(_.isDefined))
-              add(t, c, lits.flatten)
-          case _ =>
-        }
-      case _ =>
+        case other =>
+          eqShape(other).foreach { case ((t, col), vs) =>
+            add(t, col, vs)
+          }
+      }
     }
-    val refCounts = plan.collect {
-      case r: UnresolvedRelation => relName(r) }
-      .flatten.groupBy(identity).view.mapValues(_.size).toMap
-    out.iterator
-      .filter { case (t, _) => refCounts.getOrElse(t, 0) == 1 }
-      .map { case (t, v) => t -> v.distinct.toSeq }
-      .toMap
+    refCounts match {
+      case None => Map.empty
+      case Some(rc) =>
+        out.iterator
+          .filter { case (t, _) => rc.getOrElse(t, 0) == 1 }
+          .map { case (t, v) => t -> v.distinct.toSeq }
+          .toMap
+    }
   }
 
   /** Per-table string-RANGE bounds from WHERE conjuncts —
     * `v >= 'b' AND v < 'c'` → ("t" → Seq(("v", Some("b"), Some("c"))))
     * — the zone-map harvest behind [[BloomStore.skipFilesRange]].
     * Attribution rules and string-literal-only soundness exactly as
-    * [[eqLiteralsPerTable]]; `>`/`<` conservatively widen to their
-    * inclusive forms (the boundary file is kept), and bounds on the
-    * same (table, column) tighten by intersection (max of lows, min
-    * of highs), matching AND semantics.
+    * [[eqLiteralsPerTable]] (both via [[harvestConjuncts]]); `>`/`<`
+    * conservatively widen to their inclusive forms (the boundary file
+    * is kept), and bounds on the same (table, column) tighten by
+    * intersection (max of lows, min of highs), matching AND
+    * semantics.
     */
   def strRangesPerTable(rawPlan: LogicalPlan)
       : Map[String, Seq[(String, Option[String], Option[String])]] = {
     import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.catalyst.plans.logical
-    import org.apache.spark.sql.types.StringType
-    val plan = inlineCtes(rawPlan)
-    if (plan.exists(_.expressions.exists(_.exists(
-        _.isInstanceOf[SubqueryExpression])))) return Map.empty
-    def relName(r: UnresolvedRelation): Option[String] =
-      if (r.multipartIdentifier.size == 1)
-        Some(r.multipartIdentifier.head.toLowerCase)
-      else None
-    def safeRels(p: LogicalPlan): Seq[(String, String)] = p match {
-      case r: UnresolvedRelation =>
-        relName(r).map(n => n -> n).toSeq
-      case sa: logical.SubqueryAlias => sa.child match {
-        case r: UnresolvedRelation =>
-          relName(r).map(n => sa.alias.toLowerCase -> n).toSeq
-        case _ => Nil
-      }
-      case j: logical.Join => safeRels(j.left) ++ safeRels(j.right)
-      case f: logical.Filter => safeRels(f.child)
-      case s: logical.Sort => safeRels(s.child)
-      case d: logical.Distinct => safeRels(d.child)
-      case _ => Nil
-    }
-    def colAttr(e: Expression): Option[Seq[String]] = e match {
-      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        Some(a.nameParts.map(_.toLowerCase))
-      case _ => None
-    }
-    def strLit(e: Expression): Option[String] = e match {
-      case Literal(s, StringType) if s != null => Some(String.valueOf(s))
-      case _ => None
-    }
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
     val lo = scala.collection.mutable.Map.empty[(String, String), String]
     val hi = scala.collection.mutable.Map.empty[(String, String), String]
-    plan.foreach {
-      case f: logical.Filter =>
-        val rels = safeRels(f.child)
-        val nRels = f.child.collect {
-          case r: UnresolvedRelation => r }.size
-        def resolve(e: Expression): Option[(String, String)] =
-          colAttr(e).flatMap { parts =>
-            val colName = parts.last
-            if (parts.size == 1)
-              if (nRels == 1 && rels.size == 1)
-                Some(rels.head._2 -> colName)
-              else None
-            else if (parts.size == 2) {
-              val hits = rels.filter(_._1 == parts.head)
-              if (hits.size == 1) Some(hits.head._2 -> colName)
-              else None
-            } else None
-          }
-        def low(k: (String, String), v: String): Unit =
-          lo(k) = lo.get(k).fold(v)(p => if (v > p) v else p)
-        def high(k: (String, String), v: String): Unit =
-          hi(k) = hi.get(k).fold(v)(p => if (v < p) v else p)
-        conjuncts(f.condition).foreach {
-          case GreaterThanOrEqual(a, l) =>
-            for (k <- resolve(a); v <- strLit(l)) low(k, v)
-            for (k <- resolve(l); v <- strLit(a)) high(k, v)
-          case GreaterThan(a, l) =>
-            for (k <- resolve(a); v <- strLit(l)) low(k, v)
-            for (k <- resolve(l); v <- strLit(a)) high(k, v)
-          case LessThanOrEqual(a, l) =>
-            for (k <- resolve(a); v <- strLit(l)) high(k, v)
-            for (k <- resolve(l); v <- strLit(a)) low(k, v)
-          case LessThan(a, l) =>
-            for (k <- resolve(a); v <- strLit(l)) high(k, v)
-            for (k <- resolve(l); v <- strLit(a)) low(k, v)
-          case _ =>
-        }
-      case _ =>
-    }
-    val refCounts = plan.collect {
-      case r: UnresolvedRelation => relName(r) }
-      .flatten.groupBy(identity).view.mapValues(_.size).toMap
-    (lo.keySet ++ hi.keySet).iterator
-      .filter { case (t, _) => refCounts.getOrElse(t, 0) == 1 }
-      .toSeq
-      .groupBy(_._1)
-      .map { case (t, ks) =>
-        t -> ks.sorted.map { k =>
-          (k._2, lo.get(k), hi.get(k))
-        }
+    val refCounts = harvestConjuncts(rawPlan) { (c, resolveParts) =>
+      def resolve(e: Expression): Option[(String, String)] =
+        colParts(e).flatMap(resolveParts)
+      def low(k: (String, String), v: String): Unit =
+        lo(k) = lo.get(k).fold(v)(p => if (v > p) v else p)
+      def high(k: (String, String), v: String): Unit =
+        hi(k) = hi.get(k).fold(v)(p => if (v < p) v else p)
+      c match {
+        case GreaterThanOrEqual(a, l) =>
+          for (k <- resolve(a); v <- strLit(l)) low(k, v)
+          for (k <- resolve(l); v <- strLit(a)) high(k, v)
+        case GreaterThan(a, l) =>
+          for (k <- resolve(a); v <- strLit(l)) low(k, v)
+          for (k <- resolve(l); v <- strLit(a)) high(k, v)
+        case LessThanOrEqual(a, l) =>
+          for (k <- resolve(a); v <- strLit(l)) high(k, v)
+          for (k <- resolve(l); v <- strLit(a)) low(k, v)
+        case LessThan(a, l) =>
+          for (k <- resolve(a); v <- strLit(l)) high(k, v)
+          for (k <- resolve(l); v <- strLit(a)) low(k, v)
+        case _ =>
       }
+    }
+    refCounts match {
+      case None => Map.empty
+      case Some(rc) =>
+        (lo.keySet ++ hi.keySet).iterator
+          .filter { case (t, _) => rc.getOrElse(t, 0) == 1 }
+          .toSeq
+          .groupBy(_._1)
+          .map { case (t, ks) =>
+            t -> ks.sorted.map { k =>
+              (k._2, lo.get(k), hi.get(k))
+            }
+          }
+    }
   }
 
   /** Dynamic schema inference + row→columnar conversion (reference

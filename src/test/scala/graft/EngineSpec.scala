@@ -999,6 +999,20 @@ class EngineSpec extends AnyFunSuite {
     assert(eqs("SELECT * FROM cpu WHERE host IN ('h1', 'h3')") ==
       Map("cpu" -> Seq("host" -> Seq("h1", "h3"))))
     assert(eqs("SELECT * FROM cpu WHERE host IN ('h1', 3)").isEmpty)
+    // OR-of-equalities on ONE column harvests as the IN it is
+    assert(eqs("SELECT * FROM cpu WHERE host = 'a' OR host = 'b'") ==
+      Map("cpu" -> Seq("host" -> Seq("a", "b"))))
+    assert(eqs("SELECT * FROM cpu WHERE host = 'a' OR 'b' = host " +
+      "OR host IN ('c', 'd')") ==
+      Map("cpu" -> Seq("host" -> Seq("a", "b", "c", "d"))))
+    // a cross-column, non-equality, or non-string disjunct voids the
+    // whole OR (the disjunction can then be satisfied other ways)
+    assert(eqs(
+      "SELECT * FROM cpu WHERE host = 'a' OR region = 'x'").isEmpty)
+    assert(eqs(
+      "SELECT * FROM cpu WHERE host = 'a' OR host > 'x'").isEmpty)
+    assert(eqs(
+      "SELECT * FROM cpu WHERE host = 'a' OR host = 3").isEmpty)
     // literal-first orientation; qualified attribution through a join
     val j = eqs(
       """SELECT * FROM cpu c JOIN mem m ON c.value = m.value
@@ -1069,6 +1083,13 @@ class EngineSpec extends AnyFunSuite {
         "ORDER BY value").get
     assert(rin.rows.map(_.getString(0)) == Seq("h2-0", "h2-1", "h2-2"),
       "bloom-pruned IN query must return exactly h2's rows")
+    // OR-of-equalities pruning: same soundness as the IN above, and
+    // the corrupted files again prove it planned the skip
+    val ror = e.query("ns",
+      "SELECT value FROM cpu WHERE host = 'h2' OR host = 'nope' " +
+        "ORDER BY value").get
+    assert(ror.rows.map(_.getString(0)) == Seq("h2-0", "h2-1", "h2-2"),
+      "bloom-pruned OR-equality query must return exactly h2's rows")
     // range-only predicate: zone maps alone must skip the corrupted
     // h1/h3 files (no equality conjunct, so the blooms are idle)
     val rrange = e.query("ns",
@@ -1141,5 +1162,108 @@ class EngineSpec extends AnyFunSuite {
       "SELECT value FROM cpu WHERE host = 'b'").get
     assert(r.rows.map(_.getString(0)) == Seq("v-b"))
     assert(kept.nonEmpty && kept.size <= n2)
+  }
+
+  test("bloom/zone index persists under the tier root: a restarted " +
+    "store reloads partials with ZERO re-reads and still skips") {
+    val tierDir = Files.createTempDirectory("bloom-persist-tier").toFile
+    val tier = new ParquetTier(tierDir)
+    val e = newEngine(Some(tier))
+    for ((h, i) <- Seq("p1", "p2", "p3").zipWithIndex) {
+      e.write(WriteRequest("ns", "cpu", s"v-$h",
+        Map("host" -> TagString(h)), i * 100L + 1))
+      e.seal("ns", "cpu")
+    }
+    val files = tier.dataFiles("ns", "cpu")
+    assert(e.valueBlooms.get.index("ns", "cpu", "host") == files.size)
+    // restart: a FRESH engine + BloomStore over the same tier dir
+    val e2 = newEngine(Some(new ParquetTier(tierDir)))
+    val bs2 = e2.valueBlooms.get
+    // persisted partials cover the whole manifest — nothing re-read
+    assert(bs2.index("ns", "cpu", "host") == 0,
+      "restarted store must reload persisted partials, not re-scan")
+    assert(bs2.indexedColumns("ns", "cpu") == Set("host"))
+    // corrupt every file p2's entries exclude: the restarted engine's
+    // pruned query succeeds iff the skip planned those files away
+    val kept = bs2.skipFiles("ns", "cpu", "host", "p2", files)
+    assert(kept.nonEmpty && kept.size < files.size)
+    files.filterNot(kept.toSet).foreach(p =>
+      Files.write(new java.io.File(p).toPath, "not parquet".getBytes))
+    val r = e2.query("ns",
+      "SELECT value FROM cpu WHERE host = 'p2'").get
+    assert(r.rows.map(_.getString(0)) == Seq("v-p2"))
+  }
+
+  test("zone maps order in UTF-8 byte space: supplementary-plane " +
+    "literals are never unsoundly skipped (Java UTF-16 order " +
+    "disagrees with Spark's binary collation)") {
+    // U+FFFD (BMP, 3-byte UTF-8) vs U+1F600 😀 (astral, 4-byte
+    // UTF-8 / surrogate pair): Java String order puts 😀 FIRST
+    // (surrogates 0xD83D.. < 0xFFFD), UTF-8 byte order puts it LAST
+    // (0xF0.. > 0xEF..). A String-ordered zone check would evaluate
+    // '😀' < min and skip the very file that holds it.
+    val fffd = "�"
+    val smile = new String(Character.toChars(0x1F600))
+    assert(smile < fffd, "Java order: the premise of the bug")
+    assert(graft.engine.BloomStore.cmpBytes(
+      smile.getBytes("UTF-8"), fffd.getBytes("UTF-8")) > 0,
+      "UTF-8 byte order: what Spark's min/max used")
+    val tierDir = Files.createTempDirectory("bloom-astral-tier").toFile
+    // handcraft ONE part file holding BOTH values (a sealed buffer
+    // may split rows across part files, and the bug needs min=U+FFFD
+    // max=😀 inside a single file's zone map); no manifest — the
+    // tier's directory-walk fallback picks the file up
+    val spark = SparkFixture.spark
+    spark.sql(
+      s"""SELECT timestamp'1970-01-01 00:00:00' AS timestamp,
+          'v-fffd' AS value, '$fffd' AS host
+          UNION ALL
+          SELECT timestamp'1970-01-01 00:00:01', 'v-smile', '$smile'""")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(tierDir,
+        "ns/cpu/__lynx_day=1970-01-01").getPath)
+    val tier = new ParquetTier(tierDir)
+    val bs = new graft.engine.BloomStore(spark, tier)
+    val files = tier.dataFiles("ns", "cpu")
+    assert(files.size == 1, s"fixture must be ONE file, got $files")
+    assert(bs.index("ns", "cpu", "host") == 1)
+    // equality on the astral literal must KEEP the file...
+    assert(bs.skipFiles("ns", "cpu", "host", smile, files) == files,
+      "astral equality must not be zone-skipped")
+    // ...and so must a range that only the astral value satisfies
+    assert(bs.skipFilesRange("ns", "cpu", "host",
+      Some(fffd + "z"), None, files) == files,
+      "astral-only range must not be zone-skipped")
+    // negative control: a range above the astral max still skips
+    assert(bs.skipFilesRange("ns", "cpu", "host",
+      Some(smile + "z"), None, files).isEmpty)
+    // and below the BMP min too (both bounds live in byte space)
+    assert(bs.skipFilesRange("ns", "cpu", "host",
+      None, Some("z"), files).isEmpty)
+  }
+
+  test("bloom prune queries the tier by the ORIGINAL-case table " +
+    "name (a lowercased dir lookup would silently drop the index)") {
+    val tierDir = Files.createTempDirectory("bloom-case-tier").toFile
+    val tier = new ParquetTier(tierDir)
+    val e = newEngine(Some(tier))
+    e.write(WriteRequest("ns", "CpuStats", "v-a",
+      Map("host" -> TagString("a")), 1L))
+    e.seal("ns", "CpuStats")
+    val bs = e.valueBlooms.get
+    val n = bs.index("ns", "CpuStats", "host")
+    assert(n > 0)
+    // every indexed file is live: prune must be a no-op even though
+    // the cache key lowercases the table name
+    bs.prune()
+    assert(bs.cachedFiles == n,
+      "prune dropped a live mixed-case table's index")
+    // and a restarted store prunes correctly too (orig name comes
+    // from the persisted _name file, not process memory)
+    val bs2 = new graft.engine.BloomStore(
+      SparkFixture.spark, new ParquetTier(tierDir))
+    bs2.prune()
+    assert(bs2.cachedFiles == n,
+      "restarted prune dropped a live mixed-case table's index")
   }
 }
