@@ -39,6 +39,31 @@ object Bench {
     * chars, and per-query lines printed just before share that window. */
   val LineBudget = 1500
 
+  /** The steal detector: a query whose EVERY rep ran at cpu/wall
+    * below 0.4, with flat GC and non-trivial wall, was not
+    * computing — the host scheduler starved the JVM (CPU steal or
+    * co-scheduled contention loadavg cannot see; the round-10
+    * q_gopher_rules phantom read 13.8 s sustained at loadavg 1.37
+    * with 0 GC while its true time was 0.53 s). Even a fully serial
+    * Spark stage keeps one core busy (cpu ≈ wall); genuine parallel
+    * work runs cpu ≫ wall on local[32], so a sub-0.4 ratio on every
+    * rep cannot be honest execution. GC is excluded as the
+    * alternative explanation (a GC-thrashing JVM also burns little
+    * user CPU, but that slowness is real and attributable).
+    */
+  private[graft] def suspectQueries(
+      walls: scala.collection.Map[String, Seq[Double]],
+      cpus: scala.collection.Map[String, Seq[Double]],
+      gcMs: scala.collection.Map[String, Long]): Seq[String] =
+    walls.keys.filter { k =>
+      val ws = walls(k)
+      val cs = cpus.getOrElse(k, Nil)
+      ws.nonEmpty && cs.size == ws.size &&
+        ws.min >= 1.0 && cs.forall(_ >= 0.0) &&
+        ws.zip(cs).forall { case (w, c) => c / w < 0.4 } &&
+        gcMs.getOrElse(k, 0L) < (ws.sum * 100).toLong // GC < 10% wall
+    }.toSeq.sorted
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -167,19 +192,7 @@ object Bench {
       val cs = qCpu(k).map(fmt).mkString("[", ",", "]")
       println(s"""{"q":"$k","s":${fmt(results(k))},"r":$rs,"c":$cs,"gc_ms":${qGc(k)}}""")
     }
-    // the steal detector: a query whose EVERY rep ran at cpu/wall
-    // below the threshold, with flat GC and non-trivial wall, was
-    // not computing — the host scheduler starved the JVM (CPU steal
-    // or co-scheduled contention loadavg cannot see). Even a fully
-    // serial Spark stage keeps one core busy (cpu ≈ wall); genuine
-    // parallel work runs cpu ≫ wall on local[32].
-    val suspects = qReps.keys.filter { k =>
-      val walls = qReps(k)
-      val cpus = qCpu(k)
-      walls.min >= 1.0 && cpus.forall(_ >= 0.0) &&
-        walls.zip(cpus).forall { case (w, c) => c / w < 0.4 } &&
-        qGc(k) < (walls.sum * 100).toLong // GC under 10% of wall
-    }.toSeq
+    val suspects = Bench.suspectQueries(qReps, qCpu, qGc)
     val fullQs = entries.map(_._2).mkString("{", ",", "}")
     // nproc + per-phase loadavg: load >> cpus means an external
     // process shared the box during the window — flag, don't re-run

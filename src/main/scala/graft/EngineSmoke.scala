@@ -1,0 +1,168 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{TagString, WriteRequest}
+import graft.engine.LynxEngine
+import graft.tier.ParquetTier
+
+/** End-to-end ENGINE-PLANE scale smoke: the deployment-map
+  * composition (README §"100 TB deployment map") measured as a
+  * whole, not per piece — batch ingest → WAL → seal per day →
+  * compact → bloom+zone index → pruned query (files-skipped and
+  * bytes-scanned counters) → maintained rollup (cold + warm) → ANN
+  * build + serve. Each stage prints one JSON line; run at 1× and 10×
+  * ingest volume and diff the scaling:
+  *
+  *   sbt "runMain graft.EngineSmoke 200000"
+  *   sbt "runMain graft.EngineSmoke 2000000"
+  *
+  * The interesting ratios: seal/compact/index wall should scale
+  * ~linearly with rows; the PRUNED query's bytes-scanned should
+  * scale with rows/hosts (one host's share), NOT with total volume;
+  * the warm rollup serve and the ANN probe should be FLAT (their
+  * cost is per-segment-new and per-cell respectively).
+  */
+object EngineSmoke {
+
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toInt).getOrElse(200000)
+    val days = 20
+    val hosts = 50
+    val batch = 10000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val walDir = Files.createTempDirectory("esmoke-wal").toFile
+    val tierDir = Files.createTempDirectory("esmoke-tier").toFile
+    val tier = new ParquetTier(tierDir)
+    val engine = new LynxEngine(spark, walDir, 256L * 1024 * 1024,
+      Some(tier))
+    val ns = "smoke"
+
+    def stage[T](name: String, extra: => String = "")(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      val e = extra
+      println(f"""{"stage":"$name","rows":$rows,"wall":$wall%.3f""" +
+        (if (e.nonEmpty) s",$e" else "") + "}")
+      r
+    }
+
+    // ---- 1. batch ingest through the WAL, day by day --------------
+    val dayUs = 86400L * 1000000L
+    val perDay = rows / days
+    stage("ingest", s""""rows_per_day":$perDay""") {
+      var day = 0
+      while (day < days) {
+        var i = 0
+        while (i < perDay) {
+          val n = math.min(batch, perDay - i)
+          val reqs = (0 until n).map { k =>
+            val id = day.toLong * perDay + i + k
+            // each day carries a 5-host SUBSET of the 50-host fleet
+            // (hosts rotate through days, as real fleets do): a
+            // host-equality query then has provably host-free files
+            // for the bloom index to skip — with hosts uniform in
+            // every file, file skipping would be structurally idle
+            WriteRequest(ns, "events", s"${id % 997}",
+              Map("host" -> TagString(
+                s"h${(id % 5) + 5 * (day % 10)}")),
+              day * dayUs + (i + k) * 1000L + 1)
+          }
+          engine.writeBatch(reqs)
+          i += n
+        }
+        // ---- 2. seal the day's RAM tail to the parquet tier ------
+        engine.seal(ns, "events")
+        day += 1
+      }
+    }
+    val filesSealed = tier.dataFiles(ns, "events").size
+    println(s"""{"stage":"sealed","rows":$rows,"files":$filesSealed}""")
+
+    // ---- 3. compact (one file per day partition) ------------------
+    stage("compact", s""""files_before":$filesSealed,"files_after":""" +
+      s"${tier.dataFiles(ns, "events").size}") {
+      engine.compact(ns, "events", clusterBy = Seq("host"))
+    }
+    val filesCompacted = tier.dataFiles(ns, "events").size
+    println(s"""{"stage":"compacted","files":$filesCompacted}""")
+
+    // ---- 4. bloom + zone index on host ----------------------------
+    val bs = engine.valueBlooms.get
+    val indexed = stage("bloom_index")(bs.index(ns, "events", "host"))
+    println(s"""{"stage":"bloom_indexed","files":$indexed}""")
+
+    // ---- 5. pruned queries ----------------------------------------
+    // h7 lives only on days where day % 10 == 1 (days 1 and 11): the
+    // bloom index must skip every other day's files with NO time
+    // predicate in the query at all
+    val files = tier.dataFiles(ns, "events")
+    def bytesOf(fs: Seq[String]): Long =
+      fs.map(f => new java.io.File(f).length).sum
+    val kept = bs.skipFiles(ns, "events", "host", "h7", files)
+    val bloomRows = stage("bloom_pruned_query",
+      s""""files_total":${files.size},"files_kept":${kept.size}""" +
+        s""","files_skipped":${files.size - kept.size}""") {
+      engine.query(ns,
+        "SELECT count(*) AS c, sum(CAST(value AS BIGINT)) AS s " +
+          "FROM events WHERE host = 'h7'")
+        .get.rows.head.getLong(0)
+    }
+    // day-partition pruning alone: one day of twenty
+    val dayFiles = files.filter(_.contains("__lynx_day=1970-01-03"))
+    val dayRows = stage("day_pruned_query",
+      s""""files_kept":${dayFiles.size}""")(
+      engine.query(ns,
+        "SELECT count(*) AS c, sum(CAST(value AS BIGINT)) AS s " +
+          "FROM events " +
+          "WHERE timestamp >= '1970-01-03' AND timestamp < '1970-01-04'")
+        .get.rows.head.getLong(0))
+    // negative control: the same aggregate with no prunable predicate
+    val total = stage("full_query")(
+      engine.query(ns,
+        "SELECT count(*) AS c, sum(CAST(value AS BIGINT)) AS s " +
+          "FROM events")
+        .get.rows.head.getLong(0))
+    // bytes the scan must LIST AND READ per query = sum of the sizes
+    // of the files left after pruning (what a 100 TB bill is made of)
+    println(s"""{"stage":"scan_bytes","bloom_pruned":${bytesOf(kept)}""" +
+      s""","day_pruned":${bytesOf(dayFiles)},"full":${bytesOf(files)}""" +
+      s""","bloom_rows":$bloomRows,"day_rows":$dayRows""" +
+      s""","total_rows":$total}""")
+
+    // ---- 6. maintained rollup: cold refresh then warm serve -------
+    val rs = engine.rollups.get
+    stage("rollup_cold",
+      s""""files_computed":${rs.lastComputedFiles.size}""") {
+      rs.rollup(ns, "events", "host", "value")
+    }
+    stage("rollup_warm",
+      s""""files_computed":${rs.lastComputedFiles.size}""") {
+      rs.rollup(ns, "events", "host", "value")
+    }
+
+    // ---- 7. ANN build + serve (fixture embeddings) ----------------
+    val annSrc = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.01")
+    val ann = engine.ann.get
+    val annRows = stage("ann_build")(ann.build("smoke", annSrc))
+    println(s"""{"stage":"ann_built","vectors":$annRows}""")
+    val q = spark.read.parquet(s"$annSrc/embeddings.parquet")
+      .select("embedding").head.getSeq[Float](0).toArray
+    stage("ann_probe")(ann.query("smoke", q, 10, 3).get.size)
+    stage("ann_probe2")(ann.query("smoke", q, 10, 3).get.size)
+
+    spark.stop()
+  }
+}

@@ -55,6 +55,13 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier) {
   /** Train + persist the IVF index for the embeddings table under
     * `sourceDir` (fixture layout: `embeddings.parquet` with vec_id +
     * embedding array<float>). Returns the indexed row count.
+    *
+    * Alongside the cells, build persists per-cell stats.json —
+    * (n, radius2 = max assignment distance) plus zeroed incremental
+    * counters — the reference frame [[append]]'s drift alarm
+    * measures against (q_ann_ivf_incremental's old_radius2). The
+    * cells parquet keeps each row's assignment `dist` so stats are
+    * recomputable from data; serving's column pruning never reads it.
     */
   def build(name: String, sourceDir: String): Long = {
     require(name.matches(Ident), "index name must be a bare identifier")
@@ -68,10 +75,124 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier) {
     java.nio.file.Files.write(
       new File(dir, "centroids.json").toPath, json.getBytes(UTF_8))
     val cellsPath = new File(dir, "cells.parquet").getPath
-    graft.ops.Similarity.ivfCells(spark, sourceDir)
+    // ivfAssignTo against the JUST-PERSISTED centroids (doubles
+    // round-trip toString/parse exactly), so what lands on disk is
+    // bit-equal to ivfCells' assignment — AnnSpec pins this via the
+    // served-top-k == q_ann_ivf check
+    graft.ops.Similarity.ivfAssignTo(spark, sourceDir, cents)
       .write.mode("overwrite").partitionBy("cell").parquet(cellsPath)
+    val statRows = spark.read.parquet(cellsPath)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), max(col("dist")).as("radius2"))
+      .collect()
+      .map(r => CellStats(r.getInt(0), r.getLong(1), r.getDouble(2),
+        0L, 0L))
+    writeStats(dir, statRows.sortBy(_.cell))
     loadedIdx.remove(name)
-    spark.read.parquet(cellsPath).count()
+    statRows.map(_.n).sum
+  }
+
+  /** Incremental maintenance — q_ann_ivf_incremental's no-retrain
+    * assignment wired into the served index: assign `sourceDir`'s
+    * vectors to the EXISTING cells (centroids untouched), append
+    * them to the cell-partitioned parquet, and fold the batch into
+    * the per-cell drift counters ([[drift]] / /metrics surface the
+    * outside-old-radius fraction — the rebuild trigger). Returns
+    * (appended, outsideOldRadius); None = unknown index.
+    *
+    * Scale shape: one broadcast-argmin scan of the new batch + one
+    * ≤K-row broadcast join for the radius compare — the old CORPUS
+    * is never read, only its per-cell summaries (the
+    * q_ann_ivf_incremental contract). Dedup is the caller's: vec_ids
+    * are opaque here. A crash between the parquet append and the
+    * stats write undercounts the drift counters (alarm fires later,
+    * never falsely) — rebuild() resets both.
+    */
+  def append(name: String, sourceDir: String): Option[(Long, Long)] = {
+    require(name.matches(Ident), "index name must be a bare identifier")
+    load(name).map { idx =>
+      val dir = indexDir(name)
+      val stats = readStats(dir)
+      require(stats.nonEmpty, s"index '$name' has no stats.json — " +
+        "rebuild it before appending")
+      val statsDf = spark.createDataFrame(
+        stats.map(s => (s.cell, s.radius2))).toDF("cell", "r2")
+      val asg = graft.ops.Similarity
+        .ivfAssignTo(spark, sourceDir, idx.cents)
+      val perCell = asg
+        .join(broadcast(statsDf), Seq("cell"), "left")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_new"),
+          sum(when(col("dist") > col("r2"), 1L).otherwise(0L))
+            .as("outside"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      asg.write.mode("append").partitionBy("cell")
+        .parquet(idx.cellsPath)
+      val updated = stats.map { s =>
+        val (n, out) = perCell.getOrElse(s.cell, (0L, 0L))
+        s.copy(n = s.n + n, appended = s.appended + n,
+          outside = s.outside + out)
+      }
+      writeStats(dir, updated)
+      (perCell.values.map(_._1).sum, perCell.values.map(_._2).sum)
+    }
+  }
+
+  /** (appended, outsideOldRadius, ratio) totals since the last
+    * build — the drift alarm the /metrics plane surfaces; None =
+    * unknown index or no stats.
+    */
+  def drift(name: String): Option[(Long, Long, Double)] =
+    if (!name.matches(Ident)) None
+    else {
+      val stats = readStats(indexDir(name))
+      if (stats.isEmpty) None
+      else {
+        val app = stats.map(_.appended).sum
+        val out = stats.map(_.outside).sum
+        Some((app, out, if (app == 0) 0.0 else out.toDouble / app))
+      }
+    }
+
+  /** Names of all persisted indexes (the /metrics enumeration). */
+  def indexNames: Seq[String] = {
+    val base = new File(tier.rootPath, "_ann")
+    Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.matches(Ident))
+      .map(_.getName).sorted.toSeq
+  }
+
+  private final case class CellStats(cell: Int, n: Long,
+      radius2: Double, appended: Long, outside: Long)
+
+  private def writeStats(dir: File, stats: Seq[CellStats]): Unit = {
+    val json = stats.map(s =>
+      s"""{"cell":${s.cell},"n":${s.n},"radius2":${s.radius2},""" +
+        s""""appended":${s.appended},"outside":${s.outside}}""")
+      .mkString("[", ",", "]")
+    val tmp = new File(dir, ".stats.json.tmp")
+    java.nio.file.Files.write(tmp.toPath, json.getBytes(UTF_8))
+    java.nio.file.Files.move(tmp.toPath,
+      new File(dir, "stats.json").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readStats(dir: File): Seq[CellStats] = {
+    val f = new File(dir, "stats.json")
+    if (!f.isFile) Nil
+    else try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(
+        java.nio.file.Files.readAllBytes(f.toPath))
+      (0 until root.size()).map { i =>
+        val n = root.get(i)
+        CellStats(n.get("cell").asInt(), n.get("n").asLong(),
+          n.get("radius2").asDouble(), n.get("appended").asLong(),
+          n.get("outside").asLong())
+      }
+    } catch { case _: Exception => Nil }
   }
 
   private def load(name: String): Option[Idx] =

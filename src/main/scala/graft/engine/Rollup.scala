@@ -1,5 +1,8 @@
 package graft.engine
 
+import java.io.File
+import java.nio.charset.StandardCharsets.UTF_8
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -54,6 +57,16 @@ final class RollupStore(spark: SparkSession, tier: ParquetTier,
     .empty[(RollupKey, String),
       Map[Option[String], (Long, java.math.BigDecimal)]]
 
+  // persisted-partials bookkeeping (the BloomStore discipline):
+  // sealed files are immutable, so a partial computed once is valid
+  // forever — serve() appends new partials under the tier root and a
+  // restarted process lazily reloads them instead of re-aggregating
+  // the whole tier (at 100 TB, the difference between an index and a
+  // cache). diskChecked caches the one-time per-key load; IO and the
+  // set are guarded by diskLock, never held during Spark work.
+  private val diskLock = new Object
+  private val diskChecked = scala.collection.mutable.Set.empty[RollupKey]
+
   /** Files the LAST serve had to aggregate — the spec hook proving
     * incrementality (empty on a fully warm serve).
     */
@@ -101,6 +114,10 @@ final class RollupStore(spark: SparkSession, tier: ParquetTier,
       valueCol.matches("[A-Za-z_][A-Za-z0-9_]*"),
       "group/value must be bare column names")
     val key = RollupKey(ns, table, groupCol, valueCol)
+    // surface any partials an earlier process persisted (one-time
+    // per-key disk read; a warm-from-disk serve then computes ZERO
+    // segments instead of re-aggregating the table)
+    ensureLoaded(key)
     // full snapshot (pin + lease file), not just the in-process pin:
     // a long cold serve must be visible to an out-of-process
     // compactor too, exactly like the query path
@@ -182,6 +199,7 @@ final class RollupStore(spark: SparkSession, tier: ParquetTier,
       // rollup must not leave partial driver state behind (per-file
       // maps can each pass while their union does not)
       computed.foreach { case (f, m) => partials.put((key, f), m) }
+      persistAppend(key, computed)
       merged.toSeq
         .map { case (g, (c, s)) => (g, c, s.doubleValue) }
         .sortBy(_._1)
@@ -189,27 +207,218 @@ final class RollupStore(spark: SparkSession, tier: ParquetTier,
   }
 
   /** Drop cached partials for files no longer in any live manifest —
-    * call after compaction/expiry GC if driver memory matters. Never
-    * required for correctness: a serve snapshots the partials it
-    * needs into a local map up front, so an eviction racing the
-    * merge costs that serve at most a recompute, never an
-    * undercount.
+    * in memory AND on disk (the persisted jsonl compacts to the
+    * surviving entries) — call after compaction/expiry GC. Persisted
+    * rollups this process never served are swept too (restarts must
+    * not exempt an index from GC). Never required for correctness: a
+    * serve snapshots the partials it needs into a local map up
+    * front, so an eviction racing the merge costs that serve at most
+    * a recompute, never an undercount.
     */
   def prune(): Unit = {
+    // surface every persisted rollup first so the sweep sees it
+    diskLock.synchronized {
+      for {
+        base <- Option(
+          new File(tier.rootPath, RollupStore.IdxDirName).listFiles())
+        nsDir <- base if nsDir.isDirectory
+        tDir <- Option(nsDir.listFiles()).getOrElse(Array.empty[File])
+        if tDir.isDirectory
+        mf <- Option(tDir.listFiles()).getOrElse(Array.empty[File])
+        if mf.getName.endsWith(".meta")
+      } readMeta(mf).foreach(k => loadLocked(k))
+    }
     val live = partials.keys.map { case (k, _) => (k.ns, k.table) }.toSet
       .flatMap { nsTable: (String, String) =>
         tier.dataFiles(nsTable._1, nsTable._2).map(canon)
       }
-    partials.keys
+    val deadByKey = partials.keys
       .filterNot { case (_, f) => live.contains(f) }
-      .foreach(partials.remove)
+      .toSeq.groupBy(_._1)
+    deadByKey.foreach { case (k, dead) =>
+      dead.foreach(partials.remove)
+      diskLock.synchronized {
+        jsonlFile(k).foreach { jf =>
+          if (jf.isFile) try {
+            val sb = new StringBuilder
+            partials.keysIterator.filter(_._1 == k).foreach { pk =>
+              partials.get(pk).foreach(m =>
+                sb.append(entryLine(pk._2, m)))
+            }
+            val tmp = new File(jf.getParentFile, s".${jf.getName}.tmp")
+            java.nio.file.Files.write(tmp.toPath,
+              sb.toString.getBytes(UTF_8))
+            java.nio.file.Files.move(tmp.toPath, jf.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          } catch { case e: java.io.IOException =>
+            System.err.println(
+              s"[rollupstore] prune rewrite failed for $jf: $e")
+          }
+        }
+      }
+    }
   }
 
   /** Cached cell count (files × groups summed) — observability. */
   def cachedCells: Int = partials.values.map(_.size).sum
+
+  // ------------------------------------------------------ persistence
+
+  /** `<tierRoot>/_rollupidx/<ns>/<tableLower>/` — '_'-prefixed, so
+    * every tier walk/scan treats it as hidden. None when a path
+    * segment is unsafe: the rollup then lives in memory only (still
+    * correct, just not restart-durable).
+    */
+  private def keyDir(k: RollupKey): Option[File] =
+    if (BloomStore.safeSeg(k.ns) && BloomStore.safeSeg(k.table.toLowerCase))
+      Some(new File(new File(
+        new File(tier.rootPath, RollupStore.IdxDirName), k.ns),
+        k.table.toLowerCase))
+    else None
+
+  private def baseName(k: RollupKey): String =
+    s"${k.groupCol.toLowerCase}__${k.valueCol.toLowerCase}"
+
+  private def jsonlFile(k: RollupKey): Option[File] =
+    keyDir(k).map(new File(_, s"${baseName(k)}.jsonl"))
+
+  /** Sidecar carrying the EXACT original-case key fields — prune's
+    * disk walk reconstructs the RollupKey from it (the jsonl name is
+    * lowercased, and the tier's table dirs are case-sensitive).
+    */
+  private def metaFile(k: RollupKey): Option[File] =
+    keyDir(k).map(new File(_, s"${baseName(k)}.meta"))
+
+  private def readMeta(mf: File): Option[RollupKey] =
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = mapper.readTree(
+        java.nio.file.Files.readAllBytes(mf.toPath))
+      val dec = java.util.Base64.getDecoder
+      def f(name: String) =
+        new String(dec.decode(n.get(name).asText()), UTF_8)
+      Some(RollupKey(f("ns"), f("t"), f("g"), f("v")))
+    } catch { case _: Exception => None }
+
+  /** One jsonl line per (file → groups) partial: base64 path (the
+    * BloomStore relative/absolute convention), groups as
+    * [b64Key|null, count, exactSumString] triples. Base64 everywhere
+    * sidesteps JSON escaping; sums round-trip via toPlainString /
+    * BigDecimal(String) exactly.
+    */
+  private def entryLine(canonPath: String,
+      m: Map[Option[String], (Long, java.math.BigDecimal)]): String = {
+    val b64 = java.util.Base64.getEncoder
+    val rootP = new File(tier.rootPath).toPath.toAbsolutePath
+    val p = java.nio.file.Paths.get(canonPath)
+    val (fk, fv) =
+      if (p.startsWith(rootP)) ("fr", rootP.relativize(p).toString)
+      else ("fa", canonPath)
+    val sb = new StringBuilder
+    sb.append("{\"").append(fk).append("\":\"")
+      .append(b64.encodeToString(fv.getBytes(UTF_8)))
+      .append("\",\"g\":[")
+    var first = true
+    m.foreach { case (g, (c, s)) =>
+      if (!first) sb.append(',')
+      first = false
+      sb.append('[')
+      g match {
+        case Some(v) => sb.append('"')
+          .append(b64.encodeToString(v.getBytes(UTF_8))).append('"')
+        case None => sb.append("null")
+      }
+      sb.append(',').append(c).append(",\"")
+        .append(s.toPlainString).append("\"]")
+    }
+    sb.append("]}\n")
+    sb.toString
+  }
+
+  /** Append freshly computed partials (one flush, O(new files)). */
+  private def persistAppend(key: RollupKey,
+      computed: Map[String,
+        Map[Option[String], (Long, java.math.BigDecimal)]]): Unit =
+    if (computed.nonEmpty) diskLock.synchronized {
+      jsonlFile(key).foreach { jf =>
+        try {
+          jf.getParentFile.mkdirs()
+          metaFile(key).foreach { mf =>
+            if (!mf.isFile) {
+              val b64 = java.util.Base64.getEncoder
+              def e(s: String) = b64.encodeToString(s.getBytes(UTF_8))
+              java.nio.file.Files.write(mf.toPath,
+                (s"""{"ns":"${e(key.ns)}","t":"${e(key.table)}",""" +
+                  s""""g":"${e(key.groupCol)}","v":"${e(key.valueCol)}"}""")
+                  .getBytes(UTF_8))
+            }
+          }
+          val sb = new StringBuilder
+          computed.foreach { case (f, m) => sb.append(entryLine(f, m)) }
+          java.nio.file.Files.write(jf.toPath,
+            sb.toString.getBytes(UTF_8),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        } catch { case e: java.io.IOException =>
+          // persistence is an optimization: a failed append costs a
+          // recompute after restart, never correctness
+          System.err.println(s"[rollupstore] persist failed for $jf: $e")
+        }
+      }
+    }
+
+  /** One-time per-key lazy load of persisted partials (caller need
+    * not hold diskLock; loadLocked is the under-lock body). Torn
+    * final lines (crash mid-append) are skipped — the file simply
+    * recomputes next serve. putIfAbsent keeps any fresher in-memory
+    * partial (identical anyway: partials are deterministic from
+    * immutable files).
+    */
+  private def ensureLoaded(key: RollupKey): Unit =
+    diskLock.synchronized(loadLocked(key))
+
+  private def loadLocked(key: RollupKey): Unit =
+    if (!diskChecked(key)) {
+      diskChecked += key
+      jsonlFile(key).foreach { jf =>
+        if (jf.isFile) try {
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val dec = java.util.Base64.getDecoder
+          val rootP = new File(tier.rootPath).toPath.toAbsolutePath
+          scala.io.Source.fromFile(jf, "UTF-8").getLines().foreach {
+            line =>
+              try {
+                val n = mapper.readTree(line)
+                val path =
+                  if (n.hasNonNull("fr"))
+                    rootP.resolve(new String(
+                      dec.decode(n.get("fr").asText()), UTF_8)).toString
+                  else new String(
+                    dec.decode(n.get("fa").asText()), UTF_8)
+                val garr = n.get("g")
+                val m = (0 until garr.size()).map { i =>
+                  val t = garr.get(i)
+                  val g =
+                    if (t.get(0).isNull) None
+                    else Some(new String(
+                      dec.decode(t.get(0).asText()), UTF_8))
+                  g -> (t.get(1).asLong(),
+                    new java.math.BigDecimal(t.get(2).asText()))
+                }.toMap
+                partials.putIfAbsent((key, canon(path)), m)
+              } catch { case _: Exception => /* torn line: skip */ }
+          }
+        } catch { case e: java.io.IOException =>
+          System.err.println(s"[rollupstore] load failed for $jf: $e")
+        }
+      }
+    }
 }
 
 object RollupStore {
+  val IdxDirName = "_rollupidx"
+
   /** Hard bound on distinct groups per maintained rollup — checked
     * per computed segment and on the merged result, surfaced in
     * /api/v1/rollup error bodies. Dashboard dimensions (hosts, days,

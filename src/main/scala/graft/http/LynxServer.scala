@@ -232,10 +232,22 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
       val counts = engine.buffer.rowCounts
       val rows = counts.values.map(_.toLong).sum
       val namespaces = counts.keysIterator.map(_._1).toSet.size
+      // per-ANN-index drift since the last build: the rebuild alarm
+      // AnnStore.append maintains (outside-old-radius fraction of
+      // appended vectors) — dashboards watch the ratio climb
+      val driftEntries = engine.ann.toSeq.flatMap { as =>
+        as.indexNames.flatMap(n => as.drift(n).map { case (a, o, r) =>
+          s""""$n":{"appended":$a,"outside":$o,"ratio":$r}"""
+        })
+      }
+      val annDrift =
+        if (driftEntries.isEmpty) ""
+        else driftEntries.mkString(""","ann_drift":{""", ",", "}")
       respond(ex, 200,
         s"""{"buffered_rows":$rows""" +
           s""","namespaces":$namespaces""" +
-          s""","result_cache_hits":${engine.resultCacheHits.get}}""")
+          s""","result_cache_hits":${engine.resultCacheHits.get}""" +
+          annDrift + "}")
     } catch {
       case e: Exception =>
         System.err.println(e)

@@ -590,6 +590,28 @@ object Similarity {
   private def ivfDists(e: DataFrame): DataFrame =
     e.crossJoin(broadcast(seedCentroids(e))).withColumn("dist", l2Col)
 
+  /** Assign `dir`'s embeddings to a FIXED centroid set (no retrain —
+    * q_ann_ivf_incremental's no-retrain contract, factored for
+    * [[graft.engine.AnnStore.append]]): same broadcast-argmin plan,
+    * same (dist, cell) tie-break, same left-to-right L2 fold as
+    * [[ivfCells]], so an assignment against round-tripped centroids
+    * is bit-equal to the build-time one (doubles survive
+    * toString/parse exactly). Keeps `dist` — the caller's
+    * radius-drift accounting needs it.
+    */
+  private[graft] def ivfAssignTo(s: SparkSession, dir: String,
+      cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val centDf = s.createDataFrame(
+      cents.map { case (c, arr) => (c, arr.toSeq) })
+      .toDF("cell", "cent")
+    vectors(s, dir).crossJoin(broadcast(centDf))
+      .withColumn("dist", l2Col)
+      .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+      .agg(min(struct(col("dist"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("m.cell").as("cell"), col("m.dist").as("dist"))
+  }
+
   /** SQL: the seeds CTE (same selection as seedCentroids). */
   private val ivfSeedsSql: String = s"""
       seeds AS (

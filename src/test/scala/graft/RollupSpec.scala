@@ -112,6 +112,43 @@ class RollupSpec extends AnyFunSuite {
     assert(d2 == Seq((Some("a"), 2L, 9.0)))
   }
 
+  test("rollup partials persist under the tier root: a restarted " +
+    "store serves warm (ZERO files computed) and prune GCs disk too") {
+    val (e, tier) = engineWithTier()
+    (1 to 10).foreach(i =>
+      e.write(WriteRequest("ns", "cpu", i.toString,
+        Map("host" -> TagString(if (i % 2 == 0) "a" else "b")),
+        i.toLong)))
+    e.checkpoint()
+    val store = e.rollups.get
+    val r1 = store.rollup("ns", "cpu", "host", "value")
+    assert(store.lastComputedFiles.nonEmpty)
+    // restart: a FRESH store over a fresh tier handle on the same root
+    def freshStore() = new graft.engine.RollupStore(SparkFixture.spark,
+      new ParquetTier(new java.io.File(tier.rootPath)))
+    val store2 = freshStore()
+    val r2 = store2.rollup("ns", "cpu", "host", "value")
+    assert(store2.lastComputedFiles.isEmpty,
+      "restarted serve must be warm from persisted partials")
+    assert(r2 == r1)
+    // compaction kills the old files; prune on the restarted store
+    // must GC their partials from disk as well — so a THIRD store
+    // computes exactly the compacted files and nothing stale
+    e.compact("ns", "cpu")
+    store2.prune()
+    assert(store2.cachedCells == 0,
+      "all pre-compaction partials must be pruned")
+    val store3 = freshStore()
+    val r3 = store3.rollup("ns", "cpu", "host", "value")
+    assert(r3 == r1, "post-compaction serve is unchanged")
+    assert(store3.lastComputedFiles.nonEmpty,
+      "the compacted files are new to the index")
+    // and once computed, the NEXT restart is warm again
+    val store4 = freshStore()
+    store4.rollup("ns", "cpu", "host", "value")
+    assert(store4.lastComputedFiles.isEmpty)
+  }
+
   test("a group column above the cardinality bound fails fast with " +
     "the bound in the error and leaves no driver state behind") {
     val (e, tier) = engineWithTier()
