@@ -100,11 +100,15 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier) {
     try {
       val snap = tier.snapshot(ns, table)
       try {
+        // note: no key map is created here — a failed build (e.g.
+        // the non-string type refusal below) must leave NO trace, or
+        // indexedColumns would advertise a column that has no index
         val missing = lock.synchronized {
           origNames((ns, table.toLowerCase)) = table
           ensureLoaded(key, ns, table)
-          val m = idx.getOrElseUpdate(key, mutable.Map.empty)
-          snap.files.map(canon).distinct.filterNot(m.contains)
+          val existing =
+            idx.get(key).map(_.keySet).getOrElse(Set.empty[String])
+          snap.files.map(canon).distinct.filterNot(existing)
         }
         if (missing.isEmpty) 0
         else {

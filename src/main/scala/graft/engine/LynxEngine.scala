@@ -56,7 +56,8 @@ class LynxEngine(
     walGroupCommitMillis: Long = 0L,
     walFsync: Boolean = false,
     resultCacheEntries: Int = 64,
-    autoCompactFileThreshold: Int = 0) {
+    autoCompactFileThreshold: Int = 0,
+    autoBloomColumns: Seq[String] = Nil) {
 
   val buffer = new MemBuffer
 
@@ -230,9 +231,30 @@ class LynxEngine(
               t.redundantFileCount(namespace, table) >=
                 autoCompactFileThreshold)
             t.compact(spark, namespace, table)
+          // keep the configured bloom/zone indexes current: one
+          // incremental build over JUST the files this seal (or its
+          // inline compaction) published — O(new files), same cost
+          // class as the staging write above, so pruning never lags
+          // the data it should be pruning
+          maintainBloomIndexes(namespace, table)
         }
       }
     }
+
+  /** Incrementally (re)index the configured bloom columns for a
+    * table whose manifest just changed. A non-string column config
+    * is skipped with a warning, not an error: the dynamic schema
+    * means a column's existence/type can vary per table, and a
+    * misconfigured column must not fail ingest.
+    */
+  private def maintainBloomIndexes(ns: String, table: String): Unit =
+    for (bs <- valueBlooms; c <- autoBloomColumns)
+      try bs.index(ns, table, c)
+      catch {
+        case e: IllegalArgumentException =>
+          System.err.println(
+            s"[bloom-auto] skipping $table.$c: ${e.getMessage}")
+      }
 
   /** Seal every buffered table, then truncate the WAL: once the
     * buffer is empty all closed segments are redundant (their data is
@@ -265,6 +287,9 @@ class LynxEngine(
       clusterBy: Seq[String] = Nil): Unit =
     writeLock.synchronized {
       tier.foreach(_.compact(spark, namespace, table, clusterBy))
+      // the compacted files are new to the index; re-cover them now
+      // so file skipping has no post-compaction blind window
+      maintainBloomIndexes(namespace, table)
     }
 
   /** Expire tier day-partitions older than `beforeDay` (exclusive,

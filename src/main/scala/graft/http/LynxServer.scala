@@ -561,7 +561,12 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
   * endpoint is a no-op, reference-faithful); LYNX_AUTO_COMPACT_FILES
   * compacts a table inline when its manifest holds that many files
   * beyond compaction's one-per-day floor (default 0 = manual
-  * compaction only; needs LYNX_TIER_DIR).
+  * compaction only; needs LYNX_TIER_DIR); LYNX_BLOOM_COLUMNS
+  * (comma-separated column names) keeps bloom/zone file-skip indexes
+  * current automatically — every seal/compaction incrementally
+  * indexes its new files for those columns, so `col = 'lit'` pruning
+  * never lags ingest (default empty = index via POST /api/v1/bloom
+  * only; needs LYNX_TIER_DIR).
   */
 object LynxServerMain {
   def main(args: Array[String]): Unit = {
@@ -579,6 +584,9 @@ object LynxServerMain {
     val tierDir = sys.env.get("LYNX_TIER_DIR").map(new File(_))
     val autoCompact = sys.env.get("LYNX_AUTO_COMPACT_FILES")
       .map(_.toInt).getOrElse(0)
+    val autoBloom = sys.env.get("LYNX_BLOOM_COLUMNS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-lynx")
@@ -594,7 +602,8 @@ object LynxServerMain {
     val engine = new LynxEngine(spark, walDir, maxSeg,
       tier = tierDir.map(new graft.tier.ParquetTier(_)),
       maxResultRows = maxRows, walGroupCommitMillis = groupCommitMs,
-      walFsync = walFsync, autoCompactFileThreshold = autoCompact)
+      walFsync = walFsync, autoCompactFileThreshold = autoCompact,
+      autoBloomColumns = autoBloom)
     val server = new LynxServer(engine, host, port.toInt)
     server.start()
     println(s"lynx-graft listening on $host:${server.boundPort}")

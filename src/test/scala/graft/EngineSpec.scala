@@ -1242,6 +1242,54 @@ class EngineSpec extends AnyFunSuite {
       None, Some("z"), files).isEmpty)
   }
 
+  test("autoBloomColumns keeps the file-skip index current through " +
+    "seal AND compaction with no manual index call") {
+    val tierDir = Files.createTempDirectory("bloom-auto-tier").toFile
+    val tier = new ParquetTier(tierDir)
+    val walDir = Files.createTempDirectory("bloom-auto-wal").toFile
+    val e = new LynxEngine(SparkFixture.spark, walDir, 1024 * 1024,
+      Some(tier), autoBloomColumns = Seq("host", "timestamp"))
+    // "timestamp" is non-string: the auto-indexer must SKIP it with
+    // a warning, never fail the seal
+    for ((h, i) <- Seq("a1", "a2").zipWithIndex) {
+      e.write(WriteRequest("ns", "cpu", s"v-$h",
+        Map("host" -> TagString(h)), i * 100L + 1))
+      e.seal("ns", "cpu")
+    }
+    val bs = e.valueBlooms.get
+    // every sealed file is already indexed: a manual call finds none
+    assert(bs.index("ns", "cpu", "host") == 0,
+      "auto-indexing must cover each seal's files as they publish")
+    assert(bs.indexedColumns("ns", "cpu") == Set("host"))
+    // skipping works immediately; corrupting the excluded file
+    // proves the query planned it away
+    val files = tier.dataFiles("ns", "cpu")
+    val kept = bs.skipFiles("ns", "cpu", "host", "a2", files)
+    assert(kept.nonEmpty && kept.size < files.size)
+    files.filterNot(kept.toSet).foreach(p =>
+      Files.write(new java.io.File(p).toPath, "junk".getBytes))
+    val r = e.query("ns",
+      "SELECT value FROM cpu WHERE host = 'a2'").get
+    assert(r.rows.map(_.getString(0)) == Seq("v-a2"))
+    // compaction publishes a fresh manifest; its files must be
+    // covered with no blind window (again: zero on a manual call).
+    // First restore the corrupted file so the rewrite can read it.
+    val tierDir2 = Files.createTempDirectory("bloom-auto2-tier").toFile
+    val tier2 = new ParquetTier(tierDir2)
+    val walDir2 = Files.createTempDirectory("bloom-auto2-wal").toFile
+    val e2 = new LynxEngine(SparkFixture.spark, walDir2, 1024 * 1024,
+      Some(tier2), autoBloomColumns = Seq("host"))
+    for ((h, i) <- Seq("b1", "b2").zipWithIndex) {
+      e2.write(WriteRequest("ns", "cpu", s"v-$h",
+        Map("host" -> TagString(h)), i * 100L + 1))
+      e2.seal("ns", "cpu")
+    }
+    e2.compact("ns", "cpu")
+    val bs2 = e2.valueBlooms.get
+    assert(bs2.index("ns", "cpu", "host") == 0,
+      "auto-indexing must cover compaction's files at publish time")
+  }
+
   test("bloom prune queries the tier by the ORIGINAL-case table " +
     "name (a lowercased dir lookup would silently drop the index)") {
     val tierDir = Files.createTempDirectory("bloom-case-tier").toFile
