@@ -119,6 +119,14 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier) {
         stats.map(s => (s.cell, s.radius2))).toDF("cell", "r2")
       val asg = graft.ops.Similarity
         .ivfAssignTo(spark, sourceDir, idx.cents)
+      // layout guard: appending label-carrying rows into a pre-label
+      // index would leave the cells parquet with a schema that
+      // depends on which file the reader samples — refuse with the
+      // rebuild hint instead
+      require(spark.read.parquet(idx.cellsPath).columns
+        .contains("label"),
+        s"index '$name' was built without the label column — " +
+          "rebuild it before appending")
       val perCell = asg
         .join(broadcast(statsDf), Seq("cell"), "left")
         .groupBy("cell")
@@ -223,14 +231,23 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier) {
     * unknown index (HTTP 404); IllegalArgumentException = caller
     * error (HTTP 422). The probe L2 fold, the query norm, and the
     * (cos desc, vec_id) tie-break are q_ann_ivf's, bit-for-bit.
+    *
+    * `labels` = FILTERED vector search: rank only vectors whose
+    * persisted label is in the set (filter-then-rank, so the full k
+    * comes from the subset — not post-filtering a generic top-k,
+    * which starves selective filters). Requires an index built with
+    * the label column; older layouts are refused with a rebuild hint.
     */
   def query(name: String, q: Array[Float], k: Int,
-      nprobe: Int): Option[Seq[(Long, Double)]] = {
+      nprobe: Int, labels: Option[Seq[Long]] = None)
+      : Option[Seq[(Long, Double)]] = {
     require(name.matches(Ident), "index name must be a bare identifier")
     require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
     require(nprobe >= 1, "nprobe must be >= 1")
     require(q.nonEmpty && q.forall(f => !f.isNaN && !f.isInfinite),
       "query vector must be non-empty finite floats")
+    require(labels.forall(l => l.nonEmpty && l.size <= 1000),
+      "labels filter must list 1 to 1000 labels")
     load(name).map { idx =>
       val dim = idx.cents.head._2.length
       require(q.length == dim,
@@ -249,8 +266,17 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier) {
       q.foreach(f => qn += f.toDouble * f.toDouble)
       val qnrm = math.sqrt(qn)
       graft.functions.GraftFunctions.register(spark)
-      spark.read.parquet(idx.cellsPath)
+      val cells = spark.read.parquet(idx.cellsPath)
         .filter(col("cell").isin(probes: _*))
+      val filtered = labels match {
+        case None => cells
+        case Some(ls) =>
+          require(cells.columns.contains("label"),
+            s"index '$name' was built without the label column — " +
+              "rebuild it to enable filtered search")
+          cells.filter(col("label").isin(ls: _*))
+      }
+      filtered
         .select(col("vec_id"),
           (graft.functions.GraftFunctions.dotp(typedLit(q),
             col("embedding")) / (lit(qnrm) * col("nrm"))).as("cos"))

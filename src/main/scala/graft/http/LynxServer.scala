@@ -160,13 +160,15 @@ object Json {
     (n.get("namespace").asText(), n.get("table").asText(), c)
   }
 
-  /** {index, vector, k?, nprobe?} for /api/v1/ann. The index name is
-    * identifier-restricted like rollup's columns (it becomes a
-    * filesystem path segment under the tier root); k/nprobe are
-    * bounded so one request can't demand an unbounded collect.
+  /** {index, vector, k?, nprobe?, labels?} for /api/v1/ann. The
+    * index name is identifier-restricted like rollup's columns (it
+    * becomes a filesystem path segment under the tier root);
+    * k/nprobe/labels are bounded so one request can't demand an
+    * unbounded collect. `labels` (integer array) = filtered search:
+    * rank only vectors whose persisted label is listed.
     */
   def parseAnn(body: Array[Byte])
-      : (String, Array[Float], Int, Int) = {
+      : (String, Array[Float], Int, Int, Option[Seq[Long]]) = {
     val n = mapper.readTree(body)
     require(n.hasNonNull("index") && n.hasNonNull("vector"),
       "missing required field")
@@ -187,7 +189,19 @@ object Json {
     val nprobe = if (n.hasNonNull("nprobe")) n.get("nprobe").asInt() else 3
     require(k >= 1 && k <= 100, "k must be in [1, 100]")
     require(nprobe >= 1 && nprobe <= 64, "nprobe must be in [1, 64]")
-    (name, vec, k, nprobe)
+    val labels: Option[Seq[Long]] =
+      if (!n.hasNonNull("labels")) None
+      else {
+        val lNode = n.get("labels")
+        require(lNode.isArray && lNode.size() > 0 && lNode.size() <= 1000,
+          "labels must be a non-empty array of at most 1000 integers")
+        Some((0 until lNode.size()).map { i =>
+          require(lNode.get(i).isIntegralNumber,
+            "labels elements must be integers")
+          lNode.get(i).asLong()
+        })
+      }
+    (name, vec, k, nprobe, labels)
   }
 
   /** {namespace, table, before_day: "yyyy-MM-dd"} for /admin/expire. */
@@ -404,7 +418,9 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
   })
 
   // ANN top-k over a built IVF index (see graft.engine.AnnStore):
-  // POST {index, vector, k?, nprobe?} → [{"vec_id":…,"cos":…}…].
+  // POST {index, vector, k?, nprobe?, labels?} →
+  // [{"vec_id":…,"cos":…}…]; labels restricts ranking to vectors
+  // whose persisted label is listed (filter-then-rank).
   // Builds are engine-side only — an HTTP-triggered build would read
   // an arbitrary host parquet path on behalf of an untrusted caller
   // (the runSQLOnFiles=false rationale). 404 when the engine has no
@@ -419,11 +435,11 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
         case Left(e) =>
           System.err.println(e)
           respond(ex, 422)
-        case Right((name, vec, k, nprobe)) =>
+        case Right((name, vec, k, nprobe, labels)) =>
           engine.ann match {
             case None => respond(ex, 404)
             case Some(store) =>
-              try store.query(name, vec, k, nprobe) match {
+              try store.query(name, vec, k, nprobe, labels) match {
                 case None => respond(ex, 404)
                 case Some(hits) =>
                   val body = hits.map { case (id, cos) =>

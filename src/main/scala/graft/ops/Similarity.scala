@@ -604,12 +604,22 @@ object Similarity {
     val centDf = s.createDataFrame(
       cents.map { case (c, arr) => (c, arr.toSeq) })
       .toDF("cell", "cent")
-    vectors(s, dir).crossJoin(broadcast(centDf))
+    // label rides along (cast long, the embeddings fixture contract):
+    // the served index persists it so AnnStore.query can offer
+    // FILTERED vector search (rank within a label subset) without a
+    // second metadata lookup
+    GraftFunctions.register(s)
+    val d = GraftFunctions.dotp(col("embedding"), col("embedding"))
+    Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), sqrt(d).as("nrm"),
+        col("label").cast("long").as("label"))
+      .crossJoin(broadcast(centDf))
       .withColumn("dist", l2Col)
-      .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+      .groupBy(col("vec_id"), col("embedding"), col("nrm"),
+        col("label"))
       .agg(min(struct(col("dist"), col("cell"))).as("m"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("m.cell").as("cell"), col("m.dist").as("dist"))
+        col("label"), col("m.cell").as("cell"), col("m.dist").as("dist"))
   }
 
   /** SQL: the seeds CTE (same selection as seedCentroids). */

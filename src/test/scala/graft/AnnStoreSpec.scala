@@ -61,4 +61,45 @@ class AnnStoreSpec extends AnyFunSuite {
     assert(inc.append("nosuch", newDir.getPath).isEmpty)
     assert(inc.drift("nosuch").isEmpty)
   }
+
+  test("filtered search ranks WITHIN the label subset (filter-then-" +
+    "rank), verified against an independent brute-force oracle") {
+    val spark = SparkFixture.spark
+    val sfDir = "/root/testdata/sf0.001"
+    val store = new graft.engine.AnnStore(spark,
+      new graft.tier.ParquetTier(
+        Files.createTempDirectory("ann-tier-flt").toFile))
+    store.build("flt", sfDir)
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        r.get(2).toString.toLong))
+    val q = rows.find(_._1 == 0L).get._2
+    val labels = Seq(1L, 2L)
+    // nprobe=8 probes every cell, so filter-then-rank over the whole
+    // corpus is the exact expectation, not an approximation
+    val served = store.query("flt", q, 5, 8, Some(labels)).get
+    // independent oracle: same left-to-right fold as graft_dot
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val qn = math.sqrt(dot(q, q))
+    val expect = rows.filter(r => labels.contains(r._3))
+      .map { case (id, v, _) =>
+        (id, dot(q, v) / (qn * math.sqrt(dot(v, v)))) }
+      .sortBy { case (id, cos) => (-cos, id) }.take(5)
+    assert(served.map(_._1) == expect.map(_._1).toSeq,
+      s"served ${served.map(_._1)} != brute ${expect.map(_._1).toSeq}")
+    served.zip(expect).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-9) }
+    // a filtered top-k is NOT a post-filtered generic top-k: the
+    // unfiltered top-5 must differ (else the case proves nothing)
+    val unfiltered = store.query("flt", q, 5, 8).get
+    assert(unfiltered.map(_._1) != served.map(_._1))
+    // bounds: empty label list refused
+    intercept[IllegalArgumentException](
+      store.query("flt", q, 5, 8, Some(Nil)))
+  }
 }

@@ -1242,6 +1242,39 @@ class EngineSpec extends AnyFunSuite {
       None, Some("z"), files).isEmpty)
   }
 
+  test("bloom cache is bounded: cold disk-backed columns evict past " +
+    "maxCachedFiles and lazily reload with identical skipping") {
+    val tierDir = Files.createTempDirectory("bloom-evict-tier").toFile
+    val tier = new ParquetTier(tierDir)
+    val e = newEngine(Some(tier))
+    for ((h, i) <- Seq("e1", "e2", "e3").zipWithIndex) {
+      e.write(WriteRequest("ns", "cpu", s"v-$h",
+        Map("host" -> TagString(h), "zone" -> TagString(s"z$i")),
+        i * 100L + 1))
+      e.seal("ns", "cpu")
+    }
+    val files = tier.dataFiles("ns", "cpu")
+    val n = files.size
+    // bound = one column's worth of files: indexing a second column
+    // must evict the first instead of growing the heap
+    val bs = new graft.engine.BloomStore(SparkFixture.spark, tier,
+      maxCachedFiles = n)
+    assert(bs.index("ns", "cpu", "host") == n)
+    assert(bs.index("ns", "cpu", "zone") == n)
+    assert(bs.cachedFiles <= n,
+      s"cache must shed to the bound, holds ${bs.cachedFiles}")
+    // both columns still advertise as indexed (disk is the truth)
+    assert(bs.indexedColumns("ns", "cpu") == Set("host", "zone"))
+    // the evicted column reloads lazily and skips IDENTICALLY to an
+    // unbounded fresh store over the same persisted index
+    val kept = bs.skipFiles("ns", "cpu", "host", "e2", files)
+    assert(kept.nonEmpty && kept.size < n)
+    val fresh = new graft.engine.BloomStore(SparkFixture.spark, tier)
+    assert(kept == fresh.skipFiles("ns", "cpu", "host", "e2", files))
+    // and the reload re-bounded the cache (zone went cold)
+    assert(bs.cachedFiles <= n)
+  }
+
   test("autoBloomColumns keeps the file-skip index current through " +
     "seal AND compaction with no manual index call") {
     val tierDir = Files.createTempDirectory("bloom-auto-tier").toFile

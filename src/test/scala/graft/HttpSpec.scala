@@ -470,6 +470,28 @@ class HttpSpec extends AnyFunSuite {
         assert(served == expected(qid),
           s"q$qid served $served, q_ann_ivf says ${expected(qid)}")
       }
+      // filtered search: labels restricts ranking, and every served
+      // hit's fixture label is in the allowed set
+      val labelOf = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "label").collect()
+        .map(r => r.getLong(0) -> r.get(1).toString.toLong).toMap
+      val qv = qvecs(0L)
+      val rf = post(port, "/api/v1/ann",
+        s"""{"index":"fixtures","vector":[${qv.mkString(",")}],""" +
+          """"k":5,"nprobe":8,"labels":[1,2]}""")
+      assert(rf.statusCode() == 200, rf.body())
+      val fids = """"vec_id":(\d+)""".r.findAllMatchIn(rf.body())
+        .map(_.group(1).toLong).toSeq
+      assert(fids.nonEmpty &&
+        fids.forall(id => Seq(1L, 2L).contains(labelOf(id))),
+        s"filtered hits must carry allowed labels: $fids")
+      // malformed labels → 422
+      assert(post(port, "/api/v1/ann",
+        s"""{"index":"fixtures","vector":[${qv.mkString(",")}],""" +
+          """"labels":[]}""").statusCode() == 422)
+      assert(post(port, "/api/v1/ann",
+        s"""{"index":"fixtures","vector":[${qv.mkString(",")}],""" +
+          """"labels":["x"]}""").statusCode() == 422)
       // unknown index → 404; wrong dimension → 422 with the contract
       assert(post(port, "/api/v1/ann",
         """{"index":"nope","vector":[1.0]}""").statusCode() == 404)
