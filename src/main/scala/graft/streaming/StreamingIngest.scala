@@ -59,6 +59,85 @@ object StreamingIngest {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** (a'') ENGINE-integrated durable ingest: each micro-batch lands
+    * through [[graft.engine.LynxEngine.writeBatch]] — WAL-first
+    * durability with one group commit per batch, immediate
+    * visibility to concurrent queries (RAM tail), auto-seal past the
+    * row threshold, auto-compaction, auto bloom/zone indexing — so
+    * streamed rows get the FULL engine contract (manifest MVCC, time
+    * travel, rollups, file skipping) rather than the loose parquet
+    * files [[toParquetTier]] appends. That distinction matters on a
+    * MIXED table: once any seal publishes a manifest, the engine's
+    * query path reads the manifest's file list, and side-loaded
+    * parquet becomes invisible — toParquetTier is for stream-only
+    * tables read by path, engineSink for tables the engine owns.
+    *
+    * Exactly-once: foreachBatch re-delivers the last uncommitted
+    * batch after a restart, so a high-water-mark file under the
+    * stream's checkpoint dir records the last applied batchId
+    * (written atomically AFTER the engine's WAL flush); a re-run of
+    * an applied id is a no-op. The window between the engine flush
+    * and the marker write re-applies one batch on crash — the WAL
+    * already made those rows durable, so the guarantee is
+    * exactly-once under normal operation and at-least-once across a
+    * crash inside that window (pair with [[dedupExact]] upstream
+    * when that window matters).
+    *
+    * Scale shape: the engine's write plane (WAL + buffer) is
+    * driver-side by design — the same plane HTTP ingest uses — so
+    * the micro-batch collects to the driver; the batch size is
+    * bounded by the trigger interval, and horizontal scale comes
+    * from sharding namespaces across engines, not from parallelizing
+    * one WAL.
+    */
+  def engineSink(rows: Dataset[StreamRow],
+      engine: graft.engine.LynxEngine,
+      checkpointDir: String): StreamingQuery = {
+    val hwm = new java.io.File(checkpointDir, "graft-engine-hwm")
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (ds: Dataset[StreamRow], batchId: Long) =>
+        applyEngineBatch(engine, hwm, ds, batchId)
+        ()
+      }
+      .start()
+  }
+
+  /** The idempotent micro-batch applier behind [[engineSink]] —
+    * package-visible so the replay contract is directly testable.
+    * Returns true when the batch was applied, false when the
+    * high-water mark proves it already was.
+    */
+  private[graft] def applyEngineBatch(engine: graft.engine.LynxEngine,
+      hwmFile: java.io.File, ds: Dataset[StreamRow],
+      batchId: Long): Boolean = {
+    val last =
+      if (!hwmFile.isFile) -1L
+      else
+        try new String(java.nio.file.Files.readAllBytes(hwmFile.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        catch { case _: Exception => -1L }
+    if (batchId <= last) false
+    else {
+      val reqs = ds.collect().toSeq.map { r =>
+        graft.core.WriteRequest(r.namespace, r.measurement, r.value,
+          r.tags.map { case (k, v) => k -> graft.core.TagString(v) },
+          r.timestampUs)
+      }
+      if (reqs.nonEmpty) engine.writeBatch(reqs)
+      val tmp = new java.io.File(hwmFile.getParentFile,
+        s".${hwmFile.getName}.tmp")
+      hwmFile.getParentFile.mkdirs()
+      java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp.toPath, hwmFile.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      true
+    }
+  }
+
   /** (b) Watermarked tumbling-window aggregation: per (namespace,
     * measurement, window) count + numeric sum. Late rows beyond the
     * watermark are dropped; state is bounded, so this runs forever at

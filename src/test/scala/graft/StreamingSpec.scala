@@ -50,6 +50,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(pruned.count() == 4)
   }
 
+  test("engineSink lands micro-batches through the engine (WAL, " +
+    "query visibility, auto-seal, auto bloom index); replayed batch " +
+    "ids are no-ops") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val walDir = Files.createTempDirectory("esink-wal").toFile
+    val tierDir = Files.createTempDirectory("esink-tier").toFile
+    val ckpt = Files.createTempDirectory("esink-ckpt").toFile
+    val engine = new graft.engine.LynxEngine(spark, walDir,
+      1024 * 1024, Some(new graft.tier.ParquetTier(tierDir)),
+      maxBufferedRows = 3, autoBloomColumns = Seq("host"))
+
+    def srows(n: Int, off: Long = 0L): Seq[StreamRow] =
+      (0 until n).map(i => StreamRow("events", "cpu", s"v$i",
+        Map("host" -> s"h${i % 3}"), off + i * 1000000L + 1))
+
+    val mem = MemoryStream[StreamRow]
+    val q = StreamingIngest.engineSink(mem.toDS(), engine, ckpt.getPath)
+    mem.addData(srows(2))
+    q.processAllAvailable()
+    // pre-seal rows are already engine-visible (the RAM tail)
+    val r1 = engine.query("events",
+      "SELECT count(*) AS c FROM cpu").get
+    assert(r1.rows.head.getLong(0) == 2L)
+    mem.addData(srows(4, 86400L * 1000000L))
+    q.processAllAvailable()
+    q.stop()
+    val r2 = engine.query("events",
+      "SELECT count(*) AS c FROM cpu").get
+    assert(r2.rows.head.getLong(0) == 6L)
+    // the row threshold auto-sealed into the tier (manifest exists),
+    // and the configured bloom column got auto-indexed on that seal
+    val tier2 = new graft.tier.ParquetTier(tierDir)
+    assert(tier2.dataFiles("events", "cpu").nonEmpty,
+      "auto-seal must have published streamed rows to the tier")
+    assert(engine.valueBlooms.get.indexedColumns("events", "cpu")
+      == Set("host"))
+
+    // idempotence: re-delivering an ALREADY-APPLIED batch id (the
+    // foreachBatch restart contract) is a no-op...
+    val hwm = new java.io.File(ckpt, "graft-engine-hwm")
+    assert(hwm.isFile, "high-water mark must exist after batches ran")
+    val dup = spark.createDataset(srows(2))
+    assert(!StreamingIngest.applyEngineBatch(engine, hwm, dup, 0L))
+    val r3 = engine.query("events",
+      "SELECT count(*) AS c FROM cpu").get
+    assert(r3.rows.head.getLong(0) == 6L, "replayed batch must not land")
+    // ...and a NEW id applies exactly once
+    assert(StreamingIngest.applyEngineBatch(engine, hwm, dup, 999L))
+    val r4 = engine.query("events",
+      "SELECT count(*) AS c FROM cpu").get
+    assert(r4.rows.head.getLong(0) == 8L)
+  }
+
   test("watermarked tumbling windows aggregate per series") {
     val spark = SparkFixture.spark
     import spark.implicits._
