@@ -152,6 +152,28 @@ object EngineSmoke {
       rs.rollup(ns, "events", "host", "value")
     }
 
+    // ---- 6b. restart: a FRESH engine over the same tier — the
+    // persisted bloom/zone and rollup partials must serve warm (one
+    // jsonl read per column, zero tier re-scans / re-aggregation):
+    // the difference between an index and a cache at 100 TB --------
+    val engine2 = new LynxEngine(spark,
+      Files.createTempDirectory("esmoke-wal2").toFile,
+      256L * 1024 * 1024, Some(new ParquetTier(tierDir)))
+    val bs2 = engine2.valueBlooms.get
+    val kept2 = stage("restart_bloom_load")(
+      bs2.skipFiles(ns, "events", "host", "h7", files))
+    println(s"""{"stage":"restart_skip","files_kept":${kept2.size}""" +
+      s""","matches_pre_restart":${kept2.toSet == kept.toSet}}""")
+    stage("restart_bloom_query")(
+      engine2.query(ns,
+        "SELECT count(*) AS c FROM events WHERE host = 'h7'")
+        .get.rows.head.getLong(0))
+    val rs2 = engine2.rollups.get
+    stage("restart_rollup_warm",
+      s""""files_computed":${rs2.lastComputedFiles.size}""") {
+      rs2.rollup(ns, "events", "host", "value")
+    }
+
     // ---- 7. ANN build + serve (fixture embeddings) ----------------
     val annSrc = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.01")
