@@ -184,6 +184,18 @@ object Bench {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // the STEAL-IMMUNE total: sum of per-query minimum process-CPU
+    // seconds. Host steal / co-scheduled load inflates wall but can
+    // only ever DEFLATE a process's cpu time, so round-over-round
+    // comparisons on this number cannot be confounded by ambient load
+    // the way wall totals are (the committed channel's documented
+    // ±15% band). Caveat: cpu on local[32] counts all 32 threads, so
+    // it tracks work done, not latency — read it as the drift
+    // detector, wall as the user-visible number.
+    val cpuTotal = qCpu.values.map { cs =>
+      val valid = cs.filter(_ >= 0.0)
+      if (valid.isEmpty) 0.0 else valid.min
+    }.sum
     val entries = results.toSeq.map { case (k, v) => (k, "\"" + k + "\":" + fmt(v)) }
     // channel 1 carries the per-rep spread inline: a min that hides
     // four 7-second reps is visible on the same line
@@ -209,8 +221,14 @@ object Bench {
     val committedTotal: Option[String] = committed.flatMap { j =>
       """"value":([0-9.]+)""".r.findFirstMatchIn(j).map(_.group(1))
     }
+    val committedCpu: Option[String] = committed.flatMap { j =>
+      """"cpu_total":([0-9.]+)""".r.findFirstMatchIn(j).map(_.group(1))
+    }
     val committedJson = committedTotal
-      .map(t => s""","committed_total":$t,"committed_file":"$CommittedFile"""")
+      .map(t => s""","committed_total":$t""" +
+        committedCpu.map(c => s""","committed_cpu_total":$c""")
+          .getOrElse("") +
+        s""","committed_file":"$CommittedFile"""")
       .getOrElse("")
     // the final line's compact spread digest: the 3 queries whose
     // rep max/min ratio is widest — a co-scheduled burst (one wild
@@ -237,6 +255,7 @@ object Bench {
       }
     val loadJson =
       s""""cpus":${Runtime.getRuntime.availableProcessors},""" +
+      s""""cpu_total":${fmt(cpuTotal)},""" +
       s""""load":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}""" +
       s""","max":${fmt(loadMax)}},"min_of":$reps""" +
       s""","spread_top":$spreadTop,"gc_total_ms":$gcTotal""" +

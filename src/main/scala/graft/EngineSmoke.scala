@@ -185,6 +185,51 @@ object EngineSmoke {
     stage("ann_probe")(ann.query("smoke", q, 10, 3).get.size)
     stage("ann_probe2")(ann.query("smoke", q, 10, 3).get.size)
 
+    // ---- 8. streaming write plane: exactly-once WAL brackets, a
+    // crash WITHOUT checkpoint, restart, re-delivery no-op, and time
+    // travel across the restart — the composition a deployment runs
+    val swal = Files.createTempDirectory("esmoke-swal").toFile
+    val stier = new ParquetTier(
+      Files.createTempDirectory("esmoke-stier").toFile)
+    // threshold = one batch: every micro-batch seals a manifest
+    // version (the worst-case seal pressure a stream can apply)
+    val se1 = new LynxEngine(spark, swal, 256L * 1024 * 1024,
+      Some(stier), maxBufferedRows = batch)
+    val streamBatches = 20
+    stage("stream_batches",
+      s""""batches":$streamBatches,"rows_per_batch":$batch""") {
+      var b = 0L
+      while (b < streamBatches) {
+        val reqs = (0 until batch).map { k =>
+          val id = b * batch + k
+          WriteRequest(ns, "stream_events", s"${id % 997}",
+            Map("host" -> TagString(s"h${id % 25}")), id * 1000L + 1)
+        }
+        se1.writeStreamBatch("smoke", b, reqs)
+        b += 1
+      }
+    }
+    val versions = se1.tierVersions(ns, "stream_events")
+    println(s"""{"stage":"stream_sealed","versions":${versions.size}""" +
+      s""","hwm":${se1.streamHighWaterMark("smoke")}}""")
+    se1.wal.close() // crash: no checkpoint, hwm lives in the brackets
+    val se2 = stage("stream_restart")(new LynxEngine(spark, swal,
+      256L * 1024 * 1024, Some(stier), maxBufferedRows = batch))
+    val redelivered =
+      se2.writeStreamBatch("smoke", streamBatches - 1L, Nil)
+    val cnt = se2.query(ns,
+      "SELECT count(*) AS c FROM stream_events")
+      .get.rows.head.getLong(0)
+    val asOf = se2.query(ns,
+      "SELECT count(*) AS c FROM stream_events",
+      asOfVersion = Some(versions.head._1))
+      .get.rows.head.getLong(0)
+    println(s"""{"stage":"stream_exactly_once"""" +
+      s""","redelivery_applied":$redelivered,"rows":$cnt""" +
+      s""","expected":${streamBatches.toLong * batch}""" +
+      s""","asof_v1_rows":$asOf""" +
+      s""","hwm":${se2.streamHighWaterMark("smoke")}}""")
+
     spark.stop()
   }
 }

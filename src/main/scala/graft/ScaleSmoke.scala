@@ -32,10 +32,19 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1")
+    // default set = the candidate-pair generators PLUS the ~20 most
+    // expensive committed-bench queries (the heavy families: graph,
+    // dedup, ANN, winnow, BPE, multimodal) — the 10× BENCH a 100×
+    // deployment decision would read first
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_embed_pairs_lsh", "q_dedup_clusters", "q_dedup_simhash",
         "q_contamination", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard",
-        "q_semantic_dedup")
+        "q_semantic_dedup",
+        "q_graph_bfs", "q_graph_communities", "q_embed_cosine_pairs",
+        "q_cte_recursive", "q_bpe_encode", "q_graph_hits",
+        "q_dedup_keep_best", "q_multimodal_audio_vad", "q_graph_degree",
+        "q_winnow_overlap", "q_dq_quantile_sample", "q_graph_kcore",
+        "q_ann_recall", "q_sample_kcenter")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -67,10 +76,19 @@ object ScaleSmoke {
 
     // min-of-2 at each scale; at 10× distinct documents a healthy
     // candidate-generator grows ~linearly in wall and shuffle volume
-    case class M(sec: Double, rows: Long, readMb: Double, writeMb: Double,
-      badJoin: Boolean)
+    // whole-process CPU seconds per rep (same channel as Bench): the
+    // steal-immune reading — a loaded smoke window inflates wall, not
+    // cpu, so the flat-vs-linear verdict reads off cpu_ratio
+    def cpuNs(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime
+        case _ => -1L
+      }
+    case class M(sec: Double, cpu: Double, rows: Long, readMb: Double,
+      writeMb: Double, badJoin: Boolean)
     def measure(n: String, dir: String): M = {
-      var best = M(Double.MaxValue, 0L, 0, 0, badJoin = false)
+      var best = M(Double.MaxValue, 0, 0L, 0, 0, badJoin = false)
       for (_ <- 1 to 2) {
         // fresh plan per rep: re-counting one RDD would reuse the
         // prior rep's registered shuffle outputs and skip map stages.
@@ -79,6 +97,7 @@ object ScaleSmoke {
         // during plan building (q_graph_hits runs its 4 half-steps
         // there), which a count()-only window would miss entirely.
         shuffleRead.set(0); shuffleWrite.set(0)
+        val c0 = cpuNs()
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(n)(spark, dir)
         val physical = df.queryExecution.executedPlan.toString
@@ -91,15 +110,28 @@ object ScaleSmoke {
             l.contains("BroadcastNestedLoopJoin") && !l.contains("Cross"))
         val rows = df.queryExecution.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9
+        val cpu = if (c0 < 0) -1.0 else (cpuNs() - c0) / 1e9
         Thread.sleep(300) // drain listener bus
-        if (sec < best.sec) best = M(sec, rows,
+        if (sec < best.sec) best = M(sec, cpu, rows,
           shuffleRead.get / 1e6, shuffleWrite.get / 1e6, bad)
       }
       best
     }
+    var superlinear = List.empty[String]
     names.foreach { n =>
       val base = measure(n, src)
       val big = measure(n, out)
+      // flat-vs-linear adjudication on the CPU channel: 10× the data
+      // at <= ~13× the work is linear-or-better (1.3× headroom for
+      // shuffle constants); past that the plan is superlinear and
+      // flagged — the first number a 100× decision would ask for
+      val cpuRatio =
+        if (base.cpu > 0 && big.cpu > 0) big.cpu / base.cpu else -1.0
+      val verdictStr =
+        if (cpuRatio < 0) "unknown"
+        else if (cpuRatio <= 3.0) "flat"
+        else if (cpuRatio <= 13.0) "linear"
+        else { superlinear ::= n; "SUPERLINEAR" }
       // band-saturation probe for the image near-dup family: record
       // the banded candidate-pair count at both scales — the quantity
       // that goes quadratic when the band-key space stops growing
@@ -113,12 +145,17 @@ object ScaleSmoke {
       println(f"""{"q":"$n","sf01_s":${base.sec}%.3f,""" +
         f""""sf1_s":${big.sec}%.3f,""" +
         f""""wall_ratio":${big.sec / base.sec}%.1f,""" +
+        f""""cpu_s":[${base.cpu}%.3f,${big.cpu}%.3f],""" +
+        f""""cpu_ratio":$cpuRatio%.1f,"scale":"$verdictStr",""" +
         f""""rows":[${base.rows},${big.rows}],""" +
         f""""sf1_shuffle_rw_mb":[${big.readMb}%.1f,${big.writeMb}%.1f],""" +
         f""""shuffle_ratio":${
           if (base.writeMb > 0) big.writeMb / base.writeMb else 0.0}%.1f,""" +
         s""""bad_join":${base.badJoin || big.badJoin}$cand}""")
     }
+    println(s"""{"smoke":"done","queries":${names.size},""" +
+      s""""superlinear":${superlinear.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     spark.stop()
   }
 

@@ -47,6 +47,52 @@ object SealMarker {
       0L)
 }
 
+/** Reserved namespace for streaming micro-batch brackets: the engine
+  * write plane makes a stream batch exactly-once by writing
+  * BEGIN(sink, batchId) + the batch's rows + COMMIT(sink, batchId) in
+  * ONE WAL group commit. Replay stages rows between a begin and its
+  * commit and inserts them only when the commit is present — a torn
+  * tail that cut the bracket short discards the partial rows, and the
+  * streaming source re-delivers the whole batch (its id is above the
+  * replayed high-water mark). The high-water mark itself is DERIVED
+  * from the WAL: replay surfaces the highest committed batchId per
+  * sink, and checkpoint() re-persists it as an HWM record after WAL
+  * truncation so the mark survives segment GC. Same codec as data
+  * records; the NUL prefix cannot collide with JSON ingest.
+  */
+object StreamBatch {
+  val Namespace = "\u0000lynx.batch"
+  /** record kinds, carried in `value` */
+  val Begin = "begin"
+  val Commit = "commit"
+  val Hwm = "hwm"
+  /** tag key carrying the batch id (TagNumber) */
+  val IdTag = "id"
+
+  private def mk(sinkId: String, kind: String,
+      batchId: Long): WriteRequest =
+    WriteRequest(Namespace, sinkId, kind,
+      Map(IdTag -> TagNumber(batchId)), 0L)
+
+  def begin(sinkId: String, batchId: Long): WriteRequest =
+    mk(sinkId, Begin, batchId)
+  def commit(sinkId: String, batchId: Long): WriteRequest =
+    mk(sinkId, Commit, batchId)
+  /** Standalone checkpoint of an already-committed high-water mark —
+    * written after WAL truncation so the mark outlives the segments
+    * that carried the original brackets.
+    */
+  def hwm(sinkId: String, batchId: Long): WriteRequest =
+    mk(sinkId, Hwm, batchId)
+
+  /** The batch id of a marker record; -1 when absent/malformed. */
+  def idOf(w: WriteRequest): Long =
+    w.metadata.get(IdTag) match {
+      case Some(TagNumber(bits)) => bits
+      case _ => -1L
+    }
+}
+
 /** The unit of ingest (reference wal.rs:18-25): one measurement point.
   * `value` is always a string — numeric analytics CAST in SQL.
   * `timestamp` is microseconds since epoch (reference buffer.rs:24-25).

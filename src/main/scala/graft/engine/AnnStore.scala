@@ -40,7 +40,8 @@ import graft.tier.ParquetTier
   * drift audit is the rebuild trigger), and rebuilds are atomic at
   * the parquet-overwrite level.
   */
-final class AnnStore(spark: SparkSession, tier: ParquetTier) {
+final class AnnStore(spark: SparkSession, tier: ParquetTier,
+    rebuildThreshold: Option[Double] = None) {
 
   private val Ident = "[A-Za-z_][A-Za-z0-9_]*"
 
@@ -130,21 +131,81 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier) {
       val perCell = asg
         .join(broadcast(statsDf), Seq("cell"), "left")
         .groupBy("cell")
+        // a cell ABSENT from stats (empty at build — duplicate seed
+        // vectors leave cells with no assignments) has no old radius:
+        // coalesce its null r2 to -1 so every vector assigned there
+        // counts as outside (dist >= 0 > -1) — under-counting exactly
+        // the most-drifted vectors was the alarm's blind spot
         .agg(count(lit(1)).as("n_new"),
-          sum(when(col("dist") > col("r2"), 1L).otherwise(0L))
-            .as("outside"))
+          sum(when(col("dist") > coalesce(col("r2"), lit(-1.0)), 1L)
+            .otherwise(0L)).as("outside"))
         .collect()
         .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
       asg.write.mode("append").partitionBy("cell")
         .parquet(idx.cellsPath)
+      val known = stats.map(_.cell).toSet
       val updated = stats.map { s =>
         val (n, out) = perCell.getOrElse(s.cell, (0L, 0L))
         s.copy(n = s.n + n, appended = s.appended + n,
           outside = s.outside + out)
+      } ++ perCell.collect {
+        // stats rows for batch-only cells, radius2 = -1 marking "no
+        // build-time radius": their appended/outside counts must ride
+        // in the drift totals, not silently drop
+        case (cell, (n, out)) if !known.contains(cell) =>
+          CellStats(cell, n, -1.0, n, out)
       }
-      writeStats(dir, updated)
-      (perCell.values.map(_._1).sum, perCell.values.map(_._2).sum)
+      writeStats(dir, updated.sortBy(_.cell))
+      val ret = (perCell.values.map(_._1).sum,
+        perCell.values.map(_._2).sum)
+      // the closed drift loop: past the configured outside-share
+      // threshold the next append triggers an atomic retrain (name-
+      // level atomicity is build()'s: centroids+cells+stats overwrite
+      // under the same dir), so the served index is self-maintaining
+      // instead of alarm-only
+      for (th <- rebuildThreshold) {
+        val app = updated.map(_.appended).sum
+        val out = updated.map(_.outside).sum
+        if (app > 0 && out.toDouble / app > th) {
+          System.err.println(
+            f"[annstore] drift ${out.toDouble / app}%.3f > $th%.3f " +
+              s"for '$name': auto-rebuilding")
+          rebuild(name)
+        }
+      }
+      ret
     }
+  }
+
+  /** Retrain the index from its OWN cells parquet (original corpus +
+    * every appended batch): materialize (vec_id, embedding, label)
+    * back into the fixture layout build() consumes, re-run the exact
+    * build path — same seeding, same assignment, bit-for-bit the
+    * q_ann_ivf quantizer — and drop the temp source. Resets the
+    * drift counters (a rebuild IS the alarm's resolution). Returns
+    * the indexed row count.
+    */
+  def rebuild(name: String): Long = {
+    require(name.matches(Ident), "index name must be a bare identifier")
+    val idx = load(name).getOrElse(throw new IllegalArgumentException(
+      s"unknown index '$name'"))
+    // unique temp dir per rebuild: Tables.t caches DataFrames (and
+    // their file listings) per path, so reusing one path across
+    // rebuilds would re-read a stale listing
+    val tmp = new File(indexDir(name),
+      s"_rebuild_src_${System.nanoTime()}")
+    try {
+      spark.read.parquet(idx.cellsPath)
+        .select("vec_id", "embedding", "label")
+        .write.mode("overwrite")
+        .parquet(new File(tmp, "embeddings.parquet").getPath)
+      build(name, tmp.getPath)
+    } finally deleteRec(tmp)
+  }
+
+  private def deleteRec(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
   }
 
   /** (appended, outsideOldRadius, ratio) totals since the last

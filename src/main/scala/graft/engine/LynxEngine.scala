@@ -57,7 +57,8 @@ class LynxEngine(
     walFsync: Boolean = false,
     resultCacheEntries: Int = 64,
     autoCompactFileThreshold: Int = 0,
-    autoBloomColumns: Seq[String] = Nil) {
+    autoBloomColumns: Seq[String] = Nil,
+    annRebuildThreshold: Option[Double] = None) {
 
   val buffer = new MemBuffer
 
@@ -76,6 +77,13 @@ class LynxEngine(
           e: java.util.Map.Entry[AnyRef, QueryResult]): Boolean =
         size > resultCacheEntries
     }
+  // Per-sink streaming high-water marks, DERIVED FROM THE WAL: replay
+  // surfaces the highest committed stream-batch id per sink
+  // (graft.core.StreamBatch brackets + hwm checkpoint records), and
+  // writeStreamBatch advances it in the same writeLock hold that made
+  // the batch durable. Guarded by writeLock after construction.
+  private val streamHwm =
+    scala.collection.mutable.Map.empty[String, Long]
   private val (replayedHighest, replayedIds) =
     Wal.replay(walDir, buffer, m => {
       buffer.drainTable(m.value, m.measurement)
@@ -90,6 +98,9 @@ class LynxEngine(
           .getOrElse(Nil)
         t.publish(m.value, m.measurement, sid.render, files)
       }
+    }, (sink, bid) => {
+      val cur = streamHwm.getOrElse(sink, -1L)
+      if (bid > cur) streamHwm(sink) = bid
     })
   // staging dirs whose marker never became durable: their rows just
   // replayed into the buffer, so the staged copies must be dropped
@@ -110,7 +121,7 @@ class LynxEngine(
     * the tier root).
     */
   lazy val ann: Option[AnnStore] =
-    tier.map(new AnnStore(spark, _))
+    tier.map(new AnnStore(spark, _, annRebuildThreshold))
 
   /** Per-file value blooms for equality-predicate file skipping —
     * see [[BloomStore]]; tier-only like rollups/ann. Once a column is
@@ -144,13 +155,21 @@ class LynxEngine(
     * per affected table at the end, not per row.
     */
   def writeBatch(ws: Seq[WriteRequest]): Unit = writeLock.synchronized {
+    validateTags(ws)
+    wal.writeAll(ws) // WAL-first invariant, batch-wide
+    ws.foreach(buffer.insert)
+    autoSealAfter(ws)
+  }
+
+  private def validateTags(ws: Seq[WriteRequest]): Unit =
     ws.foreach { w =>
       w.metadata.keys.foreach(k => require(
         k != "timestamp" && k != "value" && !k.startsWith("__lynx"),
         s"reserved tag key: $k"))
     }
-    wal.writeAll(ws) // WAL-first invariant, batch-wide
-    ws.foreach(buffer.insert)
+
+  /** Caller holds writeLock and has already buffered `ws`. */
+  private def autoSealAfter(ws: Seq[WriteRequest]): Unit =
     if (tier.isDefined && maxBufferedRows != Int.MaxValue) {
       ws.groupBy(w => (w.namespace, w.measurement)).foreach {
         case (key, rows) =>
@@ -161,7 +180,48 @@ class LynxEngine(
           } else bufferedPerTable.update(key, n)
       }
     }
+
+  /** EXACTLY-ONCE streaming ingest: apply micro-batch `batchId` of
+    * stream `sinkId` unless the WAL-derived high-water mark proves it
+    * already landed. The rows are bracketed between
+    * [[graft.core.StreamBatch]] BEGIN/COMMIT markers inside ONE WAL
+    * group commit (then force-flushed, so durability precedes the
+    * caller's offset commit): replay inserts the rows only when the
+    * commit marker survived, so a crash at ANY point either keeps the
+    * whole batch (hwm advanced — the re-delivery is a no-op) or none
+    * of it (hwm unchanged — the re-delivery applies it fresh). No
+    * separate mark file, no window between "applied" and "marked".
+    *
+    * Returns true when applied, false when the hwm proves `batchId`
+    * was already committed. Empty batches still commit their bracket
+    * (the hwm must advance, or the source re-delivers forever).
+    */
+  def writeStreamBatch(sinkId: String, batchId: Long,
+      ws: Seq[WriteRequest]): Boolean = writeLock.synchronized {
+    require(sinkId.nonEmpty, "sinkId must be non-empty")
+    if (batchId <= streamHwm.getOrElse(sinkId, -1L)) false
+    else {
+      validateTags(ws)
+      wal.writeAll(
+        graft.core.StreamBatch.begin(sinkId, batchId) +:
+          ws :+ graft.core.StreamBatch.commit(sinkId, batchId))
+      // under group commit writeAll only buffers — force the bracket
+      // durable BEFORE advancing the hwm / acking the batch, or a
+      // crash could lose rows the streaming checkpoint thinks landed
+      wal.flush()
+      ws.foreach(buffer.insert)
+      streamHwm(sinkId) = batchId
+      autoSealAfter(ws)
+      true
+    }
   }
+
+  /** Highest committed stream-batch id for `sinkId`; -1 before the
+    * first commit. Derived from the WAL at construction (replay) and
+    * advanced under the write lock.
+    */
+  def streamHighWaterMark(sinkId: String): Long =
+    writeLock.synchronized(streamHwm.getOrElse(sinkId, -1L))
 
   def write(w: WriteRequest): Unit = writeLock.synchronized {
     // tag keys may not shadow the fixed engine columns or the reserved
@@ -229,8 +289,14 @@ class LynxEngine(
           // keep reading their pinned pre-compaction manifest.
           if (autoCompactFileThreshold > 0 &&
               t.redundantFileCount(namespace, table) >=
-                autoCompactFileThreshold)
+                autoCompactFileThreshold) {
             t.compact(spark, namespace, table)
+            // same hygiene as explicit compact(): the rewrite
+            // orphaned the originals' index entries — drop them now
+            // (amortized: once per `threshold` seals, the same class
+            // as the rewrite itself)
+            pruneIndexes()
+          }
           // keep the configured bloom/zone indexes current: one
           // incremental build over JUST the files this seal (or its
           // inline compaction) published — O(new files), same cost
@@ -242,16 +308,21 @@ class LynxEngine(
     }
 
   /** Incrementally (re)index the configured bloom columns for a
-    * table whose manifest just changed. A non-string column config
-    * is skipped with a warning, not an error: the dynamic schema
-    * means a column's existence/type can vary per table, and a
-    * misconfigured column must not fail ingest.
+    * table whose manifest just changed. ANY failure is logged and
+    * swallowed (NonFatal): by the time this runs the rows are already
+    * durably committed — a transient IO/Spark error in index
+    * maintenance must never fail the write/seal it trails, or a
+    * streaming caller would re-deliver an already-landed batch. The
+    * index is conservative by design: an unindexed file is simply
+    * read, so a skipped build costs a scan, never correctness.
+    * (Misconfigured columns — non-string types under the dynamic
+    * schema — surface here too, as warnings.)
     */
   private def maintainBloomIndexes(ns: String, table: String): Unit =
     for (bs <- valueBlooms; c <- autoBloomColumns)
       try bs.index(ns, table, c)
       catch {
-        case e: IllegalArgumentException =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(
             s"[bloom-auto] skipping $table.$c: ${e.getMessage}")
       }
@@ -273,7 +344,19 @@ class LynxEngine(
         bufferedPerTable.filterInPlace((k, _) =>
           buffer.partitions(k._1, k._2) > 0)
         // truncate only if no new writes landed since the seals
-        if (buffer.isEmpty) wal.truncateClosed()
+        if (buffer.isEmpty) {
+          wal.truncateClosed()
+          // the truncated segments carried the stream-batch brackets
+          // the high-water marks were derived from: re-persist each
+          // sink's mark as an HWM record in the fresh segment, or a
+          // restart would replay already-committed batches
+          if (streamHwm.nonEmpty) {
+            streamHwm.foreach { case (sink, bid) =>
+              wal.write(graft.core.StreamBatch.hwm(sink, bid))
+            }
+            wal.flush()
+          }
+        }
       }
     }
 
@@ -290,6 +373,10 @@ class LynxEngine(
       // the compacted files are new to the index; re-cover them now
       // so file skipping has no post-compaction blind window
       maintainBloomIndexes(namespace, table)
+      // ...and drop the rewritten originals' entries from the
+      // persisted index (memory + jsonl), so the index tracks the
+      // manifest instead of accumulating dead files forever
+      pruneIndexes()
     }
 
   /** Expire tier day-partitions older than `beforeDay` (exclusive,
@@ -301,8 +388,32 @@ class LynxEngine(
     */
   def expire(namespace: String, table: String, beforeDay: String): Int =
     writeLock.synchronized {
-      tier.map(_.expire(namespace, table, beforeDay)).getOrElse(0)
+      val dropped =
+        tier.map(_.expire(namespace, table, beforeDay)).getOrElse(0)
+      // retention GC'd whole day partitions: drop their bloom/zone
+      // and rollup partials from the persisted indexes too, or the
+      // jsonl grows forever with entries for files that no longer
+      // exist (the same hygiene compaction gets)
+      if (dropped > 0) pruneIndexes()
+      dropped
     }
+
+  /** Post-GC index hygiene: drop bloom/zone and rollup partials for
+    * files no longer in any live manifest (memory + persisted jsonl).
+    * Failures are logged, never propagated — pruning is maintenance;
+    * a skipped prune costs disk bytes, not correctness (dead entries
+    * key files no query will ever list).
+    */
+  private def pruneIndexes(): Unit = {
+    for (bs <- valueBlooms)
+      try bs.prune()
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bloom-prune] skipped: ${e.getMessage}") }
+    for (rs <- rollups)
+      try rs.prune()
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[rollup-prune] skipped: ${e.getMessage}") }
+  }
 
   /** Published tier manifest versions for a table, oldest first, with
     * file counts — the discovery call behind `version:`-pinned

@@ -72,69 +72,56 @@ object StreamingIngest {
     * parquet becomes invisible — toParquetTier is for stream-only
     * tables read by path, engineSink for tables the engine owns.
     *
-    * Exactly-once: foreachBatch re-delivers the last uncommitted
-    * batch after a restart, so a high-water-mark file under the
-    * stream's checkpoint dir records the last applied batchId
-    * (written atomically AFTER the engine's WAL flush); a re-run of
-    * an applied id is a no-op. The window between the engine flush
-    * and the marker write re-applies one batch on crash — the WAL
-    * already made those rows durable, so the guarantee is
-    * exactly-once under normal operation and at-least-once across a
-    * crash inside that window (pair with [[dedupExact]] upstream
-    * when that window matters).
+    * Exactly-once, WAL-atomic: foreachBatch re-delivers the last
+    * uncommitted batch after a restart, and
+    * [[graft.engine.LynxEngine.writeStreamBatch]] brackets each
+    * batch's rows between BEGIN/COMMIT marker records inside ONE WAL
+    * group commit (graft.core.StreamBatch). The engine's replay
+    * inserts a bracket's rows only when its commit marker survived
+    * and derives the per-sink high-water mark from the committed
+    * brackets — so a crash at ANY point either kept the whole batch
+    * (the re-delivery is a no-op against the hwm) or none of it (the
+    * re-delivery applies it fresh). There is no separate mark file
+    * and no window between "applied" and "marked": apply IS mark.
     *
     * Scale shape: the engine's write plane (WAL + buffer) is
     * driver-side by design — the same plane HTTP ingest uses — so
     * the micro-batch collects to the driver; the batch size is
     * bounded by the trigger interval, and horizontal scale comes
     * from sharding namespaces across engines, not from parallelizing
-    * one WAL.
+    * one WAL. `sinkId` names the stream's hwm lane inside the
+    * engine's WAL — two streams feeding one engine need distinct
+    * ids (batch ids are per-checkpoint, not global).
     */
   def engineSink(rows: Dataset[StreamRow],
       engine: graft.engine.LynxEngine,
-      checkpointDir: String): StreamingQuery = {
-    val hwm = new java.io.File(checkpointDir, "graft-engine-hwm")
+      checkpointDir: String,
+      sinkId: String = "stream"): StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .foreachBatch { (ds: Dataset[StreamRow], batchId: Long) =>
-        applyEngineBatch(engine, hwm, ds, batchId)
+        applyEngineBatch(engine, sinkId, ds, batchId)
         ()
       }
       .start()
-  }
 
   /** The idempotent micro-batch applier behind [[engineSink]] —
     * package-visible so the replay contract is directly testable.
     * Returns true when the batch was applied, false when the
-    * high-water mark proves it already was.
+    * engine's WAL-derived high-water mark proves it already was.
     */
   private[graft] def applyEngineBatch(engine: graft.engine.LynxEngine,
-      hwmFile: java.io.File, ds: Dataset[StreamRow],
+      sinkId: String, ds: Dataset[StreamRow],
       batchId: Long): Boolean = {
-    val last =
-      if (!hwmFile.isFile) -1L
-      else
-        try new String(java.nio.file.Files.readAllBytes(hwmFile.toPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-        catch { case _: Exception => -1L }
-    if (batchId <= last) false
+    if (batchId <= engine.streamHighWaterMark(sinkId)) false
     else {
       val reqs = ds.collect().toSeq.map { r =>
         graft.core.WriteRequest(r.namespace, r.measurement, r.value,
           r.tags.map { case (k, v) => k -> graft.core.TagString(v) },
           r.timestampUs)
       }
-      if (reqs.nonEmpty) engine.writeBatch(reqs)
-      val tmp = new java.io.File(hwmFile.getParentFile,
-        s".${hwmFile.getName}.tmp")
-      hwmFile.getParentFile.mkdirs()
-      java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp.toPath, hwmFile.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      true
+      engine.writeStreamBatch(sinkId, batchId, reqs)
     }
   }
 

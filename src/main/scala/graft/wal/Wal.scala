@@ -287,7 +287,28 @@ object Wal {
     * recorded in the marker's metadata (crash-atomic seals).
     */
   def replay(directory: File, buffer: MemBuffer,
-      onSeal: WriteRequest => Unit): (Long, Seq[Long]) = {
+      onSeal: WriteRequest => Unit): (Long, Seq[Long]) =
+    replay(directory, buffer, onSeal, (_, _) => ())
+
+  /** Replay with both marker handlers. `onStreamHwm(sinkId, batchId)`
+    * fires for every COMMITTED stream-batch bracket and every HWM
+    * checkpoint record, in WAL order — the engine keeps the max per
+    * sink, deriving the streaming high-water mark from the WAL itself
+    * (graft.core.StreamBatch).
+    *
+    * Stream-batch atomicity: rows between a BEGIN and its COMMIT are
+    * STAGED, not inserted, and flush to the buffer only when the
+    * commit arrives. A bracket cut short by a torn tail (the begin
+    * and some rows survived, the commit did not) discards the staged
+    * rows — the batch never committed, so its id is above no hwm and
+    * the streaming source re-delivers it whole. Staging state spans
+    * segment rotation (a bracket may straddle a rotation) but never
+    * interleaves with other records: the writer appends the whole
+    * bracket under one WAL lock hold.
+    */
+  def replay(directory: File, buffer: MemBuffer,
+      onSeal: WriteRequest => Unit,
+      onStreamHwm: (String, Long) => Unit): (Long, Seq[Long]) = {
     directory.mkdirs()
     var highest = 0L
     val observed = mutable.ArrayBuffer.empty[Long]
@@ -311,6 +332,11 @@ object Wal {
     // is recoverable — garbage mid-file is indistinguishable from
     // damage and must stop replay.
     val lastId = segments.lastOption.fold(-1L)(_._1)
+    // open stream-batch bracket: Some((sinkId, batchId, staged rows)).
+    // Spans segments (a bracket may straddle a rotation); discarded at
+    // EOF when the commit never made it durable.
+    var bracket: Option[(String, Long,
+      mutable.ArrayBuffer[WriteRequest])] = None
     segments.foreach { case (id, f) =>
       observed += id
       highest = math.max(highest, id)
@@ -329,11 +355,35 @@ object Wal {
           var rec = WalCodec.decode(in)
           while (rec.isDefined) {
             val w = rec.get
-            if (w.namespace == graft.core.SealMarker.Namespace)
+            if (w.namespace == graft.core.StreamBatch.Namespace) {
+              val sink = w.measurement
+              val bid = graft.core.StreamBatch.idOf(w)
+              w.value match {
+                case graft.core.StreamBatch.Begin =>
+                  // a begin while a bracket is open means its commit
+                  // was lost (crash mid-group-commit): those rows
+                  // never committed — drop them, the source re-sends
+                  bracket = Some((sink, bid,
+                    mutable.ArrayBuffer.empty[WriteRequest]))
+                case graft.core.StreamBatch.Commit =>
+                  bracket match {
+                    case Some((s, b, rows)) if s == sink && b == bid =>
+                      rows.foreach(buffer.insert)
+                    case _ => // stray commit: nothing staged to flush
+                  }
+                  bracket = None
+                  onStreamHwm(sink, bid)
+                case _ => // hwm checkpoint record
+                  onStreamHwm(sink, bid)
+              }
+            } else if (w.namespace == graft.core.SealMarker.Namespace)
               // sealed-to-tier checkpoint: rows before this marker for
               // (value=namespace, measurement=table) live in the tier
               onSeal(w)
-            else buffer.insert(w)
+            else bracket match {
+              case Some((_, _, rows)) => rows += w
+              case None => buffer.insert(w)
+            }
             lastGood = counter.count
             rec = WalCodec.decode(in)
           }
@@ -359,6 +409,14 @@ object Wal {
           try raf.setLength(lastGood) finally raf.close()
         }
       }
+    }
+    // a bracket still open at EOF never committed: its staged rows
+    // are dropped (the source re-delivers the batch — its id is above
+    // every surfaced hwm). The stray begin/rows records stay in the
+    // segment and are re-discarded on any later replay: harmless.
+    bracket.foreach { case (sink, bid, rows) =>
+      System.err.println(s"[wal] discarding ${rows.size} rows of " +
+        s"uncommitted stream batch $bid (sink '$sink')")
     }
     (highest, observed.toSeq)
   }

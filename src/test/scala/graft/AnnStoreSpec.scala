@@ -102,4 +102,119 @@ class AnnStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       store.query("flt", q, 5, 8, Some(Nil)))
   }
+
+  test("append counts cells missing from stats.json as fully outside " +
+    "and adds their rows (the most-drifted vectors must not vanish " +
+    "from the alarm)") {
+    val spark = SparkFixture.spark
+    val sfDir = "/root/testdata/sf0.001"
+    val oldDir = Files.createTempDirectory("ann-gap-old").toFile
+    val newDir = Files.createTempDirectory("ann-gap-new").toFile
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.filter(col("vec_id") < 450).write
+      .parquet(new java.io.File(oldDir, "embeddings.parquet").getPath)
+    emb.filter(col("vec_id") >= 450).write
+      .parquet(new java.io.File(newDir, "embeddings.parquet").getPath)
+
+    def stats(dir: java.io.File, name: String) = {
+      val f = new java.io.File(new java.io.File(
+        new java.io.File(dir, "_ann"), name), "stats.json")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(java.nio.file.Files.readAllBytes(f.toPath))
+      (f, (0 until root.size()).map(i => root.get(i)))
+    }
+
+    // reference twin: unmodified stats — learn which cells the batch
+    // actually lands in
+    val refTier = Files.createTempDirectory("ann-gap-reftier").toFile
+    val ref = new graft.engine.AnnStore(spark,
+      new graft.tier.ParquetTier(refTier))
+    ref.build("ref", oldDir.getPath)
+    ref.append("ref", newDir.getPath)
+    val (_, refRows) = stats(refTier, "ref")
+    val hitCell = refRows.find(_.get("appended").asLong() > 0)
+      .map(_.get("cell").asInt())
+      .getOrElse(fail("fixture batch must land in at least one cell"))
+    val hitAppended = refRows.find(_.get("cell").asInt() == hitCell)
+      .get.get("appended").asLong()
+
+    // gap twin: delete hitCell's stats row post-build (the build-time
+    // empty-cell shape), then append the same batch
+    val gapTier = Files.createTempDirectory("ann-gap-tier").toFile
+    val gap = new graft.engine.AnnStore(spark,
+      new graft.tier.ParquetTier(gapTier))
+    gap.build("gap", oldDir.getPath)
+    val (gf, gRows) = stats(gapTier, "gap")
+    val kept = gRows.filter(_.get("cell").asInt() != hitCell)
+    assert(kept.size == gRows.size - 1)
+    java.nio.file.Files.write(gf.toPath,
+      kept.mkString("[", ",", "]").getBytes("UTF-8"))
+    gap.append("gap", newDir.getPath)
+    val (_, gAfter) = stats(gapTier, "gap")
+    val row = gAfter.find(_.get("cell").asInt() == hitCell)
+      .getOrElse(fail(s"cell $hitCell must re-enter stats on append"))
+    assert(row.get("radius2").asDouble() == -1.0,
+      "a stats-gap cell has no build-time radius: marked -1")
+    assert(row.get("appended").asLong() == hitAppended,
+      "the gap cell's appended count must ride in the stats")
+    assert(row.get("outside").asLong() == hitAppended,
+      "with no old radius, every appended vector counts as outside")
+    // the drift alarm sees MORE drift than the intact twin, never less
+    val (refApp, refOut, _) = ref.drift("ref").get
+    val (gApp, gOut, _) = gap.drift("gap").get
+    assert(gApp == refApp,
+      "the gap twin appended the same batch: totals must agree")
+    assert(gOut >= refOut,
+      "under-reporting exactly the most-drifted cells was the bug")
+  }
+
+  test("auto-rebuild: appends past rebuildThreshold retrain from the " +
+    "index's own cells; drift resets and served top-k equals a fresh " +
+    "build over the union") {
+    val spark = SparkFixture.spark
+    val sfDir = "/root/testdata/sf0.001"
+    val oldDir = Files.createTempDirectory("ann-rb-old").toFile
+    val newDir = Files.createTempDirectory("ann-rb-new").toFile
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.filter(col("vec_id") < 450).write
+      .parquet(new java.io.File(oldDir, "embeddings.parquet").getPath)
+    emb.filter(col("vec_id") >= 450).write
+      .parquet(new java.io.File(newDir, "embeddings.parquet").getPath)
+
+    // threshold -1: ANY append drifts past it — deterministic trigger
+    val autoTier = Files.createTempDirectory("ann-rb-tier").toFile
+    val auto = new graft.engine.AnnStore(spark,
+      new graft.tier.ParquetTier(autoTier),
+      rebuildThreshold = Some(-1.0))
+    auto.build("auto", oldDir.getPath)
+    auto.append("auto", newDir.getPath)
+    // the append crossed the threshold: the rebuild already ran and
+    // RESET the drift counters (a rebuild is the alarm's resolution)
+    assert(auto.drift("auto").contains((0L, 0L, 0.0)),
+      "auto-rebuild must reset the drift counters")
+    // retrained over the union == a fresh build over the whole
+    // fixture (the union IS the fixture; seeds re-derive identically)
+    val full = new graft.engine.AnnStore(spark,
+      new graft.tier.ParquetTier(
+        Files.createTempDirectory("ann-rb-fulltier").toFile))
+    full.build("full", sfDir)
+    val qvecs = emb.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    qvecs.foreach { case (qid, v) =>
+      assert(auto.query("auto", v, 10, 3).get ==
+        full.query("full", v, 10, 3).get,
+        s"q$qid: rebuilt index must serve the fresh-build top-k")
+    }
+    // filtered search still works post-rebuild (label column rode
+    // through the cells round-trip)
+    assert(auto.query("auto", qvecs.head._2, 5, 8, Some(Seq(1L, 2L)))
+      .get.nonEmpty)
+    // the temp rebuild source was cleaned up
+    val leftovers = Option(new java.io.File(new java.io.File(
+      autoTier, "_ann"), "auto").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_rebuild_src"))
+    assert(leftovers.isEmpty,
+      s"rebuild must remove its temp source: ${leftovers.toSeq}")
+  }
 }

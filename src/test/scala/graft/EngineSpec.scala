@@ -1275,6 +1275,87 @@ class EngineSpec extends AnyFunSuite {
     assert(bs.cachedFiles <= n)
   }
 
+  test("per-file LRU: ONE column larger than the bound serves " +
+    "correct skips while the cache stays under maxCachedFiles") {
+    val tierDir = Files.createTempDirectory("bloom-filelru-tier").toFile
+    val tier = new ParquetTier(tierDir)
+    val e = newEngine(Some(tier))
+    val hosts = Seq("f1", "f2", "f3", "f4")
+    for ((h, i) <- hosts.zipWithIndex) {
+      e.write(WriteRequest("ns", "cpu", s"v-$h",
+        Map("host" -> TagString(h)), i * 100L + 1))
+      e.seal("ns", "cpu")
+    }
+    val files = tier.dataFiles("ns", "cpu")
+    val n = files.size
+    assert(n >= hosts.size)
+    // the bound is SMALLER than this one column: whole-column
+    // eviction could never satisfy it while the column is hot
+    val bound = 2
+    val bs = new graft.engine.BloomStore(SparkFixture.spark, tier,
+      maxCachedFiles = bound)
+    assert(bs.index("ns", "cpu", "host") == n)
+    val fresh = new graft.engine.BloomStore(SparkFixture.spark, tier)
+    // interleaved lookups spanning more files than the bound: every
+    // skip set must equal the unbounded twin's, and after each query
+    // the resident entry count must obey the bound (evicted files
+    // reload TARGETED from the jsonl, not via a full column load)
+    for (h <- Seq("f1", "f2", "f3", "f4", "f1", "f3")) {
+      val kept = bs.skipFiles("ns", "cpu", "host", h, files)
+      assert(kept == fresh.skipFiles("ns", "cpu", "host", h, files),
+        s"bounded store must skip identically for $h")
+      assert(kept.nonEmpty && kept.size < n)
+      assert(bs.cachedFiles <= bound,
+        s"cache holds ${bs.cachedFiles} entries past the $bound bound")
+    }
+    // incremental builds stay incremental across partial eviction:
+    // the persisted path set (not resident memory) defines "already
+    // indexed", so nothing re-scans
+    assert(bs.index("ns", "cpu", "host") == 0,
+      "partial eviction must never cause a re-scan of indexed files")
+  }
+
+  test("expire() GCs the persisted bloom index with the manifest: an " +
+    "expired day's entries leave memory AND the jsonl") {
+    val tierDir = Files.createTempDirectory("bloom-expire-tier").toFile
+    val tier = new ParquetTier(tierDir)
+    val walDir = Files.createTempDirectory("bloom-expire-wal").toFile
+    val e = new LynxEngine(SparkFixture.spark, walDir, 1024 * 1024,
+      Some(tier), autoBloomColumns = Seq("host"))
+    // two day partitions: day 1970-01-01 and 1970-01-03
+    e.write(WriteRequest("ns", "cpu", "v-old",
+      Map("host" -> TagString("old")), 1L))
+    e.seal("ns", "cpu")
+    e.write(WriteRequest("ns", "cpu", "v-new",
+      Map("host" -> TagString("new")), 2L * 86400L * 1000000L))
+    e.seal("ns", "cpu")
+    val bs = e.valueBlooms.get
+    val before = tier.dataFiles("ns", "cpu").size
+    assert(bs.index("ns", "cpu", "host") == 0,
+      "auto-indexing covered both seals")
+    assert(bs.cachedFiles == before)
+    // retention drops the old day — the wired prune must GC its
+    // index entries in the same call
+    val dropped = e.expire("ns", "cpu", "1970-01-02")
+    assert(dropped > 0)
+    val live = tier.dataFiles("ns", "cpu")
+    assert(live.size < before)
+    assert(bs.cachedFiles == live.size,
+      "expired files' entries must leave the resident cache")
+    // the persisted jsonl shrank too: a fresh store reloads exactly
+    // the live set with zero re-scans
+    val bs2 = new graft.engine.BloomStore(
+      SparkFixture.spark, new ParquetTier(tierDir))
+    assert(bs2.index("ns", "cpu", "host") == 0)
+    assert(bs2.cachedFiles == live.size,
+      "expired files' entries must leave the persisted jsonl")
+    // and skipping over the survivors still works
+    val kept = bs2.skipFiles("ns", "cpu", "host", "new", live)
+    assert(kept.nonEmpty && kept.toSet.subsetOf(live.toSet))
+    assert(e.query("ns", "SELECT value FROM cpu").get
+      .rows.map(_.getString(0)) == Seq("v-new"))
+  }
+
   test("autoBloomColumns keeps the file-skip index current through " +
     "seal AND compaction with no manual index call") {
     val tierDir = Files.createTempDirectory("bloom-auto-tier").toFile
@@ -1340,11 +1421,15 @@ class EngineSpec extends AnyFunSuite {
     assert(bs.cachedFiles == n,
       "prune dropped a live mixed-case table's index")
     // and a restarted store prunes correctly too (orig name comes
-    // from the persisted _name file, not process memory)
+    // from the persisted _name file, not process memory). The sweep
+    // itself stays NON-resident (one local key at a time — it never
+    // grows the cache), so survival is proved by the next touch:
+    // nothing re-indexes and the full entry set reloads
     val bs2 = new graft.engine.BloomStore(
       SparkFixture.spark, new ParquetTier(tierDir))
     bs2.prune()
-    assert(bs2.cachedFiles == n,
+    assert(bs2.index("ns", "CpuStats", "host") == 0,
       "restarted prune dropped a live mixed-case table's index")
+    assert(bs2.cachedFiles == n)
   }
 }

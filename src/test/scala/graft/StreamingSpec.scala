@@ -91,18 +91,169 @@ class StreamingSpec extends AnyFunSuite {
 
     // idempotence: re-delivering an ALREADY-APPLIED batch id (the
     // foreachBatch restart contract) is a no-op...
-    val hwm = new java.io.File(ckpt, "graft-engine-hwm")
-    assert(hwm.isFile, "high-water mark must exist after batches ran")
+    assert(engine.streamHighWaterMark("stream") >= 1L,
+      "WAL-derived high-water mark must cover the applied batches")
     val dup = spark.createDataset(srows(2))
-    assert(!StreamingIngest.applyEngineBatch(engine, hwm, dup, 0L))
+    assert(!StreamingIngest.applyEngineBatch(engine, "stream", dup, 0L))
     val r3 = engine.query("events",
       "SELECT count(*) AS c FROM cpu").get
     assert(r3.rows.head.getLong(0) == 6L, "replayed batch must not land")
     // ...and a NEW id applies exactly once
-    assert(StreamingIngest.applyEngineBatch(engine, hwm, dup, 999L))
+    assert(StreamingIngest.applyEngineBatch(engine, "stream", dup, 999L))
     val r4 = engine.query("events",
       "SELECT count(*) AS c FROM cpu").get
     assert(r4.rows.head.getLong(0) == 8L)
+    // ...and the hwm survives a process restart, derived from the
+    // WAL brackets alone (no side file): a fresh engine over the same
+    // walDir refuses every batch id up to 999
+    val engine2 = new graft.engine.LynxEngine(spark, walDir,
+      1024 * 1024, Some(new graft.tier.ParquetTier(tierDir)),
+      maxBufferedRows = 3, autoBloomColumns = Seq("host"))
+    assert(engine2.streamHighWaterMark("stream") == 999L)
+    assert(!StreamingIngest.applyEngineBatch(engine2, "stream", dup, 999L))
+    val r5 = engine2.query("events",
+      "SELECT count(*) AS c FROM cpu").get
+    assert(r5.rows.head.getLong(0) == 8L,
+      "restart + re-delivery must not double-apply any batch")
+  }
+
+  test("engineSink exactly-once across a torn WAL bracket: a batch " +
+    "whose commit marker never became durable is discarded at replay " +
+    "and re-applies cleanly") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val walDir = Files.createTempDirectory("torn-wal").toFile
+    val tierDir = Files.createTempDirectory("torn-tier").toFile
+    val tier = new graft.tier.ParquetTier(tierDir)
+
+    def srows(n: Int): Seq[StreamRow] =
+      (0 until n).map(i => StreamRow("events", "cpu", s"v$i",
+        Map("host" -> s"h$i"), i * 1000000L + 1))
+    def reqs(rs: Seq[StreamRow]) = rs.map { r =>
+      graft.core.WriteRequest(r.namespace, r.measurement, r.value,
+        r.tags.map { case (k, v) => k -> graft.core.TagString(v) },
+        r.timestampUs)
+    }
+
+    // batch 0 commits normally through the engine
+    val e1 = new graft.engine.LynxEngine(spark, walDir, 1024 * 1024,
+      Some(tier))
+    assert(e1.writeStreamBatch("s", 0L, reqs(srows(2))))
+    assert(e1.streamHighWaterMark("s") == 0L)
+    e1.wal.close()
+
+    // simulate the crash INSIDE batch 1's group commit: append the
+    // BEGIN marker and the rows but never the COMMIT (the exact
+    // prefix a torn tail can leave — every record individually
+    // complete, the bracket not)
+    val walFiles = walDir.listFiles().filter(_.getName.endsWith(".wal"))
+      .sortBy(_.getName.stripSuffix(".wal").toLong)
+    val tornSeg = walFiles.last
+    val fos = new java.io.FileOutputStream(tornSeg, true)
+    try {
+      fos.write(graft.wal.WalCodec.encode(
+        graft.core.StreamBatch.begin("s", 1L)))
+      reqs(srows(4)).drop(2).foreach(w =>
+        fos.write(graft.wal.WalCodec.encode(w)))
+      fos.flush()
+    } finally fos.close()
+
+    // restart: the uncommitted bracket's rows must NOT surface, and
+    // the hwm must still be batch 0's
+    val e2 = new graft.engine.LynxEngine(spark, walDir, 1024 * 1024,
+      Some(tier))
+    assert(e2.streamHighWaterMark("s") == 0L,
+      "uncommitted bracket must not advance the high-water mark")
+    val r1 = e2.query("events", "SELECT count(*) AS c FROM cpu").get
+    assert(r1.rows.head.getLong(0) == 2L,
+      "rows of an uncommitted bracket must be discarded at replay")
+    // the foreachBatch re-delivery of batch 1 (whole batch) applies
+    // exactly once
+    assert(e2.writeStreamBatch("s", 1L, reqs(srows(4))))
+    val r2 = e2.query("events", "SELECT count(*) AS c FROM cpu").get
+    assert(r2.rows.head.getLong(0) == 6L)
+    // and a second delivery of it is a no-op
+    assert(!e2.writeStreamBatch("s", 1L, reqs(srows(4))))
+    assert(e2.query("events", "SELECT count(*) AS c FROM cpu").get
+      .rows.head.getLong(0) == 6L)
+  }
+
+  test("stream high-water mark survives WAL truncation: checkpoint() " +
+    "re-persists per-sink hwm records into the fresh segment") {
+    val spark = SparkFixture.spark
+    val walDir = Files.createTempDirectory("hwm-wal").toFile
+    val tierDir = Files.createTempDirectory("hwm-tier").toFile
+    val tier = new graft.tier.ParquetTier(tierDir)
+    val e1 = new graft.engine.LynxEngine(spark, walDir, 1024 * 1024,
+      Some(tier))
+    val ws = (0 until 3).map(i => graft.core.WriteRequest("events",
+      "cpu", s"v$i", Map("host" -> graft.core.TagString(s"h$i")),
+      i * 1000000L + 1))
+    assert(e1.writeStreamBatch("a", 7L, ws))
+    assert(e1.writeStreamBatch("b", 3L, ws))
+    // checkpoint seals everything and TRUNCATES the segments that
+    // carried the brackets
+    e1.checkpoint()
+    e1.wal.close()
+    val e2 = new graft.engine.LynxEngine(spark, walDir, 1024 * 1024,
+      Some(tier))
+    assert(e2.streamHighWaterMark("a") == 7L)
+    assert(e2.streamHighWaterMark("b") == 3L)
+    // sealed rows are served from the tier, not re-replayed
+    assert(e2.query("events", "SELECT count(*) AS c FROM cpu").get
+      .rows.head.getLong(0) == 6L)
+  }
+
+  test("composition: engineSink batches seal manifest versions, a " +
+    "mid-stream crash restarts with the WAL-derived hwm, and time " +
+    "travel works across the restart") {
+    val spark = SparkFixture.spark
+    val walDir = Files.createTempDirectory("comp-wal").toFile
+    val tierDir = Files.createTempDirectory("comp-tier").toFile
+
+    def reqs(lo: Int, n: Int) = (lo until lo + n).map(i =>
+      graft.core.WriteRequest("events", "cpu", s"v$i",
+        Map("host" -> graft.core.TagString(s"h${i % 2}")),
+        i * 1000000L + 1))
+
+    // threshold 2: every 2-row batch seals a manifest version
+    val e1 = new graft.engine.LynxEngine(spark, walDir, 1024 * 1024,
+      Some(new graft.tier.ParquetTier(tierDir)), maxBufferedRows = 2,
+      autoBloomColumns = Seq("host"))
+    assert(e1.writeStreamBatch("s", 0L, reqs(0, 2))) // seals -> v1
+    assert(e1.writeStreamBatch("s", 1L, reqs(2, 2))) // seals -> v2
+    val versions = e1.tierVersions("events", "cpu").map(_._1)
+    assert(versions.size == 2, s"two seals -> two versions: $versions")
+    // batch 2 lands in the WAL + RAM tail only (below the threshold)
+    assert(e1.writeStreamBatch("s", 2L, reqs(4, 1)))
+    // crash: no checkpoint, no graceful close beyond releasing the
+    // file handle (the rows' durability is the WAL's flush)
+    e1.wal.close()
+
+    // restart: WAL replay must restore the RAM tail, the manifests,
+    // AND the stream hwm — then re-delivery of batch 2 is a no-op
+    val e2 = new graft.engine.LynxEngine(spark, walDir, 1024 * 1024,
+      Some(new graft.tier.ParquetTier(tierDir)), maxBufferedRows = 2,
+      autoBloomColumns = Seq("host"))
+    assert(e2.streamHighWaterMark("s") == 2L)
+    assert(!e2.writeStreamBatch("s", 2L, reqs(4, 1)))
+    assert(e2.query("events", "SELECT count(*) AS c FROM cpu").get
+      .rows.head.getLong(0) == 5L,
+      "2 sealed batches + 1 replayed RAM-tail row")
+    // time travel ACROSS the restart: each pinned version sees
+    // exactly the rows sealed up to it (and no RAM tail)
+    val afterV = e2.tierVersions("events", "cpu").map(_._1)
+    assert(afterV == versions, "restart must not mint new versions")
+    assert(e2.query("events", "SELECT count(*) AS c FROM cpu",
+      asOfVersion = Some(versions.head)).get.rows.head.getLong(0) == 2L)
+    assert(e2.query("events", "SELECT count(*) AS c FROM cpu",
+      asOfVersion = Some(versions.last)).get.rows.head.getLong(0) == 4L)
+    // and the stream resumes: the NEXT batch applies and seals v3
+    assert(e2.writeStreamBatch("s", 3L, reqs(5, 1)))
+    assert(e2.query("events", "SELECT count(*) AS c FROM cpu").get
+      .rows.head.getLong(0) == 6L)
+    val v3 = e2.tierVersions("events", "cpu").map(_._1)
+    assert(v3.size == 3, "the threshold seal after restart publishes v3")
   }
 
   test("watermarked tumbling windows aggregate per series") {

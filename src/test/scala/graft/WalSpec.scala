@@ -318,4 +318,46 @@ class WalSpec extends AnyFunSuite {
     assert(buffer.tables("ns").get("t")("1970-01-01").values ==
       Vector("v0"))
   }
+
+  test("stream-batch brackets: committed rows replay, an uncommitted " +
+    "bracket is discarded, hwm surfaces per sink (StreamBatch)") {
+    val dir = tempDir()
+    val wal = new Wal(dir, 0, 64) // small: brackets straddle rotations
+    def w(i: Int) = WriteRequest("ns", "t", s"v$i",
+      Map("i" -> TagNumber(i.toLong)), i.toLong)
+    // batch 0 commits (bracket spans several segments at max=64)
+    wal.writeAll(graft.core.StreamBatch.begin("s", 0L) +:
+      (0 until 3).map(w) :+ graft.core.StreamBatch.commit("s", 0L))
+    // a plain (non-stream) write between brackets inserts normally
+    wal.write(w(100))
+    // an hwm checkpoint record for another sink
+    wal.write(graft.core.StreamBatch.hwm("other", 41L))
+    // batch 1 never commits: begin + rows, no commit (torn tail)
+    wal.writeAll(graft.core.StreamBatch.begin("s", 1L) +:
+      (3 until 6).map(w))
+    wal.close()
+
+    val buffer = new MemBuffer
+    val hwm = scala.collection.mutable.Map.empty[String, Long]
+    val (_, _) = Wal.replay(dir, buffer, _ => (),
+      (sink, bid) => hwm(sink) = math.max(hwm.getOrElse(sink, -1L), bid))
+    assert(hwm == Map("s" -> 0L, "other" -> 41L),
+      "only COMMITTED brackets and hwm records advance the mark")
+    val m = buffer.tables("ns").get("t")("1970-01-01")
+    assert(m.values == Vector("v0", "v1", "v2", "v100"),
+      "committed bracket + plain write replay; uncommitted rows do not")
+  }
+
+  test("stream-batch marker records round-trip the codec " +
+    "(reference-compatible record shape)") {
+    for (mk <- Seq(graft.core.StreamBatch.begin("sink-a", 17L),
+        graft.core.StreamBatch.commit("sink-a", 17L),
+        graft.core.StreamBatch.hwm("sink-a", Long.MaxValue))) {
+      val in = new DataInputStream(
+        new java.io.ByteArrayInputStream(WalCodec.encode(mk)))
+      assert(WalCodec.decode(in).contains(mk))
+      assert(graft.core.StreamBatch.idOf(mk) == mk.metadata("id")
+        .asInstanceOf[TagNumber].bits)
+    }
+  }
 }

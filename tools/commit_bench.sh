@@ -1,0 +1,77 @@
+#!/usr/bin/env bash
+# The quiet-runner protocol for the COMMITTED bench channel — the
+# committed numbers are produced by this gate, not by hand (round-11
+# known-remaining #3: the ±15% ambient band needs a protocol, not
+# vigilance).
+#
+#   tools/commit_bench.sh [reps] [sfDir]   (default 5, /root/testdata/sf0.1)
+#
+# Protocol, enforced in order:
+#   1. refuse to start while ambient 1-min load > LOAD_MAX (0.5):
+#      a committed number produced in a loaded window is the exact
+#      artifact the channel exists to exclude;
+#   2. run graft.Bench with per-rep wall+cpu+GC accounting;
+#   3. verify the run's own verdict: ambient_suspect must be false
+#      (the cpu-channel steal detector) — if true, retry ONCE after a
+#      cool-down, then give up loudly;
+#   4. on success copy bench_out.json -> bench_committed.json and
+#      print both wall and cpu totals (the cpu total is the
+#      steal-immune number rounds compare on).
+set -uo pipefail
+cd "$(dirname "$0")/.."
+REPS="${1:-5}"
+SF_DIR="${2:-/root/testdata/sf0.1}"
+LOAD_MAX="${LOAD_MAX:-0.5}"
+
+ambient_load() { awk '{print $1}' /proc/loadavg; }
+
+load=$(ambient_load)
+if awk -v l="$load" -v m="$LOAD_MAX" 'BEGIN{exit !(l > m)}'; then
+  echo "REFUSED: ambient load $load > $LOAD_MAX — the committed" >&2
+  echo "channel only accepts quiet-box runs (retry when idle," >&2
+  echo "or raise LOAD_MAX knowingly)." >&2
+  exit 2
+fi
+echo "== quiet check passed (load $load <= $LOAD_MAX)"
+
+run_once() {
+  SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_BENCH_REPS="$REPS" \
+    sbt -batch "runMain graft.Bench" 2>&1 | tail -3
+}
+
+verdict() { # prints "ok" / "suspect" / "missing"
+  python3 - <<'EOF'
+import json, sys
+try:
+    j = json.load(open("bench_out.json"))
+except Exception:
+    print("missing"); sys.exit(0)
+print("suspect" if j.get("ambient_suspect") else "ok")
+EOF
+}
+
+echo "== bench run 1/: reps=$REPS sf=$SF_DIR"
+run_once
+v=$(verdict)
+if [ "$v" = "suspect" ]; then
+  echo "== ambient_suspect=true — cooling down 120s and retrying once"
+  sleep 120
+  load=$(ambient_load)
+  echo "== retry (load now $load)"
+  run_once
+  v=$(verdict)
+fi
+if [ "$v" != "ok" ]; then
+  echo "FAIL: bench verdict '$v' — NOT committing this run" >&2
+  exit 1
+fi
+cp bench_out.json bench_committed.json
+python3 - <<'EOF'
+import json
+j = json.load(open("bench_committed.json"))
+print(f"COMMITTED: wall total {j['value']}s, "
+      f"cpu total {j.get('cpu_total', 'n/a')}s, "
+      f"min_of {j.get('min_of')}, load max {j['load']['max']}, "
+      f"ambient_suspect {j.get('ambient_suspect')}")
+EOF
+echo "== done: bench_committed.json updated (git add it with the round)"
