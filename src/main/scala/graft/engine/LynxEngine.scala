@@ -223,6 +223,12 @@ class LynxEngine(
   def streamHighWaterMark(sinkId: String): Long =
     writeLock.synchronized(streamHwm.getOrElse(sinkId, -1L))
 
+  /** Every sink's high-water mark — the /metrics observability face
+    * (a stalled stream shows as a mark that stops advancing).
+    */
+  def streamHighWaterMarks: Map[String, Long] =
+    writeLock.synchronized(streamHwm.toMap)
+
   def write(w: WriteRequest): Unit = writeLock.synchronized {
     // tag keys may not shadow the fixed engine columns or the reserved
     // `__lynx` namespace (the tier's partition column): a tag named

@@ -216,6 +216,12 @@ final class RollupStore(spark: SparkSession, tier: ParquetTier,
     * a recompute, never an undercount.
     */
   def prune(): Unit = {
+    // rollups resident BEFORE the sweep keep serving from memory;
+    // ones loaded ONLY for the sweep are dropped again at the end —
+    // maintenance must not grow the serving cache (the BloomStore
+    // per-key-sweep discipline, proportionally lighter here because
+    // rollup partials are dashboard-bounded maps, not 4 KB blooms)
+    val residentBefore = partials.keysIterator.map(_._1).toSet
     // surface every persisted rollup first so the sweep sees it
     diskLock.synchronized {
       for {
@@ -257,6 +263,16 @@ final class RollupStore(spark: SparkSession, tier: ParquetTier,
           }
         }
       }
+    }
+    // drop sweep-only loads (and their load latch, so a later serve
+    // reloads lazily): the cache ends the sweep no larger than it
+    // began, whatever the on-disk index holds
+    val loadedOnly =
+      partials.keysIterator.map(_._1).toSet -- residentBefore
+    if (loadedOnly.nonEmpty) diskLock.synchronized {
+      partials.keysIterator.filter(k => loadedOnly(k._1)).toSeq
+        .foreach(partials.remove)
+      diskChecked --= loadedOnly
     }
   }
 

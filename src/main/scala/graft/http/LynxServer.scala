@@ -257,11 +257,19 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
       val annDrift =
         if (driftEntries.isEmpty) ""
         else driftEntries.mkString(""","ann_drift":{""", ",", "}")
+      // per-sink streaming high-water marks (WAL-derived): a stalled
+      // stream reads as a mark that stops advancing between scrapes
+      val hwms = engine.streamHighWaterMarks
+      val hwmJson =
+        if (hwms.isEmpty) ""
+        else hwms.toSeq.sortBy(_._1).map { case (s, b) =>
+          s"${graft.engine.Sinks.jsonString(s)}:$b"
+        }.mkString(""","stream_hwm":{""", ",", "}")
       respond(ex, 200,
         s"""{"buffered_rows":$rows""" +
           s""","namespaces":$namespaces""" +
           s""","result_cache_hits":${engine.resultCacheHits.get}""" +
-          annDrift + "}")
+          annDrift + hwmJson + "}")
     } catch {
       case e: Exception =>
         System.err.println(e)

@@ -62,6 +62,28 @@ class HttpSpec extends AnyFunSuite {
     }
   }
 
+  test("metrics surfaces per-sink stream high-water marks (WAL-" +
+    "derived): absent with no sinks, present after a committed batch") {
+    val dir = Files.createTempDirectory("http-hwm").toFile
+    val engine = new LynxEngine(SparkFixture.spark, dir, 1024 * 1024)
+    val server = new LynxServer(engine, "127.0.0.1", 0)
+    server.start()
+    try {
+      val port = server.boundPort
+      def metrics(): String = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/metrics")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      assert(!metrics().contains("stream_hwm"),
+        "no sinks yet: the key must be absent, not empty")
+      engine.writeStreamBatch("sink-a", 4L, Seq(
+        graft.core.WriteRequest("m", "cpu", "1", Map.empty, 1L)))
+      val m = metrics()
+      assert(m.contains("\"stream_hwm\":{\"sink-a\":4}"),
+        s"unexpected metrics: $m")
+    } finally server.stop()
+  }
+
   test("write then query round-trips the reference fixtures " +
     "(testdata/write.json, testdata/query.json)") {
     withServer { port =>

@@ -149,6 +149,38 @@ class RollupSpec extends AnyFunSuite {
     assert(store4.lastComputedFiles.isEmpty)
   }
 
+  test("prune on a store that never served stays non-resident: the " +
+    "sweep must not grow the serving cache, and the persisted index " +
+    "survives intact") {
+    val (e, tier) = engineWithTier()
+    (1 to 6).foreach(i =>
+      e.write(WriteRequest("ns", "cpu", i.toString,
+        Map("host" -> TagString("a")), i.toLong)))
+    e.checkpoint()
+    val store = e.rollups.get
+    store.rollup("ns", "cpu", "host", "value") // persists partials
+    def freshStore() = new graft.engine.RollupStore(SparkFixture.spark,
+      new ParquetTier(new java.io.File(tier.rootPath)))
+    // a maintenance-only store: prune loads each persisted rollup
+    // for the sweep but must NOT keep it resident (all files live →
+    // nothing to drop, nothing to retain)
+    val sweeper = freshStore()
+    sweeper.prune()
+    assert(sweeper.cachedCells == 0,
+      "sweep-only loads must leave the cache when prune returns")
+    // the persisted partials were untouched: a serving store is
+    // still warm (zero files computed)
+    val server = freshStore()
+    val r = server.rollup("ns", "cpu", "host", "value")
+    assert(server.lastComputedFiles.isEmpty,
+      "prune must not disturb live persisted partials")
+    assert(r == Seq((Some("a"), 6L, 21.0)))
+    // and the sweeper itself can still serve AFTER its sweep (the
+    // dropped load latch reloads lazily)
+    assert(sweeper.rollup("ns", "cpu", "host", "value") == r)
+    assert(sweeper.lastComputedFiles.isEmpty)
+  }
+
   test("a group column above the cardinality bound fails fast with " +
     "the bound in the error and leaves no driver state behind") {
     val (e, tier) = engineWithTier()
