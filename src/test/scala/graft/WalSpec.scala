@@ -360,4 +360,119 @@ class WalSpec extends AnyFunSuite {
         .asInstanceOf[TagNumber].bits)
     }
   }
+
+  test("property: random interleavings of writes, batches, and stream " +
+    "brackets — with a random torn tail — replay exactly what an " +
+    "independent record-level interpreter says survived") {
+    import graft.core.{SealMarker, StreamBatch}
+
+    // decode every complete record in segment order (the torn tail,
+    // if any, ends the last segment at its final complete record) —
+    // an independent read path for the oracle below
+    def decodeAll(dir: File): Seq[WriteRequest] = {
+      val segs = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".wal"))
+        .sortBy(_.getName.stripSuffix(".wal").toLong)
+      segs.toSeq.flatMap { f =>
+        val in = new DataInputStream(new java.io.BufferedInputStream(
+          new java.io.FileInputStream(f)))
+        try {
+          val recs = scala.collection.mutable.ArrayBuffer
+            .empty[WriteRequest]
+          try {
+            val header = new Array[Byte](WalCodec.Header.length)
+            in.readFully(header)
+            var rec = WalCodec.decode(in)
+            while (rec.isDefined) { recs += rec.get
+              rec = WalCodec.decode(in) }
+          } catch { case _: java.io.EOFException => /* torn tail */ }
+          recs.toSeq
+        } finally in.close()
+      }
+    }
+
+    // the record-level semantics, restated independently of
+    // Wal.replay: plain rows insert; bracket rows insert only when
+    // their commit survived; commit/hwm records advance the mark
+    def interpret(recs: Seq[WriteRequest])
+        : (Vector[String], Map[String, Long]) = {
+      var vals = Vector.empty[String]
+      var hwm = Map.empty[String, Long]
+      var open: Option[(String, Long, Vector[String])] = None
+      recs.foreach { w =>
+        if (w.namespace == StreamBatch.Namespace) {
+          val sink = w.measurement
+          val id = StreamBatch.idOf(w)
+          w.value match {
+            case StreamBatch.Begin =>
+              open = Some((sink, id, Vector.empty))
+            case StreamBatch.Commit =>
+              open match {
+                case Some((s, b, rs)) if s == sink && b == id =>
+                  vals ++= rs
+                case _ =>
+              }
+              open = None
+              hwm += sink -> math.max(hwm.getOrElse(sink, -1L), id)
+            case _ =>
+              hwm += sink -> math.max(hwm.getOrElse(sink, -1L), id)
+          }
+        } else if (w.namespace == SealMarker.Namespace) ()
+        else open match {
+          case Some((s, b, rs)) => open = Some((s, b, rs :+ w.value))
+          case None => vals :+= w.value
+        }
+      }
+      (vals, hwm)
+    }
+
+    (1 to 30).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val dir = tempDir()
+      val wal = new Wal(dir, 0, 64 + rnd.nextInt(400))
+      var v = 0
+      def mkw(): WriteRequest = {
+        v += 1
+        WriteRequest("ns", "t", s"v$v", Map.empty, v.toLong)
+      }
+      var nextId = Map.empty[String, Long]
+      (0 until 30 + rnd.nextInt(40)).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 => wal.write(mkw())
+          case 1 => wal.writeAll(Vector.fill(1 + rnd.nextInt(5))(mkw()))
+          case _ =>
+            val sink = s"s${rnd.nextInt(3)}"
+            val id = nextId.getOrElse(sink, 0L)
+            nextId += sink -> (id + 1)
+            val ws = Vector.fill(1 + rnd.nextInt(5))(mkw())
+            wal.writeAll(StreamBatch.begin(sink, id) +: ws :+
+              StreamBatch.commit(sink, id))
+        }
+      }
+      wal.close()
+      // random torn tail: chop bytes off the LAST segment — possibly
+      // beheading a bracket's commit, possibly mid-record
+      if (rnd.nextBoolean()) {
+        val last = dir.listFiles().filter(_.getName.endsWith(".wal"))
+          .maxBy(_.getName.stripSuffix(".wal").toLong)
+        val len = last.length()
+        val cut = math.max(WalCodec.Header.length.toLong,
+          len - (1 + rnd.nextInt(300)))
+        val raf = new java.io.RandomAccessFile(last, "rw")
+        try raf.setLength(cut) finally raf.close()
+      }
+      val (wantVals, wantHwm) = interpret(decodeAll(dir))
+      val buffer = new MemBuffer
+      val gotHwm = scala.collection.mutable.Map.empty[String, Long]
+      Wal.replay(dir, buffer, _ => (), (sink, bid) =>
+        gotHwm(sink) = math.max(gotHwm.getOrElse(sink, -1L), bid))
+      val gotVals = buffer.tables("ns").get("t")
+        .values.flatMap(_.values).toVector
+      assert(gotVals == wantVals,
+        s"seed $seed: replayed ${gotVals.size} values, " +
+          s"oracle says ${wantVals.size}")
+      assert(gotHwm.toMap == wantHwm, s"seed $seed: hwm mismatch " +
+        s"(${gotHwm.toMap} vs $wantHwm)")
+    }
+  }
 }
