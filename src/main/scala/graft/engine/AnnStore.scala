@@ -170,7 +170,17 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
           System.err.println(
             f"[annstore] drift ${out.toDouble / app}%.3f > $th%.3f " +
               s"for '$name': auto-rebuilding")
-          rebuild(name)
+          // the batch is already durably appended (cells + stats):
+          // a transient rebuild failure must not fail the append —
+          // a caller's natural retry would re-append the same
+          // vectors. The counters keep climbing on failure, so the
+          // next append re-triggers the rebuild: self-healing.
+          try rebuild(name)
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[annstore] auto-rebuild of '$name' failed " +
+                s"(will retry on next append): $e")
+          }
         }
       }
       ret

@@ -95,6 +95,13 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier,
   // shed clears it, and skip-checks on non-full keys fall back to a
   // targeted jsonl reload of just the queried-but-unloaded files
   private val fullyLoaded = mutable.Set.empty[Key]
+  // negative cache for the disk-resident regime: the set of canonical
+  // paths present in a key's jsonl (~100 B/file vs 4 KB entries),
+  // built on the first partial miss and kept current by
+  // persistAppend / invalidated by rewrites — without it, a query
+  // touching any genuinely-UNINDEXED file (fresh seal, lagging build)
+  // would re-scan the whole jsonl looking for it on EVERY call
+  private val diskPathSets = mutable.Map.empty[Key, mutable.Set[String]]
   private val building = mutable.Set.empty[Key]
   // LRU tick per key, bumped on every load/build/skip-check touch:
   // when the loaded entries exceed maxCachedFiles (~4 KB of bloom
@@ -139,7 +146,9 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier,
           // disk — consult the persisted path set so an eviction
           // never causes a re-SCAN of an already-indexed file
           val onDisk =
-            if (fullyLoaded(key)) Set.empty[String] else diskPaths(key)
+            if (fullyLoaded(key)) Set.empty[String]
+            else diskPathSets.get(key).map(_.toSet)
+              .getOrElse(diskPaths(key))
           snap.files.map(canon).distinct
             .filterNot(f => inMem(f) || onDisk(f))
         }
@@ -326,7 +335,16 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier,
           if (!fullyLoaded(key)) {
             val missing = files.iterator.map(canon)
               .filterNot(m.containsKey).toSet
-            if (missing.nonEmpty) loadSome(key, missing, m)
+            if (missing.nonEmpty) {
+              // consult the path set first: only files the jsonl
+              // actually holds are worth a targeted reload — a
+              // genuinely-unindexed file costs a set lookup, not a
+              // full-index disk pass per query
+              val onDisk = diskPathSets.getOrElseUpdate(key,
+                mutable.Set.empty[String] ++= diskPaths(key))
+              val want = missing.filter(onDisk)
+              if (want.nonEmpty) loadSome(key, want, m)
+            }
           }
           val out = files.filter { f =>
             val e = m.get(canon(f)) // bumps LRU access order
@@ -394,7 +412,21 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier,
     * post-compaction maintenance). The resident cache is only ever
     * SHRUNK (dead entries removed), never grown.
     */
-  def prune(): Unit = lock.synchronized {
+  def prune(): Unit = pruneWhere(_ => true)
+
+  /** Table-scoped prune — what the write path calls after its own
+    * compaction/expiry: only the changed table's columns are swept,
+    * so ingest never stalls on a whole-index disk pass whose useful
+    * work is one table's dead entries. The global prune() remains
+    * for explicit maintenance.
+    */
+  def prune(ns: String, table: String): Unit = {
+    val tl = table.toLowerCase
+    pruneWhere(k => k._1 == ns && k._2 == tl)
+  }
+
+  private def pruneWhere(keep: Key => Boolean): Unit =
+      lock.synchronized {
     // enumerate persisted keys so the sweep covers partials this
     // process never touched
     val diskKeys = (for {
@@ -413,7 +445,7 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier,
       origNames.getOrElseUpdate((key._1, key._2), orig)
       key
     }).toSet
-    val allKeys = (diskKeys ++ idx.keySet).toSeq.sorted
+    val allKeys = (diskKeys ++ idx.keySet).filter(keep).toSeq.sorted
     val liveByTable = mutable.Map.empty[(String, String), Set[String]]
     allKeys.foreach { key =>
       val orig = origNames.getOrElse((key._1, key._2), key._2)
@@ -498,12 +530,18 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier,
   }
 
   /** Append `built` to the column's jsonl (creating dir + `_name` on
-    * first write). Runs under the per-key `building` marker, never
-    * under the lock: one flush per build, O(new files) bytes.
+    * first write). Called UNDER the store lock (and the per-key
+    * `building` marker): prune's rewriteDisk atomically replaces the
+    * same jsonl under that lock, so an unguarded append could land on
+    * the replaced inode or resurrect just-pruned entries. One flush
+    * per build, O(new files) bytes — cheap enough to serialize.
     */
   private def persistAppend(ns: String, table: String, column: String,
       built: mutable.Map[String, FileIdx]): Unit =
     jsonlFile(ns, table.toLowerCase, column.toLowerCase).foreach { jf =>
+      // keep the negative cache current: these paths are on disk now
+      diskPathSets.get((ns, table.toLowerCase, column.toLowerCase))
+        .foreach(_ ++= built.keys)
       try {
         jf.getParentFile.mkdirs()
         val nameF = new File(jf.getParentFile, "_name")
@@ -524,7 +562,10 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier,
 
   /** Compact the column's jsonl to exactly `m` (tmp + atomic move). */
   private def rewriteDisk(key: Key, origTable: String,
-      m: mutable.Map[String, FileIdx]): Unit =
+      m: mutable.Map[String, FileIdx]): Unit = {
+    // the on-disk path set changed: invalidate the negative cache
+    // (rebuilt lazily on the next partial miss)
+    diskPathSets -= key
     jsonlFile(key._1, key._2, key._3).foreach { jf =>
       if (jf.isFile) try {
         val sb = new StringBuilder
@@ -538,6 +579,7 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier,
         System.err.println(s"[bloomstore] prune rewrite failed for $jf: $e")
       }
     }
+  }
 
   /** One jsonl line for a file's partial. Every field is base64 — no
     * JSON string-escaping concerns, and zone bounds round-trip as the
@@ -583,6 +625,7 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier,
     if (!diskChecked(key)) {
       diskChecked += key
       fullyLoaded += key
+      diskPathSets -= key // full load: the negative cache is moot
       origNames.getOrElseUpdate((ns, key._2), table)
       jsonlFile(ns, key._2, key._3).foreach { jf =>
         if (jf.isFile) {

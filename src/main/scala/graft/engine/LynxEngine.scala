@@ -163,6 +163,13 @@ class LynxEngine(
 
   private def validateTags(ws: Seq[WriteRequest]): Unit =
     ws.foreach { w =>
+      // the NUL prefix is the WAL marker class (seal markers, stream
+      // brackets, hwm records): a data row carrying it would replay
+      // as a marker — poisoning a sink's high-water mark or opening
+      // a phantom bracket — so it is rejected at every ingest door
+      // (the HTTP layer rejects it too; this guards embedded callers)
+      require(!w.namespace.startsWith("\u0000"),
+        "reserved namespace")
       w.metadata.keys.foreach(k => require(
         k != "timestamp" && k != "value" && !k.startsWith("__lynx"),
         s"reserved tag key: $k"))
@@ -233,7 +240,10 @@ class LynxEngine(
     // tag keys may not shadow the fixed engine columns or the reserved
     // `__lynx` namespace (the tier's partition column): a tag named
     // `timestamp`/`value` would collide in the inferred schema, and a
-    // `__lynx_day` tag would be silently overwritten at seal time
+    // `__lynx_day` tag would be silently overwritten at seal time.
+    // The namespace NUL-prefix guard mirrors validateTags (a data row
+    // in the marker namespace would replay as a marker).
+    require(!w.namespace.startsWith("\u0000"), "reserved namespace")
     w.metadata.keys.foreach(k => require(
       k != "timestamp" && k != "value" && !k.startsWith("__lynx"),
       s"reserved tag key: $k"))
@@ -300,8 +310,8 @@ class LynxEngine(
             // same hygiene as explicit compact(): the rewrite
             // orphaned the originals' index entries — drop them now
             // (amortized: once per `threshold` seals, the same class
-            // as the rewrite itself)
-            pruneIndexes()
+            // as the rewrite itself; scoped to THIS table)
+            pruneIndexes(namespace, table)
           }
           // keep the configured bloom/zone indexes current: one
           // incremental build over JUST the files this seal (or its
@@ -349,20 +359,16 @@ class LynxEngine(
       writeLock.synchronized {
         bufferedPerTable.filterInPlace((k, _) =>
           buffer.partitions(k._1, k._2) > 0)
-        // truncate only if no new writes landed since the seals
-        if (buffer.isEmpty) {
-          wal.truncateClosed()
-          // the truncated segments carried the stream-batch brackets
-          // the high-water marks were derived from: re-persist each
-          // sink's mark as an HWM record in the fresh segment, or a
-          // restart would replay already-committed batches
-          if (streamHwm.nonEmpty) {
-            streamHwm.foreach { case (sink, bid) =>
-              wal.write(graft.core.StreamBatch.hwm(sink, bid))
-            }
-            wal.flush()
-          }
-        }
+        // truncate only if no new writes landed since the seals. The
+        // sinks' high-water marks ride as carry-over records: the WAL
+        // writes AND FLUSHES them into the fresh segment BEFORE any
+        // bracket-carrying old segment is deleted — a crash anywhere
+        // leaves either the old brackets (replay re-derives the same
+        // marks) or the durable hwm records, never neither.
+        if (buffer.isEmpty)
+          wal.truncateClosed(streamHwm.toSeq.sortBy(_._1).map {
+            case (sink, bid) => graft.core.StreamBatch.hwm(sink, bid)
+          })
       }
     }
 
@@ -382,7 +388,7 @@ class LynxEngine(
       // ...and drop the rewritten originals' entries from the
       // persisted index (memory + jsonl), so the index tracks the
       // manifest instead of accumulating dead files forever
-      pruneIndexes()
+      pruneIndexes(namespace, table)
     }
 
   /** Expire tier day-partitions older than `beforeDay` (exclusive,
@@ -400,23 +406,27 @@ class LynxEngine(
       // and rollup partials from the persisted indexes too, or the
       // jsonl grows forever with entries for files that no longer
       // exist (the same hygiene compaction gets)
-      if (dropped > 0) pruneIndexes()
+      if (dropped > 0) pruneIndexes(namespace, table)
       dropped
     }
 
   /** Post-GC index hygiene: drop bloom/zone and rollup partials for
-    * files no longer in any live manifest (memory + persisted jsonl).
-    * Failures are logged, never propagated — pruning is maintenance;
-    * a skipped prune costs disk bytes, not correctness (dead entries
-    * key files no query will ever list).
+    * the table's files no longer in its live manifest (memory +
+    * persisted jsonl). SCOPED to the table whose manifest changed:
+    * the seal path must never stall ingest on a whole-index disk
+    * sweep whose useful work is one table's dead entries (the global
+    * store.prune() remains for explicit maintenance). Failures are
+    * logged, never propagated — pruning is maintenance; a skipped
+    * prune costs disk bytes, not correctness (dead entries key files
+    * no query will ever list).
     */
-  private def pruneIndexes(): Unit = {
+  private def pruneIndexes(ns: String, table: String): Unit = {
     for (bs <- valueBlooms)
-      try bs.prune()
+      try bs.prune(ns, table)
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bloom-prune] skipped: ${e.getMessage}") }
     for (rs <- rollups)
-      try rs.prune()
+      try rs.prune(ns, table)
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[rollup-prune] skipped: ${e.getMessage}") }
   }

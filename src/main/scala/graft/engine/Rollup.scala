@@ -215,14 +215,23 @@ final class RollupStore(spark: SparkSession, tier: ParquetTier,
     * front, so an eviction racing the merge costs that serve at most
     * a recompute, never an undercount.
     */
-  def prune(): Unit = {
+  def prune(): Unit = pruneWhere(_ => true)
+
+  /** Table-scoped prune — the write path's variant: only the changed
+    * table's rollups are swept, so a seal-inline compaction never
+    * pays a whole-index pass for one table's dead entries.
+    */
+  def prune(ns: String, table: String): Unit =
+    pruneWhere(k => k.ns == ns && k.table.equalsIgnoreCase(table))
+
+  private def pruneWhere(keepKey: RollupKey => Boolean): Unit = {
     // rollups resident BEFORE the sweep keep serving from memory;
     // ones loaded ONLY for the sweep are dropped again at the end —
     // maintenance must not grow the serving cache (the BloomStore
     // per-key-sweep discipline, proportionally lighter here because
     // rollup partials are dashboard-bounded maps, not 4 KB blooms)
     val residentBefore = partials.keysIterator.map(_._1).toSet
-    // surface every persisted rollup first so the sweep sees it
+    // surface every persisted rollup IN SCOPE so the sweep sees it
     diskLock.synchronized {
       for {
         base <- Option(
@@ -232,13 +241,15 @@ final class RollupStore(spark: SparkSession, tier: ParquetTier,
         if tDir.isDirectory
         mf <- Option(tDir.listFiles()).getOrElse(Array.empty[File])
         if mf.getName.endsWith(".meta")
-      } readMeta(mf).foreach(k => loadLocked(k))
+      } readMeta(mf).filter(keepKey).foreach(k => loadLocked(k))
     }
-    val live = partials.keys.map { case (k, _) => (k.ns, k.table) }.toSet
+    val live = partials.keys.map(_._1).filter(keepKey)
+      .map(k => (k.ns, k.table)).toSet
       .flatMap { nsTable: (String, String) =>
         tier.dataFiles(nsTable._1, nsTable._2).map(canon)
       }
     val deadByKey = partials.keys
+      .filter { case (k, _) => keepKey(k) }
       .filterNot { case (_, f) => live.contains(f) }
       .toSeq.groupBy(_._1)
     deadByKey.foreach { case (k, dead) =>

@@ -56,8 +56,13 @@ object Json {
       "timestamp must be an integer (microseconds since epoch)")
     require(n.get("timestamp").bigIntegerValue().bitLength() <= 63,
       "timestamp out of i64 range")
-    require(!n.get("namespace").asText()
-      .startsWith(graft.core.SealMarker.Namespace),
+    // the WHOLE NUL prefix is reserved for WAL marker records (seal
+    // markers, stream-batch brackets, hwm checkpoints): JSON can
+    // carry unicode NUL escapes, and a forged lynx.batch marker replayed
+    // from the WAL could poison a sink's high-water mark (silently
+    // skipping every future batch) or open a never-committed bracket
+    // (discarding later writes) — reject the class, not one name
+    require(!n.get("namespace").asText().startsWith("\u0000"),
       "reserved namespace")
     val metadata: Map[String, TagValue] =
       if (n.hasNonNull("metadata")) {

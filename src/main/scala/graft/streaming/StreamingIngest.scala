@@ -90,21 +90,30 @@ object StreamingIngest {
     * bounded by the trigger interval, and horizontal scale comes
     * from sharding namespaces across engines, not from parallelizing
     * one WAL. `sinkId` names the stream's hwm lane inside the
-    * engine's WAL — two streams feeding one engine need distinct
-    * ids (batch ids are per-checkpoint, not global).
+    * engine's WAL; it DEFAULTS to the canonical checkpoint path —
+    * Spark already requires that to be unique per query, so two
+    * streams feeding one engine are isolated without the caller
+    * thinking about it (batch ids are per-checkpoint, not global;
+    * one shared lane would silently drop the younger stream's
+    * batches as already-applied). Pass an explicit id only to keep
+    * the lane stable across a checkpoint-dir move.
     */
   def engineSink(rows: Dataset[StreamRow],
       engine: graft.engine.LynxEngine,
       checkpointDir: String,
-      sinkId: String = "stream"): StreamingQuery =
+      sinkId: String = ""): StreamingQuery = {
+    val sid =
+      if (sinkId.nonEmpty) sinkId
+      else new java.io.File(checkpointDir).getAbsolutePath
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .foreachBatch { (ds: Dataset[StreamRow], batchId: Long) =>
-        applyEngineBatch(engine, sinkId, ds, batchId)
+        applyEngineBatch(engine, sid, ds, batchId)
         ()
       }
       .start()
+  }
 
   /** The idempotent micro-batch applier behind [[engineSink]] —
     * package-visible so the replay contract is directly testable.

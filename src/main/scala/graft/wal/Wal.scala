@@ -223,26 +223,39 @@ final class Wal(directory: File, startSegmentId: Long,
     * empty because everything was sealed to the tier (see
     * LynxEngine.checkpoint). Bounds the reference's unbounded WAL
     * growth (SURVEY.md §3.3).
+    *
+    * `carryOver` records (e.g. stream high-water-mark checkpoints)
+    * are written AND FLUSHED into the fresh segment BEFORE any old
+    * segment is deleted: a crash anywhere in this method then either
+    * leaves the old segments (replay re-derives the same state from
+    * them) or has the carry-over durable — there is no window where
+    * the brackets are gone and their summary is not.
     */
-  def truncateClosed(): Unit = synchronized {
-    rotate()
-    // Delete every segment older than the fresh active one (including
-    // those inherited from a previous process via replay), OLDEST
-    // FIRST and stopping on the first failure: a data row in a
-    // surviving segment then always has its seal marker in a later
-    // surviving segment, so a crash mid-truncate can never resurrect
-    // sealed rows without their marker.
-    val segs = Option(directory.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => f.getName match {
-        case Wal.SegmentName(id) if id.toLong < active.id =>
-          Some((id.toLong, f))
-        case _ => None
-      })
-      .sortBy(_._1)
-    var ok = true
-    for ((_, f) <- segs if ok) ok = f.delete()
-    closedSegments.clear()
-  }
+  def truncateClosed(carryOver: Seq[WriteRequest] = Nil): Unit =
+    synchronized {
+      rotate()
+      if (carryOver.nonEmpty) {
+        carryOver.foreach(w =>
+          active.write(WalCodec.encode(w), flushNow = false))
+        if (fsyncOnFlush) active.sync() else active.flush()
+      }
+      // Delete every segment older than the fresh active one
+      // (including those inherited from a previous process via
+      // replay), OLDEST FIRST and stopping on the first failure: a
+      // data row in a surviving segment then always has its seal
+      // marker in a later surviving segment, so a crash mid-truncate
+      // can never resurrect sealed rows without their marker.
+      val segs = Option(directory.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => f.getName match {
+          case Wal.SegmentName(id) if id.toLong < active.id =>
+            Some((id.toLong, f))
+          case _ => None
+        })
+        .sortBy(_._1)
+      var ok = true
+      for ((_, f) <- segs if ok) ok = f.delete()
+      closedSegments.clear()
+    }
 
   def close(): Unit = {
     flusher.foreach(_.cancel())
@@ -332,11 +345,15 @@ object Wal {
     // is recoverable — garbage mid-file is indistinguishable from
     // damage and must stop replay.
     val lastId = segments.lastOption.fold(-1L)(_._1)
-    // open stream-batch bracket: Some((sinkId, batchId, staged rows)).
-    // Spans segments (a bracket may straddle a rotation); discarded at
-    // EOF when the commit never made it durable.
-    var bracket: Option[(String, Long,
-      mutable.ArrayBuffer[WriteRequest])] = None
+    // open stream-batch bracket, with the byte position of its BEGIN
+    // record so an uncommitted bracket can be PHYSICALLY removed.
+    // Spans segments (a bracket may straddle a rotation); discarded —
+    // and truncated away — at EOF when the commit never made it
+    // durable.
+    case class OpenBracket(sink: String, bid: Long,
+      rows: mutable.ArrayBuffer[WriteRequest],
+      segId: Long, file: File, beginOff: Long)
+    var bracket: Option[OpenBracket] = None
     segments.foreach { case (id, f) =>
       observed += id
       highest = math.max(highest, id)
@@ -360,15 +377,27 @@ object Wal {
               val bid = graft.core.StreamBatch.idOf(w)
               w.value match {
                 case graft.core.StreamBatch.Begin =>
-                  // a begin while a bracket is open means its commit
-                  // was lost (crash mid-group-commit): those rows
-                  // never committed — drop them, the source re-sends
-                  bracket = Some((sink, bid,
-                    mutable.ArrayBuffer.empty[WriteRequest]))
+                  // a begin while a bracket is open cannot happen in
+                  // a WAL this code wrote (an uncommitted bracket is
+                  // always the tail, and the previous replay removed
+                  // it) — treat it as corruption-grade and say so,
+                  // but stay conservative: drop the unfinished one
+                  bracket.foreach { b =>
+                    System.err.println(s"[wal] WARNING: begin-over-" +
+                      s"begin at segment $id — dropping ${b.rows.size}" +
+                      s" rows of uncommitted batch ${b.bid} " +
+                      s"(sink '${b.sink}')")
+                  }
+                  // lastGood still holds the offset BEFORE this
+                  // record: the exact truncation point if this
+                  // bracket never commits
+                  bracket = Some(OpenBracket(sink, bid,
+                    mutable.ArrayBuffer.empty[WriteRequest],
+                    id, f, lastGood))
                 case graft.core.StreamBatch.Commit =>
                   bracket match {
-                    case Some((s, b, rows)) if s == sink && b == bid =>
-                      rows.foreach(buffer.insert)
+                    case Some(b) if b.sink == sink && b.bid == bid =>
+                      b.rows.foreach(buffer.insert)
                     case _ => // stray commit: nothing staged to flush
                   }
                   bracket = None
@@ -381,7 +410,7 @@ object Wal {
               // (value=namespace, measurement=table) live in the tier
               onSeal(w)
             else bracket match {
-              case Some((_, _, rows)) => rows += w
+              case Some(b) => b.rows += w
               case None => buffer.insert(w)
             }
             lastGood = counter.count
@@ -410,13 +439,30 @@ object Wal {
         }
       }
     }
-    // a bracket still open at EOF never committed: its staged rows
+    // A bracket still open at EOF never committed: its staged rows
     // are dropped (the source re-delivers the batch — its id is above
-    // every surfaced hwm). The stray begin/rows records stay in the
-    // segment and are re-discarded on any later replay: harmless.
-    bracket.foreach { case (sink, bid, rows) =>
-      System.err.println(s"[wal] discarding ${rows.size} rows of " +
-        s"uncommitted stream batch $bid (sink '$sink')")
+    // every surfaced hwm) — and its records are PHYSICALLY removed.
+    // They cannot be left behind: an uncommitted bracket is the WAL's
+    // tail right now (it was the crash's last append), but after this
+    // replay the engine accepts new writes into later segments — a
+    // surviving zombie begin would then stage those acknowledged
+    // rows on the NEXT replay and discard them. Failure to clean is
+    // therefore failure to start.
+    bracket.foreach { b =>
+      System.err.println(s"[wal] discarding ${b.rows.size} rows of " +
+        s"uncommitted stream batch ${b.bid} (sink '${b.sink}') and " +
+        "truncating its records")
+      // later segments hold only this bracket's rows (the bracket was
+      // one atomic append and nothing survived after the crash)
+      segments.filter(_._1 > b.segId).foreach { case (_, sf) =>
+        if (sf.exists() && !sf.delete())
+          throw new IllegalStateException(
+            s"could not remove zombie stream-bracket segment $sf")
+      }
+      if (b.beginOff < b.file.length()) {
+        val raf = new java.io.RandomAccessFile(b.file, "rw")
+        try raf.setLength(b.beginOff) finally raf.close()
+      }
     }
     (highest, observed.toSeq)
   }

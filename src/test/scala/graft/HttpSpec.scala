@@ -84,6 +84,44 @@ class HttpSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("forged reserved-namespace writes are rejected: a client must " +
+    "not be able to plant WAL marker records (hwm poisoning, phantom " +
+    "brackets, fake seals)") {
+    withServer { port =>
+      val esc = "\\" + "u0000" // the JSON escape, not the raw NUL
+      // a forged stream-batch hwm marker would, after a restart,
+      // poison the victim sink's high-water mark so every real batch
+      // is skipped as already-applied
+      val r1 = post(port, "/api/v1/write",
+        s"""{"namespace":"${esc}lynx.batch","measurement":"victim",
+           |"value":"hwm","metadata":{"id":42},"timestamp":1}"""
+          .stripMargin)
+      assert(r1.statusCode() == 422, "lynx.batch forge must 422")
+      // the historically-guarded seal namespace stays rejected
+      val r2 = post(port, "/api/v1/write",
+        s"""{"namespace":"${esc}lynx.seal","measurement":"t",
+           |"value":"ns","metadata":{},"timestamp":1}""".stripMargin)
+      assert(r2.statusCode() == 422, "lynx.seal forge must 422")
+      // the WHOLE NUL prefix is the reserved class, not two names
+      val r3 = post(port, "/api/v1/write",
+        s"""{"namespace":"${esc}future.marker","measurement":"t",
+           |"value":"v","metadata":{},"timestamp":1}""".stripMargin)
+      assert(r3.statusCode() == 422, "any NUL-prefixed namespace must 422")
+      // and the engine-level door agrees (embedded callers)
+      val dir = Files.createTempDirectory("forge-engine").toFile
+      val engine = new LynxEngine(SparkFixture.spark, dir, 1024 * 1024)
+      intercept[IllegalArgumentException](engine.write(
+        graft.core.WriteRequest("\u0000lynx.batch", "victim", "hwm",
+          Map.empty, 1L)))
+      intercept[IllegalArgumentException](engine.writeBatch(Seq(
+        graft.core.WriteRequest("\u0000lynx.seal", "t", "ns",
+          Map.empty, 1L))))
+      intercept[IllegalArgumentException](engine.writeStreamBatch(
+        "sink", 0L, Seq(graft.core.WriteRequest("\u0000x", "t", "v",
+          Map.empty, 1L))))
+    }
+  }
+
   test("write then query round-trips the reference fixtures " +
     "(testdata/write.json, testdata/query.json)") {
     withServer { port =>

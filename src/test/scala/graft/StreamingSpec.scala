@@ -90,30 +90,47 @@ class StreamingSpec extends AnyFunSuite {
       == Set("host"))
 
     // idempotence: re-delivering an ALREADY-APPLIED batch id (the
-    // foreachBatch restart contract) is a no-op...
-    assert(engine.streamHighWaterMark("stream") >= 1L,
+    // foreachBatch restart contract) is a no-op. The default sink id
+    // is the canonical checkpoint path — unique per query by Spark's
+    // own contract, so two streams on one engine can't share a lane.
+    val sid = ckpt.getAbsolutePath
+    assert(engine.streamHighWaterMark(sid) >= 1L,
       "WAL-derived high-water mark must cover the applied batches")
     val dup = spark.createDataset(srows(2))
-    assert(!StreamingIngest.applyEngineBatch(engine, "stream", dup, 0L))
+    assert(!StreamingIngest.applyEngineBatch(engine, sid, dup, 0L))
     val r3 = engine.query("events",
       "SELECT count(*) AS c FROM cpu").get
     assert(r3.rows.head.getLong(0) == 6L, "replayed batch must not land")
     // ...and a NEW id applies exactly once
-    assert(StreamingIngest.applyEngineBatch(engine, "stream", dup, 999L))
+    assert(StreamingIngest.applyEngineBatch(engine, sid, dup, 999L))
     val r4 = engine.query("events",
       "SELECT count(*) AS c FROM cpu").get
     assert(r4.rows.head.getLong(0) == 8L)
+    // a SECOND stream (own checkpoint, batch ids restarting at 0)
+    // gets its own lane: its batch 0 lands instead of being swallowed
+    // by the first stream's high-water mark
+    val ckpt2 = Files.createTempDirectory("esink-ckpt2").toFile
+    val mem2 = MemoryStream[StreamRow]
+    val q2 = StreamingIngest.engineSink(mem2.toDS(), engine,
+      ckpt2.getPath)
+    mem2.addData(Seq(StreamRow("events", "cpu", "second-stream",
+      Map("host" -> "h9"), 999L * 1000000L)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(engine.query("events",
+      "SELECT count(*) AS c FROM cpu").get.rows.head.getLong(0) == 9L,
+      "a second stream's batch 0 must land in its own hwm lane")
     // ...and the hwm survives a process restart, derived from the
     // WAL brackets alone (no side file): a fresh engine over the same
     // walDir refuses every batch id up to 999
     val engine2 = new graft.engine.LynxEngine(spark, walDir,
       1024 * 1024, Some(new graft.tier.ParquetTier(tierDir)),
       maxBufferedRows = 3, autoBloomColumns = Seq("host"))
-    assert(engine2.streamHighWaterMark("stream") == 999L)
-    assert(!StreamingIngest.applyEngineBatch(engine2, "stream", dup, 999L))
+    assert(engine2.streamHighWaterMark(sid) == 999L)
+    assert(!StreamingIngest.applyEngineBatch(engine2, sid, dup, 999L))
     val r5 = engine2.query("events",
       "SELECT count(*) AS c FROM cpu").get
-    assert(r5.rows.head.getLong(0) == 8L,
+    assert(r5.rows.head.getLong(0) == 9L,
       "restart + re-delivery must not double-apply any batch")
   }
 

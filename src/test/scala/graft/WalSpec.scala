@@ -475,4 +475,54 @@ class WalSpec extends AnyFunSuite {
         s"(${gotHwm.toMap} vs $wantHwm)")
     }
   }
+
+  test("an uncommitted bracket is PHYSICALLY removed at the first " +
+    "replay — a later session's acknowledged writes can never be " +
+    "staged into a zombie begin and discarded") {
+    import graft.core.StreamBatch
+    val dir = tempDir()
+    def w(i: Int) = WriteRequest("ns", "t", s"v$i",
+      Map("i" -> TagNumber(i.toLong)), i.toLong)
+    // session 1: a committed plain write, a committed bracket, then a
+    // crash mid-bracket — begin + rows span SEGMENTS (max 64 bytes),
+    // commit never written
+    val wal1 = new Wal(dir, 0, 64)
+    wal1.write(w(1))
+    wal1.writeAll(StreamBatch.begin("s", 4L) +: Seq(w(2)) :+
+      StreamBatch.commit("s", 4L))
+    wal1.writeAll(StreamBatch.begin("s", 5L) +: (3 to 6).map(w))
+    wal1.close()
+    val segsBefore = dir.listFiles().count(_.getName.endsWith(".wal"))
+
+    // replay #1: committed data survives, the zombie's records are
+    // gone FROM DISK (not just skipped)
+    val buf1 = new MemBuffer
+    val hwm1 = scala.collection.mutable.Map.empty[String, Long]
+    val (h1, _) = Wal.replay(dir, buf1, _ => (),
+      (s, b) => hwm1(s) = math.max(hwm1.getOrElse(s, -1L), b))
+    assert(buf1.tables("ns").get("t")("1970-01-01").values ==
+      Vector("v1", "v2"))
+    assert(hwm1 == Map("s" -> 4L))
+    val segsAfter = dir.listFiles().count(_.getName.endsWith(".wal"))
+    assert(segsAfter < segsBefore,
+      "the zombie bracket's spill segments must be deleted")
+
+    // session 2: acknowledged plain writes land after the crash
+    val wal2 = new Wal(dir, h1 + 1, 64)
+    wal2.write(w(7))
+    wal2.write(w(8))
+    wal2.close()
+
+    // replay #2: WITHOUT the physical cleanup, the zombie begin
+    // would still open here and stage-and-discard v7/v8 — the exact
+    // acknowledged-data loss this test pins closed
+    val buf2 = new MemBuffer
+    val hwm2 = scala.collection.mutable.Map.empty[String, Long]
+    Wal.replay(dir, buf2, _ => (),
+      (s, b) => hwm2(s) = math.max(hwm2.getOrElse(s, -1L), b))
+    assert(buf2.tables("ns").get("t")("1970-01-01").values ==
+      Vector("v1", "v2", "v7", "v8"),
+      "session 2's acknowledged writes must replay")
+    assert(hwm2 == Map("s" -> 4L))
+  }
 }

@@ -35,8 +35,16 @@ fi
 echo "== quiet check passed (load $load <= $LOAD_MAX)"
 
 run_once() {
+  # a stale bench_out.json from an earlier run must never pass as
+  # this run's result: remove it first, so a failed/crashed bench
+  # reads as "missing", not as the previous numbers
+  rm -f bench_out.json
   SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_BENCH_REPS="$REPS" \
     sbt -batch "runMain graft.Bench" 2>&1 | tail -3
+  [ -f bench_out.json ] || {
+    echo "FAIL: bench produced no bench_out.json (crash/compile?)" >&2
+    return 1
+  }
 }
 
 verdict() { # prints "ok" / "suspect" / "missing"
