@@ -97,6 +97,14 @@ object StreamingIngest {
     * one shared lane would silently drop the younger stream's
     * batches as already-applied). Pass an explicit id only to keep
     * the lane stable across a checkpoint-dir move.
+    *
+    * RESETTING a stream (deleting its checkpoint so batch ids restart
+    * at 0) must use a NEW checkpoint directory (or a new explicit
+    * sinkId): the engine's WAL remembers the old lane's high-water
+    * mark, so re-using the same path after a reset would silently
+    * skip the restarted batch ids as already-applied — the mark is
+    * exactly-once protection, and a reset that reuses the lane is
+    * indistinguishable from a replay.
     */
   def engineSink(rows: Dataset[StreamRow],
       engine: graft.engine.LynxEngine,
