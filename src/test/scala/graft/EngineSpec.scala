@@ -1315,6 +1315,49 @@ class EngineSpec extends AnyFunSuite {
       "partial eviction must never cause a re-scan of indexed files")
   }
 
+  test("property: the bounded per-file-LRU store answers every skip " +
+    "variant identically to an unbounded twin under 60 random " +
+    "interleaved queries") {
+    val tierDir = Files.createTempDirectory("bloom-lruprop-tier").toFile
+    val tier = new ParquetTier(tierDir)
+    val e = newEngine(Some(tier))
+    val hosts = (1 to 6).map(i => s"p$i")
+    for ((h, i) <- hosts.zipWithIndex) {
+      e.write(WriteRequest("ns", "cpu", s"v-$h",
+        Map("host" -> TagString(h)), i * 100L + 1))
+      e.seal("ns", "cpu")
+    }
+    val files = tier.dataFiles("ns", "cpu")
+    val bounded = new graft.engine.BloomStore(SparkFixture.spark, tier,
+      maxCachedFiles = 2)
+    assert(bounded.index("ns", "cpu", "host") == files.size)
+    val fresh = new graft.engine.BloomStore(SparkFixture.spark, tier)
+    val rnd = new scala.util.Random(7)
+    val pool = hosts ++ Seq("nope", "", "zzz")
+    def pick() = pool(rnd.nextInt(pool.size))
+    (1 to 60).foreach { i =>
+      val (a, b) = (
+        rnd.nextInt(3) match {
+          case 0 =>
+            val v = pick()
+            (bounded.skipFiles("ns", "cpu", "host", v, files),
+              fresh.skipFiles("ns", "cpu", "host", v, files))
+          case 1 =>
+            val vs = Seq(pick(), pick())
+            (bounded.skipFilesAny("ns", "cpu", "host", vs, files),
+              fresh.skipFilesAny("ns", "cpu", "host", vs, files))
+          case _ =>
+            val lo = if (rnd.nextBoolean()) Some(pick()) else None
+            val hi = if (rnd.nextBoolean()) Some(pick()) else None
+            (bounded.skipFilesRange("ns", "cpu", "host", lo, hi, files),
+              fresh.skipFilesRange("ns", "cpu", "host", lo, hi, files))
+        })
+      assert(a == b, s"query $i: bounded $a != unbounded $b")
+      assert(bounded.cachedFiles <= 2,
+        s"query $i: cache ${bounded.cachedFiles} over the bound")
+    }
+  }
+
   test("expire() GCs the persisted bloom index with the manifest: an " +
     "expired day's entries leave memory AND the jsonl") {
     val tierDir = Files.createTempDirectory("bloom-expire-tier").toFile

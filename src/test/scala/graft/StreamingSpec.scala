@@ -221,6 +221,36 @@ class StreamingSpec extends AnyFunSuite {
       .rows.head.getLong(0) == 6L)
   }
 
+  test("writeStreamBatch under group-commit WAL: the bracket is " +
+    "durable BEFORE the call returns (its own flush, not the timer), " +
+    "while a plain buffered write is not — the ack precedes nothing") {
+    val spark = SparkFixture.spark
+    val walDir = Files.createTempDirectory("gc-stream-wal").toFile
+    // timer at 60s: it will NOT fire during this test, so any
+    // durability observed comes from explicit flushes alone
+    val e = new graft.engine.LynxEngine(spark, walDir, 1024 * 1024,
+      walGroupCommitMillis = 60000L)
+    val ws = (0 until 3).map(i => graft.core.WriteRequest("events",
+      "cpu", s"v$i", Map.empty, i * 1000000L + 1))
+    assert(e.writeStreamBatch("s", 0L, ws))
+    // a plain write afterwards only BUFFERS under group commit
+    e.write(graft.core.WriteRequest("events", "cpu", "unflushed",
+      Map.empty, 99L * 1000000L))
+    // replay the live directory WITHOUT closing the wal (closing
+    // would flush and hide the distinction): the bracket's rows and
+    // hwm must be there; the buffered plain write must not
+    val buf = new graft.buffer.MemBuffer
+    val hwm = scala.collection.mutable.Map.empty[String, Long]
+    graft.wal.Wal.replay(walDir, buf, _ => (),
+      (s, b) => hwm(s) = math.max(hwm.getOrElse(s, -1L), b))
+    val vals = buf.tables("events").get("cpu")("1970-01-01").values
+    assert(vals == Vector("v0", "v1", "v2"),
+      "the bracket must be durable at writeStreamBatch return; the " +
+        s"buffered plain write must not be (got $vals)")
+    assert(hwm == Map("s" -> 0L))
+    e.wal.close()
+  }
+
   test("composition: engineSink batches seal manifest versions, a " +
     "mid-stream crash restarts with the WAL-derived hwm, and time " +
     "travel works across the restart") {
