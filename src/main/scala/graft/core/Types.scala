@@ -68,28 +68,53 @@ object StreamBatch {
   val Hwm = "hwm"
   /** tag key carrying the batch id (TagNumber) */
   val IdTag = "id"
+  /** Tag key carrying the STREAMING QUERY IDENTITY (TagString) — the
+    * stable id Spark persists in the checkpoint's metadata file. A
+    * lane remembers the query id of its committed brackets; a batch
+    * arriving at-or-below the high-water mark FROM A DIFFERENT query
+    * id is a checkpoint RESET (the dir was wiped and recreated, so
+    * batch ids restarted at 0 while the WAL still holds the old
+    * mark) and must fail loudly instead of being silently skipped as
+    * a replay. Optional: absent on brackets from callers without a
+    * checkpoint identity (detection then degrades to the documented
+    * fresh-checkpoint discipline).
+    */
+  val QidTag = "qid"
 
-  private def mk(sinkId: String, kind: String,
-      batchId: Long): WriteRequest =
+  private def mk(sinkId: String, kind: String, batchId: Long,
+      qid: String): WriteRequest =
     WriteRequest(Namespace, sinkId, kind,
-      Map(IdTag -> TagNumber(batchId)), 0L)
+      if (qid.isEmpty) Map(IdTag -> TagNumber(batchId))
+      else Map(IdTag -> TagNumber(batchId), QidTag -> TagString(qid)),
+      0L)
 
-  def begin(sinkId: String, batchId: Long): WriteRequest =
-    mk(sinkId, Begin, batchId)
-  def commit(sinkId: String, batchId: Long): WriteRequest =
-    mk(sinkId, Commit, batchId)
+  def begin(sinkId: String, batchId: Long,
+      qid: String = ""): WriteRequest =
+    mk(sinkId, Begin, batchId, qid)
+  def commit(sinkId: String, batchId: Long,
+      qid: String = ""): WriteRequest =
+    mk(sinkId, Commit, batchId, qid)
   /** Standalone checkpoint of an already-committed high-water mark —
     * written after WAL truncation so the mark outlives the segments
-    * that carried the original brackets.
+    * that carried the original brackets. Carries the lane's query id
+    * so reset detection survives segment GC too.
     */
-  def hwm(sinkId: String, batchId: Long): WriteRequest =
-    mk(sinkId, Hwm, batchId)
+  def hwm(sinkId: String, batchId: Long,
+      qid: String = ""): WriteRequest =
+    mk(sinkId, Hwm, batchId, qid)
 
   /** The batch id of a marker record; -1 when absent/malformed. */
   def idOf(w: WriteRequest): Long =
     w.metadata.get(IdTag) match {
       case Some(TagNumber(bits)) => bits
       case _ => -1L
+    }
+
+  /** The streaming-query id of a marker record; "" when absent. */
+  def qidOf(w: WriteRequest): String =
+    w.metadata.get(QidTag) match {
+      case Some(TagString(s)) => s
+      case _ => ""
     }
 }
 

@@ -84,6 +84,15 @@ class LynxEngine(
   // the batch durable. Guarded by writeLock after construction.
   private val streamHwm =
     scala.collection.mutable.Map.empty[String, Long]
+  // Per-sink streaming-QUERY identity of the lane's committed
+  // brackets (StreamBatch.QidTag; "" never stored). Replay surfaces
+  // it in WAL order (last committed bracket wins); writeStreamBatch
+  // records the writer's id. A batch at-or-below the hwm from a
+  // DIFFERENT query id is a checkpoint RESET — fail loudly, never
+  // silently skip (the one silent-data-loss path round 12 documented).
+  // Guarded by writeLock after construction.
+  private val streamQid =
+    scala.collection.mutable.Map.empty[String, String]
   private val (replayedHighest, replayedIds) =
     Wal.replay(walDir, buffer, m => {
       buffer.drainTable(m.value, m.measurement)
@@ -98,9 +107,10 @@ class LynxEngine(
           .getOrElse(Nil)
         t.publish(m.value, m.measurement, sid.render, files)
       }
-    }, (sink, bid) => {
+    }, (sink, bid, qid) => {
       val cur = streamHwm.getOrElse(sink, -1L)
       if (bid > cur) streamHwm(sink) = bid
+      if (qid.nonEmpty) streamQid(sink) = qid // WAL order: last wins
     })
   // staging dirs whose marker never became durable: their rows just
   // replayed into the buffer, so the staged copies must be dropped
@@ -204,24 +214,76 @@ class LynxEngine(
     * (the hwm must advance, or the source re-delivers forever).
     */
   def writeStreamBatch(sinkId: String, batchId: Long,
-      ws: Seq[WriteRequest]): Boolean = writeLock.synchronized {
-    require(sinkId.nonEmpty, "sinkId must be non-empty")
-    if (batchId <= streamHwm.getOrElse(sinkId, -1L)) false
-    else {
-      validateTags(ws)
-      wal.writeAll(
-        graft.core.StreamBatch.begin(sinkId, batchId) +:
-          ws :+ graft.core.StreamBatch.commit(sinkId, batchId))
-      // under group commit writeAll only buffers — force the bracket
-      // durable BEFORE advancing the hwm / acking the batch, or a
-      // crash could lose rows the streaming checkpoint thinks landed
-      wal.flush()
-      ws.foreach(buffer.insert)
-      streamHwm(sinkId) = batchId
-      autoSealAfter(ws)
-      true
+      ws: Seq[WriteRequest], queryId: String = ""): Boolean =
+    writeLock.synchronized {
+      require(sinkId.nonEmpty, "sinkId must be non-empty")
+      if (batchId <= streamHwm.getOrElse(sinkId, -1L)) {
+        checkStreamReset(sinkId, batchId, queryId)
+        false
+      } else {
+        validateTags(ws)
+        wal.writeAll(
+          graft.core.StreamBatch.begin(sinkId, batchId, queryId) +:
+            ws :+
+            graft.core.StreamBatch.commit(sinkId, batchId, queryId))
+        // under group commit writeAll only buffers — force the bracket
+        // durable BEFORE advancing the hwm / acking the batch, or a
+        // crash could lose rows the streaming checkpoint thinks landed
+        wal.flush()
+        ws.foreach(buffer.insert)
+        streamHwm(sinkId) = batchId
+        if (queryId.nonEmpty) streamQid(sinkId) = queryId
+        autoSealAfter(ws)
+        true
+      }
     }
+
+  /** Caller holds writeLock and has established batchId <= hwm. A
+    * batch at-or-below the mark from a DIFFERENT streaming query than
+    * the one whose brackets set it means the checkpoint was wiped and
+    * recreated at the same path (batch ids restarted at 0 while the
+    * WAL kept the lane's mark): Spark is NOT re-delivering — it is
+    * replaying the source from scratch. Skipping would silently drop
+    * the restarted batches; applying would duplicate already-landed
+    * rows. Fail loudly instead — detection degrades gracefully when
+    * either id is unknown (pre-qid WALs, callers without a checkpoint
+    * identity).
+    */
+  private def checkStreamReset(sinkId: String, batchId: Long,
+      queryId: String): Unit =
+    if (queryId.nonEmpty) {
+      val laneQid = streamQid.getOrElse(sinkId, "")
+      if (laneQid.nonEmpty && laneQid != queryId)
+        throw new IllegalStateException(
+          s"stream reset detected for sink '$sinkId': batch " +
+            s"$batchId is at-or-below the lane's high-water mark " +
+            s"${streamHwm.getOrElse(sinkId, -1L)}, but it comes " +
+            s"from streaming query '$queryId' while the lane's " +
+            s"committed batches came from '$laneQid' — the " +
+            "checkpoint was deleted and recreated at the same " +
+            "path, so this is a restart-from-scratch, not a " +
+            "re-delivery. Skipping would silently drop the " +
+            "restarted batches; restart the stream with a fresh " +
+            "checkpoint directory (or a new explicit sinkId) " +
+            "instead.")
+    }
+
+  /** The reset probe behind the sink's cheap already-applied check —
+    * same contract as the check inside [[writeStreamBatch]], exposed
+    * so the caller's fast path (skip before collecting the batch)
+    * cannot skip a reset silently.
+    */
+  private[graft] def assertNoStreamReset(sinkId: String, batchId: Long,
+      queryId: String): Unit = writeLock.synchronized {
+    if (batchId <= streamHwm.getOrElse(sinkId, -1L))
+      checkStreamReset(sinkId, batchId, queryId)
   }
+
+  /** The lane's recorded streaming-query id; "" before any
+    * qid-carrying bracket committed (observability + specs).
+    */
+  private[graft] def streamQueryId(sinkId: String): String =
+    writeLock.synchronized(streamQid.getOrElse(sinkId, ""))
 
   /** Highest committed stream-batch id for `sinkId`; -1 before the
     * first commit. Derived from the WAL at construction (replay) and
@@ -367,7 +429,8 @@ class LynxEngine(
         // marks) or the durable hwm records, never neither.
         if (buffer.isEmpty)
           wal.truncateClosed(streamHwm.toSeq.sortBy(_._1).map {
-            case (sink, bid) => graft.core.StreamBatch.hwm(sink, bid)
+            case (sink, bid) => graft.core.StreamBatch.hwm(sink, bid,
+              streamQid.getOrElse(sink, ""))
           })
       }
     }

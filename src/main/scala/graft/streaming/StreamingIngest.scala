@@ -101,44 +101,97 @@ object StreamingIngest {
     * RESETTING a stream (deleting its checkpoint so batch ids restart
     * at 0) must use a NEW checkpoint directory (or a new explicit
     * sinkId): the engine's WAL remembers the old lane's high-water
-    * mark, so re-using the same path after a reset would silently
-    * skip the restarted batch ids as already-applied — the mark is
-    * exactly-once protection, and a reset that reuses the lane is
-    * indistinguishable from a replay.
+    * mark, so the restarted batch ids arrive at-or-below it. This is
+    * MACHINE-DETECTED, not just documented: every bracket records the
+    * streaming query's stable identity (the id Spark persists in the
+    * checkpoint's metadata file — wiped and regenerated with the
+    * checkpoint), and a below-hwm batch from a different query id
+    * fails the stream loudly instead of being silently skipped as a
+    * replay (LynxEngine.writeStreamBatch's reset contract).
     */
   def engineSink(rows: Dataset[StreamRow],
       engine: graft.engine.LynxEngine,
       checkpointDir: String,
       sinkId: String = ""): StreamingQuery = {
     val sid =
-      if (sinkId.nonEmpty) sinkId
-      else new java.io.File(checkpointDir).getAbsolutePath
+      if (sinkId.nonEmpty) sinkId else canonicalSinkId(checkpointDir)
+    // the query id exists once the stream starts (Spark writes the
+    // metadata file before batch 0 runs); read it on the first batch
+    // and keep it for the query's lifetime
+    var qid: String = null
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .foreachBatch { (ds: Dataset[StreamRow], batchId: Long) =>
-        applyEngineBatch(engine, sid, ds, batchId)
+        if (qid == null) qid = readQueryId(checkpointDir).getOrElse("")
+        applyEngineBatch(engine, sid, ds, batchId, qid)
         ()
       }
       .start()
   }
 
+  /** The default hwm-lane name for a checkpoint location. Local paths
+    * canonicalize (relative vs absolute, trailing slash, symlinks, a
+    * different cwd — all one lane), so restarting the same query with
+    * a differently-SPELLED but equivalent checkpoint path cannot
+    * silently open a fresh lane at hwm -1 and double-apply the last
+    * uncommitted batch. URI locations (s3://…) must not go through
+    * java.io.File (which would mangle the scheme): they normalize as
+    * URIs instead.
+    */
+  private[graft] def canonicalSinkId(checkpointDir: String): String =
+    if (checkpointDir.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*"))
+      try new java.net.URI(checkpointDir).normalize().toString
+        .stripSuffix("/")
+      catch { case _: java.net.URISyntaxException =>
+        checkpointDir.stripSuffix("/") }
+    else
+      try new java.io.File(checkpointDir).getCanonicalPath
+      catch { case _: java.io.IOException =>
+        new java.io.File(checkpointDir).getAbsolutePath }
+
+  /** The streaming query's stable identity: the `id` field of the
+    * checkpoint's metadata file, which Spark creates at query start
+    * and preserves across restarts — deleting the checkpoint deletes
+    * it, so a regenerated id IS the signature of a reset. None when
+    * unreadable (URI checkpoint on a remote store, torn file):
+    * reset detection then degrades to the documented discipline.
+    */
+  private[graft] def readQueryId(checkpointDir: String)
+      : Option[String] =
+    try {
+      val f = new java.io.File(checkpointDir, "metadata")
+      if (!f.isFile) None
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        Option(mapper.readTree(
+          java.nio.file.Files.readAllBytes(f.toPath)).get("id"))
+          .map(_.asText()).filter(_.nonEmpty)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** The idempotent micro-batch applier behind [[engineSink]] —
     * package-visible so the replay contract is directly testable.
     * Returns true when the batch was applied, false when the
     * engine's WAL-derived high-water mark proves it already was.
+    * `queryId` (when known) is the reset sentinel: an already-applied
+    * batch id from a DIFFERENT query than the lane's recorded one
+    * throws instead of skipping (see [[engineSink]]).
     */
   private[graft] def applyEngineBatch(engine: graft.engine.LynxEngine,
       sinkId: String, ds: Dataset[StreamRow],
-      batchId: Long): Boolean = {
-    if (batchId <= engine.streamHighWaterMark(sinkId)) false
-    else {
+      batchId: Long, queryId: String = ""): Boolean = {
+    if (batchId <= engine.streamHighWaterMark(sinkId)) {
+      // fast path skips the collect — but it must never skip a RESET
+      engine.assertNoStreamReset(sinkId, batchId, queryId)
+      false
+    } else {
       val reqs = ds.collect().toSeq.map { r =>
         graft.core.WriteRequest(r.namespace, r.measurement, r.value,
           r.tags.map { case (k, v) => k -> graft.core.TagString(v) },
           r.timestampUs)
       }
-      engine.writeStreamBatch(sinkId, batchId, reqs)
+      engine.writeStreamBatch(sinkId, batchId, reqs, queryId)
     }
   }
 

@@ -25,6 +25,31 @@ import graft.core.{TagNumber, TagString, TagValue, WriteRequest}
 object WalCodec {
   val Header: Array[Byte] = "LYNX1".getBytes(UTF_8)
 
+  /** Version-2 segment header: same length as LYNX1, but every record
+    * frame carries a trailing CRC32 (big-endian 4 bytes over the
+    * record's payload). LYNX1 detects only clean EOF-truncation; once
+    * exactly-once stream brackets hang off frame integrity, a flipped
+    * byte in a length prefix must fail loudly (or recover at a proven
+    * frame boundary) instead of silently mis-framing the tail. New
+    * segments always write LYNX2; replay accepts both (LYNX1 segments
+    * keep their truncation-only semantics).
+    */
+  val Header2: Array[Byte] = "LYNX2".getBytes(UTF_8)
+
+  /** A LYNX2 record frame: the LYNX1 payload plus its CRC32. */
+  def encodeV2(w: WriteRequest): Array[Byte] = {
+    val payload = encode(w)
+    val crc = new java.util.zip.CRC32
+    crc.update(payload)
+    val v = crc.getValue
+    val out = java.util.Arrays.copyOf(payload, payload.length + 4)
+    out(payload.length) = ((v >>> 24) & 0xff).toByte
+    out(payload.length + 1) = ((v >>> 16) & 0xff).toByte
+    out(payload.length + 2) = ((v >>> 8) & 0xff).toByte
+    out(payload.length + 3) = (v & 0xff).toByte
+    out
+  }
+
   def encode(w: WriteRequest): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(256)
     val out = new DataOutputStream(bos)
@@ -67,10 +92,27 @@ object WalCodec {
       require(l >= 0 && l <= Int.MaxValue, s"unreasonable length $l")
       l.toInt
     }
+    // Chunked read: a corrupt length prefix (bit flip — LYNX2 CRC
+    // catches the record, but only AFTER the bytes are consumed) must
+    // hit EOF while reading, not allocate gigabytes up front. Replay-
+    // only path, so the chunking costs nothing at ingest time.
     def str(len: Int): String = {
-      val b = new Array[Byte](len)
-      in.readFully(b)
-      new String(b, UTF_8)
+      if (len <= (1 << 20)) {
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        new String(b, UTF_8)
+      } else {
+        val bos = new java.io.ByteArrayOutputStream(1 << 20)
+        val chunk = new Array[Byte](1 << 20)
+        var remaining = len
+        while (remaining > 0) {
+          val want = math.min(remaining, chunk.length)
+          in.readFully(chunk, 0, want)
+          bos.write(chunk, 0, want)
+          remaining -= want
+        }
+        new String(bos.toByteArray, UTF_8)
+      }
     }
     val nsLen = readLen(java.nio.ByteBuffer.wrap(first).getLong)
     val namespace = str(nsLen)
@@ -105,9 +147,9 @@ final class Segment(val id: Long, directory: File) {
   require(!file.exists(), s"segment $file already exists")
   private val fos = new FileOutputStream(file)
   private val out = new java.io.BufferedOutputStream(fos, 64 * 1024)
-  out.write(WalCodec.Header)
+  out.write(WalCodec.Header2) // new segments are always CRC-framed
   out.flush()
-  private var _size: Long = WalCodec.Header.length.toLong
+  private var _size: Long = WalCodec.Header2.length.toLong
 
   def size: Long = _size
   def write(data: Array[Byte], flushNow: Boolean): Unit = {
@@ -172,7 +214,8 @@ final class Wal(directory: File, startSegmentId: Long,
 
   def write(w: WriteRequest): Unit = synchronized {
     if (active.size > maxSegmentSize) rotate()
-    active.write(WalCodec.encode(w), flushNow = groupCommitMillis <= 0)
+    active.write(WalCodec.encodeV2(w),
+      flushNow = groupCommitMillis <= 0)
     if (groupCommitMillis <= 0 && fsyncOnFlush)
       active.sync() // per-record fsync mode
     if (groupCommitMillis > 0 &&
@@ -190,7 +233,7 @@ final class Wal(directory: File, startSegmentId: Long,
   def writeAll(ws: Seq[WriteRequest]): Unit = synchronized {
     ws.foreach { w =>
       if (active.size > maxSegmentSize) rotate()
-      active.write(WalCodec.encode(w), flushNow = false)
+      active.write(WalCodec.encodeV2(w), flushNow = false)
     }
     if (groupCommitMillis <= 0) {
       if (fsyncOnFlush) active.sync() else active.flush()
@@ -236,7 +279,7 @@ final class Wal(directory: File, startSegmentId: Long,
       rotate()
       if (carryOver.nonEmpty) {
         carryOver.foreach(w =>
-          active.write(WalCodec.encode(w), flushNow = false))
+          active.write(WalCodec.encodeV2(w), flushNow = false))
         if (fsyncOnFlush) active.sync() else active.flush()
       }
       // Delete every segment older than the fresh active one
@@ -286,6 +329,27 @@ object Wal {
     }
   }
 
+  /** Accumulates a CRC32 over every byte the decoder consumes — the
+    * verification side of [[WalCodec.encodeV2]]. Reset per frame; the
+    * expected value is captured BEFORE the stored CRC's own 4 bytes
+    * pass through.
+    */
+  private final class Crc32InputStream(in: java.io.InputStream)
+      extends java.io.FilterInputStream(in) {
+    val crc = new java.util.zip.CRC32
+    override def read(): Int = {
+      val b = super.read(); if (b >= 0) crc.update(b); b
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val n = super.read(b, off, len); if (n > 0) crc.update(b, off, n)
+      n
+    }
+  }
+
+  /** A LYNX2 frame whose stored CRC32 disagrees with its bytes. */
+  private final class CrcMismatchException(msg: String)
+      extends java.io.IOException(msg)
+
   /** Replay every segment in `directory` into the buffer; returns
     * (highest segment id, all observed ids) — the caller opens the
     * next active segment at highest+1 (reference wal.rs:276-296,
@@ -301,13 +365,16 @@ object Wal {
     */
   def replay(directory: File, buffer: MemBuffer,
       onSeal: WriteRequest => Unit): (Long, Seq[Long]) =
-    replay(directory, buffer, onSeal, (_, _) => ())
+    replay(directory, buffer, onSeal, (_, _, _) => ())
 
-  /** Replay with both marker handlers. `onStreamHwm(sinkId, batchId)`
-    * fires for every COMMITTED stream-batch bracket and every HWM
-    * checkpoint record, in WAL order — the engine keeps the max per
-    * sink, deriving the streaming high-water mark from the WAL itself
-    * (graft.core.StreamBatch).
+  /** Replay with both marker handlers.
+    * `onStreamHwm(sinkId, batchId, queryId)` fires for every
+    * COMMITTED stream-batch bracket and every HWM checkpoint record,
+    * in WAL order — the engine keeps the max per sink, deriving the
+    * streaming high-water mark from the WAL itself, and remembers the
+    * lane's streaming-query identity (graft.core.StreamBatch.QidTag;
+    * "" when the bracket carried none) so a checkpoint reset can be
+    * detected instead of silently skipped.
     *
     * Stream-batch atomicity: rows between a BEGIN and its COMMIT are
     * STAGED, not inserted, and flush to the buffer only when the
@@ -321,7 +388,8 @@ object Wal {
     */
   def replay(directory: File, buffer: MemBuffer,
       onSeal: WriteRequest => Unit,
-      onStreamHwm: (String, Long) => Unit): (Long, Seq[Long]) = {
+      onStreamHwm: (String, Long, String) => Unit)
+      : (Long, Seq[Long]) = {
     directory.mkdirs()
     var highest = 0L
     val observed = mutable.ArrayBuffer.empty[Long]
@@ -340,10 +408,18 @@ object Wal {
     // rung caught up) can only exist in the HIGHEST segment: rotation
     // closes-and-flushes a segment before the next one is created, so
     // an incomplete record in any earlier segment is real corruption
-    // and still fails loudly. The format carries no per-record
+    // and still fails loudly. LYNX1 segments carry no per-record
     // checksum (reference wal.rs:28-77), so only clean EOF-truncation
-    // is recoverable — garbage mid-file is indistinguishable from
-    // damage and must stop replay.
+    // is recoverable there — garbage mid-file is indistinguishable
+    // from damage and must stop replay. LYNX2 frames carry a CRC32,
+    // so ANY decode failure in the last segment (mis-framed length,
+    // invalid tag type, CRC mismatch — all the shapes a flipped byte
+    // produces) recovers at the last PROVEN frame boundary instead:
+    // the corrupted frame and everything after it is truncated away,
+    // losing at most the suffix from the damage point. In an earlier
+    // segment the same failures still stop replay loudly — recovering
+    // there would reorder writes (later segments would replay without
+    // the truncated middle).
     val lastId = segments.lastOption.fold(-1L)(_._1)
     // open stream-batch bracket, with the byte position of its BEGIN
     // record so an uncommitted bracket can be PHYSICALLY removed.
@@ -359,17 +435,34 @@ object Wal {
       highest = math.max(highest, id)
       val counter = new CountingInputStream(
         new BufferedInputStream(new FileInputStream(f)))
-      val in = new DataInputStream(counter)
+      val crcIn = new Crc32InputStream(counter)
+      val in = new DataInputStream(crcIn)
       var lastGood = 0L
+      var v2 = false
+      // one frame: decode the payload, then (LYNX2) verify its CRC
+      def decodeFrame(): Option[WriteRequest] = {
+        crcIn.crc.reset()
+        val r = WalCodec.decode(in)
+        if (r.isDefined && v2) {
+          val expected = crcIn.crc.getValue
+          val stored = in.readInt().toLong & 0xffffffffL
+          if (stored != expected)
+            throw new CrcMismatchException(
+              f"record CRC mismatch (stored $stored%08x, " +
+                f"computed $expected%08x)")
+        }
+        r
+      }
       try {
         try {
           val header = new Array[Byte](WalCodec.Header.length)
           in.readFully(header)
-          if (!java.util.Arrays.equals(header, WalCodec.Header))
+          v2 = java.util.Arrays.equals(header, WalCodec.Header2)
+          if (!v2 && !java.util.Arrays.equals(header, WalCodec.Header))
             throw new IllegalStateException(
-              s"segment file must contain header (LYNX1): $f")
+              s"segment file must contain header (LYNX1/LYNX2): $f")
           lastGood = WalCodec.Header.length.toLong
-          var rec = WalCodec.decode(in)
+          var rec = decodeFrame()
           while (rec.isDefined) {
             val w = rec.get
             if (w.namespace == graft.core.StreamBatch.Namespace) {
@@ -398,12 +491,30 @@ object Wal {
                   bracket match {
                     case Some(b) if b.sink == sink && b.bid == bid =>
                       b.rows.foreach(buffer.insert)
-                    case _ => // stray commit: nothing staged to flush
+                      bracket = None
+                      onStreamHwm(sink, bid,
+                        graft.core.StreamBatch.qidOf(w))
+                    case other =>
+                      // a commit that closes NOTHING (no bracket, or a
+                      // mismatched one) is corruption-grade: warn like
+                      // begin-over-begin does, drop whatever was
+                      // staged, and do NOT advance the hwm — marking a
+                      // batch applied whose rows were dropped would
+                      // turn corruption into silent loss; leaving the
+                      // mark alone degrades it to re-delivery
+                      System.err.println(s"[wal] WARNING: commit " +
+                        s"without matching begin at segment $id " +
+                        s"(sink '$sink', batch $bid" +
+                        other.fold(", no open bracket")(b =>
+                          s", open bracket sink '${b.sink}' batch " +
+                            s"${b.bid} with ${b.rows.size} staged " +
+                            "rows dropped") +
+                        ") — hwm NOT advanced")
+                      bracket = None
                   }
-                  bracket = None
-                  onStreamHwm(sink, bid)
                 case _ => // hwm checkpoint record
-                  onStreamHwm(sink, bid)
+                  onStreamHwm(sink, bid,
+                    graft.core.StreamBatch.qidOf(w))
               }
             } else if (w.namespace == graft.core.SealMarker.Namespace)
               // sealed-to-tier checkpoint: rows before this marker for
@@ -414,7 +525,7 @@ object Wal {
               case None => buffer.insert(w)
             }
             lastGood = counter.count
-            rec = WalCodec.decode(in)
+            rec = decodeFrame()
           }
         } catch {
           case e: EOFException if id == lastId =>
@@ -422,6 +533,18 @@ object Wal {
             System.err.println(
               s"[wal] torn tail in $f ($why): keeping the " +
                 s"$lastGood-byte valid prefix")
+          // LYNX2 only: a CRC-verified format makes every decode
+          // failure in the tail segment recoverable at the last good
+          // frame — a flipped byte manifests as a CRC mismatch, an
+          // "unreasonable length" (IllegalArgument), or an invalid
+          // tag type (IllegalState); all truncate, never mis-frame
+          case e @ (_: CrcMismatchException |
+              _: IllegalArgumentException | _: IllegalStateException)
+              if v2 && id == lastId &&
+                lastGood >= WalCodec.Header.length =>
+            System.err.println(
+              s"[wal] corrupt frame in $f (${e.getMessage}): keeping " +
+                s"the $lastGood-byte valid prefix, truncating the rest")
         }
       } finally in.close()
       // Truncate the torn bytes away so the next replay sees a clean

@@ -93,7 +93,7 @@ class StreamingSpec extends AnyFunSuite {
     // foreachBatch restart contract) is a no-op. The default sink id
     // is the canonical checkpoint path — unique per query by Spark's
     // own contract, so two streams on one engine can't share a lane.
-    val sid = ckpt.getAbsolutePath
+    val sid = StreamingIngest.canonicalSinkId(ckpt.getPath)
     assert(engine.streamHighWaterMark(sid) >= 1L,
       "WAL-derived high-water mark must cover the applied batches")
     val dup = spark.createDataset(srows(2))
@@ -241,8 +241,8 @@ class StreamingSpec extends AnyFunSuite {
     // hwm must be there; the buffered plain write must not
     val buf = new graft.buffer.MemBuffer
     val hwm = scala.collection.mutable.Map.empty[String, Long]
-    graft.wal.Wal.replay(walDir, buf, _ => (),
-      (s, b) => hwm(s) = math.max(hwm.getOrElse(s, -1L), b))
+    graft.wal.Wal.replay(walDir, buf, _ => (), (s, b, _) =>
+      hwm(s) = math.max(hwm.getOrElse(s, -1L), b))
     val vals = buf.tables("events").get("cpu")("1970-01-01").values
     assert(vals == Vector("v0", "v1", "v2"),
       "the bracket must be durable at writeStreamBatch return; the " +
@@ -2206,5 +2206,139 @@ class StreamingSpec extends AnyFunSuite {
     // a real upsert can never be mistaken for one
     assert(rows.filter(_.n_versions > 0L)
         .forall(o => o.latest_event_id > 0L), s"corrupt upserts: $rows")
+  }
+
+  test("checkpoint reset is machine-detected at the engine: an " +
+    "already-applied batch id from a DIFFERENT streaming query " +
+    "fails loudly instead of silently skipping") {
+    val spark = SparkFixture.spark
+    val walDir = Files.createTempDirectory("reset-wal").toFile
+    val e = new graft.engine.LynxEngine(spark, walDir, 1024 * 1024,
+      None)
+    def ws(i: Int) = Seq(graft.core.WriteRequest("events", "cpu",
+      s"v$i", Map.empty, i * 1000000L + 1))
+    assert(e.writeStreamBatch("lane", 0L, ws(0), "query-A"))
+    assert(e.writeStreamBatch("lane", 1L, ws(1), "query-A"))
+    assert(e.streamQueryId("lane") == "query-A")
+    // same-query re-delivery: the normal exactly-once skip
+    assert(!e.writeStreamBatch("lane", 1L, ws(1), "query-A"))
+    // unknown caller identity (pre-qid WALs): degrades to the skip
+    assert(!e.writeStreamBatch("lane", 1L, ws(1)))
+    // DIFFERENT query at-or-below the hwm: the reset signature
+    val ex = intercept[IllegalStateException] {
+      e.writeStreamBatch("lane", 0L, ws(0), "query-B")
+    }
+    assert(ex.getMessage.contains("stream reset detected"))
+    // the sink's fast path (skip-before-collect) must detect it too
+    val ex2 = intercept[IllegalStateException] {
+      e.assertNoStreamReset("lane", 1L, "query-B")
+    }
+    assert(ex2.getMessage.contains("stream reset detected"))
+    // ABOVE the hwm a new query continues the lane (explicit sinkId
+    // across a checkpoint move) and the lane adopts its identity
+    assert(e.writeStreamBatch("lane", 2L, ws(2), "query-B"))
+    assert(e.streamQueryId("lane") == "query-B")
+    intercept[IllegalStateException] {
+      e.assertNoStreamReset("lane", 2L, "query-A")
+    }
+    // rows landed exactly once throughout
+    assert(e.query("events", "SELECT count(*) AS c FROM cpu").get
+      .rows.head.getLong(0) == 3L)
+  }
+
+  test("reset detection survives engine restart AND WAL truncation: " +
+    "the lane's query id rides brackets and the checkpoint() hwm " +
+    "carry-over records") {
+    val spark = SparkFixture.spark
+    val walDir = Files.createTempDirectory("resetsurv-wal").toFile
+    val tierDir = Files.createTempDirectory("resetsurv-tier").toFile
+    val tier = new graft.tier.ParquetTier(tierDir)
+    val e1 = new graft.engine.LynxEngine(spark, walDir, 1024 * 1024,
+      Some(tier))
+    val ws = (0 until 3).map(i => graft.core.WriteRequest("events",
+      "cpu", s"v$i", Map.empty, i * 1000000L + 1))
+    assert(e1.writeStreamBatch("lane", 4L, ws, "query-A"))
+    e1.wal.close()
+    // restart (brackets intact): identity replayed from the bracket
+    val e2 = new graft.engine.LynxEngine(spark, walDir, 1024 * 1024,
+      Some(tier))
+    assert(e2.streamQueryId("lane") == "query-A")
+    intercept[IllegalStateException] {
+      e2.assertNoStreamReset("lane", 0L, "query-B")
+    }
+    // checkpoint() seals + TRUNCATES the bracket-carrying segments;
+    // the carry-over hwm record must keep the identity too
+    e2.checkpoint()
+    e2.wal.close()
+    val e3 = new graft.engine.LynxEngine(spark, walDir, 1024 * 1024,
+      Some(tier))
+    assert(e3.streamHighWaterMark("lane") == 4L)
+    assert(e3.streamQueryId("lane") == "query-A",
+      "the qid must survive WAL truncation via the hwm carry-over")
+    val ex = intercept[IllegalStateException] {
+      e3.assertNoStreamReset("lane", 0L, "query-B")
+    }
+    assert(ex.getMessage.contains("stream reset detected"))
+  }
+
+  test("e2e: deleting and recreating the SAME checkpoint path fails " +
+    "the restarted stream loudly — never a silent skip (the classic " +
+    "operational mistake, round-12 verdict item 1)") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val walDir = Files.createTempDirectory("resete2e-wal").toFile
+    val ckpt = Files.createTempDirectory("resete2e-ckpt").toFile
+    val e = new graft.engine.LynxEngine(spark, walDir, 1024 * 1024,
+      None)
+    def srows(n: Int, off: Long = 0L): Seq[StreamRow] =
+      (0 until n).map(i => StreamRow("events", "cpu", s"v$i",
+        Map.empty, off + i * 1000000L + 1))
+    val mem = MemoryStream[StreamRow]
+    val q = StreamingIngest.engineSink(mem.toDS(), e, ckpt.getPath)
+    mem.addData(srows(3))
+    q.processAllAvailable()
+    mem.addData(srows(3, 100L * 1000000L))
+    q.processAllAvailable()
+    q.stop()
+    assert(e.query("events", "SELECT count(*) AS c FROM cpu").get
+      .rows.head.getLong(0) == 6L)
+    // wipe the checkpoint and reuse the SAME path: batch ids restart
+    // at 0 under a fresh query id — the WAL lane remembers both
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+    }
+    deleteRec(ckpt)
+    ckpt.mkdirs()
+    val mem2 = MemoryStream[StreamRow]
+    val q2 = StreamingIngest.engineSink(mem2.toDS(), e, ckpt.getPath)
+    mem2.addData(srows(2, 200L * 1000000L))
+    val ex = intercept[Exception] { q2.processAllAvailable() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("stream reset detected")),
+      s"expected a loud reset error, got: ${chain(ex)}")
+    q2.stop()
+    // nothing was silently dropped OR double-applied
+    assert(e.query("events", "SELECT count(*) AS c FROM cpu").get
+      .rows.head.getLong(0) == 6L)
+  }
+
+  test("default sink lane id canonicalizes path spelling and never " +
+    "mangles URI checkpoint locations") {
+    val d = Files.createTempDirectory("canon-ckpt").toFile
+    val a = StreamingIngest.canonicalSinkId(d.getPath)
+    assert(StreamingIngest.canonicalSinkId(d.getPath + "/") == a)
+    assert(StreamingIngest.canonicalSinkId(d.getPath + "/.") == a)
+    val sneaky = d.getParent + "/../" +
+      new java.io.File(d.getParent).getName + "/" + d.getName
+    assert(StreamingIngest.canonicalSinkId(sneaky) == a,
+      "a differently-spelled equivalent path must map to ONE lane")
+    assert(StreamingIngest.canonicalSinkId("s3://bucket/ck/pt/") ==
+      "s3://bucket/ck/pt",
+      "URI locations must not be run through java.io.File")
+    assert(StreamingIngest.canonicalSinkId("s3://bucket/a/../b") ==
+      "s3://bucket/b")
   }
 }

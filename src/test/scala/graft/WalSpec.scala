@@ -70,12 +70,26 @@ class WalSpec extends AnyFunSuite {
     assert(WalCodec.decode(in).contains(w))
   }
 
-  test("new segment writes the LYNX1 header (wal.rs:368-390)") {
+  test("new segment writes the LYNX2 header (CRC-framed records; " +
+    "LYNX1 replay compatibility pinned below)") {
     val dir = tempDir()
     val wal = new Wal(dir, 0, 1024)
     wal.close()
     val bytes = Files.readAllBytes(new File(dir, "0.wal").toPath)
-    assert(bytes.sameElements("LYNX1".getBytes("UTF-8")))
+    assert(bytes.sameElements("LYNX2".getBytes("UTF-8")))
+  }
+
+  test("encodeV2 frames carry a trailing CRC32 of the payload") {
+    val w = WriteRequest("ns", "t", "v", Map("k" -> TagString("x")), 9L)
+    val payload = WalCodec.encode(w)
+    val framed = WalCodec.encodeV2(w)
+    assert(framed.length == payload.length + 4)
+    assert(framed.take(payload.length).sameElements(payload))
+    val crc = new java.util.zip.CRC32
+    crc.update(payload)
+    val stored = java.nio.ByteBuffer.wrap(framed, payload.length, 4)
+      .getInt.toLong & 0xffffffffL
+    assert(stored == crc.getValue)
   }
 
   test("segment size accounts header + records (wal.rs:392-417)") {
@@ -84,7 +98,7 @@ class WalSpec extends AnyFunSuite {
     assert(wal.activeSegmentSize == 5)
     val w = WriteRequest("a", "b", "c", Map.empty, 1)
     wal.write(w)
-    assert(wal.activeSegmentSize == 5 + WalCodec.encode(w).length)
+    assert(wal.activeSegmentSize == 5 + WalCodec.encodeV2(w).length)
     wal.close()
   }
 
@@ -143,7 +157,7 @@ class WalSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException] {
       Wal.replay(dir, new MemBuffer)
     }
-    assert(e.getMessage.contains("LYNX1"))
+    assert(e.getMessage.contains("LYNX1/LYNX2"))
   }
 
   test("wal continues at highest+1 after replay (lynx.rs:45-53)") {
@@ -179,7 +193,7 @@ class WalSpec extends AnyFunSuite {
     val w = WriteRequest("ns", "cpu", "1", Map.empty, 1L)
     wal.write(w)
     val seg = new File(dir, "1.wal")
-    val expected = WalCodec.Header.length + WalCodec.encode(w).length
+    val expected = WalCodec.Header.length + WalCodec.encodeV2(w).length
     assert(seg.length() < expected,
       "write() should only buffer under group commit")
     wal.flush()
@@ -198,7 +212,7 @@ class WalSpec extends AnyFunSuite {
     // to the OS within ~groupCommitMillis
     val seg = new File(dir, "1.wal")
     val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-    val expected = WalCodec.Header.length + WalCodec.encode(w).length
+    val expected = WalCodec.Header.length + WalCodec.encodeV2(w).length
     while (seg.length() < expected && System.nanoTime() < deadline)
       Thread.sleep(10)
     assert(seg.length() == expected,
@@ -217,7 +231,7 @@ class WalSpec extends AnyFunSuite {
     // file) immediately, without flush() or close()
     val seg = new File(dir, "0.wal")
     val expected = WalCodec.Header.length +
-      writes.map(w => WalCodec.encode(w).length).sum
+      writes.map(w => WalCodec.encodeV2(w).length).sum
     assert(seg.length() == expected,
       "fsync mode must not leave records in the heap buffer")
     wal.close()
@@ -234,7 +248,7 @@ class WalSpec extends AnyFunSuite {
     val w = WriteRequest("ns", "cpu", "1", Map.empty, 1L)
     wal.write(w)
     val seg = new File(dir, "0.wal")
-    val expected = WalCodec.Header.length + WalCodec.encode(w).length
+    val expected = WalCodec.Header.length + WalCodec.encodeV2(w).length
     assert(seg.length() < expected,
       "under group commit, write() should only buffer even with fsync")
     wal.flush() // the group-commit tick path
@@ -257,7 +271,7 @@ class WalSpec extends AnyFunSuite {
     writes.foreach(wal.write)
     wal.close()
     val seg = new File(dir, "0.wal")
-    val lastLen = WalCodec.encode(writes.last).length
+    val lastLen = WalCodec.encodeV2(writes.last).length
     truncateBy(seg, 3) // crash mid-append of the 5th record
     val goodLen = seg.length() - (lastLen - 3)
 
@@ -339,8 +353,8 @@ class WalSpec extends AnyFunSuite {
 
     val buffer = new MemBuffer
     val hwm = scala.collection.mutable.Map.empty[String, Long]
-    val (_, _) = Wal.replay(dir, buffer, _ => (),
-      (sink, bid) => hwm(sink) = math.max(hwm.getOrElse(sink, -1L), bid))
+    val (_, _) = Wal.replay(dir, buffer, _ => (), (sink, bid, _) =>
+      hwm(sink) = math.max(hwm.getOrElse(sink, -1L), bid))
     assert(hwm == Map("s" -> 0L, "other" -> 41L),
       "only COMMITTED brackets and hwm records advance the mark")
     val m = buffer.tables("ns").get("t")("1970-01-01")
@@ -382,8 +396,13 @@ class WalSpec extends AnyFunSuite {
           try {
             val header = new Array[Byte](WalCodec.Header.length)
             in.readFully(header)
+            val v2 = header.sameElements(WalCodec.Header2)
             var rec = WalCodec.decode(in)
-            while (rec.isDefined) { recs += rec.get
+            while (rec.isDefined) {
+              // independent reader: the CRC is framing here, the torn
+              // tail below may cut through it (mid-frame = discarded)
+              if (v2) in.readInt()
+              recs += rec.get
               rec = WalCodec.decode(in) }
           } catch { case _: java.io.EOFException => /* torn tail */ }
           recs.toSeq
@@ -410,10 +429,10 @@ class WalSpec extends AnyFunSuite {
               open match {
                 case Some((s, b, rs)) if s == sink && b == id =>
                   vals ++= rs
-                case _ =>
+                  hwm += sink -> math.max(hwm.getOrElse(sink, -1L), id)
+                case _ => // stray commit: closes nothing, marks nothing
               }
               open = None
-              hwm += sink -> math.max(hwm.getOrElse(sink, -1L), id)
             case _ =>
               hwm += sink -> math.max(hwm.getOrElse(sink, -1L), id)
           }
@@ -464,7 +483,7 @@ class WalSpec extends AnyFunSuite {
       val (wantVals, wantHwm) = interpret(decodeAll(dir))
       val buffer = new MemBuffer
       val gotHwm = scala.collection.mutable.Map.empty[String, Long]
-      Wal.replay(dir, buffer, _ => (), (sink, bid) =>
+      Wal.replay(dir, buffer, _ => (), (sink, bid, _) =>
         gotHwm(sink) = math.max(gotHwm.getOrElse(sink, -1L), bid))
       val gotVals = buffer.tables("ns").get("t")
         .values.flatMap(_.values).toVector
@@ -498,8 +517,8 @@ class WalSpec extends AnyFunSuite {
     // gone FROM DISK (not just skipped)
     val buf1 = new MemBuffer
     val hwm1 = scala.collection.mutable.Map.empty[String, Long]
-    val (h1, _) = Wal.replay(dir, buf1, _ => (),
-      (s, b) => hwm1(s) = math.max(hwm1.getOrElse(s, -1L), b))
+    val (h1, _) = Wal.replay(dir, buf1, _ => (), (s, b, _) =>
+      hwm1(s) = math.max(hwm1.getOrElse(s, -1L), b))
     assert(buf1.tables("ns").get("t")("1970-01-01").values ==
       Vector("v1", "v2"))
     assert(hwm1 == Map("s" -> 4L))
@@ -518,11 +537,194 @@ class WalSpec extends AnyFunSuite {
     // acknowledged-data loss this test pins closed
     val buf2 = new MemBuffer
     val hwm2 = scala.collection.mutable.Map.empty[String, Long]
-    Wal.replay(dir, buf2, _ => (),
-      (s, b) => hwm2(s) = math.max(hwm2.getOrElse(s, -1L), b))
+    Wal.replay(dir, buf2, _ => (), (s, b, _) =>
+      hwm2(s) = math.max(hwm2.getOrElse(s, -1L), b))
     assert(buf2.tables("ns").get("t")("1970-01-01").values ==
       Vector("v1", "v2", "v7", "v8"),
       "session 2's acknowledged writes must replay")
     assert(hwm2 == Map("s" -> 4L))
+  }
+
+  test("LYNX1 segments (pre-CRC) still replay, truncation-only " +
+    "semantics intact — backward compatibility with existing WALs") {
+    val dir = tempDir()
+    val recs = (0 until 5).map(i =>
+      WriteRequest("ns", "t", s"v$i", Map.empty, i.toLong))
+    val out = new java.io.FileOutputStream(new File(dir, "0.wal"))
+    out.write(WalCodec.Header) // v1: no per-record CRC
+    recs.foreach(r => out.write(WalCodec.encode(r)))
+    out.close()
+    val buf = new MemBuffer
+    Wal.replay(dir, buf)
+    assert(buf.tables("ns").get("t")("1970-01-01").values ==
+      recs.map(_.value).toVector)
+    // v1 torn tail: clean EOF-truncation recovery still works
+    truncateBy(new File(dir, "0.wal"), 3)
+    val buf2 = new MemBuffer
+    Wal.replay(dir, buf2)
+    assert(buf2.tables("ns").get("t")("1970-01-01").values ==
+      recs.init.map(_.value).toVector)
+  }
+
+  test("stream-bracket qid: markers round-trip the codec and replay " +
+    "surfaces the lane's streaming-query identity") {
+    import graft.core.StreamBatch
+    val b = StreamBatch.begin("s", 3L, "query-abc")
+    assert(StreamBatch.qidOf(b) == "query-abc")
+    assert(StreamBatch.idOf(b) == 3L)
+    assert(StreamBatch.qidOf(StreamBatch.begin("s", 3L)) == "",
+      "qid-less markers (pre-upgrade WALs) read as unknown identity")
+    for (mk <- Seq(b, StreamBatch.commit("s", 3L, "query-abc"),
+        StreamBatch.hwm("s", 3L, "query-abc"))) {
+      val in = new DataInputStream(
+        new java.io.ByteArrayInputStream(WalCodec.encode(mk)))
+      assert(WalCodec.decode(in).contains(mk))
+    }
+    val dir = tempDir()
+    val wal = new Wal(dir, 0, Long.MaxValue)
+    def w(i: Int) = WriteRequest("ns", "t", s"v$i", Map.empty, i.toLong)
+    wal.writeAll(StreamBatch.begin("s", 0L, "qA") +: Seq(w(1)) :+
+      StreamBatch.commit("s", 0L, "qA"))
+    wal.write(StreamBatch.hwm("other", 9L, "qB"))
+    wal.close()
+    val seen = scala.collection.mutable.Map.empty[String, String]
+    val hwm = scala.collection.mutable.Map.empty[String, Long]
+    Wal.replay(dir, new MemBuffer, _ => (), (s, b2, q) => {
+      hwm(s) = math.max(hwm.getOrElse(s, -1L), b2)
+      if (q.nonEmpty) seen(s) = q
+    })
+    assert(hwm == Map("s" -> 0L, "other" -> 9L))
+    assert(seen == Map("s" -> "qA", "other" -> "qB"),
+      "committed brackets AND hwm records must surface their qid")
+  }
+
+  test("a stray commit (no matching begin) closes nothing and does " +
+    "NOT advance the hwm — corruption degrades to re-delivery, " +
+    "never to a batch marked applied whose rows were dropped") {
+    import graft.core.StreamBatch
+    val dir = tempDir()
+    val wal = new Wal(dir, 0, Long.MaxValue)
+    def w(i: Int) = WriteRequest("ns", "t", s"v$i", Map.empty, i.toLong)
+    wal.write(w(0))
+    wal.write(StreamBatch.commit("s", 5L)) // no begin at all
+    // mismatched bracket: begin batch 1, commit batch 2
+    wal.writeAll(Seq(StreamBatch.begin("x", 1L), w(1),
+      StreamBatch.commit("x", 2L)))
+    wal.close()
+    val buf = new MemBuffer
+    val hwm = scala.collection.mutable.Map.empty[String, Long]
+    Wal.replay(dir, buf, _ => (), (s, b, _) =>
+      hwm(s) = math.max(hwm.getOrElse(s, -1L), b))
+    assert(hwm.isEmpty,
+      "neither the begin-less nor the mismatched commit may mark " +
+        "a batch applied")
+    assert(buf.tables("ns").get("t")("1970-01-01").values ==
+      Vector("v0"),
+      "the mismatched bracket's staged row is dropped (warned), " +
+        "the plain write replays")
+  }
+
+  test("LYNX2 bit-flip fuzz: one flipped byte anywhere after the " +
+    "header never mis-frames replay — recovery keeps exactly the " +
+    "frames before the damage and never resurrects a bracket") {
+    import graft.core.StreamBatch
+    // the record-level semantics of a surviving frame prefix (the
+    // stray-commit rule included), independent of Wal.replay
+    def interpret(recs: Seq[WriteRequest])
+        : (Vector[String], Map[String, Long]) = {
+      var vals = Vector.empty[String]
+      var hwm = Map.empty[String, Long]
+      var open: Option[(String, Long, Vector[String])] = None
+      recs.foreach { w =>
+        if (w.namespace == StreamBatch.Namespace) {
+          val sink = w.measurement
+          val id = StreamBatch.idOf(w)
+          w.value match {
+            case StreamBatch.Begin =>
+              open = Some((sink, id, Vector.empty))
+            case StreamBatch.Commit =>
+              open match {
+                case Some((s, b, rs)) if s == sink && b == id =>
+                  vals ++= rs
+                  hwm += sink -> math.max(hwm.getOrElse(sink, -1L), id)
+                case _ =>
+              }
+              open = None
+            case _ =>
+              hwm += sink -> math.max(hwm.getOrElse(sink, -1L), id)
+          }
+        } else open match {
+          case Some((s, b, rs)) => open = Some((s, b, rs :+ w.value))
+          case None => vals :+= w.value
+        }
+      }
+      (vals, hwm)
+    }
+    (1 to 50).foreach { seed =>
+      val rnd = new scala.util.Random(9000 + seed)
+      val dir = tempDir()
+      val wal = new Wal(dir, 0, Long.MaxValue) // single segment
+      var v = 0
+      def mkw(): WriteRequest = {
+        v += 1
+        WriteRequest("ns", "t", s"v$v",
+          Map("k" -> TagNumber(v.toLong)), v.toLong)
+      }
+      var nextId = 0L
+      val frames = scala.collection.mutable
+        .ArrayBuffer.empty[WriteRequest]
+      (0 until 8 + rnd.nextInt(8)).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 =>
+            val w = mkw(); wal.write(w); frames += w
+          case 1 =>
+            val ws = Vector.fill(1 + rnd.nextInt(3))(mkw())
+            wal.writeAll(ws); frames ++= ws
+          case _ =>
+            val ws = Vector.fill(1 + rnd.nextInt(3))(mkw())
+            val all = StreamBatch.begin("s", nextId, "q1") +: ws :+
+              StreamBatch.commit("s", nextId, "q1")
+            nextId += 1
+            wal.writeAll(all); frames ++= all
+        }
+      }
+      wal.close()
+      val seg = new File(dir, "0.wal")
+      // cumulative frame boundaries: frame i spans
+      // [offsets(i), offsets(i+1))
+      val offsets = frames.scanLeft(WalCodec.Header.length.toLong)(
+        (acc, w) => acc + WalCodec.encodeV2(w).length).toVector
+      assert(seg.length() == offsets.last, s"seed $seed: offset math")
+      val pos = WalCodec.Header.length + rnd.nextInt(
+        (seg.length() - WalCodec.Header.length).toInt)
+      val raf = new java.io.RandomAccessFile(seg, "rw")
+      try {
+        raf.seek(pos.toLong)
+        val b = raf.readByte()
+        raf.seek(pos.toLong)
+        raf.writeByte(b ^ (1 << rnd.nextInt(8)))
+      } finally raf.close()
+      val corrupted = offsets.lastIndexWhere(_ <= pos)
+      val (wantVals, wantHwm) = interpret(frames.take(corrupted).toSeq)
+      val buffer = new MemBuffer
+      val gotHwm = scala.collection.mutable.Map.empty[String, Long]
+      Wal.replay(dir, buffer, _ => (), (sink, bid, _) =>
+        gotHwm(sink) = math.max(gotHwm.getOrElse(sink, -1L), bid))
+      def vals(buf: MemBuffer): Vector[String] =
+        buf.tables("ns").flatMap(_.get("t"))
+          .map(_.values.flatMap(_.values).toVector)
+          .getOrElse(Vector.empty)
+      val gotVals = vals(buffer)
+      assert(gotVals == wantVals,
+        s"seed $seed (flip at $pos, frame $corrupted of " +
+          s"${frames.size}): replayed $gotVals, oracle $wantVals")
+      assert(gotHwm.toMap == wantHwm,
+        s"seed $seed: hwm ${gotHwm.toMap} vs $wantHwm")
+      // recovery is stable: the truncated file replays identically
+      val buffer2 = new MemBuffer
+      Wal.replay(dir, buffer2)
+      assert(vals(buffer2) == wantVals,
+        s"seed $seed: second replay differs")
+    }
   }
 }
