@@ -49,9 +49,28 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
     new File(new File(tier.rootPath, "_ann"), name)
 
   private final case class Idx(cents: Seq[(Int, Array[Double])],
-      cellsPath: String)
+      cellsPath: String,
+      cellsDf: org.apache.spark.sql.DataFrame)
   private val loadedIdx =
     scala.collection.concurrent.TrieMap.empty[String, Idx]
+
+  /** The version dir CURRENT points at; the index root itself for
+    * legacy (pre-version) layouts. Reads are lock-free: CURRENT is
+    * written via tmp + atomic move, so a reader sees the old or the
+    * new version, never a torn pointer.
+    */
+  private def resolveDir(name: String): File = {
+    val dir = indexDir(name)
+    val cur = new File(dir, "CURRENT")
+    if (cur.isFile)
+      try {
+        val ver = new String(
+          java.nio.file.Files.readAllBytes(cur.toPath), UTF_8).trim
+        val vd = new File(dir, ver)
+        if (ver.matches("v_\\d+") && vd.isDirectory) vd else dir
+      } catch { case _: java.io.IOException => dir }
+    else dir
+  }
 
   /** Train + persist the IVF index for the embeddings table under
     * `sourceDir` (fixture layout: `embeddings.parquet` with vec_id +
@@ -68,14 +87,20 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
     require(name.matches(Ident), "index name must be a bare identifier")
     val dir = indexDir(name)
     dir.mkdirs()
+    // stage EVERYTHING into a fresh version dir; the CURRENT flip
+    // below is the only commit point — any failure before it leaves
+    // the previously-served version fully intact
+    val ver = s"v_${System.nanoTime()}"
+    val vdir = new File(dir, ver)
+    vdir.mkdirs()
     val cents = graft.ops.Similarity.ivfCentroids(spark, sourceDir)
     require(cents.nonEmpty, s"no vectors to index under $sourceDir")
     val json = cents.map { case (cell, c) =>
       s"""{"cell":$cell,"cent":[${c.mkString(",")}]}"""
     }.mkString("[", ",", "]")
     java.nio.file.Files.write(
-      new File(dir, "centroids.json").toPath, json.getBytes(UTF_8))
-    val cellsPath = new File(dir, "cells.parquet").getPath
+      new File(vdir, "centroids.json").toPath, json.getBytes(UTF_8))
+    val cellsPath = new File(vdir, "cells.parquet").getPath
     // ivfAssignTo against the JUST-PERSISTED centroids (doubles
     // round-trip toString/parse exactly), so what lands on disk is
     // bit-equal to ivfCells' assignment — AnnSpec pins this via the
@@ -88,9 +113,35 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
       .collect()
       .map(r => CellStats(r.getInt(0), r.getLong(1), r.getDouble(2),
         0L, 0L))
-    writeStats(dir, statRows.sortBy(_.cell))
+    writeStats(vdir, statRows.sortBy(_.cell))
+    // commit: tmp + atomic move, readers see old or new, never torn
+    val tmp = new File(dir, ".CURRENT.tmp")
+    java.nio.file.Files.write(tmp.toPath, ver.getBytes(UTF_8))
+    java.nio.file.Files.move(tmp.toPath,
+      new File(dir, "CURRENT").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     loadedIdx.remove(name)
+    gcVersions(dir, keep = ver)
     statRows.map(_.n).sum
+  }
+
+  /** Best-effort GC after a successful flip: superseded version dirs
+    * and legacy root-level artifacts. Failures only cost disk — the
+    * CURRENT pointer already moved.
+    */
+  private def gcVersions(dir: File, keep: String): Unit = {
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.isDirectory && f.getName.matches("v_\\d+") &&
+          f.getName != keep)
+        deleteRec(f)
+    }
+    Seq("centroids.json", "stats.json").foreach { n =>
+      val f = new File(dir, n)
+      if (f.isFile) { f.delete(): Unit }
+    }
+    val legacyCells = new File(dir, "cells.parquet")
+    if (legacyCells.isDirectory) deleteRec(legacyCells)
   }
 
   /** Incremental maintenance — q_ann_ivf_incremental's no-retrain
@@ -112,7 +163,7 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
   def append(name: String, sourceDir: String): Option[(Long, Long)] = {
     require(name.matches(Ident), "index name must be a bare identifier")
     load(name).map { idx =>
-      val dir = indexDir(name)
+      val dir = resolveDir(name)
       val stats = readStats(dir)
       require(stats.nonEmpty, s"index '$name' has no stats.json — " +
         "rebuild it before appending")
@@ -124,8 +175,7 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
       // index would leave the cells parquet with a schema that
       // depends on which file the reader samples — refuse with the
       // rebuild hint instead
-      require(spark.read.parquet(idx.cellsPath).columns
-        .contains("label"),
+      require(idx.cellsDf.columns.contains("label"),
         s"index '$name' was built without the label column — " +
           "rebuild it before appending")
       val perCell = asg
@@ -143,6 +193,9 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
         .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
       asg.write.mode("append").partitionBy("cell")
         .parquet(idx.cellsPath)
+      // the cached cells frame captured the pre-append file listing —
+      // reload on next touch so served reads include this batch
+      loadedIdx.remove(name)
       val known = stats.map(_.cell).toSet
       val updated = stats.map { s =>
         val (n, out) = perCell.getOrElse(s.cell, (0L, 0L))
@@ -193,7 +246,11 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
     * build path — same seeding, same assignment, bit-for-bit the
     * q_ann_ivf quantizer — and drop the temp source. Resets the
     * drift counters (a rebuild IS the alarm's resolution). Returns
-    * the indexed row count.
+    * the indexed row count. CRASH-SAFE: build() stages into a new
+    * version dir and flips CURRENT last, so a failure at any point
+    * (including inside the auto-rebuild append() triggers) leaves
+    * the old version serving and ALL appended vectors intact — the
+    * temp source can therefore always be dropped, success or not.
     */
   def rebuild(name: String): Long = {
     require(name.matches(Ident), "index name must be a bare identifier")
@@ -225,7 +282,7 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
   def drift(name: String): Option[(Long, Long, Double)] =
     if (!name.matches(Ident)) None
     else {
-      val stats = readStats(indexDir(name))
+      val stats = readStats(resolveDir(name))
       if (stats.isEmpty) None
       else {
         val app = stats.map(_.appended).sum
@@ -276,7 +333,7 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
 
   private def load(name: String): Option[Idx] =
     loadedIdx.get(name).orElse {
-      val dir = indexDir(name)
+      val dir = resolveDir(name)
       val cj = new File(dir, "centroids.json")
       val cp = new File(dir, "cells.parquet")
       if (!cj.isFile || !cp.isDirectory) None
@@ -292,7 +349,12 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
           n.get("cell").asInt() ->
             Array.tabulate(arr.size())(j => arr.get(j).asDouble())
         }
-        val idx = Idx(cents, cp.getPath)
+        // the cells frame is cached WITH the index: footer/schema
+        // resolution and file listing happen once per (re)load, not
+        // per query — the dominant cost of a small-k serving read is
+        // otherwise plan overhead, not the scan (cells are immutable
+        // between build/append, both of which invalidate this cache)
+        val idx = Idx(cents, cp.getPath, spark.read.parquet(cp.getPath))
         loadedIdx.putIfAbsent(name, idx)
         Some(idx)
       }
@@ -337,7 +399,7 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
       q.foreach(f => qn += f.toDouble * f.toDouble)
       val qnrm = math.sqrt(qn)
       graft.functions.GraftFunctions.register(spark)
-      val cells = spark.read.parquet(idx.cellsPath)
+      val cells = idx.cellsDf
         .filter(col("cell").isin(probes: _*))
       val filtered = labels match {
         case None => cells

@@ -117,8 +117,14 @@ class AnnStoreSpec extends AnyFunSuite {
       .parquet(new java.io.File(newDir, "embeddings.parquet").getPath)
 
     def stats(dir: java.io.File, name: String) = {
-      val f = new java.io.File(new java.io.File(
-        new java.io.File(dir, "_ann"), name), "stats.json")
+      val root0 = new java.io.File(new java.io.File(dir, "_ann"), name)
+      val cur = new java.io.File(root0, "CURRENT")
+      val vdir =
+        if (cur.isFile) new java.io.File(root0,
+          new String(java.nio.file.Files.readAllBytes(cur.toPath),
+            "UTF-8").trim)
+        else root0
+      val f = new java.io.File(vdir, "stats.json")
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = mapper.readTree(java.nio.file.Files.readAllBytes(f.toPath))
       (f, (0 until root.size()).map(i => root.get(i)))
@@ -216,5 +222,110 @@ class AnnStoreSpec extends AnyFunSuite {
       .filter(_.getName.startsWith("_rebuild_src"))
     assert(leftovers.isEmpty,
       s"rebuild must remove its temp source: ${leftovers.toSeq}")
+  }
+
+  test("(re)builds are index-atomic: a FAILED build over an existing " +
+    "index leaves the old version serving and every appended vector " +
+    "intact (the pre-version layout destroyed cells.parquet in place)") {
+    val spark = SparkFixture.spark
+    val sfDir = "/root/testdata/sf0.001"
+    val tierDir = Files.createTempDirectory("ann-atomic-tier").toFile
+    val store = new graft.engine.AnnStore(spark,
+      new graft.tier.ParquetTier(tierDir))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val oldDir = Files.createTempDirectory("ann-atomic-old").toFile
+    val newDir = Files.createTempDirectory("ann-atomic-new").toFile
+    emb.filter(col("vec_id") < 450).write
+      .parquet(new java.io.File(oldDir, "embeddings.parquet").getPath)
+    emb.filter(col("vec_id") >= 450).write
+      .parquet(new java.io.File(newDir, "embeddings.parquet").getPath)
+    store.build("ix", oldDir.getPath)
+    store.append("ix", newDir.getPath)
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val before = store.query("ix", q, 10, 8).get
+    assert(before.nonEmpty)
+    // a build from an empty/bogus source FAILS after the version dir
+    // was staged — the commit point (CURRENT flip) is never reached
+    val bogus = Files.createTempDirectory("ann-atomic-bogus").toFile
+    intercept[Exception] { store.build("ix", bogus.getPath) }
+    assert(store.query("ix", q, 10, 8).get == before,
+      "a failed rebuild must leave the old version serving, " +
+        "appended vectors included")
+    // ...and a SUCCESSFUL rebuild flips atomically and still serves
+    // all 500 vectors (original + appended round-trip the retrain)
+    store.rebuild("ix")
+    assert(store.query("ix", q, 10, 8).get.nonEmpty)
+    assert(store.drift("ix").contains((0L, 0L, 0.0)))
+  }
+
+  test("legacy (pre-version) index layouts stay readable, and the " +
+    "first rebuild migrates them to the versioned layout") {
+    val spark = SparkFixture.spark
+    val sfDir = "/root/testdata/sf0.001"
+    val tierDir = Files.createTempDirectory("ann-legacy-tier").toFile
+    val store = new graft.engine.AnnStore(spark,
+      new graft.tier.ParquetTier(tierDir))
+    store.build("mig", sfDir)
+    // reconstruct the legacy layout by hand: artifacts at the index
+    // root, no CURRENT pointer
+    val root0 = new java.io.File(new java.io.File(tierDir, "_ann"),
+      "mig")
+    val cur = new java.io.File(root0, "CURRENT")
+    val ver = new String(
+      java.nio.file.Files.readAllBytes(cur.toPath), "UTF-8").trim
+    val vdir = new java.io.File(root0, ver)
+    Seq("centroids.json", "stats.json").foreach { n =>
+      java.nio.file.Files.move(new java.io.File(vdir, n).toPath,
+        new java.io.File(root0, n).toPath)
+    }
+    java.nio.file.Files.move(
+      new java.io.File(vdir, "cells.parquet").toPath,
+      new java.io.File(root0, "cells.parquet").toPath)
+    assert(cur.delete()); assert(vdir.delete())
+    // a fresh store (no cache) reads the legacy layout
+    val store2 = new graft.engine.AnnStore(spark,
+      new graft.tier.ParquetTier(tierDir))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val legacyServed = store2.query("mig", q, 10, 8).get
+    assert(legacyServed.nonEmpty)
+    // rebuild migrates: CURRENT appears, root artifacts are GC'd,
+    // served results unchanged (same corpus, same quantizer math)
+    store2.rebuild("mig")
+    assert(cur.isFile, "rebuild must flip to the versioned layout")
+    assert(!new java.io.File(root0, "cells.parquet").exists(),
+      "legacy root artifacts must be GC'd after the flip")
+    assert(store2.query("mig", q, 10, 8).get == legacyServed)
+  }
+
+  test("warm serving path: the cells frame is cached per index — " +
+    "repeat queries return identical results and skip re-planning " +
+    "the parquet read; build/append invalidate the cache") {
+    val spark = SparkFixture.spark
+    val sfDir = "/root/testdata/sf0.001"
+    val tierDir = Files.createTempDirectory("ann-warm-tier").toFile
+    val store = new graft.engine.AnnStore(spark,
+      new graft.tier.ParquetTier(tierDir))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val oldDir = Files.createTempDirectory("ann-warm-old").toFile
+    val newDir = Files.createTempDirectory("ann-warm-new").toFile
+    emb.filter(col("vec_id") < 450).write
+      .parquet(new java.io.File(oldDir, "embeddings.parquet").getPath)
+    emb.filter(col("vec_id") >= 450).write
+      .parquet(new java.io.File(newDir, "embeddings.parquet").getPath)
+    store.build("warm", oldDir.getPath)
+    val q = emb.filter(col("vec_id") === 1)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val cold = store.query("warm", q, 10, 8).get
+    assert(store.query("warm", q, 10, 8).get == cold,
+      "the cached-cells path must serve identical results")
+    // append invalidates: the appended vectors become visible (the
+    // cached pre-append file listing must not be served stale)
+    store.append("warm", newDir.getPath)
+    val after = store.query("warm", q, 450, 8).get
+    assert(after.exists(_._1 >= 450L),
+      s"appended vec_ids must be servable post-append")
   }
 }
