@@ -36,15 +36,30 @@ object SealMarker {
     */
   val StagingTag = "staging"
   val FilesTag = "files"
+  /** Marks a BULK-INGEST seal: the staged files came from an
+    * executor-side dataset write, not from draining the RAM tail —
+    * replay must re-drive the (idempotent) publish but MUST NOT drain
+    * the table's buffer (rows buffered before the marker were never
+    * part of this seal; draining them would lose acknowledged,
+    * unsealed writes).
+    */
+  val BulkTag = "bulk"
 
   def apply(namespace: String, table: String,
-      stagingId: String = "", files: Seq[String] = Nil): WriteRequest =
+      stagingId: String = "", files: Seq[String] = Nil,
+      bulk: Boolean = false): WriteRequest =
     WriteRequest(Namespace, table, namespace,
-      if (stagingId.isEmpty) Map.empty
-      else Map(
-        StagingTag -> TagString(stagingId),
-        FilesTag -> TagString(files.mkString("\n"))),
+      (if (stagingId.isEmpty) Map.empty[String, TagValue]
+       else Map[String, TagValue](
+         StagingTag -> TagString(stagingId),
+         FilesTag -> TagString(files.mkString("\n")))) ++
+        (if (bulk) Map[String, TagValue](BulkTag -> TagString("1"))
+         else Map.empty[String, TagValue]),
       0L)
+
+  /** Whether a seal marker is a bulk-ingest marker. */
+  def isBulk(w: WriteRequest): Boolean =
+    w.metadata.contains(BulkTag)
 }
 
 /** Reserved namespace for streaming micro-batch brackets: the engine

@@ -147,8 +147,8 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier,
           // never causes a re-SCAN of an already-indexed file
           val onDisk =
             if (fullyLoaded(key)) Set.empty[String]
-            else diskPathSets.get(key).map(_.toSet)
-              .getOrElse(diskPaths(key))
+            else diskPathSets.getOrElseUpdate(key,
+              mutable.Set.empty[String] ++= diskPaths(key)).toSet
           snap.files.map(canon).distinct
             .filterNot(f => inMem(f) || onDisk(f))
         }
@@ -161,7 +161,8 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier,
           // half-failed read must never leave empty entries behind
           // (for blooms that would be UNSOUND, not just stale)
           val built = mutable.Map[String, FileIdx](missing.map(f =>
-            f -> FileIdx(new Array[Long](Words), None)): _*)
+            f -> FileIdx(new Array[Long](Words), None,
+              numZones = Some((None, None)))): _*)
           val df = tier.readFiles(spark, ns, table, missing, None)
           // string columns ONLY: on a non-string column (timestamp),
           // `col = 'literal'` coerces the LITERAL to the column type,
@@ -193,11 +194,18 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier,
                   .substr(lit(1) + lit(10) * col("r"), lit(10)), 16, 10)
                   .cast("long") % MBits).as("p"))
               .selectExpr("f", "v", "p div 64 AS w",
-                "CAST(p % 64 AS INT) AS b")
+                "CAST(p % 64 AS INT) AS b",
+                // typed zones ride the same scan: min/max of the
+                // column's try_cast projections (null for uncastable
+                // values — exactly what a try_cast predicate compares)
+                "try_cast(v AS BIGINT) AS vl",
+                "try_cast(v AS DOUBLE) AS vd")
               .groupBy("f", "w")
               .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))")
                 .as("bits"),
-                min(col("v")).as("lo"), max(col("v")).as("hi"))
+                min(col("v")).as("lo"), max(col("v")).as("hi"),
+                min(col("vl")).as("nlo"), max(col("vl")).as("nhi"),
+                min(col("vd")).as("dlo"), max(col("vd")).as("dhi"))
               .collect()
             rows.foreach { r =>
               val f = canon(r.getString(0))
@@ -212,12 +220,38 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier,
               e.words(r.getLong(1).toInt) |= r.getLong(2)
               val lo = r.getString(3).getBytes(UTF_8)
               val hi = r.getString(4).getBytes(UTF_8)
-              built(f) = e.copy(range = e.range match {
-                case None => Some((lo, hi))
-                case Some((l0, h0)) => Some((
-                  if (cmpBytes(lo, l0) < 0) lo else l0,
-                  if (cmpBytes(hi, h0) > 0) hi else h0))
-              })
+              val lz: Option[(Long, Long)] =
+                if (r.isNullAt(5)) None
+                else Some((r.getLong(5), r.getLong(6)))
+              val dz: Option[(Double, Double)] =
+                if (r.isNullAt(7)) None
+                else Some((r.getDouble(7), r.getDouble(8)))
+              def mergeL(a: Option[(Long, Long)], b: Option[(Long, Long)]) =
+                (a, b) match {
+                  case (None, x) => x
+                  case (x, None) => x
+                  case (Some((l0, h0)), Some((l1, h1))) =>
+                    Some((math.min(l0, l1), math.max(h0, h1)))
+                }
+              def mergeD(a: Option[(Double, Double)],
+                  b: Option[(Double, Double)]) =
+                (a, b) match {
+                  case (None, x) => x
+                  case (x, None) => x
+                  case (Some((l0, h0)), Some((l1, h1))) => Some((
+                    if (java.lang.Double.compare(l0, l1) <= 0) l0 else l1,
+                    if (java.lang.Double.compare(h0, h1) >= 0) h0 else h1))
+                }
+              val prevZones = e.numZones.getOrElse((None, None))
+              built(f) = e.copy(
+                range = e.range match {
+                  case None => Some((lo, hi))
+                  case Some((l0, h0)) => Some((
+                    if (cmpBytes(lo, l0) < 0) lo else l0,
+                    if (cmpBytes(hi, h0) > 0) hi else h0))
+                },
+                numZones = Some((mergeL(prevZones._1, lz),
+                  mergeD(prevZones._2, dz))))
             }
           }
           lock.synchronized {
@@ -310,42 +344,156 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier,
     }
   }
 
-  /** Lock scope of a skip-check: lazy-load the key's persisted
-    * partials (fully on first touch; after a partial shed, a
-    * TARGETED reload of just the queried-but-unloaded files — the
-    * disk-resident regime, one jsonl pass per cold query), then
-    * filter `files` against the per-file entries. `keep(e)` returns
-    * whether the file must be READ; a file without an entry is
-    * always read (conservative). Lookups run under the lock —
-    * O(queried files) hash gets,
-    * strictly cheaper than the whole-column snapshot this replaces —
-    * and each get() bumps the file in its access-ordered map, making
-    * eviction least-recently-consulted-file-first. An in-flight
-    * index build never blocks this (it commits under the lock only
-    * after its scan finishes).
+  /** BIGINT-zone variant: the subset of `files` a scan for
+    * `try_cast(column AS BIGINT) >= lo AND … <= hi` (either bound
+    * optional; equality passes lo == hi) must read. Sound because
+    * the zone records min/max of EXACTLY the projection the
+    * predicate compares (try_cast — null on uncastable, so a file
+    * whose zone is computed-empty provably matches no row). Entries
+    * that predate numeric zones are read conservatively. Narrower
+    * integral casts (try_cast AS INT/SMALLINT/TINYINT) are safely
+    * checked against the BIGINT zone: any value they accept, BIGINT
+    * accepts with the same numeric value (widening is exact), so the
+    * zone can only be wider — never wrongly skipping.
+    */
+  def skipFilesLongRange(ns: String, table: String, column: String,
+      lo: Option[Long], hi: Option[Long], files: Seq[String])
+      : Seq[String] =
+    filterFiles(ns, table, column, files) { e =>
+      e.numZones match {
+        case None => true // pre-upgrade entry: must read
+        case Some((lz, _)) => lz match {
+          case None => false // nothing in the file casts to BIGINT
+          case Some((mn, mx)) =>
+            lo.forall(l => mx >= l) && hi.forall(h => mn <= h)
+        }
+      }
+    }
+
+  /** DOUBLE-zone variant — same contract as [[skipFilesLongRange]]
+    * for `try_cast(column AS DOUBLE)` comparisons. Ordering is
+    * Spark's double ordering (NaN greatest), via Double.compare, so
+    * files holding NaN keep every upper-bound check.
+    */
+  def skipFilesDoubleRange(ns: String, table: String, column: String,
+      lo: Option[Double], hi: Option[Double], files: Seq[String])
+      : Seq[String] =
+    filterFiles(ns, table, column, files) { e =>
+      e.numZones match {
+        case None => true
+        case Some((_, dz)) => dz match {
+          case None => false
+          case Some((mn, mx)) =>
+            lo.forall(l => java.lang.Double.compare(mx, l) >= 0) &&
+              hi.forall(h => java.lang.Double.compare(mn, h) <= 0)
+        }
+      }
+    }
+
+  /** A skip-check in three phases, with ALL jsonl disk IO OUTSIDE
+    * the store lock (at the million-file design point a first-touch
+    * load or a cold-query targeted reload is a multi-MB sequential
+    * read; under the lock it would serialize every concurrent
+    * skip-check and every build's commit behind one query's IO):
+    *
+    *  1. under the lock, decide what this check needs from disk
+    *     (nothing / the key's full jsonl / a targeted set of files);
+    *  2. without the lock, do the reads into LOCAL structures;
+    *  3. under the lock again, merge and filter.
+    *
+    * The unlocked window is benign by construction: entries are
+    * deterministic functions of immutable sealed files, so a
+    * concurrent build/load merging the same paths agrees on the
+    * values; a concurrent prune's rewrite can at worst let this
+    * check merge entries for just-pruned files — dead files are in
+    * no current manifest, so no query's `files` list ever consults
+    * them, and the next prune drops them from memory again. Two
+    * concurrent cold queries may both read the jsonl (wasted IO,
+    * never wrong results).
+    *
+    * `keep(e)` returns whether the file must be READ; a file without
+    * an entry is always read (conservative). Filter lookups are
+    * O(queried files) hash gets, and each get() bumps the file in
+    * its access-ordered map, making eviction
+    * least-recently-consulted-file-first. An in-flight index build
+    * never blocks this (it commits under the lock only after its
+    * scan finishes).
     */
   private def filterFiles(ns: String, table: String, column: String,
-      files: Seq[String])(keep: FileIdx => Boolean): Seq[String] =
+      files: Seq[String])(keep: FileIdx => Boolean): Seq[String] = {
+    val key = (ns, table.toLowerCase, column.toLowerCase)
+    // ---- phase 1 (lock): what does this check need from disk?
+    var fullLoad = false
+    var buildPathSet = false
+    var want: Set[String] = Set.empty
     lock.synchronized {
-      val key = (ns, table.toLowerCase, column.toLowerCase)
-      ensureLoaded(key, ns, table)
+      if (!diskChecked(key)) fullLoad = true
+      else idx.get(key) match {
+        case Some(m) if !fullyLoaded(key) =>
+          val missing = files.iterator.map(canon)
+            .filterNot(m.containsKey).toSet
+          if (missing.nonEmpty) diskPathSets.get(key) match {
+            // only files the jsonl actually holds are worth a
+            // targeted reload — a genuinely-unindexed file costs a
+            // set lookup, not a full-index disk pass per query
+            case Some(onDisk) => want = missing.filter(onDisk)
+            case None => buildPathSet = true; want = missing
+          }
+        case _ =>
+      }
+    }
+    // ---- phase 2 (NO lock): jsonl IO into locals
+    var loadedFull: Option[java.util.LinkedHashMap[String, FileIdx]] =
+      None
+    var pathSet: Option[Set[String]] = None
+    if (fullLoad) {
+      jsonlFile(ns, key._2, key._3).foreach { jf =>
+        if (jf.isFile) {
+          val lm = newEntryMap()
+          parseJsonl(jf, want = None)((f, e) => lm.put(f, e))
+          loadedFull = Some(lm)
+        }
+      }
+    } else if (buildPathSet || want.nonEmpty) {
+      if (buildPathSet) {
+        val ps = diskPaths(key)
+        pathSet = Some(ps)
+        want = want.filter(ps)
+      }
+      if (want.nonEmpty) {
+        val lm = newEntryMap()
+        loadSome(key, want, lm)
+        loadedFull = Some(lm) // targeted entries merge the same way
+      }
+    }
+    // ---- phase 3 (lock): merge + filter
+    lock.synchronized {
+      if (fullLoad) {
+        if (!diskChecked(key)) {
+          diskChecked += key
+          fullyLoaded += key
+          diskPathSets -= key // full load: the negative cache is moot
+          origNames.getOrElseUpdate((ns, key._2), table)
+          loadedFull.foreach { lm =>
+            val m = idx.getOrElseUpdate(key, newEntryMap())
+            lm.forEach((f, e) => m.put(f, e))
+          }
+        } // else: a concurrent check already loaded — ours was spare IO
+      } else {
+        pathSet.foreach(ps => diskPathSets.getOrElseUpdate(key,
+          mutable.Set.empty[String] ++= ps))
+        // merge targeted entries only where still missing (a racing
+        // build may have committed fresher identical values)
+        loadedFull.foreach { lm =>
+          idx.get(key).foreach { m =>
+            lm.forEach((f, e) =>
+              if (!m.containsKey(f)) { m.put(f, e); () })
+          }
+        }
+      }
       idx.get(key) match {
         case None => files // column not indexed: read everything
         case Some(m) =>
-          if (!fullyLoaded(key)) {
-            val missing = files.iterator.map(canon)
-              .filterNot(m.containsKey).toSet
-            if (missing.nonEmpty) {
-              // consult the path set first: only files the jsonl
-              // actually holds are worth a targeted reload — a
-              // genuinely-unindexed file costs a set lookup, not a
-              // full-index disk pass per query
-              val onDisk = diskPathSets.getOrElseUpdate(key,
-                mutable.Set.empty[String] ++= diskPaths(key))
-              val want = missing.filter(onDisk)
-              if (want.nonEmpty) loadSome(key, want, m)
-            }
-          }
           val out = files.filter { f =>
             val e = m.get(canon(f)) // bumps LRU access order
             if (e == null) true // unindexed: must read
@@ -355,6 +503,7 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier,
           out
       }
     }
+  }
 
   /** Caller holds the lock: bump the key's LRU tick, then shed files
     * while loaded entries exceed `maxCachedFiles` — coldest KEY
@@ -608,6 +757,17 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier,
         .append("\",\"hi\":\"").append(b64.encodeToString(hi))
         .append('"')
     }
+    e.numZones.foreach { case (lz, dz) =>
+      sb.append(",\"nz\":1") // zones were computed (maybe empty)
+      lz.foreach { case (mn, mx) =>
+        sb.append(",\"nl\":\"").append(mn)
+          .append("\",\"nh\":\"").append(mx).append('"')
+      }
+      dz.foreach { case (mn, mx) =>
+        sb.append(",\"dl\":\"").append(mn)
+          .append("\",\"dh\":\"").append(mx).append('"')
+      }
+    }
     sb.append("}\n")
     sb.toString
   }
@@ -711,7 +871,18 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier,
               Some((dec.decode(n.get("lo").asText()),
                 dec.decode(n.get("hi").asText())))
             else None
-          put(path, FileIdx(words, range))
+          val numZones =
+            if (!n.hasNonNull("nz")) None
+            else Some((
+              if (n.hasNonNull("nl") && n.hasNonNull("nh"))
+                Some((n.get("nl").asText().toLong,
+                  n.get("nh").asText().toLong))
+              else None,
+              if (n.hasNonNull("dl") && n.hasNonNull("dh"))
+                Some((java.lang.Double.parseDouble(n.get("dl").asText()),
+                  java.lang.Double.parseDouble(n.get("dh").asText())))
+              else None))
+          put(path, FileIdx(words, range, numZones))
         }
       }
     }
@@ -720,10 +891,20 @@ final class BloomStore(spark: SparkSession, tier: ParquetTier,
 
 object BloomStore {
   /** A file's index entry: 2^15 bloom bits (512 longs) + the UTF-8
-    * byte-order zone map (None = no non-null values in the file).
+    * byte-order zone map (None = no non-null values in the file) +
+    * TYPED numeric zones over the column's try_cast(BIGINT) and
+    * try_cast(DOUBLE) projections. `numZones` outer None = the entry
+    * predates numeric zones (conservative: cannot prune numeric
+    * predicates); Some((lz, dz)) = computed, where an inner None
+    * means NO value in the file casts to that type — a try_cast
+    * predicate can match nothing there, so the file is skippable.
+    * Double ordering follows Spark's (NaN greatest), via
+    * java.lang.Double.compare.
     */
   final case class FileIdx(words: Array[Long],
-      range: Option[(Array[Byte], Array[Byte])])
+      range: Option[(Array[Byte], Array[Byte])],
+      numZones: Option[(Option[(Long, Long)],
+        Option[(Double, Double)])] = None)
 
   val IdxDirName = "_bloomidx"
 

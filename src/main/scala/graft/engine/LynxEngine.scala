@@ -95,7 +95,11 @@ class LynxEngine(
     scala.collection.mutable.Map.empty[String, String]
   private val (replayedHighest, replayedIds) =
     Wal.replay(walDir, buffer, m => {
-      buffer.drainTable(m.value, m.measurement)
+      // a BULK marker's staged files never came from the buffer:
+      // draining here would lose acknowledged plain writes buffered
+      // before the marker (they were never part of the bulk seal)
+      if (!graft.core.SealMarker.isBulk(m))
+        buffer.drainTable(m.value, m.measurement)
       // re-drive the tier publish recorded in the marker: idempotent,
       // so a crash anywhere between marker and publish converges here
       for {
@@ -385,6 +389,70 @@ class LynxEngine(
       }
     }
 
+  /** Executor-side BULK-INGEST lane — the backfill door. The HTTP /
+    * streaming write plane is driver-side by design (WAL-first, RAM
+    * tail, trigger-bounded batches); loading 100 TB of history
+    * through it would serialize the whole corpus through one
+    * driver's collect. This lane writes the dataset as
+    * day-partitioned parquet DISTRIBUTED (tier staging — the same
+    * executor-side write every seal uses), then commits it with ONE
+    * WAL seal marker + ONE manifest flip: no row ever touches the
+    * driver, the buffer, or the WAL. Visibility is atomic at the new
+    * manifest version (time travel sees the pre/post versions), and
+    * the crash contract is the seal's: marker-before-publish, replay
+    * re-drives an unpublished marker, a markerless staging dir is
+    * discarded at startup — so a caller whose ingestDataset returned
+    * has durable data, and one that crashed mid-call retries the
+    * whole dataset (nothing partial ever becomes visible).
+    *
+    * `df` must carry `timestamp` (castable to TIMESTAMP) and `value`
+    * columns; every other column becomes a string tag (cast), same
+    * dynamic-schema rules as the row plane (no `__lynx*` names, no
+    * `timestamp`/`value` shadowing — enforced here like
+    * validateTags). Rows keep the caller's partitioning: files per
+    * day = input partitions that hold that day (repartition by a
+    * day expression upstream for fewer, larger files; the auto-
+    * compaction threshold also applies, same as seal). Returns the
+    * number of data files published.
+    */
+  def ingestDataset(namespace: String, table: String,
+      df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.functions.{col, date_format}
+    require(!namespace.startsWith("\u0000"), "reserved namespace")
+    val t = tier.getOrElse(throw new IllegalStateException(
+      "bulk ingest requires a parquet tier"))
+    val cols = df.columns
+    require(cols.exists(_ == "timestamp") && cols.exists(_ == "value"),
+      "bulk-ingest datasets must carry timestamp and value columns")
+    val tagCols = cols.filterNot(c => c == "timestamp" || c == "value")
+    tagCols.foreach(k => require(!k.startsWith("__lynx"),
+      s"reserved tag key: $k"))
+    val norm = df.select(
+      (col("timestamp").cast("timestamp").as("timestamp") +:
+        col("value").cast("string").as("value") +:
+        tagCols.sorted.map(c => col(c).cast("string").as(c))): _*)
+      .withColumn(ParquetTier.DayCol,
+        date_format(col("timestamp"), "yyyy-MM-dd"))
+    // the heavy distributed write runs OUTSIDE the engine lock:
+    // staging is invisible to readers, so concurrent writes/queries
+    // proceed; only the metadata commit below serializes
+    val (stagingId, files) = t.stage(spark, namespace, table, norm)
+    writeLock.synchronized {
+      wal.write(graft.core.SealMarker(namespace, table, stagingId,
+        files, bulk = true))
+      wal.flush() // marker durable BEFORE publish (the seal ordering)
+      t.publish(namespace, table, stagingId, files)
+      if (autoCompactFileThreshold > 0 &&
+          t.redundantFileCount(namespace, table) >=
+            autoCompactFileThreshold) {
+        t.compact(spark, namespace, table)
+        pruneIndexes(namespace, table)
+      }
+      maintainBloomIndexes(namespace, table)
+    }
+    files.size
+  }
+
   /** Incrementally (re)index the configured bloom columns for a
     * table whose manifest just changed. ANY failure is logged and
     * swallowed (NonFatal): by the time this runs the rows are already
@@ -559,6 +627,13 @@ class LynxEngine(
     val rangesByTable
         : Map[String, Seq[(String, Option[String], Option[String])]] =
       if (bloomsActive) LynxEngine.strRangesPerTable(plan) else Map.empty
+    // typed numeric zone bounds (try_cast comparisons only — see
+    // numRangesPerTable's soundness note)
+    val (longRangesByTable, dblRangesByTable) =
+      if (bloomsActive) LynxEngine.numRangesPerTable(plan)
+      else (Map.empty[String,
+        Seq[(String, Option[Long], Option[Long])]],
+        Map.empty[String, Seq[(String, Option[Double], Option[Double])]])
     // as-of reads bypass the cache: they are rare ops reads over
     // immutable manifests, not worth a key-shape extension
     val cacheable = resultCacheEntries > 0 && !isExplain &&
@@ -698,9 +773,18 @@ class LynxEngine(
                   .foldLeft(snap.files) { case (fs, (c, vs)) =>
                     bs.skipFilesAny(namespace, t, c, vs, fs)
                   }
-                rangesByTable.getOrElse(t.toLowerCase, Nil)
+                val afterStr = rangesByTable.getOrElse(t.toLowerCase, Nil)
                   .foldLeft(afterEq) { case (fs, (c, lo, hi)) =>
                     bs.skipFilesRange(namespace, t, c, lo, hi, fs)
+                  }
+                val afterLong = longRangesByTable
+                  .getOrElse(t.toLowerCase, Nil)
+                  .foldLeft(afterStr) { case (fs, (c, lo, hi)) =>
+                    bs.skipFilesLongRange(namespace, t, c, lo, hi, fs)
+                  }
+                dblRangesByTable.getOrElse(t.toLowerCase, Nil)
+                  .foldLeft(afterLong) { case (fs, (c, lo, hi)) =>
+                    bs.skipFilesDoubleRange(namespace, t, c, lo, hi, fs)
                   }
               case None => snap.files
             }
@@ -1390,6 +1474,126 @@ object LynxEngine {
               (k._2, lo.get(k), hi.get(k))
             }
           }
+    }
+  }
+
+  /** Per-table TYPED numeric range bounds from WHERE conjuncts —
+    * `try_cast(c AS BIGINT) >= 5` → long zone, `try_cast(c AS
+    * DOUBLE) < 1.5` → double zone — the harvest behind
+    * [[BloomStore.skipFilesLongRange]]/[[BloomStore.skipFilesDoubleRange]].
+    * Returns (longRanges, doubleRanges), each per-table like
+    * [[strRangesPerTable]].
+    *
+    * ONLY `try_cast` qualifies, by the same no-coercion soundness
+    * discipline that keeps the string harvest literal-typed:
+    *  - a bare coercing comparison (`col = 5`) and a plain CAST both
+    *    error at runtime on uncastable rows under ANSI — pruning a
+    *    file would silently suppress an error the scan would have
+    *    raised;
+    *  - `try_cast` is total (null on failure), and the zone records
+    *    min/max of EXACTLY that projection, so skip decisions match
+    *    the predicate's row-level semantics.
+    * Narrower integral casts (AS INT/SMALLINT/TINYINT) check against
+    * the BIGINT zone — widening is exact, the zone is only ever
+    * wider. Long-zone literals must be integral; double-zone
+    * literals may be integral, float/double, or decimal (all convert
+    * to the same double the coerced comparison uses). `>`/`<` widen
+    * to their inclusive forms; bounds on one (table, column)
+    * intersect, matching AND semantics.
+    */
+  def numRangesPerTable(rawPlan: LogicalPlan): (
+      Map[String, Seq[(String, Option[Long], Option[Long])]],
+      Map[String, Seq[(String, Option[Double], Option[Double])]]) = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def tryCastParts(e: Expression, long: Boolean)
+        : Option[Seq[String]] = e match {
+      case c: Cast if c.evalMode == EvalMode.TRY =>
+        val okType =
+          if (long) c.dataType match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          }
+          else c.dataType == DoubleType
+        if (okType) colParts(c.child) else None
+      case _ => None
+    }
+    def longLit(e: Expression): Option[Long] = e match {
+      case Literal(v: Byte, ByteType) => Some(v.toLong)
+      case Literal(v: Short, ShortType) => Some(v.toLong)
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Long, LongType) => Some(v)
+      case _ => None
+    }
+    def dblLit(e: Expression): Option[Double] = e match {
+      case Literal(v: Double, DoubleType) if !v.isNaN => Some(v)
+      case Literal(v: Float, FloatType) if !v.isNaN => Some(v.toDouble)
+      case Literal(d: org.apache.spark.sql.types.Decimal, _) =>
+        Some(d.toDouble)
+      case other => longLit(other).map(_.toDouble)
+    }
+    val lLo = scala.collection.mutable.Map.empty[(String, String), Long]
+    val lHi = scala.collection.mutable.Map.empty[(String, String), Long]
+    val dLo = scala.collection.mutable.Map.empty[(String, String), Double]
+    val dHi = scala.collection.mutable.Map.empty[(String, String), Double]
+    val refCounts = harvestConjuncts(rawPlan) { (c, resolveParts) =>
+      def rl(e: Expression): Option[(String, String)] =
+        tryCastParts(e, long = true).flatMap(resolveParts)
+      def rd(e: Expression): Option[(String, String)] =
+        tryCastParts(e, long = false).flatMap(resolveParts)
+      def low[T](m: scala.collection.mutable.Map[(String, String), T],
+          k: (String, String), v: T)(implicit o: Ordering[T]): Unit =
+        m(k) = m.get(k).fold(v)(p => if (o.gt(v, p)) v else p)
+      def high[T](m: scala.collection.mutable.Map[(String, String), T],
+          k: (String, String), v: T)(implicit o: Ordering[T]): Unit =
+        m(k) = m.get(k).fold(v)(p => if (o.lt(v, p)) v else p)
+      // double ordering must be Spark's total order (NaN greatest) —
+      // NaN literals are filtered at the source, so IEEE vs total
+      // order cannot diverge here, but stay explicit
+      implicit val dOrd: Ordering[Double] =
+        (a, b) => java.lang.Double.compare(a, b)
+      def visitSide(a: Expression, l: Expression,
+          aIsLowBound: Boolean): Unit = {
+        for (k <- rl(a); v <- longLit(l))
+          if (aIsLowBound) low(lLo, k, v) else high(lHi, k, v)
+        for (k <- rd(a); v <- dblLit(l))
+          if (aIsLowBound) low(dLo, k, v) else high(dHi, k, v)
+      }
+      c match {
+        case GreaterThanOrEqual(a, l) =>
+          visitSide(a, l, aIsLowBound = true)
+          visitSide(l, a, aIsLowBound = false)
+        case GreaterThan(a, l) =>
+          visitSide(a, l, aIsLowBound = true)
+          visitSide(l, a, aIsLowBound = false)
+        case LessThanOrEqual(a, l) =>
+          visitSide(a, l, aIsLowBound = false)
+          visitSide(l, a, aIsLowBound = true)
+        case LessThan(a, l) =>
+          visitSide(a, l, aIsLowBound = false)
+          visitSide(l, a, aIsLowBound = true)
+        case EqualTo(a, l) =>
+          visitSide(a, l, aIsLowBound = true)
+          visitSide(a, l, aIsLowBound = false)
+          visitSide(l, a, aIsLowBound = true)
+          visitSide(l, a, aIsLowBound = false)
+        case _ =>
+      }
+    }
+    refCounts match {
+      case None => (Map.empty, Map.empty)
+      case Some(rc) =>
+        def collect[T](
+            lo: scala.collection.mutable.Map[(String, String), T],
+            hi: scala.collection.mutable.Map[(String, String), T])
+            : Map[String, Seq[(String, Option[T], Option[T])]] =
+          (lo.keySet ++ hi.keySet).iterator
+            .filter { case (t, _) => rc.getOrElse(t, 0) == 1 }
+            .toSeq
+            .groupBy(_._1)
+            .map { case (t, ks) =>
+              t -> ks.sorted.map(k => (k._2, lo.get(k), hi.get(k)))
+            }
+        (collect(lLo, lHi), collect(dLo, dHi))
     }
   }
 

@@ -1475,4 +1475,209 @@ class EngineSpec extends AnyFunSuite {
       "restarted prune dropped a live mixed-case table's index")
     assert(bs2.cachedFiles == n)
   }
+
+  test("executor-side bulk-ingest lane: the dataset lands DISTRIBUTED " +
+    "(no driver collect job), atomically at one manifest version, " +
+    "time travel intact, bloom auto-index covering it — and a replay " +
+    "of the bulk marker never drains unrelated buffered rows") {
+    val spark = SparkFixture.spark
+    import org.apache.spark.sql.functions._
+    val walDir = Files.createTempDirectory("bulk-wal").toFile
+    val tierDir = Files.createTempDirectory("bulk-tier").toFile
+    val e = new LynxEngine(spark, walDir, 1024 * 1024,
+      Some(new ParquetTier(tierDir)),
+      autoBloomColumns = Seq("host"))
+    // a plain acknowledged write BEFORE the bulk marker: the replay
+    // case below proves the bulk marker does not drain it
+    e.write(WriteRequest("events", "cpu", "plain-row",
+      Map("host" -> TagString("h-plain")), 42L * 1000000L))
+
+    // 100k rows, generated executor-side (spark.range — nothing is
+    // ever materialized on the driver), spanning two UTC days
+    val n = 100000L
+    val df = spark.range(n).select(
+      timestamp_micros(col("id") * 1000000L).as("timestamp"),
+      concat(lit("v"), col("id")).as("value"),
+      concat(lit("h"), col("id") % 3).as("host"))
+
+    // listener: record every job's call site during the ingest — a
+    // driver materialization would surface as a "collect at …" job
+    val sites = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        sites.add(Option(j.properties)
+          .map(_.getProperty("callSite.short", "")).getOrElse(""))
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val published =
+      try e.ingestDataset("events", "cpu", df)
+      finally {
+        // listener events post asynchronously; the actions themselves
+        // completed inside ingestDataset, so a short drain suffices
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        while (sites.isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        Thread.sleep(200)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(published > 0)
+    val seen = scala.jdk.CollectionConverters
+      .ListHasAsScala(sites).asScala.toSeq
+    assert(seen.nonEmpty, "the ingest must run Spark jobs")
+    assert(!seen.exists(_.startsWith("collect at")),
+      s"bulk ingest must never materialize on the driver: $seen")
+
+    // visible in one atomic manifest flip; day partitioning is real
+    val r = e.query("events", "SELECT count(*) AS c FROM cpu").get
+    assert(r.rows.head.getLong(0) == n + 1)
+    val versions = e.tierVersions("events", "cpu")
+    assert(versions.size == 1, s"ONE manifest version: $versions")
+    val dayPruned = e.query("events",
+      "SELECT count(*) AS c FROM cpu WHERE timestamp >= " +
+        "'1970-01-02 00:00:00'").get
+    assert(dayPruned.rows.head.getLong(0) == n - 86400L)
+
+    // time travel: the pre-ingest state (no version) is refused, the
+    // published version serves exactly the bulk rows
+    val v = versions.head._1
+    val asOf = e.query("events", "SELECT count(*) AS c FROM cpu",
+      asOfVersion = Some(v)).get
+    assert(asOf.rows.head.getLong(0) == n,
+      "the published version holds the bulk rows only (the plain " +
+        "row is still buffered, above every manifest version)")
+
+    // bloom auto-index covered the published files
+    assert(e.valueBlooms.get.indexedColumns("events", "cpu")
+      .contains("host"))
+    val skip = e.query("events",
+      "SELECT count(*) AS c FROM cpu WHERE host = 'h1'").get
+    assert(skip.rows.head.getLong(0) > 0)
+
+    // restart: the bulk marker replays (idempotent publish) WITHOUT
+    // draining the buffered plain row — both survive
+    e.wal.close()
+    val e2 = new LynxEngine(spark, walDir, 1024 * 1024,
+      Some(new ParquetTier(tierDir)),
+      autoBloomColumns = Seq("host"))
+    val r2 = e2.query("events", "SELECT count(*) AS c FROM cpu").get
+    assert(r2.rows.head.getLong(0) == n + 1,
+      "replaying the bulk marker must neither lose the buffered " +
+        "plain row (drain bug) nor double-publish the bulk files")
+    val plain = e2.query("events",
+      "SELECT value FROM cpu WHERE host = 'h-plain'").get
+    assert(plain.rows.map(_.getString(0)) == Seq("plain-row"))
+  }
+
+  test("typed numeric zone maps: try_cast(BIGINT/DOUBLE) range " +
+    "predicates skip files (corrupted-file proof), coercing and " +
+    "plain-CAST predicates are never harvested, zones persist") {
+    val spark = SparkFixture.spark
+    // ---- harvest rules
+    def num(sql: String) =
+      LynxEngine.numRangesPerTable(LynxEngine.parse(spark, sql))
+    assert(num("SELECT * FROM cpu WHERE try_cast(status AS BIGINT) " +
+      ">= 400")._1 ==
+      Map("cpu" -> Seq(("status", Some(400L), None))))
+    assert(num("SELECT * FROM cpu WHERE 500 > " +
+      "try_cast(status AS BIGINT)")._1 ==
+      Map("cpu" -> Seq(("status", None, Some(500L)))))
+    assert(num("SELECT * FROM cpu WHERE try_cast(status AS BIGINT) " +
+      "= 404")._1 ==
+      Map("cpu" -> Seq(("status", Some(404L), Some(404L)))))
+    assert(num("SELECT * FROM cpu WHERE try_cast(status AS DOUBLE) " +
+      "< 250.5")._2 ==
+      Map("cpu" -> Seq(("status", None, Some(250.5)))))
+    // intersection of bounds on one column (AND semantics)
+    assert(num("SELECT * FROM cpu WHERE try_cast(status AS BIGINT) " +
+      ">= 100 AND try_cast(status AS BIGINT) >= 200 AND " +
+      "try_cast(status AS BIGINT) < 900")._1 ==
+      Map("cpu" -> Seq(("status", Some(200L), Some(900L)))))
+    // SOUNDNESS: bare coercion and plain CAST are NEVER harvested —
+    // under ANSI both can error on uncastable rows, and pruning a
+    // file would suppress that error
+    assert(num("SELECT * FROM cpu WHERE status = 404")._1.isEmpty)
+    assert(num("SELECT * FROM cpu WHERE status > 400")._1.isEmpty)
+    assert(num("SELECT * FROM cpu WHERE CAST(status AS BIGINT) > " +
+      "400")._1.isEmpty)
+    // a double literal never feeds the LONG zone (the comparison
+    // coerces to double, where 400.5 sits between integers)
+    assert(num("SELECT * FROM cpu WHERE try_cast(status AS BIGINT) " +
+      "> 400.5")._1.isEmpty)
+
+    // ---- engine e2e: three sealed file groups — statuses ~200,
+    // ~500, and a non-numeric group (zone computed-empty)
+    val tierDir = Files.createTempDirectory("numzone-tier").toFile
+    val tier = new ParquetTier(tierDir)
+    val e = newEngine(Some(tier))
+    var prev = Set.empty[String]
+    val byGroup = scala.collection.mutable.Map.empty[String, Set[String]]
+    for ((g, vals) <- Seq(
+        ("ok", Seq("200", "201", "204")),
+        ("err", Seq("500", "502", "503")),
+        ("text", Seq("timeout", "refused", "reset")))) {
+      vals.zipWithIndex.foreach { case (v, i) =>
+        e.write(WriteRequest("ns", "req", s"$g-$i",
+          Map("status" -> TagString(v)), i.toLong * 1000000L + 1))
+      }
+      e.seal("ns", "req")
+      val now = tier.dataFiles("ns", "req").toSet
+      byGroup(g) = now -- prev
+      prev = now
+    }
+    val files = tier.dataFiles("ns", "req")
+    val bs = e.valueBlooms.get
+    assert(bs.index("ns", "req", "status") == files.size)
+
+    // store-level: BIGINT zone keeps exactly the 5xx group for >= 400
+    assert(bs.skipFilesLongRange("ns", "req", "status",
+      Some(400L), None, files).toSet == byGroup("err"))
+    // equality via lo == hi: a seal splits rows across part files,
+    // so only the part(s) whose one-row zone contains 502 survive
+    val eq502 = bs.skipFilesLongRange("ns", "req", "status",
+      Some(502L), Some(502L), files).toSet
+    assert(eq502.nonEmpty && eq502.subsetOf(byGroup("err")),
+      s"$eq502 vs ${byGroup("err")}")
+    // the non-numeric group is computed-empty: skipped for ANY
+    // numeric range, kept for none
+    assert(bs.skipFilesLongRange("ns", "req", "status",
+      None, Some(Long.MaxValue), files).toSet ==
+      byGroup("ok") ++ byGroup("err"))
+    // DOUBLE zone
+    assert(bs.skipFilesDoubleRange("ns", "req", "status",
+      None, Some(250.5), files).toSet == byGroup("ok"))
+
+    // e2e with corrupted-file proof: damage everything the >= 400
+    // prune excludes; the query plans only the err files and succeeds
+    val keep = byGroup("err")
+    files.filterNot(keep).foreach(pth =>
+      Files.write(new java.io.File(pth).toPath, "not parquet".getBytes))
+    val r = e.query("ns",
+      "SELECT value FROM req WHERE try_cast(status AS BIGINT) >= " +
+        "400 ORDER BY value").get
+    assert(r.rows.map(_.getString(0)) == Seq("err-0", "err-1", "err-2"),
+      "numeric-zone-pruned query must read only the err files")
+    // double-zone path on the same corrupted fixtures
+    val rd = e.query("ns",
+      "SELECT value FROM req WHERE try_cast(status AS DOUBLE) " +
+        ">= 400.0 ORDER BY value").get
+    assert(rd.rows.map(_.getString(0)) == Seq("err-0", "err-1", "err-2"))
+    // negative control: an unharvestable shape (plain CAST) keeps the
+    // corrupted files in the plan and fails — the skip was the saver
+    intercept[Exception] {
+      e.query("ns", "SELECT value FROM req WHERE " +
+        "CAST(status AS BIGINT) >= 400 ORDER BY value")
+    }
+
+    // persistence: a fresh engine on the same tier reloads the zones
+    // from the jsonl (nz/nl/dl round-trip) and still skips
+    val e2 = newEngine(Some(tier))
+    val bs2 = e2.valueBlooms.get
+    assert(bs2.skipFilesLongRange("ns", "req", "status",
+      Some(400L), None, files).toSet == byGroup("err"),
+      "numeric zones must survive a restart via the persisted index")
+  }
 }

@@ -837,8 +837,13 @@ class PlanSpec extends AnyFunSuite {
     val store = new graft.engine.AnnStore(spark,
       new graft.tier.ParquetTier(tierDir))
     store.build("planpin", dir)
-    val cellsPath = new java.io.File(tierDir,
-      "_ann/planpin/cells.parquet").getPath
+    // versioned layout (round 13): artifacts live in the version dir
+    // the CURRENT pointer names
+    val idxRoot = new java.io.File(tierDir, "_ann/planpin")
+    val ver = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(idxRoot, "CURRENT").toPath), "UTF-8").trim
+    val cellsPath = new java.io.File(new java.io.File(idxRoot, ver),
+      "cells.parquet").getPath
     val probed = spark.read.parquet(cellsPath)
       .filter(org.apache.spark.sql.functions.col("cell").isin(1, 2, 3))
     val exec = probed.queryExecution.executedPlan
