@@ -184,6 +184,24 @@ object EngineSmoke {
       .select("embedding").head.getSeq[Float](0).toArray
     stage("ann_probe")(ann.query("smoke", q, 10, 3).get.size)
     stage("ann_probe2")(ann.query("smoke", q, 10, 3).get.size)
+    // warm serving percentiles: the first probe paid plan/footer
+    // resolution (now cached per index version — AnnStore.load keeps
+    // the cells DataFrame); these measure the steady-state p50/p95 a
+    // serving endpoint actually exhibits, with and without a label
+    // filter (k=10, nprobe=4, 40 probes each)
+    def servedPercentiles(labels: Option[Seq[Long]]): (Double, Double) = {
+      val times = (1 to 40).map { _ =>
+        val t0 = System.nanoTime()
+        ann.query("smoke", q, 10, 4, labels)
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      (times(times.size / 2), times((times.size * 95) / 100 - 1))
+    }
+    val (p50, p95) = servedPercentiles(None)
+    val (fp50, fp95) = servedPercentiles(Some(Seq(1L, 2L, 3L)))
+    println(f"""{"stage":"ann_served_warm","k":10,"nprobe":4,""" +
+      f""""p50_ms":$p50%.1f,"p95_ms":$p95%.1f,""" +
+      f""""filtered_p50_ms":$fp50%.1f,"filtered_p95_ms":$fp95%.1f}""")
 
     // ---- 8. streaming write plane: exactly-once WAL brackets, a
     // crash WITHOUT checkpoint, restart, re-delivery no-op, and time

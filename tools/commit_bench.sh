@@ -73,6 +73,27 @@ if [ "$v" != "ok" ]; then
   echo "FAIL: bench verdict '$v' — NOT committing this run" >&2
   exit 1
 fi
+
+# 5. cross-round regression gate on the CPU channel: diff per-query
+#    committed cpu against the PREVIOUS committed file and refuse the
+#    commit when any query regresses > REG_FACTOR at > REG_MIN_CPU s
+#    absolute — the cpu channel exists to make round-over-round
+#    comparison honest; this closes the loop so a regression is a
+#    gate failure, not verdict-time archaeology. Override knowingly
+#    with SKIP_REGRESSION_GATE=1 (e.g. an intentional algorithm
+#    change), which records the skip in the committed file.
+REG_FACTOR="${REG_FACTOR:-1.5}"
+REG_MIN_CPU="${REG_MIN_CPU:-1.0}"
+PREV="${PREV_COMMITTED:-bench_committed.json}"
+if [ "${SKIP_REGRESSION_GATE:-0}" != "1" ] && [ -f "$PREV" ]; then
+  if ! python3 tools/bench_regression_gate.py "$PREV" bench_out.json \
+      "$REG_FACTOR" "$REG_MIN_CPU"; then
+    echo "FAIL: regression gate — NOT committing this run" >&2
+    exit 3
+  fi
+else
+  echo "== regression gate skipped ($([ -f "$PREV" ] && echo 'SKIP_REGRESSION_GATE=1' || echo 'no previous committed file'))"
+fi
 cp bench_out.json bench_committed.json
 python3 - <<'EOF'
 import json
