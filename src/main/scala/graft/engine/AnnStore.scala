@@ -53,6 +53,10 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
       cellsDf: org.apache.spark.sql.DataFrame)
   private val loadedIdx =
     scala.collection.concurrent.TrieMap.empty[String, Idx]
+  // serializes build/append/rebuild: two concurrent builds of one
+  // store could otherwise GC each other's staged version dirs
+  // (reentrant, so append()'s auto-rebuild nests fine)
+  private val mutate = new Object
 
   /** The version dir CURRENT points at; the index root itself for
     * legacy (pre-version) layouts. Reads are lock-free: CURRENT is
@@ -83,10 +87,24 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
     * cells parquet keeps each row's assignment `dist` so stats are
     * recomputable from data; serving's column pruning never reads it.
     */
-  def build(name: String, sourceDir: String): Long = {
+  def build(name: String, sourceDir: String): Long =
+      mutate.synchronized {
     require(name.matches(Ident), "index name must be a bare identifier")
     val dir = indexDir(name)
     dir.mkdirs()
+    // the version serving BEFORE this build survives GC below: an
+    // in-flight query may hold its cached cells frame mid-scan, and
+    // deleting it under the reader would 500 the serving endpoint on
+    // every rebuild. Only OLDER versions (two flips back) are
+    // reclaimed — by then any reader of them predates two rebuilds.
+    val prevVer = {
+      val cur = new File(dir, "CURRENT")
+      if (cur.isFile)
+        try new String(java.nio.file.Files.readAllBytes(cur.toPath),
+          UTF_8).trim
+        catch { case _: java.io.IOException => "" }
+      else ""
+    }
     // stage EVERYTHING into a fresh version dir; the CURRENT flip
     // below is the only commit point — any failure before it leaves
     // the previously-served version fully intact
@@ -122,18 +140,19 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     loadedIdx.remove(name)
-    gcVersions(dir, keep = ver)
+    gcVersions(dir, keep = Set(ver, prevVer).filter(_.nonEmpty))
     statRows.map(_.n).sum
   }
 
   /** Best-effort GC after a successful flip: superseded version dirs
-    * and legacy root-level artifacts. Failures only cost disk — the
-    * CURRENT pointer already moved.
+    * (except the retained `keep` set — the new version plus the one
+    * it replaced, see build()) and legacy root-level artifacts.
+    * Failures only cost disk — the CURRENT pointer already moved.
     */
-  private def gcVersions(dir: File, keep: String): Unit = {
+  private def gcVersions(dir: File, keep: Set[String]): Unit = {
     Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
       if (f.isDirectory && f.getName.matches("v_\\d+") &&
-          f.getName != keep)
+          !keep(f.getName))
         deleteRec(f)
     }
     Seq("centroids.json", "stats.json").foreach { n =>
@@ -160,7 +179,8 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
     * stats write undercounts the drift counters (alarm fires later,
     * never falsely) — rebuild() resets both.
     */
-  def append(name: String, sourceDir: String): Option[(Long, Long)] = {
+  def append(name: String, sourceDir: String): Option[(Long, Long)] =
+      mutate.synchronized {
     require(name.matches(Ident), "index name must be a bare identifier")
     load(name).map { idx =>
       val dir = resolveDir(name)
@@ -252,7 +272,7 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
     * the old version serving and ALL appended vectors intact — the
     * temp source can therefore always be dropped, success or not.
     */
-  def rebuild(name: String): Long = {
+  def rebuild(name: String): Long = mutate.synchronized {
     require(name.matches(Ident), "index name must be a bare identifier")
     val idx = load(name).getOrElse(throw new IllegalArgumentException(
       s"unknown index '$name'"))

@@ -114,7 +114,22 @@ object StreamingIngest {
       checkpointDir: String,
       sinkId: String = ""): StreamingQuery = {
     val sid =
-      if (sinkId.nonEmpty) sinkId else canonicalSinkId(checkpointDir)
+      if (sinkId.nonEmpty) sinkId
+      else {
+        val canonical = canonicalSinkId(checkpointDir)
+        // lane-name migration: pre-round-13 default lanes were keyed
+        // by getAbsolutePath. Where the two spellings differ (symlink
+        // in the path), a WAL that already has the LEGACY lane — and
+        // no canonical one — keeps it: renaming the lane would read
+        // hwm -1 and re-apply Spark's restart re-delivery
+        val legacy =
+          try new java.io.File(checkpointDir).getAbsolutePath
+          catch { case scala.util.control.NonFatal(_) => canonical }
+        if (legacy != canonical &&
+            engine.streamHighWaterMark(legacy) >= 0 &&
+            engine.streamHighWaterMark(canonical) < 0) legacy
+        else canonical
+      }
     // the query id exists once the stream starts (Spark writes the
     // metadata file before batch 0 runs); read it on the first batch
     // and keep it for the query's lifetime
@@ -160,13 +175,33 @@ object StreamingIngest {
   private[graft] def readQueryId(checkpointDir: String)
       : Option[String] =
     try {
-      val f = new java.io.File(checkpointDir, "metadata")
-      if (!f.isFile) None
-      else {
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        Option(mapper.readTree(
-          java.nio.file.Files.readAllBytes(f.toPath)).get("id"))
-          .map(_.asText()).filter(_.nonEmpty)
+      // file:-scheme spellings are local too (Spark accepts and docs
+      // commonly show them) — resolve through the URI, or reset
+      // detection would silently never engage for them
+      val base: Option[java.io.File] =
+        if (checkpointDir.startsWith("file:"))
+          try Some(new java.io.File(
+            new java.net.URI(checkpointDir.replace(" ", "%20"))))
+          catch { case scala.util.control.NonFatal(_) =>
+            Some(new java.io.File(checkpointDir.stripPrefix("file:")))
+          }
+        else if (checkpointDir.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*"))
+          None // remote store: unreadable from here
+        else Some(new java.io.File(checkpointDir))
+      val f = base.map(b => new java.io.File(b, "metadata"))
+      f.filter(_.isFile) match {
+        case None =>
+          System.err.println("[engineSink] WARNING: cannot read the " +
+            s"checkpoint metadata at '$checkpointDir' — checkpoint-" +
+            "reset detection is DEGRADED for this stream (a wiped-" +
+            "and-reused checkpoint path will be silently skipped as " +
+            "re-delivery; use fresh checkpoint dirs on reset)")
+          None
+        case Some(mf) =>
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          Option(mapper.readTree(
+            java.nio.file.Files.readAllBytes(mf.toPath)).get("id"))
+            .map(_.asText()).filter(_.nonEmpty)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 

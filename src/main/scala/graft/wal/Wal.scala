@@ -346,9 +346,17 @@ object Wal {
     }
   }
 
-  /** A LYNX2 frame whose stored CRC32 disagrees with its bytes. */
-  private final class CrcMismatchException(msg: String)
-      extends java.io.IOException(msg)
+  /** A LYNX2 frame the DECODER proved corrupt (CRC mismatch, or a
+    * structurally impossible payload — unreasonable length, invalid
+    * tag type). A dedicated type so the tail-recovery catch can only
+    * ever match decoder failures: replay CALLBACKS (onSeal re-driving
+    * a tier publish, buffer inserts) throw IllegalState/
+    * IllegalArgument too, and treating those as frame corruption
+    * would TRUNCATE a valid WAL tail — acknowledged records — on a
+    * transient publish failure.
+    */
+  private final class FrameCorruptException(msg: String)
+      extends Exception(msg)
 
   /** Replay every segment in `directory` into the buffer; returns
     * (highest segment id, all observed ids) — the caller opens the
@@ -439,15 +447,26 @@ object Wal {
       val in = new DataInputStream(crcIn)
       var lastGood = 0L
       var v2 = false
-      // one frame: decode the payload, then (LYNX2) verify its CRC
+      // one frame: decode the payload, then (LYNX2) verify its CRC.
+      // Decoder-origin IllegalArgument/IllegalState (a flipped byte
+      // manifesting as an impossible payload) wrap as
+      // FrameCorruptException HERE, inside the frame boundary — the
+      // recovery catch below must never be reachable by exceptions
+      // the replay callbacks throw
       def decodeFrame(): Option[WriteRequest] = {
         crcIn.crc.reset()
-        val r = WalCodec.decode(in)
+        val r =
+          try WalCodec.decode(in)
+          catch {
+            case e @ (_: IllegalArgumentException |
+                _: IllegalStateException) if v2 =>
+              throw new FrameCorruptException(e.getMessage)
+          }
         if (r.isDefined && v2) {
           val expected = crcIn.crc.getValue
           val stored = in.readInt().toLong & 0xffffffffL
           if (stored != expected)
-            throw new CrcMismatchException(
+            throw new FrameCorruptException(
               f"record CRC mismatch (stored $stored%08x, " +
                 f"computed $expected%08x)")
         }
@@ -533,14 +552,16 @@ object Wal {
             System.err.println(
               s"[wal] torn tail in $f ($why): keeping the " +
                 s"$lastGood-byte valid prefix")
-          // LYNX2 only: a CRC-verified format makes every decode
+          // LYNX2 only: a CRC-verified format makes every DECODER
           // failure in the tail segment recoverable at the last good
           // frame — a flipped byte manifests as a CRC mismatch, an
-          // "unreasonable length" (IllegalArgument), or an invalid
-          // tag type (IllegalState); all truncate, never mis-frame
-          case e @ (_: CrcMismatchException |
-              _: IllegalArgumentException | _: IllegalStateException)
-              if v2 && id == lastId &&
+          // "unreasonable length", or an invalid tag type, all wrapped
+          // as FrameCorruptException at the frame boundary. Callback
+          // exceptions (seal re-publish, buffer) are other types and
+          // PROPAGATE: startup must fail loudly, never truncate a
+          // valid tail over a transient publish error
+          case e: FrameCorruptException
+              if id == lastId &&
                 lastGood >= WalCodec.Header.length =>
             System.err.println(
               s"[wal] corrupt frame in $f (${e.getMessage}): keeping " +

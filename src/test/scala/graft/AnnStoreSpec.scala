@@ -328,4 +328,30 @@ class AnnStoreSpec extends AnyFunSuite {
     assert(after.exists(_._1 >= 450L),
       s"appended vec_ids must be servable post-append")
   }
+
+  test("GC retains the version a rebuild replaced (in-flight readers) " +
+    "and reclaims it on the NEXT rebuild") {
+    val spark = SparkFixture.spark
+    val sfDir = "/root/testdata/sf0.001"
+    val tierDir = Files.createTempDirectory("ann-gc-tier").toFile
+    val store = new graft.engine.AnnStore(spark,
+      new graft.tier.ParquetTier(tierDir))
+    store.build("gcix", sfDir)
+    val root0 = new java.io.File(new java.io.File(tierDir, "_ann"),
+      "gcix")
+    def versions() = Option(root0.listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v_\\d+"))
+      .map(_.getName).sorted.toSeq
+    val v1 = versions()
+    assert(v1.size == 1)
+    store.rebuild("gcix")
+    val v2 = versions()
+    assert(v2.size == 2 && v2.contains(v1.head),
+      s"the replaced version must survive one flip: $v2")
+    store.rebuild("gcix")
+    val v3 = versions()
+    assert(v3.size == 2 && !v3.contains(v1.head),
+      s"two flips later the oldest version is reclaimed: $v3")
+  }
 }

@@ -2341,4 +2341,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingIngest.canonicalSinkId("s3://bucket/a/../b") ==
       "s3://bucket/b")
   }
+
+  test("lane-name migration: a WAL whose default lane was keyed by " +
+    "the legacy absolute path keeps that lane when the canonical " +
+    "spelling differs — the hwm is never orphaned by an upgrade") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val walDir = Files.createTempDirectory("lanemig-wal").toFile
+    val e = new graft.engine.LynxEngine(spark, walDir, 1024 * 1024,
+      None)
+    // a checkpoint path whose absolute and canonical spellings differ
+    // (symlink indirection — the upgrade hazard)
+    val real = Files.createTempDirectory("lanemig-real")
+    val link = new java.io.File(real.getParent.toFile,
+      s"lanemig-link-${System.nanoTime()}")
+    java.nio.file.Files.createSymbolicLink(link.toPath, real)
+    val ckptPath = new java.io.File(link, "ckpt").getPath
+    val legacy = new java.io.File(ckptPath).getAbsolutePath
+    val canonical = StreamingIngest.canonicalSinkId(ckptPath)
+    assume(legacy != canonical, "needs a path where the two differ")
+    // pre-upgrade WAL state: batches 0..1 committed under the LEGACY id
+    val ws = Seq(graft.core.WriteRequest("events", "cpu", "old",
+      Map.empty, 1L))
+    assert(e.writeStreamBatch(legacy, 0L, ws))
+    assert(e.writeStreamBatch(legacy, 1L, ws))
+    // post-upgrade engineSink on the same checkpoint path: the lane
+    // resolves to the legacy id, so re-delivery of batch <= 1 skips
+    // and the next batch continues the SAME lane
+    val mem = MemoryStream[StreamRow]
+    val q = StreamingIngest.engineSink(mem.toDS(), e, ckptPath)
+    mem.addData(Seq(StreamRow("events", "cpu", "new", Map.empty, 2L)))
+    q.processAllAvailable()
+    q.stop()
+    assert(e.streamHighWaterMark(legacy) >= 0L,
+      "the legacy lane must keep advancing")
+    assert(e.streamHighWaterMark(canonical) == -1L,
+      "no second lane may open for the same checkpoint")
+    // a FRESH checkpoint (no legacy lane) uses the canonical id
+    val ckpt2 = new java.io.File(link, "ckpt2").getPath
+    val mem2 = MemoryStream[StreamRow]
+    val q2 = StreamingIngest.engineSink(mem2.toDS(), e, ckpt2)
+    mem2.addData(Seq(StreamRow("events", "mem", "x", Map.empty, 3L)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(e.streamHighWaterMark(
+      StreamingIngest.canonicalSinkId(ckpt2)) >= 0L)
+  }
+
+  test("readQueryId resolves file:-scheme checkpoint spellings — " +
+    "reset detection engages for them instead of silently degrading") {
+    val d = Files.createTempDirectory("qid-uri").toFile
+    java.nio.file.Files.write(
+      new java.io.File(d, "metadata").toPath,
+      """{"id":"abc-123"}""".getBytes("UTF-8"))
+    assert(StreamingIngest.readQueryId(d.getPath)
+      .contains("abc-123"))
+    assert(StreamingIngest.readQueryId("file://" + d.getPath)
+      .contains("abc-123"), "file:// spelling must resolve")
+    assert(StreamingIngest.readQueryId("file:" + d.getPath)
+      .contains("abc-123"), "file: spelling must resolve")
+    // a genuinely remote scheme degrades to None (with a warning)
+    assert(StreamingIngest.readQueryId("s3://bucket/ckpt").isEmpty)
+  }
 }

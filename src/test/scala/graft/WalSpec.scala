@@ -727,4 +727,35 @@ class WalSpec extends AnyFunSuite {
         s"seed $seed: second replay differs")
     }
   }
+
+  test("a replay CALLBACK throwing (transient seal re-publish failure) " +
+    "PROPAGATES and never truncates the valid WAL tail — only " +
+    "decoder-proven corruption triggers tail recovery") {
+    import graft.core.SealMarker
+    val dir = tempDir()
+    val wal = new Wal(dir, 0, Long.MaxValue)
+    def w(i: Int) = WriteRequest("ns", "t", s"v$i", Map.empty, i.toLong)
+    wal.write(w(0))
+    wal.write(SealMarker("ns", "t", "staging-1", Seq("f1.parquet")))
+    wal.write(w(1)) // acknowledged AFTER the marker — must survive
+    wal.close()
+    val seg = new File(dir, "0.wal")
+    val lenBefore = seg.length()
+    // onSeal throws IllegalStateException, the exact type a failed
+    // ParquetTier.publish raises — replay must abort loudly, not
+    // misread it as a corrupt frame and chop the tail off
+    val ex = intercept[IllegalStateException] {
+      Wal.replay(dir, new MemBuffer,
+        _ => throw new IllegalStateException(
+          "publish: cannot move staged file"))
+    }
+    assert(ex.getMessage.contains("publish"))
+    assert(seg.length() == lenBefore,
+      "a callback failure must never truncate acknowledged records")
+    // recovery: once the transient failure clears, everything replays
+    val buf = new MemBuffer
+    Wal.replay(dir, buf, _ => ())
+    assert(buf.tables("ns").get("t")("1970-01-01").values ==
+      Vector("v0", "v1"))
+  }
 }

@@ -92,7 +92,16 @@ if [ "${SKIP_REGRESSION_GATE:-0}" != "1" ] && [ -f "$PREV" ]; then
     exit 3
   fi
 else
-  echo "== regression gate skipped ($([ -f "$PREV" ] && echo 'SKIP_REGRESSION_GATE=1' || echo 'no previous committed file'))"
+  reason=$([ -f "$PREV" ] && echo "SKIP_REGRESSION_GATE=1" || echo "no previous committed file")
+  echo "== regression gate skipped ($reason)"
+  # the committed artifact must carry the skip — an intentionally
+  # skipped comparison and a never-compared run are different audits
+  REASON="$reason" python3 - <<'EOF'
+import json, os
+j = json.load(open("bench_out.json"))
+j["regression_gate"] = {"skipped": True, "reason": os.environ["REASON"]}
+json.dump(j, open("bench_out.json", "w"))
+EOF
 fi
 cp bench_out.json bench_committed.json
 python3 - <<'EOF'
