@@ -173,11 +173,27 @@ object ScaleSmoke {
       // flagged — the first number a 100× decision would ask for
       val cpuRatio =
         if (base.cpu > 0 && big.cpu > 0) big.cpu / base.cpu else -1.0
+      // v5 corpora plant dup CLIQUES that deepen with corpus size
+      // (copies inherit their base's duplicate relationships — how a
+      // 10x crawl actually behaves: popular pages get crawled more),
+      // so a correct pair-emitting dedup's TRUE output grows faster
+      // than its input. Work proportional to input + true pairs is
+      // the optimal cost model for such operators — adjudicate cpu
+      // against OUTPUT growth too ("output_linear"), and keep
+      // SUPERLINEAR for plans whose work outruns both input and
+      // emitted structure. rows can legitimately be 0 at either
+      // scale (guards); fall back to input-only adjudication there.
+      val rowsRatio =
+        if (base.rows > 0 && big.rows > 0)
+          big.rows.toDouble / base.rows
+        else -1.0
       val verdictStr =
         if (FixtureScaleBaselines(n)) "quadratic_baseline"
         else if (cpuRatio < 0) "unknown"
         else if (cpuRatio <= 3.0) "flat"
         else if (cpuRatio <= 13.0) "linear"
+        else if (rowsRatio > 10.0 && cpuRatio <= 1.3 * rowsRatio)
+          "output_linear"
         else { superlinear ::= n; "SUPERLINEAR" }
       val joinFlag =
         (base.badJoin || big.badJoin) && !FixtureScaleBaselines(n)
@@ -195,7 +211,8 @@ object ScaleSmoke {
         f""""sf1_s":${big.sec}%.3f,""" +
         f""""wall_ratio":${big.sec / base.sec}%.1f,""" +
         f""""cpu_s":[${base.cpu}%.3f,${big.cpu}%.3f],""" +
-        f""""cpu_ratio":$cpuRatio%.1f,"scale":"$verdictStr",""" +
+        f""""cpu_ratio":$cpuRatio%.1f,""" +
+        f""""rows_ratio":$rowsRatio%.1f,"scale":"$verdictStr",""" +
         f""""rows":[${base.rows},${big.rows}],""" +
         f""""sf1_shuffle_rw_mb":[${big.readMb}%.1f,${big.writeMb}%.1f],""" +
         f""""sf1_input_rows":${big.inRows},""" +
