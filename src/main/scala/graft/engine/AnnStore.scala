@@ -41,16 +41,29 @@ import graft.tier.ParquetTier
   * the parquet-overwrite level.
   */
 final class AnnStore(spark: SparkSession, tier: ParquetTier,
-    rebuildThreshold: Option[Double] = None) {
+    rebuildThreshold: Option[Double] = None,
+    maxCachedVectors: Int = 200000) {
 
   private val Ident = "[A-Za-z_][A-Za-z0-9_]*"
 
   private def indexDir(name: String): File =
     new File(new File(tier.rootPath, "_ann"), name)
 
+  /** One probed cell's vectors pinned driver-side — the serving
+    * tier's hot set. ~(dims·4 + 32) bytes per vector; the store-wide
+    * total is bounded by `maxCachedVectors`.
+    */
+  private final case class CellVecs(ids: Array[Long],
+      vecs: Array[Array[Float]], nrms: Array[Double],
+      labels: Array[Long])
+
   private final case class Idx(cents: Seq[(Int, Array[Double])],
       cellsPath: String,
-      cellsDf: org.apache.spark.sql.DataFrame)
+      cellsDf: org.apache.spark.sql.DataFrame,
+      cellCache: scala.collection.concurrent.TrieMap[Int, CellVecs] =
+        scala.collection.concurrent.TrieMap.empty,
+      cachedVectors: java.util.concurrent.atomic.AtomicInteger =
+        new java.util.concurrent.atomic.AtomicInteger)
   private val loadedIdx =
     scala.collection.concurrent.TrieMap.empty[String, Idx]
   // serializes build/append/rebuild: two concurrent builds of one
@@ -418,24 +431,100 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
       var qn = 0.0
       q.foreach(f => qn += f.toDouble * f.toDouble)
       val qnrm = math.sqrt(qn)
-      graft.functions.GraftFunctions.register(spark)
-      val cells = idx.cellsDf
-        .filter(col("cell").isin(probes: _*))
-      val filtered = labels match {
-        case None => cells
-        case Some(ls) =>
-          require(cells.columns.contains("label"),
-            s"index '$name' was built without the label column — " +
-              "rebuild it to enable filtered search")
-          cells.filter(col("label").isin(ls: _*))
+      val hasLabels = idx.cellsDf.columns.contains("label")
+      labels.foreach { _ =>
+        require(hasLabels,
+          s"index '$name' was built without the label column — " +
+            "rebuild it to enable filtered search")
       }
-      filtered
-        .select(col("vec_id"),
-          (graft.functions.GraftFunctions.dotp(typedLit(q),
-            col("embedding")) / (lit(qnrm) * col("nrm"))).as("cos"))
-        .orderBy(col("cos").desc, col("vec_id"))
-        .limit(k).collect()
-        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // SERVING FAST PATH: when every probed cell fits the driver-side
+      // vector cache (bounded by maxCachedVectors), the top-k computes
+      // in-JVM with the exact Spark-path math — graft_dot's strict
+      // left-to-right double fold, the same cos division, the same
+      // (cos desc, vec_id) total order (Double.compare = Spark's
+      // NaN-greatest ordering) — so results are BIT-IDENTICAL to the
+      // scan path (spec-pinned). A cell is loaded once per index
+      // version (one Spark job), then repeat probes are sub-ms; any
+      // cell the bound excludes falls the WHOLE query back to the
+      // one-job scan path. build/append invalidate by replacing Idx.
+      val cached: Option[Seq[CellVecs]] =
+        if (maxCachedVectors <= 0) None
+        else {
+          val loaded = probes.map(c => loadCell(idx, c, hasLabels))
+          if (loaded.forall(_.isDefined)) Some(loaded.map(_.get))
+          else None
+        }
+      cached match {
+        case Some(cvs) =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Double)]
+          val want = labels.map(_.toSet)
+          cvs.foreach { cv =>
+            var i = 0
+            while (i < cv.ids.length) {
+              if (want.forall(_.contains(cv.labels(i)))) {
+                val v = cv.vecs(i)
+                var acc = 0.0
+                var j = 0
+                while (j < dim) {
+                  acc += v(j).toDouble * q(j).toDouble
+                  j += 1
+                }
+                out += ((cv.ids(i), acc / (qnrm * cv.nrms(i))))
+              }
+              i += 1
+            }
+          }
+          out.sortInPlace()(Ordering.fromLessThan[(Long, Double)] {
+            (a, b) =>
+              val c = java.lang.Double.compare(b._2, a._2) // cos desc
+              if (c != 0) c < 0 else a._1 < b._1 // vec_id asc
+          })
+          out.take(k).toSeq
+        case None =>
+          graft.functions.GraftFunctions.register(spark)
+          val cells = idx.cellsDf
+            .filter(col("cell").isin(probes: _*))
+          val filtered = labels match {
+            case None => cells
+            case Some(ls) => cells.filter(col("label").isin(ls: _*))
+          }
+          filtered
+            .select(col("vec_id"),
+              (graft.functions.GraftFunctions.dotp(typedLit(q),
+                col("embedding")) / (lit(qnrm) * col("nrm"))).as("cos"))
+            .orderBy(col("cos").desc, col("vec_id"))
+            .limit(k).collect()
+            .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      }
     }
   }
+
+  /** The probed cell's vectors from the driver cache, loading on miss
+    * when the store-wide bound allows; None = this cell stays on the
+    * scan path. Concurrent loaders may both collect (benign: same
+    * immutable data, putIfAbsent keeps one, the counter re-adjusts).
+    */
+  private def loadCell(idx: Idx, cell: Int,
+      hasLabels: Boolean): Option[CellVecs] =
+    idx.cellCache.get(cell).orElse {
+      val cols =
+        if (hasLabels) Seq("vec_id", "embedding", "nrm", "label")
+        else Seq("vec_id", "embedding", "nrm")
+      val rows = idx.cellsDf.filter(col("cell") === cell)
+        .select(cols.map(col): _*).collect()
+      if (idx.cachedVectors.get() + rows.length > maxCachedVectors)
+        None
+      else {
+        val cv = CellVecs(
+          rows.map(_.getLong(0)),
+          rows.map(_.getSeq[Float](1).toArray),
+          rows.map(_.getDouble(2)),
+          if (hasLabels) rows.map(_.getLong(3))
+          else new Array[Long](rows.length))
+        if (idx.cellCache.putIfAbsent(cell, cv).isEmpty)
+          idx.cachedVectors.addAndGet(rows.length)
+        Some(idx.cellCache(cell))
+      }
+    }
 }

@@ -354,4 +354,39 @@ class AnnStoreSpec extends AnyFunSuite {
     assert(v3.size == 2 && !v3.contains(v1.head),
       s"two flips later the oldest version is reclaimed: $v3")
   }
+
+  test("driver-side serving cache: top-k is BIT-IDENTICAL to the " +
+    "Spark scan path (with and without label filters), cells load " +
+    "once, and the vector bound forces the scan path") {
+    val spark = SparkFixture.spark
+    val sfDir = "/root/testdata/sf0.001"
+    val tierDir = Files.createTempDirectory("ann-cache-tier").toFile
+    val tier = new graft.tier.ParquetTier(tierDir)
+    val warm = new graft.engine.AnnStore(spark, tier)
+    val cold = new graft.engine.AnnStore(spark, tier,
+      maxCachedVectors = 0) // scan path only, same persisted index
+    warm.build("par", sfDir)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qvecs = emb.filter(col("vec_id") < 20)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    qvecs.foreach { case (qid, v) =>
+      assert(warm.query("par", v, 10, 3).get ==
+        cold.query("par", v, 10, 3).get,
+        s"q$qid unfiltered parity")
+      assert(warm.query("par", v, 10, 3).get ==
+        warm.query("par", v, 10, 3).get, s"q$qid deterministic")
+      assert(warm.query("par", v, 7, 8, Some(Seq(0L, 3L))).get ==
+        cold.query("par", v, 7, 8, Some(Seq(0L, 3L))).get,
+        s"q$qid filtered parity")
+    }
+    // a tight bound (fewer vectors than one cell) keeps the scan
+    // path serving correctly
+    val bounded = new graft.engine.AnnStore(spark, tier,
+      maxCachedVectors = 1)
+    qvecs.take(3).foreach { case (qid, v) =>
+      assert(bounded.query("par", v, 10, 3).get ==
+        cold.query("par", v, 10, 3).get, s"q$qid bounded parity")
+    }
+  }
 }
