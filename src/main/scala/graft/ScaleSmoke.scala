@@ -164,6 +164,7 @@ object ScaleSmoke {
       best
     }
     var superlinear = List.empty[String]
+    var outputLinear = List.empty[String]
     names.foreach { n =>
       val base = measure(n, src)
       val big = measure(n, out)
@@ -192,8 +193,13 @@ object ScaleSmoke {
         else if (cpuRatio < 0) "unknown"
         else if (cpuRatio <= 3.0) "flat"
         else if (cpuRatio <= 13.0) "linear"
-        else if (rowsRatio > 10.0 && cpuRatio <= 1.3 * rowsRatio)
+        else if (rowsRatio > 10.0 && cpuRatio <= 1.3 * rowsRatio) {
+          // surfaced in the summary line, never silently absorbed: an
+          // output blowup can itself BE the bug (a dropped dedup), so
+          // output_linear entries warrant a row-count sanity look
+          outputLinear ::= n
           "output_linear"
+        }
         else { superlinear ::= n; "SUPERLINEAR" }
       val joinFlag =
         (base.badJoin || big.badJoin) && !FixtureScaleBaselines(n)
@@ -224,6 +230,8 @@ object ScaleSmoke {
     }
     println(s"""{"smoke":"done","queries":${names.size},""" +
       s""""superlinear":${superlinear.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""output_linear":${outputLinear.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     spark.stop()
   }

@@ -63,7 +63,13 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
       cellCache: scala.collection.concurrent.TrieMap[Int, CellVecs] =
         scala.collection.concurrent.TrieMap.empty,
       cachedVectors: java.util.concurrent.atomic.AtomicInteger =
-        new java.util.concurrent.atomic.AtomicInteger)
+        new java.util.concurrent.atomic.AtomicInteger,
+      // cells refused caching (bound exceeded, or null-carrying rows
+      // whose scan-path semantics the JVM math must not guess at):
+      // the refusal is remembered so a full/ineligible cell costs ONE
+      // probe collect per index version, not one per query forever
+      uncacheable: java.util.Set[Integer] =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]())
   private val loadedIdx =
     scala.collection.concurrent.TrieMap.empty[String, Idx]
   // serializes build/append/rebuild: two concurrent builds of one
@@ -502,29 +508,51 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
 
   /** The probed cell's vectors from the driver cache, loading on miss
     * when the store-wide bound allows; None = this cell stays on the
-    * scan path. Concurrent loaders may both collect (benign: same
-    * immutable data, putIfAbsent keeps one, the counter re-adjusts).
+    * scan path. Refusals are negative-cached (one collect per cell
+    * per index version at most), and the bound is HARD: capacity is
+    * reserved with addAndGet before insertion and rolled back on a
+    * refusal or a lost insert race, so concurrent first-touch loads
+    * cannot overshoot `maxCachedVectors`. A cell carrying ANY null
+    * (vec_id/embedding/element/nrm/label) is refused: the scan path
+    * owns null semantics (cos goes NULL and sorts last there) and
+    * the JVM math must not approximate it — parity stays exact
+    * because the cache only ever serves cells proven null-free.
     */
   private def loadCell(idx: Idx, cell: Int,
       hasLabels: Boolean): Option[CellVecs] =
     idx.cellCache.get(cell).orElse {
-      val cols =
-        if (hasLabels) Seq("vec_id", "embedding", "nrm", "label")
-        else Seq("vec_id", "embedding", "nrm")
-      val rows = idx.cellsDf.filter(col("cell") === cell)
-        .select(cols.map(col): _*).collect()
-      if (idx.cachedVectors.get() + rows.length > maxCachedVectors)
-        None
+      if (idx.uncacheable.contains(Int.box(cell))) None
       else {
-        val cv = CellVecs(
-          rows.map(_.getLong(0)),
-          rows.map(_.getSeq[Float](1).toArray),
-          rows.map(_.getDouble(2)),
-          if (hasLabels) rows.map(_.getLong(3))
-          else new Array[Long](rows.length))
-        if (idx.cellCache.putIfAbsent(cell, cv).isEmpty)
-          idx.cachedVectors.addAndGet(rows.length)
-        Some(idx.cellCache(cell))
+        val cols =
+          if (hasLabels) Seq("vec_id", "embedding", "nrm", "label")
+          else Seq("vec_id", "embedding", "nrm")
+        val rows = idx.cellsDf.filter(col("cell") === cell)
+          .select(cols.map(col): _*).collect()
+        // read elements UNTYPED for the null probe: getSeq[Float]
+        // would silently unbox a null element to 0.0f — the exact
+        // corruption this refusal exists to prevent
+        val anyNull = rows.exists { r =>
+          (0 until cols.size).exists(r.isNullAt) || {
+            val e = r.getSeq[Any](1)
+            e == null || e.contains(null)
+          }
+        }
+        val reserved = idx.cachedVectors.addAndGet(rows.length)
+        if (anyNull || reserved > maxCachedVectors) {
+          idx.cachedVectors.addAndGet(-rows.length)
+          idx.uncacheable.add(Int.box(cell))
+          None
+        } else {
+          val cv = CellVecs(
+            rows.map(_.getLong(0)),
+            rows.map(_.getSeq[Float](1).toArray),
+            rows.map(_.getDouble(2)),
+            if (hasLabels) rows.map(_.getLong(3))
+            else new Array[Long](rows.length))
+          if (idx.cellCache.putIfAbsent(cell, cv).isDefined)
+            idx.cachedVectors.addAndGet(-rows.length) // lost the race
+          Some(idx.cellCache(cell))
+        }
       }
     }
 }

@@ -118,17 +118,26 @@ object StreamingIngest {
       else {
         val canonical = canonicalSinkId(checkpointDir)
         // lane-name migration: pre-round-13 default lanes were keyed
-        // by getAbsolutePath. Where the two spellings differ (symlink
-        // in the path), a WAL that already has the LEGACY lane — and
-        // no canonical one — keeps it: renaming the lane would read
-        // hwm -1 and re-apply Spark's restart re-delivery
-        val legacy =
-          try new java.io.File(checkpointDir).getAbsolutePath
-          catch { case scala.util.control.NonFatal(_) => canonical }
-        if (legacy != canonical &&
-            engine.streamHighWaterMark(legacy) >= 0 &&
-            engine.streamHighWaterMark(canonical) < 0) legacy
-        else canonical
+        // by whatever absolute-path SPELLING the caller used. When no
+        // canonical lane exists yet, adopt any recorded lane whose
+        // spelling canonicalizes to this checkpoint (symlinked,
+        // relative, differently-spelled — all one dir): renaming the
+        // lane would read hwm -1 and re-apply Spark's restart
+        // re-delivery. Ties (several legacy spellings of one dir)
+        // resolve to the highest mark — the lane that saw the most
+        // committed batches is the one re-delivery is measured
+        // against.
+        if (engine.streamHighWaterMark(canonical) >= 0) canonical
+        else {
+          val legacyLanes = engine.streamHighWaterMarks.iterator
+            .filter { case (lane, hwm) =>
+              hwm >= 0 && lane != canonical &&
+                (try canonicalSinkId(lane) == canonical
+                catch { case scala.util.control.NonFatal(_) => false })
+            }.toSeq
+          if (legacyLanes.isEmpty) canonical
+          else legacyLanes.maxBy(_._2)._1
+        }
       }
     // the query id exists once the stream starts (Spark writes the
     // metadata file before batch 0 runs); read it on the first batch

@@ -2378,6 +2378,19 @@ class StreamingSpec extends AnyFunSuite {
       "the legacy lane must keep advancing")
     assert(e.streamHighWaterMark(canonical) == -1L,
       "no second lane may open for the same checkpoint")
+    // a RESPELLED equivalent path (through the real dir instead of
+    // the symlink) still finds the legacy lane: migration matches any
+    // recorded lane whose spelling canonicalizes to this checkpoint
+    val respelled = new java.io.File(real.toFile, "ckpt").getPath
+    val mem1b = MemoryStream[StreamRow]
+    val q1b = StreamingIngest.engineSink(mem1b.toDS(), e, respelled)
+    mem1b.addData(Seq(StreamRow("events", "cpu", "new2", Map.empty, 3L)))
+    q1b.processAllAvailable()
+    q1b.stop()
+    assert(e.streamHighWaterMark(legacy) >= 0L &&
+      e.streamHighWaterMark(canonical) == -1L,
+      "a respelled restart must keep the one legacy lane")
+
     // a FRESH checkpoint (no legacy lane) uses the canonical id
     val ckpt2 = new java.io.File(link, "ckpt2").getPath
     val mem2 = MemoryStream[StreamRow]

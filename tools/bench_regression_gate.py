@@ -79,6 +79,20 @@ def main() -> int:
     target = into or cur_path
     tj = json.load(open(target)) if target != cur_path else cur
     tj["regression_gate"] = verdict
+    # retest pass (restricted + writing into the MAIN artifact): the
+    # isolation numbers are the VALIDATED measurements for the flagged
+    # queries — splice them over the main run's noise-inflated ones,
+    # or each adjudicated-clean round would ratchet the committed
+    # baseline up ~factor x and mask a real regression next round
+    if only and into and not bad:
+        retested = {}
+        for q in only:
+            if q in cur.get("qcpu", {}):
+                tj.setdefault("qcpu", {})[q] = cur["qcpu"][q]
+                retested[q] = cur.get("queries", {}).get(q)
+                if q in cur.get("queries", {}):
+                    tj.setdefault("queries", {})[q] = cur["queries"][q]
+        verdict["retested_committed"] = retested
     json.dump(tj, open(target, "w"))
     if bad:
         print("REGRESSION_GATE: FAIL — per-query committed cpu "

@@ -97,6 +97,13 @@ if [ "${SKIP_REGRESSION_GATE:-0}" != "1" ] && [ -f "$PREV" ]; then
     # round-13 lesson). Only a regression that SURVIVES isolation
     # fails the commit.
     flagged=$(printf '%s\n' "$gate_out" | sed -n 's/^REGRESSED: //p')
+    if [ -z "$flagged" ]; then
+      # the gate died WITHOUT a regression verdict (crash, torn json):
+      # that is a broken comparison, not a clean one — never commit
+      echo "FAIL: regression gate errored without a verdict — NOT" >&2
+      echo "committing this run" >&2
+      exit 3
+    fi
     echo "== regression gate flagged [$flagged] — retesting in isolation"
     cp bench_out.json /tmp/bench_main_run.json
     rm -f bench_out.json
