@@ -98,6 +98,27 @@ object EngineSmoke {
     val filesCompacted = tier.dataFiles(ns, "events").size
     println(s"""{"stage":"compacted","files":$filesCompacted}""")
 
+    // ---- 3b. executor-side BULK-INGEST lane (the backfill door):
+    // the same row count as the whole driver-lane ingest above, as
+    // ONE distributed dataset write + one manifest flip — the
+    // throughput comparison quantifying why backfills bypass the
+    // driver plane
+    {
+      import org.apache.spark.sql.functions._
+      val bulkRows = rows.toLong
+      val bulkDf = spark.range(bulkRows).select(
+        timestamp_micros(lit(400L) * dayUs +
+          col("id") * 1000L + 1).as("timestamp"),
+        (col("id") % 997).cast("string").as("value"),
+        concat(lit("bh"), col("id") % 50).as("host"))
+      val t0 = System.nanoTime()
+      val published = engine.ingestDataset(ns, "bulk_events", bulkDf)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"""{"stage":"bulk_ingest","rows":$bulkRows,""" +
+        f""""wall":$wall%.3f,"rows_per_s":${bulkRows / wall}%.0f,""" +
+        f""""files":$published}""")
+    }
+
     // ---- 4. bloom + zone index on host ----------------------------
     val bs = engine.valueBlooms.get
     val indexed = stage("bloom_index")(bs.index(ns, "events", "host"))
