@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops.{BpeOps, Curation, DataQuality, Dedup, GraphOps,
   LayoutOps, Multimodal, QueryDef, Relational, Similarity, SkewOps,
-  Tables, TextOps, TimeSeries, TpcH}
+  Tables, TextOps, TimeSeries, TpcH, Train}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,7 +28,7 @@ object SparkEntry {
     "timeseries" -> TimeSeries.all, "curation" -> Curation.all,
     "dq" -> DataQuality.all, "graph" -> GraphOps.all,
     "layout" -> LayoutOps.all, "bpe" -> BpeOps.all,
-    "skew" -> SkewOps.all)
+    "skew" -> SkewOps.all, "train" -> Train.all)
 
   /** All registered operator queries, in registration order. */
   def defs: Seq[QueryDef] = families.flatMap(_._2)
