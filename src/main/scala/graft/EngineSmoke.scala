@@ -224,6 +224,29 @@ object EngineSmoke {
       f""""p50_ms":$p50%.1f,"p95_ms":$p95%.1f,""" +
       f""""filtered_p50_ms":$fp50%.1f,"filtered_p95_ms":$fp95%.1f}""")
 
+    // ---- 7b. restart + PREWARM: a fresh store over the persisted
+    // index, cell cache background-filled to completion BEFORE the
+    // first query — the round-13 tail (first touch of each probed
+    // cell ran a Spark job: p95 49 ms vs warm p50 0.2 ms) measured
+    // across DISTINCT query vectors so every probe set is a genuine
+    // first touch for the restarted store
+    val annR = new graft.engine.AnnStore(spark, new ParquetTier(tierDir))
+    stage("ann_prewarm")(annR.prewarm("smoke", 120000))
+    val pwVecs = spark.read.parquet(s"$annSrc/embeddings.parquet")
+      .orderBy("vec_id").limit(60).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val firstTouch = pwVecs.map { v =>
+      val t0 = System.nanoTime()
+      annR.query("smoke", v, 10, 4)
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    println(f"""{"stage":"ann_served_prewarmed","queries":${
+      firstTouch.length},""" +
+      f""""p50_ms":${firstTouch(firstTouch.length / 2)}%.2f,""" +
+      f""""p95_ms":${
+        firstTouch((firstTouch.length * 95) / 100 - 1)}%.2f,""" +
+      f""""p99_ms":${firstTouch(firstTouch.length - 1)}%.2f}""")
+
     // ---- 8. streaming write plane: exactly-once WAL brackets, a
     // crash WITHOUT checkpoint, restart, re-delivery no-op, and time
     // travel across the restart — the composition a deployment runs

@@ -79,6 +79,48 @@ final class MemBuffer {
     revs(key) = revs.getOrElse(key, 0L) + 1
   }
 
+  /** Batched insert — the write-lane twin of Wal.writeAll: ONE lock
+    * hold for the whole batch, the (ns, table, day) partition
+    * resolved once per run of same-destination rows (a batch body is
+    * almost always one table, one or two days), and the
+    * micros→day-string formatting memoized per distinct epoch day
+    * instead of paid per row (Instant/LocalDate/format was the
+    * hottest row-wise cost in the driver ingest lane). Row order
+    * within every partition is exactly ws order, and per-(ns, table)
+    * revisions advance by the group's row count — the same strict
+    * monotonicity insert() gives the MVCC result cache.
+    */
+  def insertAll(ws: Seq[WriteRequest]): Unit =
+    if (ws.nonEmpty) lock.synchronized {
+      val dayMemo = mutable.LongMap.empty[String]
+      var lastNs: String = null
+      var lastTable: String = null
+      var lastDay: String = null
+      var lastPart: Measurements = null
+      ws.foreach { w =>
+        val epochDay = Math.floorDiv(w.timestamp, 86400000000L)
+        val day = dayMemo.getOrElseUpdate(epochDay,
+          PartitionKey.fromMicros(w.timestamp))
+        // day strings come from the memo, so `ne` is enough there
+        if (lastPart == null || w.namespace != lastNs ||
+            w.measurement != lastTable || (day ne lastDay)) {
+          val ns = root.getOrElseUpdate(w.namespace,
+            mutable.TreeMap.empty)
+          val table = ns.getOrElseUpdate(w.measurement,
+            mutable.TreeMap.empty)
+          lastPart = table.getOrElseUpdate(day, new Measurements)
+          lastNs = w.namespace
+          lastTable = w.measurement
+          lastDay = day
+        }
+        lastPart.append(w)
+      }
+      ws.groupBy(w => (w.namespace, w.measurement)).foreach {
+        case (key, rows) =>
+          revs(key) = revs.getOrElse(key, 0L) + rows.size
+      }
+    }
+
   /** Snapshot of all tables of a namespace (None if unknown —
     * surfaces as HTTP 404, reference lynx.rs:144-148).
     */

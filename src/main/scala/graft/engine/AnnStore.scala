@@ -42,7 +42,9 @@ import graft.tier.ParquetTier
   */
 final class AnnStore(spark: SparkSession, tier: ParquetTier,
     rebuildThreshold: Option[Double] = None,
-    maxCachedVectors: Int = 200000) {
+    maxCachedVectors: Int = 200000,
+    versionGraceMs: Long = 10L * 60 * 1000,
+    placement: Option[(String, Seq[(String, String)])] = None) {
 
   private val Ident = "[A-Za-z_][A-Za-z0-9_]*"
 
@@ -69,7 +71,11 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
       // the refusal is remembered so a full/ineligible cell costs ONE
       // probe collect per index version, not one per query forever
       uncacheable: java.util.Set[Integer] =
-        java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]())
+        java.util.concurrent.ConcurrentHashMap.newKeySet[Integer](),
+      prewarmStarted: java.util.concurrent.atomic.AtomicBoolean =
+        new java.util.concurrent.atomic.AtomicBoolean(false),
+      prewarmDone: java.util.concurrent.CountDownLatch =
+        new java.util.concurrent.CountDownLatch(1))
   private val loadedIdx =
     scala.collection.concurrent.TrieMap.empty[String, Idx]
   // serializes build/append/rebuild: two concurrent builds of one
@@ -109,6 +115,21 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
   def build(name: String, sourceDir: String): Long =
       mutate.synchronized {
     require(name.matches(Ident), "index name must be a bare identifier")
+    // Sharded deployments route ANN QUERIES by rendezvous on
+    // "ann:<name>" (ShardRouter), but builds are an engine-side API —
+    // an index built on the wrong shard would 404 at serve time with
+    // nothing ever flagging the misplacement. With a shard table
+    // configured (LYNX_SHARDS + LYNX_SHARD_SELF), the build itself
+    // asserts this engine IS the rendezvous owner of the name, so
+    // misplacement is an error at creation, not a serving mystery.
+    for ((self, shards) <- placement) {
+      val owner = graft.http.ShardRouter
+        .shardFor("ann:" + name, shards)._1
+      require(owner == self,
+        s"index '$name' routes to shard '$owner' under the " +
+          s"configured shard table, but this engine is '$self' — " +
+          "build it on its rendezvous owner (or through the router)")
+    }
     val dir = indexDir(name)
     dir.mkdirs()
     // the version serving BEFORE this build survives GC below: an
@@ -166,12 +187,19 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
   /** Best-effort GC after a successful flip: superseded version dirs
     * (except the retained `keep` set — the new version plus the one
     * it replaced, see build()) and legacy root-level artifacts.
-    * Failures only cost disk — the CURRENT pointer already moved.
+    * Beyond the keep set, a superseded dir is deleted only once its
+    * mtime is `versionGraceMs` old: two rebuilds in quick succession
+    * must not delete a version a slow query's lazily-evaluated cells
+    * frame is still mid-scan on — "the reader predates two flips" is
+    * not time-bounded, but a reader older than the grace window is a
+    * leak, not a query (the ParquetTier pin-age reasoning). Failures
+    * only cost disk — the CURRENT pointer already moved.
     */
   private def gcVersions(dir: File, keep: Set[String]): Unit = {
+    val cutoff = System.currentTimeMillis - versionGraceMs
     Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
       if (f.isDirectory && f.getName.matches("v_\\d+") &&
-          !keep(f.getName))
+          !keep(f.getName) && f.lastModified() < cutoff)
         deleteRec(f)
     }
     Seq("centroids.json", "stats.json").foreach { n =>
@@ -370,6 +398,61 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
     } catch { case _: Exception => Nil }
   }
 
+  /** Ensure the index is loaded and its cell cache PREWARMED —
+    * background-filled in descending cell occupancy up to the vector
+    * bound. A freshly restarted serving node otherwise answers its
+    * first touch of every probed cell at scan-path latency (one
+    * Spark job per cell: measured p95 49 ms vs warm p50 0.2 ms), at
+    * exactly the moment a deployment is most latency-sensitive
+    * (post-deploy). Triggered automatically on [[load]] (so the
+    * first query of any index version starts the fill); call
+    * directly with `waitMs > 0` to BLOCK until the fill completes
+    * (smoke harnesses, pre-serving warmup hooks). Returns false for
+    * an unknown index. Cache contents are bit-identical to lazy
+    * loads — prewarm only moves WHEN loadCell runs, never what it
+    * produces (AnnStoreSpec parity pins cover both paths).
+    */
+  def prewarm(name: String, waitMs: Long = 0): Boolean =
+    load(name).exists { idx =>
+      if (waitMs <= 0) true
+      else idx.prewarmDone.await(waitMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+    }
+
+  /** Start the background fill once per loaded index version. Cells
+    * fill LARGEST FIRST (stats.json occupancy): under a bound that
+    * cannot hold the whole index, the cache ends up holding the
+    * cells that absorb the most probe volume, and the refused tail
+    * negative-caches exactly as a lazy query-path load would.
+    */
+  private def startPrewarm(name: String, idx: Idx, dir: File): Unit =
+    if (idx.prewarmStarted.compareAndSet(false, true)) {
+      if (maxCachedVectors <= 0) idx.prewarmDone.countDown()
+      else {
+        val t = new Thread(() => {
+          try {
+            val hasLabels = idx.cellsDf.columns.contains("label")
+            val stats = readStats(dir)
+            val order =
+              if (stats.nonEmpty) stats.sortBy(-_.n).map(_.cell)
+              else idx.cents.map(_._1)
+            val it = order.iterator
+            while (it.hasNext &&
+                idx.cachedVectors.get() < maxCachedVectors) {
+              loadCell(idx, it.next(), hasLabels)
+              ()
+            }
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[annstore] prewarm of '$name' aborted: $e")
+          } finally idx.prewarmDone.countDown()
+        }, s"ann-prewarm-$name")
+        t.setDaemon(true)
+        t.start()
+      }
+    }
+
   private def load(name: String): Option[Idx] =
     loadedIdx.get(name).orElse {
       val dir = resolveDir(name)
@@ -395,7 +478,11 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
         // between build/append, both of which invalidate this cache)
         val idx = Idx(cents, cp.getPath, spark.read.parquet(cp.getPath))
         loadedIdx.putIfAbsent(name, idx)
-        Some(idx)
+        // the racing loader's Idx may have won — prewarm THE one that
+        // is actually serving (double-start is a no-op via the CAS)
+        val serving = loadedIdx(name)
+        startPrewarm(name, serving, dir)
+        Some(serving)
       }
     }
 

@@ -58,7 +58,9 @@ class LynxEngine(
     resultCacheEntries: Int = 64,
     autoCompactFileThreshold: Int = 0,
     autoBloomColumns: Seq[String] = Nil,
-    annRebuildThreshold: Option[Double] = None) {
+    annRebuildThreshold: Option[Double] = None,
+    walForceTailTruncate: Boolean = false,
+    annPlacement: Option[(String, Seq[(String, String)])] = None) {
 
   val buffer = new MemBuffer
 
@@ -93,6 +95,13 @@ class LynxEngine(
   // Guarded by writeLock after construction.
   private val streamQid =
     scala.collection.mutable.Map.empty[String, String]
+  // tail repairs replay performed (torn-tail truncation, forced
+  // frame-corrupt recovery, zombie-bracket removal) — surfaced in
+  // /metrics so an operator sees data-affecting startup events
+  // without grepping stderr (the ADVICE r13 visibility gap)
+  private val walRecoveryLog =
+    scala.collection.mutable.ArrayBuffer.empty[Wal.WalRecovery]
+  def walRecoveries: Seq[Wal.WalRecovery] = walRecoveryLog.toSeq
   private val (replayedHighest, replayedIds) =
     Wal.replay(walDir, buffer, m => {
       // a BULK marker's staged files never came from the buffer:
@@ -115,7 +124,7 @@ class LynxEngine(
       val cur = streamHwm.getOrElse(sink, -1L)
       if (bid > cur) streamHwm(sink) = bid
       if (qid.nonEmpty) streamQid(sink) = qid // WAL order: last wins
-    })
+    }, walForceTailTruncate, walRecoveryLog += _)
   // staging dirs whose marker never became durable: their rows just
   // replayed into the buffer, so the staged copies must be dropped
   tier.foreach(_.cleanStaging())
@@ -135,7 +144,8 @@ class LynxEngine(
     * the tier root).
     */
   lazy val ann: Option[AnnStore] =
-    tier.map(new AnnStore(spark, _, annRebuildThreshold))
+    tier.map(new AnnStore(spark, _, annRebuildThreshold,
+      placement = annPlacement))
 
   /** Per-file value blooms for equality-predicate file skipping —
     * see [[BloomStore]]; tier-only like rollups/ann. Once a column is
@@ -146,6 +156,54 @@ class LynxEngine(
     tier.map(new BloomStore(spark, _))
 
   private val writeLock = new Object
+  // Write-FENCED namespaces: every ingest door (row, batch, stream,
+  // bulk) refuses them with NamespaceFencedException → HTTP 422 +
+  // Retry-After. The fence is the drain barrier of namespace
+  // migration (fence → checkpoint → export → import → router flip):
+  // it must survive an engine restart mid-migration, or writes would
+  // resume on the old owner after the copy and vanish at cutover —
+  // so each fence is ALSO a marker file under the WAL dir (non-*.wal
+  // names are invisible to replay), loaded here at startup.
+  private val fencedNs: scala.collection.mutable.Set[String] = {
+    val s = scala.collection.mutable.Set.empty[String]
+    Option(walDir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.isFile && f.getName.startsWith("fence-"))
+        s += java.net.URLDecoder.decode(
+          f.getName.stripPrefix("fence-"), "UTF-8")
+    }
+    s
+  }
+  private def fenceFile(ns: String) = new File(walDir,
+    "fence-" + java.net.URLEncoder.encode(ns, "UTF-8"))
+
+  /** Fence a namespace: all writes to it fail with
+    * [[LynxEngine.NamespaceFencedException]] until [[unfence]].
+    * Durable across restarts (marker file beside the WAL). Reads are
+    * unaffected — a fenced namespace still serves queries.
+    */
+  def fence(namespace: String): Unit = writeLock.synchronized {
+    fencedNs += namespace
+    java.nio.file.Files.write(fenceFile(namespace).toPath,
+      Array.empty[Byte])
+    ()
+  }
+
+  /** Lift a namespace's write fence (migration rollback, or operator
+    * cleanup of a decommissioned copy).
+    */
+  def unfence(namespace: String): Unit = writeLock.synchronized {
+    fencedNs -= namespace
+    fenceFile(namespace).delete()
+    ()
+  }
+
+  def isFenced(namespace: String): Boolean =
+    writeLock.synchronized(fencedNs(namespace))
+
+  /** Caller holds writeLock. */
+  private def checkFence(ns: String): Unit =
+    if (fencedNs(ns))
+      throw new LynxEngine.NamespaceFencedException(ns)
   // RAM-tail row counts per (namespace, table), seeded from the
   // replayed buffer so a restarted engine still honors the threshold
   private val bufferedPerTable = {
@@ -169,9 +227,10 @@ class LynxEngine(
     * per affected table at the end, not per row.
     */
   def writeBatch(ws: Seq[WriteRequest]): Unit = writeLock.synchronized {
+    ws.foreach(w => checkFence(w.namespace))
     validateTags(ws)
     wal.writeAll(ws) // WAL-first invariant, batch-wide
-    ws.foreach(buffer.insert)
+    buffer.insertAll(ws) // one lock hold + memoized day keys
     autoSealAfter(ws)
   }
 
@@ -225,6 +284,7 @@ class LynxEngine(
         checkStreamReset(sinkId, batchId, queryId)
         false
       } else {
+        ws.foreach(w => checkFence(w.namespace))
         validateTags(ws)
         wal.writeAll(
           graft.core.StreamBatch.begin(sinkId, batchId, queryId) +:
@@ -234,7 +294,7 @@ class LynxEngine(
         // durable BEFORE advancing the hwm / acking the batch, or a
         // crash could lose rows the streaming checkpoint thinks landed
         wal.flush()
-        ws.foreach(buffer.insert)
+        buffer.insertAll(ws)
         streamHwm(sinkId) = batchId
         if (queryId.nonEmpty) streamQid(sinkId) = queryId
         autoSealAfter(ws)
@@ -310,6 +370,7 @@ class LynxEngine(
     // The namespace NUL-prefix guard mirrors validateTags (a data row
     // in the marker namespace would replay as a marker).
     require(!w.namespace.startsWith("\u0000"), "reserved namespace")
+    checkFence(w.namespace)
     w.metadata.keys.foreach(k => require(
       k != "timestamp" && k != "value" && !k.startsWith("__lynx"),
       s"reserved tag key: $k"))
@@ -417,8 +478,9 @@ class LynxEngine(
     */
   def ingestDataset(namespace: String, table: String,
       df: org.apache.spark.sql.DataFrame): Int = {
-    import org.apache.spark.sql.functions.{col, date_format}
+    import org.apache.spark.sql.functions.{col, date_format, expr}
     require(!namespace.startsWith("\u0000"), "reserved namespace")
+    writeLock.synchronized(checkFence(namespace))
     val t = tier.getOrElse(throw new IllegalStateException(
       "bulk ingest requires a parquet tier"))
     val cols = df.columns
@@ -428,16 +490,39 @@ class LynxEngine(
     tagCols.foreach(k => require(!k.startsWith("__lynx"),
       s"reserved tag key: $k"))
     val norm = df.select(
-      (col("timestamp").cast("timestamp").as("timestamp") +:
+      (expr("try_cast(`timestamp` AS timestamp)").as("timestamp") +:
         col("value").cast("string").as("value") +:
         tagCols.sorted.map(c => col(c).cast("string").as(c))): _*)
       .withColumn(ParquetTier.DayCol,
         date_format(col("timestamp"), "yyyy-MM-dd"))
+    // validateTags' fail-loud contract for the bulk lane's VALUES.
+    // The normalization is try_cast BY DESIGN: a plain cast is
+    // config-dependent — under ANSI it aborts the distributed stage
+    // with an opaque SparkDateTimeException naming no rows, and with
+    // ANSI off an unparseable timestamp silently becomes NULL and
+    // lands in the null __lynx_day partition (invisible to every
+    // day-pruned/time-range query but visible to full scans, a row
+    // shape the row plane's i64-micros/non-null contract can never
+    // produce). try_cast makes the bad rows OBSERVABLE, and this
+    // validation count rejects the dataset whole BEFORE any side
+    // effect — one extra source pass, never a corrupt commit.
+    val bad = norm.filter(col("timestamp").isNull ||
+      col("value").isNull).count()
+    require(bad == 0,
+      s"bulk ingest rejected: $bad row(s) with a null/unparseable " +
+        "timestamp or null value — the row plane cannot represent " +
+        "them (they would land in the null __lynx_day partition, " +
+        "invisible to day-pruned queries); filter or fix them " +
+        "before ingestDataset")
     // the heavy distributed write runs OUTSIDE the engine lock:
     // staging is invisible to readers, so concurrent writes/queries
     // proceed; only the metadata commit below serializes
     val (stagingId, files) = t.stage(spark, namespace, table, norm)
     writeLock.synchronized {
+      // re-check at the commit point: a fence that arrived during
+      // the distributed staging write must still win (the staged
+      // files are invisible and cleaned at next startup)
+      checkFence(namespace)
       wal.write(graft.core.SealMarker(namespace, table, stagingId,
         files, bulk = true))
       wal.flush() // marker durable BEFORE publish (the seal ordering)
@@ -571,6 +656,72 @@ class LynxEngine(
     */
   def tierVersions(namespace: String, table: String): Seq[(Long, Int)] =
     tier.map(_.versions(namespace, table)).getOrElse(Nil)
+
+  /** Export a table's pinned manifest version (None = current) as a
+    * self-contained snapshot directory (see
+    * [[graft.tier.ParquetTier.exportSnapshot]]). Buffered (unsealed)
+    * rows are NOT included — a snapshot is of the durable tier; run
+    * [[checkpoint]] first when the RAM tail must ride along. No
+    * engine lock: the pin makes the copy consistent against
+    * concurrent seals/compactions.
+    */
+  def exportSnapshot(namespace: String, table: String,
+      version: Option[Long], dest: File): Int =
+    tier.getOrElse(throw new IllegalStateException(
+      "snapshot export requires a parquet tier"))
+      .exportSnapshot(namespace, table, version, dest)
+
+  /** Import a snapshot directory as (namespace, table) — fresh-table
+    * strict, CRC-verified, one atomic manifest flip (see
+    * [[graft.tier.ParquetTier.importSnapshot]]). Under the write
+    * lock: no concurrent seal may create the table mid-import. The
+    * configured bloom/zone indexes are rebuilt over the imported
+    * files (derived artifacts travel as data, never as state).
+    * Returns the published manifest version.
+    */
+  def importSnapshot(namespace: String, table: String,
+      src: File): Long = writeLock.synchronized {
+    val t = tier.getOrElse(throw new IllegalStateException(
+      "snapshot import requires a parquet tier"))
+    require(buffer.partitions(namespace, table) == 0,
+      s"import target $namespace/$table already holds buffered rows")
+    val v = t.importSnapshot(namespace, table, src)
+    maintainBloomIndexes(namespace, table)
+    v
+  }
+
+  /** Export EVERY tier table of a namespace (current versions) into
+    * `dest/<table>/` — the migration/backup unit. Returns
+    * (table, files) per table, alphabetical.
+    */
+  def exportNamespace(namespace: String,
+      dest: File): Seq[(String, Int)] = {
+    val t = tier.getOrElse(throw new IllegalStateException(
+      "snapshot export requires a parquet tier"))
+    t.tables(namespace).toSeq.sorted.map { table =>
+      table -> exportSnapshot(namespace, table, None,
+        new File(dest, table))
+    }
+  }
+
+  /** Import every table snapshot under `src/<table>/` (the
+    * [[exportNamespace]] layout) into this engine's namespace.
+    * Each table import is individually atomic; a failure part-way
+    * leaves already-imported tables published (re-running after
+    * fixing the snapshot refuses them as non-fresh — drop and redo,
+    * or import the missing tables one by one). Returns
+    * (table, version) per imported table.
+    */
+  def importNamespace(namespace: String,
+      src: File): Seq[(String, Long)] = {
+    val subdirs = Option(src.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory &&
+        new File(d, "_snapshot.json").isFile)
+      .sortBy(_.getName)
+    require(subdirs.nonEmpty, s"no table snapshots under $src")
+    subdirs.toSeq.map(d =>
+      d.getName -> importSnapshot(namespace, d.getName, d))
+  }
 
   /** Run `sql` against namespace `namespace`. None = unknown
     * namespace/table → HTTP 404 (reference lynx.rs:144-148).
@@ -847,6 +998,16 @@ class LynxEngine(
 }
 
 object LynxEngine {
+
+  /** A write refused because its namespace is migration-fenced — the
+    * HTTP layer maps this to 422 + Retry-After (transient for a
+    * racing writer: retry lands on the new owner once the router
+    * flips), never a generic 500.
+    */
+  final class NamespaceFencedException(val namespace: String)
+      extends IllegalStateException(
+        s"namespace '$namespace' is write-fenced (migration in " +
+          "progress) — retry shortly")
 
   /** Gatekeeper (reference parse_table_name, lynx.rs:153-172): parse
     * the SQL with Spark's parser, reject DML/DDL, and collect every

@@ -219,9 +219,42 @@ object Json {
       "before_day must be yyyy-MM-dd")
     (n.get("namespace").asText(), n.get("table").asText(), day)
   }
+
+  /** {namespace} for /admin/fence and /admin/unfence. */
+  def parseNamespace(body: Array[Byte]): String = {
+    val n = mapper.readTree(body)
+    require(n.hasNonNull("namespace"), "missing required field")
+    n.get("namespace").asText()
+  }
+
+  /** {namespace, snapshot, table?, version?} for /admin/export and
+    * /admin/import. The snapshot id becomes a directory name under
+    * the configured exchange root — identifier-restricted so an
+    * untrusted caller can never address a path outside it (the
+    * runSQLOnFiles=false discipline applied to the admin plane).
+    */
+  def parseSnapshot(body: Array[Byte])
+      : (String, String, Option[String], Option[Long]) = {
+    val n = mapper.readTree(body)
+    require(n.hasNonNull("namespace") && n.hasNonNull("snapshot"),
+      "missing required field")
+    val snap = n.get("snapshot").asText()
+    require(snap.matches("[A-Za-z0-9][A-Za-z0-9._-]*") &&
+      !snap.contains(".."),
+      "snapshot must be a bare identifier")
+    val table =
+      if (n.hasNonNull("table")) Some(n.get("table").asText()) else None
+    val version = if (!n.hasNonNull("version")) None else {
+      require(n.get("version").isIntegralNumber,
+        "version must be an integer manifest version")
+      Some(n.get("version").asLong())
+    }
+    (n.get("namespace").asText(), snap, table, version)
+  }
 }
 
-final class LynxServer(engine: LynxEngine, host: String, port: Int) {
+final class LynxServer(engine: LynxEngine, host: String, port: Int,
+    exchangeDir: Option[File] = None) {
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   // without an executor every request serializes on the dispatch
   // thread; the reference serves each request on its own tokio task
@@ -270,11 +303,21 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
         else hwms.toSeq.sortBy(_._1).map { case (s, b) =>
           s"${graft.engine.Sinks.jsonString(s)}:$b"
         }.mkString(""","stream_hwm":{""", ",", "}")
+      // WAL tail repairs at the last startup: data-affecting events
+      // an operator must see without grepping stderr
+      val recov = engine.walRecoveries
+      val recovJson =
+        if (recov.isEmpty) ""
+        else recov.map { r =>
+          s"""{"segment":${Sinks.jsonString(r.segment)},"kept_bytes":${
+            r.keptBytes},"discarded_bytes":${r.discardedBytes
+            },"reason":${Sinks.jsonString(r.reason)}}"""
+        }.mkString(""","wal_recoveries":[""", ",", "]")
       respond(ex, 200,
         s"""{"buffered_rows":$rows""" +
           s""","namespaces":$namespaces""" +
           s""","result_cache_hits":${engine.resultCacheHits.get}""" +
-          annDrift + hwmJson + "}")
+          annDrift + hwmJson + recovJson + "}")
     } catch {
       case e: Exception =>
         System.err.println(e)
@@ -300,6 +343,8 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
             engine.write(w)
             respond(ex, 200)
           } catch {
+            case e: LynxEngine.NamespaceFencedException =>
+              fencedResponse(ex, e)
             case e: Exception =>
               System.err.println(e)
               respond(ex, 500)
@@ -309,6 +354,8 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
             engine.writeBatch(ws)
             respond(ex, 200)
           } catch {
+            case e: LynxEngine.NamespaceFencedException =>
+              fencedResponse(ex, e)
             case e: Exception =>
               System.err.println(e)
               respond(ex, 500)
@@ -316,6 +363,17 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
       }
     }
   })
+
+  /** Migration-fenced namespace: 422 + Retry-After — transient for a
+    * racing writer (a retry after the router flip lands on the new
+    * owner), so it must be distinguishable from a permanent 4xx.
+    */
+  private def fencedResponse(ex: HttpExchange,
+      e: LynxEngine.NamespaceFencedException): Unit = {
+    ex.getResponseHeaders.set("Retry-After", "2")
+    respond(ex, 422, s"""{"error":${
+      Sinks.jsonString(e.getMessage)},"retryable":true}""")
+  }
 
   server.createContext("/api/v1/query", (ex: HttpExchange) => {
     if (ex.getRequestMethod != "POST") respond(ex, 405)
@@ -568,6 +626,98 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int) {
     }
   })
 
+  // admin: write-fence a namespace (the migration drain barrier) /
+  // lift it. Fencing is idempotent and durable across restarts.
+  server.createContext("/api/v1/admin/fence", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "POST") respond(ex, 405)
+    else handleNamespaceToggle(ex, engine.fence)
+  })
+  server.createContext("/api/v1/admin/unfence", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "POST") respond(ex, 405)
+    else handleNamespaceToggle(ex, engine.unfence)
+  })
+
+  private def handleNamespaceToggle(ex: HttpExchange,
+      f: String => Unit): Unit = {
+    val parsed =
+      try Right(Json.parseNamespace(ex.getRequestBody.readAllBytes()))
+      catch { case e: Exception => Left(e) }
+    parsed match {
+      case Left(e) =>
+        System.err.println(e)
+        respond(ex, 422)
+      case Right(ns) =>
+        try { f(ns); respond(ex, 200) }
+        catch {
+          case e: Exception =>
+            System.err.println(e)
+            respond(ex, 500)
+        }
+    }
+  }
+
+  // admin: snapshot export/import through the EXCHANGE DIR — the
+  // shared-storage handoff area of backup/restore and namespace
+  // migration. Only registered when the operator configured one
+  // (LYNX_EXCHANGE_DIR): the snapshot id is identifier-restricted
+  // and resolves strictly under that root, so the HTTP plane can
+  // never read or write an arbitrary host path (the ANN-build /
+  // runSQLOnFiles security stance). 404 without the config.
+  private def snapshotEndpoint(ex: HttpExchange)(
+      handle: (String, File, Option[String], Option[Long]) => String)
+      : Unit =
+    if (ex.getRequestMethod != "POST") respond(ex, 405)
+    else exchangeDir match {
+      case None => respond(ex, 404)
+      case Some(root) =>
+        val parsed =
+          try Right(Json.parseSnapshot(ex.getRequestBody.readAllBytes()))
+          catch { case e: Exception => Left(e) }
+        parsed match {
+          case Left(e) =>
+            System.err.println(e)
+            respond(ex, 422)
+          case Right((ns, snap, table, version)) =>
+            try respond(ex, 200,
+              handle(ns, new File(root, snap), table, version))
+            catch {
+              case e: IllegalArgumentException =>
+                respond(ex, 422, s"""{"error":${
+                  Sinks.jsonString(e.getMessage)}}""")
+              case e: Exception =>
+                System.err.println(e)
+                respond(ex, 500, s"""{"error":${
+                  Sinks.jsonString(String.valueOf(e.getMessage))}}""")
+            }
+        }
+    }
+
+  server.createContext("/api/v1/admin/export", (ex: HttpExchange) =>
+    snapshotEndpoint(ex) { (ns, dest, table, version) =>
+      table match {
+        case Some(t) =>
+          val n = engine.exportSnapshot(ns, t, version, dest)
+          s"""[{"table":${Sinks.jsonString(t)},"files":$n}]"""
+        case None =>
+          engine.exportNamespace(ns, dest).map { case (t, n) =>
+            s"""{"table":${Sinks.jsonString(t)},"files":$n}"""
+          }.mkString("[", ",", "]")
+      }
+    })
+
+  server.createContext("/api/v1/admin/import", (ex: HttpExchange) =>
+    snapshotEndpoint(ex) { (ns, src, table, _) =>
+      table match {
+        case Some(t) =>
+          val v = engine.importSnapshot(ns, t, src)
+          s"""[{"table":${Sinks.jsonString(t)},"version":$v}]"""
+        case None =>
+          engine.importNamespace(ns, src).map { case (t, v) =>
+            s"""{"table":${Sinks.jsonString(t)},"version":$v}"""
+          }.mkString("[", ",", "]")
+      }
+    })
+
   def start(): Unit = server.start()
   def stop(): Unit = {
     server.stop(0)
@@ -632,8 +782,31 @@ object LynxServerMain {
       tier = tierDir.map(new graft.tier.ParquetTier(_)),
       maxResultRows = maxRows, walGroupCommitMillis = groupCommitMs,
       walFsync = walFsync, autoCompactFileThreshold = autoCompact,
-      autoBloomColumns = autoBloom)
-    val server = new LynxServer(engine, host, port.toInt)
+      autoBloomColumns = autoBloom,
+      // operator ack for bounded WAL tail recovery: accept the loss
+      // and truncate at the last proven frame boundary even when the
+      // damage is mid-log or larger than the auto ceiling
+      walForceTailTruncate = sys.env.get("LYNX_WAL_FORCE_TAIL_TRUNCATE")
+        .exists(v => v == "1" || v.equalsIgnoreCase("true")),
+      // LYNX_SHARDS (name=url,…) + LYNX_SHARD_SELF (this engine's
+      // shard name): with both set, ANN index builds assert this
+      // engine is the name's rendezvous owner — a misplaced index
+      // fails at creation instead of 404ing at serve time
+      annPlacement = for {
+        selfName <- sys.env.get("LYNX_SHARD_SELF")
+        table <- sys.env.get("LYNX_SHARDS")
+        parsed = table.split(",").toSeq.map(_.trim)
+          .filter(_.nonEmpty).map { s =>
+            val Array(name, url) = s.split("=", 2)
+            (name, url)
+          }
+        if parsed.nonEmpty
+      } yield (selfName, parsed))
+    // LYNX_EXCHANGE_DIR: shared-storage handoff root for snapshot
+    // export/import (backup/restore + namespace migration); the
+    // endpoints are absent without it
+    val server = new LynxServer(engine, host, port.toInt,
+      exchangeDir = sys.env.get("LYNX_EXCHANGE_DIR").map(new File(_)))
     server.start()
     println(s"lynx-graft listening on $host:${server.boundPort}")
     Thread.currentThread().join()

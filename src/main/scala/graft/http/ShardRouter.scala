@@ -74,10 +74,31 @@ final class ShardRouter(host: String, port: Int,
     * q_shard_rendezvous argmax, verbatim: highest md5 hex string of
     * "<key>:<shardName>" wins (hex compare = lexicographic on both
     * engines there; here it is plain String ordering of lowercase
-    * hex, the same order).
+    * hex, the same order). PURE placement math — routing consults
+    * [[owner]], which applies migration overrides on top.
     */
   def shardFor(key: String): (String, String) =
     ShardRouter.shardFor(key, shards)
+
+  // migration overrides: key → shard NAME whose ownership replaced
+  // the rendezvous placement (set atomically by a completed
+  // /admin/migrate; consulted by every routing decision)
+  private val overrides =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  // one migration at a time: two concurrent moves of one namespace
+  // (or a shared exchange-dir id collision) must be impossible
+  private val migrateLock = new Object
+
+  /** Routing-effective owner: the migration override when one
+    * exists, else the rendezvous placement.
+    */
+  def owner(key: String): (String, String) =
+    overrides.get(key)
+      .flatMap(n => shards.find(_._1 == n))
+      .getOrElse(shardFor(key))
+
+  /** Current migration overrides (observability + specs). */
+  def ownerOverrides: Map[String, String] = overrides.toMap
 
   private def respond(ex: HttpExchange, code: Int,
       body: String = ""): Unit = {
@@ -88,11 +109,18 @@ final class ShardRouter(host: String, port: Int,
   }
 
   /** Forward `body` as a POST to `baseUrl + path`; returns
-    * (status, responseBody). Connection errors surface as None — the
-    * caller maps them to 502 (owner down ≠ router down).
+    * (status, responseBody, relayedResponseHeaders). Connection
+    * errors surface as None — the caller maps them to 502 (owner
+    * down ≠ router down). The CLIENT's Content-Type rides through on
+    * the request, and the BACKEND's Content-Type AND Retry-After
+    * ride back on the response: a relay that drops them serves
+    * octet-stream-ish defaults through the router while direct
+    * backend calls return real media types, and a fenced-namespace
+    * 422 would lose the retry hint that makes it transient.
     */
   private def forward(baseUrl: String, path: String,
-      body: Array[Byte]): Option[(Int, Array[Byte])] =
+      body: Array[Byte], contentType: Option[String] = None)
+      : Option[(Int, Array[Byte], Map[String, String])] =
     try {
       val url = java.net.URI.create(baseUrl + path).toURL
       val conn = url.openConnection()
@@ -101,6 +129,8 @@ final class ShardRouter(host: String, port: Int,
       conn.setConnectTimeout(2000)
       conn.setReadTimeout(600000) // queries can be slow; don't cut them
       conn.setDoOutput(true)
+      contentType.foreach(ct =>
+        conn.setRequestProperty("Content-Type", ct))
       conn.setFixedLengthStreamingMode(body.length)
       val out = conn.getOutputStream
       out.write(body); out.close()
@@ -110,8 +140,23 @@ final class ShardRouter(host: String, port: Int,
         else Option(conn.getInputStream)
       val respBody = in.map(_.readAllBytes()).getOrElse(Array.empty[Byte])
       in.foreach(_.close())
-      Some((code, respBody))
+      val relayed = Seq("Content-Type", "Retry-After").flatMap(h =>
+        Option(conn.getHeaderField(h)).map(h -> _)).toMap
+      Some((code, respBody, relayed))
     } catch { case _: java.io.IOException => None }
+
+  /** The inbound request's Content-Type header, if any. */
+  private def requestContentType(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Content-Type"))
+
+  /** Relay a backend response (status, body, headers) verbatim. */
+  private def relay(ex: HttpExchange, code: Int, resp: Array[Byte],
+      headers: Map[String, String]): Unit = {
+    headers.foreach { case (h, v) => ex.getResponseHeaders.set(h, v) }
+    ex.sendResponseHeaders(code, if (resp.isEmpty) -1 else resp.length)
+    if (resp.nonEmpty) ex.getResponseBody.write(resp)
+    ex.close()
+  }
 
   private def probeHealth(baseUrl: String): Boolean =
     try {
@@ -153,7 +198,7 @@ final class ShardRouter(host: String, port: Int,
       val routed =
         try Right {
           val nss = namespacesOf(body)
-          val owners = nss.map(shardFor).distinct
+          val owners = nss.map(owner).distinct
           require(owners.size == 1,
             s"batch spans ${owners.size} shards (namespaces " +
               s"${nss.distinct.mkString(", ")}); split write batches " +
@@ -165,12 +210,9 @@ final class ShardRouter(host: String, port: Int,
           respond(ex, 422, s"""{"error":${
             graft.engine.Sinks.jsonString(e.getMessage)}}""")
         case Right((shard, url)) =>
-          forward(url, path, body) match {
-            case Some((code, resp)) =>
-              ex.sendResponseHeaders(code,
-                if (resp.isEmpty) -1 else resp.length)
-              if (resp.nonEmpty) ex.getResponseBody.write(resp)
-              ex.close()
+          forward(url, path, body, requestContentType(ex)) match {
+            case Some((code, resp, ct)) =>
+              relay(ex, code, resp, ct)
             case None =>
               respond(ex, 502, s"""{"error":"shard '$shard' ($url) """ +
                 """unreachable"}""")
@@ -195,19 +237,17 @@ final class ShardRouter(host: String, port: Int,
         try {
           val n = mapper.readTree(body)
           require(n.hasNonNull("index"), "missing required field")
-          Right(shardFor("ann:" + n.get("index").asText()))
+          Right(owner("ann:" + n.get("index").asText()))
         } catch { case e: Exception => Left(e) }
       routed match {
         case Left(e) =>
           respond(ex, 422, s"""{"error":${
             graft.engine.Sinks.jsonString(e.getMessage)}}""")
         case Right((shard, url)) =>
-          forward(url, "/api/v1/ann", body) match {
-            case Some((code, resp)) =>
-              ex.sendResponseHeaders(code,
-                if (resp.isEmpty) -1 else resp.length)
-              if (resp.nonEmpty) ex.getResponseBody.write(resp)
-              ex.close()
+          forward(url, "/api/v1/ann", body,
+            requestContentType(ex)) match {
+            case Some((code, resp, ct)) =>
+              relay(ex, code, resp, ct)
             case None =>
               respond(ex, 502, s"""{"error":"shard '$shard' ($url) """ +
                 """unreachable"}""")
@@ -226,7 +266,7 @@ final class ShardRouter(host: String, port: Int,
       }
       val failed = results.collect {
         case (name, None) => name
-        case (name, Some((code, _))) if code != 200 => name
+        case (name, Some((code, _, _))) if code != 200 => name
       }
       if (failed.isEmpty) respond(ex, 200)
       else respond(ex, 502, s"""{"failed":[${
@@ -254,10 +294,115 @@ final class ShardRouter(host: String, port: Int,
           respond(ex, 422, s"""{"error":${
             graft.engine.Sinks.jsonString(e.getMessage)}}""")
         case Right(key) =>
-          val (shard, url) = shardFor(key)
+          val (shard, url) = owner(key)
           respond(ex, 200, s"""{"shard":${
             graft.engine.Sinks.jsonString(shard)},"url":${
-            graft.engine.Sinks.jsonString(url)}}""")
+            graft.engine.Sinks.jsonString(url)},"overridden":${
+            overrides.contains(key)}}""")
+      }
+    }
+  })
+
+  // MECHANIZED namespace migration — the documented add-a-shard
+  // procedure's step 3 as one endpoint instead of a human copying
+  // directories. POST {namespace, to}:
+  //   1. write-FENCE the namespace on its current owner (durable;
+  //      racing writes get 422 + Retry-After through the router);
+  //   2. checkpoint the owner (seals the RAM tail — the export must
+  //      carry everything acknowledged before the fence);
+  //   3. export the namespace to the shared exchange dir
+  //      (CRC-manifested snapshot per table);
+  //   4. import on the target (CRC-verified, fresh-table strict,
+  //      atomic manifest flip per table);
+  //   5. flip this router's override table — the commit point: from
+  //      here every request routes to the new owner.
+  // The fence REMAINS on the old owner as a tombstone: its copy is
+  // stale the moment the router flips, and a direct writer hitting
+  // it must keep getting 422, not silently diverge. On ANY failure
+  // before the flip the fence is lifted (rollback) and ownership is
+  // unchanged — a write never lands on both shards (fence precedes
+  // copy, flip follows it) and never vanishes (422 is retryable).
+  // Requires both engines to share LYNX_EXCHANGE_DIR storage.
+  server.createContext("/api/v1/admin/migrate", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "POST") respond(ex, 405)
+    else {
+      val parsed =
+        try {
+          val n = mapper.readTree(ex.getRequestBody.readAllBytes())
+          require(n.hasNonNull("namespace") && n.hasNonNull("to"),
+            "missing required field")
+          Right((n.get("namespace").asText(), n.get("to").asText()))
+        } catch { case e: Exception => Left(e) }
+      parsed match {
+        case Left(e) =>
+          respond(ex, 422, s"""{"error":${
+            graft.engine.Sinks.jsonString(e.getMessage)}}""")
+        case Right((ns, to)) => migrateLock.synchronized {
+          shards.find(_._1 == to) match {
+            case None =>
+              respond(ex, 422, s"""{"error":"unknown target shard """ +
+                s"""'$to'"}""")
+            case Some((_, toUrl)) =>
+              val (fromName, fromUrl) = owner(ns)
+              if (fromName == to)
+                respond(ex, 200, s"""{"moved":false,"owner":${
+                  graft.engine.Sinks.jsonString(to)}}""")
+              else {
+                val nsJson = graft.engine.Sinks.jsonString(ns)
+                val snap = "mig-" + ShardRouter.md5Hex(ns).take(12) +
+                  "-" + System.currentTimeMillis
+                val fenceBody =
+                  s"""{"namespace":$nsJson}""".getBytes(UTF_8)
+                val snapBody = (s"""{"namespace":$nsJson,""" +
+                  s""""snapshot":"$snap"}""").getBytes(UTF_8)
+                def ok(r: Option[(Int, Array[Byte],
+                    Map[String, String])]): Boolean =
+                  r.exists(_._1 == 200)
+                def bodyOf(r: Option[(Int, Array[Byte],
+                    Map[String, String])]): String =
+                  r.map(x => new String(x._2, UTF_8))
+                    .getOrElse("unreachable")
+                def rollback(): Unit = {
+                  forward(fromUrl, "/api/v1/admin/unfence", fenceBody)
+                  ()
+                }
+                val fenced =
+                  ok(forward(fromUrl, "/api/v1/admin/fence", fenceBody))
+                if (!fenced)
+                  respond(ex, 502, s"""{"error":"cannot fence $ns """ +
+                    s"""on '$fromName'"}""")
+                else {
+                  val ckpt = forward(fromUrl,
+                    "/api/v1/admin/checkpoint", Array.empty)
+                  val exp = if (ok(ckpt))
+                    forward(fromUrl, "/api/v1/admin/export", snapBody)
+                  else None
+                  val imp = if (ok(exp))
+                    forward(toUrl, "/api/v1/admin/import", snapBody)
+                  else None
+                  if (!ok(ckpt) || !ok(exp) || !ok(imp)) {
+                    rollback()
+                    val stage =
+                      if (!ok(ckpt)) ("checkpoint", bodyOf(ckpt))
+                      else if (!ok(exp)) ("export", bodyOf(exp))
+                      else ("import", bodyOf(imp))
+                    respond(ex, 502, s"""{"error":"migration """ +
+                      s"""${stage._1} failed (ownership unchanged, """ +
+                      s"""fence lifted)","detail":${
+                        graft.engine.Sinks.jsonString(stage._2)}}""")
+                  } else {
+                    // commit point: route to the new owner from here
+                    overrides.put(ns, to)
+                    respond(ex, 200, s"""{"moved":true,"from":${
+                      graft.engine.Sinks.jsonString(fromName)
+                      },"to":${graft.engine.Sinks.jsonString(to)
+                      },"snapshot":"$snap","tables":${
+                      bodyOf(imp)}}""")
+                  }
+                }
+              }
+          }
+        }
       }
     }
   })
@@ -278,7 +423,12 @@ final class ShardRouter(host: String, port: Int,
         graft.engine.Sinks.jsonString(url)},"healthy":${
         probeHealth(url)}}"""
     }
-    respond(ex, 200, states.mkString("[", ",", "]"))
+    val ovr = overrides.toSeq.sortBy(_._1).map { case (k, n) =>
+      s"${graft.engine.Sinks.jsonString(k)}:${
+        graft.engine.Sinks.jsonString(n)}"
+    }.mkString("{", ",", "}")
+    respond(ex, 200, s"""{"shards":${
+      states.mkString("[", ",", "]")},"overrides":$ovr}""")
   })
 
   def start(): Unit = server.start()

@@ -554,6 +554,164 @@ final class ParquetTier(root: File,
     pruned.drop(DayCol)
   }
 
+  // ------------------------------------------------- snapshot transfer
+
+  /** Export manifest version `version` (None = current) of the table
+    * as a SELF-CONTAINED snapshot directory: every data file the
+    * version references, copied under its relative path, plus a
+    * `_snapshot.json` manifest recording (namespace, table, version,
+    * per-file size + CRC32). The manifest is written LAST via
+    * tmp+rename — its presence marks a complete export, so a crashed
+    * copy can never be mistaken for a snapshot. The version is
+    * PINNED (+ cross-process lease) for the whole copy: compaction /
+    * retention GC cannot delete a referenced file mid-export.
+    * Returns the number of files exported; IllegalArgumentException
+    * for an unknown version or one already past the GC window.
+    *
+    * This is the missing half of the one-box-per-namespace
+    * deployment story (backup/restore — a lost disk loses the WAL
+    * and tier permanently without it) and the building block of
+    * mechanized namespace migration. Derived artifacts (bloom/zone,
+    * rollup partials) are deliberately NOT shipped: they rebuild
+    * from the imported data (LynxEngine re-indexes after import),
+    * and shipping them would add staleness states the import would
+    * have to reason about.
+    *
+    * 100 TB shape: the contract here is correctness (pin, per-file
+    * CRC, manifest-last commit); the byte movement is a plain
+    * filesystem copy that a deployment parallelizes or delegates to
+    * the object store's server-side copy — O(version size) data, one
+    * small JSON of metadata.
+    */
+  def exportSnapshot(ns: String, table: String, version: Option[Long],
+      dest: File): Int = {
+    val snap = version match {
+      case Some(v) => snapshotPinnedAt(ns, table, v)
+        .getOrElse(throw new IllegalArgumentException(
+          s"version $v was never published for table $table"))
+      case None => snapshotPinned(ns, table)
+    }
+    var held = snap
+    try {
+      held = lease(snap)
+      val dir = tableDir(ns, table)
+      dest.mkdirs()
+      val entries = held.files.map { abs =>
+        val src = new File(abs)
+        if (!src.isFile)
+          throw new IllegalArgumentException(
+            s"version ${held.version} of $table is past the GC " +
+              s"window (missing ${src.getName})")
+        val rel = relativize(dir, src)
+        val out = new File(dest, rel)
+        out.getParentFile.mkdirs()
+        val crc = copyWithCrc(src, out)
+        (rel, src.length(), crc)
+      }
+      val json = entries.map { case (rel, size, crc) =>
+        s"""{"path":${ParquetTier.jsonStr(rel)},"size":$size,""" +
+          s""""crc32":$crc}"""
+      }.mkString(
+        s"""{"namespace":${ParquetTier.jsonStr(ns)},""" +
+          s""""table":${ParquetTier.jsonStr(table)},""" +
+          s""""version":${held.version},"files":[""",
+        ",", "]}")
+      val tmp = new File(dest, ".snapshot.json.tmp")
+      Files.writeString(tmp.toPath, json, UTF_8)
+      if (!tmp.renameTo(new File(dest, "_snapshot.json")))
+        throw new IllegalStateException(
+          s"snapshot manifest publish failed under $dest")
+      entries.size
+    } finally release(held)
+  }
+
+  /** Import a snapshot directory (the [[exportSnapshot]] layout) as
+    * table (ns, table). STRICT: the target table must not exist in
+    * this tier (no manifest, no data files) — restore/migration
+    * target a fresh engine, and silently replacing live data is not
+    * a semantics this API offers. Every file is verified against the
+    * snapshot manifest's size AND CRC32 while copying into a hidden
+    * staging dir; any mismatch (tampering, torn copy, bit rot) fails
+    * the import whole before anything is visible. The commit point
+    * is ONE manifest write carrying the snapshot's original version
+    * number — time-travel reads at that version answer identically
+    * on the importing engine, and later seals continue at version+1.
+    * Returns the published version.
+    */
+  def importSnapshot(ns: String, table: String, src: File): Long = {
+    val mf = new File(src, "_snapshot.json")
+    require(mf.isFile,
+      s"$src is not a snapshot (no _snapshot.json — incomplete export?)")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(Files.readAllBytes(mf.toPath))
+    val version = root.get("version").asLong()
+    val files = root.get("files")
+    val dir = tableDir(ns, table)
+    require(readManifest(ns, table).isEmpty &&
+      parquetFilesUnder(dir).isEmpty,
+      s"import target $ns/$table already holds data — import " +
+        "requires a fresh table (restore to a fresh engine, or drop " +
+        "the existing table first)")
+    val staging = stagingDir(ns, table,
+      "import-" + java.util.UUID.randomUUID())
+    try {
+      val rels = (0 until files.size()).map { i =>
+        val e = files.get(i)
+        val rel = e.get("path").asText()
+        require(!rel.startsWith("/") && !rel.split("/").contains(".."),
+          s"snapshot path escapes the table dir: $rel")
+        val from = new File(src, rel)
+        require(from.isFile, s"snapshot is missing $rel")
+        require(from.length() == e.get("size").asLong(),
+          s"size mismatch for $rel (snapshot says ${
+            e.get("size").asLong()}, file is ${from.length()})")
+        val to = new File(staging, rel)
+        to.getParentFile.mkdirs()
+        val crc = copyWithCrc(from, to)
+        require(crc == e.get("crc32").asLong(),
+          s"CRC mismatch for $rel — snapshot is corrupt or tampered")
+        rel
+      }
+      // all verified: move into the table dir, then the single
+      // manifest write is the atomic commit (a crash before it
+      // leaves unreferenced files a re-import staging sweep or
+      // manual clean removes; readers never see a partial table)
+      rels.foreach { rel =>
+        val dst = new File(dir, rel)
+        dst.getParentFile.mkdirs()
+        if (!new File(staging, rel).renameTo(dst))
+          throw new IllegalStateException(s"import: cannot move $rel")
+      }
+      val mdir = manifestDir(ns, table)
+      mdir.mkdirs()
+      val tmp = new File(mdir, s".v$version.tmp")
+      Files.writeString(tmp.toPath, rels.mkString("\n"), UTF_8)
+      val dst = new File(mdir, f"v$version%09d.list")
+      if (!tmp.renameTo(dst))
+        throw new IllegalStateException(s"manifest publish failed: $dst")
+      version
+    } finally if (staging.exists()) deleteRecursively(staging)
+  }
+
+  /** Streamed copy computing the source's CRC32 on the way through. */
+  private def copyWithCrc(src: File, dst: File): Long = {
+    val crc = new java.util.zip.CRC32
+    val in = new java.io.BufferedInputStream(
+      new java.io.FileInputStream(src), 1 << 16)
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(dst), 1 << 16)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) {
+        crc.update(buf, 0, n)
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally { in.close(); out.close() }
+    crc.getValue
+  }
+
   // --------------------------------------------------------- retention
 
   /** Retention expiry: drop every day-partition strictly older than
@@ -664,6 +822,20 @@ object ParquetTier {
 
   /** Extracts the day value from a data-file path's partition dir. */
   private[graft] val DayFromPath = """__lynx_day=(\d{4}-\d{2}-\d{2})/""".r
+
+  /** Minimal JSON string escaping for snapshot manifests (paths and
+    * identifiers; control chars included for safety).
+    */
+  private[tier] def jsonStr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
 
   private val ManifestName = """v(\d+)\.list""".r
   private val TrashName = """trash-(\d+)-v(\d+)-[0-9a-f-]+\.list""".r

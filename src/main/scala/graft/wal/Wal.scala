@@ -52,7 +52,14 @@ object WalCodec {
 
   def encode(w: WriteRequest): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(256)
-    val out = new DataOutputStream(bos)
+    encodeTo(w, new DataOutputStream(bos))
+    bos.toByteArray
+  }
+
+  /** Encode the LYNX1 payload into `out` (no CRC) — the reusable-
+    * buffer inner loop of the batch write lane.
+    */
+  def encodeTo(w: WriteRequest, out: DataOutputStream): Unit = {
     def bytes(s: String): Unit = {
       val b = s.getBytes(UTF_8)
       out.writeLong(b.length.toLong)
@@ -76,7 +83,6 @@ object WalCodec {
     }
     out.writeLong(w.timestamp)
     out.flush()
-    bos.toByteArray
   }
 
   /** Decode one record; None on clean EOF at a record boundary
@@ -157,6 +163,13 @@ final class Segment(val id: Long, directory: File) {
     if (flushNow) out.flush()
     _size += data.length
   }
+  /** Range write for the batch lane's reusable frame buffer. */
+  def write(data: Array[Byte], off: Int, len: Int,
+      flushNow: Boolean): Unit = {
+    out.write(data, off, len)
+    if (flushNow) out.flush()
+    _size += len
+  }
   def flush(): Unit = out.flush()
 
   /** Flush then fsync: data reaches the platter, not just the page
@@ -230,10 +243,37 @@ final class Wal(directory: File, startSegmentId: Long,
     * hold. Under timer-driven group commit the batch only buffers,
     * exactly like write().
     */
+  // Reusable frame scratch for the batch lane: encodeV2 allocates a
+  // fresh byte[] per record (ByteArrayOutputStream + copy + CRC
+  // copy); at batch rates that allocation churn is measurable, so
+  // writeAll encodes every record into ONE growing buffer and
+  // appends payload + CRC straight into the segment stream —
+  // byte-identical frames on disk (WalSpec pins the sizes), zero
+  // per-record allocation once the buffer has grown. Guarded by the
+  // Wal lock like everything else here.
+  private final class Scratch extends java.io.ByteArrayOutputStream(512) {
+    def buffer: Array[Byte] = buf
+    def length: Int = count
+  }
+  private val scratch = new Scratch
+  private val scratchOut = new DataOutputStream(scratch)
+  private val scratchCrc = new java.util.zip.CRC32
+  private val crcBytes = new Array[Byte](4)
+
   def writeAll(ws: Seq[WriteRequest]): Unit = synchronized {
     ws.foreach { w =>
       if (active.size > maxSegmentSize) rotate()
-      active.write(WalCodec.encodeV2(w), flushNow = false)
+      scratch.reset()
+      WalCodec.encodeTo(w, scratchOut)
+      scratchCrc.reset()
+      scratchCrc.update(scratch.buffer, 0, scratch.length)
+      val v = scratchCrc.getValue
+      crcBytes(0) = ((v >>> 24) & 0xff).toByte
+      crcBytes(1) = ((v >>> 16) & 0xff).toByte
+      crcBytes(2) = ((v >>> 8) & 0xff).toByte
+      crcBytes(3) = (v & 0xff).toByte
+      active.write(scratch.buffer, 0, scratch.length, flushNow = false)
+      active.write(crcBytes, 0, 4, flushNow = false)
     }
     if (groupCommitMillis <= 0) {
       if (fsyncOnFlush) active.sync() else active.flush()
@@ -354,9 +394,33 @@ object Wal {
     * IllegalArgument too, and treating those as frame corruption
     * would TRUNCATE a valid WAL tail — acknowledged records — on a
     * transient publish failure.
+    *
+    * `framingIntact`: true only for a CRC mismatch — the decoder
+    * consumed EXACTLY one frame, so the stream sits at the next
+    * frame boundary and recovery can PROBE whether a CRC-valid
+    * frame follows (mid-log bit rot) or nothing does (torn tail).
+    * A mis-framed length / invalid tag type loses the framing; no
+    * probe is possible there.
     */
-  private final class FrameCorruptException(msg: String)
-      extends Exception(msg)
+  private final class FrameCorruptException(msg: String,
+      val framingIntact: Boolean) extends Exception(msg)
+
+  /** One tail-recovery event surfaced to the caller (engine startup
+    * status / metrics — not only stderr): the segment file, the kept
+    * prefix, the discarded suffix, and why.
+    */
+  final case class WalRecovery(segment: String, keptBytes: Long,
+      discardedBytes: Long, reason: String)
+
+  /** Auto-truncation ceiling: a FrameCorrupt tail recovery that
+    * would discard more than this refuses instead (an operator
+    * reviews and re-runs with force) — bit rot early in a large
+    * active segment must not silently discard megabytes of
+    * fsync-acknowledged records. Clean EOF torn tails (a crash
+    * mid-append) are exempt: the discarded bytes are one partial
+    * frame by construction.
+    */
+  val MaxAutoTruncateBytes: Long = 1L << 20
 
   /** Replay every segment in `directory` into the buffer; returns
     * (highest segment id, all observed ids) — the caller opens the
@@ -397,6 +461,33 @@ object Wal {
   def replay(directory: File, buffer: MemBuffer,
       onSeal: WriteRequest => Unit,
       onStreamHwm: (String, Long, String) => Unit)
+      : (Long, Seq[Long]) =
+    replay(directory, buffer, onSeal, onStreamHwm,
+      forceTailTruncate = false, _ => ())
+
+  /** Full replay with the tail-recovery policy knobs.
+    *
+    * `forceTailTruncate`: a FrameCorrupt recovery normally refuses
+    * (fails startup loudly) when the damage is provably NOT a torn
+    * tail — a further CRC-valid frame follows the corrupt one
+    * (mid-log bit rot: auto-truncating would discard valid,
+    * fsync-acknowledged frames after the damage point, including
+    * committed stream brackets a source's checkpoint already marked
+    * done) — or when the discarded suffix exceeds
+    * [[MaxAutoTruncateBytes]]. True forces the truncation anyway
+    * (the operator has reviewed; LYNX_WAL_FORCE_TAIL_TRUNCATE at
+    * the server). Clean EOF torn tails always auto-recover.
+    *
+    * `onRecovery` fires for every tail repair (EOF truncation,
+    * frame-corrupt truncation, zombie-bracket removal) so the
+    * engine can surface them in startup status instead of stderr
+    * alone.
+    */
+  def replay(directory: File, buffer: MemBuffer,
+      onSeal: WriteRequest => Unit,
+      onStreamHwm: (String, Long, String) => Unit,
+      forceTailTruncate: Boolean,
+      onRecovery: WalRecovery => Unit)
       : (Long, Seq[Long]) = {
     directory.mkdirs()
     var highest = 0L
@@ -460,7 +551,8 @@ object Wal {
           catch {
             case e @ (_: IllegalArgumentException |
                 _: IllegalStateException) if v2 =>
-              throw new FrameCorruptException(e.getMessage)
+              throw new FrameCorruptException(e.getMessage,
+                framingIntact = false)
           }
         if (r.isDefined && v2) {
           val expected = crcIn.crc.getValue
@@ -468,7 +560,7 @@ object Wal {
           if (stored != expected)
             throw new FrameCorruptException(
               f"record CRC mismatch (stored $stored%08x, " +
-                f"computed $expected%08x)")
+                f"computed $expected%08x)", framingIntact = true)
         }
         r
       }
@@ -552,6 +644,8 @@ object Wal {
             System.err.println(
               s"[wal] torn tail in $f ($why): keeping the " +
                 s"$lastGood-byte valid prefix")
+            onRecovery(WalRecovery(f.getName, lastGood,
+              f.length() - lastGood, s"torn tail: $why"))
           // LYNX2 only: a CRC-verified format makes every DECODER
           // failure in the tail segment recoverable at the last good
           // frame — a flipped byte manifests as a CRC mismatch, an
@@ -559,13 +653,49 @@ object Wal {
           // as FrameCorruptException at the frame boundary. Callback
           // exceptions (seal re-publish, buffer) are other types and
           // PROPAGATE: startup must fail loudly, never truncate a
-          // valid tail over a transient publish error
+          // valid tail over a transient publish error.
+          // BOUNDED: auto-truncation is for torn tails. When the
+          // damage is provably mid-log (framing survived the CRC
+          // mismatch and the NEXT frame decodes CRC-valid — valid
+          // acknowledged records follow the flipped byte) or the
+          // discarded suffix exceeds MaxAutoTruncateBytes, refuse
+          // unless forced: silently discarding them would also drop
+          // committed stream brackets whose batches the source's
+          // checkpoint already marked done — batches that would then
+          // NEVER be re-delivered.
           case e: FrameCorruptException
               if id == lastId &&
                 lastGood >= WalCodec.Header.length =>
+            val validFrameFollows = e.framingIntact &&
+              (try decodeFrame().isDefined
+               catch { case _: Exception => false })
+            val discarded = f.length() - lastGood
+            if (!forceTailTruncate &&
+                (validFrameFollows ||
+                  discarded > MaxAutoTruncateBytes)) {
+              val shape =
+                if (validFrameFollows)
+                  "a CRC-valid frame FOLLOWS the corrupt one " +
+                    "(mid-log bit rot, not a torn tail)"
+                else
+                  s"the damaged suffix is $discarded bytes " +
+                    s"(> $MaxAutoTruncateBytes auto-truncate ceiling)"
+              throw new IllegalStateException(
+                s"[wal] corrupt frame in $f (${e.getMessage}) and " +
+                  s"$shape — refusing to auto-truncate " +
+                  s"${discarded} acknowledged bytes. Review the " +
+                  "segment; to accept the loss and recover at the " +
+                  s"last proven boundary ($lastGood), restart with " +
+                  "LYNX_WAL_FORCE_TAIL_TRUNCATE=1 (replay " +
+                  "forceTailTruncate)")
+            }
             System.err.println(
               s"[wal] corrupt frame in $f (${e.getMessage}): keeping " +
                 s"the $lastGood-byte valid prefix, truncating the rest")
+            onRecovery(WalRecovery(f.getName, lastGood, discarded,
+              s"corrupt frame: ${e.getMessage}" +
+                (if (validFrameFollows) " (forced past mid-log rot)"
+                 else "")))
         }
       } finally in.close()
       // Truncate the torn bytes away so the next replay sees a clean
@@ -596,6 +726,10 @@ object Wal {
       System.err.println(s"[wal] discarding ${b.rows.size} rows of " +
         s"uncommitted stream batch ${b.bid} (sink '${b.sink}') and " +
         "truncating its records")
+      onRecovery(WalRecovery(b.file.getName, b.beginOff,
+        math.max(0L, b.file.length() - b.beginOff),
+        s"uncommitted stream batch ${b.bid} (sink '${b.sink}', " +
+          s"${b.rows.size} staged rows re-delivered by the source)"))
       // later segments hold only this bracket's rows (the bracket was
       // one atomic append and nothing survived after the crash)
       segments.filter(_._1 > b.segId).foreach { case (_, sf) =>

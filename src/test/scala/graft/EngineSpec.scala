@@ -1572,6 +1572,47 @@ class EngineSpec extends AnyFunSuite {
     assert(plain.rows.map(_.getString(0)) == Seq("plain-row"))
   }
 
+  test("bulk ingest validates before staging: null/unparseable " +
+    "timestamps and null values reject the dataset whole with no " +
+    "side effect (no null __lynx_day partition can ever land)") {
+    val spark = SparkFixture.spark
+    import org.apache.spark.sql.functions._
+    val walDir = Files.createTempDirectory("bulkval-wal").toFile
+    val tierDir = Files.createTempDirectory("bulkval-tier").toFile
+    val e = new LynxEngine(spark, walDir, 1024 * 1024,
+      Some(new ParquetTier(tierDir)))
+    // an unparseable STRING timestamp silently casts to NULL under
+    // the lane's non-ANSI normalization — the exact corruption shape
+    val badTs = spark.range(3).select(
+      when(col("id") === 1, lit("not-a-timestamp"))
+        .otherwise(lit("1970-01-02 03:04:05")).as("timestamp"),
+      concat(lit("v"), col("id")).as("value"))
+    val exTs = intercept[IllegalArgumentException] {
+      e.ingestDataset("events", "bulkval", badTs)
+    }
+    assert(exTs.getMessage.contains("null/unparseable"),
+      s"wrong rejection: ${exTs.getMessage}")
+    // a null VALUE is a row shape the row plane cannot produce
+    val badVal = spark.range(3).select(
+      timestamp_micros(col("id") * 1000000L).as("timestamp"),
+      when(col("id") === 2, lit(null).cast("string"))
+        .otherwise(lit("v")).as("value"))
+    intercept[IllegalArgumentException] {
+      e.ingestDataset("events", "bulkval", badVal)
+    }
+    // nothing was committed: table unknown (404 path), no manifest,
+    // no staging leftovers
+    assert(e.query("events", "SELECT * FROM bulkval").isEmpty)
+    assert(e.tierVersions("events", "bulkval").isEmpty)
+    // and a clean dataset still lands
+    val ok = spark.range(3).select(
+      timestamp_micros(col("id") * 1000000L).as("timestamp"),
+      concat(lit("v"), col("id")).as("value"))
+    assert(e.ingestDataset("events", "bulkval", ok) > 0)
+    assert(e.query("events",
+      "SELECT count(*) AS c FROM bulkval").get.rows.head.getLong(0) == 3)
+  }
+
   test("typed numeric zone maps: try_cast(BIGINT/DOUBLE) range " +
     "predicates skip files (corrupted-file proof), coercing and " +
     "plain-CAST predicates are never harvested, zones persist") {

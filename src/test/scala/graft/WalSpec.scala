@@ -708,8 +708,14 @@ class WalSpec extends AnyFunSuite {
       val (wantVals, wantHwm) = interpret(frames.take(corrupted).toSeq)
       val buffer = new MemBuffer
       val gotHwm = scala.collection.mutable.Map.empty[String, Long]
+      // FORCED: a random flip may be mid-log (CRC-valid frames after
+      // the damage), which unforced replay now refuses by design —
+      // this fuzz pins the recovery MATH (exact last-proven-boundary
+      // truncation) under the operator override; the refusal policy
+      // has its own tests below
       Wal.replay(dir, buffer, _ => (), (sink, bid, _) =>
-        gotHwm(sink) = math.max(gotHwm.getOrElse(sink, -1L), bid))
+        gotHwm(sink) = math.max(gotHwm.getOrElse(sink, -1L), bid),
+        forceTailTruncate = true, _ => ())
       def vals(buf: MemBuffer): Vector[String] =
         buf.tables("ns").flatMap(_.get("t"))
           .map(_.values.flatMap(_.values).toVector)
@@ -726,6 +732,100 @@ class WalSpec extends AnyFunSuite {
       assert(vals(buffer2) == wantVals,
         s"seed $seed: second replay differs")
     }
+  }
+
+  test("bounded tail recovery: mid-log bit rot (a CRC-valid frame " +
+    "FOLLOWS the corrupt one) refuses auto-truncation, keeps the " +
+    "file intact, and recovers only under the operator override — " +
+    "with the repair surfaced through onRecovery") {
+    val dir = tempDir()
+    val wal = new Wal(dir, 0, Long.MaxValue)
+    def w(i: Int) = WriteRequest("ns", "t", s"v$i", Map.empty, i.toLong)
+    (0 until 5).foreach(i => wal.write(w(i)))
+    wal.close()
+    val seg = new File(dir, "0.wal")
+    // flip one byte in record 1's VALUE payload: CRC mismatch with
+    // framing intact, records 2..4 still CRC-valid after it
+    val off0 = WalCodec.Header.length +
+      WalCodec.encodeV2(w(0)).length
+    val raf = new java.io.RandomAccessFile(seg, "rw")
+    try {
+      // value field sits after ns(8+2) + meas(8+1) bytes + len prefix
+      val valOff = off0 + 8 + 2 + 8 + 1 + 8
+      raf.seek(valOff.toLong)
+      val b = raf.readByte()
+      raf.seek(valOff.toLong)
+      raf.writeByte(b ^ 0x01)
+    } finally raf.close()
+    val lenBefore = seg.length()
+    val ex = intercept[IllegalStateException] {
+      Wal.replay(dir, new MemBuffer)
+    }
+    assert(ex.getMessage.contains("refusing to auto-truncate") &&
+      ex.getMessage.contains("CRC-valid frame FOLLOWS"), ex.getMessage)
+    assert(seg.length() == lenBefore,
+      "a refused recovery must not touch the segment")
+    // operator override: recovers at the last proven boundary (only
+    // v0 survives) and surfaces the repair
+    val buf = new MemBuffer
+    val repairs = scala.collection.mutable
+      .ArrayBuffer.empty[Wal.WalRecovery]
+    Wal.replay(dir, buf, _ => (), (_, _, _) => (),
+      forceTailTruncate = true, repairs += _)
+    assert(buf.tables("ns").get("t")("1970-01-01").values ==
+      Vector("v0"))
+    assert(repairs.size == 1 && repairs.head.keptBytes == off0 &&
+      repairs.head.reason.contains("forced past mid-log rot"),
+      repairs.toString)
+  }
+
+  test("bounded tail recovery: a mis-framed tail whose damaged " +
+    "suffix exceeds the auto-truncate ceiling refuses (an operator " +
+    "reviews megabytes of acknowledged records; a torn-tail EOF " +
+    "still auto-recovers)") {
+    val dir = tempDir()
+    val wal = new Wal(dir, 0, Long.MaxValue)
+    def w(i: Int, value: String) =
+      WriteRequest("ns", "t", value, Map.empty, i.toLong)
+    wal.write(w(0, "small"))
+    wal.write(w(1, "x" * (2 << 20))) // 2 MiB record after the victim
+    wal.close()
+    val seg = new File(dir, "0.wal")
+    // corrupt record 0's FIRST length prefix to a negative value:
+    // "unreasonable length" (framing lost, no probe possible) with
+    // > 1 MiB after the last good boundary
+    val raf = new java.io.RandomAccessFile(seg, "rw")
+    try {
+      raf.seek(WalCodec.Header.length.toLong)
+      raf.writeByte(0x80)
+    } finally raf.close()
+    val ex = intercept[IllegalStateException] {
+      Wal.replay(dir, new MemBuffer)
+    }
+    assert(ex.getMessage.contains("refusing to auto-truncate") &&
+      ex.getMessage.contains("auto-truncate ceiling"), ex.getMessage)
+    // forced: everything after the header is discarded, loudly
+    val buf = new MemBuffer
+    Wal.replay(dir, buf, _ => (), (_, _, _) => (),
+      forceTailTruncate = true, _ => ())
+    assert(buf.isEmpty)
+    // contrast: a clean EOF torn tail of ANY size auto-recovers
+    // without the override (the crash shape must never need a flag)
+    val dir2 = tempDir()
+    val wal2 = new Wal(dir2, 0, Long.MaxValue)
+    wal2.write(w(0, "keep"))
+    wal2.write(w(1, "y" * (2 << 20)))
+    wal2.close()
+    val seg2 = new File(dir2, "0.wal")
+    val keepLen = WalCodec.Header.length +
+      WalCodec.encodeV2(w(0, "keep")).length
+    val raf2 = new java.io.RandomAccessFile(seg2, "rw")
+    try raf2.setLength(seg2.length() - 7) finally raf2.close()
+    val buf2 = new MemBuffer
+    Wal.replay(dir2, buf2)
+    assert(buf2.tables("ns").get("t")("1970-01-01").values ==
+      Vector("keep"))
+    assert(seg2.length() == keepLen)
   }
 
   test("a replay CALLBACK throwing (transient seal re-publish failure) " +
