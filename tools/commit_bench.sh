@@ -17,6 +17,10 @@
 #   4. on success copy bench_out.json -> bench_committed.json and
 #      print both wall and cpu totals (the cpu total is the
 #      steal-immune number rounds compare on).
+#
+# Cross-round committed anchors (wall s / cpu s, 272-query set):
+#   r12 = 142.5 / 493.3    r13 = 137.6 / 530.9
+# (r14+ adds queries — compare per-query or on the shared subset.)
 set -uo pipefail
 cd "$(dirname "$0")/.."
 REPS="${1:-5}"
