@@ -75,7 +75,7 @@ object ScaleSmoke {
         "q_cte_recursive", "q_bpe_encode", "q_graph_hits",
         "q_dedup_keep_best", "q_multimodal_audio_vad", "q_graph_degree",
         "q_winnow_overlap", "q_dq_quantile_sample", "q_graph_kcore",
-        "q_ann_recall", "q_sample_kcenter")
+        "q_ann_recall", "q_sample_kcenter", "q_train_logreg")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
