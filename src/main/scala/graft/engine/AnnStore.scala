@@ -477,10 +477,11 @@ final class AnnStore(spark: SparkSession, tier: ParquetTier,
         // otherwise plan overhead, not the scan (cells are immutable
         // between build/append, both of which invalidate this cache)
         val idx = Idx(cents, cp.getPath, spark.read.parquet(cp.getPath))
-        loadedIdx.putIfAbsent(name, idx)
-        // the racing loader's Idx may have won — prewarm THE one that
-        // is actually serving (double-start is a no-op via the CAS)
-        val serving = loadedIdx(name)
+        // a racing loader's Idx may have won the insert — serve THE
+        // winner; and a concurrent build() may REMOVE the entry
+        // between insert and read, so never re-read the map (this
+        // locally-built Idx still answers correctly for its version)
+        val serving = loadedIdx.putIfAbsent(name, idx).getOrElse(idx)
         startPrewarm(name, serving, dir)
         Some(serving)
       }

@@ -178,24 +178,43 @@ class LynxEngine(
 
   /** Fence a namespace: all writes to it fail with
     * [[LynxEngine.NamespaceFencedException]] until [[unfence]].
-    * Durable across restarts (marker file beside the WAL). Reads are
-    * unaffected — a fenced namespace still serves queries.
+    * Durable across restarts (marker file beside the WAL) AND across
+    * power loss: the marker and its directory entry are fsynced
+    * before fence() acks — a migration fences, copies, and flips on
+    * the strength of this ack, so a fence living only in the page
+    * cache could reopen the old owner to writes that then vanish at
+    * cutover (the same power-loss class the WAL's fsync rung
+    * covers). Reads are unaffected — a fenced namespace still
+    * serves queries.
     */
   def fence(namespace: String): Unit = writeLock.synchronized {
     fencedNs += namespace
-    java.nio.file.Files.write(fenceFile(namespace).toPath,
-      Array.empty[Byte])
-    ()
+    val f = fenceFile(namespace)
+    val ch = java.nio.channels.FileChannel.open(f.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try ch.force(true) finally ch.close()
+    fsyncDir(f.getParentFile)
   }
 
   /** Lift a namespace's write fence (migration rollback, or operator
-    * cleanup of a decommissioned copy).
+    * cleanup of a decommissioned copy). The removal is fsynced too —
+    * a resurrected fence after a crash would only refuse writes
+    * (safe), but silently flip-flopping state is worse to operate.
     */
   def unfence(namespace: String): Unit = writeLock.synchronized {
     fencedNs -= namespace
     fenceFile(namespace).delete()
-    ()
+    fsyncDir(walDir)
   }
+
+  private def fsyncDir(dir: File): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(dir.toPath,
+        java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: java.io.IOException => () } // non-POSIX FS
 
   def isFenced(namespace: String): Boolean =
     writeLock.synchronized(fencedNs(namespace))
@@ -234,6 +253,23 @@ class LynxEngine(
     autoSealAfter(ws)
   }
 
+  /** Namespace/table names materialize as tier path segments at seal
+    * time; a pathy name ("..", "a/b") accepted at ingest would later
+    * make the seal throw with the rows already acknowledged — so the
+    * ingest doors reject them up front (ParquetTier.safeSeg is the
+    * storage-side choke point; this keeps acknowledged rows always
+    * sealable). Documented deviation: the RAM-only reference accepts
+    * any name (lynx.rs stores them as map keys only).
+    */
+  private def isStorableName(s: String): Boolean =
+    s.nonEmpty && s != "." && s != ".." &&
+      !s.contains('/') && !s.contains('\\')
+
+  private def requireStorableName(s: String, what: String): Unit =
+    require(isStorableName(s),
+      s"$what is not a storable name (path separators and '..' are " +
+        s"not allowed): '$s'")
+
   private def validateTags(ws: Seq[WriteRequest]): Unit =
     ws.foreach { w =>
       // the NUL prefix is the WAL marker class (seal markers, stream
@@ -243,6 +279,8 @@ class LynxEngine(
       // (the HTTP layer rejects it too; this guards embedded callers)
       require(!w.namespace.startsWith("\u0000"),
         "reserved namespace")
+      requireStorableName(w.namespace, "namespace")
+      requireStorableName(w.measurement, "measurement")
       w.metadata.keys.foreach(k => require(
         k != "timestamp" && k != "value" && !k.startsWith("__lynx"),
         s"reserved tag key: $k"))
@@ -370,6 +408,8 @@ class LynxEngine(
     // The namespace NUL-prefix guard mirrors validateTags (a data row
     // in the marker namespace would replay as a marker).
     require(!w.namespace.startsWith("\u0000"), "reserved namespace")
+    requireStorableName(w.namespace, "namespace")
+    requireStorableName(w.measurement, "measurement")
     checkFence(w.namespace)
     w.metadata.keys.foreach(k => require(
       k != "timestamp" && k != "value" && !k.startsWith("__lynx"),
@@ -480,6 +520,8 @@ class LynxEngine(
       df: org.apache.spark.sql.DataFrame): Int = {
     import org.apache.spark.sql.functions.{col, date_format, expr}
     require(!namespace.startsWith("\u0000"), "reserved namespace")
+    requireStorableName(namespace, "namespace")
+    requireStorableName(table, "table")
     writeLock.synchronized(checkFence(namespace))
     val t = tier.getOrElse(throw new IllegalStateException(
       "bulk ingest requires a parquet tier"))
@@ -815,7 +857,12 @@ class LynxEngine(
               "time travel requires a parquet tier")
           (Map.empty[String, graft.tier.TierSnapshot], false)
         case Some(t) =>
-          val present = t.tables(namespace)
+          // a pathy "namespace" must never reach the tier as a path
+          // (it would list arbitrary host dirs); it can only exist as
+          // a buffer key, so the tier simply does not have it
+          val present =
+            if (isStorableName(namespace)) t.tables(namespace)
+            else Set.empty[String]
           val acquired =
             scala.collection.mutable.Map.empty[String, graft.tier.TierSnapshot]
           try

@@ -718,6 +718,42 @@ final class LynxServer(engine: LynxEngine, host: String, port: Int,
       }
     })
 
+  // admin: reclaim an exchange-dir snapshot (the migration driver
+  // calls this after a successful flip or a failed attempt — without
+  // it every migration leaves a full namespace copy on the shared
+  // storage forever). Same identifier-under-the-exchange-root
+  // discipline as export/import; 404 without the config.
+  server.createContext("/api/v1/admin/dropsnapshot", (ex: HttpExchange) =>
+    if (ex.getRequestMethod != "POST") respond(ex, 405)
+    else exchangeDir match {
+      case None => respond(ex, 404)
+      case Some(root) =>
+        val parsed = try {
+          val n = new ObjectMapper()
+            .readTree(ex.getRequestBody.readAllBytes())
+          require(n.hasNonNull("snapshot"), "missing required field")
+          val snap = n.get("snapshot").asText()
+          require(snap.matches("[A-Za-z0-9][A-Za-z0-9._-]*") &&
+            !snap.contains(".."), "snapshot must be a bare identifier")
+          Right(snap)
+        } catch { case e: Exception => Left(e) }
+        parsed match {
+          case Left(e) =>
+            System.err.println(e)
+            respond(ex, 422)
+          case Right(snap) =>
+            def rm(f: File): Unit = {
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+              f.delete()
+              ()
+            }
+            val dir = new File(root, snap)
+            val existed = dir.exists()
+            if (existed) rm(dir)
+            respond(ex, 200, s"""{"dropped":$existed}""")
+        }
+    })
+
   def start(): Unit = server.start()
   def stop(): Unit = {
     server.stop(0)

@@ -58,7 +58,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *  corpus, the q_shard_rendezvous number.
   */
 final class ShardRouter(host: String, port: Int,
-    shards: Seq[(String, String)]) {
+    shards: Seq[(String, String)],
+    stateFile: Option[java.io.File] = None) {
   require(shards.nonEmpty, "router needs at least one shard")
   require(shards.map(_._1).distinct.size == shards.size,
     "shard names must be unique")
@@ -82,9 +83,47 @@ final class ShardRouter(host: String, port: Int,
 
   // migration overrides: key → shard NAME whose ownership replaced
   // the rendezvous placement (set atomically by a completed
-  // /admin/migrate; consulted by every routing decision)
+  // /admin/migrate; consulted by every routing decision). The map is
+  // the MIGRATION COMMIT POINT, so it must survive a router restart:
+  // with `stateFile` configured every change persists via tmp +
+  // atomic rename and is reloaded here — without persistence a
+  // restarted router would route a migrated namespace back to its
+  // rendezvous owner, serving the fenced stale copy for reads and
+  // 422ing every write forever. Entries naming a shard absent from
+  // the current table are dropped with a warning (a reshaped
+  // cluster needs a re-migration anyway).
   private val overrides =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  for (f <- stateFile if f.isFile) {
+    val n = mapper.readTree(java.nio.file.Files.readAllBytes(f.toPath))
+    val it = n.properties().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val target = e.getValue.asText()
+      if (shards.exists(_._1 == target))
+        overrides.put(e.getKey, target)
+      else
+        System.err.println(s"[router] dropping persisted override " +
+          s"'${e.getKey}' -> '$target': no such shard in the table")
+    }
+  }
+
+  private def persistOverrides(): Unit = stateFile.foreach { f0 =>
+    val f = f0.getAbsoluteFile // a bare relative name has no parent
+    Option(f.getParentFile).foreach(_.mkdirs())
+    val json = overrides.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${graft.engine.Sinks.jsonString(k)}:${
+        graft.engine.Sinks.jsonString(v)}"
+    }.mkString("{", ",", "}")
+    val tmp = new java.io.File(f.getParentFile,
+      "." + f.getName + ".tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      json.getBytes(UTF_8))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
   // one migration at a time: two concurrent moves of one namespace
   // (or a shared exchange-dir id collision) must be impossible
   private val migrateLock = new Object
@@ -362,9 +401,17 @@ final class ShardRouter(host: String, port: Int,
                     Map[String, String])]): String =
                   r.map(x => new String(x._2, UTF_8))
                     .getOrElse("unreachable")
-                def rollback(): Unit = {
-                  forward(fromUrl, "/api/v1/admin/unfence", fenceBody)
-                  ()
+                // rollback lifts the fence AND reclaims any partial
+                // snapshot; both are best-effort but their outcome is
+                // REPORTED honestly — telling the operator "fence
+                // lifted" while the durable marker survived a dead
+                // owner would leave the namespace silently refusing
+                // writes with nobody told to act
+                def rollback(): Boolean = {
+                  forward(fromUrl, "/api/v1/admin/dropsnapshot",
+                    (s"""{"snapshot":"$snap"}""").getBytes(UTF_8))
+                  ok(forward(fromUrl, "/api/v1/admin/unfence",
+                    fenceBody))
                 }
                 val fenced =
                   ok(forward(fromUrl, "/api/v1/admin/fence", fenceBody))
@@ -381,18 +428,32 @@ final class ShardRouter(host: String, port: Int,
                     forward(toUrl, "/api/v1/admin/import", snapBody)
                   else None
                   if (!ok(ckpt) || !ok(exp) || !ok(imp)) {
-                    rollback()
+                    val unfenced = rollback()
+                    val fenceState =
+                      if (unfenced) "fence lifted"
+                      else "UNFENCE FAILED - the durable fence is " +
+                        s"still on '$fromName'; lift it manually " +
+                        "(POST /api/v1/admin/unfence) once the " +
+                        "shard is reachable"
                     val stage =
                       if (!ok(ckpt)) ("checkpoint", bodyOf(ckpt))
                       else if (!ok(exp)) ("export", bodyOf(exp))
                       else ("import", bodyOf(imp))
                     respond(ex, 502, s"""{"error":"migration """ +
-                      s"""${stage._1} failed (ownership unchanged, """ +
-                      s"""fence lifted)","detail":${
+                      s"""${stage._1} failed (ownership unchanged; """ +
+                      s"""$fenceState)","detail":${
                         graft.engine.Sinks.jsonString(stage._2)}}""")
                   } else {
                     // commit point: route to the new owner from here
+                    // (persisted BEFORE the response — a router that
+                    // acked a migration must re-route after restart)
                     overrides.put(ns, to)
+                    persistOverrides()
+                    // the snapshot did its job — reclaim the copy on
+                    // the shared exchange storage (best-effort; the
+                    // target engine shares the dir by construction)
+                    forward(toUrl, "/api/v1/admin/dropsnapshot",
+                      (s"""{"snapshot":"$snap"}""").getBytes(UTF_8))
                     respond(ex, 200, s"""{"moved":true,"from":${
                       graft.engine.Sinks.jsonString(fromName)
                       },"to":${graft.engine.Sinks.jsonString(to)
@@ -458,7 +519,11 @@ object ShardRouter {
 
 /** Router entry point. LYNX_ROUTER_ADDR (default 127.0.0.1:3100);
   * LYNX_SHARDS = comma-separated name=url pairs, e.g.
-  * "s0=http://10.0.0.1:3000,s1=http://10.0.0.2:3000".
+  * "s0=http://10.0.0.1:3000,s1=http://10.0.0.2:3000";
+  * LYNX_ROUTER_STATE = path of the persisted migration-override
+  * file (strongly recommended wherever /admin/migrate is used — the
+  * override map is the migration commit point and must survive a
+  * router restart).
   */
 object ShardRouterMain {
   def main(args: Array[String]): Unit = {
@@ -470,7 +535,9 @@ object ShardRouterMain {
         val Array(name, url) = s.split("=", 2)
         (name, url)
       }
-    val router = new ShardRouter(host, port.toInt, shards)
+    val router = new ShardRouter(host, port.toInt, shards,
+      stateFile = sys.env.get("LYNX_ROUTER_STATE")
+        .map(new java.io.File(_)))
     router.start()
     println(s"lynx-graft router on $host:${router.boundPort} over " +
       s"${shards.size} shards")

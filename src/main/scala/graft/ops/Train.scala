@@ -120,10 +120,13 @@ object Train {
     * collect is the documented driver-plane shape — at most 129
     * rows, the broadcast-back of the weight vector.
     */
-  private def trainedWeights(s: SparkSession, dir: String): DataFrame = {
+  private def trainedWeights(s: SparkSession, fx: DataFrame,
+      lab: DataFrame): DataFrame = {
     import s.implicits._
-    val (fx, lab) = featureFrames(s, dir)
-    val n = Tables.t(s, dir, "documents").count()
+    // one label row per document, so this IS the corpus row count
+    // (the oracle's count(*) FROM documents), read off the already-
+    // checkpointed frame
+    val n = lab.count()
     val den = Lrf * n
     var w = Map.empty[Long, Long]
     for (_ <- 1 to Iters) {
@@ -238,11 +241,13 @@ object Train {
     */
   val qTrainLogreg = QueryDef(
     "q_train_logreg",
-    (s, dir) =>
-      trainedWeights(s, dir)
+    (s, dir) => {
+      val (fx, lab) = featureFrames(s, dir)
+      trainedWeights(s, fx, lab)
         .select(col("bucket"), col("w").as("w_fixed"),
           (col("w").cast("double") / lit(S)).as("weight"))
-        .orderBy("bucket"),
+        .orderBy("bucket")
+    },
     Some(s"""
       $oracleTrain
       SELECT bucket, CAST(w AS BIGINT) AS w_fixed,
@@ -257,8 +262,11 @@ object Train {
   val qTrainLogregEval = QueryDef(
     "q_train_logreg_eval",
     (s, dir) => {
+      // ONE featureFrames derivation feeds both training and the
+      // held-out evaluation — the corpus scan, hashing, and eager
+      // checkpoints are paid once, not twice
       val (fx, lab) = featureFrames(s, dir)
-      val wDf = trainedWeights(s, dir)
+      val wDf = trainedWeights(s, fx, lab)
       fx.join(broadcast(wDf), Seq("bucket"))
         .groupBy("doc_id")
         .agg(sum(col("w") * col("x")).as("margin"))

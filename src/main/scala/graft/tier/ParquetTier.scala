@@ -60,15 +60,32 @@ final class ParquetTier(root: File,
 
   import ParquetTier.DayCol
 
+  /** Namespace/table names become path segments under the tier root;
+    * a name that is itself a path expression ("..", "a/b") would
+    * escape it — and several admin endpoints accept these names from
+    * untrusted HTTP callers. One choke point guards every dir
+    * construction (the engine also rejects such names at the ingest
+    * doors, so no acknowledged row can ever fail its later seal
+    * here).
+    */
+  private def safeSeg(s: String, what: String): String = {
+    require(s.nonEmpty && s != "." && s != ".." &&
+      !s.contains('/') && !s.contains('\\') && !s.contains('\u0000'),
+      s"$what is not a storable name (path separators, '..', and " +
+        s"NUL are not allowed): '$s'")
+    s
+  }
+
   private def tableDir(ns: String, table: String) =
-    new File(new File(root, ns), table)
+    new File(new File(root, safeSeg(ns, "namespace")),
+      safeSeg(table, "table"))
   private def manifestDir(ns: String, table: String) =
     new File(tableDir(ns, table), "_manifest")
   private def stagingDir(ns: String, table: String, id: String) =
     new File(tableDir(ns, table), s".staging-$id")
 
   def tables(ns: String): Set[String] = {
-    val d = new File(root, ns)
+    val d = new File(root, safeSeg(ns, "namespace"))
     Option(d.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory).map(_.getName).toSet
   }
@@ -91,6 +108,22 @@ final class ParquetTier(root: File,
     if (base.isDirectory) // base itself may be a (hidden) staging dir
       Option(base.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
     else Nil
+  }
+
+  /** Legacy (pre-manifest) directory-walk fallback — REFUSED when an
+    * interrupted snapshot import left its marker: the walk would
+    * silently serve the partial file subset the crash left behind
+    * (importSnapshot auto-recovers the table on re-run).
+    */
+  private def fallbackFiles(ns: String, table: String): Seq[File] = {
+    val dir = tableDir(ns, table)
+    if (new File(dir, ParquetTier.ImportPending).isFile)
+      throw new IllegalStateException(
+        s"table $ns/$table has an interrupted snapshot import (no " +
+          "version was ever published) — re-run importSnapshot (it " +
+          "auto-recovers) or remove the partial files and the " +
+          s"${ParquetTier.ImportPending} marker")
+    parquetFilesUnder(dir)
   }
 
   private def relativize(base: File, f: File): String =
@@ -316,7 +349,7 @@ final class ParquetTier(root: File,
   def snapshotPinned(ns: String, table: String): TierSnapshot = {
     val dir = tableDir(ns, table)
     val (version, rel) = readManifestVersioned(ns, table)
-      .getOrElse((0L, parquetFilesUnder(dir).map(relativize(dir, _))))
+      .getOrElse((0L, fallbackFiles(ns, table).map(relativize(dir, _))))
     val id = pinSeq.incrementAndGet()
     val now = System.currentTimeMillis
     pins.synchronized {
@@ -505,7 +538,7 @@ final class ParquetTier(root: File,
     val dir = tableDir(ns, table)
     readManifest(ns, table) match {
       case Some(rel) => rel.map(new File(dir, _).getPath)
-      case None => parquetFilesUnder(dir).map(_.getPath)
+      case None => fallbackFiles(ns, table).map(_.getPath)
     }
   }
 
@@ -647,6 +680,18 @@ final class ParquetTier(root: File,
     val version = root.get("version").asLong()
     val files = root.get("files")
     val dir = tableDir(ns, table)
+    // crashed-import auto-recovery: a pending marker with no manifest
+    // means a previous import died between its file moves and its
+    // manifest commit — nothing was ever published, so the partial
+    // copy is scrubbed and this import proceeds fresh. (A marker WITH
+    // a manifest means the crash hit after the commit point: the
+    // import completed; only the marker needs removing.)
+    val pending = new File(dir, ParquetTier.ImportPending)
+    if (pending.isFile) {
+      if (readManifest(ns, table).isEmpty)
+        parquetFilesUnder(dir).foreach(_.delete())
+      pending.delete()
+    }
     require(readManifest(ns, table).isEmpty &&
       parquetFilesUnder(dir).isEmpty,
       s"import target $ns/$table already holds data — import " +
@@ -672,10 +717,13 @@ final class ParquetTier(root: File,
           s"CRC mismatch for $rel — snapshot is corrupt or tampered")
         rel
       }
-      // all verified: move into the table dir, then the single
-      // manifest write is the atomic commit (a crash before it
-      // leaves unreferenced files a re-import staging sweep or
-      // manual clean removes; readers never see a partial table)
+      // all verified: drop the pending marker (created BEFORE the
+      // first move — a crash mid-move then reads as an interrupted
+      // import, which fallbackFiles refuses to serve and a re-run
+      // auto-recovers), move into the table dir, then the single
+      // manifest write is the atomic commit
+      dir.mkdirs()
+      Files.write(pending.toPath, Array.empty[Byte])
       rels.foreach { rel =>
         val dst = new File(dir, rel)
         dst.getParentFile.mkdirs()
@@ -689,6 +737,7 @@ final class ParquetTier(root: File,
       val dst = new File(mdir, f"v$version%09d.list")
       if (!tmp.renameTo(dst))
         throw new IllegalStateException(s"manifest publish failed: $dst")
+      pending.delete()
       version
     } finally if (staging.exists()) deleteRecursively(staging)
   }
@@ -736,7 +785,7 @@ final class ParquetTier(root: File,
     val dir = tableDir(ns, table)
     if (!dir.isDirectory) return 0
     val (currentVersion, currentRel) = readManifestVersioned(ns, table)
-      .getOrElse((0L, parquetFilesUnder(dir).map(relativize(dir, _))))
+      .getOrElse((0L, fallbackFiles(ns, table).map(relativize(dir, _))))
     val (dropped, kept) = currentRel.partition { rel =>
       ParquetTier.DayFromPath.findFirstMatchIn(rel)
         .exists(_.group(1) < beforeDay)
@@ -782,7 +831,7 @@ final class ParquetTier(root: File,
     val dir = tableDir(ns, table)
     if (!dir.isDirectory) return
     val (currentVersion, currentRel) = readManifestVersioned(ns, table)
-      .getOrElse((0L, parquetFilesUnder(dir).map(relativize(dir, _))))
+      .getOrElse((0L, fallbackFiles(ns, table).map(relativize(dir, _))))
     if (currentRel.isEmpty) return
     val staging = stagingDir(ns, table,
       "compact-" + java.util.UUID.randomUUID())
@@ -836,6 +885,13 @@ object ParquetTier {
     }
     b.append('"').toString
   }
+
+  /** Marker present while importSnapshot's file moves are in flight
+    * (created before the first move, removed after the manifest
+    * commit): readers treat its presence in a manifestless table as
+    * an interrupted import, never as a legacy directory layout.
+    */
+  private[tier] val ImportPending = "_import-pending"
 
   private val ManifestName = """v(\d+)\.list""".r
   private val TrashName = """trash-(\d+)-v(\d+)-[0-9a-f-]+\.list""".r

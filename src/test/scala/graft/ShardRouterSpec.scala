@@ -195,8 +195,10 @@ class ShardRouterSpec extends AnyFunSuite {
     * harness: snapshots hand off through shared storage exactly as
     * the deployment docs describe.
     */
-  private def withTieredCluster(n: Int)(
-      f: (ShardRouter, Seq[(String, LynxServer, Int)]) => Unit): Unit = {
+  private def withTieredCluster(n: Int,
+      stateFile: Option[java.io.File] = None)(
+      f: (ShardRouter, Seq[(String, LynxServer, Int)],
+        java.io.File) => Unit): Unit = {
     val exchange = Files.createTempDirectory("router-exchange").toFile
     val backends = (0 until n).map { i =>
       val wal = Files.createTempDirectory(s"router-mig-wal$i").toFile
@@ -211,9 +213,9 @@ class ShardRouterSpec extends AnyFunSuite {
     val router = new ShardRouter("127.0.0.1", 0,
       backends.map { case (name, _, port) =>
         name -> s"http://127.0.0.1:$port"
-      })
+      }, stateFile)
     router.start()
-    try f(router, backends)
+    try f(router, backends, exchange)
     finally {
       router.stop()
       backends.foreach(_._2.stop())
@@ -224,7 +226,9 @@ class ShardRouterSpec extends AnyFunSuite {
     "router flip; data answers identically through the router, RAM-" +
     "tail rows ride along, racing writes 422-retry onto the new " +
     "owner, and the old owner stays fenced (tombstone)") {
-    withTieredCluster(2) { (router, backends) =>
+    val stateFile = new java.io.File(
+      Files.createTempDirectory("router-state").toFile, "overrides.json")
+    withTieredCluster(2, Some(stateFile)) { (router, backends, exchange) =>
       val rp = router.boundPort
       // a namespace owned by s0 so the move target is deterministic
       val ns = (0 until 50).map(i => s"mig-ns$i")
@@ -286,13 +290,30 @@ class ShardRouterSpec extends AnyFunSuite {
            |"metadata":{},"timestamp":1000}""".stripMargin)
       assert(stale.statusCode() == 422, s"${stale.statusCode()}")
       s0srv.toString // keep the reference shape explicit
+      // the snapshot was reclaimed from the shared exchange dir
+      // after the flip (no unbounded copy accumulation)
+      assert(Option(exchange.listFiles()).getOrElse(Array.empty)
+        .forall(!_.getName.startsWith("mig-")),
+        s"exchange dir still holds: ${exchange.list().mkString(",")}")
+      // the override is the migration COMMIT POINT: a restarted
+      // router (same shard table + state file) must still route the
+      // namespace to its new owner, not back to rendezvous
+      val router2 = new ShardRouter("127.0.0.1", 0,
+        backends.map { case (name, _, port) =>
+          name -> s"http://127.0.0.1:$port"
+        }, Some(stateFile))
+      try {
+        assert(router2.owner(ns)._1 == "s1",
+          "a restarted router must honor the persisted migration")
+        assert(router2.ownerOverrides == Map(ns -> "s1"))
+      } finally router2.stop()
     }
   }
 
   test("migration failure rolls back: a non-fresh target refuses the " +
     "import, ownership is unchanged, the fence is lifted, writes " +
     "flow again") {
-    withTieredCluster(2) { (router, backends) =>
+    withTieredCluster(2) { (router, backends, _) =>
       val rp = router.boundPort
       val ns = (0 until 50).map(i => s"rb-ns$i")
         .find(n => router.shardFor(n)._1 == "s0").get

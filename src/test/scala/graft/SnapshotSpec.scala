@@ -149,6 +149,91 @@ class SnapshotSpec extends AnyFunSuite {
     assert(nf.getMessage.contains("fresh"), nf.getMessage)
   }
 
+  test("pathy namespace/table names are rejected everywhere they " +
+    "would become tier path segments: ingest doors, snapshot " +
+    "export/import, and the tier itself (no traversal out of the " +
+    "root); a pathy namespace QUERY reads as unknown, never as a " +
+    "host directory listing") {
+    val (e, _, tierDir) = freshEngine()
+    // a real snapshot so the import rejections below exercise the
+    // NAME validation, not a missing-manifest shortcut
+    e.write(WriteRequest("prod", "t", "v", Map.empty, 1L))
+    e.seal("prod", "t")
+    val snap = Files.createTempDirectory("snap-valid").toFile
+    e.exportSnapshot("prod", "t", None, snap)
+    for (bad <- Seq("..", "a/b", "../../tmp/evil", ".", "a\\b")) {
+      intercept[IllegalArgumentException] {
+        e.write(WriteRequest(bad, "t", "v", Map.empty, 1L))
+      }
+      intercept[IllegalArgumentException] {
+        e.write(WriteRequest("ns", bad, "v", Map.empty, 1L))
+      }
+      intercept[IllegalArgumentException] {
+        e.writeBatch(Seq(WriteRequest(bad, "t", "v", Map.empty, 1L)))
+      }
+      intercept[IllegalArgumentException] {
+        e.importSnapshot(bad, "t2", snap)
+      }
+      intercept[IllegalArgumentException] {
+        e.importSnapshot("ns", bad, snap)
+      }
+      intercept[IllegalArgumentException] {
+        e.exportSnapshot("prod", bad, None,
+          Files.createTempDirectory("snap-evil").toFile)
+      }
+    }
+    // a traversal "namespace" in a query is an unknown namespace
+    // (404 path), not a directory listing of the host filesystem
+    assert(e.query("../..", "SELECT * FROM t").isEmpty)
+    // nothing escaped the tier root
+    assert(Option(tierDir.getParentFile.listFiles()).get
+      .forall(f => f.getName != "evil"))
+  }
+
+  test("an interrupted import (crash between file moves and the " +
+    "manifest commit) never serves a partial table: reads refuse " +
+    "loudly and a re-run auto-recovers") {
+    val (a, _, _) = freshEngine()
+    (0 until 4).foreach { i =>
+      a.write(WriteRequest("prod", "evt", s"v$i", Map.empty,
+        i.toLong * 1000000L))
+    }
+    a.seal("prod", "evt")
+    val dest = Files.createTempDirectory("snap-interrupt").toFile
+    a.exportSnapshot("prod", "evt", None, dest)
+
+    // simulate the crash window on a fresh engine: the pending
+    // marker exists and SOME files moved, but no manifest was
+    // committed
+    val (b, _, bTier) = freshEngine()
+    val tableDir = new java.io.File(
+      new java.io.File(bTier, "prod"), "evt")
+    tableDir.mkdirs()
+    Files.write(new java.io.File(tableDir, "_import-pending").toPath,
+      Array.empty[Byte])
+    val aDataFile = Files.walk(dest.toPath).iterator()
+    var src: java.io.File = null
+    while (aDataFile.hasNext && src == null) {
+      val p = aDataFile.next().toFile
+      if (p.isFile && p.getName.endsWith(".parquet")) src = p
+    }
+    val partial = new java.io.File(tableDir,
+      dest.toPath.relativize(src.toPath).toString)
+    partial.getParentFile.mkdirs()
+    Files.copy(src.toPath, partial.toPath)
+    // reads refuse (loud) instead of serving the partial subset
+    val ex = intercept[IllegalStateException] {
+      b.query("prod", "SELECT * FROM evt")
+    }
+    assert(ex.getMessage.contains("interrupted snapshot import"),
+      ex.getMessage)
+    // re-running the import auto-recovers and publishes the whole
+    // snapshot
+    b.importSnapshot("prod", "evt", dest)
+    assert(canon(b, "prod", "SELECT * FROM evt") ==
+      canon(a, "prod", "SELECT * FROM evt"))
+  }
+
   test("write fence: every ingest door refuses a fenced namespace " +
     "with the dedicated exception, other namespaces flow, the fence " +
     "survives restart, and unfence restores writes") {
