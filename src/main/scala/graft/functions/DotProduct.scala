@@ -115,6 +115,13 @@ object GraftFunctions {
         new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
         (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)))
     }
+    val l2 = FunctionIdentifier("graft_l2")
+    if (!spark.sessionState.functionRegistry.functionExists(l2)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        l2,
+        new ExpressionInfo(classOf[L2Distance].getName, "graft_l2"),
+        (exprs: Seq[Expression]) => L2Distance(exprs(0), exprs(1)))
+    }
     val nfc = FunctionIdentifier("graft_nfc")
     if (!spark.sessionState.functionRegistry.functionExists(nfc)) {
       spark.sessionState.functionRegistry.registerFunction(
@@ -152,6 +159,11 @@ object GraftFunctions {
 
   /** Fused dot product column; requires register(spark) first. */
   def dotp(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Fused squared-L2 distance column (64-dim, HOF-bit-identical);
+    * requires register(spark) first.
+    */
+  def l2(a: Column, b: Column): Column = call_function("graft_l2", a, b)
 
   /** Unicode NFC normalization column; requires register(spark) first. */
   def nfc(s: Column): Column = call_function("graft_nfc", s)

@@ -536,15 +536,15 @@ object Similarity {
   private def l2Col: Column = l2Between("embedding", "cent")
 
   /** Squared-L2 of two array columns (`a` float-or-double, `b` double)
-    * — identical fold order in both engines.
+    * — identical fold order in both engines. Fused codegen kernel
+    * ([[graft.functions.L2Distance]], bit-identical to the previous
+    * `aggregate(sequence(0, 63), ...)` HOF formulation, which
+    * interpreted the lambda per element — r14 optimization, guide
+    * §1.2 step 2 / §4.1); requires GraftFunctions.register, which
+    * every caller gets via [[vectors]].
     */
   private def l2Between(a: String, b: String): Column =
-    aggregate(sequence(lit(0), lit(63)), lit(0.0),
-      (acc, j) => {
-        val d = element_at(col(a), j + 1).cast("double") -
-          element_at(col(b), j + 1)
-        acc + d * d
-      })
+    GraftFunctions.l2(col(a), col(b))
 
   private def seedCentroids(e: DataFrame): DataFrame = {
     val w = Window.orderBy("vec_id") // 8 rows post-limit: single task
@@ -708,15 +708,14 @@ object Similarity {
 
   // ------------------------------------------------- trained quantizer
 
-  // squared-L2 distances of `embedding` to each centroid in `cents`
-  private val distsExpr: String = """
-    transform(cents, c ->
-      aggregate(sequence(0, 63), 0D,
-        (acc, j) -> acc +
-          (CAST(element_at(embedding, j + 1) AS DOUBLE) -
-           element_at(c, j + 1)) *
-          (CAST(element_at(embedding, j + 1) AS DOUBLE) -
-           element_at(c, j + 1))))"""
+  // squared-L2 distances of `embedding` to each centroid in `cents`.
+  // The per-centroid kernel is the fused graft_l2 (bit-identical to
+  // the interpreted aggregate(sequence(0,63),...) HOF it replaced —
+  // r14 optimization): one native call per centroid instead of 64
+  // interpreted lambda evals. Callers reach this through vectors(),
+  // which registers the function.
+  private val distsExpr: String =
+    "transform(cents, c -> graft_l2(embedding, c))"
 
   /** Attach `cell` = 1-based index of the nearest centroid (ties to
     * the lowest index via array_position of the min distance). The

@@ -102,4 +102,86 @@ class RewriteSpec extends AnyFunSuite {
     assert(projLoose(rowNull).isNullAt(0))
     assert(projLoose(row).getDouble(0) === 11.0)
   }
+
+  // ---- graft_l2 (r14: the fused L2 kernel replacing the interpreted
+  // aggregate(sequence(0,63),...) HOF in Similarity.l2Between)
+
+  private val l2Hof = "aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), " +
+    "(acc, j) -> acc + (CAST(element_at(a, j + 1) AS DOUBLE) - " +
+    "element_at(b, j + 1)) * (CAST(element_at(a, j + 1) AS DOUBLE) - " +
+    "element_at(b, j + 1)))"
+
+  test("graft_l2 is bit-equal to the HOF L2 fold on the embeddings " +
+      "fixture (float left, double right)") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.ops.Tables
+      .t(spark, "/root/testdata/sf0.001", "embeddings")
+    // double-side centroid: the reversed embedding, cast — exercises
+    // the mixed float/double accessor path the real queries use
+    val df = emb.select(col("vec_id"), col("embedding").as("a"))
+      .selectExpr("vec_id", "a",
+        "transform(reverse(a), x -> CAST(x AS DOUBLE)) AS b")
+    val hofRes = df.selectExpr("vec_id", s"$l2Hof AS d")
+      .collect().map(r => r.getLong(0) ->
+        java.lang.Double.doubleToLongBits(r.getDouble(1))).toMap
+    val fused = df.selectExpr("vec_id", "graft_l2(a, b) AS d")
+      .collect().map(r => r.getLong(0) ->
+        java.lang.Double.doubleToLongBits(r.getDouble(1))).toMap
+    assert(hofRes == fused,
+      "graft_l2 must be bit-identical to the HOF fold")
+  }
+
+  test("graft_l2 matches HOF failure semantics: short arrays fail " +
+      "loudly, null elements yield null") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // short array (< 64 elements): under Spark 4 ANSI the HOF's
+    // element_at throws out-of-bounds — graft_l2 must also fail loud,
+    // never silently null a ragged corpus
+    val short = Seq((Array.fill(10)(1.0f), Array.fill(64)(0.0)))
+      .toDF("a", "b")
+    intercept[Exception] {
+      short.selectExpr(s"$l2Hof AS d").head
+    }
+    val e = intercept[Exception] {
+      short.selectExpr("graft_l2(a, b) AS d").head
+    }
+    assert(e.getMessage != null)
+    // null element among the first 64
+    val withNull = Seq((
+      Array.tabulate[java.lang.Float](64)(i => if (i == 7) null else 1.0f),
+      Array.fill[java.lang.Double](64)(0.0))).toDF("a", "b")
+    assert(withNull.selectExpr(s"$l2Hof AS d").head.isNullAt(0))
+    assert(withNull.selectExpr("graft_l2(a, b) AS d").head.isNullAt(0))
+    // happy path value check
+    val ok = Seq((Array.fill(64)(2.0f), Array.fill(64)(0.5)))
+      .toDF("a", "b")
+    assert(ok.selectExpr("graft_l2(a, b) AS d").head.getDouble(0)
+      === 64 * 1.5 * 1.5)
+  }
+
+  test("graft_l2 codegen compiles with NON-NULLABLE inputs (same " +
+      "constant-isNull hazard as graft_dot)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val f = ArrayType(FloatType, containsNull = false)
+    val d = ArrayType(DoubleType, containsNull = false)
+    val l2 = graft.functions.L2Distance(
+      BoundReference(0, f, nullable = false),
+      BoundReference(1, d, nullable = false))
+    val proj = GenerateUnsafeProjection.generate(Seq(l2))
+    val row = InternalRow(
+      ArrayData.toArrayData(Array.fill(64)(2.0f)),
+      ArrayData.toArrayData(Array.fill(64)(0.5)))
+    assert(proj(row).getDouble(0) === 64 * 1.5 * 1.5)
+    // short array → loud failure, even with non-nullable refs
+    val rowShort = InternalRow(
+      ArrayData.toArrayData(Array.fill(10)(2.0f)),
+      ArrayData.toArrayData(Array.fill(64)(0.5)))
+    intercept[Exception] { proj(rowShort) }
+  }
 }
