@@ -749,7 +749,14 @@ object DataQuality {
   val qQuantileSample = QueryDef(
     "q_dq_quantile_sample",
     (s, dir) => {
-      val base = T(s, dir, "lineitem")
+      // spread: the per-row md5 sampling hash and the partial
+      // window-group-limit pass would otherwise run serially in the
+      // one-task fixture scan (guide §2.5; no cache below the
+      // exchange, and both window orders are total, so results are
+      // partitioning-independent)
+      val base = Tables.spread(T(s, dir, "lineitem")
+          .select("l_returnflag", "l_extendedprice", "l_orderkey",
+            "l_linenumber"))
         .select(col("l_returnflag").as("g"),
           col("l_extendedprice").as("v"),
           col("l_orderkey").as("k1"), col("l_linenumber").as("k2"),

@@ -28,6 +28,12 @@ object Dedup {
     */
   private[graft] def shingles(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
+    // NOT spread: every consumer caches this frame (sh.cache()), and
+    // an exchange under .cache() wraps the cached child in a nested
+    // AdaptiveSparkPlan that loses whole-stage codegen — measured r14
+    // at 22× the task cpu (12 → 136 tasks, 0.9 s → 20 s task time on
+    // q_dedup_minhash_lsh). The serial md5 pass costs only the cache
+    // BUILD (rep 1); warm reads never touch it.
     Tables.t(s, dir, "documents")
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -480,7 +486,14 @@ object Dedup {
 
     var edges = sym(p.select(col("doc_a").as("a"), col("doc_b").as("b")))
       .transform(graft.ops.Lineage.cut)
-    var labels = mins(edges).transform(graft.ops.Lineage.cut)
+    // labels stays LAZY over the checkpointed edges: mins() is one
+    // hash aggregation, and re-deriving it (labelSum here, the
+    // large-star join next round) is cheaper than a per-round
+    // checkpoint job — the r14 profile measured the loop's wall as
+    // driver job latency (~41 jobs for 3 rounds), not compute, so
+    // each removed blocking action is a direct win. Lineage stays
+    // linear: edges is cut every round.
+    var labels = mins(edges)
     var prevSum = Long.MaxValue
     var curSum = labelSum(labels)
     var rounds = 0
@@ -490,7 +503,11 @@ object Dedup {
       val large = edges.filter(col("v") > col("u"))
         .join(labels, "u")
         .select(col("v").as("a"), col("m").as("b"))
-      val el = sym(large).transform(graft.ops.Lineage.cut)
+      // el is referenced twice (mS and small) but both uses land in
+      // the SAME action (the edges cut below), where the shared
+      // distinct-exchange is reused — no checkpoint needed and the
+      // lineage does not compound (it resets at the edges cut)
+      val el = sym(large)
       // small-star: every neighbor v < u rewires to u's local min,
       // and u itself links to it (keeps u attached to its component)
       val mS = mins(el)
@@ -499,7 +516,7 @@ object Dedup {
         .select(col("v").as("a"), col("m").as("b"))
         .union(mS.select(col("u").as("a"), col("m").as("b")))
       edges = sym(small).transform(graft.ops.Lineage.cut)
-      labels = mins(edges).transform(graft.ops.Lineage.cut)
+      labels = mins(edges)
       prevSum = curSum
       curSum = labelSum(labels)
       rounds += 1

@@ -62,6 +62,8 @@ object Multimodal {
   /** Build the typed media table from documents. */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
+    // NOT spread: the stub frame kernels are byte-array arithmetic —
+    // cheaper than the exchange an input-skew fix would add (r14)
     Tables.t(s, dir, "documents").select("doc_id", "text")
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -335,7 +337,8 @@ object Multimodal {
     "q_multimodal_pixels",
     (s, dir) => {
       import s.implicits._
-      val media = Tables.t(s, dir, "documents").select("doc_id", "text")
+      val media = Tables.spread( // §2.5: single-row-group scan, parallelize the decode
+        Tables.t(s, dir, "documents").select("doc_id", "text"))
         .as[(Long, String)]
         .map { case (id, text) => synthesizePng(id, text.getBytes("UTF-8")) }
       decodePixelStats(media).toDF()
@@ -380,7 +383,8 @@ object Multimodal {
     "q_multimodal_frames",
     (s, dir) => {
       import s.implicits._
-      val media = Tables.t(s, dir, "documents").select("doc_id", "text")
+      val media = Tables.spread( // §2.5: single-row-group scan, parallelize the decode
+        Tables.t(s, dir, "documents").select("doc_id", "text"))
         .as[(Long, String)]
         .map(t => (t._1, synthesizeFrames(t._2.getBytes("UTF-8"))))
       sampleFrameStats(media).toDF()
@@ -476,7 +480,8 @@ object Multimodal {
     "q_multimodal_video_scenes",
     (s, dir) => {
       import s.implicits._
-      val media = Tables.t(s, dir, "documents").select("doc_id", "text")
+      val media = Tables.spread( // §2.5: single-row-group scan, parallelize the decode
+        Tables.t(s, dir, "documents").select("doc_id", "text"))
         .as[(Long, String)]
         .map(t => (t._1, synthesizeFrames(t._2.getBytes("UTF-8"))))
       val fs = frameSums(media).toDF()
@@ -671,8 +676,13 @@ object Multimodal {
   private def audioMedia(s: SparkSession,
       dir: String): Dataset[MediaRecord] = {
     import s.implicits._
-    Tables.t(s, dir, "documents")
-      .select("doc_id", "text").as[(Long, String)]
+    // NOT spread: measured r14 — parallelizing the WAV synth/decode
+    // 32-way TRIPLED the family's wall and cpu (javax.sound's
+    // provider registry serializes concurrent decoders, so threads
+    // burn cpu contending); the serial single-task decode is the
+    // faster shape for JDK audio codecs
+    Tables.t(s, dir, "documents").select("doc_id", "text")
+      .as[(Long, String)]
       .filter(_._2.nonEmpty)
       .map { case (id, text) =>
         MediaRecord(id, "audio", synthesizeWav(text.getBytes("UTF-8")),
@@ -1086,7 +1096,8 @@ object Multimodal {
     */
   private def aHashed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = Tables.t(s, dir, "documents").select("doc_id", "text")
+    val media = Tables.spread( // §2.5: single-row-group scan, parallelize the decode
+        Tables.t(s, dir, "documents").select("doc_id", "text"))
       .as[(Long, String)]
       .map { case (id, text) => synthesizePng(id, text.getBytes("UTF-8")) }
     media.mapPartitions { it =>
@@ -1450,7 +1461,8 @@ object Multimodal {
     "q_multimodal_resize",
     (s, dir) => {
       import s.implicits._
-      val media = Tables.t(s, dir, "documents").select("doc_id", "text")
+      val media = Tables.spread( // §2.5: single-row-group scan, parallelize the decode
+        Tables.t(s, dir, "documents").select("doc_id", "text"))
         .as[(Long, String)]
         .map { case (id, text) => synthesizePng(id, text.getBytes("UTF-8")) }
       resizeBlocks(media).toDF()

@@ -25,8 +25,15 @@ object Relational {
   val q1Agg = QueryDef(
     "q1_agg",
     (s, dir) => {
-      val li = T(s, dir, "lineitem")
+      // spread: the single-row-group fixture scan is ONE task, so the
+      // seven DECIMAL(28,10) partial sums — the expensive part of the
+      // exact-parity discipline — would otherwise run serially in the
+      // scan stage (guide §2.5 input skew). Decimal sums are exact and
+      // order-independent, so repartitioning cannot change results.
+      val li = Tables.spread(T(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .select("l_returnflag", "l_linestatus", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax"))
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
@@ -726,7 +733,11 @@ object Relational {
   val qStatsExact = QueryDef(
     "q_stats_exact",
     (s, dir) => {
-      val li = T(s, dir, "lineitem")
+      // spread: parallelize the five DECIMAL(28,10) partial sums out
+      // of the one-task fixture scan (see q1_agg; exact sums are
+      // order-independent, results unchanged)
+      val li = Tables.spread(T(s, dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice"))
       val n = count(lit(1)).cast("double")
       val sx = dsum(col("l_quantity"))
       val sxx = dsum(col("l_quantity") * col("l_quantity"))

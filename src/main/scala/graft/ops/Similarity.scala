@@ -2112,9 +2112,14 @@ object Similarity {
             .select(col("vec_id"),
               least(col("mind"), col("d2")).as("mind")))
           .transform(graft.ops.Lineage.cut)
+        // newC stays LAZY over the checkpointed mind: it is one tiny
+        // argmax + fixture join, re-derived by the broadcast build
+        // and the final picks union — both bounded — while dropping
+        // one blocking checkpoint job per round (r14: the loop's
+        // wall is driver job latency, 58 jobs for 8 rounds, not
+        // compute). Lineage stays linear: mind is cut every round.
         newC = argmax(mind, col("mind")).join(e, "vec_id")
           .select(col("vec_id"), col("embedding"), col("n2"), col("v"))
-          .transform(graft.ops.Lineage.cut)
         picks = picks.unionByName(newC.select(col("vec_id"),
           lit(i.toLong).as("pick"), col("v").as("dist")))
       }

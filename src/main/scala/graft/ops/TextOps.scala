@@ -340,6 +340,10 @@ object TextOps {
   val qRepetition = QueryDef(
     "q_text_repetition",
     (s, dir) => {
+      // NOT spread: the gram kernels here are string concats feeding
+      // immediately into (doc_id, g) exchanges — measured r14, the
+      // extra round-robin exchange cost more than the parallel
+      // concat saved
       val docs = Tables.t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
       // docs with < n tokens have no n-grams: filter BEFORE building
@@ -559,7 +563,9 @@ object TextOps {
   private[graft] def contamGrams(
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = split(col("text"), " ")
-    df.select(col("doc_id"), toks.as("toks"))
+    // spread BEFORE the per-gram md5 transform (guide §2.5: the
+    // single-row-group fixture scan is one task)
+    Tables.spread(df).select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= ContamN)
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), size(col("toks")) - (ContamN - 1)),
@@ -654,7 +660,10 @@ object TextOps {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = split(col("text"), " ")
-    val hashes = docs
+    // spread BEFORE the per-gram md5 transform: the fixture scan is
+    // one task (single row group), so the whole winnow hashing pass
+    // would run serially without the exchange (guide §2.5 input skew)
+    val hashes = Tables.spread(docs)
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= WinnowK + WinnowW - 1)
       .select(col("doc_id"), posexplode(

@@ -120,13 +120,14 @@ object Train {
     * collect is the documented driver-plane shape — at most 129
     * rows, the broadcast-back of the weight vector.
     */
-  private def trainedWeights(s: SparkSession, fx: DataFrame,
-      lab: DataFrame): DataFrame = {
+  private def trainedWeights(s: SparkSession, dir: String,
+      fx: DataFrame, lab: DataFrame): DataFrame = {
     import s.implicits._
     // one label row per document, so this IS the corpus row count
-    // (the oracle's count(*) FROM documents), read off the already-
-    // checkpointed frame
-    val n = lab.count()
+    // (the oracle's count(*) FROM documents) — read from the parquet
+    // footer (driver-side metadata, cached per path) instead of a
+    // count() job per training run (r14: one job saved per execution)
+    val n = Tables.rowCount(s, dir, "documents")
     val den = Lrf * n
     var w = Map.empty[Long, Long]
     for (_ <- 1 to Iters) {
@@ -243,7 +244,7 @@ object Train {
     "q_train_logreg",
     (s, dir) => {
       val (fx, lab) = featureFrames(s, dir)
-      trainedWeights(s, fx, lab)
+      trainedWeights(s, dir, fx, lab)
         .select(col("bucket"), col("w").as("w_fixed"),
           (col("w").cast("double") / lit(S)).as("weight"))
         .orderBy("bucket")
@@ -266,7 +267,7 @@ object Train {
       // held-out evaluation — the corpus scan, hashing, and eager
       // checkpoints are paid once, not twice
       val (fx, lab) = featureFrames(s, dir)
-      val wDf = trainedWeights(s, fx, lab)
+      val wDf = trainedWeights(s, dir, fx, lab)
       fx.join(broadcast(wDf), Seq("bucket"))
         .groupBy("doc_id")
         .agg(sum(col("w") * col("x")).as("margin"))

@@ -103,6 +103,21 @@ object Tables {
       }
     }
 
+  /** Round-robin repartition to the session's default parallelism —
+    * the guide-§2.5 "input skew" fix for heavy per-row compute above
+    * an unsplittable scan. The fixture tables are single-file,
+    * SINGLE-ROW-GROUP parquet, so every scan is ONE task no matter
+    * the split config; any expensive kernel directly above the scan
+    * (shingling, media decode, per-token hashing) runs serially
+    * unless an exchange intervenes. Cost: one exchange of the small
+    * payload. Scale-adaptive (defaultParallelism, i.e. the cluster's
+    * core count), not a local[32] constant; on a real multi-row-group
+    * table the same call still just normalizes scan parallelism to
+    * the cluster width.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Row count straight from parquet footer metadata — a driver-side
     * read of a few KB, no Spark job. Used by fixture-scale gates
     * (q_embed_cosine_pairs) so the guard doesn't cost an extra job on
