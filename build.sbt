@@ -29,5 +29,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // r14: 8g left a 32-thread local Spark JVM GC-bound (14-18 s of GC
+  // per full bench, inflating every parallel kernel's wall); the
+  // sandbox has 128 GiB, so the default sizes the heap to the
+  // parallelism instead of thrashing it. Still env-overridable, and
+  // on a real cluster executor sizing comes from spark-submit, not
+  // this local-run default (guide §5).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )

@@ -1149,7 +1149,14 @@ object Multimodal {
             .foreach(java.nio.file.Files.deleteIfExists(_))
         } catch { case _: Exception => () }))
       val tmp = base.resolve("ahash.parquet").toString
-      aHashed(s, dir).write.mode("overwrite").parquet(tmp)
+      // repartition(1) (NOT coalesce, which would pull the decode
+      // itself into one task): the spread decode pass would otherwise
+      // write 32 tiny part files, and every WARM read of this frame
+      // (2-3 scans per image query) pays the multi-file open overhead
+      // — measured r14 as a +0.3..0.7 s warm-path regression per
+      // image query. One ~32 B/row file is the right read layout
+      // (guide §6 "small files hurt twice").
+      aHashed(s, dir).repartition(1).write.mode("overwrite").parquet(tmp)
       tmp
     })
     s.read.parquet(p)
