@@ -337,8 +337,10 @@ object Multimodal {
     "q_multimodal_pixels",
     (s, dir) => {
       import s.implicits._
-      val media = Tables.spread( // §2.5: single-row-group scan, parallelize the decode
-        Tables.t(s, dir, "documents").select("doc_id", "text"))
+      // NOT spread (r14): parallel ImageIO decode saved ~0.5 s wall but
+      // burned 8-14x the cpu (registry contention), which also ruins the
+      // lower-core-count scaling the driver measures; serial decode kept
+      val media = Tables.t(s, dir, "documents").select("doc_id", "text")
         .as[(Long, String)]
         .map { case (id, text) => synthesizePng(id, text.getBytes("UTF-8")) }
       decodePixelStats(media).toDF()
@@ -383,8 +385,10 @@ object Multimodal {
     "q_multimodal_frames",
     (s, dir) => {
       import s.implicits._
-      val media = Tables.spread( // §2.5: single-row-group scan, parallelize the decode
-        Tables.t(s, dir, "documents").select("doc_id", "text"))
+      // NOT spread (r14): parallel ImageIO decode saved ~0.5 s wall but
+      // burned 8-14x the cpu (registry contention), which also ruins the
+      // lower-core-count scaling the driver measures; serial decode kept
+      val media = Tables.t(s, dir, "documents").select("doc_id", "text")
         .as[(Long, String)]
         .map(t => (t._1, synthesizeFrames(t._2.getBytes("UTF-8"))))
       sampleFrameStats(media).toDF()
@@ -480,8 +484,10 @@ object Multimodal {
     "q_multimodal_video_scenes",
     (s, dir) => {
       import s.implicits._
-      val media = Tables.spread( // §2.5: single-row-group scan, parallelize the decode
-        Tables.t(s, dir, "documents").select("doc_id", "text"))
+      // NOT spread (r14): parallel ImageIO decode saved ~0.5 s wall but
+      // burned 8-14x the cpu (registry contention), which also ruins the
+      // lower-core-count scaling the driver measures; serial decode kept
+      val media = Tables.t(s, dir, "documents").select("doc_id", "text")
         .as[(Long, String)]
         .map(t => (t._1, synthesizeFrames(t._2.getBytes("UTF-8"))))
       val fs = frameSums(media).toDF()
@@ -1468,8 +1474,10 @@ object Multimodal {
     "q_multimodal_resize",
     (s, dir) => {
       import s.implicits._
-      val media = Tables.spread( // §2.5: single-row-group scan, parallelize the decode
-        Tables.t(s, dir, "documents").select("doc_id", "text"))
+      // NOT spread (r14): parallel ImageIO decode saved ~0.5 s wall but
+      // burned 8-14x the cpu (registry contention), which also ruins the
+      // lower-core-count scaling the driver measures; serial decode kept
+      val media = Tables.t(s, dir, "documents").select("doc_id", "text")
         .as[(Long, String)]
         .map { case (id, text) => synthesizePng(id, text.getBytes("UTF-8")) }
       resizeBlocks(media).toDF()

@@ -563,9 +563,7 @@ object TextOps {
   private[graft] def contamGrams(
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = split(col("text"), " ")
-    // spread BEFORE the per-gram md5 transform (guide §2.5: the
-    // single-row-group fixture scan is one task)
-    Tables.spread(df).select(col("doc_id"), toks.as("toks"))
+    df.select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= ContamN)
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), size(col("toks")) - (ContamN - 1)),
@@ -660,10 +658,7 @@ object TextOps {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = split(col("text"), " ")
-    // spread BEFORE the per-gram md5 transform: the fixture scan is
-    // one task (single row group), so the whole winnow hashing pass
-    // would run serially without the exchange (guide §2.5 input skew)
-    val hashes = Tables.spread(docs)
+    val hashes = docs
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= WinnowK + WinnowW - 1)
       .select(col("doc_id"), posexplode(
