@@ -72,6 +72,22 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // r15 (guide §2.2 "fewer, larger reduce partitions — let AQE
+      // coalesce"): extend AQE's byte-sized partition coalescing to
+      // plans materialized under .cache(), which otherwise pin
+      // spark.sql.shuffle.partitions-wide layouts for the whole
+      // session (the graph family's session-cached edge lists carried
+      // 32 one-kilobyte partitions into every join of every round:
+      // q_graph_communities burned 52 s CPU / 3.5 s wall at sf0.1).
+      // Not a local[32] constant: at 100 TB the same setting yields
+      // AQE-sized cached partitions. parallelismFirst deliberately
+      // stays at Spark's default (true): a full A/B bench showed
+      // advisory-only coalescing serializes compute-dense small-byte
+      // stages (shingle/md5 pair joins: q_dedup_containment 1.2 →
+      // 4.3 s) — the default's bytes/parallelism floor is the
+      // scale-adaptive middle ground.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen warm-up outside the measured loop
@@ -253,8 +269,16 @@ object Bench {
         }.mkString("{", ",", "}")
         s""""ambient_suspect":true,"suspect_qs":$qs"""
       }
+    // report the parallelism actually used (local[$cpus] /
+    // shuffle.partitions), not the box's core count — the driver's
+    // low-core run (SPARK_GRAFT_CPUS=8) previously self-reported 32
+    // here (r14 verdict item: the field lied; the env var was always
+    // honored for execution, only the report was wrong)
+    val cpusUsed =
+      try cpus.trim.toInt
+      catch { case _: Exception => Runtime.getRuntime.availableProcessors }
     val loadJson =
-      s""""cpus":${Runtime.getRuntime.availableProcessors},""" +
+      s""""cpus":$cpusUsed,""" +
       s""""cpu_total":${fmt(cpuTotal)},""" +
       s""""load":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}""" +
       s""","max":${fmt(loadMax)}},"min_of":$reps""" +

@@ -28,9 +28,16 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match Bench's session shape (byte-sized AQE coalescing)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // ONE lock shared by the listener callbacks and main's reset/read
+    // (r14 advice: the previous version synchronized on two different
+    // monitors, so only the drain sleeps protected the window)
+    val lock = new Object
     @volatile var jobs = 0
     @volatile var stages = 0
     @volatile var tasks = 0
@@ -40,14 +47,14 @@ object Profile {
     @volatile var taskTimeMs = 0L
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        synchronized { jobs += 1 }
+        lock.synchronized { jobs += 1 }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        synchronized {
+        lock.synchronized {
           stages += 1
           tasks += s.stageInfo.numTasks
         }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        synchronized {
+        lock.synchronized {
           val m = t.taskMetrics
           if (m != null) {
             shufRead += m.shuffleReadMetrics.totalBytesRead
@@ -76,21 +83,26 @@ object Profile {
       catch { case e: Throwable =>
         System.err.println(s"[profile] ${d.name} warm rep failed: $e") }
       Thread.sleep(300) // let listener events drain (bus is private)
-      synchronized {
+      lock.synchronized {
         jobs = 0; stages = 0; tasks = 0
         shufRead = 0L; shufWrite = 0L; spillDisk = 0L; taskTimeMs = 0L
       }
+      // record a failed measured rep instead of silently emitting a
+      // near-zero timing row (r14 advice)
+      var err: Option[String] = None
       val t0 = System.nanoTime()
       try { d.run(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => }
+      catch { case e: Throwable =>
+        err = Some(e.toString.replace('"', '\'').take(120)) }
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let listener events drain (bus is private)
       rows += ((d.name, jobs, stages, tasks, shufRead, shufWrite,
         spillDisk, taskTimeMs, wall))
+      val errJson = err.map(m => s""","err":"$m"""").getOrElse("")
       println(f"""{"q":"${d.name}","jobs":$jobs,"stages":$stages,""" +
         f""""tasks":$tasks,"shuf_read":$shufRead,""" +
         f""""shuf_write":$shufWrite,"spill":$spillDisk,""" +
-        f""""task_ms":$taskTimeMs,"wall":$wall%.3f}""")
+        f""""task_ms":$taskTimeMs,"wall":$wall%.3f$errJson}""")
     }
     val out = new StringBuilder
     out.append("q\tjobs\tstages\ttasks\tshuf_read\tshuf_write\tspill\ttask_ms\twall\n")

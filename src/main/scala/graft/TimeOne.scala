@@ -4,6 +4,9 @@ object TimeOne {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // match Bench's session shape (byte-sized AQE coalescing)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try SparkEntry.entry(spark).queryExecution.toRdd.count() catch { case _: Throwable => }

@@ -75,6 +75,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // byte-sized AQE coalescing incl. cached plans — same session
+      // shape as Bench (see the rationale there); results are
+      // partitioning-independent by the Parity discipline and the
+      // oracle gate proves it per query
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -25,17 +25,27 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def nullIntolerant: Boolean = true
+  // each side may independently be array<float> or array<double>
+  // (embeddings are float; centroid/weight frames are double) —
+  // widened to double exactly like the HOF's explicit cast, so the
+  // fold is the identical IEEE sequence either way (r15: widened from
+  // float-only for the q_embed_confusion vector×centroid kernel)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     if (Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     })) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-      .TypeCheckFailure(s"graft_dot requires two array<float> arguments, " +
-        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+      .TypeCheckFailure("graft_dot requires two array<float|double> " +
+        s"arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
   }
   override def dataType: DataType = DoubleType
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   private def elementsNullable: Boolean = Seq(left, right).exists(
     _.dataType match {
@@ -62,11 +72,15 @@ case class DotProduct(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val xf = isFloat(left)
+    val yf = isFloat(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xi * yi
       i += 1
     }
     acc
@@ -87,12 +101,15 @@ case class DotProduct(left: Expression, right: Expression)
                 ${ev.isNull} = true; break;
               }"""
         else ""
+      def get(arr: String, e: Expression): String =
+        if (isFloat(e)) s"(double) $arr.getFloat($i)"
+        else s"$arr.getDouble($i)"
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $acc = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           $elemCheck
-          $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+          $acc += ${get(a, left)} * ${get(b, right)};
         }
         ${ev.value} = $acc;
       """

@@ -26,6 +26,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
   * array shorter than 64 FAILS LOUDLY (under Spark 4's default ANSI
   * mode the HOF's `element_at` throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT
   * past the end — a ragged corpus must not silently become nulls).
+  * Note (r14 advice): with `spark.sql.ansi.enabled=false` the HOF
+  * would return null past the end instead of throwing — this kernel
+  * throws unconditionally; the repo pins Spark 4's ANSI default, so
+  * that divergence is unreachable in any declared configuration.
   *
   * Element types: each side may be array<float> or array<double>
   * (centroid frames are double, embeddings float) — widened to

@@ -754,7 +754,9 @@ object DataQuality {
       // one-task fixture scan (guide §2.5; no cache below the
       // exchange, and both window orders are total, so results are
       // partitioning-independent)
-      val base = Tables.spread(T(s, dir, "lineitem")
+      // gated on footer-measured scan parallelism — see q1_agg
+      val base = Tables.spreadIfNarrow(s, dir, "lineitem")(
+        T(s, dir, "lineitem")
           .select("l_returnflag", "l_extendedprice", "l_orderkey",
             "l_linenumber"))
         .select(col("l_returnflag").as("g"),

@@ -465,7 +465,14 @@ object Dedup {
     * computes the same closure with a recursive CTE.
     */
   private[graft] def connectedComponentsWithRounds(
-      pairs: DataFrame): (DataFrame, Int) = {
+      pairs: DataFrame): (DataFrame, Int) = Confs.scoped(
+    pairs.sparkSession,
+    // r15 (guide §2.2): the per-round edge checkpoints and label
+    // aggregations materialize inside this loop; advisory-size-only
+    // AQE coalescing scoped here keeps each round's stages at the
+    // edge list's byte size (1 partition at sf0.1, 64 MB partitions
+    // at corpus scale) instead of 32 tiny tasks per stage
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false") {
     val p = pairs.toDF("doc_a", "doc_b").cache()
 
     // symmetric, self-loop-free view of an (a, b) edge list

@@ -519,10 +519,19 @@ object GraphOps {
   private def lpLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("a").as("u"), col("b").as("v"))
       .unionAll(pairs.select(col("b").as("u"), col("a").as("v")))
+    // r15 (guide §2.4): withSelf is referenced by every round of the
+    // unrolled fold, and the 3-round single-plan version materialized
+    // the SAME nodes-distinct exchange 4× (AQE leaf stages run
+    // concurrently, defeating exchange reuse — measured 4 identical
+    // 64-task stages, ~93 s task time for 1.1 MB of shuffle at
+    // sf0.1). One eager lineage cut materializes it once; each round
+    // then reads the checkpointed RDD. Same discipline as the HITS /
+    // connected-components loops.
     val nodes = edges.select(col("u").as("node")).distinct()
-    val withSelf = edges.unionAll(
-      nodes.select(col("node").as("u"), col("node").as("v")))
-    val init = nodes.select(col("node"), col("node").as("lab"))
+    val withSelf = graft.ops.Lineage.cut(edges.unionAll(
+      nodes.select(col("node").as("u"), col("node").as("v"))))
+    val init = withSelf.filter(col("u") === col("v"))
+      .select(col("u").as("node"), col("u").as("lab"))
     (1 to 3).foldLeft(init) { (labs, _) =>
       withSelf
         .join(labs.select(col("node").as("vn"), col("lab")),
@@ -806,9 +815,17 @@ object GraphOps {
       val pairs = coPurchaseSupported(s, dir)
       val edges = pairs.select(col("a").as("u"), col("b").as("v"))
         .unionAll(pairs.select(col("b").as("u"), col("a").as("v")))
-      val nodes = edges.select(col("u").as("node")).distinct()
-      val withSelf = edges.unionAll(
-        nodes.select(col("node").as("u"), col("node").as("v")))
+      // one eager cut for the frame every unrolled round references —
+      // the 4-round single-plan version re-materialized the same
+      // nodes-distinct exchange per round (653 tasks / 90.6 s task
+      // time for 1 MB of shuffle at sf0.1); see lpLabels
+      val nodesD = edges.select(col("u").as("node")).distinct()
+      val withSelf = graft.ops.Lineage.cut(edges.unionAll(
+        nodesD.select(col("node").as("u"), col("node").as("v"))))
+      // the node set, read back off the checkpoint (edges are
+      // self-loop-free by construction: pairs carry a < b)
+      val nodes = withSelf.filter(col("u") === col("v"))
+        .select(col("u").as("node"))
       // the 1-row seed reaches every node as a broadcast LEFT
       // equi-join on the node key itself (hit = the seed node) — a
       // condition-free or constant-key 1-row join would constant-fold
@@ -1044,7 +1061,12 @@ object GraphOps {
     */
   val qHits = QueryDef(
     "q_graph_hits",
-    (s, dir) => {
+    (s, dir) => Confs.scoped(s,
+      // r15 (guide §2.2): the 4 half-step checkpoints materialize
+      // inside this body; byte-sized AQE coalescing scoped here keeps
+      // them at the score table's size, not 32 tiny partitions
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+        -> "false") {
       val S = 1000000L
       val li = T(s, dir, "lineitem").select("l_orderkey", "l_partkey")
       val ord = T(s, dir, "orders").select("o_orderkey", "o_custkey")

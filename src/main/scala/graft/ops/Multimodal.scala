@@ -1102,7 +1102,10 @@ object Multimodal {
     */
   private def aHashed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = Tables.spread( // §2.5: single-row-group scan, parallelize the decode
+    // §2.5: single-row-group scan, parallelize the decode; gated on
+    // footer-measured scan parallelism (r15) so a wide production
+    // table skips the exchange
+    val media = Tables.spreadIfNarrow(s, dir, "documents")(
         Tables.t(s, dir, "documents").select("doc_id", "text"))
       .as[(Long, String)]
       .map { case (id, text) => synthesizePng(id, text.getBytes("UTF-8")) }

@@ -30,7 +30,10 @@ object Relational {
       // exact-parity discipline — would otherwise run serially in the
       // scan stage (guide §2.5 input skew). Decimal sums are exact and
       // order-independent, so repartitioning cannot change results.
-      val li = Tables.spread(T(s, dir, "lineitem")
+      // Gated on footer-measured scan parallelism (r15): a
+      // multi-row-group production table skips the exchange entirely.
+      val li = Tables.spreadIfNarrow(s, dir, "lineitem")(
+        T(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .select("l_returnflag", "l_linestatus", "l_quantity",
           "l_extendedprice", "l_discount", "l_tax"))
@@ -735,9 +738,11 @@ object Relational {
     (s, dir) => {
       // spread: parallelize the five DECIMAL(28,10) partial sums out
       // of the one-task fixture scan (see q1_agg; exact sums are
-      // order-independent, results unchanged)
-      val li = Tables.spread(T(s, dir, "lineitem")
-        .select("l_returnflag", "l_quantity", "l_extendedprice"))
+      // order-independent, results unchanged; gated on footer-measured
+      // scan parallelism — see q1_agg)
+      val li = Tables.spreadIfNarrow(s, dir, "lineitem")(
+        T(s, dir, "lineitem")
+          .select("l_returnflag", "l_quantity", "l_extendedprice"))
       val n = count(lit(1)).cast("double")
       val sx = dsum(col("l_quantity"))
       val sxx = dsum(col("l_quantity") * col("l_quantity"))
@@ -1602,6 +1607,20 @@ object Relational {
     (s, dir) => {
       Tables.views(s, dir)
       s.conf.set("spark.sql.cteRecursionLevelLimit", "400")
+      // r15 (guide §1.2 step 1 — remove driver round-trips): each
+      // UnionLoop level used to cache-and-count its tiny frontier as
+      // a distributed plan — 90 single-task jobs, pure scheduler
+      // latency (profiled: 90 jobs / 90 stages / 90 tasks, 3.9 s).
+      // With the anchor under this row gate Spark materializes the
+      // loop frames as LocalRelations instead (9 jobs, 1.5 s). The
+      // gate is size-adaptive, not a local[32] constant: a corpus
+      // whose DISTINCT n_chars exceeds 100k rows (~2.4 MB driver
+      // memory, the autoBroadcastJoinThreshold class) falls back to
+      // the distributed path automatically. Results are identical
+      // (oracle-verified); the declared recursive SQL is unchanged.
+      s.conf.set(
+        "spark.sql.cteRecursionAnchorRowsLimitToConvertToLocalRelation",
+        "100000")
       s.sql("""
         WITH RECURSIVE c(n0, n, steps) AS (
           SELECT DISTINCT CAST(n_chars AS BIGINT),

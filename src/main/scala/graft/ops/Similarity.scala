@@ -1948,7 +1948,12 @@ object Similarity {
     */
   val qAnnMmr = QueryDef(
     "q_ann_mmr",
-    (s, dir) => {
+    (s, dir) => Confs.scoped(s,
+      // r15 (guide §2.2): the greedy rounds' ≤36-row checkpoints
+      // materialize inside this body — byte-sized coalescing, see
+      // qKcenter
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+        -> "false") {
       val e = vectors(s, dir)
       val q = e.filter(col("vec_id") < 3)
         .toDF("qid", "q_emb", "q_nrm")
@@ -2070,17 +2075,24 @@ object Similarity {
     * corpus, no driver collect (the 1-row argmax stays a DataFrame,
     * the BPE-loop pattern). min is exact (no fp re-association), so
     * the incremental fold is bit-equal to the oracle's min over the
-    * full center set. Loop state (the running min and the 1-row
-    * center) is eagerly localCheckpoint-ed per round — the Dedup
+    * full center set. Loop state: the running min (`mind`) is
+    * eagerly localCheckpoint-ed per round — the Dedup
     * connected-components discipline — because the lazily unrolled
     * plan would otherwise EMBED round i−1 twice inside round i and
     * double in size every round (measured 7 s at sf0.1 from plan
-    * blowup alone); at 100 TB the same shape checkpoints to the
-    * cluster store instead.
+    * blowup alone); the 1-row center stays lazy over it (r14,
+    * re-derived by the broadcast build and the final union, both
+    * bounded). At 100 TB the same shape checkpoints to the cluster
+    * store instead.
     */
   val qKcenter = QueryDef(
     "q_sample_kcenter",
-    (s, dir) => {
+    (s, dir) => Confs.scoped(s,
+      // r15 (guide §2.2): the 7 running-min checkpoints materialize
+      // inside this body; byte-sized coalescing keeps them at the
+      // per-vector min table's size, not 32 tiny partitions
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+        -> "false") {
       GraftFunctions.register(s)
       val e = Tables.t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
@@ -2247,16 +2259,24 @@ object Similarity {
     (s, dir) => {
       val Q = 1048576.0 // 2^20, same quantum as q_embed_centroids
       val e = Tables.t(s, dir, "embeddings")
-      val sums = quantizedSums(e, col("label").cast("long"))
-        .select(col("k").as("clabel"), col("sarr"), col("n"))
       GraftFunctions.register(s)
-      val dotVS = expr(
-        """aggregate(zip_with(embedding, sarr,
-             (v, s) -> CAST(v AS DOUBLE) * CAST(s AS DOUBLE)),
-           CAST(0 AS DOUBLE), (acc, x) -> acc + x)""")
+      // r15 (guide §4): the per-(vector, centroid) fold was two
+      // interpreted 64-element HOFs — dot(embedding, sarr) AND the
+      // centroid norm, the latter a per-centroid CONSTANT re-folded on
+      // every crossJoin row. The norm now computes once per centroid
+      // on the 10-row broadcast side (same HOF, same fold, identical
+      // double), and the dot runs through the fused graft_dot codegen
+      // kernel over the pre-cast double array — per-element op
+      // sequence unchanged: acc + (double) v * (double) s, strict
+      // left-to-right, null element → null (RewriteSpec pins parity).
       val cnormSq = expr(
         """aggregate(transform(sarr, s -> CAST(s AS DOUBLE) * CAST(s AS DOUBLE)),
            CAST(0 AS DOUBLE), (acc, x) -> acc + x)""")
+      val sums = quantizedSums(e, col("label").cast("long"))
+        .select(col("k").as("clabel"),
+          transform(col("sarr"), x => x.cast("double")).as("sarrd"),
+          col("n"), sqrt(cnormSq).as("cnorm"))
+      val dotVS = GraftFunctions.dotp(col("embedding"), col("sarrd"))
       val scored = e
         .select(col("vec_id"), col("label").cast("long").as("label"),
           col("embedding"),
@@ -2265,7 +2285,7 @@ object Similarity {
         .crossJoin(broadcast(sums))
         .select(col("vec_id"), col("label"), col("clabel"),
           (dotVS / (col("n") * Q) /
-            (col("nrm") * sqrt(cnormSq) / (col("n") * Q))).as("cos"))
+            (col("nrm") * col("cnorm") / (col("n") * Q))).as("cos"))
       val pred = scored
         .groupBy(col("vec_id"), col("label"))
         .agg(max(struct(col("cos"), (-col("clabel")).as("nc"))).as("m"))

@@ -784,16 +784,23 @@ object TextOps {
   val qWinnowOverlap = QueryDef(
     "q_winnow_overlap",
     (s, dir) => {
+      // r15 single-pass df-cap (guide §2.4): fps is one distinct
+      // (doc_id, fp_hash) row per doc×hash, so the per-hash document
+      // frequency is a COUNT OVER (PARTITION BY fp_hash) window on the
+      // frame itself — one fp_hash exchange replaces the separate
+      // groupBy(fp_hash) aggregation + left-semi join back, and the
+      // downstream self-equi-join on fp_hash reuses the window's hash
+      // partitioning. Identical kept set: window count == group count
+      // on a distinct frame (oracle-verified).
       // cache: the winnow explode+window pipeline would otherwise
-      // re-run for every consumer below (df counts, both join sides,
-      // per-doc sizes) — the prunedShingles .cache() precedent
-      val fps = winnowSel(s, dir).select("doc_id", "fp_hash").distinct()
-        .cache()
-      val rare = fps.groupBy("fp_hash")
-        .agg(count(lit(1)).as("df"))
+      // re-run for every consumer below (both join sides, per-doc
+      // sizes) — the prunedShingles .cache() precedent
+      val kept = winnowSel(s, dir).select("doc_id", "fp_hash").distinct()
+        .withColumn("df", count(lit(1)).over(
+          Window.partitionBy(col("fp_hash"))))
         .filter(col("df") <= WinnowDfCap)
-        .select("fp_hash")
-      val kept = fps.join(rare, Seq("fp_hash"), "left_semi")
+        .select("doc_id", "fp_hash")
+        .cache()
       val nfp = kept.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
       val pairs = kept.as("a")
         .join(kept.as("b"),
@@ -1206,24 +1213,30 @@ object TextOps {
   val qSourceDrift = QueryDef(
     "q_source_drift",
     (s, dir) => {
-      val words = Tables.t(s, dir, "documents")
+      // r15 (guide §1.2 step 1): ONE corpus explode feeding a
+      // (source, word)-keyed count — basis, per-source counts and the
+      // source list all derive from that vocabulary-bounded frame
+      // instead of three separate corpus passes (basis counts are the
+      // exact integer sums of the per-source counts; the source set
+      // over words is unchanged; results identical, oracle-verified)
+      val wc = Tables.t(s, dir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) >= 1)
-      val basis = broadcast(words.groupBy("word")
-        .agg(count(lit(1)).as("n"))
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+      val basis = broadcast(wc.groupBy("word")
+        .agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("word"))
         .limit(32)
         .select("word"))
-      val perSrc = words.join(basis, "word")
-        .groupBy(col("source"), col("word"))
-        .agg(count(lit(1)).as("cnt"))
+      val perSrc = wc.join(basis, "word")
       val totals = perSrc.groupBy(col("source"))
         .agg(sum(col("cnt")).as("tot"))
       // scaffold sources × basis so a term ABSENT from one source
       // still contributes its full |0 − f| to the L1 — an inner join
       // on observed terms would undercount exactly the most-drifted
       // pairs (and emit nothing at all for disjoint profiles)
-      val scaffold = words.select("source").distinct().crossJoin(basis)
+      val scaffold = wc.select("source").distinct().crossJoin(basis)
       val freq = scaffold
         .join(perSrc, Seq("source", "word"), "left_outer")
         .join(broadcast(totals), "source")
