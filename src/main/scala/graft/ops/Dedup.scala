@@ -156,7 +156,8 @@ object Dedup {
     * silently diverge.
     */
   private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = prunedShingles(s, dir).cache()
+    // cacheWide: compute-dense cache (md5-shingle pair join reads it)
+    val sh = Tables.cacheWide(prunedShingles(s, dir))
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -993,7 +994,8 @@ object Dedup {
   val qContainment = QueryDef(
     "q_dedup_containment",
     (s, dir) => {
-      val sh = prunedShingles(s, dir).cache()
+      // cacheWide: compute-dense cache (see ngramJaccardPairs)
+      val sh = Tables.cacheWide(prunedShingles(s, dir))
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))

@@ -524,12 +524,15 @@ object GraphOps {
     // the SAME nodes-distinct exchange 4× (AQE leaf stages run
     // concurrently, defeating exchange reuse — measured 4 identical
     // 64-task stages, ~93 s task time for 1.1 MB of shuffle at
-    // sf0.1). One eager lineage cut materializes it once; each round
-    // then reads the checkpointed RDD. Same discipline as the HITS /
-    // connected-components loops.
+    // sf0.1). cache() (NOT Lineage.cut: a localCheckpoint embeds a
+    // fresh RDD id in the plan, so q_graph_modularity's labs.cache()
+    // would canonicalize differently on every execution and rebuild
+    // instead of reuse — measured 0.98 → 1.85 s before this was
+    // caught) materializes it once per session; block-level locks
+    // dedupe the concurrent leaf-stage reads.
     val nodes = edges.select(col("u").as("node")).distinct()
-    val withSelf = graft.ops.Lineage.cut(edges.unionAll(
-      nodes.select(col("node").as("u"), col("node").as("v"))))
+    val withSelf = edges.unionAll(
+      nodes.select(col("node").as("u"), col("node").as("v"))).cache()
     val init = withSelf.filter(col("u") === col("v"))
       .select(col("u").as("node"), col("u").as("lab"))
     (1 to 3).foldLeft(init) { (labs, _) =>
@@ -815,13 +818,14 @@ object GraphOps {
       val pairs = coPurchaseSupported(s, dir)
       val edges = pairs.select(col("a").as("u"), col("b").as("v"))
         .unionAll(pairs.select(col("b").as("u"), col("a").as("v")))
-      // one eager cut for the frame every unrolled round references —
-      // the 4-round single-plan version re-materialized the same
-      // nodes-distinct exchange per round (653 tasks / 90.6 s task
-      // time for 1 MB of shuffle at sf0.1); see lpLabels
+      // cache the frame every unrolled round references — the 4-round
+      // single-plan version re-materialized the same nodes-distinct
+      // exchange per round (653 tasks / 90.6 s task time for 1 MB of
+      // shuffle at sf0.1); see lpLabels for why cache() and not an
+      // eager checkpoint
       val nodesD = edges.select(col("u").as("node")).distinct()
-      val withSelf = graft.ops.Lineage.cut(edges.unionAll(
-        nodesD.select(col("node").as("u"), col("node").as("v"))))
+      val withSelf = edges.unionAll(
+        nodesD.select(col("node").as("u"), col("node").as("v"))).cache()
       // the node set, read back off the checkpoint (edges are
       // self-loop-free by construction: pairs carry a < b)
       val nodes = withSelf.filter(col("u") === col("v"))

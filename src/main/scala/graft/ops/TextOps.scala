@@ -1219,6 +1219,10 @@ object TextOps {
       // instead of three separate corpus passes (basis counts are the
       // exact integer sums of the per-source counts; the source set
       // over words is unchanged; results identical, oracle-verified)
+      // NOT eagerly cut (measured r15: the blocking checkpoint job
+      // cost more than the re-derived explode+agg subtrees it saves —
+      // 1.70 s vs 0.64 s at sf0.1; AQE's runtime stage reuse already
+      // dedupes the identical exchanges)
       val wc = Tables.t(s, dir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) >= 1)

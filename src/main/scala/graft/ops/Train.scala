@@ -57,14 +57,7 @@ object Train {
     * the corpus scan once per step.
     */
   private def featureFrames(s: SparkSession,
-      dir: String): (DataFrame, DataFrame) = Confs.scoped(s,
-    // r15 (VERDICT item 3, guide §2.2): the loop-state checkpoints
-    // materialize inside this call, so an AQE advisory-size-only
-    // coalesce scoped HERE gives them byte-sized (at sf0.1: single)
-    // partitions instead of 32 tiny ones — every GD step then stops
-    // paying 32-task scheduling per stage. Scoped set/restore: the
-    // session the bench shares sees nothing.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false") {
+      dir: String): (DataFrame, DataFrame) = {
     val hs = transform(split(col("text"), " "),
       t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
     val base = Lineage.cut(
@@ -128,11 +121,7 @@ object Train {
     * rows, the broadcast-back of the weight vector.
     */
   private def trainedWeights(s: SparkSession, dir: String,
-      fx: DataFrame, lab: DataFrame): DataFrame = Confs.scoped(s,
-    // see featureFrames — the per-step err/gradient jobs run inside
-    // this call; byte-sized coalescing keeps each step's stages at
-    // the data's size, not the core count
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false") {
+      fx: DataFrame, lab: DataFrame): DataFrame = {
     import s.implicits._
     // one label row per document, so this IS the corpus row count
     // (the oracle's count(*) FROM documents) — read from the parquet

@@ -170,6 +170,24 @@ object Tables {
     else df
   }
 
+  /** `.cache()` that keeps the plan's EXECUTION-WIDTH partitioning
+    * instead of the session's AQE byte-coalesced cached layout (r15:
+    * the session enables canChangeCachedPlanOutputPartitioning so
+    * tiny cached frames stop pinning 32 one-KB partitions — but a
+    * compute-dense cache, e.g. md5-shingle frames feeding pair
+    * equi-joins, is small in BYTES and heavy in downstream CPU, and
+    * byte-sized coalescing serializes every consumer's map side:
+    * q_dedup_containment measured 1.4 → 2.2 s. At corpus scale both
+    * layouts are wide, so this only changes fixture-scale behavior.)
+    * The conf is captured at cache registration, scoped set/restore.
+    */
+  def cacheWide(df: DataFrame): DataFrame =
+    Confs.scoped(df.sparkSession,
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+        -> "false") {
+      df.cache()
+    }
+
   /** Row count straight from parquet footer metadata — a driver-side
     * read of a few KB, no Spark job. Used by fixture-scale gates
     * (q_embed_cosine_pairs) so the guard doesn't cost an extra job on
