@@ -103,6 +103,32 @@ class RewriteSpec extends AnyFunSuite {
     assert(projLoose(row).getDouble(0) === 11.0)
   }
 
+  // ---- graft_dot widened element types (r15: q_embed_confusion's
+  // vector×centroid dot runs float-embedding × double-sarr)
+
+  test("graft_dot is bit-equal to the zip_with HOF fold on mixed " +
+      "float/double inputs (the q_embed_confusion kernel)") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.ops.Tables
+      .t(spark, "/root/testdata/sf0.001", "embeddings")
+    val df = emb.select(col("vec_id"), col("embedding").as("a"))
+      .selectExpr("vec_id", "a",
+        // a bigint 'quantized sum' side cast to double, like sarrd
+        "transform(reverse(a), x -> CAST(CAST(round(x * 1048576.0) " +
+          "AS BIGINT) AS DOUBLE)) AS b")
+    val hof = df.selectExpr("vec_id",
+      "aggregate(zip_with(a, b, (v, s) -> CAST(v AS DOUBLE) * s), " +
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS d")
+      .collect().map(r => r.getLong(0) ->
+        java.lang.Double.doubleToLongBits(r.getDouble(1))).toMap
+    val fused = df.selectExpr("vec_id", "graft_dot(a, b) AS d")
+      .collect().map(r => r.getLong(0) ->
+        java.lang.Double.doubleToLongBits(r.getDouble(1))).toMap
+    assert(hof == fused,
+      "graft_dot(float, double) must be bit-identical to the HOF fold")
+  }
+
   // ---- graft_l2 (r14: the fused L2 kernel replacing the interpreted
   // aggregate(sequence(0,63),...) HOF in Similarity.l2Between)
 
